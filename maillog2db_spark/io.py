@@ -1,0 +1,29 @@
+"""Testdata table loaders.
+
+``events.parquet`` is written with TIMESTAMP(NANOS), which Spark's
+parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read nanos
+as LongType via the legacy conf and rebuild a microsecond timestamp
+with floor division — exactly DuckDB's ns→us truncation, so oracle
+comparisons stay bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set(NANOS_CONF, "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df

@@ -1,0 +1,133 @@
+"""Query registry: every operator from SURVEY.md §2 as a (Spark
+callable, DuckDB oracle SQL) pair.
+
+Each Spark callable takes (spark, sf_dir) and returns a DataFrame whose
+column names match the oracle exactly (the driver sorts columns by name
+before value-hashing). Queries whose semantics are not SQL-expressible
+have oracle=None → the driver records a weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import oracle, parsing, synth, tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    fn: QueryFn
+    oracle_sql: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle_sql: str | None, doc: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = Query(fn=fn, oracle_sql=oracle_sql, doc=doc)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parsing.parse_lines(
+        synth.lines_df(spark, sf_dir), seq_col="seq", year=synth.SYNTH_YEAR
+    )
+
+
+# --- maillog core (SURVEY §2.1-2.4: the reference's entire surface) -------
+
+
+@register("ml_parse_header", oracle.PARSED,
+          doc="Admission filter + header extraction + router (P1-P4, maillog2db.go:181-275)")
+def ml_parse_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _parsed(spark, sf_dir).select(
+        "seq", "ts_raw", "mailhost", "process", "pid", "message", "ts", "entry_type"
+    )
+
+
+@register("ml_router_counts", oracle.ROUTER_COUNTS,
+          doc="Content-based router cascade, first-match-wins (P4)")
+def ml_router_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _parsed(spark, sf_dir).groupBy("entry_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("ml_logs", oracle.LOGS,
+          doc="Raw-log table: append + exact-dup suppression over 5 cols (A1, maillog2db.go:283-306)")
+def ml_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.build_logs(_parsed(spark, sf_dir))
+
+
+@register("ml_clients", oracle.CLIENTS,
+          doc="Client entity tracking with freshness update (A3, maillog2db.go:308-330)")
+def ml_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.build_clients(_parsed(spark, sf_dir))
+
+
+@register("ml_messages", oracle.MESSAGES,
+          doc="Per-queueid last-writer-wins merge of 3 event streams (A2/J1, maillog2db.go:332-393)")
+def ml_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.build_messages(_parsed(spark, sf_dir))
+
+
+@register("ml_deliveries", oracle.DELIVERIES,
+          doc="Delivery attempts: append + exact-dup suppression over 9 cols (A1, maillog2db.go:395-442)")
+def ml_deliveries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.build_deliveries(_parsed(spark, sf_dir))
+
+
+@register("ml_delivery_typed", oracle.DELIVERY_TYPED,
+          doc="Derived typed columns over raw strings (SURVEY §1.2)")
+def ml_delivery_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.with_delivery_typed_columns(tables.build_deliveries(_parsed(spark, sf_dir)))
+    return d.select(
+        "delivery_queueid",
+        "delivery_timestamp",
+        "delivery_delay",
+        "delivery_delays",
+        "delivery_delay_sec",
+        F.size("delivery_delays_arr").alias("delivery_delays_n"),
+        F.round(
+            F.aggregate("delivery_delays_arr", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("delivery_delays_total"),
+    )
+
+
+@register("ml_msg_delivery_join", oracle.MSG_DELIVERY_JOIN,
+          doc="Flagship: messages ⋈ deliveries on queueid (J2), per-status attempt counts")
+def ml_msg_delivery_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = _parsed(spark, sf_dir)
+    messages = tables.build_messages(parsed).select("message_queueid", "message_from")
+    deliveries = tables.build_deliveries(parsed)
+    # ~97 distinct queueids at any scale → broadcast the aggregated
+    # message dimension; the delivery fact side never shuffles.
+    return (
+        deliveries.join(
+            F.broadcast(messages),
+            deliveries.delivery_queueid == messages.message_queueid,
+            "inner",
+        )
+        .groupBy("delivery_status", "message_from")
+        .agg(F.count(F.lit(1)).alias("n_attempts"))
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle_sql for name, q in REGISTRY.items() if q.oracle_sql is not None}
