@@ -25,5 +25,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(NANOS_CONF, "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes)["ts"] == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division — float division loses microsecond precision
+        # at 1e18-nanosecond magnitudes (double has 53 mantissa bits)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

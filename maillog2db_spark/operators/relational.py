@@ -1,0 +1,315 @@
+"""Relational analytics operators over the TPC-H-ish star schema.
+
+The reference exposes its tables "for downstream SQL" without ever
+joining them (SURVEY §2.3) — these queries ARE that downstream surface,
+plus the full set of operators Spark gives for free (joins of every
+shape, grouped/rollup aggregation, distinct counting, set ops, window
+top-k) exercised explicitly so the driver gate pins their semantics.
+
+Scale design notes (100 TB):
+  * Fact tables (lineitem, orders) only ever shuffle on their join/agg
+    keys; dimensions (region, nation, customer at DW scale) are
+    broadcast — no shuffle of the big side.
+  * Aggregates are partial (map-side combine) by construction —
+    groupBy().agg() on associative functions.
+  * Float-valued aggregates are rounded at the boundary (round(x, 2))
+    to make results reproducible across summation orders — required
+    for cross-engine hash equality and good hygiene for any
+    parallel-deterministic contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import io
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return io.load(spark, sf_dir, name)
+
+
+# --- TPC-H Q1 shape: scan + filter + grouped multi-aggregate ---------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: the canonical grouped-aggregate scan. One shuffle on the
+    2-value group key; everything before it is a codegen'd scan+filter
+    with the shipdate predicate pushed to parquet."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-01-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- TPC-H Q3 shape: selective 3-way join + top-k -------------------------
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: customer ⋈ orders ⋈ lineitem with selective filters, revenue
+    per order, deterministic top-10. Customer (dim) broadcasts; the
+    orders↔lineitem join shuffles on orderkey only."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1999-01-01"))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1999-01-01"))
+    revenue = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate > TIMESTAMP '1999-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- TPC-H Q5 shape: 6-way snowflake join ----------------------------------
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: the 6-table snowflake. All dimension hops broadcast; the only
+    shuffles are the two fact-side equi-joins and the final 1-row-per-
+    nation aggregate."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+"""
+
+
+# --- window top-k per group -------------------------------------------------
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by order volume within each nation —
+    Window.partitionBy + row_number ≤ k, the scalable top-k-per-group
+    pattern (single shuffle on the partition key, no global sort)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    vol = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+    return (
+        vol.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("n_name", "c_custkey", "c_name", "total_spend", "rk")
+    )
+
+
+TOP_CUSTOMERS_PER_NATION_SQL = """
+WITH vol AS (
+  SELECT c_nationkey, c_custkey, c_name,
+         round(sum(o_totalprice), 2) AS total_spend
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, c_custkey, c_name
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                               ORDER BY total_spend DESC, c_custkey) AS rk
+  FROM vol
+)
+SELECT n_name, c_custkey, c_name, total_spend, rk
+FROM ranked JOIN nation ON c_nationkey = n_nationkey
+WHERE rk <= 3
+"""
+
+
+# --- distinct counting ------------------------------------------------------
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counting per group (Catalyst expands
+    to one aggregate per distinct column — partial-aggregated, no
+    driver involvement)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+DISTINCT_COUNTS_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- set operations ---------------------------------------------------------
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT/INTERSECT surface: customers who ordered in 1999 but are
+    not in the BUILDING segment, plus the intersection count — both set
+    ops are shuffle-distinct under the hood."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    orderers = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1999-01-01")) & (F.col("o_orderdate") < F.lit("2000-01-01"))
+        )
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return orderers.exceptAll(building).distinct().orderBy("custkey")
+
+
+SET_OPS_CUSTOMERS_SQL = """
+SELECT DISTINCT o_custkey AS custkey
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ORDER BY custkey
+"""
+
+
+# --- rollup / grouping sets -------------------------------------------------
+
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping indicators — hierarchical totals in one
+    pass (Spark expands to a single Expand + aggregate, still partial-
+    aggregated)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+        )
+    )
+
+
+ROLLUP_SALES_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n_rows,
+       grouping(l_returnflag) AS g_rf,
+       grouping(l_linestatus) AS g_ls
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- anti join --------------------------------------------------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — the same primitive the reference
+    implements procedurally as its dedup existence check (P10/A1)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers_no_orders"))
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_nationkey, count(*) AS n_customers_no_orders
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+# --- pivot ------------------------------------------------------------------
+
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: quantity by returnflag × linestatus as columns (explicit
+    value list → no extra distinct-values job)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"F": "qty_f", "O": "qty_o"})
+    )
+
+
+PIVOT_RETURNFLAG_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""

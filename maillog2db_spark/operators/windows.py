@@ -1,0 +1,133 @@
+"""Event-stream analytics over the ``events`` table: tumbling windows,
+sessionization, per-entity top-k (SURVEY §2.9 "event-stream analytics").
+
+These are the batch duals of the streaming operators in streaming.py —
+same F.window / gap-based session semantics, oracle-checkable in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import io
+
+SESSION_GAP_MIN = 30
+
+
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window per event_type — F.window is the native
+    streaming-compatible bucketing (epoch-aligned, identical to
+    date_trunc for whole-hour widths)."""
+    e = io.load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value", "n_users")
+    )
+
+
+TUMBLING_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): the classic
+    lag + cumulative-sum-of-boundaries window composition. One shuffle
+    on user_id; both window functions share the same partitioning so
+    Catalyst plans a single sort+window stage."""
+    e = io.load_events(spark, sf_dir)
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap — second-truncated arithmetic would misplace
+    # boundaries for sub-second-offset events
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(by_user)
+    new_session = F.when(gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0)
+    sess = e.withColumn("session_seq", F.sum(new_session).over(
+        by_user.rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_MIN * 60 * 1000000}
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  -- CAST: DuckDB sum(int) widens to HUGEINT (→ float in pandas)
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by aggregate — agg then takeOrdered-style
+    sort+limit (AQE collapses this to a single-partition top-k,
+    no full sort of the aggregate output)."""
+    e = io.load_events(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 6).alias("total_value"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("total_value").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+TOP_USERS_SQL = """
+SELECT user_id, round(sum(value), 6) AS total_value, count(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 10
+"""
+
+
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type distinct users + running cumulative events — mixes
+    grouped distinct aggregation with an ordered analytic window."""
+    e = io.load_events(spark, sf_dir)
+    daily = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.countDistinct("user_id").alias("dau"), F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.withColumn("cum_events", F.sum("n_events").over(w))
+
+
+DAILY_ACTIVE_USERS_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         count(DISTINCT user_id) AS dau, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, dau, n_events,
+       CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events
+FROM daily
+"""

@@ -125,6 +125,42 @@ def ml_msg_delivery_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- generic relational operators (SURVEY §2.3/2.4/2.5 Spark surface) ------
+
+from .operators import relational as _rel  # noqa: E402
+from .operators import windows as _win  # noqa: E402
+
+register("tpch_q1_pricing_summary", _rel.PRICING_SUMMARY_SQL,
+         doc="Grouped multi-aggregate scan (TPC-H Q1 shape)")(_rel.pricing_summary)
+register("tpch_q3_shipping_priority", _rel.SHIPPING_PRIORITY_SQL,
+         doc="Selective 3-way join + deterministic top-k (TPC-H Q3 shape)")(_rel.shipping_priority)
+register("tpch_q5_local_supplier", _rel.LOCAL_SUPPLIER_VOLUME_SQL,
+         doc="6-way snowflake join, broadcast dims (TPC-H Q5 shape)")(_rel.local_supplier_volume)
+register("top_customers_per_nation", _rel.TOP_CUSTOMERS_PER_NATION_SQL,
+         doc="Window top-k per group (row_number ≤ k)")(_rel.top_customers_per_nation)
+register("distinct_counts", _rel.DISTINCT_COUNTS_SQL,
+         doc="Exact multi-column distinct counting")(_rel.distinct_counts)
+register("set_ops_customers", _rel.SET_OPS_CUSTOMERS_SQL,
+         doc="EXCEPT set operation")(_rel.set_ops_customers)
+register("rollup_sales", _rel.ROLLUP_SALES_SQL,
+         doc="ROLLUP + grouping indicators")(_rel.rollup_sales)
+register("customers_without_orders", _rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
+         doc="Left-anti join (NOT EXISTS) — the reference's dedup predicate as an operator")(_rel.customers_without_orders)
+register("pivot_returnflag", _rel.PIVOT_RETURNFLAG_SQL,
+         doc="Pivot with explicit value list")(_rel.pivot_returnflag)
+
+# --- event-stream analytics (SURVEY §2.9) -----------------------------------
+
+register("ev_tumbling_hourly", _win.TUMBLING_HOURLY_SQL,
+         doc="1h tumbling window aggregation (batch dual of streaming window)")(_win.tumbling_hourly)
+register("ev_sessionize", _win.SESSIONIZE_SQL,
+         doc="Gap-based sessionization (lag + cumsum boundaries)")(_win.sessionize)
+register("ev_top_users", _win.TOP_USERS_SQL,
+         doc="Global top-k by aggregate")(_win.top_users_by_value)
+register("ev_daily_active_users", _win.DAILY_ACTIVE_USERS_SQL,
+         doc="Daily distinct users + cumulative analytic window")(_win.daily_active_users)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
