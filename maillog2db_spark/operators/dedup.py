@@ -1,0 +1,295 @@
+"""Deduplication operators over the ``documents`` table — the
+training-data-pipeline surface: exact, MinHash+LSH, SimHash, and
+blocked n-gram Jaccard near-dup detection.
+
+All hashing is md5-based (hex strings order-compare identically in
+Spark and DuckDB), so every stage — shingling, signatures, banding,
+candidate pairs, verification — is SQL-expressible and oracle-checked.
+
+Scale design (100 TB):
+  * Exact dedup: hash-groupBy on a fingerprint — one shuffle, no
+    full-row comparisons.
+  * MinHash/LSH: per-doc signature is a single explode + groupBy
+    (map-side combined); candidate generation joins on (band,
+    band_hash) buckets — the join key IS the blocking key, so the
+    self-join never goes quadratic. Verification runs only on
+    candidates.
+  * Blocked Jaccard: quadratic only within a (lang) block — at real
+    scale the block key would be (lang, length-bucket, source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+
+N_HASHES = 8
+N_BANDS = 4  # rows-per-band = 2
+SHINGLE_W = 3
+JACCARD_THRESHOLD = 0.7
+
+# tokens: lowercase, whitespace-split, empties removed (identical
+# semantics spelled in both engines)
+_TOKENS_SPARK = "filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')"
+_TOKENS_DUCK = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+# 3-word shingles, deduplicated
+_SHINGLES_SPARK = (
+    f"array_distinct(CASE WHEN size({_TOKENS_SPARK}) >= {SHINGLE_W} THEN "
+    f"transform(sequence(1, size({_TOKENS_SPARK}) - {SHINGLE_W - 1}), "
+    f"i -> array_join(slice({_TOKENS_SPARK}, i, {SHINGLE_W}), ' ')) "
+    "ELSE array() END)"
+)
+_SHINGLES_DUCK = (
+    f"list_distinct(list_transform(generate_series(1, len({_TOKENS_DUCK}) - {SHINGLE_W - 1}), "
+    f"i -> array_to_string(list_slice({_TOKENS_DUCK}, i, i + {SHINGLE_W - 1}), ' ')))"
+)
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint: one representative (min
+    doc_id) per md5(text), with duplicate counts."""
+    d = io.load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fingerprint", F.md5(F.encode(F.col("text"), "UTF-8")))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS fingerprint,
+       min(doc_id) AS rep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature: mh_i = min over shingles of
+    md5(i || ':' || shingle), i = 0..N_HASHES-1."""
+    d = io.load(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", F.explode("shingles").alias("s"))
+    )
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("s")), "UTF-8"))).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_SIG_DUCK_CTE = f"""
+shingled AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s
+  FROM documents WHERE len({_SHINGLES_DUCK}) > 0
+),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{i}:' || s)) AS mh{i}" for i in range(N_HASHES))}
+  FROM shingled GROUP BY doc_id
+)"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signatures(spark, sf_dir)
+
+
+MINHASH_SIGNATURES_SQL = f"WITH {_SIG_DUCK_CTE}\nSELECT * FROM sigs"
+
+
+def _band_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH banding: hash each (band of 2 signature rows), bucket-join
+    docs sharing any band hash → candidate pairs (a < b)."""
+    bands = []
+    for b in range(N_BANDS):
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.encode(F.concat_ws("|", f"mh{2*b}", f"mh{2*b+1}"), "UTF-8")).alias("bh"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionAll(x)
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")))
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_BANDS_DUCK_CTE = (
+    "banded AS (\n"
+    + "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS bh FROM sigs"
+        for b in range(N_BANDS)
+    )
+    + "\n),\ncand AS (\n"
+    "  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b\n"
+    "  FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh\n"
+    "  WHERE l.doc_id < r.doc_id\n)"
+)
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _band_pairs(_signatures(spark, sf_dir))
+
+
+LSH_CANDIDATE_PAIRS_SQL = f"WITH {_SIG_DUCK_CTE},\n{_BANDS_DUCK_CTE}\nSELECT * FROM cand"
+
+
+def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH dedup: candidates from banding, verified with
+    true shingle-Jaccard ≥ threshold. Verification joins shingle sets
+    only for candidate pairs — never quadratic."""
+    d = io.load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SHINGLES_SPARK).alias("sh")
+    )
+    cand = lsh_candidate_pairs(spark, sf_dir)
+    a = d.alias("a")
+    b = d.alias("b")
+    j = (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, cand.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_distinct(F.concat("a.sh", "b.sh")))
+            ).alias("jaccard"),
+        )
+    )
+    # jaccard is an exact rational — emit as ppm integer (floor-half-up),
+    # since float round() differs across engines at exact .5 boundaries
+    return j.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a",
+        "doc_b",
+        F.floor(F.col("jaccard") * 1_000_000 + 0.5).cast("bigint").alias("jaccard_ppm"),
+    )
+
+
+NEARDUP_PAIRS_SQL = f"""WITH {_SIG_DUCK_CTE},
+{_BANDS_DUCK_CTE},
+sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents)
+SELECT doc_a, doc_b, CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_ppm FROM (
+  SELECT doc_a, doc_b,
+         len(list_intersect(a.sh, b.sh))::DOUBLE
+           / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+  FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+            JOIN sh b ON cand.doc_b = b.doc_id
+) WHERE j >= {JACCARD_THRESHOLD}
+"""
+
+
+def blocked_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-Jaccard near-dup without LSH: quadratic comparison
+    restricted to (lang) blocks — the classic blocked-dedup baseline.
+    Token-set (unigram) Jaccard ≥ 0.8."""
+    d = io.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.expr(_TOKENS_SPARK)).alias("toks"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            (
+                F.size(F.array_intersect("a.toks", "b.toks"))
+                / F.size(F.array_distinct(F.concat("a.toks", "b.toks")))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            "lang",
+            F.floor(F.col("j") * 1_000_000 + 0.5).cast("bigint").alias("jaccard_ppm"),
+        )
+    )
+
+
+BLOCKED_JACCARD_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, list_distinct({_TOKENS_DUCK}) AS toks FROM documents
+)
+SELECT doc_a, doc_b, lang, CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_ppm FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+         len(list_intersect(a.toks, b.toks))::DOUBLE
+           / len(list_distinct(list_concat(a.toks, b.toks))) AS j
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+) WHERE j >= 0.8
+"""
+
+
+# --- SimHash ---------------------------------------------------------------
+#
+# 32-bit simhash built from the first 8 hex chars of each token's md5
+# (4 bits per hex char via strpos arithmetic — no hex→int builtin is
+# needed, keeping both engines identical).
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = io.load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TOKENS_SPARK))).alias("tok")
+    ).withColumn("h", F.md5(F.encode("tok", "UTF-8")))
+    # shiftleft/shiftright need expr() — the PySpark wrappers only take
+    # a literal bit count, not a Column
+    bits = (
+        toks.select(
+            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"), "h"
+        )
+        .withColumn(
+            "nib",
+            F.instr(
+                F.lit(_HEX),
+                F.substring(F.col("h"), F.expr("CAST(bit div 4 AS INT)") + 1, 1),
+            )
+            - 1,
+        )
+        .withColumn("b", F.expr("shiftright(nib, CAST(bit % 4 AS INT)) & 1"))
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum(F.col("b") * 2 - 1).alias("vote"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+SIMHASH_SIGNATURES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+), bits AS (
+  SELECT doc_id, r.range AS bit,
+         ((strpos('{_HEX}', substr(h, CAST(r.range // 4 AS INT) + 1, 1)) - 1)
+          >> CAST(r.range % 4 AS INT)) & 1 AS b
+  FROM hashed CROSS JOIN range(32) r
+), votes AS (
+  SELECT doc_id, bit, sum(b * 2 - 1) AS vote FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""

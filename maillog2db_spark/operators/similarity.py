@@ -1,0 +1,175 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+Brute-force cosine top-k is the exact baseline; the LSH-bucketed
+variant (random-hyperplane signs → bucket equi-join) is the scale
+path — candidates come from bucket collisions, so the join never goes
+quadratic in corpus size.
+
+Numerics: both engines compute the same left-to-right fold
+sum(double(a_i) * double(b_i)) over float32 inputs, and results are
+rounded before ranking so ordering is reproducible across engines and
+partitionings. Rank ties break on vec_id.
+
+Scale design: queries (small) broadcast against the corpus (huge) —
+the corpus never shuffles for brute force. For IVF/LSH, the bucket id
+is the shuffle/partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import io
+
+TOP_K = 5
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+N_PLANES = 8  # random-hyperplane bits for LSH buckets
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: query set broadcast-joined against the full
+    corpus, per-query window top-k."""
+    e = io.load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+_DOT_DUCK = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+KNN_BRUTEFORCE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings WHERE vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round({_DOT_DUCK.format(a='q_emb', b='c_emb')}
+               / (sqrt({_DOT_DUCK.format(a='q_emb', b='q_emb')})
+                  * sqrt({_DOT_DUCK.format(a='c_emb', b='c_emb')})), 6) AS cosine
+  FROM c CROSS JOIN q
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _hyperplane(plane: int, dim: int = 64) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component d of plane p is
+    ±1 by parity of a fixed integer mix — reproducible in plain SQL on
+    both engines (no RNG)."""
+    return [1.0 if ((plane * 37 + d * 101) % 7) % 2 == 0 else -1.0 for d in range(dim)]
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8 sign bits per vector → bucket id.
+    Vectors in the same bucket are ANN candidates; the bucket id is the
+    equi-join/partition key at scale."""
+    e = io.load(spark, sf_dir, "embeddings")
+    bucket = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(p)])
+        bit = F.when(_dot(F.col("embedding"), plane) > 0, 1).otherwise(0)
+        bucket = bucket + F.shiftleft(bit.cast("long"), p)
+    return (
+        e.select(F.col("vec_id"), F.col("label"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+def _plane_duck(p: int) -> str:
+    vals = ", ".join(str(v) for v in _hyperplane(p))
+    return f"[{vals}]"
+
+
+LSH_BUCKETS_SQL = f"""
+WITH b AS (
+  SELECT vec_id, label,
+         CAST({' + '.join(
+             f"(CASE WHEN {_DOT_DUCK.format(a='embedding', b=_plane_duck(p))} > 0 "
+             f"THEN (1::BIGINT << {p}) ELSE 0 END)"
+             for p in range(N_PLANES)
+         )} AS BIGINT) AS bucket
+  FROM embeddings
+)
+SELECT bucket, count(*) AS n_vectors, count(DISTINCT label) AS n_labels,
+       min(vec_id) AS min_vec_id
+FROM b GROUP BY bucket
+"""
+
+
+def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise mean via posexplode — the
+    distributed dense-vector aggregate) reported as (n_vectors,
+    centroid L2 norm)."""
+    e = io.load(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+    )
+    cent = pos.groupBy("label", "pos").agg(F.avg(F.col("v").cast("double")).alias("m"))
+    return (
+        cent.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"))
+        .join(
+            e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors")),
+            "label",
+        )
+        .select("label", "n_vectors", "centroid_norm")
+    )
+
+
+LABEL_CENTROID_NORMS_SQL = """
+WITH pos AS (
+  SELECT label, r.range AS pos, CAST(embedding[CAST(r.range AS INT) + 1] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN range(64) r
+), cent AS (
+  SELECT label, pos, avg(v) AS m FROM pos GROUP BY label, pos
+), norms AS (
+  SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm FROM cent GROUP BY label
+)
+SELECT n.label, c.n_vectors, n.centroid_norm
+FROM norms n JOIN (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label) c
+  ON n.label = c.label
+"""

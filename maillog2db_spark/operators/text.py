@@ -1,0 +1,186 @@
+"""Text-analysis operators over ``documents``: token statistics,
+quality scoring, language-ID heuristic, rolling-hash fingerprinting.
+
+All built-in expressions (no Python in the hot path); each op has an
+exact DuckDB twin for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+from .dedup import _TOKENS_DUCK, _TOKENS_SPARK
+
+# stopword markers per language for the n-gram language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de", "shi", "le", "bu", "zai"],
+}
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical stats: n_tokens (whitespace), distinct
+    ratio, mean token length — the standard quality-filter features."""
+    d = io.load(spark, sf_dir, "documents")
+    toks = F.expr(_TOKENS_SPARK)
+    avg_len = (
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.size(toks)
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    # ppm integers, half-up via floor(x*1e6+0.5): these are exact
+    # rationals, where float round() is engine-dependent at .5 boundaries
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.floor(avg_len * 1_000_000 + 0.5).cast("bigint").alias("avg_token_len_ppm"),
+        F.floor(uniq_ratio * 1_000_000 + 0.5).cast("bigint").alias("uniq_ratio_ppm"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, lang, n_chars, {_TOKENS_DUCK} AS toks FROM documents)
+SELECT doc_id, lang, n_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_uniq_tokens,
+       CAST(floor(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+                  / len(toks) * 1000000 + 0.5) AS BIGINT) AS avg_token_len_ppm,
+       CAST(floor(len(list_distinct(toks))::DOUBLE / len(toks) * 1000000 + 0.5) AS BIGINT)
+         AS uniq_ratio_ppm
+FROM t
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score in [0,1]: length saturation + lexical
+    diversity + token-length plausibility, bucketed high/medium/low —
+    the shape of a pretraining quality filter, deterministic."""
+    d = io.load(spark, sf_dir, "documents")
+    toks = F.expr(_TOKENS_SPARK)
+    avg_len = (
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.size(toks)
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    len_score = F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
+    shape_score = F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(avg_len - 5.0) / F.lit(5.0))
+    score = 0.3 * len_score + 0.4 * uniq_ratio + 0.3 * shape_score
+    quality_ppm = F.floor(score * 1_000_000 + 0.5).cast("bigint")
+    return d.select(
+        "doc_id",
+        "lang",
+        quality_ppm.alias("quality_ppm"),
+        F.when(quality_ppm >= 750_000, "high")
+        .when(quality_ppm >= 500_000, "medium")
+        .otherwise("low")
+        .alias("quality_bucket"),
+    )
+
+
+QUALITY_SCORE_SQL = f"""
+WITH t AS (SELECT doc_id, lang, n_chars, {_TOKENS_DUCK} AS toks FROM documents),
+feats AS (
+  SELECT doc_id, lang,
+         least(n_chars / 400.0, 1.0) AS len_score,
+         len(list_distinct(toks))::DOUBLE / len(toks) AS uniq_ratio,
+         greatest(0.0, 1.0 - abs(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+                                  / len(toks) - 5.0) / 5.0) AS shape_score
+  FROM t
+), scored AS (
+  SELECT doc_id, lang,
+         CAST(floor((0.3 * len_score + 0.4 * uniq_ratio + 0.3 * shape_score) * 1000000 + 0.5)
+              AS BIGINT) AS quality_ppm
+  FROM feats
+)
+SELECT doc_id, lang, quality_ppm,
+       CASE WHEN quality_ppm >= 750000 THEN 'high'
+            WHEN quality_ppm >= 500000 THEN 'medium'
+            ELSE 'low' END AS quality_bucket
+FROM scored
+"""
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic: score each language by
+    marker hits in the token set, argmax with deterministic
+    tie-breaking, compared against the labeled lang column."""
+    d = io.load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.expr(_TOKENS_SPARK))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # argmax by (score desc, lang asc); all-zero → 'unknown'
+    guess = F.lit("unknown")
+    best = F.lit(0)
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        sc = scores[lang]
+        guess = F.when(sc >= F.greatest(best, F.lit(1)), F.lit(lang)).otherwise(guess)
+        best = F.greatest(best, sc)
+    out = d.select("doc_id", F.col("lang").alias("labeled_lang"), guess.alias("guessed_lang"))
+    return out.withColumn("match", (F.col("labeled_lang") == F.col("guessed_lang")).cast("int"))
+
+
+def _lang_score_duck(markers: list[str]) -> str:
+    arr = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_intersect(list_distinct({_TOKENS_DUCK}), [{arr}]))"
+
+
+def _langid_duck_guess() -> str:
+    expr = "'unknown'"
+    best = "0"
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        sc = _lang_score_duck(LANG_MARKERS[lang])
+        expr = f"CASE WHEN {sc} >= greatest({best}, 1) THEN '{lang}' ELSE {expr} END"
+        best = f"greatest({best}, {sc})"
+    return expr
+
+
+LANGUAGE_ID_SQL = f"""
+SELECT doc_id, lang AS labeled_lang,
+       {_langid_duck_guess()} AS guessed_lang,
+       CAST(lang = ({_langid_duck_guess()}) AS INT) AS match
+FROM documents
+"""
+
+
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the document's characters
+    (h = (h*31 + code) mod 2^31-1) — order-sensitive content
+    fingerprint, computed as a sequential fold in both engines."""
+    d = io.load(spark, sf_dir, "documents")
+    codes = F.expr("transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))")
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % F.lit(2147483647).cast("long"),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"), F.length("text").alias("text_len"))
+
+
+ROLLING_FINGERPRINT_SQL = """
+SELECT doc_id,
+       CAST(list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(generate_series(1, length(text)),
+                          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+         (a, x) -> (a * 31 + x) % 2147483647) AS BIGINT) AS fingerprint,
+       length(text) AS text_len
+FROM documents
+"""

@@ -161,6 +161,43 @@ register("ev_daily_active_users", _win.DAILY_ACTIVE_USERS_SQL,
          doc="Daily distinct users + cumulative analytic window")(_win.daily_active_users)
 
 
+# --- LLM-data-pipeline operators (SURVEY §2.9 north star) -------------------
+
+from .operators import dedup as _dd  # noqa: E402
+from .operators import multimodal as _mm  # noqa: E402
+from .operators import similarity as _sim  # noqa: E402
+from .operators import text as _tx  # noqa: E402
+
+register("doc_exact_dedup", _dd.EXACT_DEDUP_SQL,
+         doc="Exact dedup by content fingerprint (hash-groupBy)")(_dd.exact_dedup)
+register("doc_minhash_signatures", _dd.MINHASH_SIGNATURES_SQL,
+         doc="MinHash signatures over 3-word shingles (k=8, md5-based)")(_dd.minhash_signatures)
+register("doc_lsh_candidate_pairs", _dd.LSH_CANDIDATE_PAIRS_SQL,
+         doc="LSH banding → candidate pair generation (bucket equi-join)")(_dd.lsh_candidate_pairs)
+register("doc_neardup_pairs", _dd.NEARDUP_PAIRS_SQL,
+         doc="Full MinHash-LSH near-dup pipeline with Jaccard verification")(_dd.neardup_pairs)
+register("doc_blocked_jaccard", _dd.BLOCKED_JACCARD_PAIRS_SQL,
+         doc="Blocked n-gram Jaccard near-dup baseline")(_dd.blocked_jaccard_pairs)
+register("doc_simhash", _dd.SIMHASH_SIGNATURES_SQL,
+         doc="32-bit SimHash signatures (bitwise vote aggregation)")(_dd.simhash_signatures)
+register("embed_knn_bruteforce", _sim.KNN_BRUTEFORCE_SQL,
+         doc="Exact cosine top-k ANN baseline (broadcast queries)")(_sim.knn_bruteforce)
+register("embed_lsh_buckets", _sim.LSH_BUCKETS_SQL,
+         doc="Random-hyperplane LSH bucketing (ANN scale path)")(_sim.lsh_buckets)
+register("embed_label_centroids", _sim.LABEL_CENTROID_NORMS_SQL,
+         doc="Distributed dense-vector centroid aggregate")(_sim.label_centroid_norms)
+register("doc_token_stats", _tx.TOKEN_STATS_SQL,
+         doc="Token counting + lexical stats")(_tx.token_stats)
+register("doc_quality_score", _tx.QUALITY_SCORE_SQL,
+         doc="Composite quality scoring + bucketing")(_tx.quality_score)
+register("doc_language_id", _tx.LANGUAGE_ID_SQL,
+         doc="Stopword-marker language-ID heuristic")(_tx.language_id)
+register("doc_rolling_fingerprint", _tx.ROLLING_FINGERPRINT_SQL,
+         doc="Polynomial rolling-hash fingerprint (sequential fold)")(_tx.rolling_fingerprint)
+register("mm_binary_meta", _mm.BINARY_META_SQL,
+         doc="Opaque-binary metadata pass (bytes/hash/chunks)")(_mm.binary_meta)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -1,0 +1,91 @@
+"""Operator semantics tests beyond the oracle gate — focused on pieces
+the DuckDB differential can't cover (multimodal mapInPandas plumbing)
+and on invariants worth pinning independently of any engine twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from maillog2db_spark.operators import dedup, multimodal, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_neardup_pipeline_finds_planted_dups(spark):
+    """The synthetic documents table plants near-duplicates; LSH
+    candidates must be a superset of verified pairs, and every verified
+    pair must clear the Jaccard threshold."""
+    cand = dedup.lsh_candidate_pairs(spark, SF)
+    verified = dedup.neardup_pairs(spark, SF)
+    cand_set = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    ver = verified.collect()
+    assert len(ver) > 0, "expected planted near-dups at sf0.001"
+    for r in ver:
+        assert (r["doc_a"], r["doc_b"]) in cand_set
+        assert r["jaccard_ppm"] >= dedup.JACCARD_THRESHOLD * 1_000_000
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_knn_self_consistency(spark):
+    """Every query gets exactly TOP_K ranked neighbors with descending
+    cosine and no query in its own neighbor list."""
+    knn = similarity.knn_bruteforce(spark, SF).collect()
+    by_q = {}
+    for r in knn:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(similarity.N_QUERIES))
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, similarity.TOP_K + 1))
+        sims = [r["cosine"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] >= similarity.N_QUERIES for r in rows)
+
+
+def test_simhash_near_dup_hamming(spark):
+    """Planted near-duplicate pairs should have small simhash Hamming
+    distance relative to random pairs (the property simhash exists for)."""
+    pairs = dedup.neardup_pairs(spark, SF)
+    sigs = dedup.simhash_signatures(spark, SF)
+    sig = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    dup_dists = [
+        bin(sig[r["doc_a"]] ^ sig[r["doc_b"]]).count("1") for r in pairs.collect()
+    ]
+    assert dup_dists, "need at least one near-dup pair"
+    ids = sorted(sig)
+    rand_dists = [bin(sig[ids[i]] ^ sig[ids[-(i + 1)]]).count("1") for i in range(20)]
+    assert sum(dup_dists) / len(dup_dists) < sum(rand_dists) / len(rand_dists)
+
+
+def test_multimodal_decode_plumbing(spark):
+    """mapInPandas media decode: schema, batch shape, null payload
+    handling — the real Spark-side plumbing around the stubbed codec."""
+    media = multimodal.documents_as_media(spark, SF)
+    decoded = multimodal.decode_media(media)
+    assert decoded.schema.simpleString() == (
+        "struct<doc_id:bigint,media_type:string,n_bytes:bigint,"
+        "width:int,height:int,n_frames:int,ok:boolean>"
+    )
+    rows = decoded.collect()
+    assert len(rows) == media.count()
+    assert all(r["ok"] for r in rows)
+    assert all(16 <= r["width"] < 80 and 16 <= r["height"] < 80 for r in rows)
+    # deterministic: same payload → same fake decode
+    again = {r["doc_id"]: r for r in multimodal.decode_media(media).collect()}
+    for r in rows[:20]:
+        assert again[r["doc_id"]] == r
+
+    # null payload quarantined, not crashed
+    with_null = media.withColumn(
+        "payload", F.when(F.col("doc_id") == 0, None).otherwise(F.col("payload"))
+    )
+    nulls = {r["doc_id"]: r for r in multimodal.decode_media(with_null).collect()}
+    assert nulls[0]["ok"] is False
+    assert nulls[0]["n_bytes"] == 0
+
+
+def test_multimodal_real_codec_gate(spark):
+    media = multimodal.documents_as_media(spark, SF)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media, real_codec=True)
