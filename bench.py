@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed once with a count() action (full plan runs,
+results not pulled to the driver). A warmup job amortizes JVM/session
+startup out of the numbers; per-query times still include their own
+plan compilation, as any cold analytical query would.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from maillog2db_spark import queries as Q  # noqa: E402
+from maillog2db_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("maillog2db_spark_bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, q in Q.REGISTRY.items():
+        t0 = time.time()
+        try:
+            q.fn(spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            timings[name] = dt
+            total += dt
+        except Exception as e:  # a failing query shouldn't kill the bench
+            timings[name] = -1.0
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total seconds for all registered queries, one cold run each",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

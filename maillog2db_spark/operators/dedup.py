@@ -35,17 +35,28 @@ JACCARD_THRESHOLD = 0.7
 _TOKENS_SPARK = "filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')"
 _TOKENS_DUCK = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
 
-# 3-word shingles, deduplicated
-_SHINGLES_SPARK = (
-    f"array_distinct(CASE WHEN size({_TOKENS_SPARK}) >= {SHINGLE_W} THEN "
-    f"transform(sequence(1, size({_TOKENS_SPARK}) - {SHINGLE_W - 1}), "
-    f"i -> array_join(slice({_TOKENS_SPARK}, i, {SHINGLE_W}), ' ')) "
+# 3-word shingles, deduplicated. The Spark variant is built FROM a
+# materialized tokens column (see _with_shingles) so the split() runs
+# once per row, not once per textual reference.
+_SHINGLES_FROM_TOKS_SPARK = (
+    f"array_distinct(CASE WHEN size(toks) >= {SHINGLE_W} THEN "
+    f"transform(sequence(1, size(toks) - {SHINGLE_W - 1}), "
+    f"i -> array_join(slice(toks, i, {SHINGLE_W}), ' ')) "
     "ELSE array() END)"
 )
 _SHINGLES_DUCK = (
     f"list_distinct(list_transform(generate_series(1, len({_TOKENS_DUCK}) - {SHINGLE_W - 1}), "
     f"i -> array_to_string(list_slice({_TOKENS_DUCK}, i, i + {SHINGLE_W - 1}), ' ')))"
 )
+
+
+def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, sh): distinct 3-word shingle arrays, with
+    tokenization staged as its own projection so it's evaluated once."""
+    d = io.load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.expr(_TOKENS_SPARK).alias("toks")).select(
+        "doc_id", F.expr(_SHINGLES_FROM_TOKS_SPARK).alias("sh")
+    )
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,11 +81,10 @@ FROM documents GROUP BY md5(text)
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature: mh_i = min over shingles of
     md5(i || ':' || shingle), i = 0..N_HASHES-1."""
-    d = io.load(spark, sf_dir, "documents")
     sh = (
-        d.select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", F.explode("shingles").alias("s"))
+        _with_shingles(spark, sf_dir)
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.explode("sh").alias("s"))
     )
     aggs = [
         F.min(F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("s")), "UTF-8"))).alias(f"mh{i}")
@@ -151,9 +161,7 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH dedup: candidates from banding, verified with
     true shingle-Jaccard ≥ threshold. Verification joins shingle sets
     only for candidate pairs — never quadratic."""
-    d = io.load(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_SHINGLES_SPARK).alias("sh")
-    )
+    d = _with_shingles(spark, sf_dir)
     cand = lsh_candidate_pairs(spark, sf_dir)
     a = d.alias("a")
     b = d.alias("b")
@@ -191,48 +199,80 @@ SELECT doc_a, doc_b, CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_ppm FRO
 """
 
 
+BLOCKED_JACCARD_T = 0.8
+
+
 def blocked_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram-Jaccard near-dup without LSH: quadratic comparison
-    restricted to (lang) blocks — the classic blocked-dedup baseline.
-    Token-set (unigram) Jaccard ≥ 0.8."""
-    d = io.load(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.array_distinct(F.expr(_TOKENS_SPARK)).alias("toks"),
+    """Exact n-gram (3-word-shingle) Jaccard similarity join within
+    (lang) blocks, Jaccard ≥ 0.8 — implemented with AllPairs-style
+    PREFIX FILTERING (Bayardo et al., WWW'07): sort each shingle set
+    under a global order; two sets with J ≥ t MUST share an element in
+    their first ⌊(1-t)·n⌋+1 shingles, so candidates come from an
+    inverted index over prefixes only. Exact (no qualifying pair is
+    lost), and the candidate join is sparse — never the quadratic
+    block cross-product (the DuckDB oracle runs the naive quadratic as
+    the independent check)."""
+    d = io.load(spark, sf_dir, "documents").select("doc_id", "lang").join(
+        _with_shingles(spark, sf_dir), "doc_id"
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    return (
-        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.lang").alias("lang"),
-            (
-                F.size(F.array_intersect("a.toks", "b.toks"))
-                / F.size(F.array_distinct(F.concat("a.toks", "b.toks")))
-            ).alias("j"),
+    d = (
+        d.filter(F.size("sh") > 0)
+        .withColumn("sh", F.array_sort("sh"))
+        .withColumn("n", F.size("sh"))
+        .withColumn(
+            "prefix",
+            F.slice(
+                "sh", 1, (F.floor(F.col("n") * (1 - BLOCKED_JACCARD_T)) + 1).cast("int")
+            ),
         )
-        .filter(F.col("j") >= 0.8)
+    )
+    idx = d.select("doc_id", "lang", F.explode("prefix").alias("p"))
+    cand = (
+        idx.alias("x")
+        .join(
+            idx.alias("y"),
+            (F.col("x.lang") == F.col("y.lang"))
+            & (F.col("x.p") == F.col("y.p"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = d.select("doc_id", "lang", "sh")
+    a = sets.alias("a")
+    b = sets.alias("b")
+    j = (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, cand.doc_b == F.col("b.doc_id"))
         .select(
             "doc_a",
             "doc_b",
-            "lang",
-            F.floor(F.col("j") * 1_000_000 + 0.5).cast("bigint").alias("jaccard_ppm"),
+            F.col("a.lang").alias("lang"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_distinct(F.concat("a.sh", "b.sh")))
+            ).alias("j"),
         )
+    )
+    return j.filter(F.col("j") >= BLOCKED_JACCARD_T).select(
+        "doc_a",
+        "doc_b",
+        "lang",
+        F.floor(F.col("j") * 1_000_000 + 0.5).cast("bigint").alias("jaccard_ppm"),
     )
 
 
 BLOCKED_JACCARD_PAIRS_SQL = f"""
 WITH t AS (
-  SELECT doc_id, lang, list_distinct({_TOKENS_DUCK}) AS toks FROM documents
+  SELECT doc_id, lang, {_SHINGLES_DUCK} AS sh FROM documents
+  WHERE len({_SHINGLES_DUCK}) > 0
 )
 SELECT doc_a, doc_b, lang, CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_ppm FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
-         len(list_intersect(a.toks, b.toks))::DOUBLE
-           / len(list_distinct(list_concat(a.toks, b.toks))) AS j
+         len(list_intersect(a.sh, b.sh))::DOUBLE
+           / len(list_distinct(list_concat(a.sh, b.sh))) AS j
   FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-) WHERE j >= 0.8
+) WHERE j >= {BLOCKED_JACCARD_T}
 """
 
 

@@ -114,7 +114,13 @@ def lines_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay = events.filter("event_id % 10 = 3").selectExpr(
         f"event_id + {REPLAY_SEQ_OFFSET} as seq", f"{expr} as value"
     )
-    return base.unionAll(replay)
+    # Shuffle barrier: without it Catalyst's projection collapse inlines
+    # the big line-construction CASE into every downstream regex
+    # reference (~10 copies — recomputed per reference and large enough
+    # to blow whole-stage codegen past 64KB into interpreted fallback).
+    # The exchange materializes `value` once, and ReuseExchange shares
+    # it across multi-branch plans (e.g. messages ⋈ deliveries).
+    return base.unionAll(replay).repartition("seq")
 
 
 def lines_cte(table: str = "events") -> str:

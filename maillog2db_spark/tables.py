@@ -106,6 +106,13 @@ def build_messages(parsed: DataFrame) -> DataFrame:
                 maillog2db.go:213)
       cleanup → message_id
     """
+    return build_messages_with_seqs(parsed).drop("_qmgr_seq", "_smtpd_seq", "_cleanup_seq")
+
+
+def build_messages_with_seqs(parsed: DataFrame) -> DataFrame:
+    """build_messages plus the per-event-type max seq columns
+    (_qmgr_seq/_smtpd_seq/_cleanup_seq) the streaming merge needs to
+    decide which side wins per field group across micro-batches."""
     m = F.col("message")
     et = F.col("entry_type")
     is_qmgr = et == parsing.ENTRY_QMGR
@@ -138,6 +145,9 @@ def build_messages(parsed: DataFrame) -> DataFrame:
         _last_by_seq("statusext_raw", is_qmgr).alias("message_statusext"),
         _last_by_seq("client_raw", is_smtpd).alias("message_client"),
         _last_by_seq("message_id_raw", is_cleanup).alias("message_id"),
+        F.max(F.when(is_qmgr, F.col("seq"))).alias("_qmgr_seq"),
+        F.max(F.when(is_smtpd, F.col("seq"))).alias("_smtpd_seq"),
+        F.max(F.when(is_cleanup, F.col("seq"))).alias("_cleanup_seq"),
     )
 
 
