@@ -1,0 +1,315 @@
+"""Structured Streaming ingest: the reference's tail→classify→upsert loop.
+
+The reference tails one maillog forever (maillog2db.go:168,180) and
+upserts each line into four MySQL tables. Spark's file source is
+file-granular, not append-granular (SURVEY §2.1 S1), so the streaming
+contract here is the standard production shape: logrotate (or a shipper)
+drops lexically-named files into a directory; ``readStream.text`` picks
+each up exactly once (checkpointed — S3), and ``foreachBatch`` merges the
+micro-batch into a parquet-backed state store with the exact same
+builders the batch path uses (pipeline.py) — batch ≡ streaming by
+construction.
+
+Delivery guarantee (ST5): checkpointing makes the source exactly-once;
+the sink is made effectively-once by (a) idempotent merges — dedup for
+logs/deliveries, max_by for messages/clients — plus (b) a per-table
+batch-id ledger that skips re-delivered batches (protects the one
+non-idempotent aggregate, clients.client_seen_count). This is the
+Spark-native equivalent of the reference's replay-from-start +
+app-level dedup (maillog2db.go:168,283-306; README.md:28).
+
+Ordering (ST6): the reference relies on strict in-file order for
+last-writer-wins. Here each row gets
+
+    seq = (batch_id << 48) | monotonically_increasing_id()
+
+so later micro-batches always win, and within a batch the id preserves
+(partition, offset) order. With the documented rotate-into-directory
+contract (one file per trigger via ``maxFilesPerTrigger=1``, files
+arriving in rotation order) this reproduces the reference's in-file
+order exactly. Bounds: < 2^15 partitions per batch and < 2^15 batches
+per checkpoint lifetime before bit fields collide — far beyond any real
+deployment; production would widen to a struct key.
+
+Scale design: the state store is hash-bucketed on each table's natural
+key (``part = pmod(xxhash64(key), n_buckets)``). A micro-batch merge
+touches ONLY the buckets its rows hash into: read prunes to those
+partitions (Spark partition pruning on the ``part`` column), and the
+write uses dynamic partition overwrite to rewrite only those buckets.
+Merge cost per batch is O(batch + touched-bucket state), independent of
+total history size — the property that lets this run against 100 TB of
+accumulated state. (On a real cluster the same logic is one Delta
+``MERGE INTO``; plain parquet keeps this repo dependency-free.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from . import parsing, tables
+
+TABLE_KEYS: dict[str, list[str]] = {
+    "logs": tables.LOG_PAYLOAD_COLS,
+    "clients": ["client", "client_rdns", "client_addr"],
+    "messages": ["message_queueid"],
+    "deliveries": tables.DELIVERY_PAYLOAD_COLS,
+}
+
+# messages field groups: each event type overwrites only its own fields
+# (maillog2db.go:332-393); the winner per group is the side with the
+# larger per-group seq.
+MESSAGE_GROUPS: dict[str, list[str]] = {
+    "_qmgr_seq": [
+        "message_timestamp",
+        "message_mailhost",
+        "message_from",
+        "message_size",
+        "message_nrcpt",
+        "message_statusext",
+    ],
+    "_smtpd_seq": ["message_client"],
+    "_cleanup_seq": ["message_id"],
+}
+
+
+@dataclass
+class ParquetStateStore:
+    """Hash-bucketed parquet canonical store for the four tables."""
+
+    root: str
+    n_buckets: int = 64
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _ledger_path(self, ns: str, table: str, batch_id: int) -> str:
+        # namespaced by checkpoint identity: batch ids restart at 0 when a
+        # query gets a fresh checkpoint, so a global ledger would silently
+        # skip (= lose) the new run's batches
+        return os.path.join(self.root, "_ledger", ns, table, str(batch_id))
+
+    def committed(self, ns: str, table: str, batch_id: int) -> bool:
+        return os.path.exists(self._ledger_path(ns, table, batch_id))
+
+    def mark_committed(self, ns: str, table: str, batch_id: int) -> None:
+        p = self._ledger_path(ns, table, batch_id)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w"):
+            pass
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        return os.path.isdir(self.path(table)) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(self.path(table))
+        )
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        """Full state table (no internal columns)."""
+        return self._read_raw(spark, table).drop("part", *self._internal_cols(table))
+
+    def _internal_cols(self, table: str) -> list[str]:
+        if table == "messages":
+            return list(MESSAGE_GROUPS)
+        if table == "clients":
+            return ["_lastseen_seq"]
+        return []
+
+    def _read_raw(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.path(table))
+
+    def _with_part(self, df: DataFrame, table: str) -> DataFrame:
+        key = TABLE_KEYS[table]
+        return df.withColumn(
+            "part", F.pmod(F.xxhash64(*key), F.lit(self.n_buckets)).cast("int")
+        )
+
+    def _merge_write(self, spark: SparkSession, table: str, merged: DataFrame) -> None:
+        """Dynamic-partition-overwrite the touched buckets only."""
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part")
+            .parquet(self.path(table))
+        )
+
+    def _existing_in_parts(
+        self, spark: SparkSession, table: str, new_with_part: DataFrame
+    ) -> DataFrame | None:
+        """State rows in the buckets this batch touches — partition-pruned
+        scan; the parts list is ≤ n_buckets ints, safe to collect."""
+        if not self.exists(spark, table):
+            return None
+        parts = [r[0] for r in new_with_part.select("part").distinct().collect()]
+        if not parts:
+            return None
+        # eager localCheckpoint: (a) breaks lineage so the subsequent write
+        # may overwrite the path being read, (b) bounded — only the touched
+        # buckets' state, never the full table
+        return (
+            self._read_raw(spark, table)
+            .filter(F.col("part").isin(parts))
+            .localCheckpoint(eager=True)
+        )
+
+    # --- per-table merges --------------------------------------------------
+
+    def merge_append_dedup(self, spark: SparkSession, table: str, new: DataFrame) -> None:
+        """logs / deliveries: append with exact-duplicate suppression
+        (maillog2db.go:283-306, :395-442) — union touched buckets with the
+        batch, dropDuplicates over the full payload key."""
+        key = TABLE_KEYS[table]
+        new = self._with_part(new, table)
+        existing = self._existing_in_parts(spark, table, new)
+        merged = new if existing is None else existing.unionByName(new)
+        self._merge_write(spark, table, merged.dropDuplicates(key))
+
+    def merge_clients(self, spark: SparkSession, new_agg: DataFrame) -> None:
+        """clients: entity tracking with freshness (maillog2db.go:308-330).
+        Re-aggregate union of old+new per key: lastseen from the max-seq
+        side, firstseen min, seen_count summed."""
+        new = self._with_part(new_agg, "clients")
+        existing = self._existing_in_parts(spark, "clients", new)
+        merged = new if existing is None else existing.unionByName(new)
+        out = merged.groupBy("part", "client", "client_rdns", "client_addr").agg(
+            F.max_by("client_lastseen", "_lastseen_seq").alias("client_lastseen"),
+            F.min("client_firstseen").alias("client_firstseen"),
+            F.sum("client_seen_count").alias("client_seen_count"),
+            F.max("_lastseen_seq").alias("_lastseen_seq"),
+        )
+        self._merge_write(spark, "clients", out)
+
+    def merge_messages(self, spark: SparkSession, new_agg: DataFrame) -> None:
+        """messages: per-queueid keyed merge, each event-type field group
+        independently last-writer-wins across batches (maillog2db.go:332-393)."""
+        new = self._with_part(new_agg, "messages")
+        existing = self._existing_in_parts(spark, "messages", new)
+        merged = new if existing is None else existing.unionByName(new)
+        aggs = []
+        for seq_col, cols in MESSAGE_GROUPS.items():
+            aggs += [F.max_by(c, seq_col).alias(c) for c in cols]
+            aggs.append(F.max(seq_col).alias(seq_col))
+        out = merged.groupBy("part", "message_queueid").agg(*aggs)
+        # restore the canonical column order
+        ordered = ["part", "message_queueid"] + [
+            c for cols in MESSAGE_GROUPS.values() for c in cols
+        ] + list(MESSAGE_GROUPS)
+        self._merge_write(spark, "messages", out.select(*ordered))
+
+
+def merge_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store: ParquetStateStore,
+    year: int = 2024,
+    strict_day: bool = True,
+    ledger_ns: str = "default",
+) -> None:
+    """One micro-batch of raw lines → merged into all four tables.
+
+    Reuses the exact batch builders (tables.py); per-batch seq is
+    (batch_id << 48) | monotonically_increasing_id() so later batches
+    win last-writer-wins, replicating arrival order (ST6).
+    """
+    spark = batch_df.sparkSession
+    lines = batch_df.withColumn(
+        "seq",
+        (F.lit(int(batch_id)).cast("long") * F.lit(1 << 48) + F.monotonically_increasing_id()),
+    )
+    parsed = parsing.parse_lines(
+        lines, seq_col="seq", year=year, strict_day=strict_day
+    ).persist()
+    try:
+        if not store.committed(ledger_ns, "logs", batch_id):
+            store.merge_append_dedup(spark, "logs", tables.build_logs(parsed))
+            store.mark_committed(ledger_ns, "logs", batch_id)
+        if not store.committed(ledger_ns, "deliveries", batch_id):
+            store.merge_append_dedup(spark, "deliveries", tables.build_deliveries(parsed))
+            store.mark_committed(ledger_ns, "deliveries", batch_id)
+        if not store.committed(ledger_ns, "clients", batch_id):
+            smtpd = parsing.extract_smtpd(parsed)
+            new_clients = smtpd.groupBy(
+                F.col("client_full").alias("client"), "client_rdns", "client_addr"
+            ).agg(
+                F.max_by("ts", "seq").alias("client_lastseen"),
+                F.min("ts").alias("client_firstseen"),
+                F.count(F.lit(1)).alias("client_seen_count"),
+                F.max("seq").alias("_lastseen_seq"),
+            )
+            store.merge_clients(spark, new_clients)
+            store.mark_committed(ledger_ns, "clients", batch_id)
+        if not store.committed(ledger_ns, "messages", batch_id):
+            store.merge_messages(spark, tables.build_messages_with_seqs(parsed))
+            store.mark_committed(ledger_ns, "messages", batch_id)
+    finally:
+        parsed.unpersist()
+
+
+def read_stream_lines(
+    spark: SparkSession, log_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """S1: the tailing source, Spark-shaped — a text file stream over the
+    rotate-into-directory drop zone. ``maxFilesPerTrigger=1`` gives the
+    reference's strict file order; rotation (S2) is native (each rotated
+    file is a new file). Backpressure (ST7) via the same option."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.text(log_dir)
+
+
+def start_ingest(
+    spark: SparkSession,
+    log_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    year: int = 2024,
+    strict_day: bool = True,
+    n_buckets: int = 64,
+    available_now: bool = False,
+    processing_time: str | None = None,
+    max_files_per_trigger: int | None = 1,
+) -> StreamingQuery:
+    """The whole reference program as one streaming query.
+
+    ``available_now=True`` = backfill/replay-from-start then stop (S3);
+    default continuous mode follows the directory forever (ST1).
+    """
+    store = ParquetStateStore(store_dir, n_buckets=n_buckets)
+    # ledger namespace = checkpoint identity (batch ids are scoped to it)
+    ns = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+    lines = read_stream_lines(spark, log_dir, max_files_per_trigger)
+    writer = (
+        lines.writeStream.foreachBatch(
+            lambda df, bid: merge_batch(
+                df, bid, store, year=year, strict_day=strict_day, ledger_ns=ns
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("maillog_ingest")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+# --- streaming-native alternatives (SURVEY §2.7 ST2/ST4) -------------------
+
+
+def stream_dedup_within_watermark(
+    lines: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Bounded-state streaming dedup: the reference keeps dedup state
+    forever (the MySQL table itself); ``dropDuplicatesWithinWatermark``
+    is the sane-at-scale mode — duplicates are suppressed only within
+    the watermark horizon, so state is bounded (ST2's compat switch)."""
+    return lines.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

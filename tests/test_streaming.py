@@ -1,0 +1,154 @@
+"""Streaming-path tests: batch ≡ streaming, cross-batch merge semantics,
+replay idempotence (SURVEY §5.2 items 3-4).
+
+The fixture is three "rotated" log files. The batch baseline is built
+with an EXPLICIT reference-order seq (file rank, line number) — the
+ground truth the reference's single-threaded in-file loop would see —
+and the streaming result (one file per micro-batch, rotation order)
+must match it exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from maillog2db_spark import pipeline, streaming
+
+FILES = {
+    # file 0: q1 connects + envelope; a client we'll see again later
+    "maillog.1.log": [
+        "Aug 11 01:00:01 mx01 postfix/smtpd[101]: AAAA1111: client=one.example.org[10.0.0.1]",
+        "Aug 11 01:00:02 mx01 postfix/qmgr[102]: AAAA1111: from=<a@x>, size=100, nrcpt=1 (queue active)",
+        "Aug 11 01:00:03 mx01 postfix/cleanup[103]: AAAA1111: message-id=<m1@x>",
+        "Aug 11 01:00:04 mx01 postfix/smtp[104]: AAAA1111: to=<r@y>, relay=y[20.0.0.2]:25, delay=1.1, delays=0.1/0/0.5/0.5, dsn=2.0.0, status=sent (ok)",
+        "not a syslog line at all",
+    ],
+    # file 1: q2 full flow; exact duplicate of a file-0 line (cross-batch
+    # dedup); q1's qmgr re-emitted with new size (cross-batch last-writer)
+    "maillog.2.log": [
+        "Aug 11 02:00:01 mx01 postfix/smtpd[201]: BBBB2222: client=two.example.org[10.0.0.2]",
+        "Aug 11 01:00:04 mx01 postfix/smtp[104]: AAAA1111: to=<r@y>, relay=y[20.0.0.2]:25, delay=1.1, delays=0.1/0/0.5/0.5, dsn=2.0.0, status=sent (ok)",
+        "Aug 11 02:00:03 mx01 postfix/qmgr[202]: AAAA1111: from=<a2@x>, size=999, nrcpt=2 (queue active)",
+        "Aug 11 02:00:04 mx01 postfix/qmgr[203]: BBBB2222: from=<b@x>, size=200, nrcpt=1 (queue active)",
+    ],
+    # file 2: client from file 0 reconnects (freshness update); delivery
+    # retry at a later timestamp (distinct row, history preserved)
+    "maillog.3.log": [
+        "Aug 11 03:00:01 mx01 postfix/smtpd[301]: CCCC3333: client=one.example.org[10.0.0.1]",
+        "Aug 11 03:00:02 mx01 postfix/smtp[302]: BBBB2222: to=<r2@y>, relay=z[20.0.0.3]:25, delay=2.2, delays=1/0/0.6/0.6, dsn=4.4.1, status=deferred (timeout)",
+        "Aug 11 03:00:03 mx01 postfix/smtp[303]: BBBB2222: to=<r2@y>, relay=z[20.0.0.3]:25, delay=9.9, delays=8/0/0.9/1.0, dsn=4.4.1, status=deferred (timeout)",
+    ],
+}
+
+YEAR = 2025
+
+
+@pytest.fixture(scope="module")
+def log_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("logs")
+    for i, (name, lines) in enumerate(sorted(FILES.items())):
+        p = d / name
+        p.write_text("\n".join(lines) + "\n")
+        # distinct ascending mtimes: the file stream source orders new
+        # files by timestamp, and rotation order is the contract
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def baseline(spark, log_dir):
+    """Reference-order ground truth: explicit (file rank, line no) seq."""
+    rows = []
+    seq = 0
+    for name in sorted(FILES):
+        for line in FILES[name]:
+            rows.append((seq, line))
+            seq += 1
+    df = spark.createDataFrame(
+        rows,
+        StructType([StructField("seq", LongType()), StructField("value", StringType())]),
+    )
+    return pipeline.process_lines(df, seq_col="seq", year=YEAR)
+
+
+@pytest.fixture(scope="module")
+def store(spark, log_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("store")
+    st = streaming.ParquetStateStore(str(out / "state"), n_buckets=8)
+    q = streaming.start_ingest(
+        spark,
+        log_dir,
+        st.root,
+        str(out / "ckpt"),
+        year=YEAR,
+        n_buckets=8,
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    return st
+
+
+def _sorted(df, drop=()):
+    df = df.drop(*drop)
+    return [tuple(r) for r in df.orderBy(*df.columns).collect()]
+
+
+def test_stream_equals_batch_logs(spark, store, baseline):
+    assert _sorted(store.read(spark, "logs")) == _sorted(baseline.logs)
+    # 12 lines - 1 inadmissible - 1 exact cross-batch duplicate = 10
+    assert store.read(spark, "logs").count() == 10
+
+
+def test_stream_equals_batch_deliveries(spark, store, baseline):
+    assert _sorted(store.read(spark, "deliveries")) == _sorted(baseline.deliveries)
+    # retry at a later ts is a distinct row; exact dup across files is not
+    assert store.read(spark, "deliveries").count() == 3
+
+
+def test_stream_equals_batch_messages(spark, store, baseline):
+    got = _sorted(store.read(spark, "messages"))
+    assert got == _sorted(baseline.messages)
+    by_qid = {r[0]: r for r in got}
+    # cross-batch last-writer-wins: file-1 qmgr re-emit overwrote size/from
+    assert by_qid["AAAA1111"][4] == "999"
+    assert by_qid["AAAA1111"][3] == "<a2@x>"
+    # ...but the smtpd field group from batch 0 survived untouched
+    assert by_qid["AAAA1111"][7] == "one.example.org[10.0.0.1]"
+    assert by_qid["AAAA1111"][8] == "<m1@x>"
+
+
+def test_stream_equals_batch_clients(spark, store, baseline):
+    assert _sorted(store.read(spark, "clients")) == _sorted(baseline.clients)
+    got = {r[0]: r for r in _sorted(store.read(spark, "clients"))}
+    c = got["one.example.org[10.0.0.1]"]
+    # freshness refreshed across batches; firstseen kept; count summed
+    assert str(c[3]).startswith("2025-08-11 03:00:01")
+    assert str(c[4]).startswith("2025-08-11 01:00:01")
+    assert c[5] == 2
+
+
+def test_merge_idempotent_and_ledger_skips_redelivery(spark, store, log_dir):
+    """Replaying all input as a new batch leaves every reference payload
+    unchanged (merges are idempotent — the reference's replay-from-start
+    semantics, README.md:28); only the derived occurrence counter moves.
+    Re-delivering the SAME batch id again is a full no-op (ledger, ST5)."""
+    before = {t: _sorted(store.read(spark, t)) for t in streaming.TABLE_KEYS}
+    replay = spark.read.text(log_dir)
+    streaming.merge_batch(replay, 99, store, year=YEAR, ledger_ns="replaytest")
+    mid = {t: _sorted(store.read(spark, t)) for t in streaming.TABLE_KEYS}
+    assert mid["logs"] == before["logs"]
+    assert mid["deliveries"] == before["deliveries"]
+    assert mid["messages"] == before["messages"]
+    # clients: freshness/identity stable, seen_count doubled
+    assert [r[:5] for r in mid["clients"]] == [r[:5] for r in before["clients"]]
+    assert [r[5] for r in mid["clients"]] == [2 * r[5] for r in before["clients"]]
+
+    # exact re-delivery of a committed (ns, batch_id): complete no-op
+    streaming.merge_batch(replay, 99, store, year=YEAR, ledger_ns="replaytest")
+    after = {t: _sorted(store.read(spark, t)) for t in streaming.TABLE_KEYS}
+    assert after == mid
