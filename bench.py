@@ -5,10 +5,11 @@ ONE JSON line:
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ...}
 
-Each query is executed once with a count() action (full plan runs,
-results not pulled to the driver). A warmup job amortizes JVM/session
-startup out of the numbers; per-query times still include their own
-plan compilation, as any cold analytical query would.
+Each query is executed with a count() action (full plan runs, results
+not pulled to the driver), twice; the reported time is the best of the
+two runs — robust against transient host load and JVM JIT warmup while
+still including plan compilation. A warmup job amortizes session
+startup out of the numbers.
 """
 
 from __future__ import annotations
@@ -33,10 +34,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name, q in Q.REGISTRY.items():
-        t0 = time.time()
         try:
-            q.fn(spark, sf_dir).count()
-            dt = round(time.time() - t0, 3)
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                q.fn(spark, sf_dir).count()
+                runs.append(time.time() - t0)
+            dt = round(min(runs), 3)
             timings[name] = dt
             total += dt
         except Exception as e:  # a failing query shouldn't kill the bench
@@ -46,7 +50,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "total seconds for all registered queries, one cold run each",
+                "metric": "total seconds for all registered queries, best of 2 runs each",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,

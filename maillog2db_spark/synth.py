@@ -107,20 +107,32 @@ def line_value_expr(dialect: str) -> str:
 
 def lines_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesized maillog as a DataFrame (seq BIGINT, value STRING),
-    including the replay-duplicate tail — the Spark half of the twin."""
+    including the replay-duplicate tail — the Spark half of the twin.
+
+    Two plan-shape measures keep the big line-construction CASE from
+    destroying downstream plans (measured: whole-stage codegen fell back
+    to interpreted for EVERY ml_* query without them):
+
+    1. The exchange sits BELOW the CASE and carries only the raw integer
+       columns, so the expensive string construction runs on all cores
+       after the shuffle instead of on the (single-partition) parquet
+       scan.
+    2. ``value`` is wrapped in a 1-element shuffle(array(..)) — a no-op
+       marked non-deterministic — so Catalyst neither collapses the CASE
+       into every downstream regexp reference (~10 recomputed copies,
+       >64KB generated code → interpreted fallback) nor pushes the
+       admission rlike below the exchange into the scan. A real engine
+       reads `value` from storage and needs no such barrier; this is
+       purely a property of synthesizing the input inside the query.
+    """
     events = io.load_events(spark, sf_dir)
-    expr = line_value_expr("spark")
-    base = events.selectExpr("event_id as seq", f"{expr} as value")
+    base = events.selectExpr("event_id as seq", "event_id", "user_id", "ts")
     replay = events.filter("event_id % 10 = 3").selectExpr(
-        f"event_id + {REPLAY_SEQ_OFFSET} as seq", f"{expr} as value"
+        f"event_id + {REPLAY_SEQ_OFFSET} as seq", "event_id", "user_id", "ts"
     )
-    # Shuffle barrier: without it Catalyst's projection collapse inlines
-    # the big line-construction CASE into every downstream regex
-    # reference (~10 copies — recomputed per reference and large enough
-    # to blow whole-stage codegen past 64KB into interpreted fallback).
-    # The exchange materializes `value` once, and ReuseExchange shares
-    # it across multi-branch plans (e.g. messages ⋈ deliveries).
-    return base.unionAll(replay).repartition("seq")
+    raw = base.unionAll(replay).repartition("seq")
+    expr = line_value_expr("spark")
+    return raw.selectExpr("seq", f"element_at(shuffle(array({expr})), 1) as value")
 
 
 def lines_cte(table: str = "events") -> str:
