@@ -173,3 +173,192 @@ SELECT n.label, c.n_vectors, n.centroid_norm
 FROM norms n JOIN (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label) c
   ON n.label = c.label
 """
+
+
+# --- IVF-style ANN ----------------------------------------------------------
+
+N_PROBE = 2  # cells probed per query
+
+
+def _centroids(e: DataFrame) -> DataFrame:
+    """Coarse quantizer: per-label centroid as an ordered array —
+    deterministic 'trained' cells (at real scale these come from k-means;
+    the IVF mechanics downstream are identical)."""
+    pos = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = pos.groupBy("label", "pos").agg(F.avg(F.col("v").cast("double")).alias("m"))
+    return cent.groupBy(F.col("label").alias("cell")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+        ).alias("centroid")
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign every corpus vector to its nearest centroid cell
+    (inverted lists), probe the N_PROBE nearest cells per query, exact
+    cosine re-rank inside probed cells only.
+
+    Scale design: centroids are tiny (cells × dim) → broadcast to both
+    the assignment and the probe step; the corpus shuffles ONCE on its
+    cell id; the query×cell fan-out is |queries| × N_PROBE rows joined
+    cell-to-cell — search cost is corpus/cells × N_PROBE per query
+    instead of the full corpus."""
+    e = io.load(spark, sf_dir, "embeddings")
+    cents = _centroids(e)
+
+    def nearest_cells(df: DataFrame, id_col: str, emb_col: str, n: int) -> DataFrame:
+        scored = df.join(F.broadcast(cents)).select(
+            id_col,
+            emb_col,
+            "cell",
+            F.round(
+                _dot(F.col(emb_col), F.col("centroid"))
+                / (_norm(F.col(emb_col)) * _norm(F.col("centroid"))),
+                6,
+            ).alias("csim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n)
+            .drop("csim", "crank")
+        )
+
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    inv = nearest_cells(corpus, "neighbor_id", "c_emb", 1)  # inverted lists
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = nearest_cells(queries, "query_id", "q_emb", N_PROBE)
+
+    scored = inv.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+_CENTROID_DUCK = """
+pos AS (
+  SELECT label, r.range AS pos, CAST(embedding[CAST(r.range AS INT) + 1] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN range(64) r
+), centm AS (
+  SELECT label, pos, avg(v) AS m FROM pos GROUP BY label, pos
+), cents AS (
+  SELECT label AS cell, list(m ORDER BY pos) AS centroid FROM centm GROUP BY label
+)"""
+
+ANN_IVF_TOPK_SQL = f"""
+WITH {_CENTROID_DUCK},
+corpus AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings WHERE vec_id >= {N_QUERIES}
+), queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+), inv AS (
+  SELECT neighbor_id, c_emb, cell FROM (
+    SELECT neighbor_id, c_emb, cell,
+           row_number() OVER (PARTITION BY neighbor_id ORDER BY csim DESC, cell) AS crank
+    FROM (
+      SELECT neighbor_id, c_emb, cell,
+             round({_DOT_DUCK.format(a='c_emb', b='centroid')}
+                   / (sqrt({_DOT_DUCK.format(a='c_emb', b='c_emb')})
+                      * sqrt({_DOT_DUCK.format(a='centroid', b='centroid')})), 6) AS csim
+      FROM corpus CROSS JOIN cents
+    )
+  ) WHERE crank <= 1
+), probes AS (
+  SELECT query_id, q_emb, cell FROM (
+    SELECT query_id, q_emb, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cell) AS crank
+    FROM (
+      SELECT query_id, q_emb, cell,
+             round({_DOT_DUCK.format(a='q_emb', b='centroid')}
+                   / (sqrt({_DOT_DUCK.format(a='q_emb', b='q_emb')})
+                      * sqrt({_DOT_DUCK.format(a='centroid', b='centroid')})), 6) AS csim
+      FROM queries CROSS JOIN cents
+    )
+  ) WHERE crank <= {N_PROBE}
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round({_DOT_DUCK.format(a='q_emb', b='c_emb')}
+               / (sqrt({_DOT_DUCK.format(a='q_emb', b='q_emb')})
+                  * sqrt({_DOT_DUCK.format(a='c_emb', b='c_emb')})), 6) AS cosine
+  FROM inv JOIN probes USING (cell)
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+# --- embedding-cosine near-dup ----------------------------------------------
+
+# the driver's synthetic embeddings are near-orthogonal (max pairwise
+# cosine ~0.45), so a classic 0.9+ dedup threshold would select nothing;
+# 0.3 keeps the operator's output non-trivial while the mechanics
+# (blocking, verification) are threshold-independent
+COSINE_NEARDUP_T = 0.3
+
+
+def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs: candidates from
+    random-hyperplane LSH bucket equality (the blocking key — the
+    self-join never goes quadratic), verified with exact cosine ≥ t.
+    The oracle mirrors the same two-stage plan, making this a
+    differential test of the ENGINE (bucketing, join, fold arithmetic),
+    not of LSH recall (which is tunable by N_PLANES/bands)."""
+    e = io.load(spark, sf_dir, "embeddings")
+    bucket = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(p)])
+        bit = F.when(_dot(F.col("embedding"), plane) > 0, 1).otherwise(0)
+        bucket = bucket + F.shiftleft(bit.cast("long"), p)
+    b = e.select("vec_id", F.col("embedding").alias("emb"), bucket.alias("bucket"))
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id")),
+    ).select(
+        F.col("l.vec_id").alias("vec_a"),
+        F.col("r.vec_id").alias("vec_b"),
+        F.round(
+            _dot(F.col("l.emb"), F.col("r.emb"))
+            / (_norm(F.col("l.emb")) * _norm(F.col("r.emb"))),
+            6,
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= COSINE_NEARDUP_T)
+
+
+COSINE_NEARDUP_PAIRS_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding AS emb,
+         CAST({' + '.join(
+             f"(CASE WHEN {_DOT_DUCK.format(a='embedding', b=_plane_duck(p))} > 0 "
+             f"THEN (1::BIGINT << {p}) ELSE 0 END)"
+             for p in range(N_PLANES)
+         )} AS BIGINT) AS bucket
+  FROM embeddings
+)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         round({_DOT_DUCK.format(a='l.emb', b='r.emb')}
+               / (sqrt({_DOT_DUCK.format(a='l.emb', b='l.emb')})
+                  * sqrt({_DOT_DUCK.format(a='r.emb', b='r.emb')})), 6) AS cosine
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+) WHERE cosine >= {COSINE_NEARDUP_T}
+"""
