@@ -109,16 +109,16 @@ def build_messages(parsed: DataFrame) -> DataFrame:
     return build_messages_with_seqs(parsed).drop("_qmgr_seq", "_smtpd_seq", "_cleanup_seq")
 
 
-def build_messages_with_seqs(parsed: DataFrame) -> DataFrame:
-    """build_messages plus the per-event-type max seq columns
-    (_qmgr_seq/_smtpd_seq/_cleanup_seq) the streaming merge needs to
-    decide which side wins per field group across micro-batches."""
+def message_events(parsed: DataFrame) -> DataFrame:
+    """Per-row message-event projection (the shared input of the batch
+    groupBy merge and the streaming stateful merge): smtpd/qmgr/cleanup
+    rows with their per-type extracted fields, NULL outside their type."""
     m = F.col("message")
     et = F.col("entry_type")
     is_qmgr = et == parsing.ENTRY_QMGR
     is_smtpd = et == parsing.ENTRY_SMTPD
     is_cleanup = et == parsing.ENTRY_CLEANUP
-    ml = parsed.filter(
+    return parsed.filter(
         et.isin(parsing.ENTRY_SMTPD, parsing.ENTRY_QMGR, parsing.ENTRY_CLEANUP)
     ).select(
         "seq",
@@ -136,6 +136,17 @@ def build_messages_with_seqs(parsed: DataFrame) -> DataFrame:
         F.when(is_qmgr, F.regexp_extract(m, parsing.QMGR_RE, 5)).alias("statusext_raw"),
         F.when(is_cleanup, F.regexp_extract(m, parsing.CLEANUP_RE, 2)).alias("message_id_raw"),
     )
+
+
+def build_messages_with_seqs(parsed: DataFrame) -> DataFrame:
+    """build_messages plus the per-event-type max seq columns
+    (_qmgr_seq/_smtpd_seq/_cleanup_seq) the streaming merge needs to
+    decide which side wins per field group across micro-batches."""
+    et = F.col("entry_type")
+    is_qmgr = et == parsing.ENTRY_QMGR
+    is_smtpd = et == parsing.ENTRY_SMTPD
+    is_cleanup = et == parsing.ENTRY_CLEANUP
+    ml = message_events(parsed)
     return ml.groupBy(F.col("queueid").alias("message_queueid")).agg(
         _last_by_seq("ts", is_qmgr).alias("message_timestamp"),
         _last_by_seq("mailhost", is_qmgr).alias("message_mailhost"),
