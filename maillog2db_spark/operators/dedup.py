@@ -138,30 +138,50 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_SIGNATURES_SQL = f"WITH {_SIG_DUCK_CTE}\nSELECT * FROM sigs"
 
 
+def _pairs_within_groups(keyed: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group, doc_id) → all (doc_a < doc_b) pairs co-occurring in any
+    group, deduplicated. One aggregation + in-memory combination
+    expansion per group instead of a self-join — the upstream (often
+    expensive) plan is computed ONCE, and there is no join at all.
+    Bucket sizes are small by construction (that is the point of
+    LSH/prefix blocking), so the per-group quadratic expansion is
+    bounded; a pathological mega-bucket would hurt the self-join
+    equally (same output pairs)."""
+    grouped = keyed.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    )
+    pairs = grouped.filter(F.size("ids") > 1).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select(
+        F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+    ).distinct()
+
+
 def _band_pairs(sigs: DataFrame) -> DataFrame:
-    """LSH banding: bucket docs by each band's (mh pair) value and join
-    within buckets → candidate pairs (a < b). The band value itself is
+    """LSH banding: bucket docs by each band's (mh pair) value →
+    candidate pairs co-occurring in any bucket. The band value itself is
     the bucket key — no extra hashing needed."""
-    bands = []
-    for b in range(N_BANDS):
-        bands.append(
-            sigs.select(
-                "doc_id",
+    # all bands in ONE pass over sigs (a union of per-band selects would
+    # re-plan — and recompute — the signature aggregation per branch)
+    band_array = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
                 F.concat_ws("|", f"mh{2*b}", f"mh{2*b+1}").alias("bh"),
             )
-        )
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionAll(x)
-    l = banded.alias("l")
-    r = banded.alias("r")
-    return (
-        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")))
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
+            for b in range(N_BANDS)
+        ]
     )
+    banded = sigs.select("doc_id", F.explode(band_array).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bh"
+    )
+    return _pairs_within_groups(banded, ["band", "bh"])
 
 
 _BANDS_DUCK_CTE = (
@@ -256,17 +276,7 @@ def blocked_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     idx = d.select("doc_id", "lang", F.explode("prefix").alias("p"))
-    cand = (
-        idx.alias("x")
-        .join(
-            idx.alias("y"),
-            (F.col("x.lang") == F.col("y.lang"))
-            & (F.col("x.p") == F.col("y.p"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _pairs_within_groups(idx, ["lang", "p"])
     sets = d.select("doc_id", "lang", "sh")
     a = sets.alias("a")
     b = sets.alias("b")

@@ -327,19 +327,28 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         plane = F.array(*[F.lit(v) for v in _hyperplane(p)])
         bit = F.when(_dot(F.col("embedding"), plane) > 0, 1).otherwise(0)
         bucket = bucket + F.shiftleft(bit.cast("long"), p)
-    b = e.select("vec_id", F.col("embedding").alias("emb"), bucket.alias("bucket"))
-    l, r = b.alias("l"), b.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id")),
-    ).select(
-        F.col("l.vec_id").alias("vec_a"),
-        F.col("r.vec_id").alias("vec_b"),
-        F.round(
-            _dot(F.col("l.emb"), F.col("r.emb"))
-            / (_norm(F.col("l.emb")) * _norm(F.col("r.emb"))),
-            6,
-        ).alias("cosine"),
+    # bucket bits computed ONCE; candidate pairs expand inside buckets
+    # (no self-join of the bit computation), then the cheap raw
+    # embedding columns join back for exact verification only
+    from .dedup import _pairs_within_groups
+
+    b = e.select(F.col("vec_id").alias("doc_id"), bucket.alias("bucket"))
+    cand = _pairs_within_groups(b, ["bucket"]).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    )
+    emb = e.select("vec_id", "embedding")
+    pairs = (
+        cand.join(emb.alias("l"), F.col("vec_a") == F.col("l.vec_id"))
+        .join(emb.alias("r"), F.col("vec_b") == F.col("r.vec_id"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("l.embedding"), F.col("r.embedding"))
+                / (_norm(F.col("l.embedding")) * _norm(F.col("r.embedding"))),
+                6,
+            ).alias("cosine"),
+        )
     )
     return pairs.filter(F.col("cosine") >= COSINE_NEARDUP_T)
 
