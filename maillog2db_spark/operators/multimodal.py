@@ -101,6 +101,85 @@ def decode_media(df: DataFrame, payload_col: str = "payload", real_codec: bool =
     return df.mapInPandas(_decode, schema=MEDIA_SCHEMA)
 
 
+RESIZED_SCHEMA = "doc_id bigint, payload binary, width int, height int"
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_payload binary"
+FEATURE_DIM = 16
+
+
+def resize_media(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize plumbing: binary in → (smaller) binary out, 1:1 rows.
+    The fake 'resample' keeps a deterministic byte subsample sized
+    width*height; a real implementation swaps PIL into the same
+    mapInPandas body. The Spark-side contract — binary-in/binary-out,
+    bounded Arrow batches, partitioning preserved — is the tested part."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = width * height
+        for pdf in batches:
+            payloads = [
+                (p if p is not None else b"")[: n_out].ljust(n_out, b"\0")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling: one input video row → 0..k frame rows (the
+    row-EXPANDING mapInPandas shape — output cardinality differs from
+    input, which plain pandas_udf cannot express). Frames here are
+    deterministic byte slices standing in for an av demuxer."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = p if p is not None else b""
+                n_frames = 1 + len(p) % 8  # matches _fake_decode
+                for f in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    blobs.append(p[f::8][:64])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_payload": blobs}
+            )
+
+    return df.mapInPandas(_frames, schema=FRAMES_SCHEMA)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature extraction: binary → fixed-dim float vector (the
+    embedding-model stand-in), vectorized per Arrow batch. Deterministic
+    byte-histogram features so tests can assert exact values; a real
+    model inference body drops into the same iterator shape (load model
+    once per task, not per batch — the idiomatic mapInPandas pattern)."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # (model would be loaded HERE, once per task)
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                p = p if p is not None else b""
+                h = [0.0] * FEATURE_DIM
+                for b in p:
+                    h[b % FEATURE_DIM] += 1.0
+                n = float(len(p)) or 1.0
+                feats.append([v / n for v in h])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return df.mapInPandas(
+        _feat, schema=f"doc_id bigint, features array<float>"
+    )
+
+
 def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapter: documents.text as a fake binary media column, for
     exercising the decode plumbing on driver testdata."""
