@@ -302,6 +302,47 @@ def start_ingest(
 # --- streaming-native alternatives (SURVEY §2.7 ST2/ST4) -------------------
 
 
+def debug_console_sink(parsed: DataFrame, num_rows: int = 20) -> "StreamingQuery":
+    """S8: the reference's ``-debug`` per-line field dump
+    (maillog2db.go:189-195 etc.) as a console sink over the parsed
+    stream. Diagnostic only — never part of the data plane."""
+    return (
+        parsed.writeStream.format("console")
+        .option("numRows", num_rows)
+        .option("truncate", True)
+        .outputMode("append")
+        .start()
+    )
+
+
+def streaming_tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """ST3: streaming tumbling-window aggregation with a watermark for
+    late data — the streaming dual of the batch event-window operators
+    (operators/windows.py). State for a window closes once the watermark
+    passes its end, so state is bounded by (watermark horizon / window)
+    regardless of stream length."""
+    keys = [F.window(F.col(ts_col), window).alias("win")] + [
+        F.col(k) for k in (extra_keys or [])
+    ]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *[F.col(k) for k in (extra_keys or [])],
+            "n_events",
+        )
+    )
+
+
 def stream_dedup_within_watermark(
     lines: DataFrame,
     key_cols: list[str],
