@@ -1,0 +1,61 @@
+"""Plan-hygiene regression tests: the physical plans we ship are part
+of the product at 100 TB. Catches silent regressions in pushdown,
+pruning, join strategy, and accidental cross-products across ALL
+registered queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from maillog2db_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+# cross joins that are INTENTIONAL broadcast-nested-loop (a tiny
+# broadcast side scored against the corpus — the right plan for
+# small × big with no equi-key)
+BNL_ALLOWED = {"embed_knn_bruteforce", "embed_ann_ivf_topk"}
+
+
+def _plan(spark, name: str) -> str:
+    return Q.REGISTRY[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_products_anywhere(spark):
+    offenders = []
+    for name in Q.REGISTRY:
+        p = _plan(spark, name)
+        if "CartesianProduct" in p:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in p and name not in BNL_ALLOWED:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert offenders == []
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = _plan(spark, "tpch_q3_shipping_priority")
+    # the mktsegment predicate must reach the customer parquet scan
+    scan = next(
+        l for l in p.splitlines() if "FileScan parquet" in l and "c_mktsegment" in l
+    )
+    assert "= BUILDING" in scan  # filter present at the scan, not above it
+
+
+def test_column_pruning_reaches_scan(spark):
+    p = _plan(spark, "tpch_q1_pricing_summary")
+    # lineitem has 16 columns; the scan must read only the 7 Q1 needs
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    assert "l_comment" not in scan and "l_partkey" not in scan
+    assert "l_quantity" in scan
+
+
+def test_flagship_join_broadcasts_the_dimension(spark):
+    p = _plan(spark, "ml_msg_delivery_join")
+    assert "BroadcastHashJoin" in p
+
+
+def test_dedup_candidates_have_no_self_join(spark):
+    # candidate generation is groupBy + in-bucket expansion — a join of
+    # the (expensive) signature subtree against itself would recompute it
+    p = _plan(spark, "doc_lsh_candidate_pairs")
+    assert "Join" not in p
