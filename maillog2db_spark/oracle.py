@@ -128,6 +128,21 @@ SELECT delivery_queueid, delivery_timestamp, delivery_delay, delivery_delays,
                                      x -> try_cast(x AS DOUBLE))), 6) AS delivery_delays_total
 FROM smtp""")
 
+ADMISSION_STATS = f"""
+WITH lines AS (
+  {synth.lines_cte()}
+)
+SELECT count(*) AS n_total,
+       CAST(sum(CASE WHEN regexp_matches(value, '{parsing.HEADER_RE_STRICT}') THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       CAST(sum(CASE WHEN regexp_matches(value, '{parsing.HEADER_RE_STRICT}') THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN regexp_matches(value, '{parsing.HEADER_RE_STRICT}')
+                 AND try_strptime('{synth.SYNTH_YEAR} ' ||
+                       regexp_replace(trim(regexp_extract(value, '{parsing.HEADER_RE_STRICT}', 1)), '\\s+', ' ', 'g'),
+                       '%Y %b %d %H:%M:%S') IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
+FROM lines
+"""
+
 MSG_DELIVERY_JOIN = parse_sql(f"""
 , ml AS (
   SELECT seq, entry_type,

@@ -125,6 +125,24 @@ def ml_msg_delivery_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ml_admission_stats", oracle.ADMISSION_STATS,
+          doc="Admission filter + timestamp-quarantine accounting (P1/F1: dropped lines counted, parse failures quarantined as NULL — vs the reference's log.Fatal)")
+def ml_admission_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = synth.lines_df(spark, sf_dir)
+    hdr = parsing.header_re(True)
+    v = F.col("value")
+    adm = v.rlike(hdr)
+    ts = parsing.syslog_timestamp(F.regexp_extract(v, hdr, 1), synth.SYNTH_YEAR)
+    one = F.lit(1)
+    zero = F.lit(0)
+    return lines.agg(
+        F.count(one).alias("n_total"),
+        F.sum(F.when(adm, one).otherwise(zero)).alias("n_admitted"),
+        F.sum(F.when(adm, zero).otherwise(one)).alias("n_dropped"),
+        F.sum(F.when(adm & ts.isNull(), one).otherwise(zero)).alias("n_quarantined"),
+    )
+
+
 # --- generic relational operators (SURVEY §2.3/2.4/2.5 Spark surface) ------
 
 from .operators import relational as _rel  # noqa: E402
