@@ -22,7 +22,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from maillog2db_spark import queries as Q  # noqa: E402
+from maillog2db_spark import parsing, synth, tables  # noqa: E402
 from maillog2db_spark.session import get_spark  # noqa: E402
+
+
+def ingest_throughput(spark, sf_dir: str, out_dir: str) -> dict:
+    """End-to-end ingest: synthesized maillog → parse → all four tables
+    → parquet, measured as lines/sec. This is the reference's whole job
+    (its implied rate: 2-4 serial SQL round trips per line); ours is one
+    bounded set of shuffles per table."""
+    lines = synth.lines_df(spark, sf_dir)
+    n = lines.count()
+    t0 = time.time()
+    parsed = parsing.parse_lines(lines, seq_col="seq", year=synth.SYNTH_YEAR)
+    for name, df in (
+        ("logs", tables.build_logs(parsed)),
+        ("clients", tables.build_clients(parsed)),
+        ("messages", tables.build_messages(parsed)),
+        ("deliveries", tables.build_deliveries(parsed)),
+    ):
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+    dt = time.time() - t0
+    return {"lines": n, "sec": round(dt, 3), "lines_per_sec": round(n / dt)}
 
 
 def main() -> None:
@@ -47,6 +68,11 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
 
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ingest = ingest_throughput(spark, sf_dir, td)
+
     print(
         json.dumps(
             {
@@ -54,6 +80,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "ingest": ingest,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

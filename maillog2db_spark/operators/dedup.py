@@ -315,6 +315,68 @@ SELECT doc_a, doc_b, lang, CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_p
 """
 
 
+# --- near-dup clusters (connected components) -------------------------------
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the verified
+    near-dup pair graph via iterative min-label propagation — the step a
+    real dedup pipeline runs after pair generation (keep one doc per
+    component). Genuinely iterative (not SQL-expressible without
+    recursive aggregation), so this query has no DuckDB oracle and takes
+    the driver's rows-only check.
+
+    Scale: near-dup components are tiny (pairs are ≥ threshold similar),
+    so the propagation converges in O(log(diameter)) rounds — each round
+    is one groupBy over the edge list. The loop is DRIVER-side control
+    flow only; all data stays distributed. Convergence is checked with a
+    cheap changed-count aggregate; localCheckpoint truncates the
+    growing lineage each round (the standard iterative-algorithm
+    pattern on Spark)."""
+    pairs = neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # undirected edges + self-loops so singleton-free propagation is total
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        # candidate label per node = min(own, min over neighbors' labels)
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+                (F.col("ncomp") < F.col("comp")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter("changed").count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("members"),
+        )
+        .select(F.col("comp").alias("cluster_id"), "n_docs", "keep_doc_id", "members")
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 #
 # 32-bit simhash built from the first 8 hex chars of each token's md5

@@ -196,6 +196,8 @@ register("doc_neardup_pairs", _dd.NEARDUP_PAIRS_SQL,
          doc="Full MinHash-LSH near-dup pipeline with Jaccard verification")(_dd.neardup_pairs)
 register("doc_blocked_jaccard", _dd.BLOCKED_JACCARD_PAIRS_SQL,
          doc="Blocked n-gram Jaccard near-dup baseline")(_dd.blocked_jaccard_pairs)
+register("doc_neardup_clusters", None,
+         doc="Connected components over near-dup pairs (iterative min-label propagation; driver-side loop, distributed data — no SQL oracle possible)")(_dd.neardup_clusters)
 register("doc_simhash", _dd.SIMHASH_SIGNATURES_SQL,
          doc="32-bit SimHash signatures (bitwise vote aggregation)")(_dd.simhash_signatures)
 register("embed_knn_bruteforce", _sim.KNN_BRUTEFORCE_SQL,

@@ -89,3 +89,39 @@ def test_multimodal_real_codec_gate(spark):
     media = multimodal.documents_as_media(spark, SF)
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(media, real_codec=True)
+
+
+def test_neardup_clusters_match_union_find(spark):
+    """Connected components (iterative label propagation) must equal an
+    independent union-find over the same verified pair set."""
+    from collections import defaultdict
+
+    from maillog2db_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [(r.doc_a, r.doc_b) for r in dedup.neardup_pairs(spark, sf).collect()]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = defaultdict(set)
+    for x in parent:
+        comp[find(x)].add(x)
+    expected = {min(v): tuple(sorted(v)) for v in comp.values()}
+
+    got = {
+        r.cluster_id: tuple(r.members)
+        for r in dedup.neardup_clusters(spark, sf).collect()
+    }
+    assert got == expected
+    for r in dedup.neardup_clusters(spark, sf).collect():
+        assert r.keep_doc_id == min(r.members) == r.cluster_id
