@@ -129,9 +129,13 @@ class ParquetStateStore:
         )
 
     def _merge_write(self, spark: SparkSession, table: str, merged: DataFrame) -> None:
-        """Dynamic-partition-overwrite the touched buckets only."""
+        """Dynamic-partition-overwrite the touched buckets only. The
+        repartition on the bucket column means each task holds exactly
+        one bucket → ONE file per bucket per merge, so file count stays
+        bounded at n_buckets regardless of how many batches ran."""
         (
-            merged.write.mode("overwrite")
+            merged.repartition("part")
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("part")
             .parquet(self.path(table))
@@ -338,6 +342,29 @@ def streaming_tumbling_counts(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
             *[F.col(k) for k in (extra_keys or [])],
+            "n_events",
+        )
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """ST3: streaming sessionization via ``session_window`` — sessions
+    close when the watermark passes (last event + gap). The streaming
+    dual of operators/windows.sessionize's batch lag/cumsum approach."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
             "n_events",
         )
     )

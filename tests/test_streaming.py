@@ -139,6 +139,7 @@ def test_streaming_tumbling_counts_match_batch(spark, tmp_path_factory):
 
     from maillog2db_spark import io as mio
 
+    spark.conf.set(mio.NANOS_CONF, "true")
     src = "/root/testdata/sf0.001/events.parquet"
     d = tmp_path_factory.mktemp("ev")
     shutil.copy(src, d / "events.parquet")
@@ -164,6 +165,75 @@ def test_streaming_tumbling_counts_match_batch(spark, tmp_path_factory):
         for r in streaming.streaming_tumbling_counts(batch_ev).collect()
     }
     assert rows == expected
+
+
+def test_streaming_sessionize_matches_batch_session_window(spark, tmp_path_factory):
+    """ST3: streaming session_window (append mode — the only mode session
+    windows support) matches the batch aggregation. Sessions only emit
+    once the watermark passes their end, so a far-future sentinel event
+    arrives in a SECOND micro-batch to advance the watermark past every
+    real session (the standard bounded-input flush technique)."""
+    import shutil
+
+    from maillog2db_spark import io as mio
+
+    spark.conf.set(mio.NANOS_CONF, "true")
+    src = "/root/testdata/sf0.001/events.parquet"
+    d = tmp_path_factory.mktemp("ev2")
+    shutil.copy(src, d / "events.parquet")
+    # sentinel: one event 100 days after the data, in its own file/batch
+    base = spark.read.parquet(str(d))
+    sentinel = base.limit(1).withColumn(
+        "ts", (F.col("ts") + F.lit(100 * 86400 * 10**9)).cast("long")
+    ).withColumn("user_id", F.lit(-1).cast("long"))
+    sentinel.write.parquet(str(d) + "_sent")
+    shutil.copy(
+        next(str(p) for p in __import__("pathlib").Path(str(d) + "_sent").glob("*.parquet")),
+        d / "zz_sentinel.parquet",
+    )
+    os.utime(d / "events.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(d / "zz_sentinel.parquet", (1_700_000_060, 1_700_000_060))
+
+    raw_schema = base.schema
+    stream_ev = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    if dict(stream_ev.dtypes)["ts"] == "bigint":
+        stream_ev = stream_ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    rows: dict[tuple, int] = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            rows[(r.user_id, r.session_start, r.session_end)] = r.n_events
+
+    q = (
+        streaming.streaming_sessionize(stream_ev)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = streaming.streaming_sessionize(mio.load_events(spark, "/root/testdata/sf0.001"))
+    expected = {
+        (r.user_id, r.session_start, r.session_end): r.n_events for r in batch.collect()
+    }
+    got = {k: v for k, v in rows.items() if k[0] != -1}
+    assert got == expected
+
+
+def test_state_store_file_count_bounded(spark, store):
+    """One file per touched bucket per table — file count must not grow
+    with batch count."""
+    import glob
+
+    for t in ("logs", "messages"):
+        files = glob.glob(os.path.join(store.path(t), "part=*", "*.parquet"))
+        parts = {f.split("part=")[1].split("/")[0] for f in files}
+        assert len(files) == len(parts)  # exactly one file per bucket
 
 
 def test_merge_idempotent_and_ledger_skips_redelivery(spark, store, log_dir):
