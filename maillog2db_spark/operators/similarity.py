@@ -27,6 +27,17 @@ N_QUERIES = 5  # vec_id < 5 are the query vectors
 N_PLANES = 8  # random-hyperplane bits for LSH buckets
 
 
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings, repartitioned before the CPU-heavy vector math: the
+    fold/zip lambdas are CodegenFallback (interpreted), and a small
+    parquet file scans as one partition — without the exchange every
+    dot-product stage runs on a single core (same pathology measured in
+    dedup shingling). At scale the scan is already wide and AQE shrinks
+    this to a no-op."""
+    p = spark.sparkContext.defaultParallelism
+    return io.load(spark, sf_dir, "embeddings").repartition(p, "vec_id")
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -42,7 +53,7 @@ def _norm(a):
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: query set broadcast-joined against the full
     corpus, per-query window top-k."""
-    e = io.load(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -102,7 +113,7 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH: 8 sign bits per vector → bucket id.
     Vectors in the same bucket are ANN candidates; the bucket id is the
     equi-join/partition key at scale."""
-    e = io.load(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     bucket = F.lit(0).cast("long")
     for p in range(N_PLANES):
         plane = F.array(*[F.lit(v) for v in _hyperplane(p)])
@@ -144,7 +155,7 @@ def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid (element-wise mean via posexplode — the
     distributed dense-vector aggregate) reported as (n_vectors,
     centroid L2 norm)."""
-    e = io.load(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     pos = e.select(
         "label", F.posexplode(F.col("embedding")).alias("pos", "v")
     )
@@ -203,7 +214,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell id; the query×cell fan-out is |queries| × N_PROBE rows joined
     cell-to-cell — search cost is corpus/cells × N_PROBE per query
     instead of the full corpus."""
-    e = io.load(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     cents = _centroids(e)
 
     def nearest_cells(df: DataFrame, id_col: str, emb_col: str, n: int) -> DataFrame:
@@ -321,7 +332,7 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle mirrors the same two-stage plan, making this a
     differential test of the ENGINE (bucketing, join, fold arithmetic),
     not of LSH recall (which is tunable by N_PLANES/bands)."""
-    e = io.load(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     bucket = F.lit(0).cast("long")
     for p in range(N_PLANES):
         plane = F.array(*[F.lit(v) for v in _hyperplane(p)])
