@@ -90,7 +90,17 @@ def log_lines(draw):
     n = draw(st.integers(3, 25))
     lines = []
     for _ in range(n):
-        kind = draw(st.sampled_from(["smtpd", "qmgr", "cleanup", "smtp", "noise", "garbage"]))
+        kind = draw(
+            st.sampled_from(
+                [
+                    "smtpd", "qmgr", "cleanup", "smtp", "noise", "garbage",
+                    # fidelity edges (SURVEY §2.2 faithfulness notes):
+                    "noqueue",     # real NOQUEUE reject: no to=/relay= → raw-log only
+                    "padded_day",  # space-padded day: dropped by the strict header
+                    "local",       # local(8) process with smtp line shape → still a delivery
+                ]
+            )
+        )
         sec = draw(st.integers(0, 59))
         hdr = f"Aug 11 0{draw(st.integers(1, 9))}:00:{sec:02d} mx0 postfix/any[{draw(st.integers(1, 999))}]:"
         qid = draw(st.sampled_from(QIDS))
@@ -109,6 +119,22 @@ def log_lines(draw):
             )
         elif kind == "noise":
             lines.append(f"{hdr} disconnect from h1.x[10.0.0.1]")
+        elif kind == "noqueue":
+            # reference's smtp regex requires to=/relay=; this must land
+            # ONLY in the raw-log table (maillog2db.go:52, verified note)
+            lines.append(f"{hdr} NOQUEUE: reject: RCPT from h1.x[10.0.0.1]: 554 denied")
+        elif kind == "padded_day":
+            # classic syslog single-digit day — strict header drops it
+            lines.append(
+                f"Aug  {draw(st.integers(1, 9))} 01:02:03 mx0 postfix/smtpd[1]: {qid}: client=h1.x[10.0.0.1]"
+            )
+        elif kind == "local":
+            # routing is content-based only: a local(8) line with the
+            # delivery shape is recorded as a delivery too
+            lines.append(
+                f"Aug 11 04:00:{sec:02d} mx0 postfix/local[77]: {qid}: to=<u@y>, relay=local, delay=0.1, "
+                "delays=0.05/0/0/0.05, dsn=2.0.0, status=sent (delivered to mailbox)"
+            )
         else:
             lines.append("totally unparseable garbage")
     # exact duplicates / replays
