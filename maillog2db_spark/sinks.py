@@ -142,7 +142,22 @@ def mysql_upsert_sql(table: str, staging: str | None = None) -> str:
     staging = staging or f"{target}_staging"
     cols = list(REFERENCE_COLUMN_TYPES[table]) + ["row_created_at", "row_updated_at"]
     keys = set(UPSERT_KEYS[table])
-    updates = [f"{c} = VALUES({c})" for c in cols if c not in keys and c != "row_created_at"]
+    # messages: each event type carries only its own field group (other
+    # columns NULL) — a bare overwrite would erase previously-merged
+    # groups, so non-key columns merge NULL-preservingly (the server-side
+    # equivalent of the reference's per-group record functions,
+    # maillog2db.go:332-393)
+    if table == "messages":
+        updates = [
+            f"{c} = COALESCE(VALUES({c}), {c})"
+            for c in cols
+            if c not in keys and c not in ("row_created_at", "row_updated_at")
+        ]
+        updates.append("row_updated_at = VALUES(row_updated_at)")
+    else:
+        updates = [
+            f"{c} = VALUES({c})" for c in cols if c not in keys and c != "row_created_at"
+        ]
     return (
         f"INSERT INTO {target} ({', '.join(cols)})\n"
         f"SELECT {', '.join(cols)} FROM {staging}\n"

@@ -36,7 +36,9 @@ def test_mysql_upsert_sql_shapes():
     sql = sinks.mysql_upsert_sql("messages")
     assert "INSERT INTO pfmaillog2db_messages" in sql
     assert "ON DUPLICATE KEY UPDATE" in sql
-    assert "message_from = VALUES(message_from)" in sql
+    # field groups merge NULL-preservingly (a qmgr-only batch row must
+    # not erase the smtpd-group columns already in the mirror)
+    assert "message_from = COALESCE(VALUES(message_from), message_from)" in sql
     assert "message_queueid = VALUES" not in sql  # key never updated
     assert "row_created_at = VALUES" not in sql  # created-at set once
     assert "row_updated_at = VALUES(row_updated_at)" in sql
