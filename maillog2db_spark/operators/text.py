@@ -184,3 +184,62 @@ SELECT doc_id,
        length(text) AS text_len
 FROM documents
 """
+
+
+# --- corpus-wide n-gram frequency ------------------------------------------
+
+NGRAM_N = 3
+NGRAM_TOP_K = 20
+
+
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k word trigrams — the standard contamination /
+    boilerplate detector over a training corpus. One explode + one
+    count shuffle + a global top-k (rank over counts, deterministic
+    tie-break on the ngram string).
+
+    Scale: the count groupBy is map-side combined; the top-k is a
+    TakeOrderedAndProject (no full sort of the tail). The repartition
+    before shingling is the interpreted-HOF parallelism fix documented
+    in dedup._with_shingles."""
+    from .dedup import _SHINGLES_FROM_TOKS_SPARK, _TOKENS_SPARK as _TS
+
+    p = spark.sparkContext.defaultParallelism
+    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
+    grams = (
+        d.select(F.expr(_TS).alias("toks"))
+        .select(F.expr(_SHINGLES_FROM_TOKS_SPARK).alias("sh"))
+        .select(F.explode("sh").alias("ngram"))
+    )
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        counts.orderBy(F.col("n_docs").desc(), F.col("ngram"))
+        .limit(NGRAM_TOP_K)
+        .select("ngram", "n_docs")
+    )
+
+
+NGRAM_TOPK_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents),
+g AS (
+  SELECT unnest(list_distinct(list_transform(
+           generate_series(1, len(toks) - {NGRAM_N - 1}),
+           i -> array_to_string(list_slice(toks, i, i + {NGRAM_N - 1}), ' ')))) AS ngram
+  FROM t
+)
+SELECT ngram, count(*) AS n_docs FROM g
+GROUP BY ngram ORDER BY n_docs DESC, ngram LIMIT {NGRAM_TOP_K}
+"""
+
+
+def distinct_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counting (HyperLogLog++): corpus-wide
+    approximate distinct token count per language — the only sane way
+    to count distincts at 100 TB. No SQL oracle (sketch estimates are
+    implementation-specific); accuracy is asserted against the exact
+    count in tests (rows-only driver check)."""
+    d = io.load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+    return toks.groupBy("lang").agg(
+        F.approx_count_distinct("tok", 0.02).alias("n_distinct_tokens_approx")
+    )

@@ -218,6 +218,10 @@ register("doc_language_id", _tx.LANGUAGE_ID_SQL,
          doc="Stopword-marker language-ID heuristic")(_tx.language_id)
 register("doc_rolling_fingerprint", _tx.ROLLING_FINGERPRINT_SQL,
          doc="Polynomial rolling-hash fingerprint (sequential fold)")(_tx.rolling_fingerprint)
+register("doc_ngram_topk", _tx.NGRAM_TOPK_SQL,
+         doc="Corpus-wide top-k trigram frequency (contamination/boilerplate detector)")(_tx.ngram_topk)
+register("doc_distinct_tokens_approx", None,
+         doc="HyperLogLog++ approximate distinct tokens per language (sketch — no exact oracle; accuracy asserted vs exact in tests)")(_tx.distinct_tokens_approx)
 register("mm_binary_meta", _mm.BINARY_META_SQL,
          doc="Opaque-binary metadata pass (bytes/hash/chunks)")(_mm.binary_meta)
 

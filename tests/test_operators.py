@@ -125,3 +125,29 @@ def test_neardup_clusters_match_union_find(spark):
     assert got == expected
     for r in dedup.neardup_clusters(spark, sf).collect():
         assert r.keep_doc_id == min(r.members) == r.cluster_id
+
+
+def test_approx_distinct_tokens_within_tolerance(spark):
+    """HLL sketch estimate must be within its configured rsd (2%, use
+    5% slack) of the exact distinct count per language."""
+    from pyspark.sql import functions as F
+
+    from maillog2db_spark.operators import text as tx
+    from maillog2db_spark import io as mio
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.lang: r.n_distinct_tokens_approx
+        for r in tx.distinct_tokens_approx(spark, sf).collect()
+    }
+    d = mio.load(spark, sf, "documents")
+    exact = {
+        r.lang: r.n
+        for r in d.select("lang", F.explode(F.expr(tx._TOKENS_SPARK)).alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for lang, n in exact.items():
+        assert abs(approx[lang] - n) <= max(3, 0.05 * n), (lang, approx[lang], n)
