@@ -15,13 +15,28 @@ from pyspark.sql import functions as F
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Runtime conf every query depends on, applied at the load chokepoint
+    so correctness holds in ANY caller-provided session (the driver runs
+    queries() without necessarily calling entry()/configure_session):
+    UTC pins epoch-based window/date results to the DuckDB oracle's
+    timezone; the excluded rule is the InferFiltersFromGenerate
+    pathology documented in session.py."""
+    from .session import EXCLUDED_OPTIMIZER_RULES
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    ensure_session_conf(spark)
     if table == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_conf(spark)
     spark.conf.set(NANOS_CONF, "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes)["ts"] == "bigint":

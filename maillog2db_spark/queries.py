@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import oracle, parsing, synth, tables
+from . import io, oracle, parsing, synth, tables
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -39,7 +39,7 @@ def register(name: str, oracle_sql: str | None, doc: str = ""):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return io.load(spark, sf_dir, table)
 
 
 def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,3 +59,15 @@ def test_dedup_candidates_have_no_self_join(spark):
     # the (expensive) signature subtree against itself would recompute it
     p = _plan(spark, "doc_lsh_candidate_pairs")
     assert "Join" not in p
+
+
+def test_queries_self_configure_session(spark):
+    """The driver runs queries() in ITS session without calling entry();
+    every query must self-apply the conf its correctness depends on
+    (UTC timezone for epoch-window hashing) at the io.load chokepoint."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        Q.REGISTRY["ev_tumbling_hourly"].fn(spark, SF)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
