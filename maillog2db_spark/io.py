@@ -21,17 +21,27 @@ def ensure_session_conf(spark: SparkSession) -> None:
     queries() without necessarily calling entry()/configure_session):
     UTC pins epoch-based window/date results to the DuckDB oracle's
     timezone; the excluded rule is the InferFiltersFromGenerate
-    pathology documented in session.py."""
+    pathology documented in session.py. Caller-set rule exclusions are
+    preserved (union, not overwrite)."""
     from .session import EXCLUDED_OPTIMIZER_RULES
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
+    current = ""
+    try:
+        current = spark.conf.get("spark.sql.optimizer.excludedRules") or ""
+    except Exception:
+        pass
+    rules = [r for r in current.split(",") if r]
+    for r in EXCLUDED_OPTIMIZER_RULES.split(","):
+        if r not in rules:
+            rules.append(r)
+    spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    ensure_session_conf(spark)
     if table == "events":
-        return load_events(spark, sf_dir)
+        return load_events(spark, sf_dir)  # applies ensure_session_conf itself
+    ensure_session_conf(spark)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

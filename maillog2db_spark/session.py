@@ -48,8 +48,12 @@ def get_spark(app_name: str = "maillog2db_spark", cpus: int | None = None) -> Sp
 
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf to an externally provided session
-    (the driver hands us one in ``__spark_entry__.entry``)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    (the driver hands us one in ``__spark_entry__.entry``). The
+    correctness-critical subset lives in io.ensure_session_conf (the
+    single list, also self-applied by every query at its load
+    chokepoint); this adds the perf-only extras."""
+    from . import io
+
+    io.ensure_session_conf(spark)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
     return spark

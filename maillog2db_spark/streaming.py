@@ -16,7 +16,12 @@ logs/deliveries, max_by for messages/clients — plus (b) a per-table
 batch-id ledger that skips re-delivered batches (protects the one
 non-idempotent aggregate, clients.client_seen_count). This is the
 Spark-native equivalent of the reference's replay-from-start +
-app-level dedup (maillog2db.go:168,283-306; README.md:28).
+app-level dedup (maillog2db.go:168,283-306; README.md:28). Residual
+at-least-once window: a crash BETWEEN a table's write and its ledger
+mark re-applies that one batch for that table on recovery — harmless
+for every reference column; only the derived seen_count can over-count
+by that batch (an atomic commit protocol, i.e. Delta's txn log, closes
+this in production).
 
 Ordering (ST6): the reference relies on strict in-file order for
 last-writer-wins. Here each row gets
@@ -52,7 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from . import parsing, tables
+from . import io, parsing, tables
 
 TABLE_KEYS: dict[str, list[str]] = {
     "logs": tables.LOG_PAYLOAD_COLS,
@@ -227,6 +232,9 @@ def merge_batch(
     2-4 round trips per line.
     """
     spark = batch_df.sparkSession
+    # timestamp parsing is session-timezone-dependent; self-apply the
+    # correctness conf so batch ≡ streaming holds in any caller session
+    io.ensure_session_conf(spark)
     lines = batch_df.withColumn(
         "seq",
         (F.lit(int(batch_id)).cast("long") * F.lit(1 << 48) + F.monotonically_increasing_id()),

@@ -65,9 +65,24 @@ def test_queries_self_configure_session(spark):
     """The driver runs queries() in ITS session without calling entry();
     every query must self-apply the conf its correctness depends on
     (UTC timezone for epoch-window hashing) at the io.load chokepoint."""
+    import random
+
+    sample = ["ev_tumbling_hourly", "tpch_q1_pricing_summary", "doc_exact_dedup",
+              "embed_lsh_buckets", "ml_logs", "mm_binary_meta"]
     try:
-        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-        Q.REGISTRY["ev_tumbling_hourly"].fn(spark, SF)
-        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # caller-set exclusions must survive the union
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.CallerRule",
+        )
+        for name in sample:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            Q.REGISTRY[name].fn(spark, SF)
+            assert spark.conf.get("spark.sql.session.timeZone") == "UTC", name
+        assert "CallerRule" in spark.conf.get("spark.sql.optimizer.excludedRules")
+        assert "InferFiltersFromGenerate" in spark.conf.get("spark.sql.optimizer.excludedRules")
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        from maillog2db_spark.session import EXCLUDED_OPTIMIZER_RULES
+
+        spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
