@@ -109,7 +109,12 @@ def ml_delivery_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ml_msg_delivery_join", oracle.MSG_DELIVERY_JOIN,
           doc="Flagship: messages ⋈ deliveries on queueid (J2), per-status attempt counts")
 def ml_msg_delivery_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parsed = _parsed(spark, sf_dir)
+    # lazy localCheckpoint: the parse subtree feeds BOTH join sides —
+    # materialize it once per action instead of twice (measured ~35%
+    # off the query; unlike persist() it does not register with the
+    # cache manager, so no cross-query plan sharing pollutes later
+    # queries' measurements)
+    parsed = _parsed(spark, sf_dir).localCheckpoint(eager=False)
     messages = tables.build_messages(parsed).select("message_queueid", "message_from")
     deliveries = tables.build_deliveries(parsed)
     # ~97 distinct queueids at any scale → broadcast the aggregated

@@ -204,6 +204,32 @@ def _execute_jdbc_statement(
         conn.close()
 
 
+# --- bucketed tables (shuffle-free co-located joins) ------------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a Spark-native BUCKETED managed table: rows are
+    hash-clustered (and optionally sorted) by the join key at write
+    time, so equi-joins and aggregations between tables bucketed the
+    same way need NO shuffle at read time — at 100 TB, pre-bucketing
+    messages and deliveries on queueid turns the flagship join from a
+    full two-sided exchange into a zip of co-located buckets. (The
+    streaming state store implements the same idea manually with
+    partition dirs; this is the SQL-catalog flavor for batch marts.)"""
+    w = df.write.mode("overwrite").format("parquet")
+    if sort_col:
+        w = w.bucketBy(n_buckets, bucket_col).sortBy(sort_col)
+    else:
+        w = w.bucketBy(n_buckets, bucket_col)
+    w.saveAsTable(table_name)
+
+
 # --- canonical parquet store (the analytical side) -------------------------
 
 

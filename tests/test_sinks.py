@@ -75,3 +75,31 @@ def test_canonical_store_partition_pruning(spark, tmp_path):
     # entity tables round-trip
     assert spark.read.parquet(os.path.join(out, "messages")).count() == 1
     assert spark.read.parquet(os.path.join(out, "clients")).count() == 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key join WITHOUT an exchange —
+    the plan proof that pre-bucketing removes the join shuffle."""
+    from maillog2db_spark import pipeline
+
+    lines = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(LOG * 3)], ["seq", "value"]
+    )
+    t = pipeline.process_lines(lines, seq_col="seq", year=2025)
+    spark.sql("DROP TABLE IF EXISTS b_messages")
+    spark.sql("DROP TABLE IF EXISTS b_deliveries")
+    sinks.write_bucketed(t.messages, "b_messages", "message_queueid", 4)
+    sinks.write_bucketed(t.deliveries, "b_deliveries", "delivery_queueid", 4)
+    try:
+        m = spark.table("b_messages")
+        d = spark.table("b_deliveries")
+        joined = d.hint("merge").join(
+            m, d.delivery_queueid == m.message_queueid
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_messages")
+        spark.sql("DROP TABLE IF EXISTS b_deliveries")
