@@ -50,8 +50,13 @@ _SHINGLES_DUCK = (
 )
 
 
-def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, sh): distinct 3-word shingle arrays.
+def _with_shingles(
+    spark: SparkSession, sf_dir: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """documents → (doc_id, *extra_cols, sh): distinct 3-word shingle
+    arrays, with any passthrough columns carried in the SAME scan (a
+    separate scan + re-join on doc_id would be a whole extra pass over
+    the corpus).
 
     Repartitions on doc_id before shingling: higher-order functions
     (transform/filter lambdas) are CodegenFallback — interpreted, CPU
@@ -63,8 +68,8 @@ def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup verifiers do downstream."""
     p = spark.sparkContext.defaultParallelism
     d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
-    return d.select("doc_id", F.expr(_TOKENS_SPARK).alias("toks")).select(
-        "doc_id", F.expr(_SHINGLES_FROM_TOKS_SPARK).alias("sh")
+    return d.select("doc_id", *extra_cols, F.expr(_TOKENS_SPARK).alias("toks")).select(
+        "doc_id", *extra_cols, F.expr(_SHINGLES_FROM_TOKS_SPARK).alias("sh")
     )
 
 
@@ -140,27 +145,30 @@ MINHASH_SIGNATURES_SQL = f"WITH {_SIG_DUCK_CTE}\nSELECT * FROM sigs"
 
 def _pairs_within_groups(keyed: DataFrame, group_cols: list[str]) -> DataFrame:
     """(group, doc_id) → all (doc_a < doc_b) pairs co-occurring in any
-    group, deduplicated. One aggregation + in-memory combination
-    expansion per group instead of a self-join — the upstream (often
-    expensive) plan is computed ONCE, and there is no join at all.
-    Bucket sizes are small by construction (that is the point of
-    LSH/prefix blocking), so the per-group quadratic expansion is
-    bounded; a pathological mega-bucket would hurt the self-join
-    equally (same output pairs)."""
+    group, deduplicated. One aggregation + per-group combination
+    expansion instead of a self-join — the upstream (often expensive)
+    plan is computed ONCE, and there is no join at all.
+
+    Memory shape: the expansion is TWO chained explodes, so no single
+    row ever holds the k² pair set — after the first (pos)explode each
+    row carries one anchor element plus the bucket's id array (O(k)),
+    and the second explode streams its suffix. A bucket of k exact
+    duplicates (the guaranteed hot case in a dedup corpus) therefore
+    costs O(k) per row / O(k²) total streamed rows — the same output
+    volume a self-join would shuffle, without a single 2 GB array value
+    (an earlier single-row flatten(transform(...)) materialized all
+    pairs inside one value; caught in review)."""
     grouped = keyed.groupBy(*group_cols).agg(
         F.array_sort(F.collect_set("doc_id")).alias("ids")
     )
-    pairs = grouped.filter(F.size("ids") > 1).select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("p")
+    anchored = grouped.filter(F.size("ids") > 1).select(
+        "ids", F.posexplode("ids").alias("i", "doc_a")
     )
-    return pairs.select(
-        F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
-    ).distinct()
+    pairs = anchored.select(
+        "doc_a",
+        F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("doc_b"),
+    )
+    return pairs.distinct()
 
 
 def _band_pairs(sigs: DataFrame) -> DataFrame:
@@ -259,9 +267,7 @@ def blocked_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lost), and the candidate join is sparse — never the quadratic
     block cross-product (the DuckDB oracle runs the naive quadratic as
     the independent check)."""
-    d = io.load(spark, sf_dir, "documents").select("doc_id", "lang").join(
-        _with_shingles(spark, sf_dir), "doc_id"
-    )
+    d = _with_shingles(spark, sf_dir, extra_cols=("lang",))
     # no size()>0 filter: empty sets produce an empty prefix (no index
     # entries → never a candidate), and dropping it avoids Catalyst
     # re-inlining the shingle expression under a pushed-down predicate
@@ -334,7 +340,9 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     growing lineage each round (the standard iterative-algorithm
     pattern on Spark)."""
     pairs = neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # undirected edges + self-loops so singleton-free propagation is total
+    # undirected edges (both directions); no self-loops needed — the
+    # least(own, neighbor-min) in the propagation step covers the
+    # keep-own-label case
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

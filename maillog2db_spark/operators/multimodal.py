@@ -163,16 +163,19 @@ def extract_features(df: DataFrame) -> DataFrame:
     once per task, not per batch — the idiomatic mapInPandas pattern)."""
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         # (model would be loaded HERE, once per task)
         for pdf in batches:
             feats = []
             for p in pdf["payload"]:
                 p = p if p is not None else b""
-                h = [0.0] * FEATURE_DIM
-                for b in p:
-                    h[b % FEATURE_DIM] += 1.0
-                n = float(len(p)) or 1.0
-                feats.append([v / n for v in h])
+                if p:
+                    arr = np.frombuffer(p, dtype=np.uint8)
+                    h = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
+                    feats.append((h / len(p)).astype(float).tolist())
+                else:
+                    feats.append([0.0] * FEATURE_DIM)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return df.mapInPandas(

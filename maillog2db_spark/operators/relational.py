@@ -212,9 +212,10 @@ FROM lineitem GROUP BY l_returnflag
 # --- set operations ---------------------------------------------------------
 
 def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT/INTERSECT surface: customers who ordered in 1999 but are
-    not in the BUILDING segment, plus the intersection count — both set
-    ops are shuffle-distinct under the hood."""
+    """EXCEPT set operation: distinct customers who ordered in 1999,
+    minus the BUILDING segment — set difference is a shuffle-distinct +
+    anti semantics under the hood (INTERSECT is the same machinery with
+    the membership test flipped)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     orderers = (

@@ -104,9 +104,29 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 
 def _hyperplane(plane: int, dim: int = 64) -> list[float]:
     """Deterministic pseudo-random hyperplane: component d of plane p is
-    ±1 by parity of a fixed integer mix — reproducible in plain SQL on
-    both engines (no RNG)."""
-    return [1.0 if ((plane * 37 + d * 101) % 7) % 2 == 0 else -1.0 for d in range(dim)]
+    ±1 by an md5 bit of "p:d". The planes are materialized as literal
+    arrays in both engines' queries, so any Python-side generator works;
+    md5 guarantees the planes are pairwise distinct and uncorrelated (a
+    previous linear-congruential mix had period 7 in `plane`, silently
+    duplicating plane 7 = plane 0 — caught in review; min pairwise
+    Hamming distance is now 25/64)."""
+    import hashlib
+
+    return [
+        1.0 if hashlib.md5(f"{plane}:{d}".encode()).digest()[0] & 1 else -1.0
+        for d in range(dim)
+    ]
+
+
+def _bucket_col() -> "F.Column":
+    """The N_PLANES sign-bit bucket id as a Spark column over
+    ``embedding`` — single source of truth for every LSH-bucketed op."""
+    bucket = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(p)])
+        bit = F.when(_dot(F.col("embedding"), plane) > 0, 1).otherwise(0)
+        bucket = bucket + F.shiftleft(bit.cast("long"), p)
+    return bucket
 
 
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,13 +134,8 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vectors in the same bucket are ANN candidates; the bucket id is the
     equi-join/partition key at scale."""
     e = _embeddings(spark, sf_dir)
-    bucket = F.lit(0).cast("long")
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(p)])
-        bit = F.when(_dot(F.col("embedding"), plane) > 0, 1).otherwise(0)
-        bucket = bucket + F.shiftleft(bit.cast("long"), p)
     return (
-        e.select(F.col("vec_id"), F.col("label"), bucket.alias("bucket"))
+        e.select(F.col("vec_id"), F.col("label"), _bucket_col().alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -135,14 +150,27 @@ def _plane_duck(p: int) -> str:
     return f"[{vals}]"
 
 
+# the same bucket id as a DuckDB expression — single source of truth for
+# the oracle side
+_BUCKET_DUCK = "CAST({} AS BIGINT)".format(
+    " + ".join(
+        f"(CASE WHEN {_DOT_DUCK.format(a='embedding', b='{plane' + str(p) + '}')} > 0 "
+        f"THEN (1::BIGINT << {p}) ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+)
+
+
+def _bucket_duck() -> str:
+    s = _BUCKET_DUCK
+    for p in range(N_PLANES):
+        s = s.replace("{plane%d}" % p, _plane_duck(p))
+    return s
+
+
 LSH_BUCKETS_SQL = f"""
 WITH b AS (
-  SELECT vec_id, label,
-         CAST({' + '.join(
-             f"(CASE WHEN {_DOT_DUCK.format(a='embedding', b=_plane_duck(p))} > 0 "
-             f"THEN (1::BIGINT << {p}) ELSE 0 END)"
-             for p in range(N_PLANES)
-         )} AS BIGINT) AS bucket
+  SELECT vec_id, label, {_bucket_duck()} AS bucket
   FROM embeddings
 )
 SELECT bucket, count(*) AS n_vectors, count(DISTINCT label) AS n_labels,
@@ -333,17 +361,12 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     differential test of the ENGINE (bucketing, join, fold arithmetic),
     not of LSH recall (which is tunable by N_PLANES/bands)."""
     e = _embeddings(spark, sf_dir)
-    bucket = F.lit(0).cast("long")
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(p)])
-        bit = F.when(_dot(F.col("embedding"), plane) > 0, 1).otherwise(0)
-        bucket = bucket + F.shiftleft(bit.cast("long"), p)
     # bucket bits computed ONCE; candidate pairs expand inside buckets
     # (no self-join of the bit computation), then the cheap raw
     # embedding columns join back for exact verification only
     from .dedup import _pairs_within_groups
 
-    b = e.select(F.col("vec_id").alias("doc_id"), bucket.alias("bucket"))
+    b = e.select(F.col("vec_id").alias("doc_id"), _bucket_col().alias("bucket"))
     cand = _pairs_within_groups(b, ["bucket"]).select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
@@ -366,12 +389,7 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COSINE_NEARDUP_PAIRS_SQL = f"""
 WITH b AS (
-  SELECT vec_id, embedding AS emb,
-         CAST({' + '.join(
-             f"(CASE WHEN {_DOT_DUCK.format(a='embedding', b=_plane_duck(p))} > 0 "
-             f"THEN (1::BIGINT << {p}) ELSE 0 END)"
-             for p in range(N_PLANES)
-         )} AS BIGINT) AS bucket
+  SELECT vec_id, embedding AS emb, {_bucket_duck()} AS bucket
   FROM embeddings
 )
 SELECT vec_a, vec_b, cosine FROM (

@@ -163,7 +163,13 @@ FROM documents
 def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling hash over the document's characters
     (h = (h*31 + code) mod 2^31-1) — order-sensitive content
-    fingerprint, computed as a sequential fold in both engines."""
+    fingerprint, computed as a sequential fold in both engines.
+
+    Contract: defined over BMP text. For astral-plane characters
+    Spark's ascii() yields the UTF-16 surrogate while DuckDB's yields
+    the codepoint, so the two engines' fingerprints diverge; a
+    cross-engine-stable variant would fold over unicode codepoints via
+    a pandas UDF (slow path) or encode to bytes first."""
     d = io.load(spark, sf_dir, "documents")
     codes = F.expr("transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))")
     fp = F.aggregate(
