@@ -442,3 +442,66 @@ SELECT doc_id,
        CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
+
+
+SIMHASH_HD_MAX = 3
+_SIMHASH_BANDS = 4  # 4 bands × 8 bits; pigeonhole: hd ≤ 3 ⇒ ≥1 band equal
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ 3.
+
+    Candidate generation is banded (4×8-bit bands of the 32-bit
+    signature): pairs join only inside equal (band_id, band_value)
+    buckets — a plain equi-shuffle, never an all-pairs product — and by
+    pigeonhole the recall at hd ≤ 3 is EXACT, not approximate. At 100 TB
+    the knob is band count/width (k bands of w bits gives exact recall
+    for hd < k over a k·w-bit signature); occupancy per bucket stays
+    bounded because a band value is 8 uniform bits per ~256 docs.
+    """
+    sigs = simhash_signatures(spark, sf_dir)
+    band = F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1))).alias("band_id")
+    bands = sigs.select("doc_id", "simhash", band).withColumn(
+        "band_val", F.expr("shiftright(simhash, CAST(8 * band_id AS INT)) & 255")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sig_a"),
+        "band_id", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sig_b"),
+        F.col("band_id").alias("band_id_b"), F.col("band_val").alias("band_val_b"),
+    )
+    cands = (
+        a.join(
+            b,
+            (a.band_id == b.band_id_b)
+            & (a.band_val == b.band_val_b)
+            & (a.doc_id_a < b.doc_id_b),
+        )
+        .select("doc_id_a", "doc_id_b", "sig_a", "sig_b")
+        .distinct()  # a pair may share several bands
+    )
+    hd = F.bit_count(F.expr("sig_a ^ sig_b"))
+    return cands.filter(hd <= SIMHASH_HD_MAX).select(
+        "doc_id_a", "doc_id_b", hd.alias("hamming_distance")
+    )
+
+
+SIMHASH_NEARDUP_PAIRS_SQL = f"""
+WITH sigs AS ({SIMHASH_SIGNATURES_SQL}),
+bands AS (
+  SELECT doc_id, simhash, r.range AS band_id,
+         (simhash >> CAST(8 * r.range AS INT)) & 255 AS band_val
+  FROM sigs CROSS JOIN range({_SIMHASH_BANDS}) r
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                  a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b,
+       bit_count(xor(sig_a, sig_b)) AS hamming_distance
+FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_HD_MAX}
+"""

@@ -314,3 +314,202 @@ SELECT l_returnflag,
        round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+# --- TPC-H Q6 shape: pure scan + filter + single aggregate ------------------
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: the minimal full-scan aggregate — every predicate pushes to
+    the parquet scan, no shuffle at all (partial sums + one final
+    reduce). At 100 TB this is the query shape that proves pushdown:
+    the scan should read only 4 columns and skip row groups on
+    l_shipdate min/max."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- TPC-H Q10 shape: returned-item top-k over a 4-way join -----------------
+
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: revenue lost to returns per customer in one quarter, top 20.
+    The orders↔lineitem shuffle is the only big exchange; customer and
+    nation broadcast. Top-k via sort+limit collapses under AQE to a
+    single-partition take."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- TPC-H Q14 shape: conditional aggregate over a fact↔dim join ------------
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: promo revenue share for one month — CASE-gated sum over a
+    broadcast part join; the ratio is computed post-aggregate so the
+    query stays a single shuffle-free broadcast join + 1-row reduce."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01")) & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+PROMO_REVENUE_SHARE_SQL = """
+SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+# --- TPC-H Q18 shape: HAVING-filtered agg feeding a join --------------------
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: orders whose total quantity exceeds a threshold, with their
+    customers. The HAVING aggregate runs first and is tiny, so it
+    broadcasts INTO the orders join — the big lineitem table shuffles
+    once (on its natural key), everything after is broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 190)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+LARGE_VOLUME_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 190) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --- CUBE -------------------------------------------------------------------
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all 4 grouping sets in one Expand
+    + partial-aggregated pass (the multi-dimensional dual of
+    rollup_sales)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("o_orderstatus").alias("g_st"),
+            F.grouping("o_orderpriority").alias("g_pr"),
+        )
+    )
+
+
+CUBE_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS sum_price,
+       count(*) AS n_orders,
+       grouping(o_orderstatus) AS g_st,
+       grouping(o_orderpriority) AS g_pr
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- exact percentiles ------------------------------------------------------
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90 / p99) of extended
+    price per returnflag. Spark's `percentile` is the exact sort-based
+    aggregate (same linear-interpolation definition as DuckDB's
+    quantile_cont); at 100 TB the swap-in is `approx_percentile`, whose
+    t-digest sketch is partial-aggregated — same query shape, bounded
+    memory."""
+    l = _t(spark, sf_dir, "lineitem")
+    pct = lambda q, name: F.round(
+        F.expr(f"percentile(l_extendedprice, {q})"), 4
+    ).alias(name)
+    return l.groupBy("l_returnflag").agg(
+        pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+    )
+
+
+PRICE_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+       round(avg(l_extendedprice), 4) AS mean_price
+FROM lineitem GROUP BY l_returnflag
+"""

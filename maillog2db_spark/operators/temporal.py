@@ -1,0 +1,139 @@
+"""Temporal join operators over the ``events`` table: as-of join and
+bounded range (interval) self-join.
+
+SURVEY §2.3 lists these as "not present in the reference, available for
+the capability matrix". Spark has no native ASOF/range join operator, so
+both are built as compositions of existing DataFrame ops (the SURVEY's
+preferred strategy (a)) chosen for their 100 TB shape:
+
+  * as-of join  →  union + ordered window ``last(..., ignorenulls)``:
+    ONE shuffle on the join key, no per-row range probe, no candidate
+    explosion. This is the classic piecewise-constant-join rewrite —
+    state per key is a single running value, so it also maps directly
+    onto a streaming stateful op.
+  * range join  →  coarse-bucket equi-join decomposition: each probe row
+    joins only its own and its successor time bucket, so the join is a
+    plain equi-shuffle on (key, bucket) with a residual filter — never
+    a per-key cross product (the naive ``a.user_id = b.user_id AND
+    b.ts BETWEEN ...`` plan degenerates to that, and at 100 TB a hot key
+    with 10^6 events would be a 10^12-pair straggler).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import io
+
+RANGE_WINDOW_SEC = 300
+
+
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, the most recent click by the same user
+    at-or-before the purchase (left as-of join, ``p.ts >= c.ts``).
+
+    Implementation: tag clicks 0 / purchases 1, union, and take the
+    running ``last`` click timestamp per user over (ts, kind) order —
+    the equal-ts tiebreak (click sorts first) is exactly the >=
+    inclusive bound. Click timestamps are pre-deduplicated per user so
+    the match value is deterministic regardless of input row order.
+    """
+    e = io.load_events(spark, sf_dir)
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+        .distinct()
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "click_ts",
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return merged.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "click_ts",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+ASOF_PURCHASE_CLICK_SQL = """
+WITH clicks AS (
+  SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS click_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def event_pairs_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All ordered same-user event pairs with 0 < gap <= 5 minutes —
+    a bounded-interval range self-join.
+
+    Decomposition: bucket the timeline into window-width cells; a pair
+    with gap in (0, W] always spans the left row's own cell or the next
+    one, so probing exactly those two cells via an equi-join on
+    (user_id, bucket) finds every pair exactly once (no dedup needed:
+    the right row's cell is a single value, and the two probed cells are
+    distinct).
+    """
+    w_us = RANGE_WINDOW_SEC * 1_000_000
+    e = (
+        io.load_events(spark, sf_dir)
+        .select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+    )
+    # integer `div`, not float division + cast — double rounding near a
+    # cell boundary would misplace a row into the wrong bucket
+    cell = F.expr(f"us div {w_us}")
+    probe = e.select(
+        F.col("event_id").alias("left_event_id"),
+        "user_id",
+        F.col("us").alias("left_us"),
+        F.explode(F.array(cell, cell + 1)).alias("bucket"),
+    )
+    build = e.select(
+        F.col("event_id").alias("right_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("us").alias("right_us"),
+        cell.alias("r_bucket"),
+    )
+    gap = F.col("right_us") - F.col("left_us")
+    return (
+        probe.join(
+            build,
+            (probe.user_id == build.r_user_id) & (probe.bucket == build.r_bucket),
+        )
+        .filter((gap > 0) & (gap <= w_us))
+        .select(
+            "left_event_id", "right_event_id", "user_id", gap.alias("gap_us")
+        )
+    )
+
+
+EVENT_PAIRS_WITHIN_WINDOW_SQL = f"""
+SELECT a.event_id AS left_event_id, b.event_id AS right_event_id, a.user_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= {RANGE_WINDOW_SEC * 1_000_000}
+"""

@@ -131,3 +131,37 @@ SELECT day, event_type, dau, n_events,
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events
 FROM daily
 """
+
+
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline analytics: gap to previous order
+    (lag), 3-order moving average of spend, and per-customer sequence
+    rank — all three window functions share one (custkey) partitioning
+    so Catalyst plans a single sort+window stage (one shuffle)."""
+    o = io.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("order_seq"),
+        F.datediff(F.col("o_orderdate"), prev_date).alias("days_since_prev"),
+        F.round(
+            F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4
+        ).alias("moving_avg_3"),
+    )
+
+
+CUSTOMER_ORDER_GAPS_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(row_number() OVER w AS INT) AS order_seq,
+       CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS INT)
+         AS days_since_prev,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+         AS moving_avg_3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""

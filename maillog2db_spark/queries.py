@@ -171,6 +171,18 @@ register("customers_without_orders", _rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
          doc="Left-anti join (NOT EXISTS) — the reference's dedup predicate as an operator")(_rel.customers_without_orders)
 register("pivot_returnflag", _rel.PIVOT_RETURNFLAG_SQL,
          doc="Pivot with explicit value list")(_rel.pivot_returnflag)
+register("tpch_q6_forecast_revenue", _rel.FORECAST_REVENUE_SQL,
+         doc="Pure pushdown scan + shuffle-free aggregate (TPC-H Q6 shape)")(_rel.forecast_revenue)
+register("tpch_q10_returned_items", _rel.RETURNED_ITEM_CUSTOMERS_SQL,
+         doc="Returned-item revenue top-k over 4-way join (TPC-H Q10 shape)")(_rel.returned_item_customers)
+register("tpch_q14_promo_share", _rel.PROMO_REVENUE_SHARE_SQL,
+         doc="Conditional aggregate ratio over broadcast join (TPC-H Q14 shape)")(_rel.promo_revenue_share)
+register("tpch_q18_large_orders", _rel.LARGE_VOLUME_CUSTOMERS_SQL,
+         doc="HAVING-filtered aggregate broadcast into join (TPC-H Q18 shape)")(_rel.large_volume_customers)
+register("cube_orders", _rel.CUBE_ORDERS_SQL,
+         doc="CUBE over two dims + grouping indicators")(_rel.cube_orders)
+register("price_percentiles", _rel.PRICE_PERCENTILES_SQL,
+         doc="Exact interpolated percentiles per group (approx_percentile is the 100TB swap-in)")(_rel.price_percentiles)
 
 # --- event-stream analytics (SURVEY §2.9) -----------------------------------
 
@@ -182,6 +194,17 @@ register("ev_top_users", _win.TOP_USERS_SQL,
          doc="Global top-k by aggregate")(_win.top_users_by_value)
 register("ev_daily_active_users", _win.DAILY_ACTIVE_USERS_SQL,
          doc="Daily distinct users + cumulative analytic window")(_win.daily_active_users)
+register("ord_customer_gaps", _win.CUSTOMER_ORDER_GAPS_SQL,
+         doc="lag / row_number / moving-avg sharing one window partitioning")(_win.customer_order_gaps)
+
+# --- temporal joins (as-of, bounded range) ----------------------------------
+
+from .operators import temporal as _tmp  # noqa: E402
+
+register("ev_asof_purchase_click", _tmp.ASOF_PURCHASE_CLICK_SQL,
+         doc="Left as-of join via union + ordered last() — one shuffle, no range probe")(_tmp.asof_purchase_click)
+register("ev_pairs_within_5min", _tmp.EVENT_PAIRS_WITHIN_WINDOW_SQL,
+         doc="Bounded range self-join via coarse-bucket equi-join decomposition")(_tmp.event_pairs_within_window)
 
 
 # --- LLM-data-pipeline operators (SURVEY §2.9 north star) -------------------
@@ -205,6 +228,8 @@ register("doc_neardup_clusters", None,
          doc="Connected components over near-dup pairs (iterative min-label propagation; driver-side loop, distributed data — no SQL oracle possible)")(_dd.neardup_clusters)
 register("doc_simhash", _dd.SIMHASH_SIGNATURES_SQL,
          doc="32-bit SimHash signatures (bitwise vote aggregation)")(_dd.simhash_signatures)
+register("doc_simhash_neardup", _dd.SIMHASH_NEARDUP_PAIRS_SQL,
+         doc="SimHash Hamming≤3 near-dup pairs (banded candidates, pigeonhole-exact recall)")(_dd.simhash_neardup_pairs)
 register("embed_knn_bruteforce", _sim.KNN_BRUTEFORCE_SQL,
          doc="Exact cosine top-k ANN baseline (broadcast queries)")(_sim.knn_bruteforce)
 register("embed_lsh_buckets", _sim.LSH_BUCKETS_SQL,

@@ -151,3 +151,70 @@ def test_approx_distinct_tokens_within_tolerance(spark):
     assert set(approx) == set(exact)
     for lang, n in exact.items():
         assert abs(approx[lang] - n) <= max(3, 0.05 * n), (lang, approx[lang], n)
+
+
+def test_asof_join_matches_naive(spark):
+    """Union+window as-of join ≡ the naive per-purchase max(click.ts <=
+    purchase.ts) definition, including the >= equal-ts inclusion and
+    NULL for purchases with no prior click."""
+    from maillog2db_spark import io
+    from maillog2db_spark.operators import temporal
+
+    e = io.load_events(spark, SF).collect()
+    clicks = {}
+    for r in e:
+        if r["event_type"] == "click":
+            clicks.setdefault(r["user_id"], []).append(r["ts"])
+    expected = {}
+    for r in e:
+        if r["event_type"] == "purchase":
+            prior = [t for t in clicks.get(r["user_id"], []) if t <= r["ts"]]
+            expected[r["event_id"]] = max(prior) if prior else None
+    got = {
+        r["event_id"]: r["click_ts"]
+        for r in temporal.asof_purchase_click(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_range_join_bucket_decomposition_matches_naive(spark):
+    """Coarse-bucket decomposition finds every (0, W]-gap pair exactly
+    once — no misses at cell boundaries, no duplicates from the
+    two-cell probe."""
+    from maillog2db_spark import io
+    from maillog2db_spark.operators import temporal
+
+    e = sorted(
+        io.load_events(spark, SF).collect(), key=lambda r: (r["user_id"], r["ts"])
+    )
+    w_us = temporal.RANGE_WINDOW_SEC * 1_000_000
+    us = lambda t: int(t.timestamp() * 1_000_000)
+    naive = set()
+    for a in e:
+        for b in e:
+            if a["user_id"] == b["user_id"]:
+                gap = us(b["ts"]) - us(a["ts"])
+                if 0 < gap <= w_us:
+                    naive.add((a["event_id"], b["event_id"]))
+    rows = temporal.event_pairs_within_window(spark, SF).collect()
+    got = [(r["left_event_id"], r["right_event_id"]) for r in rows]
+    assert len(got) == len(set(got)), "duplicate pairs from two-cell probe"
+    assert set(got) == naive
+
+
+def test_simhash_banded_recall_is_exact(spark):
+    """Pigeonhole guarantee: banded candidate generation misses NO pair
+    with Hamming distance <= SIMHASH_HD_MAX (4 bands, 3 flips)."""
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(spark, SF).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= dedup.SIMHASH_HD_MAX
+    }
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.simhash_neardup_pairs(spark, SF).collect()
+    }
+    assert got == brute
