@@ -70,6 +70,9 @@ def main() -> None:
 
     import tempfile
 
+    # drop query-side persisted blocks (the shared parse layer) so the
+    # ingest measurement is isolated from cache memory/GC pressure
+    spark.catalog.clearCache()
     with tempfile.TemporaryDirectory() as td:
         ingest = ingest_throughput(spark, sf_dir, td)
 

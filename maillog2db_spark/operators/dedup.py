@@ -395,34 +395,41 @@ _HEX = "0123456789abcdef"
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (doc, token) with the token's 32-bit hash as an
+    integer (conv hex→long), then ALL 32 bit-votes as columnar
+    aggregates in a single groupBy(doc_id) — no 32× row explosion, no
+    second shuffle. At 100 TB this is one map-side-combined exchange on
+    doc_id over the token stream; the 32 sums vectorize in codegen.
+
+    Bit mapping matches the oracle's nibble arithmetic: hex char j holds
+    bits 4j..4j+3 with bit = (nibble >> (b%4)) & 1, and conv() parses
+    char 0 as the HIGH nibble, so bit b lives at integer position
+    28 - 4*(b div 4) + (b % 4)."""
     d = io.load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.expr(_TOKENS_SPARK))).alias("tok")
-    ).withColumn("h", F.md5(F.encode("tok", "UTF-8")))
-    # shiftleft/shiftright need expr() — the PySpark wrappers only take
-    # a literal bit count, not a Column
-    bits = (
-        toks.select(
-            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"), "h"
-        )
-        .withColumn(
-            "nib",
-            F.instr(
-                F.lit(_HEX),
-                F.substring(F.col("h"), F.expr("CAST(bit div 4 AS INT)") + 1, 1),
-            )
-            - 1,
-        )
-        .withColumn("b", F.expr("shiftright(nib, CAST(bit % 4 AS INT)) & 1"))
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.encode("tok", "UTF-8")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("v"),
     )
-    votes = bits.groupBy("doc_id", "bit").agg(F.sum(F.col("b") * 2 - 1).alias("vote"))
-    return votes.groupBy("doc_id").agg(
+    votes = [
         F.sum(
-            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+            F.shiftright(F.col("v"), 28 - 4 * (b // 4) + b % 4)
+            .bitwiseAND(F.lit(1))
+            * 2
+            - 1
+        ).alias(f"vote{b}")
+        for b in range(32)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(32):
+        sig = sig + F.when(
+            F.col(f"vote{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", sig.alias("simhash"))
 
 
 SIMHASH_SIGNATURES_SQL = f"""

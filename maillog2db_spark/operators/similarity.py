@@ -55,17 +55,22 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, per-query window top-k."""
     e = _embeddings(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
     )
     c = e.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
     )
+    # norms precomputed below the join (once per vector, not per pair);
+    # identical expression tree → bit-identical doubles vs the oracle
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("q_emb"), F.col("c_emb"))
-            / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+            _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
             6,
         ).alias("cosine"),
     )
@@ -243,16 +248,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-to-cell — search cost is corpus/cells × N_PROBE per query
     instead of the full corpus."""
     e = _embeddings(spark, sf_dir)
-    cents = _centroids(e)
+    # per-vector / per-centroid norms precomputed below every join (the
+    # interpreted fold runs once per vector, not once per scored pair);
+    # identical expression trees → bit-identical doubles vs the oracle
+    cents = _centroids(e).withColumn("cent_nrm", _norm(F.col("centroid")))
 
-    def nearest_cells(df: DataFrame, id_col: str, emb_col: str, n: int) -> DataFrame:
+    def nearest_cells(df: DataFrame, id_col: str, emb_col: str, nrm_col: str, n: int) -> DataFrame:
         scored = df.join(F.broadcast(cents)).select(
             id_col,
             emb_col,
+            nrm_col,
             "cell",
             F.round(
                 _dot(F.col(emb_col), F.col("centroid"))
-                / (_norm(F.col(emb_col)) * _norm(F.col("centroid"))),
+                / (F.col(nrm_col) * F.col("cent_nrm")),
                 6,
             ).alias("csim"),
         )
@@ -264,20 +273,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
     )
-    inv = nearest_cells(corpus, "neighbor_id", "c_emb", 1)  # inverted lists
+    inv = nearest_cells(corpus, "neighbor_id", "c_emb", "c_nrm", 1)  # inverted lists
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
     )
-    probes = nearest_cells(queries, "query_id", "q_emb", N_PROBE)
+    probes = nearest_cells(queries, "query_id", "q_emb", "q_nrm", N_PROBE)
 
     scored = inv.join(F.broadcast(probes), "cell").select(
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("q_emb"), F.col("c_emb"))
-            / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+            _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
             6,
         ).alias("cosine"),
     )
@@ -370,7 +382,12 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _pairs_within_groups(b, ["bucket"]).select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
-    emb = e.select("vec_id", "embedding")
+    # norms are per-VECTOR quantities: compute them in the projection
+    # below the join (once per vector), not per candidate pair — the
+    # interpreted fold is the expensive part, and this drops it from 3
+    # folds/pair to 1. Same expression tree (sqrt of the same fold), so
+    # the doubles — and the oracle hash — are bit-identical.
+    emb = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     pairs = (
         cand.join(emb.alias("l"), F.col("vec_a") == F.col("l.vec_id"))
         .join(emb.alias("r"), F.col("vec_b") == F.col("r.vec_id"))
@@ -379,7 +396,7 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
             F.round(
                 _dot(F.col("l.embedding"), F.col("r.embedding"))
-                / (_norm(F.col("l.embedding")) * _norm(F.col("r.embedding"))),
+                / (F.col("l.nrm") * F.col("r.nrm")),
                 6,
             ).alias("cosine"),
         )

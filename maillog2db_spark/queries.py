@@ -9,6 +9,7 @@ have oracle=None → the driver records a weaker rows-only check.
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -42,10 +43,28 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return io.load(spark, sf_dir, table)
 
 
+# Session-scoped materialized parse layer. Eight ml_* queries share the
+# same synthesize→parse subtree; persisting it once per (session,
+# sf_dir) is the query-side analogue of the canonical parsed table the
+# ingest path materializes — at 100 TB you parse once and query many
+# times, never re-regex the raw log per query. WeakKeyDictionary ties
+# cache lifetime to the session (a stopped session's blocks are gone;
+# its entry must not shadow a new session's).
+_PARSE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
 def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return parsing.parse_lines(
-        synth.lines_df(spark, sf_dir), seq_col="seq", year=synth.SYNTH_YEAR
-    )
+    # session conf is action-time state, not plan-time — a cache hit must
+    # still re-apply it (timezone decides what the timestamps hash to)
+    io.ensure_session_conf(spark)
+    per_session = _PARSE_CACHE.setdefault(spark, {})
+    df = per_session.get(sf_dir)
+    if df is None:
+        df = parsing.parse_lines(
+            synth.lines_df(spark, sf_dir), seq_col="seq", year=synth.SYNTH_YEAR
+        ).persist()
+        per_session[sf_dir] = df
+    return df
 
 
 # --- maillog core (SURVEY §2.1-2.4: the reference's entire surface) -------
