@@ -466,7 +466,13 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for hd < k over a k·w-bit signature); occupancy per bucket stays
     bounded because a band value is 8 uniform bits per ~256 docs.
     """
-    sigs = simhash_signatures(spark, sf_dir)
+    # lazy localCheckpoint: the self-join below otherwise recomputes the
+    # whole signature aggregation on BOTH sides (measured 3x at sf0.1).
+    # In-bucket pair expansion (_pairs_within_groups) would avoid the
+    # join entirely but serializes each bucket into one task — the heavy
+    # near-dup clusters in this corpus make that a straggler (measured
+    # slower); the equi-join keeps hot buckets parallel.
+    sigs = simhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
     band = F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1))).alias("band_id")
     bands = sigs.select("doc_id", "simhash", band).withColumn(
         "band_val", F.expr("shiftright(simhash, CAST(8 * band_id AS INT)) & 255")

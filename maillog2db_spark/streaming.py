@@ -440,3 +440,47 @@ def stream_dedup_within_watermark(
     is the sane-at-scale mode — duplicates are suppressed only within
     the watermark horizon, so state is bounded (ST2's compat switch)."""
     return lines.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    window_sec: int = 300,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: right-side events landing within
+    (0, window_sec] after a left-side event for the same key — the
+    streaming dual of operators/temporal.event_pairs_within_window.
+
+    Both sides carry watermarks and the join condition bounds r_ts to a
+    range of l_ts, which is exactly what Structured Streaming needs to
+    GC join state: a buffered left row is dropped once the right
+    watermark passes l_ts + window_sec (state is bounded by watermark
+    horizon × arrival rate, not stream length). The batch operator
+    solves the same problem with coarse-bucket decomposition; here the
+    range condition is the native state-cleanup contract, so no
+    bucketing is needed.
+    """
+    l = left.select(
+        F.col("event_id").alias("left_event_id"),
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col("event_id").alias("right_event_id"),
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {window_sec} SECONDS")),
+        "inner",
+    ).select(
+        "left_event_id",
+        "right_event_id",
+        F.col("l_key").alias(key),
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("gap_us"),
+    )

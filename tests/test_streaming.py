@@ -256,3 +256,48 @@ def test_merge_idempotent_and_ledger_skips_redelivery(spark, store, log_dir):
     streaming.merge_batch(replay, 99, store, year=YEAR, ledger_ns="replaytest")
     after = {t: _sorted(store.read(spark, t)) for t in streaming.TABLE_KEYS}
     assert after == mid
+
+
+def test_streaming_interval_join_matches_batch_range_join(spark, tmp_path_factory):
+    """Stream-stream interval join (click → purchase within 5 min per
+    user) converges to the batch bucket-decomposition range join
+    restricted to the same event types."""
+    import shutil
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import temporal
+
+    spark.conf.set(mio.NANOS_CONF, "true")
+    d = tmp_path_factory.mktemp("ev_ssj")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "events.parquet")
+    raw_schema = spark.read.parquet(str(d)).schema
+    stream_ev = spark.readStream.schema(raw_schema).parquet(str(d))
+    if dict(stream_ev.dtypes)["ts"] == "bigint":
+        stream_ev = stream_ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    joined = streaming.streaming_interval_join(
+        stream_ev.filter(F.col("event_type") == "click"),
+        stream_ev.filter(F.col("event_type") == "purchase"),
+        window_sec=temporal.RANGE_WINDOW_SEC,
+    )
+    got: set[tuple] = set()
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, bid: got.update(
+                (r.left_event_id, r.right_event_id, r.gap_us) for r in df.collect()
+            )
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_ev = mio.load_events(spark, "/root/testdata/sf0.001").collect()
+    types = {r["event_id"]: r["event_type"] for r in batch_ev}
+    expected = {
+        (r.left_event_id, r.right_event_id, r.gap_us)
+        for r in temporal.event_pairs_within_window(spark, "/root/testdata/sf0.001").collect()
+        if types[r.left_event_id] == "click" and types[r.right_event_id] == "purchase"
+    }
+    assert got == expected
+    assert got, "expected at least one click→purchase pair at sf0.001"
