@@ -249,3 +249,73 @@ def distinct_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("lang").agg(
         F.approx_count_distinct("tok", 0.02).alias("n_distinct_tokens_approx")
     )
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k terms by TF-IDF. Plan shape at scale: term
+    frequencies are one (doc, term) shuffle; document frequencies
+    aggregate FROM tf (no second corpus pass); the tf⋈df join shuffles
+    on term (vocabulary-keyed — NOT broadcast, vocabularies at corpus
+    scale are executor-memory-sized); the corpus row count is the only
+    broadcast scalar. Ranking compares the ppm-rounded INTEGER score, so
+    cross-engine ordering can't diverge on float ULPs; ties break on
+    term."""
+    from pyspark.sql import Window
+
+    p = spark.sparkContext.defaultParallelism
+    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
+    toks = d.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = d.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * 1_000_000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("tfidf_ppm"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_ppm").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf_ppm", "rk")
+    )
+
+
+TFIDF_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_DUCK}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, tf, df,
+         CAST(floor(tf * ln(n_docs::DOUBLE / df) * 1000000 + 0.5) AS BIGINT)
+           AS tfidf_ppm
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_ppm DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf_ppm, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {TFIDF_TOP_K}
+"""

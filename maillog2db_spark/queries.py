@@ -267,6 +267,8 @@ register("doc_language_id", _tx.LANGUAGE_ID_SQL,
          doc="Stopword-marker language-ID heuristic")(_tx.language_id)
 register("doc_rolling_fingerprint", _tx.ROLLING_FINGERPRINT_SQL,
          doc="Polynomial rolling-hash fingerprint (sequential fold)")(_tx.rolling_fingerprint)
+register("doc_tfidf_topk", _tx.TFIDF_TOPK_SQL,
+         doc="Per-doc top-k TF-IDF terms (vocabulary-keyed shuffle join, integer-ranked)")(_tx.tfidf_topk)
 register("doc_ngram_topk", _tx.NGRAM_TOPK_SQL,
          doc="Corpus-wide top-k trigram frequency (contamination/boilerplate detector)")(_tx.ngram_topk)
 register("doc_distinct_tokens_approx", None,

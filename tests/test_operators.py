@@ -218,3 +218,48 @@ def test_simhash_banded_recall_is_exact(spark):
         for r in dedup.simhash_neardup_pairs(spark, SF).collect()
     }
     assert got == brute
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Deterministic salting must not change join semantics (including
+    rows whose key misses entirely under left join)."""
+    from maillog2db_spark import io
+    from maillog2db_spark.operators import skew
+
+    o = io.load(spark, SF, "orders")
+    c = io.load(spark, SF, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    plain = o.join(c, "o_custkey").select("o_orderkey", "c_name")
+    salted = skew.salted_join(o, c, "o_custkey", n_salt=4).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    left_plain = o.join(c, "o_custkey", "left").select("o_orderkey", "c_name")
+    left_salted = skew.salted_join(o, c, "o_custkey", n_salt=4, how="left").select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, left_salted.collect()), key=str) == sorted(
+        map(tuple, left_plain.collect()), key=str
+    )
+
+
+def test_salted_aggs_equal_plain_aggs(spark):
+    from maillog2db_spark import io
+    from maillog2db_spark.operators import skew
+
+    e = io.load_events(spark, SF)
+    plain = {
+        (r["event_type"],): r["n"]
+        for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        (r["event_type"],): r["n"]
+        for r in skew.salted_agg_counts(e, "event_type", n_salt=4).collect()
+    }
+    assert salted == plain
+    plain_sets = {
+        r["event_type"]: sorted(r["s"])
+        for r in e.groupBy("event_type").agg(F.collect_set("user_id").alias("s")).collect()
+    }
+    salted_sets = {
+        r["event_type"]: list(r["values"])
+        for r in skew.salted_collect_set(e, "event_type", "user_id", n_salt=4).collect()
+    }
+    assert salted_sets == plain_sets

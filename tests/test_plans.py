@@ -13,8 +13,8 @@ SF = "/root/testdata/sf0.001"
 
 # cross joins that are INTENTIONAL broadcast-nested-loop (a tiny
 # broadcast side scored against the corpus — the right plan for
-# small × big with no equi-key)
-BNL_ALLOWED = {"embed_knn_bruteforce", "embed_ann_ivf_topk"}
+# small × big with no equi-key; doc_tfidf_topk's is a 1-row scalar)
+BNL_ALLOWED = {"embed_knn_bruteforce", "embed_ann_ivf_topk", "doc_tfidf_topk"}
 
 
 def _plan(spark, name: str) -> str:
