@@ -17,6 +17,8 @@ is the shuffle/partition key.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -417,3 +419,31 @@ SELECT vec_a, vec_b, cosine FROM (
   FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
 ) WHERE cosine >= {COSINE_NEARDUP_T}
 """
+
+
+def arrow_dot():
+    """Arrow-vectorized dot product — the 100 TB swap-in for the
+    interpreted `_dot` fold (higher-order lambdas are CodegenFallback;
+    SCALING.md flags them as the first rewrite on a real cluster).
+
+    Bit-identical to the fold by construction: the accumulation loops
+    over vector positions in the same left-to-right order with one
+    float64 add per step — the loop is vectorized ACROSS rows (numpy
+    column ops), never within a row, so no pairwise/SIMD re-association
+    changes the sum. Verified exactly (==, no rounding) in
+    tests/test_operators.py.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack(a.to_numpy()).astype(np.float64)
+        B = np.vstack(b.to_numpy()).astype(np.float64)
+        out = np.zeros(A.shape[0], dtype=np.float64)
+        for i in range(A.shape[1]):
+            out += A[:, i] * B[:, i]
+        return pd.Series(out)
+
+    return dot

@@ -36,20 +36,17 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     Implementation: tag clicks 0 / purchases 1, union, and take the
     running ``last`` click timestamp per user over (ts, kind) order —
     the equal-ts tiebreak (click sorts first) is exactly the >=
-    inclusive bound. Click timestamps are pre-deduplicated per user so
-    the match value is deterministic regardless of input row order.
+    inclusive bound. No click pre-dedup: duplicate (user, ts) clicks
+    all carry the same match value (the ts itself), so ``last`` is
+    unaffected and the whole operator is ONE exchange (the window's),
+    verified in tests/test_plans.py.
     """
     e = io.load_events(spark, sf_dir)
-    clicks = (
-        e.filter(F.col("event_type") == "click")
-        .select("user_id", "ts")
-        .distinct()
-        .select(
-            "user_id",
-            "ts",
-            F.lit(0).alias("kind"),
-            F.lit(None).cast("long").alias("event_id"),
-        )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.lit(1).alias("kind"), "event_id"

@@ -263,3 +263,23 @@ def test_salted_aggs_equal_plain_aggs(spark):
         for r in skew.salted_collect_set(e, "event_type", "user_id", n_salt=4).collect()
     }
     assert salted_sets == plain_sets
+
+
+def test_arrow_dot_bit_identical_to_interpreted_fold(spark):
+    """The pandas-UDF dot must equal the interpreted fold EXACTLY (no
+    rounding slack) — same left-to-right float64 accumulation, so the
+    scale path can swap in without touching oracle hashes."""
+    from maillog2db_spark.operators import similarity
+
+    e = similarity._embeddings(spark, SF)
+    q = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")).limit(5)
+    pairs = e.crossJoin(F.broadcast(q))
+    both = pairs.select(
+        "vec_id",
+        "qid",
+        similarity._dot(F.col("embedding"), F.col("qe")).alias("fold"),
+        similarity.arrow_dot()(F.col("embedding"), F.col("qe")).alias("arrow"),
+    ).collect()
+    assert both
+    for r in both:
+        assert r["fold"] == r["arrow"], (r["vec_id"], r["qid"])

@@ -86,3 +86,11 @@ def test_queries_self_configure_session(spark):
         from maillog2db_spark.session import EXCLUDED_OPTIMIZER_RULES
 
         spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
+
+
+def test_asof_join_is_single_exchange(spark):
+    # union + ordered window — the whole as-of join must cost exactly
+    # one shuffle (the window's partitionBy); a second exchange means a
+    # redundant pre-aggregation crept back in
+    p = _plan(spark, "ev_asof_purchase_click")
+    assert p.count("Exchange") == 1, p
