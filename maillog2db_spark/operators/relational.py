@@ -513,3 +513,167 @@ SELECT l_returnflag,
        round(avg(l_extendedprice), 4) AS mean_price
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+# --- TPC-H Q7 shape: directed two-nation trade volume -----------------------
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: yearly shipping volume between two nations, both directions.
+    Supplier/customer nation hops are broadcast; the lineitem↔orders
+    shuffle is the only large exchange, and the year projection happens
+    before aggregation so the group key is tiny."""
+    n1, n2 = "NATION_1", "NATION_2"
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk"),
+    )
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("c_nk"),
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pair = (F.col("supp_nation") == n1) & (F.col("cust_nation") == n2) | (
+        (F.col("supp_nation") == n2) & (F.col("cust_nation") == n1)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s.select("s_suppkey", "supp_nation")), l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(c.select("c_custkey", "cust_nation")), o.o_custkey == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+NATION_TRADE_VOLUME_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+     OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- TPC-H Q13 shape: outer-join double aggregation (histogram) -------------
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: distribution of orders-per-customer including zero-order
+    customers — LEFT join then two stacked aggregations. The first agg
+    shuffles on custkey; the histogram agg's key (a count) has tiny
+    cardinality, so the second exchange is negligible."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- TPC-H Q15 shape: aggregate ⋈ its own max ------------------------------
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: supplier(s) with maximum quarterly revenue — the aggregate
+    joined against its own global max. The revenue relation is computed
+    once (lazy localCheckpoint) and its 1-row max broadcasts back; no
+    window-over-everything single-partition sort."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        l.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+        .localCheckpoint(eager=False)
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_SUPPLIER_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --- TPC-H Q17 shape: per-group scalar threshold -----------------------------
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: revenue from orders below 20% of a part's average quantity,
+    for one brand. The per-part average is a correlated scalar in TPC-H;
+    set-oriented it is an aggregate of the SAME filtered scan joined
+    back on partkey — brand-filtered part broadcasts into both sides, so
+    only lineitem shuffles (once, on partkey)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    l = _t(spark, sf_dir, "lineitem")
+    lb = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    thresholds = lb.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        lb.join(thresholds, lb.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_orders"),
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+WITH lb AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#12'
+), thresholds AS (
+  SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+  FROM lb GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_small_orders
+FROM lb JOIN thresholds ON l_partkey = t_partkey
+WHERE l_quantity < qty_threshold
+"""

@@ -198,6 +198,14 @@ register("tpch_q14_promo_share", _rel.PROMO_REVENUE_SHARE_SQL,
          doc="Conditional aggregate ratio over broadcast join (TPC-H Q14 shape)")(_rel.promo_revenue_share)
 register("tpch_q18_large_orders", _rel.LARGE_VOLUME_CUSTOMERS_SQL,
          doc="HAVING-filtered aggregate broadcast into join (TPC-H Q18 shape)")(_rel.large_volume_customers)
+register("tpch_q7_nation_trade", _rel.NATION_TRADE_VOLUME_SQL,
+         doc="Directed two-nation trade volume, broadcast nation hops (TPC-H Q7 shape)")(_rel.nation_trade_volume)
+register("tpch_q13_order_distribution", _rel.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+         doc="Outer-join double aggregation histogram (TPC-H Q13 shape)")(_rel.customer_order_distribution)
+register("tpch_q15_top_supplier", _rel.TOP_SUPPLIER_SQL,
+         doc="Aggregate joined to its own broadcast max (TPC-H Q15 shape)")(_rel.top_supplier)
+register("tpch_q17_small_qty_revenue", _rel.SMALL_QUANTITY_REVENUE_SQL,
+         doc="Per-group scalar threshold via self-aggregate join (TPC-H Q17 shape)")(_rel.small_quantity_revenue)
 register("cube_orders", _rel.CUBE_ORDERS_SQL,
          doc="CUBE over two dims + grouping indicators")(_rel.cube_orders)
 register("price_percentiles", _rel.PRICE_PERCENTILES_SQL,
