@@ -1,0 +1,56 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Corpus rebalancing (downsample over-represented languages/sources) is a
+first-class LLM-data op. Spark's sample()/sampleBy() draw from a seeded
+RNG whose stream depends on partitioning — results change under
+repartition, AQE, or speculative retry. These operators derive the
+uniform variate from CONTENT (md5 of the stable key), so membership is
+a pure function of the row: reproducible across engines (DuckDB oracle
+hash-matches), across partitionings, and across reruns — which also
+makes the sample exactly-once under streaming replay (ST5's contract:
+recomputation must be idempotent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+
+# per-language keep rates: downsample the over-represented languages,
+# keep the tail whole (the standard rebalancing move)
+STRATA_RATES: dict[str, float] = {"en": 0.25, "es": 0.5, "de": 0.5, "fr": 0.5}
+DEFAULT_RATE = 1.0
+
+
+def _uniform(key) -> "F.Column":
+    """Content-derived U(0,1): first 32 md5 bits of the key / 2^32."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(float(2**32))
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample of documents. Embarrassingly
+    parallel — a pure per-row predicate, no shuffle, no state; the
+    filter pushes to the scan output and the plan is a single
+    codegen'd stage."""
+    d = io.load(spark, sf_dir, "documents")
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return d.filter(_uniform(F.col("doc_id")) < rate).select("doc_id", "lang", "source")
+
+
+_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in STRATA_RATES.items()
+) + f" ELSE {DEFAULT_RATE} END"
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT::DOUBLE
+      / 4294967296.0 < {_RATE_SQL}
+"""

@@ -284,6 +284,11 @@ register("doc_distinct_tokens_approx", None,
 register("mm_binary_meta", _mm.BINARY_META_SQL,
          doc="Opaque-binary metadata pass (bytes/hash/chunks)")(_mm.binary_meta)
 
+from .operators import sampling as _smp  # noqa: E402
+
+register("doc_stratified_sample", _smp.STRATIFIED_SAMPLE_SQL,
+         doc="Content-hash stratified sampling (deterministic under repartition/replay)")(_smp.stratified_sample)
+
 
 def queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in REGISTRY.items()}
