@@ -319,3 +319,38 @@ WITH toks AS (
 SELECT doc_id, term, tf, df, tfidf_ppm, CAST(rk AS INT) AS rk
 FROM ranked WHERE rk <= {TFIDF_TOP_K}
 """
+
+
+def length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length deciles (ntile) summarized to
+    decile boundaries — the distribution profile a curation pipeline
+    cuts on. ntile partitions by lang, so no global sort: each
+    language sorts independently in its own partition (the scalable
+    way to use ranking windows — a global ntile would be a
+    single-partition sort)."""
+    from pyspark.sql import Window
+
+    d = io.load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        d.select("lang", "n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+LENGTH_DECILES_SQL = """
+WITH t AS (
+  SELECT lang, n_chars,
+         CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS INT)
+           AS decile
+  FROM documents
+)
+SELECT lang, decile, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM t GROUP BY lang, decile
+"""

@@ -275,6 +275,8 @@ register("doc_language_id", _tx.LANGUAGE_ID_SQL,
          doc="Stopword-marker language-ID heuristic")(_tx.language_id)
 register("doc_rolling_fingerprint", _tx.ROLLING_FINGERPRINT_SQL,
          doc="Polynomial rolling-hash fingerprint (sequential fold)")(_tx.rolling_fingerprint)
+register("doc_length_deciles", _tx.LENGTH_DECILES_SQL,
+         doc="Per-language length deciles (partitioned ntile, no global sort)")(_tx.length_deciles)
 register("doc_tfidf_topk", _tx.TFIDF_TOPK_SQL,
          doc="Per-doc top-k TF-IDF terms (vocabulary-keyed shuffle join, integer-ranked)")(_tx.tfidf_topk)
 register("doc_ngram_topk", _tx.NGRAM_TOPK_SQL,
