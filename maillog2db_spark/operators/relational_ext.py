@@ -1,0 +1,579 @@
+"""Remaining TPC-H query shapes (q2/q4/q8/q9/q11/q12/q16/q19/q20/q21/q22),
+adapted to the driver's TPC-H-ish schema.
+
+Together with `relational.py` this completes all 22 TPC-H query shapes —
+the full relational-operator surface the reference leaves to "downstream
+SQL" (SURVEY §2.3: the schema is designed for consumers to join/aggregate;
+`maillog2db.go:86,100` is the only join key it ever declares).
+
+Schema adaptations (the driver testdata has no partsupp, no
+l_commitdate/l_receiptdate, no p_container, no c_phone):
+  * partsupp is DERIVED: distinct (l_partkey, l_suppkey) pairs from
+    lineitem, with min(l_extendedprice) standing in for ps_supplycost
+    and sum(l_quantity) for ps_availqty. No arithmetic on the cost
+    stand-in → min/equality joins stay bit-exact across engines.
+  * "late shipment" (q4/q12/q21) = l_shipdate > o_orderdate + N days,
+    replacing the commitdate/receiptdate comparison.
+  * q19's container predicate becomes a p_size range; q22's phone
+    country code becomes c_nationkey % 5.
+Each adaptation preserves the ORIGINAL query's operator structure
+(correlated min, EXISTS/NOT EXISTS, disjunctive join predicates, scalar
+subqueries) — that structure, not the literal predicate, is what the
+coverage matrix pins.
+
+Scale design notes (100 TB):
+  * Every scalar subquery (q11 total, q15-style max, q22 avg) is a
+    1-row aggregate broadcast back — never a window over everything.
+  * Threshold comparisons that gate rows (q11) run on integer cents:
+    double partial-sum order differs between engines/executors, and a
+    float threshold at the boundary would be nondeterministic. Integer
+    sums are associative → plan-shape independent.
+  * The q21 self-correlation is two tiny per-orderkey aggregates joined
+    back on the same key — one shuffle of the fact table, reused by
+    both aggregates, instead of four correlated probes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return io.load(spark, sf_dir, name)
+
+
+def _cents(col: str):
+    """Exact integer cents from a 2-decimal double — order-independent sums."""
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+# --- TPC-H Q2 shape: correlated min over derived partsupp -------------------
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: for each qualifying part, the EUROPE supplier(s) achieving the
+    per-part minimum supply cost. The correlated `= (SELECT min ...)`
+    decorrelates into a per-part min aggregate joined back; cost is
+    min(l_extendedprice) per (part, supplier) — no arithmetic, so the
+    min-equality join is bit-exact. Supplier dim and the per-part min
+    both broadcast; lineitem shuffles once on (partkey, suppkey)."""
+    l = _t(spark, sf_dir, "lineitem")
+    ps = l.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min("l_extendedprice").alias("supply_cost"))
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pse = (
+        ps.join(F.broadcast(eu), ps.suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p), ps.partkey == F.col("p_partkey"))
+    )
+    mc = pse.groupBy(F.col("partkey").alias("m_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        pse.join(F.broadcast(mc),
+                 (pse.partkey == F.col("m_partkey"))
+                 & (pse.supply_cost == F.col("min_cost")))
+        .select("s_acctbal", "s_name", "n_name", "partkey",
+                F.round("supply_cost", 2).alias("cost"))
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "partkey")
+        .limit(100)
+    )
+
+
+MIN_COST_SUPPLIER_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(l_extendedprice) AS supply_cost
+  FROM lineitem GROUP BY 1, 2
+), eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), pse AS (
+  SELECT * FROM ps
+  JOIN eu ON suppkey = s_suppkey
+  JOIN part ON partkey = p_partkey
+  WHERE p_size = 15 AND p_type = 'SMALL'
+), mc AS (
+  SELECT partkey AS m_partkey, min(supply_cost) AS min_cost
+  FROM pse GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, partkey, round(supply_cost, 2) AS cost
+FROM pse JOIN mc ON partkey = m_partkey AND supply_cost = min_cost
+ORDER BY s_acctbal DESC, s_name, partkey
+LIMIT 100
+"""
+
+
+# --- TPC-H Q4 shape: EXISTS semi-join ---------------------------------------
+
+def order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: orders-per-priority where at least one lineitem shipped late
+    (shipdate > orderdate + 60 days standing in for receipt>commit).
+    EXISTS = left-semi join with the lateness predicate folded into the
+    join condition — one shuffle on orderkey, no duplicate inflation."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORDER_PRIORITY_CHECKING_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# --- TPC-H Q8 shape: national market share ----------------------------------
+
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: NATION_3's share of AMERICA-region PROMO-part revenue per
+    year. Case-gated sum over the full volume — both sums ride the same
+    single fact shuffle; every dimension hop is broadcast."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_am = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    supp_nat = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("sn_nk"),
+                                   F.col("n_name").alias("supp_nation"))),
+              F.col("s_nationkey") == F.col("sn_nk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == F.col("p_partkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_am), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+NATIONAL_MARKET_SHARE_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY 1
+"""
+
+
+# --- TPC-H Q9 shape: product profit by nation × year ------------------------
+
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: gross revenue (no ps_supplycost column exists, so profit =
+    extendedprice net of discount) for parts named like '%red%', by
+    supplier nation and order year. LIKE-filtered part broadcasts; the
+    lineitem↔orders join is the single large exchange."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == F.col("p_partkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("sum_profit"))
+    )
+
+
+PRODUCT_TYPE_PROFIT_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+# --- TPC-H Q11 shape: HAVING vs a scalar fraction-of-total ------------------
+
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: parts whose NATION_7-supplied value exceeds 0.1% of the
+    total. The threshold compare runs on integer cents (double partial-
+    sum order differs between engines and executor plans; a float
+    boundary would be nondeterministic — integer sums are associative).
+    The 1-row total broadcasts back; no global window."""
+    l = _t(spark, sf_dir, "lineitem")
+    s7 = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    per_part = (
+        l.join(F.broadcast(s7), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_cents("l_extendedprice")).alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    total = per_part.agg(F.sum("cents").alias("total_cents"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("cents") * 1000 > F.col("total_cents"))
+        .select("partkey", F.round(F.col("cents") / 100.0, 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+IMPORTANT_PARTS_SQL = """
+WITH pp AS (
+  SELECT l_partkey AS partkey,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY 1
+)
+SELECT partkey, round(cents / 100.0, 2) AS part_value
+FROM pp
+WHERE cents * 1000 > (SELECT sum(cents) FROM pp)
+ORDER BY part_value DESC, partkey
+"""
+
+
+# --- TPC-H Q12 shape: priority CASE-counts by lateness bucket ---------------
+
+def priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12: high/low-priority line counts per lateness bucket (shipmode
+    column doesn't exist; LATE = shipped >30 days after order date).
+    CASE-gated counts share one shuffle on the 2-value bucket key."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "ship_bucket",
+            F.when(l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS"), "LATE")
+            .otherwise("ONTIME"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+PRIORITY_SHIPPING_SQL = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+            THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+# --- TPC-H Q16 shape: NOT IN exclusion + distinct supplier counts -----------
+
+def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16: distinct suppliers per (brand, type, size) over the derived
+    partsupp, excluding negative-balance suppliers (the `NOT IN
+    (complaints)` stand-in, implemented as broadcast left-anti)."""
+    l = _t(spark, sf_dir, "lineitem")
+    ps = l.select(F.col("l_partkey").alias("partkey"),
+                  F.col("l_suppkey").alias("suppkey")).distinct()
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), ps.suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), ps.partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("suppkey").alias("supplier_cnt"))
+    )
+
+
+PARTS_SUPPLIER_COUNTS_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem) ps
+JOIN part ON partkey = p_partkey
+WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --- TPC-H Q19 shape: disjunction of conjunctive join predicates ------------
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: revenue under an OR of three brand/size/quantity conjunctions
+    (container column doesn't exist; p_size ranges stand in). The
+    equi-join key (partkey) is shared by all three branches, so this
+    stays ONE broadcast hash join with the disjunction as a post-join
+    filter — not a union of three scans."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    c1 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) \
+        & F.col("l_quantity").between(1, 11)
+    c2 = (F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 10) \
+        & F.col("l_quantity").between(10, 20)
+    c3 = (F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 15) \
+        & F.col("l_quantity").between(20, 30)
+    return j.filter(c1 | c2 | c3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+DISJUNCTIVE_REVENUE_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --- TPC-H Q20 shape: nested semi-join chain --------------------------------
+
+def excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20: ASIA suppliers who shipped more than 25% of a 'small%'
+    part's 1997 volume (ps_availqty > 0.5*sum stand-in). Nested
+    IN-subqueries become a semi-join chain; quantities are small
+    integers stored as doubles, so their sums are exact and the
+    fraction compare is deterministic."""
+    sm = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    l97 = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    pair = (
+        l97.join(F.broadcast(sm), l97.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum("l_quantity").alias("pair_qty"))
+        .localCheckpoint(eager=False)
+    )
+    part_total = pair.groupBy(F.col("partkey").alias("t_partkey")).agg(
+        F.sum("pair_qty").alias("part_qty")
+    )
+    excess = (
+        pair.join(F.broadcast(part_total), pair.partkey == F.col("t_partkey"))
+        .filter(F.col("pair_qty") * 4 > F.col("part_qty"))
+        .select("suppkey")
+        .distinct()
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(excess), F.col("s_suppkey") == F.col("suppkey"), "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+EXCESS_SUPPLIERS_SQL = """
+WITH pair AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey, sum(l_quantity) AS pair_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+), excess AS (
+  SELECT DISTINCT suppkey
+  FROM pair JOIN (SELECT partkey AS t_partkey, sum(pair_qty) AS part_qty
+                  FROM pair GROUP BY 1) t
+    ON partkey = t_partkey
+  WHERE pair_qty * 4 > part_qty
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (SELECT suppkey FROM excess)
+ORDER BY s_name
+"""
+
+
+# --- TPC-H Q21 shape: EXISTS + NOT EXISTS self-correlation ------------------
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: suppliers who were the SOLE late shipper on a multi-supplier
+    finished order (late = shipped >60 days after order date). The
+    EXISTS ("another supplier on the order") / NOT EXISTS ("another
+    LATE supplier") pair decorrelates into two per-orderkey distinct
+    counts joined back — the fact table shuffles once on orderkey and
+    both aggregates reuse that exchange, vs four correlated probes in
+    the literal formulation."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem")
+    ll = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey",
+        (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")).alias("is_late"),
+    ).localCheckpoint(eager=False)
+    per_order = ll.groupBy(F.col("l_orderkey").alias("po_ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    waiting = (
+        ll.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))),
+              F.col("l_orderkey") == F.col("po_ok"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+WAITING_SUPPLIERS_SQL = """
+WITH ll AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey AS po_ok,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+  FROM ll GROUP BY 1
+)
+SELECT s_name, count(*) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM ll WHERE is_late) w
+JOIN per_order ON l_orderkey = po_ok
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+# --- TPC-H Q22 shape: scalar-subquery threshold + anti join -----------------
+
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22: never-ordered customers with above-average positive balance,
+    grouped by a synthetic country code (c_nationkey % 5 — no phone
+    column). "Dormant" = no orders since 1999 (every customer has SOME
+    order at this density, so the literal no-orders-ever predicate would
+    gate nothing). The global avg is a 1-row broadcast scalar; the NOT
+    EXISTS is a left-anti join against the date-filtered custkeys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    ).select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+DORMANT_CUSTOMERS_SQL = """
+SELECT c_nationkey % 5 AS cntrycode,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
+ORDER BY 1
+"""

@@ -211,6 +211,31 @@ register("cube_orders", _rel.CUBE_ORDERS_SQL,
 register("price_percentiles", _rel.PRICE_PERCENTILES_SQL,
          doc="Exact interpolated percentiles per group (approx_percentile is the 100TB swap-in)")(_rel.price_percentiles)
 
+from .operators import relational_ext as _rex  # noqa: E402
+
+register("tpch_q2_min_cost_supplier", _rex.MIN_COST_SUPPLIER_SQL,
+         doc="Correlated min decorrelated into per-part min join (TPC-H Q2 shape)")(_rex.min_cost_supplier)
+register("tpch_q4_order_priority", _rex.ORDER_PRIORITY_CHECKING_SQL,
+         doc="EXISTS as left-semi join with non-equi predicate (TPC-H Q4 shape)")(_rex.order_priority_checking)
+register("tpch_q8_market_share", _rex.NATIONAL_MARKET_SHARE_SQL,
+         doc="National market share ratio per year, 7-way broadcast snowflake (TPC-H Q8 shape)")(_rex.national_market_share)
+register("tpch_q9_product_profit", _rex.PRODUCT_TYPE_PROFIT_SQL,
+         doc="LIKE-filtered profit by nation × year (TPC-H Q9 shape)")(_rex.product_type_profit)
+register("tpch_q11_important_parts", _rex.IMPORTANT_PARTS_SQL,
+         doc="HAVING vs scalar fraction-of-total on integer cents (TPC-H Q11 shape)")(_rex.important_parts)
+register("tpch_q12_priority_shipping", _rex.PRIORITY_SHIPPING_SQL,
+         doc="CASE-gated priority counts per lateness bucket (TPC-H Q12 shape)")(_rex.priority_shipping)
+register("tpch_q16_supplier_counts", _rex.PARTS_SUPPLIER_COUNTS_SQL,
+         doc="NOT IN exclusion + distinct counts over derived partsupp (TPC-H Q16 shape)")(_rex.parts_supplier_counts)
+register("tpch_q19_disjunctive_revenue", _rex.DISJUNCTIVE_REVENUE_SQL,
+         doc="OR of conjunctive join predicates, single hash join (TPC-H Q19 shape)")(_rex.disjunctive_revenue)
+register("tpch_q20_excess_suppliers", _rex.EXCESS_SUPPLIERS_SQL,
+         doc="Nested IN-subqueries as a semi-join chain (TPC-H Q20 shape)")(_rex.excess_suppliers)
+register("tpch_q21_waiting_suppliers", _rex.WAITING_SUPPLIERS_SQL,
+         doc="EXISTS/NOT EXISTS self-correlation via shared per-key aggregates (TPC-H Q21 shape)")(_rex.waiting_suppliers)
+register("tpch_q22_dormant_customers", _rex.DORMANT_CUSTOMERS_SQL,
+         doc="Scalar-subquery threshold + anti join (TPC-H Q22 shape)")(_rex.dormant_customers)
+
 # --- event-stream analytics (SURVEY §2.9) -----------------------------------
 
 register("ev_tumbling_hourly", _win.TUMBLING_HOURLY_SQL,
