@@ -354,3 +354,45 @@ SELECT lang, decile, count(*) AS n_docs,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM t GROUP BY lang, decile
 """
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization profile: split text into the GPT-2-ish
+    ASCII classes (letter runs / digit runs / single punctuation) and
+    count each — the token-budget estimator for a pretraining corpus,
+    next to token_stats' whitespace count. Pure regexp_count, so the
+    whole row stays inside whole-stage codegen (the [A-Za-z0-9\\s]
+    classes mean identical semantics in Java and RE2 regex dialects)."""
+    d = io.load(spark, sf_dir, "documents")
+    alpha = F.regexp_count("text", F.lit("[A-Za-z]+"))
+    digit = F.regexp_count("text", F.lit("[0-9]+"))
+    punct = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]"))
+    n_bpe = (alpha + digit + punct).alias("n_bpe_tokens")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_bpe,
+        alpha.alias("n_alpha_runs"),
+        digit.alias("n_digit_runs"),
+        punct.alias("n_punct"),
+        F.floor(
+            F.col("n_chars") / (alpha + digit + punct) * 1_000_000 + 0.5
+        ).cast("bigint").alias("chars_per_token_ppm"),
+    )
+
+
+BPE_TOKEN_STATS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha_runs,
+         len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, lang,
+       n_alpha_runs + n_digit_runs + n_punct AS n_bpe_tokens,
+       n_alpha_runs, n_digit_runs, n_punct,
+       CAST(floor(n_chars::DOUBLE / (n_alpha_runs + n_digit_runs + n_punct)
+                  * 1000000 + 0.5) AS BIGINT) AS chars_per_token_ppm
+FROM t
+"""

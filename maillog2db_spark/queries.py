@@ -249,6 +249,11 @@ register("ev_daily_active_users", _win.DAILY_ACTIVE_USERS_SQL,
 register("ord_customer_gaps", _win.CUSTOMER_ORDER_GAPS_SQL,
          doc="lag / row_number / moving-avg sharing one window partitioning")(_win.customer_order_gaps)
 
+from .operators import semistructured as _sj  # noqa: E402
+
+register("ev_props_json_stats", _sj.PROPS_JSON_STATS_SQL,
+         doc="JSON props parsing (from_json with explicit schema) + typed aggregates")(_sj.props_json_stats)
+
 # --- temporal joins (as-of, bounded range) ----------------------------------
 
 from .operators import temporal as _tmp  # noqa: E402
@@ -304,6 +309,8 @@ register("doc_length_deciles", _tx.LENGTH_DECILES_SQL,
          doc="Per-language length deciles (partitioned ntile, no global sort)")(_tx.length_deciles)
 register("doc_tfidf_topk", _tx.TFIDF_TOPK_SQL,
          doc="Per-doc top-k TF-IDF terms (vocabulary-keyed shuffle join, integer-ranked)")(_tx.tfidf_topk)
+register("doc_bpe_token_stats", _tx.BPE_TOKEN_STATS_SQL,
+         doc="BPE-style pre-tokenizer profile (letter/digit/punct runs, codegen-only)")(_tx.bpe_token_stats)
 register("doc_ngram_topk", _tx.NGRAM_TOPK_SQL,
          doc="Corpus-wide top-k trigram frequency (contamination/boilerplate detector)")(_tx.ngram_topk)
 register("doc_distinct_tokens_approx", None,

@@ -13,8 +13,15 @@ SF = "/root/testdata/sf0.001"
 
 # cross joins that are INTENTIONAL broadcast-nested-loop (a tiny
 # broadcast side scored against the corpus — the right plan for
-# small × big with no equi-key; doc_tfidf_topk's is a 1-row scalar)
-BNL_ALLOWED = {"embed_knn_bruteforce", "embed_ann_ivf_topk", "doc_tfidf_topk"}
+# small × big with no equi-key; doc_tfidf_topk / tpch_q11 / tpch_q22
+# broadcast a 1-row scalar aggregate back over the big side)
+BNL_ALLOWED = {
+    "embed_knn_bruteforce",
+    "embed_ann_ivf_topk",
+    "doc_tfidf_topk",
+    "tpch_q11_important_parts",
+    "tpch_q22_dormant_customers",
+}
 
 
 def _plan(spark, name: str) -> str:
@@ -86,6 +93,43 @@ def test_queries_self_configure_session(spark):
         from maillog2db_spark.session import EXCLUDED_OPTIMIZER_RULES
 
         spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
+
+
+def test_disjunctive_predicates_stay_one_join(spark):
+    # q19's OR-of-conjunctions shares one equi-key (partkey); the plan
+    # must be a single hash join with a post-join filter, NOT a union
+    # of three scans (which would read lineitem three times at 100 TB)
+    p = _plan(spark, "tpch_q19_disjunctive_revenue")
+    assert p.count("Join") == 1, p
+    assert "Union" not in p
+
+
+def test_exists_becomes_semi_join(spark):
+    # q4's EXISTS must stay a LeftSemi (no duplicate inflation + dedup)
+    p = _plan(spark, "tpch_q4_order_priority")
+    assert "LeftSemi" in p
+
+
+def test_not_exists_becomes_anti_join(spark):
+    # q22's NOT EXISTS must stay a LeftAnti
+    p = _plan(spark, "tpch_q22_dormant_customers")
+    assert "LeftAnti" in p
+
+
+def test_q21_fact_table_shuffles_once(spark):
+    # the EXISTS/NOT EXISTS self-correlation is decorrelated into
+    # per-orderkey aggregates over a lazily-checkpointed subtree — the
+    # lineitem⋈orders join must appear once, not once per correlate
+    p = _plan(spark, "tpch_q21_waiting_suppliers")
+    assert p.count("Scan ExistingRDD") <= 2  # checkpointed subtree reused
+    assert "CartesianProduct" not in p
+
+
+def test_json_parse_is_single_pass(spark):
+    # from_json with explicit schema parses once per row; a plan with
+    # one JsonToStructs per extracted field means get_json_object crept in
+    p = _plan(spark, "ev_props_json_stats")
+    assert p.count("from_json") <= 1, p
 
 
 def test_asof_join_is_single_exchange(spark):
