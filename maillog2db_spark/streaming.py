@@ -484,3 +484,25 @@ def streaming_interval_join(
         F.col("l_key").alias(key),
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("gap_us"),
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static join: enrich a stream against a bounded dimension
+    (J2's streaming dual — e.g. delivery lines against the accumulated
+    messages table, or events against a user dim).
+
+    Stream-static joins are STATELESS in Structured Streaming: each
+    micro-batch joins against the static side as-of that batch, so
+    nothing accumulates in the state store and no watermark is needed.
+    The static side is broadcast (a dimension at 100 TB fact scale is
+    still small); pass broadcast_dim=False if the dimension itself is
+    huge — Spark then plans a shuffled join per micro-batch, where the
+    static side's exchange is reused across batches.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=key, how="left")

@@ -301,3 +301,41 @@ def test_streaming_interval_join_matches_batch_range_join(spark, tmp_path_factor
     }
     assert got == expected
     assert got, "expected at least one click→purchase pair at sf0.001"
+
+
+def test_stream_static_enrich_matches_batch_join(spark, tmp_path_factory):
+    """Stream-static broadcast join (stateless per micro-batch) converges
+    to the batch left join over the same bounded input."""
+    import shutil
+
+    from maillog2db_spark import io as mio
+
+    spark.conf.set(mio.NANOS_CONF, "true")
+    d = tmp_path_factory.mktemp("ev_ss")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "events.parquet")
+    batch_ev = mio.load_events(spark, "/root/testdata/sf0.001")
+    dim = (
+        batch_ev.select("user_id").distinct()
+        .withColumn("user_bucket", (F.col("user_id") % 7).cast("int"))
+    )
+    raw_schema = spark.read.parquet(str(d)).schema
+    stream_ev = spark.readStream.schema(raw_schema).parquet(str(d))
+    if dict(stream_ev.dtypes)["ts"] == "bigint":
+        stream_ev = stream_ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    enriched = streaming.stream_static_enrich(
+        stream_ev.select("event_id", "user_id"), dim, key="user_id"
+    )
+    got: dict[int, int] = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            got[r.event_id] = r.user_bucket
+
+    q = enriched.writeStream.foreachBatch(sink).outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    expected = {
+        r.event_id: r.user_bucket
+        for r in batch_ev.select("event_id", "user_id").join(dim, "user_id", "left").collect()
+    }
+    assert got == expected
