@@ -318,6 +318,13 @@ register("doc_distinct_tokens_approx", None,
 register("mm_binary_meta", _mm.BINARY_META_SQL,
          doc="Opaque-binary metadata pass (bytes/hash/chunks)")(_mm.binary_meta)
 
+from .operators import chunking as _ck  # noqa: E402
+
+register("doc_chunks", _ck.DOC_CHUNKS_SQL,
+         doc="Fixed-size overlapping chunking (sequence+explode+substring, shuffle-free)")(_ck.doc_chunks)
+register("doc_pack_bins", _ck.PACK_BINS_SQL,
+         doc="Deterministic next-fit sequence packing into 1024-token bins per lang shard")(_ck.pack_bins)
+
 from .operators import sampling as _smp  # noqa: E402
 
 register("doc_stratified_sample", _smp.STRATIFIED_SAMPLE_SQL,

