@@ -318,6 +318,11 @@ register("doc_distinct_tokens_approx", None,
 register("mm_binary_meta", _mm.BINARY_META_SQL,
          doc="Opaque-binary metadata pass (bytes/hash/chunks)")(_mm.binary_meta)
 
+from .operators import decontam as _dc  # noqa: E402
+
+register("doc_decontaminate", _dc.DECONTAMINATE_SQL,
+         doc="Benchmark decontamination: n-gram overlap vs held-out set (broadcast bench shingles)")(_dc.decontaminate)
+
 from .operators import chunking as _ck  # noqa: E402
 
 register("doc_chunks", _ck.DOC_CHUNKS_SQL,
