@@ -577,3 +577,35 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# --- arbitrary GROUPING SETS ------------------------------------------------
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form rollup/cube specialize
+    ((status, priority), (status), ()) but NOT (priority): one Expand +
+    single partial-aggregated pass, same as rollup_sales/cube_orders."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("o_orderstatus").alias("g_st"),
+            F.grouping("o_orderpriority").alias("g_pr"),
+        )
+    )
+
+
+GROUPING_SETS_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS sum_price,
+       count(*) AS n_orders,
+       grouping(o_orderstatus) AS g_st,
+       grouping(o_orderpriority) AS g_pr
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""

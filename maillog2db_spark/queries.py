@@ -235,6 +235,8 @@ register("tpch_q21_waiting_suppliers", _rex.WAITING_SUPPLIERS_SQL,
          doc="EXISTS/NOT EXISTS self-correlation via shared per-key aggregates (TPC-H Q21 shape)")(_rex.waiting_suppliers)
 register("tpch_q22_dormant_customers", _rex.DORMANT_CUSTOMERS_SQL,
          doc="Scalar-subquery threshold + anti join (TPC-H Q22 shape)")(_rex.dormant_customers)
+register("grouping_sets_orders", _rex.GROUPING_SETS_ORDERS_SQL,
+         doc="Arbitrary GROUPING SETS (the general form rollup/cube specialize)")(_rex.grouping_sets_orders)
 
 # --- event-stream analytics (SURVEY §2.9) -----------------------------------
 
