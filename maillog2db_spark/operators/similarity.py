@@ -447,3 +447,79 @@ def arrow_dot():
         return pd.Series(out)
 
     return dot
+
+
+def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the memory-compression
+    leg of the ANN stack (IVF partitions the corpus, LSH screens
+    candidates, int8 shrinks resident vectors 4x so cells stay in
+    executor memory at 100 TB).
+
+    scale = absmax/127; q_i = round(x_i/scale). Reported metrics are
+    engine-exact: integer L1 mass and saturation count, ppm/ppb ratios
+    via the same left-to-right double fold the oracle's list_sum uses,
+    floored to integers only at the boundary. Everything is per-row
+    array math — no shuffle at all (the repartition in _embeddings is
+    scan-parallelism, not a keyed exchange)."""
+    e = _embeddings(spark, sf_dir)
+    absmax = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, x),
+    )
+    qv = F.expr(
+        "transform(embedding, x -> CAST(CASE WHEN scale > 0 "
+        "THEN round(CAST(x AS DOUBLE) / scale, 0) ELSE 0 END AS BIGINT))"
+    )
+    sumsq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    err = F.aggregate(
+        F.zip_with(
+            "embedding", "qv",
+            lambda x, q: (x.cast("double") - q.cast("double") * F.col("scale"))
+            * (x.cast("double") - q.cast("double") * F.col("scale")),
+        ),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    return (
+        e.withColumn("scale", absmax / 127.0)
+        .withColumn("qv", qv)
+        .select(
+            "vec_id",
+            F.floor(F.col("scale") * 1_000_000 + 0.5).cast("bigint").alias("scale_ppm"),
+            F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)).alias("q_l1"),
+            F.size(F.filter("qv", lambda x: F.abs(x) >= 127)).cast("bigint").alias("n_sat"),
+            F.when(sumsq > 0, F.floor(err / sumsq * 1_000_000_000 + 0.5))
+            .otherwise(F.lit(0)).cast("bigint").alias("recon_err_ppb"),
+        )
+    )
+
+
+QUANTIZE_INT8_SQL = """
+WITH t AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, embedding, scale,
+         list_transform(embedding, x -> CAST(CASE WHEN scale > 0
+           THEN round(CAST(x AS DOUBLE) / scale, 0) ELSE 0 END AS BIGINT)) AS qv
+  FROM t
+)
+SELECT vec_id,
+       CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_ppm,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(len(list_filter(qv, x -> abs(x) >= 127)) AS BIGINT) AS n_sat,
+       CAST(CASE WHEN list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+            THEN floor(list_sum(list_transform(list_zip(embedding, qv),
+                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)))
+                 / list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                 * 1000000000 + 0.5)
+            ELSE 0 END AS BIGINT) AS recon_err_ppb
+FROM q
+"""

@@ -297,6 +297,8 @@ register("embed_label_centroids", _sim.LABEL_CENTROID_NORMS_SQL,
          doc="Distributed dense-vector centroid aggregate")(_sim.label_centroid_norms)
 register("embed_ann_ivf_topk", _sim.ANN_IVF_TOPK_SQL,
          doc="IVF ANN: centroid cells + nprobe=2 + exact in-cell re-rank")(_sim.ann_ivf_topk)
+register("embed_quantize_int8", _sim.QUANTIZE_INT8_SQL,
+         doc="Symmetric int8 vector quantization + reconstruction error (shuffle-free)")(_sim.quantize_int8)
 register("embed_cosine_neardup", _sim.COSINE_NEARDUP_PAIRS_SQL,
          doc="Embedding-cosine near-dup (LSH blocking + exact verify)")(_sim.cosine_neardup_pairs)
 register("doc_token_stats", _tx.TOKEN_STATS_SQL,
