@@ -165,3 +165,62 @@ SELECT o_custkey, o_orderkey, o_orderdate,
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
+
+
+FUNNEL_STEP_HOURS = 24
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged funnel: first view → first click within 24 h of it →
+    first purchase within 24 h of that, per user. The inherently
+    sequential stage dependency becomes a chain of per-user min
+    aggregates, each broadcast back into the (filtered) event scan —
+    the fact table never shuffles: each stage shuffles only its own
+    event type's rows on user_id, and user-grain stage timestamps are
+    broadcast-sized by construction (≤ one row per user)."""
+    e = io.load_events(spark, sf_dir)
+    step = F.expr(f"INTERVAL {FUNNEL_STEP_HOURS} HOURS")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + step))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + step))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .orderBy("user_id")
+    )
+
+
+FUNNEL_CONVERSION_SQL = f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND ts > t_view
+    AND ts <= t_view + INTERVAL {FUNNEL_STEP_HOURS} HOUR
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t_click
+    AND ts <= t_click + INTERVAL {FUNNEL_STEP_HOURS} HOUR
+  GROUP BY 1
+)
+SELECT v.user_id, t_view, t_click, t_purchase
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+ORDER BY user_id
+"""
