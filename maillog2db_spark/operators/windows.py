@@ -224,3 +224,67 @@ SELECT v.user_id, t_view, t_click, t_purchase
 FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
 ORDER BY user_id
 """
+
+
+def user_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series feature extraction per user: gap-filled daily counts
+    (dense date spine via sequence+explode — missing days ARE zeros,
+    which changes the statistics, so interpolation is part of the
+    operator) → lag-1 Pearson autocorrelation + dispersion.
+
+    Scale notes: the date spine explodes from a 2-column per-user span
+    (no shuffle), the spine⋈daily join and the window share the same
+    user_id partitioning, and the statistical aggregates (corr, stddev)
+    are partial-aggregated moment sums. Spark returns NaN for
+    zero-variance series where SQL engines return NULL — normalized
+    with nanvl at the boundary."""
+    e = io.load_events(spark, sf_dir)
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    dense = span.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    filled = (
+        dense.join(daily, ["user_id", "day"], "left")
+        .select("user_id", "day", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = filled.select("user_id", "n", F.lag("n").over(w).alias("prev"))
+    corr = F.round(F.corr("n", "prev"), 6)
+    return (
+        lagged.filter(F.col("prev").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.nanvl(corr, F.lit(None)).alias("lag1_corr"),
+            F.round(F.stddev_samp("n"), 6).alias("sd"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_DAILY_AUTOCORR_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), dense AS (
+  SELECT s.user_id, unnest(range(d0, d1 + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS day
+  FROM span s
+), filled AS (
+  SELECT d.user_id, d.day, COALESCE(n, 0) AS n
+  FROM dense d LEFT JOIN daily USING (user_id, day)
+), lagged AS (
+  SELECT user_id, n, lag(n) OVER (PARTITION BY user_id ORDER BY day) AS prev
+  FROM filled
+)
+SELECT user_id,
+       round(corr(n, prev), 6) AS lag1_corr,
+       round(stddev_samp(n), 6) AS sd,
+       count(*) AS n_days
+FROM lagged WHERE prev IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""

@@ -250,6 +250,8 @@ register("ev_daily_active_users", _win.DAILY_ACTIVE_USERS_SQL,
          doc="Daily distinct users + cumulative analytic window")(_win.daily_active_users)
 register("ev_funnel_conversion", _win.FUNNEL_CONVERSION_SQL,
          doc="Staged funnel (view→click→purchase within 24h steps), broadcast stage scalars")(_win.funnel_conversion)
+register("ev_user_daily_autocorr", _win.USER_DAILY_AUTOCORR_SQL,
+         doc="Gap-filled daily series + lag-1 autocorrelation (corr/stddev moment aggregates)")(_win.user_daily_autocorr)
 register("ord_customer_gaps", _win.CUSTOMER_ORDER_GAPS_SQL,
          doc="lag / row_number / moving-avg sharing one window partitioning")(_win.customer_order_gaps)
 
