@@ -448,8 +448,9 @@ def streaming_interval_join(
     key: str = "user_id",
     window_sec: int = 300,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: right-side events landing within
+    """Stream-stream join: right-side events landing within
     (0, window_sec] after a left-side event for the same key — the
     streaming dual of operators/temporal.event_pairs_within_window.
 
@@ -461,6 +462,12 @@ def streaming_interval_join(
     solves the same problem with coarse-bucket decomposition; here the
     range condition is the native state-cleanup contract, so no
     bucketing is needed.
+
+    how="leftOuter" additionally emits unmatched left rows (gap_us
+    NULL) — but only once the right watermark passes l_ts + window_sec,
+    i.e. once Spark can PROVE no match can still arrive. Same state
+    bound as the inner join; the outer rows just ride the state-expiry
+    path instead of being dropped.
     """
     l = left.select(
         F.col("event_id").alias("left_event_id"),
@@ -477,7 +484,7 @@ def streaming_interval_join(
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {window_sec} SECONDS")),
-        "inner",
+        how,
     ).select(
         "left_event_id",
         "right_event_id",

@@ -339,3 +339,91 @@ def test_stream_static_enrich_matches_batch_join(spark, tmp_path_factory):
         for r in batch_ev.select("event_id", "user_id").join(dim, "user_id", "left").collect()
     }
     assert got == expected
+
+
+def test_streaming_interval_left_outer_join_emits_unmatched(spark, tmp_path_factory):
+    """how='leftOuter' interval join: matched rows equal the inner join;
+    unmatched clicks emit with gap_us NULL once the watermark passes
+    l_ts + window. Watermarks advance one batch behind event time, so
+    the flush needs a sentinel batch AND a trailing batch: sentinel
+    raises the max event time, the next batch's recomputed watermark
+    actually evicts."""
+    import pathlib
+    import shutil
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import temporal
+
+    spark.conf.set(mio.NANOS_CONF, "true")
+    d = tmp_path_factory.mktemp("ev_ssoj")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "events.parquet")
+    base = spark.read.parquet(str(d))
+
+    def write_single(tag: str, event_type: str, user: int, mtime: int):
+        s = (
+            base.limit(1)
+            .withColumn("ts", (F.col("ts") + F.lit(100 * 86400 * 10**9)).cast("long"))
+            .withColumn("user_id", F.lit(user).cast("long"))
+            .withColumn("event_type", F.lit(event_type))
+        )
+        out = str(d) + "_" + tag
+        s.coalesce(1).write.parquet(out)
+        src = next(str(p) for p in pathlib.Path(out).glob("*.parquet"))
+        shutil.copy(src, d / f"zz_{tag}.parquet")
+
+    # batch2: far-future click+purchase sentinels advance max event time;
+    # batch3: one more far-future pair so the new watermark gets APPLIED
+    write_single("s1c", "click", -1, 1_700_000_060)
+    write_single("s1p", "purchase", -1, 1_700_000_060)
+    write_single("s2c", "click", -2, 1_700_000_120)
+    write_single("s2p", "purchase", -2, 1_700_000_120)
+    os.utime(d / "events.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(d / "zz_s1c.parquet", (1_700_000_060, 1_700_000_060))
+    os.utime(d / "zz_s1p.parquet", (1_700_000_060, 1_700_000_060))
+    os.utime(d / "zz_s2c.parquet", (1_700_000_120, 1_700_000_120))
+    os.utime(d / "zz_s2p.parquet", (1_700_000_120, 1_700_000_120))
+
+    raw_schema = base.schema
+    stream_ev = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(d))
+    )
+    if dict(stream_ev.dtypes)["ts"] == "bigint":
+        stream_ev = stream_ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    joined = streaming.streaming_interval_join(
+        stream_ev.filter(F.col("event_type") == "click"),
+        stream_ev.filter(F.col("event_type") == "purchase"),
+        window_sec=temporal.RANGE_WINDOW_SEC,
+        how="leftOuter",
+    )
+    got: set[tuple] = set()
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, bid: got.update(
+                (r.left_event_id, r.right_event_id, r.gap_us)
+                for r in df.collect()
+                if r.user_id is None or r.user_id >= 0
+            )
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch_ev = mio.load_events(spark, "/root/testdata/sf0.001").collect()
+    types = {r["event_id"]: r["event_type"] for r in batch_ev}
+    matched = {
+        (r.left_event_id, r.right_event_id, r.gap_us)
+        for r in temporal.event_pairs_within_window(spark, "/root/testdata/sf0.001").collect()
+        if types[r.left_event_id] == "click" and types[r.right_event_id] == "purchase"
+    }
+    matched_left = {m[0] for m in matched}
+    unmatched = {
+        (r["event_id"], None, None)
+        for r in batch_ev
+        if r["event_type"] == "click" and r["event_id"] not in matched_left
+    }
+    assert got == matched | unmatched
+    assert unmatched, "expected at least one unmatched click at sf0.001"
