@@ -309,12 +309,27 @@ def merge_batch(
 
 
 def read_stream_lines(
-    spark: SparkSession, log_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    log_dir: str,
+    max_files_per_trigger: int | None = None,
+    tail_file: bool = False,
 ) -> DataFrame:
     """S1: the tailing source, Spark-shaped — a text file stream over the
     rotate-into-directory drop zone. ``maxFilesPerTrigger=1`` gives the
     reference's strict file order; rotation (S2) is native (each rotated
-    file is a new file). Backpressure (ST7) via the same option."""
+    file is a new file). Backpressure (ST7) via the same option.
+
+    ``tail_file=True`` instead follows a SINGLE growing file at append
+    granularity via the custom `maillog` Python data source
+    (sources.MaillogTailReader) — the reference's exact tail contract
+    (follow appends, replay-from-start after truncation,
+    maillog2db.go:168) for deployments without a rotate-into-directory
+    hop."""
+    if tail_file:
+        from . import sources
+
+        sources.register(spark)
+        return spark.readStream.format("maillog").load(log_dir)
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
