@@ -396,3 +396,26 @@ SELECT doc_id, lang,
                   * 1000000 + 0.5) AS BIGINT) AS chars_per_token_ppm
 FROM t
 """
+
+
+def token_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable sketch rollup: per-language Apache DataSketches
+    HLL sketches of the token set, UNIONED into a corpus-total row
+    (lang='*') — the pattern that makes distinct-counting rollups
+    linear at 100 TB: partial sketches merge associatively, so daily/
+    per-shard sketches roll up without re-touching raw data (unlike
+    approx_count_distinct's one-shot estimate, the sketch itself is the
+    stored artifact). No SQL oracle (sketch internals are
+    implementation-specific); accuracy and union-consistency are
+    asserted in tests."""
+    d = io.load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+    per_lang = toks.groupBy("lang").agg(F.expr("hll_sketch_agg(tok)").alias("sk"))
+    lang_rows = per_lang.select(
+        "lang", F.expr("hll_sketch_estimate(sk)").alias("n_distinct_est")
+    )
+    total = per_lang.agg(
+        F.lit("*").alias("lang"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_distinct_est"),
+    )
+    return lang_rows.unionByName(total).orderBy("lang")

@@ -323,6 +323,8 @@ register("doc_ngram_topk", _tx.NGRAM_TOPK_SQL,
          doc="Corpus-wide top-k trigram frequency (contamination/boilerplate detector)")(_tx.ngram_topk)
 register("doc_distinct_tokens_approx", None,
          doc="HyperLogLog++ approximate distinct tokens per language (sketch — no exact oracle; accuracy asserted vs exact in tests)")(_tx.distinct_tokens_approx)
+register("doc_token_hll_rollup", None,
+         doc="Re-aggregatable HLL sketch rollup: per-lang sketches unioned to corpus total (sketch — no exact oracle; accuracy + union-consistency asserted in tests)")(_tx.token_hll_rollup)
 register("mm_binary_meta", _mm.BINARY_META_SQL,
          doc="Opaque-binary metadata pass (bytes/hash/chunks)")(_mm.binary_meta)
 

@@ -333,3 +333,29 @@ def test_pack_bins_respect_budget_with_one_doc_overflow(spark):
     # budget, so tokens strictly before the last doc fit in the budget
     docs = chunking.pack_bins(spark, sf)  # plan compiles deterministically
     assert docs.schema.fieldNames() == ["lang", "bin_id", "n_docs", "bin_tokens"]
+
+
+def test_token_hll_rollup_accuracy_and_union_consistency(spark):
+    """The per-lang estimates are within HLL error of exact, and the
+    union row ('*') is consistent with sketching the corpus directly —
+    the property that makes sketch ROLLUPS trustworthy (merge ≈ rescan
+    without touching raw data again)."""
+    from pyspark.sql import functions as F
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import text as tx
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.lang: r.n_distinct_est for r in tx.token_hll_rollup(spark, sf).collect()}
+    toks = mio.load(spark, sf, "documents").select(
+        "lang", F.explode(F.expr(tx._TOKENS_SPARK)).alias("tok")
+    )
+    exact = {r.lang: r.n for r in toks.groupBy("lang").agg(F.countDistinct("tok").alias("n")).collect()}
+    exact["*"] = toks.select("tok").distinct().count()
+    assert set(got) == set(exact)
+    for lang, est in got.items():
+        assert abs(est - exact[lang]) <= max(3, 0.05 * exact[lang]), (lang, est, exact[lang])
+    direct = (
+        toks.agg(F.expr("hll_sketch_estimate(hll_sketch_agg(tok))").alias("e")).collect()[0].e
+    )
+    assert abs(got["*"] - direct) <= max(3, 0.02 * direct)
