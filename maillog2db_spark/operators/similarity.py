@@ -239,6 +239,30 @@ def _centroids(e: DataFrame) -> DataFrame:
     )
 
 
+def _nearest_cells(
+    cents: DataFrame, df: DataFrame, id_col: str, emb_col: str, nrm_col: str, n: int
+) -> DataFrame:
+    """Top-n centroid cells per vector (broadcast centroids, per-id
+    window) — shared by the inline IVF query and the persisted index."""
+    scored = df.join(F.broadcast(cents)).select(
+        id_col,
+        emb_col,
+        nrm_col,
+        "cell",
+        F.round(
+            _dot(F.col(emb_col), F.col("centroid"))
+            / (F.col(nrm_col) * F.col("cent_nrm")),
+            6,
+        ).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n)
+        .drop("csim", "crank")
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: assign every corpus vector to its nearest centroid cell
     (inverted lists), probe the N_PROBE nearest cells per query, exact
@@ -256,23 +280,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _centroids(e).withColumn("cent_nrm", _norm(F.col("centroid")))
 
     def nearest_cells(df: DataFrame, id_col: str, emb_col: str, nrm_col: str, n: int) -> DataFrame:
-        scored = df.join(F.broadcast(cents)).select(
-            id_col,
-            emb_col,
-            nrm_col,
-            "cell",
-            F.round(
-                _dot(F.col(emb_col), F.col("centroid"))
-                / (F.col(nrm_col) * F.col("cent_nrm")),
-                6,
-            ).alias("csim"),
-        )
-        w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell"))
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= n)
-            .drop("csim", "crank")
-        )
+        return _nearest_cells(cents, df, id_col, emb_col, nrm_col, n)
 
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
@@ -523,3 +531,52 @@ SELECT vec_id,
             ELSE 0 END AS BIGINT) AS recon_err_ppb
 FROM q
 """
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Materialize the IVF index: centroids (tiny) + inverted lists
+    partitioned BY CELL on disk. Build-time work that queries then
+    never repeat: cell assignment (one corpus shuffle) and per-vector
+    norms are computed once and persisted; at query time only the
+    probed cells' directories are read (partition pruning — the on-disk
+    analogue of the inverted-list seek)."""
+    e = _embeddings(spark, sf_dir)
+    cents = _centroids(e).withColumn("cent_nrm", _norm(F.col("centroid")))
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
+    )
+    inv = _nearest_cells(cents, corpus, "neighbor_id", "c_emb", "c_nrm", 1)
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    inv.write.mode("overwrite").partitionBy("cell").parquet(f"{index_dir}/cells")
+
+
+def query_ivf_index(
+    spark: SparkSession, index_dir: str, queries: DataFrame, n_probe: int = None
+) -> DataFrame:
+    """Probe a persisted IVF index: rank cells per query against the
+    broadcast centroids, then scan ONLY the probed cells (the isin
+    filter on the partition column prunes every other directory —
+    verified in tests via PartitionFilters in the scan plan) and
+    exact-rerank. `queries` needs (query_id, q_emb)."""
+    n_probe = N_PROBE if n_probe is None else n_probe
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    q = queries.select("query_id", "q_emb", _norm(F.col("q_emb")).alias("q_nrm"))
+    probes = _nearest_cells(cents, q, "query_id", "q_emb", "q_nrm", n_probe)
+    probe_cells = [r.cell for r in probes.select("cell").distinct().collect()]
+    inv = spark.read.parquet(f"{index_dir}/cells").filter(F.col("cell").isin(probe_cells))
+    scored = inv.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -359,3 +359,28 @@ def test_token_hll_rollup_accuracy_and_union_consistency(spark):
         toks.agg(F.expr("hll_sketch_estimate(hll_sketch_agg(tok))").alias("e")).collect()[0].e
     )
     assert abs(got["*"] - direct) <= max(3, 0.02 * direct)
+
+
+def test_persisted_ivf_index_matches_inline_and_prunes_partitions(spark, tmp_path):
+    """build_ivf_index + query_ivf_index returns exactly the inline
+    ann_ivf_topk results, and the cells scan carries a partition filter
+    (only probed cell directories are read)."""
+    from pyspark.sql import functions as F
+
+    from maillog2db_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(spark, sf, idx)
+    queries = sim._embeddings(spark, sf).filter(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got_df = sim.query_ivf_index(spark, idx, queries)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan
+    got = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in got_df.collect()}
+    want = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in sim.ann_ivf_topk(spark, sf).collect()
+    }
+    assert got == want and got
