@@ -348,6 +348,7 @@ def start_ingest(
     processing_time: str | None = None,
     max_files_per_trigger: int | None = 1,
     jdbc_mirror: dict | None = None,
+    tail_file: bool = False,
 ) -> StreamingQuery:
     """The whole reference program as one streaming query.
 
@@ -355,11 +356,14 @@ def start_ingest(
     default continuous mode follows the directory forever (ST1).
     ``jdbc_mirror`` = {"url","user","password"} mirrors each batch's
     deltas to the reference's MySQL tables (S4/S5).
+    ``tail_file=True`` follows a single growing file at append
+    granularity (the reference's exact tail contract) via the custom
+    maillog source instead of the rotate-into-directory file stream.
     """
     store = ParquetStateStore(store_dir, n_buckets=n_buckets)
     # ledger namespace = checkpoint identity (batch ids are scoped to it)
     ns = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
-    lines = read_stream_lines(spark, log_dir, max_files_per_trigger)
+    lines = read_stream_lines(spark, log_dir, max_files_per_trigger, tail_file=tail_file)
     writer = (
         lines.writeStream.foreachBatch(
             lambda df, bid: merge_batch(
