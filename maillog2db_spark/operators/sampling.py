@@ -54,3 +54,55 @@ FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT::DOUBLE
       / 4294967296.0 < {_RATE_SQL}
 """
+
+
+# per-source mixing weights: >1 upsamples (integer copies + hash-gated
+# fractional copy), <1 downsamples, 0 drops — the data-mixing step of a
+# pretraining pipeline
+MIX_WEIGHTS: dict[str, float] = {"src1": 2.5, "src2": 0.3, "src3": 0.0}
+DEFAULT_WEIGHT = 1.0
+
+
+def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: each document emits floor(w) copies plus
+    one more when its content-hash uniform falls under frac(w). Same
+    determinism contract as stratified_sample (pure function of the
+    row — stable under repartition, AQE, streaming replay), and the
+    explode is data-parallel: no shuffle anywhere, output size is
+    sum(w_s × |source_s|) by construction."""
+    d = io.load(spark, sf_dir, "documents")
+    w = F.lit(DEFAULT_WEIGHT)
+    for src, r in MIX_WEIGHTS.items():
+        w = F.when(F.col("source") == src, F.lit(r)).otherwise(w)
+    base = F.floor(w)
+    n = (base + F.when(_uniform(F.col("doc_id")) < w - base, 1).otherwise(0)).cast("int")
+    return (
+        d.withColumn("n_copies", n)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.when(F.col("n_copies") >= 1, F.expr("sequence(1, n_copies)"))
+                .otherwise(F.expr("array()"))
+            ).alias("copy_id_i"),
+        )
+        .select("doc_id", "source", F.col("copy_id_i").cast("bigint").alias("copy_id"))
+    )
+
+
+_W_SQL = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {r}" for s, r in MIX_WEIGHTS.items()
+) + f" ELSE {DEFAULT_WEIGHT} END"
+
+SOURCE_MIX_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(floor({_W_SQL}) +
+              CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT::DOUBLE
+                        / 4294967296.0 < ({_W_SQL}) - floor({_W_SQL})
+                   THEN 1 ELSE 0 END AS INT) AS n_copies
+  FROM documents
+)
+SELECT doc_id, source, unnest(range(1, CAST(n_copies AS BIGINT) + 1)) AS copy_id
+FROM w
+"""

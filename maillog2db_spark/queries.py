@@ -344,6 +344,8 @@ from .operators import sampling as _smp  # noqa: E402
 
 register("doc_stratified_sample", _smp.STRATIFIED_SAMPLE_SQL,
          doc="Content-hash stratified sampling (deterministic under repartition/replay)")(_smp.stratified_sample)
+register("doc_source_mix", _smp.SOURCE_MIX_SQL,
+         doc="Weighted source mixing: fractional up/downsampling with deterministic copies")(_smp.source_mix)
 
 
 def queries() -> dict[str, QueryFn]:
