@@ -160,3 +160,16 @@ messages AS (
 SELECT d.delivery_status, m.message_from, count(*) AS n_attempts
 FROM smtp d JOIN messages m ON m.message_queueid = d.delivery_queueid
 GROUP BY d.delivery_status, m.message_from""")
+
+
+RELAY_LATENCY = parse_sql(_DELIVERY_CTE + """
+SELECT delivery_relay,
+       count(*) AS n_attempts,
+       CAST(sum(CASE WHEN delivery_status = 'sent' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sent,
+       round(avg(try_cast(delivery_delay AS DOUBLE)), 6) AS mean_delay,
+       round(quantile_cont(try_cast(delivery_delay AS DOUBLE), 0.5), 4) AS p50_delay,
+       round(quantile_cont(try_cast(delivery_delay AS DOUBLE), 0.9), 4) AS p90_delay,
+       round(max(try_cast(delivery_delay AS DOUBLE)), 6) AS max_delay
+FROM smtp
+GROUP BY delivery_relay""")

@@ -125,6 +125,22 @@ def ml_delivery_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ml_relay_latency", oracle.RELAY_LATENCY,
+          doc="Per-relay delivery-latency profile over typed delay columns (exact percentiles; approx_percentile is the 100TB swap-in)")
+def ml_relay_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.with_delivery_typed_columns(tables.build_deliveries(_parsed(spark, sf_dir)))
+    delay = F.col("delivery_delay_sec")
+    pct = lambda q, name: F.round(F.expr(f"percentile(delivery_delay_sec, {q})"), 4).alias(name)
+    return d.groupBy("delivery_relay").agg(
+        F.count(F.lit(1)).alias("n_attempts"),
+        F.sum(F.when(F.col("delivery_status") == "sent", 1).otherwise(0)).alias("n_sent"),
+        F.round(F.avg(delay), 6).alias("mean_delay"),
+        pct(0.5, "p50_delay"),
+        pct(0.9, "p90_delay"),
+        F.round(F.max(delay), 6).alias("max_delay"),
+    )
+
+
 @register("ml_msg_delivery_join", oracle.MSG_DELIVERY_JOIN,
           doc="Flagship: messages ⋈ deliveries on queueid (J2), per-status attempt counts")
 def ml_msg_delivery_join(spark: SparkSession, sf_dir: str) -> DataFrame:
