@@ -1,0 +1,175 @@
+"""The composed LLM-corpus pipeline: quality filter → canonicalized
+dedup → benchmark decontamination → chunk/pack accounting, as ONE
+DataFrame chain with per-stage survivor counts.
+
+The individual operators each have their own oracle-gated query; this
+is the COMPOSITION — what a user actually runs — and its per-stage
+funnel is the artifact a data team reviews before a training run. The
+near-dup stage (MinHash/SimHash) plugs into the same chain between
+dedup and decontamination; it is kept out of this accounting query only
+to keep the oracle tractable (its pair set is gated separately by
+doc_neardup_pairs / doc_simhash_neardup).
+
+Everything is one lazy DAG: Catalyst shares the documents scan across
+stages, the counts are independent aggregates unioned at the end, and
+every stage predicate is a pure function of the row (content-hash
+uniforms, integer ppm thresholds) — the whole funnel is deterministic
+under repartition, AQE, and replay.
+
+Scale notes: stage filters are narrowing, so each successive stage
+scans fewer rows; the only shuffles are exact-dedup's fingerprint
+groupBy and the tiny broadcast of benchmark shingles; chunk/bin counts
+are closed-form per row (no explode materialization just to count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import io
+from .chunking import CHUNK_STRIDE, PACK_BUDGET
+from .decontam import BENCH_SOURCE, CONTAM_PPM_THRESHOLD
+from .dedup import _SHINGLES_DUCK, _SHINGLES_FROM_TOKS_SPARK, _TOKENS_DUCK, _TOKENS_SPARK
+
+QUALITY_MIN_PPM = 620_000  # drops the bottom ~decile of this corpus' score range
+
+
+def _quality_ppm() -> "F.Column":
+    toks = F.expr(_TOKENS_SPARK)
+    avg_len = (
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.size(toks)
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    len_score = F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
+    shape_score = F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(avg_len - 5.0) / F.lit(5.0))
+    score = 0.3 * len_score + 0.4 * uniq_ratio + 0.3 * shape_score
+    return F.floor(score * 1_000_000 + 0.5).cast("bigint")
+
+
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor counts for the composed pipeline."""
+    p = spark.sparkContext.defaultParallelism
+    d = (
+        io.load(spark, sf_dir, "documents")
+        .repartition(p, "doc_id")  # interpreted HOF stages below (shingles, folds)
+        .withColumn("quality_ppm", _quality_ppm())
+        .localCheckpoint(eager=False)  # shared by every stage aggregate
+    )
+    corpus = d.filter(F.col("source") != BENCH_SOURCE)
+    quality = corpus.filter(F.col("quality_ppm") >= QUALITY_MIN_PPM)
+
+    # canonicalized dedup: fingerprint = sorted distinct token set, so
+    # reordered/whitespace-variant copies collapse (byte-exact dedup is
+    # doc_exact_dedup's separate gate; this corpus has no byte dups but
+    # 51 token-set dups at sf0.01). Keep the min-doc_id representative.
+    fp = quality.withColumn(
+        "fingerprint",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(F.expr(_TOKENS_SPARK))), " ")),
+    )
+    reps = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    deduped = fp.join(reps, ["fingerprint", "doc_id"], "left_semi").localCheckpoint(eager=False)
+
+    # decontamination vs the benchmark source's shingle set
+    bench = (
+        d.filter(F.col("source") == BENCH_SOURCE)
+        .select(F.expr(_TOKENS_SPARK).alias("toks"))
+        .select(F.explode(F.expr(_SHINGLES_FROM_TOKS_SPARK)).alias("shingle"))
+        .distinct()
+    )
+    sh = deduped.select(
+        "doc_id", F.expr(_TOKENS_SPARK).alias("toks")
+    ).select("doc_id", F.expr(_SHINGLES_FROM_TOKS_SPARK).alias("sh"))
+    hits = (
+        sh.select("doc_id", F.size("sh").cast("bigint").alias("n_sh"), F.explode("sh").alias("shingle"))
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") * 1_000_000 >= F.col("n_sh") * CONTAM_PPM_THRESHOLD)
+    )
+    clean = deduped.join(hits.select("doc_id"), "doc_id", "left_anti").localCheckpoint(eager=False)
+
+    # chunk / bin accounting — closed-form, no explode
+    n_chunks_col = F.expr(f"(greatest(n_chars, 1) - 1) div {CHUNK_STRIDE} + 1")
+    tok = F.expr("(n_chars + 3) div 4")
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    bins = (
+        clean.select("lang", "doc_id", F.floor(F.coalesce(F.sum(tok).over(w), F.lit(0)) / PACK_BUDGET).alias("bin_id"))
+        .select("lang", "bin_id")
+        .distinct()
+    )
+
+    def stage(name: str, df: DataFrame, cnt: "F.Column" = None) -> DataFrame:
+        agg = (cnt if cnt is not None else F.count(F.lit(1))).cast("bigint").alias("n")
+        return df.agg(agg).select(F.lit(name).alias("stage"), "n")
+
+    return (
+        stage("1_corpus", corpus)
+        .unionByName(stage("2_quality", quality))
+        .unionByName(stage("3_dedup_canonical", deduped))
+        .unionByName(stage("4_decontaminated", clean))
+        .unionByName(stage("5_chunks", clean, F.sum(n_chunks_col)))
+        .unionByName(stage("6_pack_bins", bins))
+        .orderBy("stage")
+    )
+
+
+CORPUS_PIPELINE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, source, text, n_chars, {_TOKENS_DUCK} AS toks
+  FROM documents
+), scored AS (
+  SELECT *, CAST(floor((0.3 * least(n_chars / 400.0, 1.0)
+            + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+            + 0.3 * greatest(0.0, 1.0 - abs(list_sum(list_transform(toks,
+                      x -> CAST(length(x) AS DOUBLE))) / len(toks) - 5.0) / 5.0))
+            * 1000000 + 0.5) AS BIGINT) AS quality_ppm
+  FROM base
+), corpus AS (
+  SELECT * FROM scored WHERE source <> '{BENCH_SOURCE}'
+), quality AS (
+  SELECT * FROM corpus WHERE quality_ppm >= {QUALITY_MIN_PPM}
+), fp AS (
+  SELECT *, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+  FROM quality
+), deduped AS (
+  SELECT * FROM fp q
+  WHERE doc_id = (SELECT min(doc_id) FROM fp q2 WHERE q2.fingerprint = q.fingerprint)
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS shingle
+  FROM (SELECT {_SHINGLES_DUCK} AS sh FROM documents WHERE source = '{BENCH_SOURCE}')
+), doc_sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM deduped)
+), contaminated AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, n_sh, count(*) AS n_hit
+    FROM (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM doc_sh)
+    WHERE shingle IN (SELECT shingle FROM bench)
+    GROUP BY doc_id, n_sh
+  ) WHERE n_hit * 1000000 >= n_sh * {CONTAM_PPM_THRESHOLD}
+), clean AS (
+  SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), bins AS (
+  SELECT DISTINCT lang,
+         CAST(floor(COALESCE(sum((n_chars + 3) // 4) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {PACK_BUDGET})
+           AS BIGINT) AS bin_id
+  FROM clean
+)
+SELECT * FROM (
+  SELECT '1_corpus' AS stage, CAST(count(*) AS BIGINT) AS n FROM corpus
+  UNION ALL SELECT '2_quality', CAST(count(*) AS BIGINT) FROM quality
+  UNION ALL SELECT '3_dedup_canonical', CAST(count(*) AS BIGINT) FROM deduped
+  UNION ALL SELECT '4_decontaminated', CAST(count(*) AS BIGINT) FROM clean
+  UNION ALL SELECT '5_chunks',
+    CAST(sum((greatest(n_chars, 1) - 1) // {CHUNK_STRIDE} + 1) AS BIGINT) FROM clean
+  UNION ALL SELECT '6_pack_bins', CAST(count(*) AS BIGINT) FROM bins
+) ORDER BY stage
+"""
