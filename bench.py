@@ -82,6 +82,8 @@ def main() -> None:
                 "metric": "total seconds for all registered queries, best of 2 runs each",
                 "value": round(total, 3),
                 "unit": "sec",
+                "n_queries": len(timings),
+                "avg_sec_per_query": round(total / max(len(timings), 1), 3),
                 "queries": timings,
                 "ingest": ingest,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -384,3 +384,25 @@ def test_persisted_ivf_index_matches_inline_and_prunes_partitions(spark, tmp_pat
         for r in sim.ann_ivf_topk(spark, sf).collect()
     }
     assert got == want and got
+
+
+def test_source_mix_deterministic_under_repartition(spark):
+    """The mixing claim: membership/copy-count is a pure function of the
+    row — identical output under wildly different partitionings, and
+    per-source totals equal sum(n_copies) by construction."""
+    from pyspark.sql import functions as F
+
+    from maillog2db_spark.operators import sampling as smp
+
+    sf = "/root/testdata/sf0.001"
+    a = smp.source_mix(spark, sf).collect()
+    b = (
+        smp.source_mix(spark, sf).repartition(17).collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_src = {}
+    for r in a:
+        per_src[r.source] = max(per_src.get(r.source, 0), r.copy_id)
+    # upsampled source has docs with >= 2 copies; dropped source absent
+    assert per_src.get("src1", 0) >= 2
+    assert "src3" not in per_src
