@@ -173,3 +173,21 @@ SELECT delivery_relay,
        round(max(try_cast(delivery_delay AS DOUBLE)), 6) AS max_delay
 FROM smtp
 GROUP BY delivery_relay""")
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IPV4_RE = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+# NB: DuckDB regexp_replace replaces only the FIRST match without the
+# 'g' flag; Spark's replaces all — the flag keeps the twins identical.
+PII_SCRUB = f"""
+WITH lines AS (
+  {synth.lines_cte()}
+)
+SELECT seq,
+       CAST(len(regexp_extract_all(value, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(value, '{_IPV4_RE}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(regexp_replace(value, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_IPV4_RE}', '<IP>', 'g')) AS scrub_md5
+FROM lines
+"""

@@ -165,6 +165,22 @@ def ml_msg_delivery_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ml_pii_scrub", oracle.PII_SCRUB,
+          doc="PII scrubbing over log lines: emails/IPv4s counted and redacted (codegen regexp only) — log-as-training-data hygiene")
+def ml_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = synth.lines_df(spark, sf_dir)
+    email, ipv4 = oracle._EMAIL_RE, oracle._IPV4_RE
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("value"), email, "<EMAIL>"), ipv4, "<IP>"
+    )
+    return lines.select(
+        "seq",
+        F.regexp_count("value", F.lit(email)).cast("bigint").alias("n_emails"),
+        F.regexp_count("value", F.lit(ipv4)).cast("bigint").alias("n_ips"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )
+
+
 @register("ml_admission_stats", oracle.ADMISSION_STATS,
           doc="Admission filter + timestamp-quarantine accounting (P1/F1: dropped lines counted, parse failures quarantined as NULL — vs the reference's log.Fatal)")
 def ml_admission_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
