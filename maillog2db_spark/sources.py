@@ -18,7 +18,10 @@ source. The Python Data Source API makes that an ~80-line reader:
     file SHRANK (logrotate truncation), the offset resets to 0 and the
     file is re-read — exactly the reference's ReOpen-replay semantics;
     downstream dedup (A1) makes the replay effectively-once, same as
-    the reference's design.
+    the reference's design. (Detection is the same `size < offset`
+    rule tail libraries use: a rewrite that lands at >= the current
+    offset is invisible to ANY offset-based tailer — the
+    rotate-into-directory contract is the robust deployment.)
 
 This source emits RAW LINES (`value string`) — parsing stays in the
 shared JVM regex layer (`parsing.parse_lines`), so the slow path is

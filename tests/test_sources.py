@@ -123,3 +123,85 @@ def test_read_stream_lines_tail_mode_feeds_parse_layer(registered, tmp_path):
     drop = {"seq"}  # seq embeds batch id in streaming mode (ST6)
     strip = lambda rows: [{k: v for k, v in r.asDict().items() if k not in drop} for r in rows]
     assert strip(got) == strip(want)
+
+
+def test_tail_reader_property_random_append_truncate(tmp_path):
+    """Property: under any sequence of appends (complete or partial
+    lines), partial completions, and truncations, the byte-offset tail
+    reader emits exactly what a line-level model predicts — every
+    complete line once per epoch, partials held back, truncation
+    starting a replay epoch."""
+    from hypothesis import given, settings, strategies as st
+
+    from maillog2db_spark.sources import MaillogTailReader
+
+    line_s = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=12
+    )
+    op_s = st.one_of(
+        st.tuples(st.just("append"), st.lists(line_s, min_size=1, max_size=4)),
+        st.tuples(st.just("partial"), line_s),
+        st.tuples(st.just("complete"), line_s),
+        st.tuples(st.just("truncate"), st.lists(line_s, min_size=0, max_size=3)),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(op_s, min_size=1, max_size=12))
+    def run(ops):
+        path = tmp_path / f"t_{abs(hash(str(ops))) % 10**9}.log"
+        path.write_text("")
+        reader = MaillogTailReader({"path": str(path)})
+        offset = reader.initialOffset()
+        emitted: list[str] = []
+        model: list[str] = []  # expected emissions, epoch-aware
+        file_lines: list[str] = []  # complete lines currently in the file
+        partial: str | None = None
+
+        def drain():
+            nonlocal offset
+            rows, offset = reader.read(offset)
+            emitted.extend(r[0] for r in rows)
+
+        for op, arg in ops:
+            if op == "append":
+                if partial is not None:
+                    continue  # writer is mid-line; skip whole-line appends
+                with open(path, "a") as f:
+                    for ln in arg:
+                        f.write(ln + "\n")
+                file_lines.extend(arg)
+                model.extend(arg)
+            elif op == "partial":
+                if partial is not None:
+                    continue
+                partial = arg
+                with open(path, "a") as f:
+                    f.write(arg)
+            elif op == "complete":
+                if partial is None:
+                    continue
+                with open(path, "a") as f:
+                    f.write(arg + "\n")
+                file_lines.append(partial + arg)
+                model.append(partial + arg)
+                partial = None
+            else:  # truncate: rotation replay epoch
+                # size-based truncation detection (same rule as the
+                # reference's tail lib: replay iff size < offset) cannot
+                # see a rewrite that lands >= the current offset — skip
+                # those, they're undetectable for ANY offset-based tailer
+                pos_bytes = sum(len(ln.encode()) + 1 for ln in file_lines)
+                new_bytes = sum(len(ln.encode()) + 1 for ln in arg)
+                if new_bytes >= pos_bytes:
+                    continue
+                with open(path, "w") as f:
+                    for ln in arg:
+                        f.write(ln + "\n")
+                file_lines = list(arg)
+                partial = None
+                model.extend(arg)  # replay epoch: file content re-emitted
+            drain()
+        drain()
+        assert emitted == model, (ops, emitted, model)
+
+    run()
