@@ -35,17 +35,16 @@ from .dedup import _SHINGLES_DUCK, _SHINGLES_FROM_TOKS_SPARK, _TOKENS_DUCK, _TOK
 QUALITY_MIN_PPM = 620_000  # drops the bottom ~decile of this corpus' score range
 
 
-def _quality_ppm() -> "F.Column":
-    toks = F.expr(_TOKENS_SPARK)
+def _quality_ppm_from_toks() -> "F.Column":
     avg_len = (
         F.aggregate(
-            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.transform(F.col("toks"), lambda t: F.length(t).cast("double")),
             F.lit(0.0),
             lambda a, x: a + x,
         )
-        / F.size(toks)
+        / F.size("toks")
     )
-    uniq_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    uniq_ratio = F.size(F.array_distinct("toks")) / F.size("toks")
     len_score = F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
     shape_score = F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(avg_len - 5.0) / F.lit(5.0))
     score = 0.3 * len_score + 0.4 * uniq_ratio + 0.3 * shape_score
@@ -55,10 +54,17 @@ def _quality_ppm() -> "F.Column":
 def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stage survivor counts for the composed pipeline."""
     p = spark.sparkContext.defaultParallelism
+    # tokens and shingles are materialized ONCE in the checkpointed
+    # base: the interpreted split/transform lambdas are the pipeline's
+    # CPU floor, and every stage (quality, fingerprint, both shingle
+    # consumers) reads the same arrays instead of re-tokenizing
+    # (measured 3.2 → 2.7 s warm, 16.6 → 3.3 s cold at sf0.1)
     d = (
         io.load(spark, sf_dir, "documents")
-        .repartition(p, "doc_id")  # interpreted HOF stages below (shingles, folds)
-        .withColumn("quality_ppm", _quality_ppm())
+        .repartition(p, "doc_id")  # interpreted HOF stages below
+        .withColumn("toks", F.expr(_TOKENS_SPARK))
+        .withColumn("quality_ppm", _quality_ppm_from_toks())
+        .withColumn("sh", F.expr(_SHINGLES_FROM_TOKS_SPARK))
         .localCheckpoint(eager=False)  # shared by every stage aggregate
     )
     corpus = d.filter(F.col("source") != BENCH_SOURCE)
@@ -70,7 +76,7 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 51 token-set dups at sf0.01). Keep the min-doc_id representative.
     fp = quality.withColumn(
         "fingerprint",
-        F.md5(F.array_join(F.array_sort(F.array_distinct(F.expr(_TOKENS_SPARK))), " ")),
+        F.md5(F.array_join(F.array_sort(F.array_distinct("toks")), " ")),
     )
     reps = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     deduped = fp.join(reps, ["fingerprint", "doc_id"], "left_semi").localCheckpoint(eager=False)
@@ -78,15 +84,11 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decontamination vs the benchmark source's shingle set
     bench = (
         d.filter(F.col("source") == BENCH_SOURCE)
-        .select(F.expr(_TOKENS_SPARK).alias("toks"))
-        .select(F.explode(F.expr(_SHINGLES_FROM_TOKS_SPARK)).alias("shingle"))
+        .select(F.explode("sh").alias("shingle"))
         .distinct()
     )
-    sh = deduped.select(
-        "doc_id", F.expr(_TOKENS_SPARK).alias("toks")
-    ).select("doc_id", F.expr(_SHINGLES_FROM_TOKS_SPARK).alias("sh"))
     hits = (
-        sh.select("doc_id", F.size("sh").cast("bigint").alias("n_sh"), F.explode("sh").alias("shingle"))
+        deduped.select("doc_id", F.size("sh").cast("bigint").alias("n_sh"), F.explode("sh").alias("shingle"))
         .join(F.broadcast(bench), "shingle", "left_semi")
         .groupBy("doc_id", "n_sh")
         .agg(F.count(F.lit(1)).alias("n_hit"))
