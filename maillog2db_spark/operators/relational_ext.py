@@ -28,9 +28,11 @@ Scale design notes (100 TB):
     double partial-sum order differs between engines/executors, and a
     float threshold at the boundary would be nondeterministic. Integer
     sums are associative → plan-shape independent.
-  * The q21 self-correlation is two tiny per-orderkey aggregates joined
-    back on the same key — one shuffle of the fact table, reused by
-    both aggregates, instead of four correlated probes.
+  * The q21 self-correlation is ONE per-orderkey set aggregation (the
+    supplier set and the late-supplier set collected together) — a
+    single shuffle of the fact table instead of four correlated probes.
+  * Dimension filters go BELOW derived-partsupp aggregates (q2, q16):
+    only qualifying fact rows enter the shuffle.
 """
 
 from __future__ import annotations
