@@ -288,3 +288,57 @@ SELECT user_id,
 FROM lagged WHERE prev IS NOT NULL
 GROUP BY 1 ORDER BY 1
 """
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted
+    distinct per weeks-since-cohort offset — the standard product-
+    analytics retention triangle.
+
+    Plan at scale: user first-seen is one user_id-keyed aggregate
+    (map-side combined); the (user, active-day) set is a distinct over
+    the same key, so AQE reuses the exchange partitioning for the
+    join — the user dimension is NOT broadcast (at 100 TB the user
+    table is itself huge; this is the shuffle-join case). The final
+    (cohort, offset) aggregate is tiny."""
+    e = io.load_events(spark, sf_dir)
+    cohort = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_dt")
+    )
+    active = e.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    ).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .select(
+            "cohort_dt",
+            (F.datediff("week", "cohort_dt") / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_dt", "week_offset")
+        # (user_id, week) is distinct upstream, so count(*) IS the
+        # distinct-user count — no second distinct pass
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        # dates round-trip differently through pandas in the two
+        # engines; emit the ISO string so the oracle hash is stable
+        .select(
+            F.date_format("cohort_dt", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH cohort AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_dt
+  FROM events GROUP BY 1
+), active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+)
+SELECT strftime(c.cohort_dt, '%Y-%m-%d') AS cohort_week,
+       CAST((week - cohort_dt) / 7 AS INT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""

@@ -364,6 +364,17 @@ from .operators import decontam as _dc  # noqa: E402
 
 register("doc_decontaminate", _dc.DECONTAMINATE_SQL,
          doc="Benchmark decontamination: n-gram overlap vs held-out set (broadcast bench shingles)")(_dc.decontaminate)
+register("doc_bloom_decontaminate", _dc.BLOOM_DECONTAMINATE_SQL,
+         doc="Bloom-prefiltered decontamination (huge-bench path: bloom_filter_agg + might_contain prefilter + shuffled exact confirm — exact result)")(_dc.bloom_decontaminate)
+
+from .operators import quality as _ql  # noqa: E402
+
+register("doc_repetition_stats", _ql.REPETITION_STATS_SQL,
+         doc="Gopher-rule repetition profile: top-unigram + dup n-gram fractions, keep/drop flag")(_ql.repetition_stats)
+register("doc_winnowing", _ql.WINNOWING_SQL,
+         doc="Winnowing (MOSS) fingerprint selection: window-min of k-gram hashes, zero shuffles")(_ql.winnowing_fingerprints)
+register("ev_retention_cohorts", _win.RETENTION_COHORTS_SQL,
+         doc="Cohort retention triangle: first-seen week × week offset distinct users")(_win.retention_cohorts)
 
 from .operators import chunking as _ck  # noqa: E402
 
