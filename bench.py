@@ -76,20 +76,38 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as td:
         ingest = ingest_throughput(spark, sf_dir, td)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total seconds for all registered queries, best of 2 runs each",
-                "value": round(total, 3),
-                "unit": "sec",
-                "n_queries": len(timings),
-                "avg_sec_per_query": round(total / max(len(timings), 1), 3),
-                "queries": timings,
-                "ingest": ingest,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # Two-tier output: the driver's capture keeps only ~2 KB of stdout
+    # TAIL (round 1 lost the head of the line → unparseable artifact).
+    # Full per-query detail goes to BENCH_DETAIL.json next to this
+    # script; the stdout line stays under a byte budget by listing the
+    # slowest queries first and dropping the fastest until it fits —
+    # so it ALWAYS parses, and the detail file has the rest.
+    detail = {
+        "metric": "all-queries total sec, best of 2 runs each",
+        "value": round(total, 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "avg_sec_per_query": round(total / max(len(timings), 1), 3),
+        "queries": timings,
+        "ingest": ingest,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+
+    budget = 1600
+    by_cost = sorted(timings, key=lambda n: -timings[n])
+    line_obj = dict(detail)
+    for keep in range(len(by_cost), -1, -1):
+        line_obj["queries"] = {n: timings[n] for n in by_cost[:keep]}
+        line_obj["queries_omitted"] = len(timings) - keep
+        line_obj["detail_file"] = "BENCH_DETAIL.json"
+        line = json.dumps(line_obj, separators=(",", ":"))
+        if len(line) <= budget:
+            break
+    print(line)
     spark.stop()
 
 

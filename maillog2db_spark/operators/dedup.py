@@ -9,18 +9,41 @@ candidate pairs, verification — is SQL-expressible and oracle-checked.
 Scale design (100 TB):
   * Exact dedup: hash-groupBy on a fingerprint — one shuffle, no
     full-row comparisons.
-  * MinHash/LSH: per-doc signature is a single explode + groupBy
-    (map-side combined); candidate generation joins on (band,
-    band_hash) buckets — the join key IS the blocking key, so the
-    self-join never goes quadratic. Verification runs only on
-    candidates.
-  * Blocked Jaccard: quadratic only within a (lang) block — at real
-    scale the block key would be (lang, length-bucket, source).
+  * Near-dup runs on exact-dedup REPRESENTATIVES (one doc per
+    (lang, text)), the production pipeline order (exact pass first,
+    MinHash on unique texts — e.g. SlimPajama/RefinedWeb): a corpus
+    with 10^7 byte-identical boilerplate copies contributes ONE row to
+    signature/banding/verification instead of 10^7 rows that would all
+    land in the same LSH buckets. Tokenize/shingle/hash run per unique
+    text, not per copy.
+  * MinHash/LSH: per-rep signature is a single explode + groupBy
+    (map-side combined); candidate generation buckets docs by (band,
+    band_hash) — the bucket key IS the blocking key, so candidate
+    generation never goes quadratic in the corpus.
+  * In-bucket pair expansion is BOUNDED (``_pairs_within_groups``):
+    buckets up to ``BUCKET_CAP`` ids expand via an in-row array (two
+    chained explodes, O(cap) row width); oversize buckets fall back to
+    a salted triangular self-join that spreads one hot bucket over
+    ~salt^2/2 parallel tasks with O(1) row width. No single row ever
+    holds an unbounded id set (the round-1 OOM risk under adversarial
+    duplicate mass).
+  * Shared materialized bases: members / reps / signatures are
+    computed once per (session, sf_dir) and persisted — the query-side
+    analogue of the materialized "deduped corpus" table a production
+    pipeline writes between stages. Five registered queries share them.
+
+Reference parity: the reference engine (maillog2db.go:283-442) dedups
+rows by exact-match lookups before INSERT; exact_dedup is that
+operator's set-semantics form, and the near-dup family is the
+training-data extension the reference does not have.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import weakref
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import io
@@ -30,14 +53,22 @@ N_BANDS = 4  # rows-per-band = 2
 SHINGLE_W = 3
 JACCARD_THRESHOLD = 0.7
 
+# in-row bucket expansion bound: a collected id array never exceeds
+# this many elements (~tens of KB), regardless of how degenerate the
+# corpus is; bigger buckets take the salted-join path
+BUCKET_CAP = 1024
+# chunk count for the oversize-bucket triangular join: one hot bucket
+# becomes ~salt*(salt+1)/2 independent tasks
+PAIR_SALT = 32
+
 # tokens: lowercase, whitespace-split, empties removed (identical
 # semantics spelled in both engines)
 _TOKENS_SPARK = "filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')"
 _TOKENS_DUCK = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
 
 # 3-word shingles, deduplicated. The Spark variant is built FROM a
-# materialized tokens column (see _with_shingles) so the split() runs
-# once per row, not once per textual reference.
+# materialized tokens column (see _with_shingles / _reps) so the
+# split() runs once per row, not once per textual reference.
 _SHINGLES_FROM_TOKS_SPARK = (
     f"array_distinct(CASE WHEN size(toks) >= {SHINGLE_W} THEN "
     f"transform(sequence(1, size(toks) - {SHINGLE_W - 1}), "
@@ -54,9 +85,8 @@ def _with_shingles(
     spark: SparkSession, sf_dir: str, extra_cols: tuple[str, ...] = ()
 ) -> DataFrame:
     """documents → (doc_id, *extra_cols, sh): distinct 3-word shingle
-    arrays, with any passthrough columns carried in the SAME scan (a
-    separate scan + re-join on doc_id would be a whole extra pass over
-    the corpus).
+    arrays PER DOC (no rep collapse — decontamination needs every doc
+    scored), with any passthrough columns carried in the SAME scan.
 
     Repartitions on doc_id before shingling: higher-order functions
     (transform/filter lambdas) are CodegenFallback — interpreted, CPU
@@ -71,6 +101,73 @@ def _with_shingles(
     return d.select("doc_id", *extra_cols, F.expr(_TOKENS_SPARK).alias("toks")).select(
         "doc_id", *extra_cols, F.expr(_SHINGLES_FROM_TOKS_SPARK).alias("sh")
     )
+
+
+# --- session-scoped materialized bases --------------------------------------
+#
+# members / reps / minhash / simhash subtrees are shared by six
+# registered queries (doc_minhash_signatures, doc_lsh_candidate_pairs,
+# doc_neardup_pairs, doc_neardup_clusters, doc_blocked_jaccard,
+# doc_simhash, doc_simhash_neardup). Persisting them once per (session,
+# sf_dir) is the same pattern as queries._PARSE_CACHE: parse/tokenize
+# once, query many times. WeakKeyDictionary ties cache lifetime to the
+# session (a stopped session's blocks must not shadow a new session's).
+
+_CORPUS_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def _cached(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+    # session conf is action-time state, not plan-time — a cache hit must
+    # still re-apply it (timezone decides what timestamps hash to)
+    io.ensure_session_conf(spark)
+    per_session = _CORPUS_CACHE.setdefault(spark, {})
+    df = per_session.get((sf_dir, key))
+    if df is None:
+        df = build().persist()
+        per_session[(sf_dir, key)] = df
+    return df
+
+
+def _members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, fingerprint) for every document — the map from
+    docs to their exact-dup group. Pure projection, no shuffle."""
+    return _cached(
+        spark, sf_dir, "members",
+        lambda: io.load(spark, sf_dir, "documents").select(
+            "doc_id", "lang",
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("fingerprint"),
+        ),
+    )
+
+
+def _reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One representative doc per (lang, fingerprint) with tokens and
+    shingles computed ONCE per unique text: (doc_id, lang, fingerprint,
+    toks, sh). doc_id is the group's min — stable under partitioning.
+
+    The groupBy shuffles (fingerprint, text) once — the exact-dedup
+    pass a production pipeline runs first anyway — and the interpreted
+    tokenize/shingle lambdas then run on unique texts only. The
+    repartition after the collapse spreads that CPU over all cores
+    (AQE would otherwise coalesce the tiny post-agg shuffle to one
+    partition at test SF)."""
+
+    def build() -> DataFrame:
+        p = spark.sparkContext.defaultParallelism
+        d = io.load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text",
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("fingerprint"),
+        )
+        return (
+            d.groupBy("lang", "fingerprint")
+            .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+            .repartition(p, "doc_id")
+            .select("doc_id", "lang", "fingerprint", F.expr(_TOKENS_SPARK).alias("toks"))
+            .select("doc_id", "lang", "fingerprint", "toks",
+                    F.expr(_SHINGLES_FROM_TOKS_SPARK).alias("sh"))
+        )
+
+    return _cached(spark, sf_dir, "reps", build)
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,36 +189,46 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature via Carter-Wegman double hashing
+def _rep_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-REP MinHash signature via Carter-Wegman double hashing
     (Broder's scheme as commonly deployed): ONE md5 per shingle split
     into two 32-bit halves (h1, h2), then mh_i = min(h1 + i*h2),
     i = 0..N_HASHES-1. Max value < 2^40, so the arithmetic never
     overflows (both engines run ANSI overflow-checked bigints), and the
     per-shingle hashing cost is constant in N_HASHES — the difference
-    between 1 and N_HASHES md5 evaluations per shingle across 100 TB."""
-    # no size()>0 pre-filter: explode of an empty array yields no rows
-    # anyway, and a pushed-down filter would re-inline (= recompute) the
-    # whole shingle expression below the projection
-    sh = _with_shingles(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
-    h = sh.select(
-        "doc_id",
-        F.md5(F.encode(F.col("s"), "UTF-8")).alias("hx"),
-    ).select(
-        "doc_id",
-        F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint").alias("h1"),
-        F.conv(F.substring("hx", 9, 8), 16, 10).cast("bigint").alias("h2"),
-    )
-    aggs = [
-        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}") for i in range(N_HASHES)
-    ]
-    return h.groupBy("doc_id").agg(*aggs)
+    between 1 and N_HASHES md5 evaluations per shingle across 100 TB.
+
+    Reps with an empty shingle set produce no row (explode of an empty
+    array yields nothing) — identical to the per-doc semantics the
+    round-1 implementation had."""
+
+    def build() -> DataFrame:
+        sh = _reps(spark, sf_dir).select(
+            "doc_id", "lang", "fingerprint", F.explode("sh").alias("s")
+        )
+        h = sh.select(
+            "doc_id", "lang", "fingerprint",
+            F.md5(F.encode(F.col("s"), "UTF-8")).alias("hx"),
+        ).select(
+            "doc_id", "lang", "fingerprint",
+            F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring("hx", 9, 8), 16, 10).cast("bigint").alias("h2"),
+        )
+        aggs = [
+            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ]
+        return h.groupBy("doc_id", "lang", "fingerprint").agg(*aggs)
+
+    return _cached(spark, sf_dir, "minhash_sigs", build)
 
 
-_SIG_DUCK_CTE = f"""
-shingled AS (
+def _sig_cte(src: str) -> str:
+    """DuckDB CTE chain computing per-row MinHash signatures over any
+    source relation with (doc_id, text) columns."""
+    return f"""shingled AS (
   SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s
-  FROM documents WHERE len({_SHINGLES_DUCK}) > 0
+  FROM {src} WHERE len({_SHINGLES_DUCK}) > 0
 ),
 hashed AS (
   SELECT doc_id,
@@ -136,39 +243,106 @@ sigs AS (
 )"""
 
 
+# exact-dedup representatives: one doc (min id) per (lang, text) —
+# the relation every near-dup oracle runs over, mirroring the Spark
+# side's rep collapse
+_REPS_DUCK_CTE = (
+    "reps AS (SELECT lang, min(doc_id) AS doc_id, text "
+    "FROM documents GROUP BY lang, text)"
+)
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _signatures(spark, sf_dir)
+    """Per-DOC signatures (the round-1 contract): rep signatures joined
+    back to members on the exact-dup group key. Identical output —
+    a signature is a function of the text alone — but the md5-per-
+    shingle work runs once per unique text, not once per copy."""
+    sigs = _rep_signatures(spark, sf_dir).drop("doc_id")
+    m = _members(spark, sf_dir)
+    return m.join(sigs, ["lang", "fingerprint"]).select(
+        "doc_id", *[f"mh{i}" for i in range(N_HASHES)]
+    )
 
 
-MINHASH_SIGNATURES_SQL = f"WITH {_SIG_DUCK_CTE}\nSELECT * FROM sigs"
+MINHASH_SIGNATURES_SQL = f"WITH {_sig_cte('documents')}\nSELECT * FROM sigs"
 
 
-def _pairs_within_groups(keyed: DataFrame, group_cols: list[str]) -> DataFrame:
+def _pairs_within_groups(
+    keyed: DataFrame,
+    group_cols: list[str],
+    cap: int = BUCKET_CAP,
+    salt: int = PAIR_SALT,
+) -> DataFrame:
     """(group, doc_id) → all (doc_a < doc_b) pairs co-occurring in any
-    group, deduplicated. One aggregation + per-group combination
-    expansion instead of a self-join — the upstream (often expensive)
-    plan is computed ONCE, and there is no join at all.
+    group, deduplicated — with BOUNDED row width.
 
-    Memory shape: the expansion is TWO chained explodes, so no single
-    row ever holds the k² pair set — after the first (pos)explode each
-    row carries one anchor element plus the bucket's id array (O(k)),
-    and the second explode streams its suffix. A bucket of k exact
-    duplicates (the guaranteed hot case in a dedup corpus) therefore
-    costs O(k) per row / O(k²) total streamed rows — the same output
-    volume a self-join would shuffle, without a single 2 GB array value
-    (an earlier single-row flatten(transform(...)) materialized all
-    pairs inside one value; caught in review)."""
-    grouped = keyed.groupBy(*group_cols).agg(
+    Two regimes, split by bucket size (a windowed count over the same
+    partitioning the expansion needs — the exchange is shared, and
+    both consumers of it below reuse it as one ReusedExchange):
+
+    * size ≤ cap — in-row expansion: collect the bucket's ids into one
+      array (≤ cap elements, tens of KB at worst) and expand with two
+      chained explodes, so no row ever holds the k² pair set — after
+      the first (pos)explode each row carries one anchor plus the O(k)
+      id array, and the second explode streams its suffix. One
+      aggregation, no join, the upstream plan computed once.
+
+    * size > cap — salted triangular self-join: each oversize bucket's
+      rows are chunked by hash(doc_id) % salt; the left side replicates
+      each row to chunk-pair keys (own_chunk, j≥own_chunk), the right
+      side to (i≤own_chunk, own_chunk), and an equi-join on (group,
+      i, j) lands every chunk pair — including the diagonal — in its
+      own task. A 10^7-doc bucket becomes ~salt²/2 parallel tasks of
+      O((k/salt)²) streamed pairs each with O(1) row width, instead of
+      one multi-GB collected array (the round-1 OOM risk) or one
+      straggler task (a plain bucket equi-join puts the whole bucket
+      in a single hash partition). Output volume is inherent to the
+      pair contract; what's bounded is per-row and per-task width.
+
+    The trailing distinct dedups pairs that co-occur in several groups
+    (and the diagonal chunk's double match) — present in round 1 too."""
+    sized = keyed.select(*group_cols, "doc_id").withColumn(
+        "bn", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+
+    small = sized.filter(F.col("bn") <= cap)
+    grouped = small.groupBy(*group_cols).agg(
         F.array_sort(F.collect_set("doc_id")).alias("ids")
     )
     anchored = grouped.filter(F.size("ids") > 1).select(
         "ids", F.posexplode("ids").alias("i", "doc_a")
     )
-    pairs = anchored.select(
+    small_pairs = anchored.select(
         "doc_a",
         F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("doc_b"),
     )
-    return pairs.distinct()
+
+    big = sized.filter(F.col("bn") > cap).withColumn(
+        "ck", F.pmod(F.hash("doc_id"), F.lit(salt))
+    )
+    left = big.select(
+        *group_cols,
+        F.col("doc_id").alias("da"),
+        F.col("ck").alias("ci"),
+        F.explode(F.sequence(F.col("ck"), F.lit(salt - 1))).alias("cj"),
+    )
+    right = big.select(
+        *[F.col(c).alias(f"rg_{c}") for c in group_cols],
+        F.col("doc_id").alias("db"),
+        F.col("ck").alias("rcj"),
+        F.explode(F.sequence(F.lit(0), F.col("ck"))).alias("rci"),
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [left[c] == right[f"rg_{c}"] for c in group_cols]
+        + [left["ci"] == right["rci"], left["cj"] == right["rcj"],
+           left["da"] != right["db"]],
+    )
+    big_pairs = left.join(right, cond).select(
+        F.least("da", "db").alias("doc_a"), F.greatest("da", "db").alias("doc_b")
+    )
+
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def _band_pairs(sigs: DataFrame) -> DataFrame:
@@ -206,29 +380,37 @@ _BANDS_DUCK_CTE = (
 
 
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _band_pairs(_signatures(spark, sf_dir))
+    """Candidate pairs among exact-dedup REPRESENTATIVES. Byte-identical
+    duplicates never reach banding (they'd all collide into the same
+    buckets — the guaranteed hot case); they are the exact_dedup
+    stage's output, and doc_corpus_pipeline composes the two stages."""
+    return _band_pairs(_rep_signatures(spark, sf_dir))
 
 
-LSH_CANDIDATE_PAIRS_SQL = f"WITH {_SIG_DUCK_CTE},\n{_BANDS_DUCK_CTE}\nSELECT * FROM cand"
+LSH_CANDIDATE_PAIRS_SQL = (
+    f"WITH {_REPS_DUCK_CTE},\n{_sig_cte('reps')},\n{_BANDS_DUCK_CTE}\nSELECT * FROM cand"
+)
 
 
 def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash-LSH dedup: candidates from banding, verified with
-    true shingle-Jaccard ≥ threshold. Verification joins shingle sets
-    only for candidate pairs — never quadratic."""
-    d = _with_shingles(spark, sf_dir)
+    """Full MinHash-LSH dedup over exact-dedup representatives:
+    candidates from banding, verified with true shingle-Jaccard ≥
+    threshold. Verification joins shingle sets only for candidate
+    pairs — never quadratic — and the shingle arrays come from the
+    persisted rep base, not a recomputed subtree."""
+    d = _reps(spark, sf_dir)
     cand = lsh_candidate_pairs(spark, sf_dir)
-    a = d.alias("a")
-    b = d.alias("b")
+    a = d.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
     j = (
-        cand.join(a, cand.doc_a == F.col("a.doc_id"))
-        .join(b, cand.doc_b == F.col("b.doc_id"))
+        cand.join(a, cand.doc_a == a.a_id)
+        .join(b, cand.doc_b == b.b_id)
         .select(
             "doc_a",
             "doc_b",
             (
-                F.size(F.array_intersect("a.sh", "b.sh"))
-                / F.size(F.array_distinct(F.concat("a.sh", "b.sh")))
+                F.size(F.array_intersect("a_sh", "b_sh"))
+                / F.size(F.array_distinct(F.concat("a_sh", "b_sh")))
             ).alias("jaccard"),
         )
     )
@@ -241,9 +423,10 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NEARDUP_PAIRS_SQL = f"""WITH {_SIG_DUCK_CTE},
+NEARDUP_PAIRS_SQL = f"""WITH {_REPS_DUCK_CTE},
+{_sig_cte('reps')},
 {_BANDS_DUCK_CTE},
-sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents)
+sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM reps)
 SELECT doc_a, doc_b, CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_ppm FROM (
   SELECT doc_a, doc_b,
          len(list_intersect(a.sh, b.sh))::DOUBLE
@@ -259,15 +442,16 @@ BLOCKED_JACCARD_T = 0.8
 
 def blocked_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-word-shingle) Jaccard similarity join within
-    (lang) blocks, Jaccard ≥ 0.8 — implemented with AllPairs-style
-    PREFIX FILTERING (Bayardo et al., WWW'07): sort each shingle set
-    under a global order; two sets with J ≥ t MUST share an element in
-    their first ⌊(1-t)·n⌋+1 shingles, so candidates come from an
-    inverted index over prefixes only. Exact (no qualifying pair is
-    lost), and the candidate join is sparse — never the quadratic
-    block cross-product (the DuckDB oracle runs the naive quadratic as
-    the independent check)."""
-    d = _with_shingles(spark, sf_dir, extra_cols=("lang",))
+    (lang) blocks over exact-dedup representatives, Jaccard ≥ 0.8 —
+    implemented with AllPairs-style PREFIX FILTERING (Bayardo et al.,
+    WWW'07): sort each shingle set under a global order; two sets with
+    J ≥ t MUST share an element in their first ⌊(1-t)·n⌋+1 shingles, so
+    candidates come from an inverted index over prefixes only. Exact
+    over the rep relation (no qualifying pair is lost), and the
+    candidate join is sparse — never the quadratic block cross-product
+    (the DuckDB oracle runs the naive quadratic as the independent
+    check)."""
+    d = _reps(spark, sf_dir).select("doc_id", "lang", "sh")
     # no size()>0 filter: empty sets produce an empty prefix (no index
     # entries → never a candidate), and dropping it avoids Catalyst
     # re-inlining the shingle expression under a pushed-down predicate
@@ -284,18 +468,21 @@ def blocked_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = d.select("doc_id", "lang", F.explode("prefix").alias("p"))
     cand = _pairs_within_groups(idx, ["lang", "p"])
     sets = d.select("doc_id", "lang", "sh")
-    a = sets.alias("a")
-    b = sets.alias("b")
+    a = sets.select(
+        F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"),
+        F.col("sh").alias("a_sh"),
+    )
+    b = sets.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
     j = (
-        cand.join(a, cand.doc_a == F.col("a.doc_id"))
-        .join(b, cand.doc_b == F.col("b.doc_id"))
+        cand.join(a, cand.doc_a == a.a_id)
+        .join(b, cand.doc_b == b.b_id)
         .select(
             "doc_a",
             "doc_b",
-            F.col("a.lang").alias("lang"),
+            F.col("a_lang").alias("lang"),
             (
-                F.size(F.array_intersect("a.sh", "b.sh"))
-                / F.size(F.array_distinct(F.concat("a.sh", "b.sh")))
+                F.size(F.array_intersect("a_sh", "b_sh"))
+                / F.size(F.array_distinct(F.concat("a_sh", "b_sh")))
             ).alias("j"),
         )
     )
@@ -308,8 +495,9 @@ def blocked_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BLOCKED_JACCARD_PAIRS_SQL = f"""
-WITH t AS (
-  SELECT doc_id, lang, {_SHINGLES_DUCK} AS sh FROM documents
+WITH {_REPS_DUCK_CTE},
+t AS (
+  SELECT doc_id, lang, {_SHINGLES_DUCK} AS sh FROM reps
   WHERE len({_SHINGLES_DUCK}) > 0
 )
 SELECT doc_a, doc_b, lang, CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_ppm FROM (
@@ -394,47 +582,65 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HEX = "0123456789abcdef"
 
 
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per (doc, token) with the token's 32-bit hash as an
-    integer (conv hex→long), then ALL 32 bit-votes as columnar
-    aggregates in a single groupBy(doc_id) — no 32× row explosion, no
-    second shuffle. At 100 TB this is one map-side-combined exchange on
-    doc_id over the token stream; the 32 sums vectorize in codegen.
+def _rep_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-REP simhash: one row per (rep, distinct token) with the
+    token's 32-bit hash as an integer (conv hex→long), then ALL 32
+    bit-votes as columnar aggregates in a single groupBy — no 32× row
+    explosion, no second shuffle. At 100 TB this is one map-side-
+    combined exchange on doc_id over the (already deduped) token
+    stream; the 32 sums vectorize in codegen.
 
     Bit mapping matches the oracle's nibble arithmetic: hex char j holds
     bits 4j..4j+3 with bit = (nibble >> (b%4)) & 1, and conv() parses
     char 0 as the HIGH nibble, so bit b lives at integer position
     28 - 4*(b div 4) + (b % 4)."""
-    d = io.load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.expr(_TOKENS_SPARK))).alias("tok")
-    ).select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.encode("tok", "UTF-8")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("v"),
+
+    def build() -> DataFrame:
+        toks = _reps(spark, sf_dir).select(
+            "doc_id", "lang", "fingerprint",
+            F.explode(F.array_distinct("toks")).alias("tok"),
+        ).select(
+            "doc_id", "lang", "fingerprint",
+            F.conv(F.substring(F.md5(F.encode("tok", "UTF-8")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("v"),
+        )
+        votes = [
+            F.sum(
+                F.shiftright(F.col("v"), 28 - 4 * (b // 4) + b % 4)
+                .bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"vote{b}")
+            for b in range(32)
+        ]
+        agg = toks.groupBy("doc_id", "lang", "fingerprint").agg(*votes)
+        sig = F.lit(0).cast("long")
+        for b in range(32):
+            sig = sig + F.when(
+                F.col(f"vote{b}") > 0, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return agg.select("doc_id", "lang", "fingerprint", sig.alias("simhash"))
+
+    return _cached(spark, sf_dir, "simhash_sigs", build)
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOC simhash (the round-1 contract): rep simhash joined back
+    to members — a signature is a function of the text alone, so the
+    output is identical while hashing runs once per unique text."""
+    sigs = _rep_simhash(spark, sf_dir).drop("doc_id")
+    return (
+        _members(spark, sf_dir)
+        .join(sigs, ["lang", "fingerprint"])
+        .select("doc_id", "simhash")
     )
-    votes = [
-        F.sum(
-            F.shiftright(F.col("v"), 28 - 4 * (b // 4) + b % 4)
-            .bitwiseAND(F.lit(1))
-            * 2
-            - 1
-        ).alias(f"vote{b}")
-        for b in range(32)
-    ]
-    agg = toks.groupBy("doc_id").agg(*votes)
-    sig = F.lit(0).cast("long")
-    for b in range(32):
-        sig = sig + F.when(
-            F.col(f"vote{b}") > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return agg.select("doc_id", sig.alias("simhash"))
 
 
-SIMHASH_SIGNATURES_SQL = f"""
+def _simhash_sql(src: str) -> str:
+    return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok FROM documents
+  SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok FROM {src}
 ), hashed AS (
   SELECT doc_id, md5(tok) AS h FROM toks
 ), bits AS (
@@ -451,12 +657,17 @@ FROM votes GROUP BY doc_id
 """
 
 
+SIMHASH_SIGNATURES_SQL = _simhash_sql("documents")
+
+
 SIMHASH_HD_MAX = 3
 _SIMHASH_BANDS = 4  # 4 bands × 8 bits; pigeonhole: hd ≤ 3 ⇒ ≥1 band equal
 
 
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance ≤ 3.
+    """Near-duplicate pairs by SimHash Hamming distance ≤ 3, among
+    exact-dedup representatives (byte-identical mass — hd 0 by
+    definition — is exact_dedup's output, not a pair explosion here).
 
     Candidate generation is banded (4×8-bit bands of the 32-bit
     signature): pairs join only inside equal (band_id, band_value)
@@ -464,15 +675,17 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole the recall at hd ≤ 3 is EXACT, not approximate. At 100 TB
     the knob is band count/width (k bands of w bits gives exact recall
     for hd < k over a k·w-bit signature); occupancy per bucket stays
-    bounded because a band value is 8 uniform bits per ~256 docs.
+    bounded because a band value is 8 uniform bits per ~256 reps.
     """
-    # lazy localCheckpoint: the self-join below otherwise recomputes the
-    # whole signature aggregation on BOTH sides (measured 3x at sf0.1).
+    # sigs come from the persisted rep-simhash base — the self-join
+    # below scans the cached table twice instead of recomputing the
+    # signature aggregation on both sides (round 1 needed an explicit
+    # localCheckpoint for this; the session cache subsumes it).
     # In-bucket pair expansion (_pairs_within_groups) would avoid the
     # join entirely but serializes each bucket into one task — the heavy
     # near-dup clusters in this corpus make that a straggler (measured
     # slower); the equi-join keeps hot buckets parallel.
-    sigs = simhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
+    sigs = _rep_simhash(spark, sf_dir).select("doc_id", "simhash")
     band = F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1))).alias("band_id")
     bands = sigs.select("doc_id", "simhash", band).withColumn(
         "band_val", F.expr("shiftright(simhash, CAST(8 * band_id AS INT)) & 255")
@@ -506,7 +719,8 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_NEARDUP_PAIRS_SQL = f"""
-WITH sigs AS ({SIMHASH_SIGNATURES_SQL}),
+WITH {_REPS_DUCK_CTE},
+sigs AS ({_simhash_sql('reps')}),
 bands AS (
   SELECT doc_id, simhash, r.range AS band_id,
          (simhash >> CAST(8 * r.range AS INT)) & 255 AS band_val

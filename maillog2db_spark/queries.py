@@ -395,6 +395,42 @@ register("doc_source_mix", _smp.SOURCE_MIX_SQL,
          doc="Weighted source mixing: fractional up/downsampling with deterministic copies")(_smp.source_mix)
 
 
+# --- driver-window ordering -------------------------------------------------
+#
+# The round-1 driver correctness run recorded verdicts for only the
+# FIRST 50 registry entries (time/size-capped window) — every LLM-
+# pipeline query went driver-unverified. Reorder the registry so the
+# queries that lack a driver verdict run first; the round-1-verified
+# families follow. Within each block, registration order is preserved.
+
+_R01_VERIFIED = [
+    "ml_parse_header", "ml_router_counts", "ml_logs", "ml_clients",
+    "ml_messages", "ml_deliveries", "ml_delivery_typed", "ml_relay_latency",
+    "ml_msg_delivery_join", "ml_pii_scrub", "ml_admission_stats",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier", "top_customers_per_nation", "distinct_counts",
+    "set_ops_customers", "rollup_sales", "customers_without_orders",
+    "pivot_returnflag", "tpch_q6_forecast_revenue", "tpch_q10_returned_items",
+    "tpch_q14_promo_share", "tpch_q18_large_orders", "tpch_q7_nation_trade",
+    "tpch_q13_order_distribution", "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue", "cube_orders", "price_percentiles",
+    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q11_important_parts", "tpch_q12_priority_shipping",
+    "tpch_q16_supplier_counts", "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_suppliers", "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers", "grouping_sets_orders",
+    "ev_tumbling_hourly", "ev_sessionize", "ev_top_users",
+    "ev_daily_active_users", "ev_funnel_conversion", "ev_user_daily_autocorr",
+    "ord_customer_gaps", "ev_props_json_stats",
+]
+
+REGISTRY = {
+    **{n: q for n, q in REGISTRY.items() if n not in set(_R01_VERIFIED)},
+    **{n: REGISTRY[n] for n in _R01_VERIFIED if n in REGISTRY},
+}
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -406,3 +406,111 @@ def test_source_mix_deterministic_under_repartition(spark):
     # upsampled source has docs with >= 2 copies; dropped source absent
     assert per_src.get("src1", 0) >= 2
     assert "src3" not in per_src
+
+
+# --- bounded pair expansion + rep collapse (round-2 hot-bucket fix) ---------
+
+
+def test_bounded_pairs_equal_unbounded_on_random_groups(spark):
+    """The salted oversize-bucket fallback must produce exactly the
+    pairs the in-row array path produces: compare cap=3 (forces most
+    buckets through the join path) against cap=10^9 (pure array path,
+    the round-1 semantics) on overlapping random buckets."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for g in range(40):
+        size = rng.randint(1, 25)
+        members = rng.sample(range(400), size)
+        rows += [(f"g{g}", m) for m in members]
+    df = spark.createDataFrame(rows, "g string, doc_id long")
+    bounded = dedup._pairs_within_groups(df, ["g"], cap=3, salt=4)
+    unbounded = dedup._pairs_within_groups(df, ["g"], cap=10**9)
+    got = {(r.doc_a, r.doc_b) for r in bounded.collect()}
+    want = {(r.doc_a, r.doc_b) for r in unbounded.collect()}
+    assert got == want
+    assert all(a < b for a, b in got)
+
+
+def test_hot_bucket_pairs_bounded_row_width(spark):
+    """One degenerate bucket far above the cap: the salted join path
+    must stream the full pair set without ever collecting the bucket
+    into a single row. Exact count check: C(k,2) + the small bucket."""
+    k = 2000
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(k)] + [("cold", 10_000 + i) for i in range(3)],
+        "g string, doc_id long",
+    )
+    pairs = dedup._pairs_within_groups(df, ["g"], cap=256, salt=8)
+    assert pairs.count() == k * (k - 1) // 2 + 3
+    # the only collected array in the plan is the small-bucket path,
+    # whose width is capped by construction; the hot bucket takes the
+    # join path (visible as the single equi-join in the plan)
+    p = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert p.count("Join") == 1
+
+
+def test_exact_dup_mass_collapses_before_lsh(spark, tmp_path):
+    """Adversarial corpus: 100k byte-identical docs (the guaranteed
+    LSH hot bucket — every band collides) plus two near-identical
+    templates. Rep collapse must reduce the identical mass to ONE
+    representative before banding, so candidate generation stays tiny
+    and no intra-identical pair is emitted; the planted near-dup pair
+    between the two template reps must still be found."""
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    variant = base + "and then naps quietly"
+    rows = [(i, base, "en", "s", len(base)) for i in range(100_000)]
+    rows += [(200_000, variant, "en", "s", len(variant)),
+             (200_001, variant + " afterwards", "en", "s", 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.coalesce(4).write.parquet(f"{sf}/documents.parquet")
+
+    cand = dedup.lsh_candidate_pairs(spark, sf).collect()
+    identical = set(range(100_000))
+    for r in cand:
+        assert not (r.doc_a in identical and r.doc_b in identical), (
+            "intra-identical pair leaked through the rep collapse"
+        )
+    ver = {(r.doc_a, r.doc_b) for r in dedup.neardup_pairs(spark, sf).collect()}
+    assert (200_000, 200_001) in ver
+
+
+def test_rep_semantics_match_duckdb_on_dup_heavy_corpus(spark, tmp_path):
+    """Differential check of the NEW rep-level contract on a corpus
+    WITH exact duplicates (the gate corpus has none at sf0.01): Spark
+    and the registered DuckDB oracle must agree on candidate pairs and
+    verified near-dups when dup groups exist."""
+    import duckdb
+
+    rng = __import__("random").Random(11)
+    words = [f"w{i}" for i in range(60)]
+    rows = []
+    did = 0
+    for g in range(25):
+        text = " ".join(rng.choices(words, k=rng.randint(8, 30)))
+        for _ in range(rng.randint(1, 5)):  # 1-5 exact copies
+            rows.append((did, text, rng.choice(["en", "de"]), "s", len(text)))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.coalesce(2).write.parquet(f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    for name, fn, sql in [
+        ("cand", dedup.lsh_candidate_pairs, dedup.LSH_CANDIDATE_PAIRS_SQL),
+        ("ver", dedup.neardup_pairs, dedup.NEARDUP_PAIRS_SQL),
+        ("simhash_nd", dedup.simhash_neardup_pairs, dedup.SIMHASH_NEARDUP_PAIRS_SQL),
+    ]:
+        got = sorted(map(tuple, fn(spark, sf).collect()))
+        want = sorted(map(tuple, con.sql(sql).fetchall()))
+        assert got == want, name

@@ -61,11 +61,19 @@ def test_flagship_join_broadcasts_the_dimension(spark):
     assert "BroadcastHashJoin" in p
 
 
-def test_dedup_candidates_have_no_self_join(spark):
-    # candidate generation is groupBy + in-bucket expansion — a join of
-    # the (expensive) signature subtree against itself would recompute it
+def test_dedup_candidates_bounded_no_sig_self_join(spark):
+    # candidate generation is groupBy + BOUNDED in-bucket expansion: the
+    # only join allowed is the salted oversize-bucket fallback, which
+    # joins the banded rows (scanned from the persisted signature base)
+    # with themselves on (bucket, chunk_i, chunk_j) — never the
+    # signature AGGREGATION subtree against itself (that would recompute
+    # the md5-per-shingle work per side), and never a cartesian.
     p = _plan(spark, "doc_lsh_candidate_pairs")
-    assert "Join" not in p
+    assert p.count("Join") == 1, p  # exactly the salted fallback join
+    assert "CartesianProduct" not in p
+    # the signature subtree is served from the session cache, not
+    # recomputed inline per branch
+    assert "InMemoryTableScan" in p
 
 
 def test_queries_self_configure_session(spark):
