@@ -18,9 +18,11 @@ reference hardcodes a 50/200 pool it never uses concurrently,
 maillog2db.go:148-149); writes go to a staging table then one
 `INSERT ... ON DUPLICATE KEY UPDATE` / `MERGE` statement server-side,
 which is idempotent per batch — re-delivery after a failure converges
-(ST5). No MySQL is present in this environment, so connection-level
-code is exercised only through the SQL/DDL generators + writer
-configuration, all unit-tested.
+(ST5). The mirror path is EXECUTED end-to-end against embedded Apache
+Derby (on Spark's own classpath) in tests — real DDL with the unique
+constraint the upsert depends on, real staged MERGE, real replay
+idempotence; the MySQL dialect of the same statements remains
+SQL-shape-tested (no MySQL server in this environment).
 """
 
 from __future__ import annotations
@@ -102,6 +104,89 @@ def with_audit_columns(df: DataFrame) -> DataFrame:
     return df.withColumn("row_created_at", now).withColumn("row_updated_at", now)
 
 
+# --- dialects ---------------------------------------------------------------
+#
+# The mirror speaks two dialects: "mysql" (the reference's target — SQL
+# shape unit-tested; no server in this sandbox) and "derby" (Apache
+# Derby embedded, shipped on Spark's own classpath — the mirror path we
+# EXECUTE end-to-end: real CREATE TABLE with unique constraints, real
+# staged MERGE, real replay-idempotence, through the same code path a
+# MySQL deployment would take).
+
+ROW_KEY_COL = "row_key_md5"
+
+_DIALECT_QUOTE = {"mysql": "`", "derby": '"'}
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def dialect_of(url: str) -> str:
+    return "derby" if url.startswith("jdbc:derby") else "mysql"
+
+
+def _q(dialect: str):
+    ch = _DIALECT_QUOTE[dialect]
+    return lambda ident: f"{ch}{ident}{ch}"
+
+
+def _type_for(dialect: str, mysql_type: str) -> str:
+    # Derby has no DATETIME; TIMESTAMP is its equivalent type
+    if dialect == "derby" and mysql_type == "DATETIME":
+        return "TIMESTAMP"
+    return mysql_type
+
+
+def mirror_column_types(table: str, dialect: str = "mysql") -> str:
+    """createTableColumnTypes for the FULL mirror row: reference columns
+    (dialect-mapped) + audit stamps + the md5 row key."""
+    cols = [
+        f"{c} {_type_for(dialect, t)}"
+        for c, t in REFERENCE_COLUMN_TYPES[table].items()
+    ]
+    ts = _type_for(dialect, "DATETIME")
+    cols += [f"row_created_at {ts}", f"row_updated_at {ts}",
+             f"{ROW_KEY_COL} CHAR(32)"]
+    return ", ".join(cols)
+
+
+def with_row_key(df: DataFrame, table: str) -> DataFrame:
+    """Append the md5 natural-key digest the unique index is built on.
+
+    The reference's natural keys are WHERE-conjunctions over the payload
+    (maillog2db.go:283-306): for logs/deliveries that is the FULL row —
+    as a composite UNIQUE index in utf8mb4 MySQL that would exceed the
+    3072-byte InnoDB key limit (VARCHAR(500) alone is 2000 bytes), and
+    clients (500+255+50 chars) overflows too. So the index key is a
+    Spark-computed md5 over the key columns with explicit NULL/separator
+    encoding (collision-free for distinct tuples): one CHAR(32) column,
+    indexable in any dialect, identical math in a future backfill."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+        for c in UPSERT_KEYS[table]
+    ]
+    return df.withColumn(ROW_KEY_COL, F.md5(F.concat_ws("\x1f", *parts)))
+
+
+def create_mirror_table_ddl(table: str, dialect: str = "mysql") -> str:
+    """Explicit target-table DDL WITH the unique index the upsert
+    depends on. Spark's own JDBC CREATE TABLE renders column types only
+    — no constraints — so ON DUPLICATE KEY UPDATE would silently
+    degrade to plain INSERT on a Spark-created table (round-1 review
+    finding); the mirror therefore creates its targets with this DDL
+    before the first merge."""
+    q = _q(dialect)
+    target = REFERENCE_TABLE_NAMES[table]
+    cols = [
+        f"{q(c)} {_type_for(dialect, t)}"
+        for c, t in REFERENCE_COLUMN_TYPES[table].items()
+    ]
+    ts = _type_for(dialect, "DATETIME")
+    cols += [f"{q('row_created_at')} {ts}", f"{q('row_updated_at')} {ts}",
+             f"{q(ROW_KEY_COL)} CHAR(32) NOT NULL"]
+    constraint = f"CONSTRAINT {q('uq_' + target)} UNIQUE ({q(ROW_KEY_COL)})"
+    head = "CREATE TABLE" + (" IF NOT EXISTS" if dialect == "mysql" else "")
+    return f"{head} {q(target)} ({', '.join(cols)}, {constraint})"
+
+
 def jdbc_writer(
     df: DataFrame,
     url: str,
@@ -114,7 +199,8 @@ def jdbc_writer(
     """Configured JDBC DataFrameWriter for a mirror table (S4). Caller
     picks .mode(...)/.save(); `numPartitions` bounds concurrent
     connections the way the reference's pool cap intended."""
-    return (
+    dialect = dialect_of(url)
+    w = (
         df.write.format("jdbc")
         .option("url", url)
         .option("dbtable", REFERENCE_TABLE_NAMES[table])
@@ -122,47 +208,102 @@ def jdbc_writer(
         .option("password", password)
         .option("numPartitions", num_partitions)
         .option("isolationLevel", isolation_level)
-        .option("createTableColumnTypes", create_table_column_types(table))
+    )
+    if dialect == "mysql":
+        w = w.option("createTableColumnTypes", create_table_column_types(table))
+    else:
+        # Derby: leave Spark's native type mapping (StringType → CLOB) —
+        # the writer's null-setter uses the DIALECT's JDBC type, and
+        # setNull(CLOB) into a VARCHAR column is a Derby type error
+        # (22005). The upsert statement CASTs staging CLOBs into the
+        # target's VARCHAR widths instead (see upsert_sql).
+        w = w.option("driver", _DERBY_DRIVER)
+    return w
+
+
+def upsert_sql(table: str, dialect: str = "mysql", staging: str | None = None) -> str:
+    """One server-side bulk upsert from a staging table — the
+    set-oriented replacement for the reference's per-row
+    SELECT-then-INSERT/UPDATE (maillog2db.go:283-306 et al.). The
+    conflict key is the md5 natural-key digest (see with_row_key).
+
+    mysql:  INSERT ... SELECT ... ON DUPLICATE KEY UPDATE <non-keys>
+    derby:  MERGE INTO target USING staging ON (row_key) WHEN MATCHED
+            UPDATE / WHEN NOT MATCHED INSERT
+
+    For the append+dedup tables every payload column is in the natural
+    key, so the UPDATE arm degenerates to refreshing row_updated_at —
+    exact-duplicate suppression server-side, idempotent under batch
+    re-delivery. messages: each event type carries only its own field
+    group (other columns NULL) — a bare overwrite would erase
+    previously-merged groups, so non-key columns merge NULL-preservingly
+    (the server-side equivalent of the reference's per-group record
+    functions, maillog2db.go:332-393)."""
+    q = _q(dialect)
+    target = REFERENCE_TABLE_NAMES[table]
+    staging = staging or f"{target}_staging"
+    cols = (list(REFERENCE_COLUMN_TYPES[table])
+            + ["row_created_at", "row_updated_at", ROW_KEY_COL])
+    keys = set(UPSERT_KEYS[table]) | {ROW_KEY_COL}
+    frozen = ("row_created_at", "row_updated_at")
+    payload = [c for c in cols if c not in keys and c not in frozen]
+
+    if dialect == "mysql":
+        if table == "messages":
+            updates = [f"{q(c)} = COALESCE(VALUES({q(c)}), {q(c)})" for c in payload]
+        else:
+            updates = [f"{q(c)} = VALUES({q(c)})" for c in payload]
+        updates.append(f"{q('row_updated_at')} = VALUES({q('row_updated_at')})")
+        collist = ", ".join(q(c) for c in cols)
+        return (
+            f"INSERT INTO {q(target)} ({collist})\n"
+            f"SELECT {collist} FROM {q(staging)}\n"
+            f"ON DUPLICATE KEY UPDATE {', '.join(updates)}"
+        )
+
+    # Derby: the staging table carries Spark's native mapping (strings
+    # as CLOB), and Derby neither compares CLOBs in predicates nor
+    # assigns them to VARCHAR implicitly — every source reference is
+    # CAST to the target column's declared type.
+    types = {
+        **{c: _type_for("derby", t) for c, t in REFERENCE_COLUMN_TYPES[table].items()},
+        "row_created_at": "TIMESTAMP",
+        "row_updated_at": "TIMESTAMP",
+        ROW_KEY_COL: "CHAR(32)",
+    }
+    s = lambda c: f"CAST(s.{q(c)} AS {types[c]})"  # noqa: E731
+    if table == "messages":
+        updates = [f"{q(c)} = COALESCE({s(c)}, t.{q(c)})" for c in payload]
+    else:
+        updates = [f"{q(c)} = {s(c)}" for c in payload]
+    updates.append(f"{q('row_updated_at')} = {s('row_updated_at')}")
+    collist = ", ".join(q(c) for c in cols)
+    vallist = ", ".join(s(c) for c in cols)
+    return (
+        f"MERGE INTO {q(target)} t USING {q(staging)} s\n"
+        f"ON t.{q(ROW_KEY_COL)} = {s(ROW_KEY_COL)}\n"
+        f"WHEN MATCHED THEN UPDATE SET {', '.join(updates)}\n"
+        f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({vallist})"
     )
 
 
 def mysql_upsert_sql(table: str, staging: str | None = None) -> str:
-    """One server-side bulk upsert from a staging table — the set
-    EXCEPT-oriented replacement for the reference's per-row
-    SELECT-then-INSERT/UPDATE (maillog2db.go:283-306 et al.):
+    """MySQL-dialect upsert (kept as the named reference contract)."""
+    return upsert_sql(table, "mysql", staging)
 
-      INSERT INTO <target> (cols) SELECT cols FROM <staging>
-      ON DUPLICATE KEY UPDATE <non-key cols>, row_updated_at = NOW()
 
-    For the append+dedup tables every payload column is in the unique
-    key, so the UPDATE arm degenerates to refreshing row_updated_at —
-    exact-duplicate suppression server-side, idempotent under batch
-    re-delivery."""
-    target = REFERENCE_TABLE_NAMES[table]
-    staging = staging or f"{target}_staging"
-    cols = list(REFERENCE_COLUMN_TYPES[table]) + ["row_created_at", "row_updated_at"]
-    keys = set(UPSERT_KEYS[table])
-    # messages: each event type carries only its own field group (other
-    # columns NULL) — a bare overwrite would erase previously-merged
-    # groups, so non-key columns merge NULL-preservingly (the server-side
-    # equivalent of the reference's per-group record functions,
-    # maillog2db.go:332-393)
-    if table == "messages":
-        updates = [
-            f"{c} = COALESCE(VALUES({c}), {c})"
-            for c in cols
-            if c not in keys and c not in ("row_created_at", "row_updated_at")
-        ]
-        updates.append("row_updated_at = VALUES(row_updated_at)")
-    else:
-        updates = [
-            f"{c} = VALUES({c})" for c in cols if c not in keys and c != "row_created_at"
-        ]
-    return (
-        f"INSERT INTO {target} ({', '.join(cols)})\n"
-        f"SELECT {', '.join(cols)} FROM {staging}\n"
-        f"ON DUPLICATE KEY UPDATE {', '.join(updates)}"
-    )
+def ensure_mirror_table(
+    spark: SparkSession, url: str, user: str, password: str, table: str
+) -> None:
+    """Create the mirror target with its unique constraint if absent.
+    MySQL uses IF NOT EXISTS; Derby has none, so 'already exists'
+    (SQLState X0Y32) is swallowed."""
+    ddl = create_mirror_table_ddl(table, dialect_of(url))
+    try:
+        _execute_jdbc_statement(spark, url, user, password, ddl)
+    except Exception as e:  # noqa: BLE001 — only the exists-race is benign
+        if "X0Y32" not in str(e):
+            raise
 
 
 def foreach_batch_jdbc_merge(url: str, user: str, password: str, table: str):
@@ -170,20 +311,31 @@ def foreach_batch_jdbc_merge(url: str, user: str, password: str, table: str):
     write the micro-batch to a staging table (overwrite), then execute
     one upsert statement. The staging write + server-side MERGE pair is
     the standard exactly-once-convergent JDBC pattern — Spark's JDBC
-    sink alone is append-only and not transactional across batches."""
-    stmt = mysql_upsert_sql(table)
+    sink alone is append-only and not transactional across batches.
+
+    Executed END-TO-END against embedded Derby in tests
+    (test_sinks.py); against MySQL the same factory emits the
+    ON DUPLICATE KEY UPDATE dialect."""
+    dialect = dialect_of(url)
+    stmt = upsert_sql(table, dialect)
+    q = _q(dialect)
+    staging_name = f"{REFERENCE_TABLE_NAMES[table]}_staging"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        staged = with_audit_columns(batch_df)
-        (
-            jdbc_writer(staged, url, f"{table}", user, password)
-            .option("dbtable", f"{REFERENCE_TABLE_NAMES[table]}_staging")
-            .mode("overwrite")
-            .save()
+        # mirror carries exactly the reference's schema — engine-side
+        # extension columns (client_firstseen etc.) stay canonical-only
+        ref_cols = [c for c in REFERENCE_COLUMN_TYPES[table] if c in batch_df.columns]
+        staged = with_row_key(
+            with_audit_columns(batch_df.select(*ref_cols)), table
+        ).dropDuplicates([ROW_KEY_COL])
+        w = jdbc_writer(staged, url, table, user, password).option(
+            "dbtable", q(staging_name)
         )
-        # one server-side statement; Py4J-free portable path would use a
-        # JDBC connection via the driver — stubbed without a live MySQL
+        if dialect == "mysql":
+            w = w.option("createTableColumnTypes", mirror_column_types(table, dialect))
+        w.mode("overwrite").save()
         spark = batch_df.sparkSession
+        ensure_mirror_table(spark, url, user, password, table)
         _execute_jdbc_statement(spark, url, user, password, stmt)
 
     return _sink
@@ -194,6 +346,10 @@ def _execute_jdbc_statement(
 ) -> None:
     """Run one statement over JDBC through the JVM driver manager."""
     jvm = spark.sparkContext._jvm
+    if dialect_of(url) == "derby":
+        # embedded driver registers via Class.forName (service loading is
+        # not triggered for in-JVM DriverManager use)
+        jvm.java.lang.Class.forName(_DERBY_DRIVER)
     props = jvm.java.util.Properties()
     props.setProperty("user", user)
     props.setProperty("password", password)
