@@ -140,34 +140,42 @@ def _members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _reps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One representative doc per (lang, fingerprint) with tokens and
-    shingles computed ONCE per unique text: (doc_id, lang, fingerprint,
-    toks, sh). doc_id is the group's min — stable under partitioning.
+def rep_base_from_docs(docs: DataFrame, parallelism: int) -> DataFrame:
+    """(doc_id, lang, text) → one representative per (lang, fingerprint)
+    with tokens and shingles computed ONCE per unique text: (doc_id,
+    lang, fingerprint, toks, sh). doc_id is the group's min.
 
     The groupBy shuffles (fingerprint, text) once — the exact-dedup
     pass a production pipeline runs first anyway — and the interpreted
     tokenize/shingle lambdas then run on unique texts only. The
     repartition after the collapse spreads that CPU over all cores
     (AQE would otherwise coalesce the tiny post-agg shuffle to one
-    partition at test SF)."""
+    partition at test SF). Shared by the batch query family and the
+    incremental streaming near-dup (identical signature math is the
+    stream ≡ batch equivalence contract)."""
+    d = docs.select(
+        "doc_id", "lang", "text",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("fingerprint"),
+    )
+    return (
+        d.groupBy("lang", "fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        .repartition(parallelism, "doc_id")
+        .select("doc_id", "lang", "fingerprint", F.expr(_TOKENS_SPARK).alias("toks"))
+        .select("doc_id", "lang", "fingerprint", "toks",
+                F.expr(_SHINGLES_FROM_TOKS_SPARK).alias("sh"))
+    )
 
-    def build() -> DataFrame:
-        p = spark.sparkContext.defaultParallelism
-        d = io.load(spark, sf_dir, "documents").select(
-            "doc_id", "lang", "text",
-            F.md5(F.encode(F.col("text"), "UTF-8")).alias("fingerprint"),
-        )
-        return (
-            d.groupBy("lang", "fingerprint")
-            .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
-            .repartition(p, "doc_id")
-            .select("doc_id", "lang", "fingerprint", F.expr(_TOKENS_SPARK).alias("toks"))
-            .select("doc_id", "lang", "fingerprint", "toks",
-                    F.expr(_SHINGLES_FROM_TOKS_SPARK).alias("sh"))
-        )
 
-    return _cached(spark, sf_dir, "reps", build)
+def _reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached rep base over the documents table."""
+    return _cached(
+        spark, sf_dir, "reps",
+        lambda: rep_base_from_docs(
+            io.load(spark, sf_dir, "documents"),
+            spark.sparkContext.defaultParallelism,
+        ),
+    )
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,25 +210,29 @@ def _rep_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     array yields nothing) — identical to the per-doc semantics the
     round-1 implementation had."""
 
-    def build() -> DataFrame:
-        sh = _reps(spark, sf_dir).select(
-            "doc_id", "lang", "fingerprint", F.explode("sh").alias("s")
-        )
-        h = sh.select(
-            "doc_id", "lang", "fingerprint",
-            F.md5(F.encode(F.col("s"), "UTF-8")).alias("hx"),
-        ).select(
-            "doc_id", "lang", "fingerprint",
-            F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint").alias("h1"),
-            F.conv(F.substring("hx", 9, 8), 16, 10).cast("bigint").alias("h2"),
-        )
-        aggs = [
-            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
-            for i in range(N_HASHES)
-        ]
-        return h.groupBy("doc_id", "lang", "fingerprint").agg(*aggs)
+    return _cached(
+        spark, sf_dir, "minhash_sigs",
+        lambda: minhash_from_rep_base(_reps(spark, sf_dir)),
+    )
 
-    return _cached(spark, sf_dir, "minhash_sigs", build)
+
+def minhash_from_rep_base(base: DataFrame) -> DataFrame:
+    """(doc_id, lang, fingerprint, sh) → + mh0..mhN signature columns.
+    Rows with empty shingle sets drop out (explode of empty array)."""
+    sh = base.select("doc_id", "lang", "fingerprint", F.explode("sh").alias("s"))
+    h = sh.select(
+        "doc_id", "lang", "fingerprint",
+        F.md5(F.encode(F.col("s"), "UTF-8")).alias("hx"),
+    ).select(
+        "doc_id", "lang", "fingerprint",
+        F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring("hx", 9, 8), 16, 10).cast("bigint").alias("h2"),
+    )
+    aggs = [
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+    return h.groupBy("doc_id", "lang", "fingerprint").agg(*aggs)
 
 
 def _sig_cte(src: str) -> str:
@@ -345,12 +357,11 @@ def _pairs_within_groups(
     return small_pairs.unionByName(big_pairs).distinct()
 
 
-def _band_pairs(sigs: DataFrame) -> DataFrame:
-    """LSH banding: bucket docs by each band's (mh pair) value →
-    candidate pairs co-occurring in any bucket. The band value itself is
-    the bucket key — no extra hashing needed."""
-    # all bands in ONE pass over sigs (a union of per-band selects would
-    # re-plan — and recompute — the signature aggregation per branch)
+def banded_signatures(sigs: DataFrame) -> DataFrame:
+    """sigs → (doc_id, band, bh): one row per (doc, band) with the
+    band's bucket key. All bands in ONE pass over sigs (a union of
+    per-band selects would re-plan — and recompute — the signature
+    aggregation per branch)."""
     band_array = F.array(
         *[
             F.struct(
@@ -360,10 +371,25 @@ def _band_pairs(sigs: DataFrame) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    banded = sigs.select("doc_id", F.explode(band_array).alias("bb")).select(
+    return sigs.select("doc_id", F.explode(band_array).alias("bb")).select(
         "doc_id", "bb.band", "bb.bh"
     )
-    return _pairs_within_groups(banded, ["band", "bh"])
+
+
+def jaccard_ppm(a_sh, b_sh):
+    """Exact shingle-set Jaccard as a floor-half-up ppm integer (float
+    round() differs across engines at exact .5 boundaries)."""
+    j = F.size(F.array_intersect(a_sh, b_sh)) / F.size(
+        F.array_distinct(F.concat(a_sh, b_sh))
+    )
+    return (j, F.floor(j * 1_000_000 + 0.5).cast("bigint"))
+
+
+def _band_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH banding: bucket docs by each band's (mh pair) value →
+    candidate pairs co-occurring in any bucket. The band value itself is
+    the bucket key — no extra hashing needed."""
+    return _pairs_within_groups(banded_signatures(sigs), ["band", "bh"])
 
 
 _BANDS_DUCK_CTE = (

@@ -427,3 +427,78 @@ def test_streaming_interval_left_outer_join_emits_unmatched(spark, tmp_path_fact
     }
     assert got == matched | unmatched
     assert unmatched, "expected at least one unmatched click at sf0.001"
+
+
+def test_streaming_neardup_matches_batch(spark, tmp_path_factory):
+    """Incremental near-dup (persisted MinHash signature store, batch by
+    batch) flags EXACTLY the pairs the batch operator finds on the same
+    corpus — including pairs that span micro-batches — plus exact-dup
+    suppression: a doc byte-identical to an earlier batch's never
+    re-enters banding. Replaying the whole stream through a fresh
+    checkpoint changes nothing (ledger + fingerprint-dedup merge)."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_neardup as snd
+    from maillog2db_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents").select("doc_id", "lang", "text")
+
+    d = tmp_path_factory.mktemp("neardup_stream")
+    src = d / "docs"
+    # three arrival waves, ids monotone with arrival (the rep-identity
+    # contract); wave 3 re-delivers two wave-1 texts under new ids —
+    # exact dups that must be suppressed, not paired
+    waves = [
+        docs.filter("doc_id % 3 = 0"),
+        docs.filter("doc_id % 3 = 1"),
+        docs.filter("doc_id % 3 = 2"),
+    ]
+    import shutil
+
+    src.mkdir()
+
+    def drop_wave(df, name, mtime):
+        tmp = d / f"_tmp_{name}"
+        df.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"{name}.parquet"
+        shutil.move(str(part), str(dest))
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp)
+
+    for i, w in enumerate(waves):
+        drop_wave(w, f"wave{i}", 1_700_000_000 + i * 60)
+
+    store = snd.MinHashStore(str(d / "store"), n_buckets=4)
+    q = snd.start_neardup_stream(
+        spark, str(src), store, str(d / "ckpt"), available_now=True
+    )
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, store.read_pairs(spark).collect()))
+    want = sorted(map(tuple, dedup.neardup_pairs(spark, sf).collect()))
+    assert len(want) > 0
+    assert got == want
+
+    # replay: fresh checkpoint, same store — ledger + idempotent merges
+    q2 = snd.start_neardup_stream(
+        spark, str(src), store, str(d / "ckpt2"), available_now=True
+    )
+    q2.awaitTermination(180)
+    again = sorted(map(tuple, store.read_pairs(spark).collect()))
+    assert again == got
+
+    # exact-dup suppression against history: re-deliver an existing text
+    # under a new id in a later file; no new pair may appear even though
+    # the text near-dups its original
+    sample = docs.orderBy("doc_id").limit(1).collect()[0]
+    redeliver = spark.createDataFrame(
+        [(10_000_000, sample.lang, sample.text)], "doc_id long, lang string, text string"
+    )
+    drop_wave(redeliver, "wave9", 1_700_000_000 + 600)
+    q3 = snd.start_neardup_stream(
+        spark, str(src), store, str(d / "ckpt3"), available_now=True
+    )
+    q3.awaitTermination(180)
+    final = sorted(map(tuple, store.read_pairs(spark).collect()))
+    assert final == got
