@@ -515,6 +515,27 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+APPROX_PCT_ACCURACY = 10_000  # 1/accuracy relative-rank error bound
+
+
+def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB scale path of price_percentiles EXECUTED, not just
+    documented: `approx_percentile` partial-aggregates a bounded-memory
+    quantile sketch map-side (no per-group full sort, no single-node
+    value buffer), at a bounded rank error. No SQL oracle — DuckDB's
+    approx sketch is a different algorithm — so the driver records the
+    rows-only check; the accuracy contract vs the EXACT operator is
+    pinned in tests/test_operators.py."""
+    l = _t(spark, sf_dir, "lineitem")
+    pct = lambda q, name: F.round(
+        F.expr(f"approx_percentile(l_extendedprice, {q}, {APPROX_PCT_ACCURACY})"), 4
+    ).alias(name)
+    return l.groupBy("l_returnflag").agg(
+        pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+    )
+
+
 # --- TPC-H Q7 shape: directed two-nation trade volume -----------------------
 
 def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,6 +141,26 @@ def ml_relay_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ml_relay_latency_approx", None,
+          doc="Scale path of ml_relay_latency: approx_percentile t-digest sketch, partial-aggregated, bounded memory — no SQL oracle (different sketch in DuckDB); accuracy vs exact pinned in tests")
+def ml_relay_latency_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import APPROX_PCT_ACCURACY
+
+    d = tables.with_delivery_typed_columns(tables.build_deliveries(_parsed(spark, sf_dir)))
+    delay = F.col("delivery_delay_sec")
+    pct = lambda q, name: F.round(
+        F.expr(f"approx_percentile(delivery_delay_sec, {q}, {APPROX_PCT_ACCURACY})"), 4
+    ).alias(name)
+    return d.groupBy("delivery_relay").agg(
+        F.count(F.lit(1)).alias("n_attempts"),
+        F.sum(F.when(F.col("delivery_status") == "sent", 1).otherwise(0)).alias("n_sent"),
+        F.round(F.avg(delay), 6).alias("mean_delay"),
+        pct(0.5, "p50_delay"),
+        pct(0.9, "p90_delay"),
+        F.round(F.max(delay), 6).alias("max_delay"),
+    )
+
+
 @register("ml_msg_delivery_join", oracle.MSG_DELIVERY_JOIN,
           doc="Flagship: messages ⋈ deliveries on queueid (J2), per-status attempt counts")
 def ml_msg_delivery_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,6 +262,8 @@ register("cube_orders", _rel.CUBE_ORDERS_SQL,
          doc="CUBE over two dims + grouping indicators")(_rel.cube_orders)
 register("price_percentiles", _rel.PRICE_PERCENTILES_SQL,
          doc="Exact interpolated percentiles per group (approx_percentile is the 100TB swap-in)")(_rel.price_percentiles)
+register("price_percentiles_approx", None,
+         doc="Scale path of price_percentiles: approx_percentile sketch, partial-aggregated — rows-only check; accuracy vs exact pinned in tests")(_rel.price_percentiles_approx)
 
 from .operators import relational_ext as _rex  # noqa: E402
 

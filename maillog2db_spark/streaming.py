@@ -235,10 +235,33 @@ def merge_batch(
     # timestamp parsing is session-timezone-dependent; self-apply the
     # correctness conf so batch ≡ streaming holds in any caller session
     io.ensure_session_conf(spark)
+    # seq = (batch_id << 48) | mono_id. mono_id packs the partition id
+    # at bit 33, so ≥2^15 partitions would silently bleed into the
+    # batch field and corrupt cross-batch last-writer-wins ordering;
+    # likewise batch_id ≥ 2^15 would overflow the long. ENFORCED, not
+    # just documented (a silent ordering corruption is the worst
+    # possible failure mode for an ordering key).
+    n_parts = batch_df.rdd.getNumPartitions()
+    if n_parts >= (1 << 15) or batch_id >= (1 << 15):
+        raise ValueError(
+            f"seq packing bounds exceeded: partitions={n_parts} (max 32767), "
+            f"batch_id={batch_id} (max 32767) — repartition the micro-batch "
+            "below 2^15 partitions or widen the seq encoding"
+        )
     lines = batch_df.withColumn(
         "seq",
         (F.lit(int(batch_id)).cast("long") * F.lit(1 << 48) + F.monotonically_increasing_id()),
     )
+    # the tail source delivers a micro-batch as ONE partition (a single
+    # byte range), which would run the whole regex parse on one core —
+    # spread it AFTER seq assignment (seq encodes arrival order from the
+    # source partitioning; repartition afterwards only moves rows, their
+    # seq travels with them). Measured 7.4k → >10k lines/s on the sf0.1
+    # single-file tail benchmark; no-op when the JVM file source already
+    # split the batch.
+    p = spark.sparkContext.defaultParallelism
+    if n_parts < p:
+        lines = lines.repartition(p)
     parsed = parsing.parse_lines(
         lines, seq_col="seq", year=year, strict_day=strict_day
     ).persist()

@@ -514,3 +514,62 @@ def test_rep_semantics_match_duckdb_on_dup_heavy_corpus(spark, tmp_path):
         got = sorted(map(tuple, fn(spark, sf).collect()))
         want = sorted(map(tuple, con.sql(sql).fetchall()))
         assert got == want, name
+
+
+def test_approx_percentiles_track_exact(spark):
+    """The registered approx_percentile scale paths honor the sketch's
+    actual contract vs their exact twins: each approx percentile is a
+    TRUE data value whose rank sits within the accuracy bound of the
+    target rank (exact interpolates BETWEEN neighbors, so value-relative
+    comparison is meaningless for small groups); exact aggregates
+    (count/mean/max) are bit-equal."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import queries as Q
+    from maillog2db_spark import tables
+    from maillog2db_spark.queries import _parsed
+
+    raw = {}
+    l = mio.load(spark, SF, "lineitem")
+    for r in l.select("l_returnflag", "l_extendedprice").collect():
+        raw.setdefault(("price", r[0]), []).append(float(r[1]))
+    d = tables.with_delivery_typed_columns(
+        tables.build_deliveries(_parsed(spark, SF))
+    )
+    for r in d.select("delivery_relay", "delivery_delay_sec").collect():
+        raw.setdefault(("relay", r[0]), []).append(float(r[1]))
+
+    checks = [
+        ("price", "price_percentiles", "price_percentiles_approx",
+         {"p50": 0.5, "p90": 0.9, "p99": 0.99}),
+        ("relay", "ml_relay_latency", "ml_relay_latency_approx",
+         {"p50_delay": 0.5, "p90_delay": 0.9, "p99_delay": 0.99}),
+    ]
+    for family, exact_name, approx_name, qmap in checks:
+        exact = {r[0]: r.asDict() for r in Q.REGISTRY[exact_name].fn(spark, SF).collect()}
+        approx = {r[0]: r.asDict() for r in Q.REGISTRY[approx_name].fn(spark, SF).collect()}
+        assert set(exact) == set(approx), exact_name
+        for key, ar in approx.items():
+            vals = sorted(raw[(family, key)])
+            n = len(vals)
+            for col, q in qmap.items():
+                if col not in ar:
+                    continue
+                av = ar[col]
+                # membership: the sketch returns an actual data value
+                # (compare at the query's 4-decimal rounding)
+                nearest = min(range(n), key=lambda i: abs(vals[i] - av))
+                assert abs(vals[nearest] - av) < 1e-3, (approx_name, key, col)
+                # rank: within the accuracy bound of the target rank
+                target = q * (n - 1)
+                slack = 1 + n / 10_000
+                lo = min(i for i in range(n) if abs(vals[i] - av) < 1e-3)
+                hi = max(i for i in range(n) if abs(vals[i] - av) < 1e-3)
+                assert lo - slack <= target <= hi + slack, (
+                    approx_name, key, col, av, target, (lo, hi), n
+                )
+            # non-percentile aggregates are exact and must match exactly
+            er = exact[key]
+            for col, ev in er.items():
+                if col in qmap or not isinstance(ev, (int, float)):
+                    continue
+                assert ar[col] == pytest.approx(ev, rel=1e-9), (approx_name, key, col)

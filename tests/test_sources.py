@@ -158,9 +158,14 @@ def test_tail_reader_property_random_append_truncate(tmp_path):
         partial: str | None = None
 
         def drain():
+            # drive the reader the way the engine does: latestOffset →
+            # partitions(start, end) → per-partition executor reads
             nonlocal offset
-            rows, offset = reader.read(offset)
-            emitted.extend(r[0] for r in rows)
+            end = reader.latestOffset()
+            for part in reader.partitions(offset, end):
+                for batch in reader.read(part):
+                    emitted.extend(v.as_py() for v in batch.column(0))
+            offset = end
 
         for op, arg in ops:
             if op == "append":
