@@ -593,7 +593,11 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("keep_doc_id"),
-            F.array_sort(F.collect_list("doc_id")).alias("members"),
+            # comma-joined string, not an array column: the driver's
+            # rows-only canonicalizer sorts result columns through pandas,
+            # which cannot hash list cells — scalar columns only at the
+            # query-registry surface
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("members"),
         )
         .select(F.col("comp").alias("cluster_id"), "n_docs", "keep_doc_id", "members")
     )

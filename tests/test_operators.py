@@ -118,13 +118,17 @@ def test_neardup_clusters_match_union_find(spark):
         comp[find(x)].add(x)
     expected = {min(v): tuple(sorted(v)) for v in comp.values()}
 
+    rows = dedup.neardup_clusters(spark, sf).collect()
+    # members is a comma-joined string (scalar surface for the driver's
+    # canonicalizer) — parse it back for the set comparison
     got = {
-        r.cluster_id: tuple(r.members)
-        for r in dedup.neardup_clusters(spark, sf).collect()
+        r.cluster_id: tuple(int(m) for m in r.members.split(","))
+        for r in rows
     }
     assert got == expected
-    for r in dedup.neardup_clusters(spark, sf).collect():
-        assert r.keep_doc_id == min(r.members) == r.cluster_id
+    for r in rows:
+        mem = [int(m) for m in r.members.split(",")]
+        assert r.keep_doc_id == min(mem) == r.cluster_id
 
 
 def test_approx_distinct_tokens_within_tolerance(spark):

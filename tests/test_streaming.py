@@ -93,6 +93,15 @@ def store(spark, log_dir, tmp_path_factory):
     return st
 
 
+def _ts_plus_100_days(df):
+    """Advance the raw events ts by 100 days whatever its physical type:
+    long nanoseconds (round-1 files) or TIMESTAMP_NTZ (round-2+)."""
+    dtype = dict(df.dtypes)["ts"]
+    if dtype == "bigint":
+        return (F.col("ts") + F.lit(100 * 86400 * 10**9)).cast("long")
+    return F.col("ts") + F.expr("INTERVAL 100 DAYS")
+
+
 def _sorted(df, drop=()):
     df = df.drop(*drop)
     return [tuple(r) for r in df.orderBy(*df.columns).collect()]
@@ -148,8 +157,7 @@ def test_streaming_tumbling_counts_match_batch(spark, tmp_path_factory):
     # same ns→us rebuild load_events does
     raw_schema = spark.read.parquet(str(d)).schema
     stream_ev = spark.readStream.schema(raw_schema).parquet(str(d))
-    if dict(stream_ev.dtypes)["ts"] == "bigint":
-        stream_ev = stream_ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream_ev = mio.normalize_event_ts(stream_ev)
     agg = streaming.streaming_tumbling_counts(stream_ev, ts_col="ts")
     rows: dict[tuple, int] = {}
 
@@ -184,7 +192,7 @@ def test_streaming_sessionize_matches_batch_session_window(spark, tmp_path_facto
     # sentinel: one event 100 days after the data, in its own file/batch
     base = spark.read.parquet(str(d))
     sentinel = base.limit(1).withColumn(
-        "ts", (F.col("ts") + F.lit(100 * 86400 * 10**9)).cast("long")
+        "ts", _ts_plus_100_days(base)
     ).withColumn("user_id", F.lit(-1).cast("long"))
     sentinel.write.parquet(str(d) + "_sent")
     shutil.copy(
@@ -200,8 +208,7 @@ def test_streaming_sessionize_matches_batch_session_window(spark, tmp_path_facto
         .option("maxFilesPerTrigger", 1)
         .parquet(str(d))
     )
-    if dict(stream_ev.dtypes)["ts"] == "bigint":
-        stream_ev = stream_ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream_ev = mio.normalize_event_ts(stream_ev)
     rows: dict[tuple, int] = {}
 
     def sink(df, bid):
@@ -272,8 +279,7 @@ def test_streaming_interval_join_matches_batch_range_join(spark, tmp_path_factor
     shutil.copy("/root/testdata/sf0.001/events.parquet", d / "events.parquet")
     raw_schema = spark.read.parquet(str(d)).schema
     stream_ev = spark.readStream.schema(raw_schema).parquet(str(d))
-    if dict(stream_ev.dtypes)["ts"] == "bigint":
-        stream_ev = stream_ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream_ev = mio.normalize_event_ts(stream_ev)
     joined = streaming.streaming_interval_join(
         stream_ev.filter(F.col("event_type") == "click"),
         stream_ev.filter(F.col("event_type") == "purchase"),
@@ -320,8 +326,7 @@ def test_stream_static_enrich_matches_batch_join(spark, tmp_path_factory):
     )
     raw_schema = spark.read.parquet(str(d)).schema
     stream_ev = spark.readStream.schema(raw_schema).parquet(str(d))
-    if dict(stream_ev.dtypes)["ts"] == "bigint":
-        stream_ev = stream_ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream_ev = mio.normalize_event_ts(stream_ev)
     enriched = streaming.stream_static_enrich(
         stream_ev.select("event_id", "user_id"), dim, key="user_id"
     )
@@ -362,7 +367,7 @@ def test_streaming_interval_left_outer_join_emits_unmatched(spark, tmp_path_fact
     def write_single(tag: str, event_type: str, user: int, mtime: int):
         s = (
             base.limit(1)
-            .withColumn("ts", (F.col("ts") + F.lit(100 * 86400 * 10**9)).cast("long"))
+            .withColumn("ts", _ts_plus_100_days(base))
             .withColumn("user_id", F.lit(user).cast("long"))
             .withColumn("event_type", F.lit(event_type))
         )
@@ -389,8 +394,7 @@ def test_streaming_interval_left_outer_join_emits_unmatched(spark, tmp_path_fact
         .option("maxFilesPerTrigger", 2)
         .parquet(str(d))
     )
-    if dict(stream_ev.dtypes)["ts"] == "bigint":
-        stream_ev = stream_ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream_ev = mio.normalize_event_ts(stream_ev)
     joined = streaming.streaming_interval_join(
         stream_ev.filter(F.col("event_type") == "click"),
         stream_ev.filter(F.col("event_type") == "purchase"),

@@ -57,7 +57,14 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     names = sys.argv[1:] or list(qs)
 
-    spark = get_spark("oracle_check")
+    if os.environ.get("SPARK_GRAFT_PLAIN_SESSION"):
+        # emulate the driver's default-config session (no tuned confs at
+        # all) — queries must self-configure via io.ensure_session_conf
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").appName("oracle_check_plain").getOrCreate()
+    else:
+        spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
