@@ -416,19 +416,54 @@ register("doc_corpus_pipeline", _cp.CORPUS_PIPELINE_SQL,
 register("doc_source_mix", _smp.SOURCE_MIX_SQL,
          doc="Weighted source mixing: fractional up/downsampling with deterministic copies")(_smp.source_mix)
 
+from .operators import corpus_analytics as _ca  # noqa: E402
+
+register("doc_unigram_lm_score", _ca.UNIGRAM_LM_SCORE_SQL,
+         doc="Unigram-LM quality proxy: per-doc avg negative log-likelihood, ppm fixed-point (CCNet-style cheap perplexity)")(_ca.unigram_lm_score)
+register("doc_shingle_novelty", _ca.SHINGLE_NOVELTY_SQL,
+         doc="Substring-dedup attribution: per-doc fraction of shingles first seen in an earlier doc (first-writer-wins)")(_ca.shingle_novelty)
+register("doc_dedup_keep_best", _ca.DEDUP_KEEP_BEST_SQL,
+         doc="Exact-dup keep-best policy: retain longest member per (lang, fingerprint) group")(_ca.dedup_keep_best)
+register("doc_source_overlap", _ca.SOURCE_OVERLAP_SQL,
+         doc="Cross-source contamination: pairwise shingle containment/Jaccard between sources")(_ca.source_overlap)
+register("embed_topk_per_label", _ca.TOPK_PER_LABEL_SQL,
+         doc="Per-label top-k most-central vectors (cosine to own-label centroid, broadcast centroids)")(_ca.topk_per_label)
+register("ev_value_anomaly", _ca.VALUE_ANOMALY_SQL,
+         doc="Per-type 3-sigma value outliers (tiny stats aggregate broadcast back; no full-table window)")(_ca.value_anomaly)
+register("ord_rfm_segments", _ca.RFM_SEGMENTS_SQL,
+         doc="RFM customer segmentation: recency/frequency/monetary quartiles via deterministic ntile")(_ca.rfm_segments)
+
 
 # --- driver-window ordering -------------------------------------------------
 #
-# The round-1 driver correctness run recorded verdicts for only the
-# FIRST 50 registry entries (time/size-capped window) — every LLM-
-# pipeline query went driver-unverified. Reorder the registry so the
-# queries that lack a driver verdict run first; the round-1-verified
-# families follow. Within each block, registration order is preserved.
+# The driver's correctness gate records verdicts for only the FIRST 50
+# registry entries per round (time/size-capped window). The driver also
+# REGENERATED the testdata parquet between rounds 1 and 2 (timestamps
+# moved from TIMESTAMP(NANOS) to TIMESTAMP_NTZ), so a round-1 verdict
+# no longer certifies behavior on the current files. Order the registry
+# so the window covers, in priority order:
+#   1. queries that FAILED the round-2 gate (since fixed — NTZ ts
+#      handling, scalar members column) and need a fresh verdict;
+#   2. queries new this round;
+#   3. queries whose only green verdict predates the data regeneration
+#      (round-1 window: TPC-H family, windows/sort/set-op family, ev_*).
+# Everything else was hash-verified by the round-2 driver run against
+# the current data. Within each block, registration order is preserved.
 
-_R01_VERIFIED = [
-    "ml_parse_header", "ml_router_counts", "ml_logs", "ml_clients",
-    "ml_messages", "ml_deliveries", "ml_delivery_typed", "ml_relay_latency",
-    "ml_msg_delivery_join", "ml_pii_scrub", "ml_admission_stats",
+# names of queries first registered in round 3 — kept in one place so
+# the priority block below stays honest
+_R3_NEW: list[str] = [
+    "doc_unigram_lm_score", "doc_shingle_novelty", "doc_dedup_keep_best",
+    "doc_source_overlap", "embed_topk_per_label", "ev_value_anomaly",
+    "ord_rfm_segments",
+]
+
+_PRIORITY = [
+    # 1. round-2 failures, fixed this round
+    "ev_asof_purchase_click", "ev_pairs_within_5min", "doc_neardup_clusters",
+    # 2. new round-3 queries (registered with r3 marker below)
+    *_R3_NEW,
+    # 3. round-1-only verdicts (pre-regeneration data)
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier", "top_customers_per_nation", "distinct_counts",
     "set_ops_customers", "rollup_sales", "customers_without_orders",
@@ -448,8 +483,8 @@ _R01_VERIFIED = [
 ]
 
 REGISTRY = {
-    **{n: q for n, q in REGISTRY.items() if n not in set(_R01_VERIFIED)},
-    **{n: REGISTRY[n] for n in _R01_VERIFIED if n in REGISTRY},
+    **{n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY},
+    **{n: q for n, q in REGISTRY.items() if n not in set(_PRIORITY)},
 }
 
 
