@@ -1,0 +1,162 @@
+"""Invariant tests for operators/corpus_analytics.py — properties the
+oracle differential can't express (model-level identities, policy
+consistency with the dedup family, quartile balance)."""
+
+from __future__ import annotations
+
+import math
+
+
+from maillog2db_spark import io
+from maillog2db_spark.operators import corpus_analytics as ca
+from maillog2db_spark.operators import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_unigram_lm_score_matches_local_model(spark):
+    """The distributed score equals a single-process recomputation of
+    the same unigram MLE model (token-exact, ppm-exact)."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in io.load(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    from collections import Counter
+
+    tok = lambda t: [x for x in t.lower().strip().split() if x]
+    vocab: Counter = Counter()
+    for t in docs.values():
+        vocab.update(tok(t))
+    total = sum(vocab.values())
+    expected = {}
+    for d, t in docs.items():
+        toks = tok(t)
+        if not toks:
+            continue
+        ppm = [math.floor(-math.log(vocab[x] / total) * 1_000_000 + 0.5) for x in toks]
+        expected[d] = (len(toks), sum(ppm), sum(ppm) // len(toks))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["sum_nll_ppm"], r["avg_nll_ppm"])
+        for r in ca.unigram_lm_score(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_shingle_novelty_matches_local_recomputation(spark):
+    """The distributed first-writer-wins attribution equals a
+    single-process recomputation over the whole sf0.001 corpus."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in io.load(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+
+    def shingles(t: str) -> set:
+        toks = [x for x in t.lower().strip().split() if x]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    first: dict = {}
+    for d in sorted(docs):
+        for sh in shingles(docs[d]):
+            first.setdefault(sh, d)
+    expected = {}
+    for d in sorted(docs):
+        sh = shingles(docs[d])
+        if not sh:
+            continue
+        n_seen = sum(1 for s in sh if first[s] < d)
+        n = len(sh)
+        expected[d] = (
+            n,
+            n_seen,
+            math.floor((n - n_seen) * 1_000_000.0 / n + 0.5),
+            n_seen * 2 >= n,
+        )
+
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_seen"], r["novel_ppm"], r["dup_candidate"])
+        for r in ca.shingle_novelty(spark, SF).collect()
+    }
+    assert got == expected
+    lowest = min(got)
+    assert got[lowest][1] == 0 and got[lowest][2] == 1_000_000
+
+
+def test_dedup_keep_best_one_keeper_per_group(spark):
+    """Exactly one keep per (lang, fingerprint) group; the keeper has
+    the group's max n_chars; total keepers == exact_dedup row count."""
+    rows = ca.dedup_keep_best(spark, SF).collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[(r["lang"], r["fingerprint"])].append(r)
+    n_chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in io.load(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    }
+    for g in groups.values():
+        keeps = [r for r in g if r["keep"]]
+        assert len(keeps) == 1
+        assert n_chars[keeps[0]["doc_id"]] == max(n_chars[r["doc_id"]] for r in g)
+        assert all(r["group_size"] == len(g) for r in g)
+    assert len(groups) == dedup.exact_dedup(spark, SF).count()
+
+
+def test_source_overlap_symmetric_bounds(spark):
+    """Jaccard ≤ containment ≤ 1; n_common bounded by both sides."""
+    for r in ca.source_overlap(spark, SF).collect():
+        assert r["src_a"] < r["src_b"]
+        assert 0 < r["n_common"] <= min(r["n_a"], r["n_b"])
+        assert r["jaccard_ppm"] <= r["containment_a_ppm"] <= 1_000_000
+
+
+def test_topk_per_label_ranks_and_membership(spark):
+    """Each label yields exactly k ranked rows, ranks contiguous,
+    cosines non-increasing, and every vec belongs to the label."""
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in io.load(spark, SF, "embeddings").select("vec_id", "label").collect()
+    }
+    by_label = {}
+    for r in ca.topk_per_label(spark, SF).collect():
+        by_label.setdefault(r["label"], []).append(r)
+        assert labels[r["vec_id"]] == r["label"]
+    for lbl, rows in by_label.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, ca.TOPK_PER_LABEL + 1))
+        cos = [r["cosine"] for r in rows]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_value_anomaly_zscores(spark):
+    """Every reported row clears the 3-sigma cut; recomputing the
+    population z locally agrees within rounding."""
+    e = io.load_events(spark, SF).select("event_id", "event_type", "value").collect()
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in e:
+        vals[r["event_type"]].append(r["value"])
+    stats = {
+        t: (sum(v) / len(v), math.sqrt(sum((x - sum(v) / len(v)) ** 2 for x in v) / len(v)))
+        for t, v in vals.items()
+    }
+    rows = ca.value_anomaly(spark, SF).collect()
+    for r in rows:
+        mu, sd = stats[r["event_type"]]
+        assert abs(r["z"]) > ca.ANOMALY_Z
+        assert abs(r["z"] - (r["value"] - mu) / sd) < 1e-3
+
+
+def test_rfm_quartiles_balanced(spark):
+    """ntile(4) splits customers as evenly as possible; segment code
+    recombines the three quartiles."""
+    rows = ca.rfm_segments(spark, SF).collect()
+    n = len(rows)
+    for col in ("r_quartile", "f_quartile", "m_quartile"):
+        sizes = [sum(1 for r in rows if r[col] == q) for q in (1, 2, 3, 4)]
+        assert sum(sizes) == n
+        assert max(sizes) - min(sizes) <= 1
+    for r in rows:
+        assert r["segment"] == r["r_quartile"] * 100 + r["f_quartile"] * 10 + r["m_quartile"]
