@@ -25,9 +25,118 @@ def test_decode_schema_and_cardinality(spark, media):
     assert all(16 <= r.width < 80 and 1 <= r.n_frames <= 8 for r in rows)
 
 
-def test_decode_real_codec_is_explicitly_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        mm.decode_media(media, real_codec=True)
+def _png_corpus(spark):
+    """Synthesized real media: PNGs of varying size/colortype, WAVs of
+    varying frame counts, one corrupt payload."""
+    from maillog2db_spark.operators import codecs
+
+    rows = []
+    for i, (w, h, ch) in enumerate([(5, 3, 1), (7, 4, 3), (6, 6, 4), (16, 2, 2)]):
+        pix = bytes((i + x * 7 + 13) % 256 for x in range(w * h * ch))
+        rows.append((i, codecs.encode_png(pix, w, h, ch), w, h, 1))
+    for i, n_frames in enumerate([160, 801, 7]):
+        pcm = bytes((i + x) % 256 for x in range(n_frames * 2))
+        rows.append((10 + i, codecs.encode_wav(pcm), 0, 0, n_frames))
+    rows.append((99, b"definitely not media", -1, -1, -1))
+    return spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "doc_id long, payload binary"
+    ), {r[0]: (r[2], r[3], r[4]) for r in rows}
+
+
+def test_decode_real_codec_parses_actual_png_and_wav(spark):
+    """real_codec=True decodes true dimensions/frame counts out of
+    actual bytes through the distributed mapInPandas path; the corrupt
+    payload is quarantined (ok=False), not a task failure."""
+    df, expected = _png_corpus(spark)
+    got = {r.doc_id: r for r in mm.decode_media(df, real_codec=True).collect()}
+    assert set(got) == set(expected)
+    for doc_id, (w, h, n_frames) in expected.items():
+        r = got[doc_id]
+        if w == -1:
+            assert not r.ok and r.media_type == "unknown"
+        elif n_frames == 1:
+            assert r.ok and r.media_type == "image/png" and (r.width, r.height) == (w, h)
+        else:
+            assert r.ok and r.media_type == "audio/wav" and r.n_frames == n_frames
+
+
+def test_png_roundtrip_all_filter_types():
+    """The decoder must handle every scanline filter type (1-4), which
+    our filter-0-only encoder never emits: craft the filtered streams
+    by hand and check they reconstruct the same pixels."""
+    import struct
+    import zlib
+
+    from maillog2db_spark.operators import codecs
+
+    w, h, ch = 4, 3, 3
+    pix = bytes((x * 31 + 7) % 256 for x in range(w * h * ch))
+    stride = w * ch
+
+    def rebuild(filter_rows: bytes) -> bytes:
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        return (
+            codecs.PNG_SIGNATURE
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(filter_rows))
+            + chunk(b"IEND", b"")
+        )
+
+    rows = [bytearray(pix[y * stride : (y + 1) * stride]) for y in range(h)]
+
+    # forward-apply each filter type to construct the encoded stream
+    def sub(row, prev):
+        return bytes((row[i] - (row[i - ch] if i >= ch else 0)) & 0xFF for i in range(stride))
+
+    def up(row, prev):
+        return bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+
+    def avg(row, prev):
+        return bytes(
+            (row[i] - (((row[i - ch] if i >= ch else 0) + prev[i]) >> 1)) & 0xFF
+            for i in range(stride)
+        )
+
+    def paeth(row, prev):
+        out = []
+        for i in range(stride):
+            a = row[i - ch] if i >= ch else 0
+            c = prev[i - ch] if i >= ch else 0
+            out.append((row[i] - codecs._paeth(a, prev[i], c)) & 0xFF)
+        return bytes(out)
+
+    for ftype, f in [(1, sub), (2, up), (3, avg), (4, paeth)]:
+        stream = bytearray()
+        prev = bytearray(stride)
+        for y in range(h):
+            stream += bytes([ftype]) + f(rows[y], prev)
+            prev = rows[y]
+        got = codecs.decode_png(rebuild(bytes(stream)))
+        assert got == (w, h, ch, pix), f"filter type {ftype} broken"
+
+
+def test_resize_real_codec_produces_valid_smaller_png(spark):
+    from maillog2db_spark.operators import codecs
+
+    df, expected = _png_corpus(spark)
+    out = {r.doc_id: r for r in mm.resize_media(df, width=3, height=2, real_codec=True).collect()}
+    for doc_id, (w, h, n_frames) in expected.items():
+        r = out[doc_id]
+        if n_frames == 1 and w > 0:  # the PNG rows
+            w2, h2, ch2, pix2 = codecs.decode_png(bytes(r.payload))
+            assert (w2, h2) == (3, 2) and len(pix2) == 3 * 2 * ch2
+            assert (r.width, r.height) == (3, 2)
+        else:  # WAV / corrupt payloads pass through quarantined
+            assert r.width == -1 and bytes(r.payload)
 
 
 def test_resize_bounds_payload(spark, media):
