@@ -21,6 +21,7 @@ BNL_ALLOWED = {
     "doc_tfidf_topk",
     "tpch_q11_important_parts",
     "tpch_q22_dormant_customers",
+    "doc_unigram_lm_score",  # single-row corpus-total scalar broadcast
 }
 
 
@@ -62,14 +63,15 @@ def test_flagship_join_broadcasts_the_dimension(spark):
 
 
 def test_dedup_candidates_bounded_no_sig_self_join(spark):
-    # candidate generation is groupBy + BOUNDED in-bucket expansion: the
-    # only join allowed is the salted oversize-bucket fallback, which
-    # joins the banded rows (scanned from the persisted signature base)
-    # with themselves on (bucket, chunk_i, chunk_j) — never the
-    # signature AGGREGATION subtree against itself (that would recompute
-    # the md5-per-shingle work per side), and never a cartesian.
+    # candidate generation is groupBy + BOUNDED in-bucket expansion.
+    # On a corpus with no oversize buckets (this one — the adaptive
+    # probe verified it) the plan is JOIN-FREE: one aggregation plus
+    # chained explodes, never the signature aggregation subtree joined
+    # against itself (that would recompute the md5-per-shingle work per
+    # side) and never a cartesian. The oversize path's single salted
+    # join is pinned by test_hot_bucket_pairs_bounded_row_width.
     p = _plan(spark, "doc_lsh_candidate_pairs")
-    assert p.count("Join") == 1, p  # exactly the salted fallback join
+    assert p.count("Join") == 0, p
     assert "CartesianProduct" not in p
     # the signature subtree is served from the session cache, not
     # recomputed inline per branch
