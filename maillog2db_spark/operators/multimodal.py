@@ -233,6 +233,65 @@ def extract_features(df: DataFrame) -> DataFrame:
     )
 
 
+PNG_ROUNDTRIP_W = 32
+
+
+def png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked REAL-codec round-trip: pack each document's UTF-8
+    bytes into a space-padded 32-wide grayscale pixel grid, encode an
+    actual PNG (zlib scanlines, CRCs), decode it back, and report the
+    recovered dimensions plus the md5 of the recovered pixels. The
+    DuckDB oracle predicts every output column arithmetically from the
+    text alone — so a hash match proves the encoder and decoder
+    faithfully round-trip real image bytes through the distributed
+    Arrow path, not that two fakes agree.
+
+    Scale shape: pure mapInPandas over the (repartitioned) scan — no
+    shuffle, no state; each task handles a bounded Arrow batch."""
+    import hashlib
+    import math
+
+    from . import codecs
+
+    p = spark.sparkContext.defaultParallelism
+    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id").select("doc_id", "text")
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = PNG_ROUNDTRIP_W
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")
+                h = max(1, math.ceil(len(data) / w))
+                pix = data.ljust(w * h, b" ")
+                png = codecs.encode_png(pix, w, h, channels=1)
+                w2, h2, ch2, pix2 = codecs.decode_png(png)
+                assert ch2 == 1
+                rows.append(
+                    (doc_id, w2, h2, len(data), hashlib.md5(pix2).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_bytes", "pixel_md5"]
+            )
+
+    return d.mapInPandas(
+        _roundtrip,
+        schema="doc_id bigint, width int, height int, n_bytes bigint, pixel_md5 string",
+    )
+
+
+PNG_ROUNDTRIP_SQL = f"""
+SELECT doc_id,
+       {PNG_ROUNDTRIP_W} AS width,
+       CAST(greatest(1, ceil(octet_length(encode(text)) / {PNG_ROUNDTRIP_W}.0)) AS INT) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text || repeat(' ',
+           CAST(greatest(1, ceil(octet_length(encode(text)) / {PNG_ROUNDTRIP_W}.0)) AS INT)
+             * {PNG_ROUNDTRIP_W} - octet_length(encode(text)))) AS pixel_md5
+FROM documents
+"""
+
+
 def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapter: documents.text as a fake binary media column, for
     exercising the decode plumbing on driver testdata."""

@@ -432,6 +432,8 @@ register("ev_value_anomaly", _ca.VALUE_ANOMALY_SQL,
          doc="Per-type 3-sigma value outliers (tiny stats aggregate broadcast back; no full-table window)")(_ca.value_anomaly)
 register("ord_rfm_segments", _ca.RFM_SEGMENTS_SQL,
          doc="RFM customer segmentation: recency/frequency/monetary quartiles via deterministic ntile")(_ca.rfm_segments)
+register("mm_png_roundtrip", _mm.PNG_ROUNDTRIP_SQL,
+         doc="REAL-codec round-trip: text bytes -> grayscale PNG -> decode, dims+pixel md5 predicted arithmetically by the oracle")(_mm.png_roundtrip)
 
 
 # --- driver-window ordering -------------------------------------------------
@@ -455,7 +457,7 @@ register("ord_rfm_segments", _ca.RFM_SEGMENTS_SQL,
 _R3_NEW: list[str] = [
     "doc_unigram_lm_score", "doc_shingle_novelty", "doc_dedup_keep_best",
     "doc_source_overlap", "embed_topk_per_label", "ev_value_anomaly",
-    "ord_rfm_segments",
+    "ord_rfm_segments", "mm_png_roundtrip",
 ]
 
 _PRIORITY = [
