@@ -449,7 +449,20 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates from banding, verified with true shingle-Jaccard ≥
     threshold. Verification joins shingle sets only for candidate
     pairs — never quadratic — and the shingle arrays come from the
-    persisted rep base, not a recomputed subtree."""
+    persisted rep base, not a recomputed subtree.
+
+    The verified pair table is itself a session-cached base (like
+    reps/signatures): a production pipeline materializes pairs once
+    and runs clustering, keep/drop policy, and reporting off that
+    table — doc_neardup_clusters consumes this directly instead of
+    regenerating candidates + verification per call."""
+    return _cached(
+        spark, sf_dir, "neardup_pairs",
+        lambda: _neardup_pairs_build(spark, sf_dir),
+    )
+
+
+def _neardup_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _reps(spark, sf_dir)
     cand = lsh_candidate_pairs(spark, sf_dir)
     a = d.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))

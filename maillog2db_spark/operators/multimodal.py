@@ -113,14 +113,17 @@ def decode_media(df: DataFrame, payload_col: str = "payload", real_codec: bool =
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                was_null = p is None
                 p = p if p is not None else b""
                 if real_codec:
                     m = _real_decode(p)
                     ok = m is not None
                     m = m or {"media_type": "unknown", "width": 0, "height": 0, "n_frames": 0}
                 else:
+                    # fake path: null payloads quarantined (ok=False),
+                    # same contract the real path applies to undecodables
                     m = {"media_type": "image", **_fake_decode(p)}
-                    ok = True
+                    ok = not was_null
                 rows.append(
                     (doc_id, m["media_type"], len(p), m["width"], m["height"], m["n_frames"], ok)
                 )
