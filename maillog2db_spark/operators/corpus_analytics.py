@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from .. import io
 from .dedup import _TOKENS_DUCK, _TOKENS_SPARK, _with_shingles, _SHINGLES_DUCK
-from .similarity import _centroids, _dot, _embeddings, _norm
+from .similarity import _dot, _embeddings, _norm, centroids_with_norms
 
 TOPK_PER_LABEL = 5
 ANOMALY_Z = 3.0
@@ -307,10 +307,8 @@ def topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cosine is rounded to 6 decimals before ranking with vec_id
     tiebreak (the similarity.py determinism pattern)."""
     e = _embeddings(spark, sf_dir)
-    cents = _centroids(e).select(
-        F.col("cell").alias("label"),
-        "centroid",
-        _norm(F.col("centroid")).alias("cent_nrm"),
+    cents = centroids_with_norms(spark, sf_dir).select(
+        F.col("cell").alias("label"), "centroid", "cent_nrm"
     )
     scored = (
         e.select("vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm"))

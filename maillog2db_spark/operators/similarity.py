@@ -40,6 +40,23 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return io.load(spark, sf_dir, "embeddings").repartition(p, "vec_id")
 
 
+def centroids_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached per-label centroid table (+ L2 norm) — the coarse
+    quantizer shared by the inline IVF query, the persisted index build,
+    and the per-label top-k exemplar query. Tiny (cells × dim) and
+    broadcast at every use site; caching it skips the posexplode +
+    two-aggregation build on every query (the same materialize-once
+    pattern as the dedup rep/signature bases)."""
+    from .dedup import _cached
+
+    return _cached(
+        spark, sf_dir, "label_centroids",
+        lambda: _centroids(_embeddings(spark, sf_dir)).withColumn(
+            "cent_nrm", _norm(F.col("centroid"))
+        ),
+    )
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -277,7 +294,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-vector / per-centroid norms precomputed below every join (the
     # interpreted fold runs once per vector, not once per scored pair);
     # identical expression trees → bit-identical doubles vs the oracle
-    cents = _centroids(e).withColumn("cent_nrm", _norm(F.col("centroid")))
+    cents = centroids_with_norms(spark, sf_dir)
 
     def nearest_cells(df: DataFrame, id_col: str, emb_col: str, nrm_col: str, n: int) -> DataFrame:
         return _nearest_cells(cents, df, id_col, emb_col, nrm_col, n)
@@ -541,7 +558,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     probed cells' directories are read (partition pruning — the on-disk
     analogue of the inverted-list seek)."""
     e = _embeddings(spark, sf_dir)
-    cents = _centroids(e).withColumn("cent_nrm", _norm(F.col("centroid")))
+    cents = centroids_with_norms(spark, sf_dir)
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
