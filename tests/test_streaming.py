@@ -506,3 +506,57 @@ def test_streaming_neardup_matches_batch(spark, tmp_path_factory):
     q3.awaitTermination(180)
     final = sorted(map(tuple, store.read_pairs(spark).collect()))
     assert final == got
+
+
+def test_streaming_vocab_scoring_matches_batch(spark, tmp_path_factory):
+    """Incremental vocabulary build (persisted token-count store, batch
+    by batch) followed by scoring against the final model produces
+    EXACTLY the batch unigram-LM scores on the same corpus; replaying
+    the stream through a fresh checkpoint changes no count (ledger)."""
+    import shutil
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_quality as sq
+    from maillog2db_spark.operators import corpus_analytics as ca
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents").select("doc_id", "text")
+
+    d = tmp_path_factory.mktemp("vocab_stream")
+    src = d / "docs"
+    src.mkdir()
+
+    def drop_wave(df, name, mtime):
+        tmp = d / f"_tmp_{name}"
+        df.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"{name}.parquet"
+        shutil.move(str(part), str(dest))
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp)
+
+    for i in range(3):
+        drop_wave(docs.filter(f"doc_id % 3 = {i}"), f"wave{i}", 1_700_000_000 + i * 60)
+
+    store = sq.VocabStore(str(d / "store"), n_buckets=4)
+    q = sq.start_vocab_stream(spark, str(src), store, str(d / "ckpt"), available_now=True)
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["sum_nll_ppm"], r["avg_nll_ppm"])
+        for r in sq.score_against_store(spark, docs, store).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["sum_nll_ppm"], r["avg_nll_ppm"])
+        for r in ca.unigram_lm_score(spark, sf).collect()
+    }
+    assert want and got == want
+
+    # replay through a fresh checkpoint: ledger makes batches no-ops
+    q2 = sq.start_vocab_stream(spark, str(src), store, str(d / "ckpt2"), available_now=True)
+    q2.awaitTermination(180)
+    again = {
+        r["doc_id"]: (r["n_tokens"], r["sum_nll_ppm"], r["avg_nll_ppm"])
+        for r in sq.score_against_store(spark, docs, store).collect()
+    }
+    assert again == got
