@@ -442,6 +442,43 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile of the documents table — the
+    audit a pipeline runs before admitting a new corpus drop: row/null/
+    empty counts, dimension cardinalities, char-length distribution.
+    One scan, one map-side-combined aggregate, no shuffle beyond the
+    final single-row combine; every output is integer-exact."""
+    d = io.load(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_null_text"),
+        F.sum(
+            F.when(F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0, 1).otherwise(0)
+        ).alias("n_empty_text"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+    ).select(
+        "*", F.expr("sum_chars div n_rows").alias("avg_chars")
+    )
+
+
+CORPUS_PROFILE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+       CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars
+FROM documents
+"""
+
+
 RFM_SEGMENTS_SQL = """
 WITH per_cust AS (
   SELECT o_custkey,

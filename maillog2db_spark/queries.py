@@ -434,6 +434,8 @@ register("ord_rfm_segments", _ca.RFM_SEGMENTS_SQL,
          doc="RFM customer segmentation: recency/frequency/monetary quartiles via deterministic ntile")(_ca.rfm_segments)
 register("mm_png_roundtrip", _mm.PNG_ROUNDTRIP_SQL,
          doc="REAL-codec round-trip: text bytes -> grayscale PNG -> decode, dims+pixel md5 predicted arithmetically by the oracle")(_mm.png_roundtrip)
+register("doc_profile", _ca.CORPUS_PROFILE_SQL,
+         doc="Corpus admission audit: rows/nulls/empties, dimension cardinalities, char-length distribution in one scan")(_ca.corpus_profile)
 
 
 # --- driver-window ordering -------------------------------------------------
@@ -457,7 +459,7 @@ register("mm_png_roundtrip", _mm.PNG_ROUNDTRIP_SQL,
 _R3_NEW: list[str] = [
     "doc_unigram_lm_score", "doc_shingle_novelty", "doc_dedup_keep_best",
     "doc_source_overlap", "embed_topk_per_label", "ev_value_anomaly",
-    "ord_rfm_segments", "mm_png_roundtrip",
+    "ord_rfm_segments", "mm_png_roundtrip", "doc_profile",
 ]
 
 _PRIORITY = [
