@@ -569,6 +569,43 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     inv.write.mode("overwrite").partitionBy("cell").parquet(f"{index_dir}/cells")
 
 
+def update_ivf_index(spark: SparkSession, index_dir: str, new_vectors: DataFrame) -> None:
+    """Incremental index maintenance: assign NEW vectors (vec_id,
+    embedding) to cells under the EXISTING centroids and merge them
+    into only the touched cell directories (dynamic partition
+    overwrite) — a 100 TB index absorbs a daily drop without a corpus
+    rebuild. Per-cell dedup by neighbor_id keeps the update idempotent
+    under replay. The coarse quantizer is intentionally frozen (the
+    standard IVF practice: re-train centroids offline, rebuild only
+    then), so query-time results after N updates equal a one-shot
+    build over the union — which is what the test asserts."""
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    fresh = new_vectors.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
+    )
+    assigned = _nearest_cells(cents, fresh, "neighbor_id", "c_emb", "c_nrm", 1)
+    import os
+
+    cells_dir = f"{index_dir}/cells"
+    if os.path.isdir(cells_dir) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(cells_dir)
+    ):
+        touched = [r.cell for r in assigned.select("cell").distinct().collect()]
+        old = spark.read.parquet(cells_dir).filter(F.col("cell").isin(touched))
+        merged = old.unionByName(assigned).dropDuplicates(["neighbor_id"])
+    else:
+        merged = assigned
+    (
+        merged.repartition("cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/cells")
+    )
+
+
 def query_ivf_index(
     spark: SparkSession, index_dir: str, queries: DataFrame, n_probe: int = None
 ) -> DataFrame:

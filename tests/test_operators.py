@@ -584,3 +584,41 @@ def test_approx_percentiles_track_exact(spark):
                 if col in qmap or not isinstance(ev, (int, float)):
                     continue
                 assert ar[col] == pytest.approx(ev, rel=1e-9), (approx_name, key, col)
+
+
+def test_incremental_ivf_update_matches_one_shot_build(spark, tmp_path):
+    """Index maintenance: absorbing the corpus in waves under a frozen
+    coarse quantizer yields query results identical to a one-shot
+    build, and replaying a wave is a no-op (per-cell neighbor dedup)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from maillog2db_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    full = str(tmp_path / "ivf_full")
+    inc = str(tmp_path / "ivf_inc")
+    sim.build_ivf_index(spark, sf, full)
+    # frozen quantizer: the incremental index shares the trained centroids
+    shutil.copytree(f"{full}/centroids", f"{inc}/centroids")
+
+    corpus = sim._embeddings(spark, sf).filter(F.col("vec_id") >= sim.N_QUERIES)
+    wave_a = corpus.filter("vec_id % 2 = 0")
+    wave_b = corpus.filter("vec_id % 2 = 1")
+    sim.update_ivf_index(spark, inc, wave_a)  # cells dir absent → bootstrap
+    sim.update_ivf_index(spark, inc, wave_b)  # bucket-merge path
+
+    queries = sim._embeddings(spark, sf).filter(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    want = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in sim.query_ivf_index(spark, full, queries).collect()}
+    got = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+           for r in sim.query_ivf_index(spark, inc, queries).collect()}
+    assert got == want and got
+
+    sim.update_ivf_index(spark, inc, wave_b)  # replay — must change nothing
+    again = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+             for r in sim.query_ivf_index(spark, inc, queries).collect()}
+    assert again == want
