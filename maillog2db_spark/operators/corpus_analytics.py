@@ -237,6 +237,10 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_shingles(spark, sf_dir, extra_cols=("source",))
         .select("source", F.explode("sh").alias("shingle"))
         .distinct()
+        # both self-join sides + the per-source counts read this set;
+        # lazy localCheckpoint materializes it once per action instead
+        # of re-running the interpreted shingling three times
+        .localCheckpoint(eager=False)
     )
     per_source = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ss.select(F.col("source").alias("src_a"), "shingle")
