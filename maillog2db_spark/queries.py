@@ -467,23 +467,29 @@ _PRIORITY = [
     "ev_asof_purchase_click", "ev_pairs_within_5min", "doc_neardup_clusters",
     # 2. new round-3 queries (registered with r3 marker below)
     *_R3_NEW,
-    # 3. round-1-only verdicts (pre-regeneration data)
+    # 3. round-1-only verdicts (pre-regeneration data), date/timestamp-
+    #    dependent first — these are the ones the regeneration could
+    #    have changed
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier", "top_customers_per_nation", "distinct_counts",
     "set_ops_customers", "rollup_sales", "customers_without_orders",
-    "pivot_returnflag", "tpch_q6_forecast_revenue", "tpch_q10_returned_items",
+    "tpch_q6_forecast_revenue", "tpch_q10_returned_items",
     "tpch_q14_promo_share", "tpch_q18_large_orders", "tpch_q7_nation_trade",
-    "tpch_q13_order_distribution", "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue", "cube_orders", "price_percentiles",
+    "tpch_q15_top_supplier", "cube_orders",
     "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
     "tpch_q8_market_share", "tpch_q9_product_profit",
     "tpch_q11_important_parts", "tpch_q12_priority_shipping",
-    "tpch_q16_supplier_counts", "tpch_q19_disjunctive_revenue",
+    "tpch_q19_disjunctive_revenue",
     "tpch_q20_excess_suppliers", "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers", "grouping_sets_orders",
     "ev_tumbling_hourly", "ev_sessionize", "ev_top_users",
     "ev_daily_active_users", "ev_funnel_conversion", "ev_user_daily_autocorr",
     "ord_customer_gaps", "ev_props_json_stats",
+    # date-free queries (values unaffected by the timestamp-type
+    # regeneration) sort last — when the 50-entry gate window clips the
+    # priority list, these are the safe ones to fall outside it
+    "price_percentiles", "pivot_returnflag", "tpch_q17_small_qty_revenue",
+    "tpch_q13_order_distribution", "tpch_q16_supplier_counts",
 ]
 
 REGISTRY = {
