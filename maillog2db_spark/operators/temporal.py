@@ -29,6 +29,69 @@ from .. import io
 RANGE_WINDOW_SEC = 300
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """Generic as-of join (the pandas ``merge_asof`` contract Spark
+    lacks natively): for every left row, attach the value columns of
+    the closest right row per ``by`` group at-or-before (``backward``)
+    or at-or-after (``forward``) the left timestamp.
+
+    Implementation is the piecewise-constant-join rewrite the
+    specialized operator below uses: tag right 0 / left 1, union, ONE
+    shuffle on the by-keys, running ``last(..., ignorenulls)`` over the
+    merged order. No per-row range probe, no candidate explosion — the
+    single-exchange plan that survives 100 TB, and the same state shape
+    a streaming stateful dual keeps (one running value per key).
+
+    ``allow_exact_matches=False`` turns the bound strict (< / >) via
+    the tie-break order flip. Right rows with duplicate (by, ts) pick
+    the one latest in the union order — callers needing a different
+    policy should pre-aggregate the right side (same as merge_asof)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
+    # value columns travel as ONE struct so every output row's values
+    # come from the SAME matched right row (per-column running-last
+    # could mix rows when a matched row holds NULL fields)
+    r = right.select(
+        *by,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_kind"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_vals"),
+    )
+    l = left.select("*", F.col(left_ts).alias("_ts"), F.lit(1).alias("_kind"))
+    merged = l.unionByName(r, allowMissingColumns=True)
+    # backward: ascending ts; on equal ts the right row sorts first iff
+    # exact matches are allowed, so the running last() sees it (or not).
+    # forward: descending ts turns "at-or-after" into the same running-
+    # last shape.
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    kind_order = F.col("_kind").asc() if allow_exact_matches else F.col("_kind").desc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_order, kind_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = merged.withColumn(
+        "_m",
+        F.last(F.when(F.col("_kind") == 0, F.col("_vals")), ignorenulls=True).over(w),
+    )
+    out = out.filter(F.col("_kind") == 1)
+    for c in value_cols:
+        out = out.withColumn(c, F.col("_m")[c])
+    return out.drop("_ts", "_kind", "_vals", "_m")
+
+
 def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every purchase event, the most recent click by the same user
     at-or-before the purchase (left as-of join, ``p.ts >= c.ts``).

@@ -622,3 +622,48 @@ def test_incremental_ivf_update_matches_one_shot_build(spark, tmp_path):
     again = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
              for r in sim.query_ivf_index(spark, inc, queries).collect()}
     assert again == want
+
+
+def test_generic_asof_join_matches_naive(spark):
+    """asof_join (generic merge_asof contract) ≡ a naive per-row scan,
+    across directions and exact-match settings, with whole-row value
+    atomicity (both value columns come from the same matched row)."""
+    import random
+
+    from maillog2db_spark.operators import temporal
+
+    rng = random.Random(3)
+    quotes = [
+        (sym, t, round(rng.uniform(10, 99), 2), rng.randint(1, 9))
+        for sym in ("aa", "bb", "cc")
+        for t in sorted(rng.sample(range(1000), 40))
+    ]
+    trades = [
+        (i, rng.choice(("aa", "bb", "cc", "dd")), rng.randrange(1000))
+        for i in range(120)
+    ]
+    qdf = spark.createDataFrame(quotes, "sym string, qts long, px double, sz int")
+    tdf = spark.createDataFrame(trades, "trade_id long, sym string, tts long")
+
+    for direction in ("backward", "forward"):
+        for exact in (True, False):
+            got = {
+                r.trade_id: (r.px, r.sz)
+                for r in temporal.asof_join(
+                    tdf, qdf, by=["sym"], left_ts="tts", right_ts="qts",
+                    value_cols=["px", "sz"], direction=direction,
+                    allow_exact_matches=exact,
+                ).collect()
+            }
+            want = {}
+            for trade_id, sym, tts in trades:
+                if direction == "backward":
+                    cand = [q for q in quotes if q[0] == sym
+                            and (q[1] <= tts if exact else q[1] < tts)]
+                    best = max(cand, key=lambda q: q[1], default=None)
+                else:
+                    cand = [q for q in quotes if q[0] == sym
+                            and (q[1] >= tts if exact else q[1] > tts)]
+                    best = min(cand, key=lambda q: q[1], default=None)
+                want[trade_id] = (best[2], best[3]) if best else (None, None)
+            assert got == want, (direction, exact)
