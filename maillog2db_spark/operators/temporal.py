@@ -145,6 +145,56 @@ ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: int,
+    upper: int,
+) -> DataFrame:
+    """Generic bounded-interval range join: all (left, right) rows per
+    ``by`` group with ``right_ts - left_ts`` in the half-open interval
+    (lower, upper]. Timestamps are integer columns (epoch micros or any
+    monotone unit); lower may be negative (look-behind windows).
+
+    The naive formulation (equi-join on by + range predicate) plans as
+    a per-key cross product — a hot key with 10^6 rows is a 10^12-pair
+    straggler at 100 TB. This decomposes the timeline into cells of the
+    interval's width: a qualifying right row always lands in the cell
+    of ``left_ts + lower`` or the one after it, so the join is a plain
+    equi-shuffle on (by, cell) probing exactly two cells with a
+    residual filter — bounded fan-out, no cross product, and each pair
+    is found exactly once (the right row's cell is a single value and
+    the two probed cells are distinct). Column names from both sides
+    are preserved; callers alias collisions beforehand."""
+    if upper <= lower:
+        raise ValueError("need lower < upper")
+    clash = (set(left.columns) & set(right.columns)) - set(by)
+    if clash:
+        raise ValueError(f"alias overlapping non-key columns first: {sorted(clash)}")
+    w = upper - lower
+    lcell = F.floor((F.col(left_ts) + F.lit(lower)) / F.lit(w))
+    probe = left.select(
+        "*", F.explode(F.array(lcell, lcell + 1)).alias("_cell")
+    )
+    build = right.select(
+        *[F.col(c).alias(f"_r_{c}") for c in by],
+        *[F.col(c) for c in right.columns if c not in by],
+        F.floor(F.col(right_ts) / F.lit(w)).alias("_r_cell"),
+    )
+    gap = F.col(right_ts) - F.col(left_ts)
+    cond = F.col("_cell") == F.col("_r_cell")
+    for c in by:
+        cond = cond & (F.col(c) == F.col(f"_r_{c}"))
+    return (
+        probe.join(build, cond)
+        .filter((gap > lower) & (gap <= upper))
+        .drop("_cell", "_r_cell", *[f"_r_{c}" for c in by])
+    )
+
+
 def event_pairs_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All ordered same-user event pairs with 0 < gap <= 5 minutes —
     a bounded-interval range self-join.

@@ -667,3 +667,37 @@ def test_generic_asof_join_matches_naive(spark):
                     best = min(cand, key=lambda q: q[1], default=None)
                 want[trade_id] = (best[2], best[3]) if best else (None, None)
             assert got == want, (direction, exact)
+
+
+def test_generic_range_join_matches_naive(spark):
+    """range_join's two-cell bucket decomposition ≡ naive filtering,
+    including negative lower bounds (look-behind) and boundary gaps."""
+    import random
+
+    from maillog2db_spark.operators import temporal
+
+    rng = random.Random(5)
+    lrows = [(i, rng.choice("xyz"), rng.randrange(500)) for i in range(80)]
+    rrows = [(j, rng.choice("xyz"), rng.randrange(500)) for j in range(80)]
+    l = spark.createDataFrame(lrows, "lid long, k string, lts long")
+    r = spark.createDataFrame(rrows, "rid long, k string, rts long")
+
+    for lo, hi in [(0, 50), (-30, 30), (-60, -10), (0, 1)]:
+        got = {
+            (x.lid, x.rid)
+            for x in temporal.range_join(
+                l, r, by=["k"], left_ts="lts", right_ts="rts", lower=lo, upper=hi
+            ).collect()
+        }
+        want = {
+            (lid, rid)
+            for lid, lk, lts in lrows
+            for rid, rk, rts in rrows
+            if lk == rk and lo < rts - lts <= hi
+        }
+        assert got == want, (lo, hi)
+        # exactly-once: collect as list too
+        n = temporal.range_join(
+            l, r, by=["k"], left_ts="lts", right_ts="rts", lower=lo, upper=hi
+        ).count()
+        assert n == len(want), (lo, hi)
