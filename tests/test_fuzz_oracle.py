@@ -1,0 +1,87 @@
+"""Randomized corpus differential: the oracle gate runs on ONE fixed
+corpus per scale factor — this fuzzes the document-family queries on
+hypothesis-generated corpora (forced exact dups, shared prefixes,
+empty/short texts, single-token docs) and checks Spark against the
+SAME registered DuckDB oracle SQL on each. Catches semantics drift the
+fixed corpus can't reach (e.g. empty-shingle docs, all-duplicate
+groups, single-source corpora)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import maillog2db_spark.queries as Q
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+FUZZED_QUERIES = [
+    "doc_exact_dedup",
+    "doc_dedup_keep_best",
+    "doc_shingle_novelty",
+    "doc_unigram_lm_score",
+    "doc_profile",
+]
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+    return df.astype(str).sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _hash(df: pd.DataFrame) -> str:
+    return hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()
+
+
+corpus_strategy = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(WORDS), min_size=0, max_size=12),  # token seq
+        st.sampled_from(["en", "de"]),
+        st.sampled_from(["s0", "s1"]),
+        st.integers(0, 3),  # number of exact copies to force
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@pytest.mark.parametrize("qname", FUZZED_QUERIES)
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(data=corpus_strategy)
+def test_fuzzed_corpus_matches_oracle(spark, tmp_path_factory, qname, data):
+    rows = []
+    doc_id = 0
+    for toks, lang, source, n_copies in data:
+        text = " ".join(toks)
+        for _ in range(1 + n_copies):
+            rows.append((doc_id, text, lang, source, len(text)))
+            doc_id += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path_factory.mktemp("fuzz")
+    df.coalesce(2).write.parquet(str(d / "documents.parquet"))
+
+    got = Q.queries()[qname](spark, str(d)).toPandas()
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = con.sql(Q.oracle_sql()[qname]).df()
+
+    assert len(got) == len(want), (qname, len(got), len(want))
+    assert sorted(got.columns) == sorted(want.columns), qname
+    assert _hash(_normalize(got)) == _hash(_normalize(want)), qname
