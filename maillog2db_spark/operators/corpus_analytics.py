@@ -375,10 +375,13 @@ def value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     z is rounded to 4 decimals; the filter compares the ROUNDED value
     in both engines so the cut line is identical."""
     e = io.load_events(spark, sf_dir)
+    # zero-variance types (one event, or identical values) define no
+    # outliers — drop them BEFORE the division, which under ANSI mode
+    # would otherwise raise DIVIDE_BY_ZERO (found by the corpus fuzzer)
     stats = e.groupBy("event_type").agg(
         F.avg("value").alias("mu"),
         F.stddev_pop("value").alias("sd"),
-    )
+    ).filter(F.col("sd") > 0)
     return (
         e.join(F.broadcast(stats), "event_type")
         .select(
@@ -395,6 +398,7 @@ VALUE_ANOMALY_SQL = f"""
 WITH stats AS (
   SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
   FROM events GROUP BY event_type
+  HAVING stddev_pop(value) > 0
 )
 SELECT event_id, e.event_type, value,
        round((value - mu) / sd, 4) AS z

@@ -33,7 +33,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(9)
+            # + 0.0 canonicalizes IEEE negative zero: round(-1e-7, 6)
+            # stringifies as "-0.0" in one engine and "0.0" in the other
+            df[c] = df[c].round(9) + 0.0
     return df.astype(str).sort_values(by=list(df.columns), kind="mergesort").reset_index(
         drop=True
     )
@@ -80,6 +82,54 @@ def test_fuzzed_corpus_matches_oracle(spark, tmp_path_factory, qname, data):
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
     )
+    want = con.sql(Q.oracle_sql()[qname]).df()
+
+    assert len(got) == len(want), (qname, len(got), len(want))
+    assert sorted(got.columns) == sorted(want.columns), qname
+    assert _hash(_normalize(got)) == _hash(_normalize(want)), qname
+
+
+EV_QUERIES = ["ev_value_anomaly", "ev_top_users", "ev_tumbling_hourly"]
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),            # user_id
+        st.sampled_from(["click", "view", "purchase"]),
+        st.integers(0, 3_000_000),    # seconds offset from epoch base
+        st.floats(-100, 100, allow_nan=False, allow_infinity=False, width=32),
+    ),
+    min_size=4,
+    max_size=40,
+)
+
+
+@pytest.mark.parametrize("qname", EV_QUERIES)
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=events_strategy)
+def test_fuzzed_events_match_oracle(spark, tmp_path_factory, qname, data):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, 1_700_000_000 + off, uid, et, float(v), "{}")
+        for i, (uid, et, off, v) in enumerate(data)
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, epoch long, user_id long, event_type string, value double, props string"
+        )
+        # NTZ on disk — the driver's testdata shape; the loader casts it
+        # back to LTZ under the UTC session, DuckDB reads it naive
+        .withColumn("ts", F.timestamp_seconds(F.col("epoch")).cast("timestamp_ntz"))
+        .drop("epoch")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    d = tmp_path_factory.mktemp("fuzz_ev")
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    got = Q.queries()[qname](spark, str(d)).toPandas()
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
     want = con.sql(Q.oracle_sql()[qname]).df()
 
     assert len(got) == len(want), (qname, len(got), len(want))
