@@ -135,3 +135,55 @@ def test_fuzzed_events_match_oracle(spark, tmp_path_factory, qname, data):
     assert len(got) == len(want), (qname, len(got), len(want))
     assert sorted(got.columns) == sorted(want.columns), qname
     assert _hash(_normalize(got)) == _hash(_normalize(want)), qname
+
+
+ORD_QUERIES = ["ord_rfm_segments", "ord_customer_gaps"]
+
+orders_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 6),                 # custkey
+        st.integers(0, 2_000),             # days offset for orderdate
+        st.floats(1, 100_000, allow_nan=False, allow_infinity=False),
+        st.sampled_from(["O", "F", "P"]),
+        st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]),
+    ),
+    min_size=3,
+    max_size=30,
+)
+
+
+@pytest.mark.parametrize("qname", ORD_QUERIES)
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=orders_strategy)
+def test_fuzzed_orders_match_oracle(spark, tmp_path_factory, qname, data):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, ck, status, round(float(p), 2), 1_500_000_000 + days * 86_400, prio)
+        for i, (ck, days, p, status, prio) in enumerate(data)
+    ]
+    df = (
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, epoch long, o_orderpriority string",
+        )
+        .withColumn("o_orderdate", F.timestamp_seconds(F.col("epoch")).cast("timestamp_ntz"))
+        .drop("epoch")
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        )
+    )
+    d = tmp_path_factory.mktemp("fuzz_ord")
+    df.coalesce(1).write.parquet(str(d / "orders.parquet"))
+
+    got = Q.queries()[qname](spark, str(d)).toPandas()
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet/*.parquet'")
+    want = con.sql(Q.oracle_sql()[qname]).df()
+
+    assert len(got) == len(want), (qname, len(got), len(want))
+    assert sorted(got.columns) == sorted(want.columns), qname
+    assert _hash(_normalize(got)) == _hash(_normalize(want)), qname
