@@ -148,3 +148,16 @@ def test_asof_join_is_single_exchange(spark):
     # redundant pre-aggregation crept back in
     p = _plan(spark, "ev_asof_purchase_click")
     assert p.count("Exchange") == 1, p
+
+
+def test_round3_queries_prune_columns(spark):
+    """New round-3 queries read only the columns they need: the LM
+    score scans (doc_id, text), RFM scans (custkey, orderdate,
+    totalprice) — never the full row."""
+    p = _plan(spark, "doc_unigram_lm_score")
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l and "documents" in l)
+    assert "text" in scan and "source" not in scan and "n_chars" not in scan
+
+    p = _plan(spark, "ord_rfm_segments")
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l and "orders" in l)
+    assert "o_totalprice" in scan and "o_orderpriority" not in scan and "o_orderstatus" not in scan
