@@ -59,7 +59,7 @@ corpus_strategy = st.lists(
 
 @pytest.mark.parametrize("qname", FUZZED_QUERIES)
 @settings(
-    max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
+    max_examples=5, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck)
 )
 @given(data=corpus_strategy)
 def test_fuzzed_corpus_matches_oracle(spark, tmp_path_factory, qname, data):
@@ -104,7 +104,7 @@ events_strategy = st.lists(
 
 
 @pytest.mark.parametrize("qname", EV_QUERIES)
-@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=4, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(data=events_strategy)
 def test_fuzzed_events_match_oracle(spark, tmp_path_factory, qname, data):
     from pyspark.sql import functions as F
@@ -153,7 +153,7 @@ orders_strategy = st.lists(
 
 
 @pytest.mark.parametrize("qname", ORD_QUERIES)
-@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=4, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(data=orders_strategy)
 def test_fuzzed_orders_match_oracle(spark, tmp_path_factory, qname, data):
     from pyspark.sql import functions as F
