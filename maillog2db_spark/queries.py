@@ -437,6 +437,11 @@ register("mm_png_roundtrip", _mm.PNG_ROUNDTRIP_SQL,
 register("doc_profile", _ca.CORPUS_PROFILE_SQL,
          doc="Corpus admission audit: rows/nulls/empties, dimension cardinalities, char-length distribution in one scan")(_ca.corpus_profile)
 
+from .operators import textnorm as _tn  # noqa: E402
+
+register("doc_normalized_dedup", _tn.NORMALIZED_DEDUP_SQL,
+         doc="Unicode-canonical dedup: NFC+lowercase via Arrow-batched pandas_udf (the one op needing Python — Spark has no NFC builtin)")(_tn.normalized_dedup)
+
 
 # --- driver-window ordering -------------------------------------------------
 #
@@ -460,6 +465,7 @@ _R3_NEW: list[str] = [
     "doc_unigram_lm_score", "doc_shingle_novelty", "doc_dedup_keep_best",
     "doc_source_overlap", "embed_topk_per_label", "ev_value_anomaly",
     "ord_rfm_segments", "mm_png_roundtrip", "doc_profile",
+    "doc_normalized_dedup",
 ]
 
 _PRIORITY = [

@@ -160,3 +160,48 @@ def test_rfm_quartiles_balanced(spark):
         assert max(sizes) - min(sizes) <= 1
     for r in rows:
         assert r["segment"] == r["r_quartile"] * 100 + r["f_quartile"] * 10 + r["m_quartile"]
+
+
+def test_normalized_dedup_groups_unicode_variants(spark, tmp_path):
+    """NFC+lowercase canonicalization groups composition/case variants
+    that plain exact dedup keeps apart, and both engines compute the
+    identical normalized fingerprints (DuckDB nfc_normalize(lower)
+    differential on a unicode corpus)."""
+    import duckdb
+
+    from maillog2db_spark.operators import dedup as dd
+    from maillog2db_spark.operators import textnorm as tn
+
+    import unicodedata
+
+    nfc_e = unicodedata.normalize("NFC", "caf\u00e9 bistro")  # precomposed
+    nfd_e = unicodedata.normalize("NFD", nfc_e)  # e + combining acute
+    assert nfc_e != nfd_e  # genuinely different bytes
+    upper = nfc_e.upper()
+    rows = [
+        (0, nfc_e, "fr", "s0", len(nfc_e)),
+        (1, nfd_e, "fr", "s0", len(nfd_e)),
+        (2, upper, "fr", "s0", len(upper)),
+        (3, "completely different", "en", "s1", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    norm = {r.norm_fingerprint: (r.rep_doc_id, r.n_copies)
+            for r in tn.normalized_dedup(spark, sf).collect()}
+    # the three variants collapse to ONE group under normalization...
+    assert len(norm) == 2
+    assert (0, 3) in norm.values()
+    # ...while byte-exact dedup sees four distinct texts
+    assert dd.exact_dedup(spark, sf).count() == 4
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'")
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(tn.NORMALIZED_DEDUP_SQL).fetchall()
+    }
+    assert want == norm
