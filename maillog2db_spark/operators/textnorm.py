@@ -18,17 +18,34 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 from .. import io
 
+_NFC_LOWER = None
 
-@pandas_udf("string")
-def nfc_lower(s: pd.Series) -> pd.Series:
-    import unicodedata
 
-    return s.map(
-        lambda t: unicodedata.normalize("NFC", t).lower() if t is not None else None
-    )
+def nfc_lower():
+    """The normalizer UDF, created lazily: decorating at module level
+    with a DDL-string return type needs an ACTIVE SparkContext at
+    import time, and the driver imports the registry before it creates
+    a session (found the hard way — the import crashed). Passing a
+    DataType instance and building on first use keeps import
+    side-effect-free."""
+    global _NFC_LOWER
+    if _NFC_LOWER is None:
+
+        def _norm(s: pd.Series) -> pd.Series:
+            import unicodedata
+
+            return s.map(
+                lambda t: unicodedata.normalize("NFC", t).lower()
+                if t is not None
+                else None
+            )
+
+        _NFC_LOWER = pandas_udf(_norm, StringType())
+    return _NFC_LOWER
 
 
 def normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,7 +58,7 @@ def normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
     return (
         d.withColumn(
-            "norm_fingerprint", F.md5(F.encode(nfc_lower(F.col("text")), "UTF-8"))
+            "norm_fingerprint", F.md5(F.encode(nfc_lower()(F.col("text")), "UTF-8"))
         )
         .groupBy("norm_fingerprint")
         .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
