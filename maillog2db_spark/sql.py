@@ -33,7 +33,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
             registered.append(t)
         except Exception:
             continue  # table absent at this sf_dir — skip, don't fail
-    parsed = queries._parsed(spark, sf_dir)
+    try:
+        parsed = queries._parsed(spark, sf_dir)
+    except Exception:
+        # canonical tables derive from the synthesized maillog, which
+        # needs the events table — a dir without one still gets the
+        # plain testdata views
+        return registered
     builders = {
         "logs": tables.build_logs,
         "clients": tables.build_clients,
