@@ -5,10 +5,10 @@ DataFrame chain with per-stage survivor counts.
 The individual operators each have their own oracle-gated query; this
 is the COMPOSITION — what a user actually runs — and its per-stage
 funnel is the artifact a data team reviews before a training run. The
-near-dup stage (MinHash/SimHash) plugs into the same chain between
-dedup and decontamination; it is kept out of this accounting query only
-to keep the oracle tractable (its pair set is gated separately by
-doc_neardup_pairs / doc_simhash_neardup).
+near-dup stage runs as substring-novelty attribution (first-writer-
+wins per shingle — SQL-tractable, so the funnel stays fully oracle-
+checked); the MinHash/SimHash pair generators plug into the same slot
+and are gated separately by doc_neardup_pairs / doc_simhash_neardup.
 
 Everything is one lazy DAG: Catalyst shares the documents scan across
 stages, the counts are independent aggregates unioned at the end, and
@@ -81,6 +81,24 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     deduped = fp.join(reps, ["fingerprint", "doc_id"], "left_semi").localCheckpoint(eager=False)
 
+    # substring-novelty near-dup stage (first-writer-wins shingle
+    # attribution, the doc_shingle_novelty operator inlined over the
+    # dedup survivors): a doc whose shingles are >=50% already seen in
+    # an earlier surviving doc is dropped as a near-duplicate. Docs too
+    # short to shingle carry no evidence and pass through.
+    ex = deduped.select("doc_id", F.explode("sh").alias("shingle"))
+    first_doc = ex.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    dupish = (
+        ex.join(first_doc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)).alias("n_seen"),
+        )
+        .filter(F.col("n_seen") * 2 >= F.col("n_sh"))
+    )
+    novel = deduped.join(dupish.select("doc_id"), "doc_id", "left_anti").localCheckpoint(eager=False)
+
     # decontamination vs the benchmark source's shingle set
     bench = (
         d.filter(F.col("source") == BENCH_SOURCE)
@@ -88,13 +106,13 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hits = (
-        deduped.select("doc_id", F.size("sh").cast("bigint").alias("n_sh"), F.explode("sh").alias("shingle"))
+        novel.select("doc_id", F.size("sh").cast("bigint").alias("n_sh"), F.explode("sh").alias("shingle"))
         .join(F.broadcast(bench), "shingle", "left_semi")
         .groupBy("doc_id", "n_sh")
         .agg(F.count(F.lit(1)).alias("n_hit"))
         .filter(F.col("n_hit") * 1_000_000 >= F.col("n_sh") * CONTAM_PPM_THRESHOLD)
     )
-    clean = deduped.join(hits.select("doc_id"), "doc_id", "left_anti").localCheckpoint(eager=False)
+    clean = novel.join(hits.select("doc_id"), "doc_id", "left_anti").localCheckpoint(eager=False)
 
     # chunk / bin accounting — closed-form, no explode
     n_chunks_col = F.expr(f"(greatest(n_chars, 1) - 1) div {CHUNK_STRIDE} + 1")
@@ -114,9 +132,10 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage("1_corpus", corpus)
         .unionByName(stage("2_quality", quality))
         .unionByName(stage("3_dedup_canonical", deduped))
-        .unionByName(stage("4_decontaminated", clean))
-        .unionByName(stage("5_chunks", clean, F.sum(n_chunks_col)))
-        .unionByName(stage("6_pack_bins", bins))
+        .unionByName(stage("4_novelty", novel))
+        .unionByName(stage("5_decontaminated", clean))
+        .unionByName(stage("6_chunks", clean, F.sum(n_chunks_col)))
+        .unionByName(stage("7_pack_bins", bins))
         .orderBy("stage")
     )
 
@@ -142,12 +161,28 @@ WITH base AS (
 ), deduped AS (
   SELECT * FROM fp q
   WHERE doc_id = (SELECT min(doc_id) FROM fp q2 WHERE q2.fingerprint = q.fingerprint)
+), dd_sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM deduped)
+), sh_first AS (
+  SELECT shingle, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM dd_sh) GROUP BY shingle
+), dupish AS (
+  SELECT doc_id FROM (
+    SELECT s.doc_id, count(*) AS n_sh,
+           sum(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END) AS n_seen
+    FROM (SELECT doc_id, unnest(sh) AS shingle FROM dd_sh) s
+    JOIN sh_first f USING (shingle)
+    GROUP BY s.doc_id
+  ) WHERE n_seen * 2 >= n_sh
+), novel AS (
+  SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM dupish)
 ), bench AS (
   SELECT DISTINCT unnest(sh) AS shingle
   FROM (SELECT {_SHINGLES_DUCK} AS sh FROM documents WHERE source = '{BENCH_SOURCE}')
 ), doc_sh AS (
-  SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents
-  WHERE doc_id IN (SELECT doc_id FROM deduped)
+  SELECT doc_id, sh FROM dd_sh
+  WHERE doc_id IN (SELECT doc_id FROM novel)
 ), contaminated AS (
   SELECT doc_id FROM (
     SELECT doc_id, n_sh, count(*) AS n_hit
@@ -156,7 +191,7 @@ WITH base AS (
     GROUP BY doc_id, n_sh
   ) WHERE n_hit * 1000000 >= n_sh * {CONTAM_PPM_THRESHOLD}
 ), clean AS (
-  SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+  SELECT * FROM novel WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 ), bins AS (
   SELECT DISTINCT lang,
          CAST(floor(COALESCE(sum((n_chars + 3) // 4) OVER (
@@ -169,9 +204,10 @@ SELECT * FROM (
   SELECT '1_corpus' AS stage, CAST(count(*) AS BIGINT) AS n FROM corpus
   UNION ALL SELECT '2_quality', CAST(count(*) AS BIGINT) FROM quality
   UNION ALL SELECT '3_dedup_canonical', CAST(count(*) AS BIGINT) FROM deduped
-  UNION ALL SELECT '4_decontaminated', CAST(count(*) AS BIGINT) FROM clean
-  UNION ALL SELECT '5_chunks',
+  UNION ALL SELECT '4_novelty', CAST(count(*) AS BIGINT) FROM novel
+  UNION ALL SELECT '5_decontaminated', CAST(count(*) AS BIGINT) FROM clean
+  UNION ALL SELECT '6_chunks',
     CAST(sum((greatest(n_chars, 1) - 1) // {CHUNK_STRIDE} + 1) AS BIGINT) FROM clean
-  UNION ALL SELECT '6_pack_bins', CAST(count(*) AS BIGINT) FROM bins
+  UNION ALL SELECT '7_pack_bins', CAST(count(*) AS BIGINT) FROM bins
 ) ORDER BY stage
 """

@@ -412,7 +412,7 @@ register("doc_stratified_sample", _smp.STRATIFIED_SAMPLE_SQL,
 from .operators import corpus_pipeline as _cp  # noqa: E402
 
 register("doc_corpus_pipeline", _cp.CORPUS_PIPELINE_SQL,
-         doc="Composed corpus pipeline funnel: quality → exact dedup → decontaminate → chunk/pack counts")(_cp.corpus_pipeline)
+         doc="Composed corpus pipeline funnel: quality → canonical dedup → near-dup novelty → decontaminate → chunk/pack counts")(_cp.corpus_pipeline)
 register("doc_source_mix", _smp.SOURCE_MIX_SQL,
          doc="Weighted source mixing: fractional up/downsampling with deterministic copies")(_smp.source_mix)
 
