@@ -26,6 +26,12 @@ FUZZED_QUERIES = [
     "doc_shingle_novelty",
     "doc_unigram_lm_score",
     "doc_profile",
+    # integral-output text ops (float-ppm ops stay out: engine-side
+    # partial-sum ordering makes exact .5 rounding boundaries reachable
+    # under fuzz, which would be false alarms, not bugs)
+    "doc_language_id",
+    "doc_rolling_fingerprint",
+    "doc_length_deciles",
 ]
 
 
