@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 
 from .. import io
 
+import weakref
+
+_THRESH_CACHE_INIT = weakref.WeakKeyDictionary()
+
 TOP_K = 5
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 N_PLANES = 8  # random-hyperplane bits for LSH buckets
@@ -142,13 +146,60 @@ def _hyperplane(plane: int, dim: int = 64) -> list[float]:
     ]
 
 
-def _bucket_col() -> "F.Column":
-    """The N_PLANES sign-bit bucket id as a Spark column over
-    ``embedding`` — single source of truth for every LSH-bucketed op."""
+def _plane_thresholds(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Per-plane bias thresholds t_p = dot(corpus mean, plane_p),
+    ppm-quantized — session-cached 8 doubles (bounded metadata collect,
+    like the IVF probe cells).
+
+    The sign test becomes ``dot(v, plane) > t_p``, i.e. the hyperplane
+    passes through the CORPUS MEAN instead of the origin. For centered
+    embeddings (the usual case, and this testdata: mean ≈ 2e-5) the
+    thresholds are ~0 and buckets are unchanged in distribution; for
+    uncentered corpora (e.g. all-positive features) origin-anchored
+    planes put nearly every vector on the same side of every plane —
+    measured at 200k uniform-positive synthetic vectors, ~all of the
+    corpus landed in a handful of buckets and the verification join ran
+    the executor out of heap. Centering restores balanced buckets
+    without changing the angular-LSH contract. The quantization keeps
+    the threshold bit-identical across engines (the mean's last ulp is
+    partial-sum-order dependent; the dot folds themselves are already
+    identical expression trees)."""
+    import math
+
+    per_session = _THRESH_CACHE.setdefault(spark, {})
+    cached = per_session.get(sf_dir)
+    if cached is not None:
+        return cached
+    pos = _embeddings(spark, sf_dir).select(
+        F.posexplode("embedding").alias("pos", "v")
+    )
+    mean = {
+        r["pos"]: r["m"]
+        for r in pos.groupBy("pos").agg(F.avg(F.col("v").cast("double")).alias("m")).collect()
+    }
+    mv = [mean[i] for i in range(len(mean))]
+    out = []
+    for p in range(N_PLANES):
+        plane = _hyperplane(p, dim=len(mv))
+        t = 0.0
+        for x, w in zip(mv, plane):  # left-to-right fold, like both engines
+            t = t + x * w
+        out.append(math.floor(t * 1_000_000 + 0.5) / 1_000_000)
+    per_session[sf_dir] = out
+    return out
+
+
+_THRESH_CACHE = _THRESH_CACHE_INIT
+
+
+def _bucket_col(thresholds: list[float]) -> "F.Column":
+    """The N_PLANES mean-centered sign-bit bucket id as a Spark column
+    over ``embedding`` — single source of truth for every LSH-bucketed
+    op. ``thresholds`` comes from _plane_thresholds."""
     bucket = F.lit(0).cast("long")
     for p in range(N_PLANES):
         plane = F.array(*[F.lit(v) for v in _hyperplane(p)])
-        bit = F.when(_dot(F.col("embedding"), plane) > 0, 1).otherwise(0)
+        bit = F.when(_dot(F.col("embedding"), plane) > thresholds[p], 1).otherwise(0)
         bucket = bucket + F.shiftleft(bit.cast("long"), p)
     return bucket
 
@@ -158,8 +209,9 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vectors in the same bucket are ANN candidates; the bucket id is the
     equi-join/partition key at scale."""
     e = _embeddings(spark, sf_dir)
+    thr = _plane_thresholds(spark, sf_dir)
     return (
-        e.select(F.col("vec_id"), F.col("label"), _bucket_col().alias("bucket"))
+        e.select(F.col("vec_id"), F.col("label"), _bucket_col(thr).alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -174,26 +226,50 @@ def _plane_duck(p: int) -> str:
     return f"[{vals}]"
 
 
-# the same bucket id as a DuckDB expression — single source of truth for
-# the oracle side
+# the same mean-centered bucket id as a DuckDB expression — single
+# source of truth for the oracle side. The thresholds CTE computes the
+# identical ppm-quantized dot(mean, plane_p) values the Spark side
+# collects; the comparison references them as scalar subqueries.
+_THRESH_DUCK_CTE = (
+    "mpos AS (\n"
+    "  SELECT r.range AS pos, avg(CAST(embedding[CAST(r.range AS INT) + 1] AS DOUBLE)) AS m\n"
+    "  FROM embeddings CROSS JOIN range(64) r GROUP BY 1\n"
+    "), mvec AS (SELECT list(m ORDER BY pos) AS mv FROM mpos),\n"
+    "thr AS (SELECT "
+    + ", ".join(
+        "floor(" + _DOT_DUCK.format(a="mv", b="{plane%d}" % p)
+        + " * 1000000 + 0.5) / 1000000.0 AS t%d" % p
+        for p in range(N_PLANES)
+    )
+    + " FROM mvec)"
+)
+
 _BUCKET_DUCK = "CAST({} AS BIGINT)".format(
     " + ".join(
-        f"(CASE WHEN {_DOT_DUCK.format(a='embedding', b='{plane' + str(p) + '}')} > 0 "
+        f"(CASE WHEN {_DOT_DUCK.format(a='embedding', b='{plane' + str(p) + '}')} > (SELECT t{p} FROM thr) "
         f"THEN (1::BIGINT << {p}) ELSE 0 END)"
         for p in range(N_PLANES)
     )
 )
 
 
-def _bucket_duck() -> str:
-    s = _BUCKET_DUCK
+def _subst_planes(sql: str) -> str:
     for p in range(N_PLANES):
-        s = s.replace("{plane%d}" % p, _plane_duck(p))
-    return s
+        sql = sql.replace("{plane%d}" % p, _plane_duck(p))
+    return sql
+
+
+def _bucket_duck() -> str:
+    return _subst_planes(_BUCKET_DUCK)
+
+
+def _thresh_duck_cte() -> str:
+    return _subst_planes(_THRESH_DUCK_CTE)
 
 
 LSH_BUCKETS_SQL = f"""
-WITH b AS (
+WITH {_thresh_duck_cte()},
+b AS (
   SELECT vec_id, label, {_bucket_duck()} AS bucket
   FROM embeddings
 )
@@ -405,7 +481,10 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding columns join back for exact verification only
     from .dedup import _pairs_within_groups
 
-    b = e.select(F.col("vec_id").alias("doc_id"), _bucket_col().alias("bucket"))
+    b = e.select(
+        F.col("vec_id").alias("doc_id"),
+        _bucket_col(_plane_thresholds(spark, sf_dir)).alias("bucket"),
+    )
     cand = _pairs_within_groups(b, ["bucket"]).select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
@@ -432,7 +511,8 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COSINE_NEARDUP_PAIRS_SQL = f"""
-WITH b AS (
+WITH {_thresh_duck_cte()},
+b AS (
   SELECT vec_id, embedding AS emb, {_bucket_duck()} AS bucket
   FROM embeddings
 )
