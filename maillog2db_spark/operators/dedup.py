@@ -45,6 +45,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .. import io
 
@@ -63,8 +64,17 @@ PAIR_SALT = 32
 
 # tokens: lowercase, whitespace-split, empties removed (identical
 # semantics spelled in both engines)
-_TOKENS_SPARK = "filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')"
-_TOKENS_DUCK = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+# Case folding is ASCII-only (translate, not lower()): full Unicode
+# lowercasing diverges between engines (Java/Python full context-
+# sensitive mapping vs DuckDB's utf8proc simple mapping — final sigma,
+# Turkish İ), so every token/shingle op built on lower() would drift
+# on non-ASCII-cased text. translate is byte-identical everywhere and
+# equals lower() on ASCII. Same contract as textnorm.nfc_fold.
+_AZ = "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'"
+_TOKENS_SPARK = f"filter(split(translate(trim(text), {_AZ}), '\\\\s+'), x -> x <> '')"
+_TOKENS_DUCK = (
+    f"list_filter(string_split_regex(translate(trim(text), {_AZ}), '\\s+'), x -> x <> '')"
+)
 
 # 3-word shingles, deduplicated. The Spark variant is built FROM a
 # materialized tokens column (see _with_shingles / _reps) so the
@@ -279,11 +289,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_SIGNATURES_SQL = f"WITH {_sig_cte('documents')}\nSELECT * FROM sigs"
 
 
+_PROBE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
 def _pairs_within_groups(
     keyed: DataFrame,
     group_cols: list[str],
     cap: int = BUCKET_CAP,
     salt: int = PAIR_SALT,
+    probe_key: tuple | None = None,
 ) -> DataFrame:
     """(group, doc_id) → all (doc_a < doc_b) pairs co-occurring in any
     group, deduplicated — with BOUNDED row width.
@@ -324,8 +338,36 @@ def _pairs_within_groups(
       pair contract; what's bounded is per-row and per-task width.
 
     The trailing distinct dedups pairs that co-occur in several groups
-    (and the diagonal chunk's double match) — present in round 1 too."""
-    keyed = keyed.select(*group_cols, "doc_id")
+    (and the diagonal chunk's double match) — present in round 1 too.
+
+    NULL group keys form a group (SQL GROUP-BY semantics): each key is
+    normalized to (coalesced value, isnull flag) before the split, so a
+    massive NULL-keyed bucket reaches the salted path like any other —
+    the plain anti/semi equi-joins would never match NULL and the cap
+    would silently not apply to it. Keys must be string or numeric.
+
+    ``probe_key``: the oversize probe is one narrow job, but it runs at
+    plan-construction time on every call; for session-stable corpora
+    (the registered sf_dir queries) callers pass a key and the verdict
+    is memoized per session — same lifetime/invalidation contract as
+    ``_CORPUS_CACHE``. Per-batch callers (streaming) pass None."""
+    safe_cols: list = []
+    wide_group_cols: list[str] = []
+    for c in group_cols:
+        dt = keyed.schema[c].dataType
+        if isinstance(dt, T.StringType):
+            default = F.lit("")
+        elif isinstance(dt, T.NumericType):
+            default = F.lit(0).cast(dt)
+        else:
+            raise ValueError(f"group col {c!r} must be string or numeric, got {dt}")
+        safe_cols += [
+            F.coalesce(F.col(c), default).alias(c),
+            F.isnull(c).alias(f"{c}__isnull"),
+        ]
+        wide_group_cols += [c, f"{c}__isnull"]
+    keyed = keyed.select(*safe_cols, "doc_id")
+    group_cols = wide_group_cols
     big_keys = (
         keyed.groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias("bn"))
@@ -335,7 +377,14 @@ def _pairs_within_groups(
     # driver-side probe: does ANY bucket exceed the cap? One narrow
     # (key, partial-count) aggregation job; the result pulled is at
     # most one row. This is plan-selection metadata, not data movement.
-    has_oversize = bool(big_keys.limit(1).count())
+    if probe_key is not None:
+        cache = _PROBE_CACHE.setdefault(keyed.sparkSession, {})
+        has_oversize = cache.get(probe_key)
+        if has_oversize is None:
+            has_oversize = bool(big_keys.limit(1).count())
+            cache[probe_key] = has_oversize
+    else:
+        has_oversize = bool(big_keys.limit(1).count())
 
     if not has_oversize:
         small = keyed
@@ -411,11 +460,13 @@ def jaccard_ppm(a_sh, b_sh):
     return (j, F.floor(j * 1_000_000 + 0.5).cast("bigint"))
 
 
-def _band_pairs(sigs: DataFrame) -> DataFrame:
+def _band_pairs(sigs: DataFrame, probe_key: tuple | None = None) -> DataFrame:
     """LSH banding: bucket docs by each band's (mh pair) value →
     candidate pairs co-occurring in any bucket. The band value itself is
     the bucket key — no extra hashing needed."""
-    return _pairs_within_groups(banded_signatures(sigs), ["band", "bh"])
+    return _pairs_within_groups(
+        banded_signatures(sigs), ["band", "bh"], probe_key=probe_key
+    )
 
 
 _BANDS_DUCK_CTE = (
@@ -436,7 +487,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates never reach banding (they'd all collide into the same
     buckets — the guaranteed hot case); they are the exact_dedup
     stage's output, and doc_corpus_pipeline composes the two stages."""
-    return _band_pairs(_rep_signatures(spark, sf_dir))
+    return _band_pairs(_rep_signatures(spark, sf_dir), probe_key=(sf_dir, "lsh"))
 
 
 LSH_CANDIDATE_PAIRS_SQL = (
@@ -502,6 +553,45 @@ SELECT doc_a, doc_b, CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_ppm FRO
 """
 
 
+# Connected components ARE SQL-expressible in DuckDB: WITH RECURSIVE
+# computes per-node reachability over the verified-pair edge list
+# (UNION dedups rows, so the fixpoint terminates), and min(reachable)
+# is exactly the min-label the Spark loop converges to. The quadratic
+# reachability enumeration is oracle-only — fine at oracle SF, never
+# the engine's plan (the Spark side stays the O(log diameter)
+# propagation loop).
+NEARDUP_CLUSTERS_SQL = f"""WITH RECURSIVE {_REPS_DUCK_CTE},
+{_sig_cte('reps')},
+{_BANDS_DUCK_CTE},
+sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM reps),
+vpairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+    FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+              JOIN sh b ON cand.doc_b = b.doc_id
+  ) WHERE j >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM vpairs
+),
+reach(doc_id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.r FROM edges e JOIN reach w ON w.doc_id = e.dst
+),
+labels AS (SELECT doc_id, min(r) AS comp FROM reach GROUP BY doc_id)
+SELECT comp AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_doc_id,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+FROM labels GROUP BY comp
+"""
+
+
 BLOCKED_JACCARD_T = 0.8
 
 
@@ -531,7 +621,7 @@ def blocked_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     idx = d.select("doc_id", "lang", F.explode("prefix").alias("p"))
-    cand = _pairs_within_groups(idx, ["lang", "p"])
+    cand = _pairs_within_groups(idx, ["lang", "p"], probe_key=(sf_dir, "jacc_prefix"))
     sets = d.select("doc_id", "lang", "sh")
     a = sets.select(
         F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"),

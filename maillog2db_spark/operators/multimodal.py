@@ -283,14 +283,17 @@ def png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# coalesce(text, '') mirrors the Spark side's `(text or "")`: a NULL
+# document is treated as empty on BOTH engines (one blank 32x1 row),
+# not as a NULL-propagating row that would hash-mismatch.
 PNG_ROUNDTRIP_SQL = f"""
 SELECT doc_id,
        {PNG_ROUNDTRIP_W} AS width,
-       CAST(greatest(1, ceil(octet_length(encode(text)) / {PNG_ROUNDTRIP_W}.0)) AS INT) AS height,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text || repeat(' ',
-           CAST(greatest(1, ceil(octet_length(encode(text)) / {PNG_ROUNDTRIP_W}.0)) AS INT)
-             * {PNG_ROUNDTRIP_W} - octet_length(encode(text)))) AS pixel_md5
+       CAST(greatest(1, ceil(octet_length(encode(coalesce(text, ''))) / {PNG_ROUNDTRIP_W}.0)) AS INT) AS height,
+       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+       md5(coalesce(text, '') || repeat(' ',
+           CAST(greatest(1, ceil(octet_length(encode(coalesce(text, ''))) / {PNG_ROUNDTRIP_W}.0)) AS INT)
+             * {PNG_ROUNDTRIP_W} - octet_length(encode(coalesce(text, ''))))) AS pixel_md5
 FROM documents
 """
 

@@ -485,7 +485,7 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"),
         _bucket_col(_plane_thresholds(spark, sf_dir)).alias("bucket"),
     )
-    cand = _pairs_within_groups(b, ["bucket"]).select(
+    cand = _pairs_within_groups(b, ["bucket"], probe_key=(sf_dir, "cos_lsh")).select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
     # norms are per-VECTOR quantities: compute them in the projection

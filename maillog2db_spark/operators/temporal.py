@@ -175,14 +175,24 @@ def range_join(
     if clash:
         raise ValueError(f"alias overlapping non-key columns first: {sorted(clash)}")
     w = upper - lower
-    lcell = F.floor((F.col(left_ts) + F.lit(lower)) / F.lit(w))
+
+    def _floor_div(expr: str, width: int) -> F.Column:
+        # exact integer floor division: (x - pmod(x, w)) is the floor
+        # multiple (pmod is non-negative), and `div` on that multiple
+        # is exact. Double division (floor(x / w)) silently misassigns
+        # cells once |x| nears 2^53 — epoch nanos land there.
+        return F.expr(
+            f"(({expr}) - pmod({expr}, {width}L)) div {width}L"
+        )
+
+    lcell = _floor_div(f"{left_ts} + {lower}L", w)
     probe = left.select(
         "*", F.explode(F.array(lcell, lcell + 1)).alias("_cell")
     )
     build = right.select(
         *[F.col(c).alias(f"_r_{c}") for c in by],
         *[F.col(c) for c in right.columns if c not in by],
-        F.floor(F.col(right_ts) / F.lit(w)).alias("_r_cell"),
+        _floor_div(right_ts, w).alias("_r_cell"),
     )
     gap = F.col(right_ts) - F.col(left_ts)
     cond = F.col("_cell") == F.col("_r_cell")

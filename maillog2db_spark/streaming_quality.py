@@ -21,7 +21,16 @@ Scale design:
     O(corpus).
   * Replay safety: a batch-id ledger (the ST5 pattern shared with
     ParquetStateStore / MinHashStore) makes re-delivered batches
-    no-ops, so counts never double under checkpoint recovery.
+    no-ops, and the merge itself is IDEMPOTENT under replay: rows
+    carry their source batch id (``src_batch``), and merging batch b
+    first discards any rows already tagged b — the residue of a crash
+    between the (non-transactional) dynamic-partition overwrite and
+    the ledger write — before re-adding b's counts. foreachBatch
+    replays the exact failed batch id in order, so rows tagged with
+    OTHER batch ids are from committed batches and are compacted into
+    the ``-1`` sentinel generation. Counts never double under
+    checkpoint recovery, including a crash inside that window
+    (tests/test_streaming.py::test_vocab_merge_replay_idempotent).
   * Scoring joins the token stream to the vocab on the token key; at
     100 TB AQE turns the Zipf-bounded vocab side into a broadcast, the
     same plan the batch query gets.
@@ -38,7 +47,13 @@ from .operators.dedup import _TOKENS_SPARK
 
 
 class VocabStore:
-    """Bucketed parquet unigram counts: (tok, cnt, part)."""
+    """Bucketed parquet unigram counts: (tok, cnt, src_batch, part).
+
+    ``src_batch`` is merge provenance: the batch id that contributed a
+    row, with committed history compacted to the ``-1`` sentinel — so a
+    replayed batch can subtract its own partial residue (see module
+    docstring). At most two generations exist per (part, tok), so reads
+    stay O(vocab)."""
 
     def __init__(self, root: str, n_buckets: int = 16):
         self.root = root
@@ -65,26 +80,45 @@ class VocabStore:
         )
 
     def read_vocab(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.vocab_path).drop("part")
+        # collapse provenance generations back to one row per token
+        return (
+            spark.read.parquet(self.vocab_path)
+            .groupBy("tok")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
 
     def _with_part(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
             "part", F.pmod(F.xxhash64("tok"), F.lit(self.n_buckets)).cast("int")
         )
 
-    def merge_counts(self, spark: SparkSession, new_counts: DataFrame) -> None:
-        """Add (tok, cnt) deltas into the touched buckets only."""
-        new_b = self._with_part(new_counts)
+    def merge_counts(
+        self, spark: SparkSession, new_counts: DataFrame, batch_id: int = -1
+    ) -> None:
+        """Add (tok, cnt) deltas into the touched buckets only —
+        idempotently for a given non-negative ``batch_id``: any rows
+        already tagged with it (a previous partially-committed attempt
+        at this batch; the delta is deterministic, so the touched
+        buckets are the same) are dropped before the re-add, and
+        everything else is compacted to the committed sentinel
+        generation. ``batch_id=-1`` (ad-hoc, untracked merge) adds
+        unconditionally — replay protection needs a real batch id."""
+        new_b = self._with_part(new_counts).withColumn(
+            "src_batch", F.lit(batch_id).cast("long")
+        )
         if self.exists():
             touched = [r["part"] for r in new_b.select("part").distinct().collect()]
             old = spark.read.parquet(self.vocab_path).filter(
                 F.col("part").isin(touched)
             )
+            if batch_id >= 0:
+                old = old.filter(F.col("src_batch") != batch_id)
+            old = old.withColumn("src_batch", F.lit(-1).cast("long"))
             merged = old.unionByName(new_b)
         else:
             merged = new_b
         (
-            merged.groupBy("part", "tok")
+            merged.groupBy("part", "tok", "src_batch")
             .agg(F.sum("cnt").alias("cnt"))
             .repartition("part")
             .write.mode("overwrite")
@@ -109,7 +143,7 @@ def vocab_ingest_batch(
 ) -> None:
     if store.committed(batch_id):
         return
-    store.merge_counts(spark, batch_token_counts(batch_docs))
+    store.merge_counts(spark, batch_token_counts(batch_docs), batch_id=batch_id)
     store.mark_committed(batch_id)
 
 

@@ -163,10 +163,12 @@ def test_rfm_quartiles_balanced(spark):
 
 
 def test_normalized_dedup_groups_unicode_variants(spark, tmp_path):
-    """NFC+lowercase canonicalization groups composition/case variants
-    that plain exact dedup keeps apart, and both engines compute the
-    identical normalized fingerprints (DuckDB nfc_normalize(lower)
-    differential on a unicode corpus)."""
+    """NFC + ASCII-fold canonicalization groups composition and
+    ASCII-case variants that plain exact dedup keeps apart, and both
+    engines compute the identical normalized fingerprints \u2014 including
+    on the texts where full Unicode lowercasing diverges between
+    engines (Greek final sigma, Turkish dotted capital I), which is
+    exactly why the contract restricts case folding to ASCII."""
     import duckdb
 
     from maillog2db_spark.operators import dedup as dd
@@ -177,12 +179,14 @@ def test_normalized_dedup_groups_unicode_variants(spark, tmp_path):
     nfc_e = unicodedata.normalize("NFC", "caf\u00e9 bistro")  # precomposed
     nfd_e = unicodedata.normalize("NFD", nfc_e)  # e + combining acute
     assert nfc_e != nfd_e  # genuinely different bytes
-    upper = nfc_e.upper()
+    title = "Caf\u00e9 Bistro"  # ASCII-case variant (C, B upper)
     rows = [
         (0, nfc_e, "fr", "s0", len(nfc_e)),
         (1, nfd_e, "fr", "s0", len(nfd_e)),
-        (2, upper, "fr", "s0", len(upper)),
-        (3, "completely different", "en", "s1", 20),
+        (2, title, "fr", "s0", len(title)),
+        (3, "\u039f\u0394\u039f\u03a3 sign", "el", "s1", 9),  # \u039f\u0394\u039f\u03a3: final-sigma trap
+        (4, "\u0130stanbul", "tr", "s1", 9),  # \u0130: dotted-capital-I trap
+        (5, "completely different", "en", "s1", 20),
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -192,11 +196,13 @@ def test_normalized_dedup_groups_unicode_variants(spark, tmp_path):
 
     norm = {r.norm_fingerprint: (r.rep_doc_id, r.n_copies)
             for r in tn.normalized_dedup(spark, sf).collect()}
-    # the three variants collapse to ONE group under normalization...
-    assert len(norm) == 2
+    # the three caf\u00e9 variants collapse to ONE group under normalization
+    # (NFC unifies 0/1; ASCII fold unifies 2); the non-ASCII-cased texts
+    # stay distinct singletons...
+    assert len(norm) == 4
     assert (0, 3) in norm.values()
-    # ...while byte-exact dedup sees four distinct texts
-    assert dd.exact_dedup(spark, sf).count() == 4
+    # ...while byte-exact dedup sees six distinct texts
+    assert dd.exact_dedup(spark, sf).count() == 6
 
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'")
@@ -204,4 +210,6 @@ def test_normalized_dedup_groups_unicode_variants(spark, tmp_path):
         r[0]: (r[1], r[2])
         for r in con.sql(tn.NORMALIZED_DEDUP_SQL).fetchall()
     }
+    # the cross-engine assertion: identical fingerprints even for the
+    # sigma/\u0130 rows where str.lower() vs utf8proc lower() disagree
     assert want == norm

@@ -18,11 +18,21 @@ from hypothesis import strategies as st
 
 import maillog2db_spark.queries as Q
 
-WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+# Mixed-case ASCII plus the engine-divergence traps: ΟΔΟΣ (Greek final
+# sigma — full lowercasing is context-sensitive), İstanbul (Turkish
+# dotted capital I — full lowercase emits an extra combining dot), and
+# NFC vs NFD café (composition variants). The ASCII-only fold contract
+# (dedup._TOKENS_*, textnorm.nfc_fold) exists precisely so these hash
+# identically in Spark and DuckDB.
+WORDS = [
+    "alpha", "beta", "Gamma", "DELTA", "eps", "zeta", "eta", "theta",
+    "\u039f\u0394\u039f\u03a3", "\u0130stanbul", "caf\u00e9", "cafe\u0301",
+]
 
 FUZZED_QUERIES = [
     "doc_exact_dedup",
     "doc_dedup_keep_best",
+    "doc_normalized_dedup",
     "doc_shingle_novelty",
     "doc_unigram_lm_score",
     "doc_profile",

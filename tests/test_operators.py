@@ -463,6 +463,46 @@ def test_hot_bucket_pairs_bounded_row_width(spark):
     assert wide_joins == 1
 
 
+def test_null_keyed_hot_bucket_takes_salted_path(spark):
+    """NULL group keys form a group (SQL GROUP-BY semantics) AND still
+    obey the cap: plain anti/semi equi-joins never match NULL, so
+    before the key-normalization fix a massive NULL-keyed bucket always
+    took the in-row collect_set expansion — unbounded row width. Now it
+    must route through the salted join like any other oversize key."""
+    k = 1200
+    rows = [(None, i) for i in range(k)] + [("cold", 10_000 + i) for i in range(3)]
+    df = spark.createDataFrame(rows, "g string, doc_id long")
+    pairs = dedup._pairs_within_groups(df, ["g"], cap=256, salt=8)
+    assert pairs.count() == k * (k - 1) // 2 + 3
+    p = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    wide_joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
+    assert wide_joins == 1
+    # and a NULL key never merges with the coalesce default's real value
+    df2 = spark.createDataFrame(
+        [(None, 0), (None, 1), ("", 2), ("", 3)], "g string, doc_id long"
+    )
+    got = {(r.doc_a, r.doc_b) for r in dedup._pairs_within_groups(df2, ["g"]).collect()}
+    assert got == {(0, 1), (2, 3)}
+
+
+def test_oversize_probe_memoized_per_session(spark):
+    """probe_key memoizes the plan-selection probe: the second call
+    with the same key must not run the probe job again (observable via
+    the cache), and different keys probe independently."""
+    df = spark.createDataFrame([("g", 0), ("g", 1)], "g string, doc_id long")
+    dedup._PROBE_CACHE.pop(spark, None)
+    dedup._pairs_within_groups(df, ["g"], probe_key=("t", "a"))
+    cache = dedup._PROBE_CACHE[spark]
+    assert cache == {("t", "a"): False}
+    # poison the cached verdict: a second call must TRUST it (no fresh
+    # probe) — forcing the oversize branch even though nothing is big
+    cache[("t", "a")] = True
+    out = dedup._pairs_within_groups(df, ["g"], probe_key=("t", "a"))
+    assert {(r.doc_a, r.doc_b) for r in out.collect()} == {(0, 1)}
+    assert cache[("t", "a")] is True  # untouched — no re-probe
+
+
 def test_exact_dup_mass_collapses_before_lsh(spark, tmp_path):
     """Adversarial corpus: 100k byte-identical docs (the guaranteed
     LSH hot bucket — every band collides) plus two near-identical
@@ -701,3 +741,36 @@ def test_generic_range_join_matches_naive(spark):
             l, r, by=["k"], left_ts="lts", right_ts="rts", lower=lo, upper=hi
         ).count()
         assert n == len(want), (lo, hi)
+
+
+def test_range_join_exact_beyond_double_precision(spark):
+    """Cell assignment is exact integer math: timestamps past 2^53
+    (epoch-nanos magnitudes) and negative timestamps still pair
+    correctly — the old double-division floor misassigned cells there."""
+    import random
+
+    from maillog2db_spark.operators import temporal
+
+    rng = random.Random(11)
+    base = 1 << 60  # far beyond double's 2^53 integer-exact range
+    lrows = [(i, "k", base + rng.randrange(500)) for i in range(40)]
+    lrows += [(100 + i, "k", -base + rng.randrange(500)) for i in range(40)]
+    rrows = [(j, "k", base + rng.randrange(500)) for j in range(40)]
+    rrows += [(100 + j, "k", -base + rng.randrange(500)) for j in range(40)]
+    l = spark.createDataFrame(lrows, "lid long, k string, lts long")
+    r = spark.createDataFrame(rrows, "rid long, k string, rts long")
+
+    for lo, hi in [(0, 37), (-25, 25)]:
+        got = {
+            (x.lid, x.rid)
+            for x in temporal.range_join(
+                l, r, by=["k"], left_ts="lts", right_ts="rts", lower=lo, upper=hi
+            ).collect()
+        }
+        want = {
+            (lid, rid)
+            for lid, _, lts in lrows
+            for rid, _, rts in rrows
+            if lo < rts - lts <= hi
+        }
+        assert got == want, (lo, hi)

@@ -560,3 +560,36 @@ def test_streaming_vocab_scoring_matches_batch(spark, tmp_path_factory):
         for r in sq.score_against_store(spark, docs, store).collect()
     }
     assert again == got
+
+
+def test_vocab_merge_replay_idempotent(spark, tmp_path_factory):
+    """Crash INSIDE the commit window (merge applied, ledger not yet
+    written): replaying the same batch id must not double its counts —
+    the src_batch provenance discards the partial residue before the
+    re-add. An untracked ad-hoc merge (batch_id=-1) still accumulates."""
+    from maillog2db_spark import streaming_quality as sq
+
+    d = tmp_path_factory.mktemp("vocab_replay")
+    store = sq.VocabStore(str(d / "store"), n_buckets=4)
+    docs0 = spark.createDataFrame(
+        [(0, "a b b"), (1, "b c")], "doc_id long, text string"
+    )
+    docs1 = spark.createDataFrame([(2, "a c c")], "doc_id long, text string")
+
+    sq.vocab_ingest_batch(spark, docs0, store, batch_id=0)
+    # batch 1 merges but "crashes" before mark_committed...
+    store.merge_counts(spark, sq.batch_token_counts(docs1), batch_id=1)
+    assert not store.committed(1)
+    # ...and the stream replays batch 1 from the checkpoint
+    sq.vocab_ingest_batch(spark, docs1, store, batch_id=1)
+
+    counts = {r["tok"]: r["cnt"] for r in store.read_vocab(spark).collect()}
+    assert counts == {"a": 2, "b": 3, "c": 3}
+
+    # ad-hoc untracked merge: adds on top, never filters history
+    store.merge_counts(
+        spark,
+        spark.createDataFrame([("a", 10)], "tok string, cnt long"),
+    )
+    counts = {r["tok"]: r["cnt"] for r in store.read_vocab(spark).collect()}
+    assert counts == {"a": 12, "b": 3, "c": 3}
