@@ -562,6 +562,99 @@ def test_streaming_vocab_scoring_matches_batch(spark, tmp_path_factory):
     assert again == got
 
 
+def test_streaming_admission_matches_batch_funnel(spark, tmp_path_factory):
+    """The incremental admission funnel, fed the corpus in doc_id-
+    monotone waves, accumulates EXACTLY the batch pipeline's per-stage
+    survivor counts — quality, canonical dedup, first-writer novelty,
+    decontamination, chunk totals, pack bins — and replaying the whole
+    stream through a fresh checkpoint changes nothing."""
+    import shutil
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_admission as sa
+    from maillog2db_spark.operators import corpus_pipeline as cp
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    want = [(r["stage"], r["n"]) for r in cp.corpus_pipeline(spark, sf).collect()]
+
+    d = tmp_path_factory.mktemp("admission_stream")
+    src = d / "docs"
+    src.mkdir()
+
+    def drop_wave(df, name, mtime):
+        tmp = d / f"_tmp_{name}"
+        df.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"{name}.parquet"
+        shutil.move(str(part), str(dest))
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp)
+
+    # doc_id-monotone waves (ingest-assigned ids — the module contract)
+    bounds = [(None, 170), (170, 340), (340, None)]
+    for i, (lo, hi) in enumerate(bounds):
+        w = docs
+        if lo is not None:
+            w = w.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            w = w.filter(F.col("doc_id") < hi)
+        drop_wave(w, f"wave{i}", 1_700_000_000 + i * 60)
+
+    bench = sa.bench_shingles_from_docs(docs).localCheckpoint(eager=True)
+    store = sa.AdmissionStore(str(d / "store"), n_buckets=4)
+    q = sa.start_admission_stream(
+        spark, str(src), store, bench, str(d / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+
+    got = [(r["stage"], r["n"]) for r in sa.funnel(spark, store).collect()]
+    assert got == want
+
+    # the admitted set is the clean-stage survivor set
+    n_clean = dict(want)["5_decontaminated"]
+    assert store.read_admitted(spark).count() == n_clean
+
+    # replay through a fresh checkpoint: ledger + idempotent merges
+    q2 = sa.start_admission_stream(
+        spark, str(src), store, bench, str(d / "ckpt2"), available_now=True
+    )
+    q2.awaitTermination(300)
+    assert [(r["stage"], r["n"]) for r in sa.funnel(spark, store).collect()] == want
+
+
+def test_admission_replay_inside_commit_window(spark, tmp_path_factory):
+    """Re-running a batch whose ledger write never happened (crash
+    inside the commit window) converges: counters/pack state are
+    per-batch overwrites, state merges are min-idempotent."""
+    from maillog2db_spark import streaming_admission as sa
+
+    d = tmp_path_factory.mktemp("admission_replay")
+    store = sa.AdmissionStore(str(d / "store"), n_buckets=4)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+    text0 = "alpha beta gamma delta eps zeta eta theta iota kappa"
+    rows0 = [(0, text0, "en", "s1", len(text0))]
+    rows1 = [(1, text0, "en", "s1", len(text0)),          # exact dup of 0
+             (2, "one two three four five six seven eight nine ten",
+              "en", "s1", 49)]
+    bench = spark.createDataFrame([], "shingle string")
+
+    sa.admission_ingest_batch(spark, mk(rows0), store, bench, 0)
+    # batch 1 runs fully, then "crashes" before mark_committed
+    # (simulated by deleting the ledger mark), then replays
+    sa.admission_ingest_batch(spark, mk(rows1), store, bench, 1)
+    os.remove(store._ledger(1))
+    sa.admission_ingest_batch(spark, mk(rows1), store, bench, 1)
+
+    got = {r["stage"]: r["n"] for r in sa.funnel(spark, store).collect()}
+    # doc 1 is an exact dup (dropped at stage 3); docs 0 and 2 survive
+    assert got["1_corpus"] == 3
+    assert got["3_dedup_canonical"] == 2
+    assert got["5_decontaminated"] == 2
+    assert store.read_admitted(spark).count() == 2
+
+
 def test_vocab_merge_replay_idempotent(spark, tmp_path_factory):
     """Crash INSIDE the commit window (merge applied, ledger not yet
     written): replaying the same batch id must not double its counts —
