@@ -71,7 +71,12 @@ PAIR_SALT = 32
 # on non-ASCII-cased text. translate is byte-identical everywhere and
 # equals lower() on ASCII. Same contract as textnorm.nfc_fold.
 _AZ = "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'"
-_TOKENS_SPARK = f"filter(split(translate(trim(text), {_AZ}), '\\\\s+'), x -> x <> '')"
+# array_remove, not filter(x -> x <> ''): identical semantics (strip
+# the empty strings split() emits for leading/consecutive whitespace),
+# but array_remove is a regular codegen expression while the filter()
+# lambda is CodegenFallback — interpreted per element, and this runs on
+# every text row of every token-family query (the measured CPU floor).
+_TOKENS_SPARK = f"array_remove(split(translate(trim(text), {_AZ}), '\\\\s+'), '')"
 _TOKENS_DUCK = (
     f"list_filter(string_split_regex(translate(trim(text), {_AZ}), '\\s+'), x -> x <> '')"
 )
@@ -226,10 +231,39 @@ def _rep_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exploded_shingles_from_toks(
+    df: DataFrame, key_cols: list[str], tok_col: str = "toks"
+) -> DataFrame:
+    """(keys, toks) → (keys, s): one row per shingle POSITION, built
+    entirely from codegen expressions — slice + arrays_zip + explode +
+    concat_ws — instead of materializing the shingle array through the
+    interpreted transform() lambda (CodegenFallback, the measured CPU
+    floor of the signature build; see SCALING.md). Positions are NOT
+    deduplicated: every downstream consumer here aggregates with min,
+    which is multiset-insensitive, so the values — and the oracle
+    hashes — are unchanged. Docs too short to shingle drop out."""
+    n = F.size(F.col(tok_col))
+    width = n - (SHINGLE_W - 1)
+    z = F.arrays_zip(
+        *[
+            F.slice(F.col(tok_col), i + 1, width).alias(f"w{i}")
+            for i in range(SHINGLE_W)
+        ]
+    )
+    return (
+        df.filter(n >= SHINGLE_W)
+        .select(*key_cols, F.explode(z).alias("z"))
+        .select(
+            *key_cols,
+            F.concat_ws(" ", *[f"z.w{i}" for i in range(SHINGLE_W)]).alias("s"),
+        )
+    )
+
+
 def minhash_from_rep_base(base: DataFrame) -> DataFrame:
-    """(doc_id, lang, fingerprint, sh) → + mh0..mhN signature columns.
-    Rows with empty shingle sets drop out (explode of empty array)."""
-    sh = base.select("doc_id", "lang", "fingerprint", F.explode("sh").alias("s"))
+    """(doc_id, lang, fingerprint, toks) → + mh0..mhN signature
+    columns. Rows with too few tokens to shingle drop out."""
+    sh = exploded_shingles_from_toks(base, ["doc_id", "lang", "fingerprint"])
     h = sh.select(
         "doc_id", "lang", "fingerprint",
         F.md5(F.encode(F.col("s"), "UTF-8")).alias("hx"),
