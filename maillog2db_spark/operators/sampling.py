@@ -90,6 +90,60 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- deterministic training-shard assignment --------------------------------
+
+N_SHARDS = 8
+
+
+def shard_id(key) -> "F.Column":
+    """Content-derived shard id: first 32 md5 bits of the key mod
+    N_SHARDS. Same determinism contract as _uniform — a pure function
+    of the row, so shard membership is stable under repartition, AQE,
+    speculative retry, and streaming replay; an exporter that dies
+    mid-write re-produces byte-identical shard populations."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(N_SHARDS),
+    ).cast("bigint")
+
+
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export manifest: per-shard doc count, char mass,
+    id range, and an order-independent content checksum (sum of each
+    member's md5 bits 33–64 — commutative, so any partitioning/merge
+    order hashes identically). This is the audit record a shard writer
+    (sinks.write_training_shards) emits next to the data; comparing two
+    manifests detects a lost/duplicated shard without reading data.
+    Plan: one codegen'd projection + one shuffle on shard_id."""
+    d = io.load(spark, sf_dir, "documents")
+    member_sum = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10
+    ).cast("bigint")
+    return (
+        d.select(shard_id(F.col("doc_id")).alias("shard_id"), "doc_id", "n_chars", member_sum.alias("csum"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("csum").alias("checksum"),
+        )
+    )
+
+
+SHARD_ASSIGNMENT_SQL = f"""
+SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {N_SHARDS} AS shard_id,
+       count(*) AS n_docs,
+       -- CAST: DuckDB sum(BIGINT) widens to HUGEINT (→ object in pandas)
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id,
+       CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT) AS BIGINT) AS checksum
+FROM documents GROUP BY 1
+"""
+
+
 _W_SQL = "CASE " + " ".join(
     f"WHEN source = '{s}' THEN {r}" for s, r in MIX_WEIGHTS.items()
 ) + f" ELSE {DEFAULT_WEIGHT} END"

@@ -526,6 +526,104 @@ SELECT vec_a, vec_b, cosine FROM (
 """
 
 
+# --- semantic dedup (SemDeDup-style) ----------------------------------------
+
+# same corpus-calibrated threshold as cosine_neardup (the synthetic
+# embeddings are near-orthogonal; the mechanics are threshold-free)
+SEMDEDUP_T = COSINE_NEARDUP_T
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication over embeddings (the SemDeDup recipe,
+    Abbas et al. 2023, arXiv:2303.09540): assign every vector to its
+    nearest coarse-quantizer cell, score within-cell candidate pairs
+    with exact cosine, and emit a per-vector dedup DECISION —
+    ``kept`` = no lower-id vector shares the vector's (cell, LSH bucket)
+    with cosine ≥ T, else ``dup_of`` = the smallest such id
+    (first-writer-wins, the same keep policy as the text dedup family).
+
+    Scale design: pairwise work never sees the corpus square — the
+    quantizer confines candidates to cells, the in-cell LSH bucket
+    sub-blocks them further (this testdata has only 10 label-derived
+    cells; k-means cells at real scale are ~corpus/cells wide and the
+    sub-block is what keeps a 10^7-vector cell from going quadratic),
+    and pair expansion runs through the adaptively bounded
+    _pairs_within_groups (hot blocks take the salted triangular join).
+    The exact-cosine verify touches candidates only, with per-vector
+    norms computed below the join. The oracle mirrors the identical
+    two-level blocking, so the gate is a differential test of the
+    engine (assignment, blocking, join, fold arithmetic), not of
+    LSH/quantizer recall — which is tunable via cells × N_PLANES."""
+    from .dedup import _pairs_within_groups
+
+    e = _embeddings(spark, sf_dir)
+    cents = centroids_with_norms(spark, sf_dir)
+    vecs = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    assigned = _nearest_cells(cents, vecs, "vec_id", "embedding", "nrm", 1)
+    thr = _plane_thresholds(spark, sf_dir)
+    keyed = assigned.select(
+        F.col("vec_id").alias("doc_id"), "cell", _bucket_col(thr).alias("bucket")
+    )
+    cand = _pairs_within_groups(
+        keyed, ["cell", "bucket"], probe_key=(sf_dir, "semdedup")
+    )
+    pairs = (
+        cand.join(vecs.alias("l"), F.col("doc_a") == F.col("l.vec_id"))
+        .join(vecs.alias("r"), F.col("doc_b") == F.col("r.vec_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                _dot(F.col("l.embedding"), F.col("r.embedding"))
+                / (F.col("l.nrm") * F.col("r.nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_T)
+    )
+    dropped = pairs.groupBy(F.col("doc_b").alias("vec_id")).agg(
+        F.min("doc_a").alias("dup_of")
+    )
+    return (
+        keyed.select(F.col("doc_id").alias("vec_id"), "cell")
+        .join(dropped, "vec_id", "left")
+        .select("vec_id", "cell", F.col("dup_of").isNull().alias("kept"), "dup_of")
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH {_thresh_duck_cte()},
+{_CENTROID_DUCK.lstrip()},
+v AS (
+  SELECT vec_id, embedding AS emb, {_bucket_duck()} AS bucket FROM embeddings
+), assigned AS (
+  SELECT vec_id, emb, bucket, cell FROM (
+    SELECT vec_id, emb, bucket, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crank
+    FROM (
+      SELECT v.vec_id, v.emb, v.bucket, cents.cell,
+             round({_DOT_DUCK.format(a='v.emb', b='centroid')}
+                   / (sqrt({_DOT_DUCK.format(a='v.emb', b='v.emb')})
+                      * sqrt({_DOT_DUCK.format(a='centroid', b='centroid')})), 6) AS csim
+      FROM v CROSS JOIN cents
+    )
+  ) WHERE crank = 1
+), pairs AS (
+  SELECT l.vec_id AS doc_a, r.vec_id AS doc_b,
+         round({_DOT_DUCK.format(a='l.emb', b='r.emb')}
+               / (sqrt({_DOT_DUCK.format(a='l.emb', b='l.emb')})
+                  * sqrt({_DOT_DUCK.format(a='r.emb', b='r.emb')})), 6) AS cosine
+  FROM assigned l JOIN assigned r
+    ON l.cell = r.cell AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+), dropped AS (
+  SELECT doc_b AS vec_id, min(doc_a) AS dup_of
+  FROM pairs WHERE cosine >= {SEMDEDUP_T} GROUP BY doc_b
+)
+SELECT a.vec_id, a.cell, d.vec_id IS NULL AS kept, d.dup_of
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
 def arrow_dot():
     """Arrow-vectorized dot product — the 100 TB swap-in for the
     interpreted `_dot` fold (higher-order lambdas are CodegenFallback;

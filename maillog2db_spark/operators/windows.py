@@ -40,6 +40,58 @@ FROM events GROUP BY 1, 2
 """
 
 
+SLIDE_US = 15 * 60 * 1_000_000  # 15-minute slide step, microseconds
+SLIDE_FACTOR = 4  # windows per event = window size / slide (1h / 15m)
+
+
+def sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window SLIDING every 15 minutes per event_type — the
+    overlapping-window shape tumbling_hourly/sessionize don't cover.
+    ``F.window(ts, size, slide)`` assigns each event to size/slide
+    epoch-aligned windows (an internal generator, no join); the
+    aggregation then shuffles once on (window, event_type) exactly like
+    the tumbling case, with output volume SLIDE_FACTOR× — the inherent
+    cost of overlap, not a plan artifact. Streaming dual:
+    streaming.streaming_tumbling_counts with slide= (same epoch-aligned
+    window ids, so stream≡batch holds per closed window)."""
+    e = io.load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+# the oracle expands each event to its SLIDE_FACTOR member windows
+# explicitly: starts are the epoch-aligned 15-minute bucket of ts minus
+# k slides, k = 0..3 — every start s satisfies s <= ts < s + 1h, exactly
+# Spark's assignment. Integer-µs arithmetic (epoch_us // slide), never
+# float seconds: double loses µs precision at epoch magnitudes.
+SLIDING_HOURLY_SQL = f"""
+WITH slid AS (
+  SELECT make_timestamp((epoch_us(ts) // {SLIDE_US}) * {SLIDE_US} - k.range * {SLIDE_US})
+           AS window_start,
+         event_type, value, user_id
+  FROM events CROSS JOIN range({SLIDE_FACTOR}) k
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM slid GROUP BY 1, 2
+"""
+
+
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): the classic
     lag + cumulative-sum-of-boundaries window composition. One shuffle

@@ -306,6 +306,8 @@ register("ev_funnel_conversion", _win.FUNNEL_CONVERSION_SQL,
          doc="Staged funnel (view→click→purchase within 24h steps), broadcast stage scalars")(_win.funnel_conversion)
 register("ev_user_daily_autocorr", _win.USER_DAILY_AUTOCORR_SQL,
          doc="Gap-filled daily series + lag-1 autocorrelation (corr/stddev moment aggregates)")(_win.user_daily_autocorr)
+register("ev_sliding_hourly", _win.SLIDING_HOURLY_SQL,
+         doc="1h window sliding every 15min (overlapping windows; F.window size+slide)")(_win.sliding_hourly)
 register("ord_customer_gaps", _win.CUSTOMER_ORDER_GAPS_SQL,
          doc="lag / row_number / moving-avg sharing one window partitioning")(_win.customer_order_gaps)
 
@@ -359,6 +361,8 @@ register("embed_quantize_int8", _sim.QUANTIZE_INT8_SQL,
          doc="Symmetric int8 vector quantization + reconstruction error (shuffle-free)")(_sim.quantize_int8)
 register("embed_cosine_neardup", _sim.COSINE_NEARDUP_PAIRS_SQL,
          doc="Embedding-cosine near-dup (LSH blocking + exact verify)")(_sim.cosine_neardup_pairs)
+register("embed_semdedup", _sim.SEMDEDUP_SQL,
+         doc="SemDeDup-style semantic dedup: quantizer cell + in-cell LSH blocking, exact-cosine verify, first-writer keep policy (arXiv:2303.09540)")(_sim.semantic_dedup)
 register("doc_token_stats", _tx.TOKEN_STATS_SQL,
          doc="Token counting + lexical stats")(_tx.token_stats)
 register("doc_quality_score", _tx.QUALITY_SCORE_SQL,
@@ -409,6 +413,8 @@ from .operators import sampling as _smp  # noqa: E402
 
 register("doc_stratified_sample", _smp.STRATIFIED_SAMPLE_SQL,
          doc="Content-hash stratified sampling (deterministic under repartition/replay)")(_smp.stratified_sample)
+register("doc_shard_assignment", _smp.SHARD_ASSIGNMENT_SQL,
+         doc="Deterministic training-shard manifest: content-hash sharding + order-independent checksums (audit twin of sinks.write_training_shards)")(_smp.shard_assignment)
 from .operators import corpus_pipeline as _cp  # noqa: E402
 
 register("doc_corpus_pipeline", _cp.CORPUS_PIPELINE_SQL,
@@ -504,6 +510,12 @@ _PRIORITY = [
     # 7. remaining never-covered
     "mm_binary_meta", "ev_retention_cohorts", "price_percentiles_approx",
     # ---- 50-entry window boundary ----
+    # The r4-NEW queries (sliding window, semdedup, shard manifest) sit
+    # first in the tail: they cannot displace window entries without
+    # breaking the r3+r4 union covering the whole pre-r4 registry, so
+    # they are locally oracle-verified this round (tools/oracle_check.py)
+    # and lead the r5 rotation.
+    "ev_sliding_hourly", "embed_semdedup", "doc_shard_assignment",
     "doc_normalized_dedup",
 ]
 

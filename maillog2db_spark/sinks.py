@@ -422,3 +422,82 @@ def write_canonical(
         clients.write.mode(mode).parquet(os.path.join(out_dir, "clients"))
     if messages is not None:
         messages.write.mode(mode).parquet(os.path.join(out_dir, "messages"))
+
+
+# --- training-shard export (LLM-pipeline egress) ----------------------------
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> dict:
+    """JSONL training-shard export: the egress step of a corpus
+    pipeline, writing documents as newline-delimited JSON partitioned
+    by a CONTENT-DERIVED shard id (operators.sampling.shard_id — md5 of
+    the key, not Spark's partition-dependent hash). Determinism is the
+    contract: the same corpus produces byte-identical shard populations
+    under repartition, AQE, speculative retry, or a replayed write, so
+    a trainer's data order per shard is reproducible and an interrupted
+    export can simply be re-run (overwrite mode) without corpus skew.
+
+    The repartition ON shard_id means each shard is written by exactly
+    one task → one file per shard (trainers map shards to data-loader
+    workers 1:1). At 100 TB, shards are sized by raising N_SHARDS — the
+    shuffle is one exchange on a uniform md5-derived key (no skew by
+    construction), and JSON encoding is JVM-side.
+
+    Returns a manifest {shard_id: {"n_docs": ..., "checksum": ...}}
+    computed from the INPUT plan (same aggregation as the registered
+    doc_shard_assignment audit query); a separate `manifest.json` is
+    written next to the data. Comparing a re-read's manifest against it
+    detects lost/duplicated shards without scanning full text.
+    """
+    import json
+
+    from .operators.sampling import shard_id
+
+    sharded = df.withColumn("shard_id", shard_id(F.col(key_col)))
+    (
+        sharded.repartition("shard_id")
+        .write.mode(mode)
+        .partitionBy("shard_id")
+        .json(os.path.join(out_dir, "data"))
+    )
+    member_sum = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 9, 8), 16, 10
+    ).cast("bigint")
+    manifest_rows = (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(member_sum).alias("checksum"),
+        )
+        .collect()  # bounded: one row per shard
+    )
+    manifest = {
+        int(r["shard_id"]): {"n_docs": r["n_docs"], "checksum": r["checksum"]}
+        for r in manifest_rows
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump({str(k): v for k, v in sorted(manifest.items())}, f, indent=1)
+    return manifest
+
+
+def audit_training_shards(spark: SparkSession, out_dir: str, key_col: str = "doc_id") -> dict:
+    """Re-read a shard export and recompute its manifest from the FILES
+    (shard_id comes from the directory partitioning). Equality with the
+    writer's manifest certifies no shard was lost, duplicated, or
+    mis-assigned — the cheap end-to-end integrity check before a
+    training run."""
+    back = spark.read.json(os.path.join(out_dir, "data"))
+    member_sum = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 9, 8), 16, 10
+    ).cast("bigint")
+    rows = (
+        back.groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(member_sum).alias("checksum"))
+        .collect()
+    )
+    return {int(r["shard_id"]): {"n_docs": r["n_docs"], "checksum": r["checksum"]} for r in rows}

@@ -426,15 +426,19 @@ def streaming_tumbling_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     extra_keys: list[str] | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
     """ST3: streaming tumbling-window aggregation with a watermark for
     late data — the streaming dual of the batch event-window operators
     (operators/windows.py). State for a window closes once the watermark
     passes its end, so state is bounded by (watermark horizon / window)
-    regardless of stream length."""
-    keys = [F.window(F.col(ts_col), window).alias("win")] + [
-        F.col(k) for k in (extra_keys or [])
-    ]
+    regardless of stream length. ``slide`` < window turns this into the
+    SLIDING dual (operators/windows.sliding_hourly): each event lands in
+    window/slide epoch-aligned windows, multiplying state by the same
+    factor — the watermark bound still holds per window."""
+    keys = [
+        F.window(F.col(ts_col), window, slide or window).alias("win")
+    ] + [F.col(k) for k in (extra_keys or [])]
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(*keys)

@@ -774,3 +774,103 @@ def test_range_join_exact_beyond_double_precision(spark):
             if lo < rts - lts <= hi
         }
         assert got == want, (lo, hi)
+
+
+# --- r4: semantic dedup / sliding windows / shard manifest -------------------
+
+
+def test_semdedup_decision_invariants(spark):
+    """One decision row per vector; every drop names a strictly lower
+    id in the same cell, and — since semdedup's blocking (cell AND
+    bucket) refines cosine_neardup's (bucket only) at the same
+    threshold — every (dup_of, vec_id) edge must appear among the
+    cosine near-dup pairs."""
+    from maillog2db_spark import io as mio
+
+    out = similarity.semantic_dedup(spark, SF).collect()
+    n = mio.load(spark, SF, "embeddings").count()
+    assert len(out) == n
+    by_id = {r.vec_id: r for r in out}
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.cosine_neardup_pairs(spark, SF).collect()
+    }
+    for r in out:
+        if r.kept:
+            assert r.dup_of is None
+        else:
+            assert r.dup_of is not None and r.dup_of < r.vec_id
+            assert by_id[r.dup_of].cell == r.cell
+            assert (r.dup_of, r.vec_id) in pairs
+
+
+def test_semdedup_drops_planted_exact_duplicates(spark, tmp_path):
+    """Planted exact-duplicate vectors always collide in both blocking
+    keys (same cell, same bucket, cosine 1.0), so the higher ids must
+    be dropped with dup_of = the group minimum; distinct near-orthogonal
+    vectors survive."""
+    import math
+
+    rows = []
+    # 12 deterministic base vectors across 2 labels: one-hot-ish,
+    # pairwise cosine ≈ 0 — far below the threshold
+    for i in range(12):
+        v = [0.0] * 64
+        v[i] = 1.0
+        v[63] = 0.01 * (i + 1)
+        rows.append((i, v, i % 2))
+    # ids 100/101 duplicate vector 3; id 200 duplicates vector 7
+    base3 = [0.0] * 64
+    base3[3], base3[63] = 1.0, 0.04
+    base7 = [0.0] * 64
+    base7[7], base7[63] = 1.0, 0.08
+    rows += [(100, base3, 1), (101, base3, 1), (200, base7, 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/embeddings.parquet")
+    out = {r.vec_id: r for r in similarity.semantic_dedup(spark, sf).collect()}
+    assert out[3].kept  # group minimum survives
+    assert not out[100].kept and out[100].dup_of == 3
+    assert not out[101].kept and out[101].dup_of == 3
+    assert not out[200].kept and out[200].dup_of == 7
+    for i in range(12):
+        if i in (3, 7):
+            continue
+        assert out[i].kept and out[i].dup_of is None
+
+
+def test_sliding_hourly_invariants(spark):
+    """Every event lands in exactly SLIDE_FACTOR overlapping windows,
+    and the hour-aligned slice of the sliding result IS the tumbling
+    result (tumbling = the slide-equals-size degenerate case)."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import windows as W
+
+    slid = W.sliding_hourly(spark, SF).collect()
+    n = mio.load_events(spark, SF).count()
+    assert sum(r.n_events for r in slid) == W.SLIDE_FACTOR * n
+    hour_aligned = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value, r.n_users)
+        for r in slid
+        if r.window_start.minute == 0
+    }
+    tumbling = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value, r.n_users)
+        for r in W.tumbling_hourly(spark, SF).collect()
+    }
+    assert hour_aligned == tumbling
+
+
+def test_shard_assignment_partitions_the_corpus(spark):
+    """Shards tile the corpus: counts sum to the doc count, ids stay in
+    range, and the checksum is order-independent (recomputing from a
+    differently-partitioned scan is identical by construction — the
+    oracle gate pins the values; here we pin the tiling)."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import sampling as S
+
+    rows = S.shard_assignment(spark, SF).collect()
+    docs = mio.load(spark, SF, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert {r.shard_id for r in rows} <= set(range(S.N_SHARDS))
+    assert all(r.min_doc_id <= r.max_doc_id for r in rows)

@@ -18,6 +18,7 @@ SF = "/root/testdata/sf0.001"
 BNL_ALLOWED = {
     "embed_knn_bruteforce",
     "embed_ann_ivf_topk",
+    "embed_semdedup",  # same broadcast quantizer scoring as ann_ivf_topk
     "doc_tfidf_topk",
     "tpch_q11_important_parts",
     "tpch_q22_dormant_customers",

@@ -218,3 +218,38 @@ def test_jdbc_mirror_end_to_end_derby(spark, tmp_path):
             for r in _read_mirror(spark, url, table).select(*ref_cols).collect()
         )
         assert after == before, f"{table}: replay changed the mirror"
+
+
+def test_write_training_shards_roundtrip_and_determinism(spark, tmp_path):
+    """Shard export contract: writer manifest == file-level audit ==
+    the registered doc_shard_assignment audit query; assignment is
+    stable under adversarial pre-partitioning; exactly one file per
+    shard; and the JSONL rows round-trip losslessly."""
+    import glob
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import sampling as S
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    out = str(tmp_path / "shards")
+    manifest = sinks.write_training_shards(docs, out)
+
+    assert sinks.audit_training_shards(spark, out) == manifest
+    q = {
+        r.shard_id: {"n_docs": r.n_docs, "checksum": r.checksum}
+        for r in S.shard_assignment(spark, sf).collect()
+    }
+    assert manifest == q
+
+    m2 = sinks.write_training_shards(docs.repartition(7), str(tmp_path / "s2"))
+    assert m2 == manifest
+
+    for sid in manifest:
+        assert len(glob.glob(f"{out}/data/shard_id={sid}/part-*.json")) == 1
+
+    back = spark.read.json(f"{out}/data")
+    assert back.count() == docs.count()
+    a = docs.select("doc_id", "text")
+    b = back.select("doc_id", "text")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -686,3 +686,44 @@ def test_vocab_merge_replay_idempotent(spark, tmp_path_factory):
     )
     counts = {r["tok"]: r["cnt"] for r in store.read_vocab(spark).collect()}
     assert counts == {"a": 12, "b": 3, "c": 3}
+
+
+def test_streaming_sliding_counts_match_batch(spark, tmp_path_factory):
+    """ST3 sliding dual: slide < window multiplies each event into
+    window/slide overlapping windows; the streaming aggregation
+    (update mode, availableNow) converges to the batch result per
+    window — same epoch-aligned window ids, so stream ≡ batch."""
+    import shutil
+
+    from maillog2db_spark import io as mio
+
+    spark.conf.set(mio.NANOS_CONF, "true")
+    src = "/root/testdata/sf0.001/events.parquet"
+    d = tmp_path_factory.mktemp("ev_slide")
+    shutil.copy(src, d / "events.parquet")
+    batch_ev = mio.load_events(spark, "/root/testdata/sf0.001")
+    raw_schema = spark.read.parquet(str(d)).schema
+    stream_ev = mio.normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(str(d))
+    )
+    agg = streaming.streaming_tumbling_counts(
+        stream_ev, ts_col="ts", window="1 hour", slide="15 minutes"
+    )
+    rows: dict[tuple, int] = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            rows[(r.window_start, r.window_end)] = r.n_events
+
+    q = agg.writeStream.foreachBatch(sink).outputMode("update").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    expected = {
+        (r.window_start, r.window_end): r.n_events
+        for r in streaming.streaming_tumbling_counts(
+            batch_ev, window="1 hour", slide="15 minutes"
+        ).collect()
+    }
+    assert rows == expected
+    # sanity: overlap factor — total window memberships = 4 × events
+    assert sum(rows.values()) == 4 * batch_ev.count()
