@@ -298,6 +298,175 @@ FROM documents
 """
 
 
+WAV_SAMPLE_RATE = 16000
+
+
+def wav_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked REAL-codec audio feature extraction: synthesize a
+    16-bit mono WAV from each document (one sample per CODE POINT —
+    ``(cp % 256 - 128) * 256`` — deliberately code-point-based, not
+    byte-based, so the DuckDB oracle's char-wise arithmetic agrees for
+    ANY text, not just ASCII; the textnorm byte-vs-char divergence
+    taught that lesson), run it through the actual stdlib WAV
+    encode/decode (operators/codecs.py), and compute loudness features
+    from the DECODED pcm: frame count, duration, peak amplitude, RMS.
+    The oracle predicts every column arithmetically from the text
+    alone, so a hash match certifies the codec round-trip AND the
+    feature math through the distributed Arrow path.
+
+    Scale shape: pure mapInPandas over the repartitioned scan — no
+    shuffle, no state; the decode-then-reduce per row is the exact
+    shape a real audio featurizer (loudness/VAD/fingerprint) takes."""
+    import math
+    import struct
+
+    from . import codecs
+
+    p = spark.sparkContext.defaultParallelism
+    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id").select("doc_id", "text")
+
+    def _loud(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                samples = [((ord(c) % 256) - 128) * 256 for c in (text or "")]
+                pcm = struct.pack(f"<{len(samples)}h", *samples)
+                wav = codecs.encode_wav(pcm, 1, WAV_SAMPLE_RATE, 2)
+                ch, rate, n_frames, pcm2 = codecs.decode_wav(wav)
+                assert ch == 1 and rate == WAV_SAMPLE_RATE and pcm2 == pcm
+                dec = struct.unpack(f"<{n_frames}h", pcm2)
+                peak = max((abs(s) for s in dec), default=0)
+                rms = (
+                    round(math.sqrt(sum(s * s for s in dec) / n_frames), 6)
+                    if n_frames
+                    else 0.0
+                )
+                rows.append(
+                    (doc_id, n_frames, n_frames * 1000 // WAV_SAMPLE_RATE, peak, rms)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "duration_ms", "peak", "rms"],
+            )
+
+    return d.mapInPandas(
+        _loud,
+        schema="doc_id bigint, n_frames bigint, duration_ms bigint, peak bigint, rms double",
+    )
+
+
+# char-wise arithmetic twin: one row per code point via string_split,
+# LEFT JOIN so empty/NULL documents keep a (0, 0, 0, 0.0) row exactly
+# like the Spark side's max(default=0) / guarded rms
+WAV_LOUDNESS_SQL = f"""
+WITH samples AS (
+  -- ch <> '': string_split('', '') yields [''] (one empty element),
+  -- which would fabricate a sample for empty documents
+  SELECT doc_id, ((ascii(ch) % 256) - 128) * 256 AS s
+  FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS ch FROM documents)
+  WHERE ch <> ''
+), agg AS (
+  SELECT doc_id, count(*) AS n_frames, max(abs(s)) AS peak,
+         round(sqrt(avg(CAST(s AS DOUBLE) * s)), 6) AS rms
+  FROM samples GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_frames, 0) AS BIGINT) AS n_frames,
+       CAST(coalesce(a.n_frames, 0) * 1000 // {WAV_SAMPLE_RATE} AS BIGINT) AS duration_ms,
+       CAST(coalesce(a.peak, 0) AS BIGINT) AS peak,
+       coalesce(a.rms, 0.0) AS rms
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+FRAME_CHARS = 8  # chars per synthesized frame
+FRAME_EVERY = 4  # sample every 4th frame
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked REAL frame sampling: pack each document into a
+    multi-frame media container (a minimal demuxable format: ``ANIM``
+    magic + frame count + length-prefixed REAL PNG frames, one per
+    8-char slice of the text), then DEMUX the container bytes, sample
+    every 4th frame, decode each sampled frame with the actual PNG
+    codec, and report its index, recovered width, and pixel md5. The
+    oracle predicts all of it arithmetically from the text (frames are
+    CHAR slices so char-wise SQL agrees beyond ASCII), so a hash match
+    certifies mux → demux → per-frame decode end-to-end — the
+    video-frame-extraction shape (av demux + keyframe decode) with the
+    codec swapped for the in-container stdlib one.
+
+    Scale shape: row-expanding mapInPandas (one doc row → 0..k frame
+    rows), no shuffle; real video work drops into the same iterator
+    with av/ffmpeg bindings."""
+    import hashlib
+    import math
+    import struct
+
+    from . import codecs
+
+    p = spark.sparkContext.defaultParallelism
+    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id").select("doc_id", "text")
+
+    def _mux(text: str) -> bytes:
+        frames = []
+        for i in range(0, len(text), FRAME_CHARS):
+            chunk = text[i : i + FRAME_CHARS].encode("utf-8")
+            frames.append(codecs.encode_png(chunk, len(chunk), 1, channels=1))
+        out = [b"ANIM", struct.pack("<I", len(frames))]
+        for fr in frames:
+            out.append(struct.pack("<I", len(fr)))
+            out.append(fr)
+        return b"".join(out)
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                blob = _mux(text or "")
+                assert blob[:4] == b"ANIM"
+                (n_frames,) = struct.unpack("<I", blob[4:8])
+                off = 8
+                for idx in range(n_frames):
+                    (flen,) = struct.unpack("<I", blob[off : off + 4])
+                    off += 4
+                    payload = blob[off : off + flen]
+                    off += flen
+                    if idx % FRAME_EVERY:
+                        continue
+                    w, h, ch, pix = codecs.decode_png(payload)
+                    assert h == 1 and ch == 1
+                    rows.append(
+                        (doc_id, idx, w, hashlib.md5(pix).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "width", "pixel_md5"]
+            )
+
+    return d.mapInPandas(
+        _sample,
+        schema="doc_id bigint, frame_idx bigint, width int, pixel_md5 string",
+    )
+
+
+FRAME_SAMPLE_SQL = f"""
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(range(CAST(ceil(length(coalesce(text, '')) / {FRAME_CHARS}.0) AS BIGINT)))
+           AS frame_idx
+  FROM documents
+), f AS (
+  SELECT doc_id, frame_idx,
+         substr(coalesce(text, ''), CAST(frame_idx * {FRAME_CHARS} + 1 AS INT), {FRAME_CHARS}) AS chunk
+  FROM idx
+)
+SELECT doc_id, frame_idx,
+       CAST(octet_length(encode(chunk)) AS INT) AS width,
+       md5(chunk) AS pixel_md5
+FROM f WHERE frame_idx % {FRAME_EVERY} = 0
+"""
+
+
 def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapter: documents.text as a fake binary media column, for
     exercising the decode plumbing on driver testdata."""

@@ -440,6 +440,10 @@ register("ord_rfm_segments", _ca.RFM_SEGMENTS_SQL,
          doc="RFM customer segmentation: recency/frequency/monetary quartiles via deterministic ntile")(_ca.rfm_segments)
 register("mm_png_roundtrip", _mm.PNG_ROUNDTRIP_SQL,
          doc="REAL-codec round-trip: text bytes -> grayscale PNG -> decode, dims+pixel md5 predicted arithmetically by the oracle")(_mm.png_roundtrip)
+register("mm_wav_loudness", _mm.WAV_LOUDNESS_SQL,
+         doc="REAL-codec audio featurization: code-point PCM -> WAV encode/decode -> peak/RMS, predicted arithmetically by the oracle")(_mm.wav_loudness)
+register("mm_frame_sample", _mm.FRAME_SAMPLE_SQL,
+         doc="REAL frame sampling: ANIM container mux -> demux -> every-4th-frame PNG decode, width+pixel md5 predicted arithmetically")(_mm.frame_sample)
 register("doc_profile", _ca.CORPUS_PROFILE_SQL,
          doc="Corpus admission audit: rows/nulls/empties, dimension cardinalities, char-length distribution in one scan")(_ca.corpus_profile)
 
@@ -516,6 +520,7 @@ _PRIORITY = [
     # they are locally oracle-verified this round (tools/oracle_check.py)
     # and lead the r5 rotation.
     "ev_sliding_hourly", "embed_semdedup", "doc_shard_assignment",
+    "mm_wav_loudness", "mm_frame_sample",
     "doc_normalized_dedup",
 ]
 

@@ -42,6 +42,14 @@ FUZZED_QUERIES = [
     "doc_language_id",
     "doc_rolling_fingerprint",
     "doc_length_deciles",
+    # real-codec multimodal ops: their oracles are arithmetic
+    # predictions over text, and their definitions are deliberately
+    # code-point/char-based — the non-ASCII WORDS certify that choice
+    # cross-engine (rms stays in: both engines reduce bit-identical
+    # integer partial sums, so the rounded double is the same object)
+    "mm_png_roundtrip",
+    "mm_wav_loudness",
+    "mm_frame_sample",
 ]
 
 

@@ -163,3 +163,51 @@ def test_extract_features_deterministic_unit_mass(spark, media):
     # determinism across runs
     again = {r.doc_id: r.features for r in out.collect()}
     assert all(again[r.doc_id] == r.features for r in rows)
+
+
+def test_wav_loudness_constant_tone_and_multibyte(spark, tmp_path):
+    """A constant-character document is a constant tone: peak == rms ==
+    |(cp%256 - 128)|*256 exactly. Multi-byte chars count as ONE frame
+    each (code-point PCM, the cross-engine contract), and empty text
+    yields a silent zero-frame row."""
+    rows = [
+        (0, "aaaa", "en", "s0", 4),            # cp 97 -> sample -7936
+        (1, "éé", "en", "s0", 2),    # é cp 233 -> (233-128)*256 = 26880
+        (2, "", "en", "s0", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r for r in mm.wav_loudness(spark, str(tmp_path)).collect()}
+    assert out[0].n_frames == 4 and out[0].peak == 7936 and out[0].rms == 7936.0
+    assert out[1].n_frames == 2 and out[1].peak == 26880 and out[1].rms == 26880.0
+    assert out[2].n_frames == 0 and out[2].peak == 0 and out[2].rms == 0.0
+
+
+def test_frame_sample_demux_indices_and_widths(spark, tmp_path):
+    """The demuxer must recover every 4th frame with the chunk's BYTE
+    width (8 chars of 2-byte UTF-8 -> width 16) and the md5 of the
+    chunk's bytes; docs shorter than one frame still produce frame 0."""
+    import hashlib
+
+    rows = [
+        (0, "x" * 37, "en", "s0", 37),          # 5 frames -> idx 0, 4
+        (1, "é" * 10, "en", "s0", 10),     # 2 frames -> idx 0; width 16
+        (2, "ab", "en", "s0", 2),               # 1 frame -> idx 0, width 2
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    out = sorted(
+        (r.doc_id, r.frame_idx, r.width, r.pixel_md5)
+        for r in mm.frame_sample(spark, str(tmp_path)).collect()
+    )
+    md5 = lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+    assert out == [
+        (0, 0, 8, md5("x" * 8)),
+        (0, 4, 5, md5("x" * 5)),
+        (1, 0, 16, md5("é" * 8)),
+        (2, 0, 2, md5("ab")),
+    ]
