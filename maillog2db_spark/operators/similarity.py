@@ -164,15 +164,23 @@ def _plane_thresholds(spark: SparkSession, sf_dir: str) -> list[float]:
     the threshold bit-identical across engines (the mean's last ulp is
     partial-sum-order dependent; the dot folds themselves are already
     identical expression trees)."""
-    import math
-
     per_session = _THRESH_CACHE.setdefault(spark, {})
     cached = per_session.get(sf_dir)
     if cached is not None:
         return cached
-    pos = _embeddings(spark, sf_dir).select(
-        F.posexplode("embedding").alias("pos", "v")
-    )
+    out = thresholds_from_embeddings(_embeddings(spark, sf_dir))
+    per_session[sf_dir] = out
+    return out
+
+
+def thresholds_from_embeddings(e: DataFrame) -> list[float]:
+    """Mean-centered plane thresholds from ANY embedding DataFrame —
+    shared by the session-cached sf_dir path above and by streaming
+    quantizer freezing (streaming_semdedup), where the training corpus
+    is a seed DataFrame, not a registered table."""
+    import math
+
+    pos = e.select(F.posexplode("embedding").alias("pos", "v"))
     mean = {
         r["pos"]: r["m"]
         for r in pos.groupBy("pos").agg(F.avg(F.col("v").cast("double")).alias("m")).collect()
@@ -185,7 +193,6 @@ def _plane_thresholds(spark: SparkSession, sf_dir: str) -> list[float]:
         for x, w in zip(mv, plane):  # left-to-right fold, like both engines
             t = t + x * w
         out.append(math.floor(t * 1_000_000 + 0.5) / 1_000_000)
-    per_session[sf_dir] = out
     return out
 
 

@@ -727,3 +727,92 @@ def test_streaming_sliding_counts_match_batch(spark, tmp_path_factory):
     assert rows == expected
     # sanity: overlap factor — total window memberships = 4 × events
     assert sum(rows.values()) == 4 * batch_ev.count()
+
+
+def test_streaming_semdedup_matches_batch(spark, tmp_path_factory):
+    """Incremental semantic dedup (frozen quantizer, cell-partitioned
+    vector store) emits EXACTLY the decisions the batch embed_semdedup
+    operator makes on the same corpus — including drops that span
+    micro-batches (a wave-2 duplicate of a wave-0 vector names the
+    wave-0 id as dup_of). Waves are id-ranges (monotone with arrival —
+    the same rep-identity contract as the neardup stream). Replaying
+    through a fresh checkpoint changes nothing: the ledger skips
+    committed batches, decisions are batch-id-partitioned overwrites,
+    and the vector merge dedups by vec_id."""
+    import shutil
+
+    from maillog2db_spark import streaming_semdedup as ssd
+    from maillog2db_spark.operators import similarity
+
+    # corpus: 12 near-orthogonal base vectors + exact duplicates placed
+    # in LATER waves than their originals (ids 100/101 dup id 3; 200
+    # dups id 7)
+    rows = []
+    for i in range(12):
+        v = [0.0] * 64
+        v[i] = 1.0
+        v[63] = 0.01 * (i + 1)
+        rows.append((i, v, i % 2))
+    base3 = [0.0] * 64
+    base3[3], base3[63] = 1.0, 0.04
+    base7 = [0.0] * 64
+    base7[7], base7[63] = 1.0, 0.08
+    rows += [(100, base3, 1), (101, base3, 1), (200, base7, 1)]
+    full = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    d = tmp_path_factory.mktemp("semdedup_stream")
+    full.write.parquet(f"{d}/embeddings.parquet")  # the batch dual's table
+
+    src = d / "vecs"
+    src.mkdir()
+
+    def drop_wave(df, name, mtime):
+        tmp = d / f"_tmp_{name}"
+        df.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"{name}.parquet"
+        shutil.move(str(part), str(dest))
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp)
+
+    waves = [
+        full.filter("vec_id < 6"),
+        full.filter("vec_id >= 6 and vec_id < 101"),
+        full.filter("vec_id >= 101"),
+    ]
+    for i, w in enumerate(waves):
+        drop_wave(w, f"wave{i}", 1_700_000_000 + i * 60)
+
+    store = ssd.VecStore(str(d / "store"))
+    # frozen quantizer from the same corpus the batch operator trains on
+    store.freeze_quantizer(full)
+
+    q = ssd.start_semdedup_stream(
+        spark, str(src), store, str(d / "ckpt"), available_now=True
+    )
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, store.read_decisions(spark).collect()))
+    want = sorted(map(tuple, similarity.semantic_dedup(spark, str(d)).collect()))
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert by_id[100][2] is False and by_id[100][3] == 3  # cross-batch drop
+    assert by_id[200][2] is False and by_id[200][3] == 7
+
+    # replay: fresh checkpoint, same store — nothing changes, no dup rows
+    q2 = ssd.start_semdedup_stream(
+        spark, str(src), store, str(d / "ckpt2"), available_now=True
+    )
+    q2.awaitTermination(180)
+    assert sorted(map(tuple, store.read_decisions(spark).collect())) == got
+
+    # crash inside the commit window: wipe one batch's ledger entry so
+    # it replays against a store that already contains its own vectors —
+    # decisions must be recomputed identically (pure function of
+    # store-before ∪ batch; self-pairs excluded by strict id order)
+    os.remove(store._ledger(2))
+    q3 = ssd.start_semdedup_stream(
+        spark, str(src), store, str(d / "ckpt3"), available_now=True
+    )
+    q3.awaitTermination(180)
+    assert sorted(map(tuple, store.read_decisions(spark).collect())) == got
