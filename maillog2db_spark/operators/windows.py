@@ -92,6 +92,44 @@ FROM slid GROUP BY 1, 2
 """
 
 
+TRAILING_DAYS = 7
+
+
+def trailing_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-7-day event stats at every event — a RANGE
+    window frame (value-based bounds over the timestamp), the frame
+    type rows-frames can't express: each row's window is [ts − 7d, ts]
+    regardless of how many rows fall inside. One shuffle on user_id;
+    Spark evaluates the sliding frame with two moving pointers over the
+    sorted partition (O(n) per partition, not O(n²)). Integer-µs
+    ordering keys on both engines — epoch arithmetic, never float
+    seconds."""
+    e = io.load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-TRAILING_DAYS * 86_400 * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.round(F.sum("value").over(w), 6).alias("sum_7d"),
+    )
+
+
+TRAILING_WINDOW_STATS_SQL = f"""
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_7d,
+       round(sum(value) OVER w, 6) AS sum_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {TRAILING_DAYS * 86_400 * 1_000_000} PRECEDING AND CURRENT ROW)
+"""
+
+
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): the classic
     lag + cumulative-sum-of-boundaries window composition. One shuffle

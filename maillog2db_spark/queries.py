@@ -308,6 +308,8 @@ register("ev_user_daily_autocorr", _win.USER_DAILY_AUTOCORR_SQL,
          doc="Gap-filled daily series + lag-1 autocorrelation (corr/stddev moment aggregates)")(_win.user_daily_autocorr)
 register("ev_sliding_hourly", _win.SLIDING_HOURLY_SQL,
          doc="1h window sliding every 15min (overlapping windows; F.window size+slide)")(_win.sliding_hourly)
+register("ev_trailing_7d_stats", _win.TRAILING_WINDOW_STATS_SQL,
+         doc="RANGE window frame: per-user trailing-7-day stats at every event (value-based bounds, integer-us ordering)")(_win.trailing_window_stats)
 register("ord_customer_gaps", _win.CUSTOMER_ORDER_GAPS_SQL,
          doc="lag / row_number / moving-avg sharing one window partitioning")(_win.customer_order_gaps)
 
@@ -520,7 +522,7 @@ _PRIORITY = [
     # they are locally oracle-verified this round (tools/oracle_check.py)
     # and lead the r5 rotation.
     "ev_sliding_hourly", "embed_semdedup", "doc_shard_assignment",
-    "mm_wav_loudness", "mm_frame_sample",
+    "mm_wav_loudness", "mm_frame_sample", "ev_trailing_7d_stats",
     "doc_normalized_dedup",
 ]
 

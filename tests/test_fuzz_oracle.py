@@ -121,6 +121,9 @@ EV_QUERIES = [
     # so the regression class stays covered on arbitrary event shapes
     "ev_asof_purchase_click",
     "ev_pairs_within_5min",
+    # RANGE frame: duplicate order keys make PEER rows — both engines
+    # must include the full peer group in each other's frame
+    "ev_trailing_7d_stats",
 ]
 
 events_strategy = st.lists(
