@@ -419,3 +419,104 @@ def token_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_distinct_est"),
     )
     return lang_rows.unionByName(total).orderBy("lang")
+
+
+# --- count-min sketch heavy hitters ------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # counters per row
+CMS_TOP_K = 10
+
+
+def _cms_bucket(tok: "F.Column", depth: int) -> "F.Column":
+    """Counter index for hash row ``depth``: first 32 md5 bits of
+    "depth:token" mod CMS_W — deterministic, engine-portable (the same
+    md5-slice idiom as minhash/sampling)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{depth}:"), tok)), 1, 8), 16, 10
+        ).cast("bigint")
+        % CMS_W
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: corpus token frequencies via a
+    CMS (CMS_D hash rows × CMS_W counters), top-k tokens ranked by the
+    SKETCH estimate, with the exact count alongside (est_n ≥ true_n is
+    the CMS overcount guarantee — pinned in tests and visible in the
+    output).
+
+    This completes the sketch family (HLL → distincts, t-digest →
+    quantiles, CMS → frequencies) and unlike those two it is fully
+    DETERMINISTIC — md5-derived counter indexes, integer counts — so it
+    carries an exact DuckDB oracle, not a rows-only check.
+
+    Scale shape: the sketch build is ONE aggregation of (depth, bucket)
+    pairs — CMS_D rows per token occurrence, map-side combined into at
+    most CMS_D × CMS_W cells per partition; the sketch is
+    RE-AGGREGATABLE (cells add), so per-shard/per-day sketches union by
+    summing cells without touching raw data. At 100 TB the candidate
+    probe runs over a candidate stream (new tokens, a watchlist), never
+    the full vocabulary — the full-vocabulary probe here exists to
+    exhibit est-vs-true on every token."""
+    from pyspark.sql import Window
+
+    d = io.load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+    buckets = lambda col: F.array(*[_cms_bucket(col, i) for i in range(CMS_D)])
+    cms = (
+        toks.select(F.posexplode(buckets(F.col("tok"))).alias("depth", "bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_n"))
+    probe = cand.select(
+        "tok", "true_n", F.posexplode(buckets(F.col("tok"))).alias("depth", "bucket")
+    )
+    est = (
+        probe.join(cms, ["depth", "bucket"])
+        .groupBy("tok", "true_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    # top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    # partial top-k, no global sort); the ranking window then runs over
+    # only the surviving CMS_TOP_K rows
+    top = est.orderBy(F.col("est_n").desc(), F.col("tok")).limit(CMS_TOP_K)
+    w = Window.orderBy(F.col("est_n").desc(), F.col("tok"))
+    return top.select(
+        "tok",
+        F.row_number().over(w).cast("int").alias("rk"),
+        "est_n",
+        "true_n",
+    )
+
+
+_CMS_BUCKET_DUCK = (
+    "(('0x' || substr(md5(CAST(d.range AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % "
+    + str(CMS_W)
+    + ")"
+)
+
+CMS_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS_DUCK}) AS tok FROM documents
+), pairs AS (
+  SELECT CAST(d.range AS INT) AS depth, {_CMS_BUCKET_DUCK} AS bucket
+  FROM toks CROSS JOIN range({CMS_D}) d
+), cms AS (
+  SELECT depth, bucket, count(*) AS c FROM pairs GROUP BY depth, bucket
+), cand AS (
+  SELECT tok, count(*) AS true_n FROM toks GROUP BY tok
+), probe AS (
+  SELECT tok, true_n, CAST(d.range AS INT) AS depth, {_CMS_BUCKET_DUCK} AS bucket
+  FROM cand CROSS JOIN range({CMS_D}) d
+), est AS (
+  SELECT tok, true_n, CAST(min(c) AS BIGINT) AS est_n
+  FROM probe JOIN cms USING (depth, bucket)
+  GROUP BY tok, true_n
+)
+SELECT tok, CAST(rk AS INT) AS rk, est_n, true_n FROM (
+  SELECT *, row_number() OVER (ORDER BY est_n DESC, tok) AS rk FROM est
+) WHERE rk <= {CMS_TOP_K}
+"""

@@ -381,6 +381,8 @@ register("doc_bpe_token_stats", _tx.BPE_TOKEN_STATS_SQL,
          doc="BPE-style pre-tokenizer profile (letter/digit/punct runs, codegen-only)")(_tx.bpe_token_stats)
 register("doc_ngram_topk", _tx.NGRAM_TOPK_SQL,
          doc="Corpus-wide top-k trigram frequency (contamination/boilerplate detector)")(_tx.ngram_topk)
+register("doc_cms_heavy_hitters", _tx.CMS_HEAVY_HITTERS_SQL,
+         doc="Count-min-sketch heavy hitters: deterministic md5-indexed CMS, top-k by sketch estimate with exact count alongside (est >= true pinned)")(_tx.cms_heavy_hitters)
 register("doc_distinct_tokens_approx", None,
          doc="HyperLogLog++ approximate distinct tokens per language (sketch — no exact oracle; accuracy asserted vs exact in tests)")(_tx.distinct_tokens_approx)
 register("doc_token_hll_rollup", None,
@@ -523,6 +525,7 @@ _PRIORITY = [
     # and lead the r5 rotation.
     "ev_sliding_hourly", "embed_semdedup", "doc_shard_assignment",
     "mm_wav_loudness", "mm_frame_sample", "ev_trailing_7d_stats",
+    "doc_cms_heavy_hitters",
     "doc_normalized_dedup",
 ]
 

@@ -50,6 +50,8 @@ FUZZED_QUERIES = [
     "mm_png_roundtrip",
     "mm_wav_loudness",
     "mm_frame_sample",
+    # integral sketch with deterministic indexes; rank ties break on tok
+    "doc_cms_heavy_hitters",
 ]
 
 

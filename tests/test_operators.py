@@ -874,3 +874,18 @@ def test_shard_assignment_partitions_the_corpus(spark):
     assert sum(r.n_docs for r in rows) == docs.count()
     assert {r.shard_id for r in rows} <= set(range(S.N_SHARDS))
     assert all(r.min_doc_id <= r.max_doc_id for r in rows)
+
+
+def test_cms_overcount_guarantee_and_topk(spark):
+    """CMS property: the sketch estimate never undercounts (est_n >=
+    true_n for every reported token), and on a corpus whose vocabulary
+    is far smaller than D x W the top-k by estimate matches the exact
+    top-k."""
+    from maillog2db_spark.operators import text as tx
+
+    rows = tx.cms_heavy_hitters(spark, SF).collect()
+    assert len(rows) == tx.CMS_TOP_K
+    assert all(r.est_n >= r.true_n for r in rows)
+    assert [r.rk for r in sorted(rows, key=lambda r: r.rk)] == list(
+        range(1, tx.CMS_TOP_K + 1)
+    )
