@@ -631,6 +631,122 @@ FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 """
 
 
+# --- distributed covariance / PCA -------------------------------------------
+
+COV_SCALE = 1_000_000_000_000  # 1e12 fixed point for per-row products
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance of the embedding matrix — the reduction
+    behind whitening/PCA embedding compression. One pass: per row the
+    centered outer product is flattened to a (dim²)-array, posexploded,
+    and summed per (i, j) cell with map-side combine; no self-join of
+    the exploded table (that plan shuffles dim·n rows twice).
+
+    Order-exact integers, the unigram-LM pattern: means are collected
+    once and ppm-QUANTIZED (8 doubles of bounded metadata — ulp noise
+    from partial-sum order collapses onto the 1e-6 grid), each row's
+    centered product is fixed-pointed to 1e-12 BEFORE any cross-row
+    sum, and only integers cross rows — so the hash is bit-stable
+    across engines, partitionings, and replays. Upper triangle only
+    (symmetric). int64 bound: |product| ≤ 4·1e12, × rows — safe to
+    ~2·10⁶ rows per cell at this scale factor family; at real corpus
+    scale drop COV_SCALE to 1e6 (documented, not silently).
+
+    Consumers divide sum_e12 by n_vectors themselves — emitting the
+    quotient would need a floor/truncate choice that differs between
+    engines for negative sums."""
+    e = _embeddings(spark, sf_dir)
+    dim = 64
+    means = {
+        r["pos"]: r["m"]
+        for r in e.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .collect()
+    }
+    import math
+
+    mq = [math.floor(means[i] * 1_000_000 + 0.5) / 1_000_000 for i in range(dim)]
+    m_arr = F.array(*[F.lit(v) for v in mq])
+    centered = F.zip_with(
+        F.col("embedding"), m_arr, lambda x, m: x.cast("double") - m
+    )
+    outer = F.flatten(
+        F.transform(centered, lambda x: F.transform(centered, lambda y: x * y))
+    )
+    cells = e.select(F.posexplode(outer).alias("k", "prod")).select(
+        (F.col("k") / dim).cast("int").alias("i"),
+        (F.col("k") % dim).cast("int").alias("j"),
+        F.floor(F.col("prod") * COV_SCALE + 0.5).cast("bigint").alias("p_e12"),
+    )
+    return (
+        cells.filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("p_e12").alias("sum_e12"),
+        )
+    )
+
+
+def _cov_means_duck() -> str:
+    return (
+        "mpos AS (\n"
+        "  SELECT r.range AS pos, floor(avg(CAST(embedding[CAST(r.range AS INT) + 1] AS DOUBLE))"
+        " * 1000000 + 0.5) / 1000000.0 AS m\n"
+        "  FROM embeddings CROSS JOIN range(64) r GROUP BY 1\n"
+        ")"
+    )
+
+
+EMBEDDING_COVARIANCE_SQL = f"""
+WITH {_cov_means_duck()},
+cells AS (
+  SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
+         CAST(floor((CAST(e.embedding[CAST(i.range AS INT) + 1] AS DOUBLE)
+                     - (SELECT m FROM mpos WHERE pos = i.range))
+                  * (CAST(e.embedding[CAST(j.range AS INT) + 1] AS DOUBLE)
+                     - (SELECT m FROM mpos WHERE pos = j.range))
+                  * {COV_SCALE} + 0.5) AS BIGINT) AS p_e12
+  FROM embeddings e CROSS JOIN range(64) i CROSS JOIN range(64) j
+  WHERE i.range <= j.range
+)
+SELECT i, j, CAST(count(*) AS BIGINT) AS n_vectors, CAST(sum(p_e12) AS BIGINT) AS sum_e12
+FROM cells GROUP BY i, j
+"""
+
+
+def pca_components(spark: SparkSession, sf_dir: str, k: int = 2):
+    """Driver-side PCA finish: the covariance reduction runs
+    distributed (embedding_covariance — the only corpus-scale pass),
+    the dim×dim eigenproblem is bounded metadata solved with numpy on
+    the driver. Returns (eigenvalues[k], components[k][dim]) with a
+    deterministic sign convention (largest-|coord| entry positive).
+    Differentially tested against numpy's own covariance+eigh on the
+    collected corpus in tests."""
+    import numpy as np
+
+    rows = embedding_covariance(spark, sf_dir).collect()
+    dim = 64
+    n = rows[0]["n_vectors"]
+    cov = np.zeros((dim, dim))
+    for r in rows:
+        v = r["sum_e12"] / COV_SCALE / n
+        cov[r["i"], r["j"]] = v
+        cov[r["j"], r["i"]] = v
+    w, vecs = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = []
+    for idx in order:
+        c = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(c)))
+        if c[pivot] < 0:
+            c = -c
+        comps.append(c)
+    return w[order], np.array(comps)
+
+
 def arrow_dot():
     """Arrow-vectorized dot product — the 100 TB swap-in for the
     interpreted `_dot` fold (higher-order lambdas are CodegenFallback;

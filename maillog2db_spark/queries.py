@@ -363,6 +363,8 @@ register("embed_quantize_int8", _sim.QUANTIZE_INT8_SQL,
          doc="Symmetric int8 vector quantization + reconstruction error (shuffle-free)")(_sim.quantize_int8)
 register("embed_cosine_neardup", _sim.COSINE_NEARDUP_PAIRS_SQL,
          doc="Embedding-cosine near-dup (LSH blocking + exact verify)")(_sim.cosine_neardup_pairs)
+register("embed_covariance", _sim.EMBEDDING_COVARIANCE_SQL,
+         doc="Distributed embedding covariance (PCA/whitening reduction): one-pass centered outer products, ppm-quantized means + 1e-12 fixed-point before cross-row sums — order-exact integers")(_sim.embedding_covariance)
 register("embed_semdedup", _sim.SEMDEDUP_SQL,
          doc="SemDeDup-style semantic dedup: quantizer cell + in-cell LSH blocking, exact-cosine verify, first-writer keep policy (arXiv:2303.09540)")(_sim.semantic_dedup)
 register("doc_token_stats", _tx.TOKEN_STATS_SQL,
@@ -525,7 +527,7 @@ _PRIORITY = [
     # and lead the r5 rotation.
     "ev_sliding_hourly", "embed_semdedup", "doc_shard_assignment",
     "mm_wav_loudness", "mm_frame_sample", "ev_trailing_7d_stats",
-    "doc_cms_heavy_hitters",
+    "doc_cms_heavy_hitters", "embed_covariance",
     "doc_normalized_dedup",
 ]
 

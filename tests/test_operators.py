@@ -889,3 +889,31 @@ def test_cms_overcount_guarantee_and_topk(spark):
     assert [r.rk for r in sorted(rows, key=lambda r: r.rk)] == list(
         range(1, tx.CMS_TOP_K + 1)
     )
+
+
+def test_pca_components_match_numpy_direct(spark):
+    """The distributed covariance + driver eigensolve must agree with
+    numpy computing both steps directly on the collected corpus —
+    eigenvalues to fixed-point tolerance (the 1e-12 quantization is the
+    only divergence source) and components up to the shared sign
+    convention."""
+    import numpy as np
+
+    from maillog2db_spark import io as mio
+
+    w, comps = similarity.pca_components(spark, SF, k=2)
+    X = np.array(
+        [r.embedding for r in mio.load(spark, SF, "embeddings").orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    mq = np.floor(X.mean(axis=0) * 1_000_000 + 0.5) / 1_000_000
+    C = (X - mq).T @ (X - mq) / X.shape[0]
+    w_ref, v_ref = np.linalg.eigh(C)
+    order = np.argsort(w_ref)[::-1][:2]
+    assert np.allclose(w, w_ref[order], atol=1e-9)
+    for got, idx in zip(comps, order):
+        ref = v_ref[:, idx]
+        pivot = int(np.argmax(np.abs(ref)))
+        if ref[pivot] < 0:
+            ref = -ref
+        assert np.allclose(got, ref, atol=1e-6)
