@@ -321,8 +321,10 @@ def topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "vec_id",
             F.round(
-                _dot(F.col("embedding"), F.col("centroid"))
-                / (F.col("nrm") * F.col("cent_nrm")),
+                F.try_divide(
+                    _dot(F.col("embedding"), F.col("centroid")),
+                    F.col("nrm") * F.col("cent_nrm"),
+                ),
                 6,
             ).alias("cosine"),
         )
@@ -388,7 +390,10 @@ def value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             "value",
-            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("z"),
+            # try_divide: sd = 0 (a constant-valued event type) must
+            # yield NULL z and filter out — matching the oracle's x/0
+            # NULL — not crash under ANSI mode
+            F.round(F.try_divide(F.col("value") - F.col("mu"), F.col("sd")), 4).alias("z"),
         )
         .filter(F.abs(F.col("z")) > ANOMALY_Z)
     )

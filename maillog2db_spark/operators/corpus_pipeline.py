@@ -36,15 +36,17 @@ QUALITY_MIN_PPM = 620_000  # drops the bottom ~decile of this corpus' score rang
 
 
 def _quality_ppm_from_toks() -> "F.Column":
-    avg_len = (
+    # try_divide: empty-token docs score NULL (oracle: x/0 -> NULL)
+    # and fall out of the quality stage on both engines — never crash
+    avg_len = F.try_divide(
         F.aggregate(
             F.transform(F.col("toks"), lambda t: F.length(t).cast("double")),
             F.lit(0.0),
             lambda a, x: a + x,
-        )
-        / F.size("toks")
+        ),
+        F.size("toks"),
     )
-    uniq_ratio = F.size(F.array_distinct("toks")) / F.size("toks")
+    uniq_ratio = F.try_divide(F.size(F.array_distinct("toks")), F.size("toks"))
     len_score = F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
     shape_score = F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(avg_len - 5.0) / F.lit(5.0))
     score = 0.3 * len_score + 0.4 * uniq_ratio + 0.3 * shape_score

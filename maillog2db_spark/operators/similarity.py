@@ -93,7 +93,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+            F.try_divide(_dot(F.col("q_emb"), F.col("c_emb")), F.col("q_nrm") * F.col("c_nrm")),
             6,
         ).alias("cosine"),
     )
@@ -350,8 +350,10 @@ def _nearest_cells(
         nrm_col,
         "cell",
         F.round(
-            _dot(F.col(emb_col), F.col("centroid"))
-            / (F.col(nrm_col) * F.col("cent_nrm")),
+            F.try_divide(
+                _dot(F.col(emb_col), F.col("centroid")),
+                F.col(nrm_col) * F.col("cent_nrm"),
+            ),
             6,
         ).alias("csim"),
     )
@@ -399,7 +401,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+            F.try_divide(_dot(F.col("q_emb"), F.col("c_emb")), F.col("q_nrm") * F.col("c_nrm")),
             6,
         ).alias("cosine"),
     )
@@ -508,8 +510,10 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a",
             "vec_b",
             F.round(
-                _dot(F.col("l.embedding"), F.col("r.embedding"))
-                / (F.col("l.nrm") * F.col("r.nrm")),
+                F.try_divide(
+                    _dot(F.col("l.embedding"), F.col("r.embedding")),
+                    F.col("l.nrm") * F.col("r.nrm"),
+                ),
                 6,
             ).alias("cosine"),
         )
@@ -581,8 +585,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             F.round(
-                _dot(F.col("l.embedding"), F.col("r.embedding"))
-                / (F.col("l.nrm") * F.col("r.nrm")),
+                F.try_divide(
+                    _dot(F.col("l.embedding"), F.col("r.embedding")),
+                    F.col("l.nrm") * F.col("r.nrm"),
+                ),
                 6,
             ).alias("cosine"),
         )
@@ -925,7 +931,7 @@ def query_ivf_index(
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+            F.try_divide(_dot(F.col("q_emb"), F.col("c_emb")), F.col("q_nrm") * F.col("c_nrm")),
             6,
         ).alias("cosine"),
     )

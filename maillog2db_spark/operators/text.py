@@ -28,15 +28,18 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, mean token length — the standard quality-filter features."""
     d = io.load(spark, sf_dir, "documents")
     toks = F.expr(_TOKENS_SPARK)
-    avg_len = (
+    # try_divide: an empty-token document (empty/whitespace text) must
+    # yield NULL features like the oracle's x/0 -> NULL, not crash the
+    # whole query under ANSI mode (the F1 quarantine-not-poison rule)
+    avg_len = F.try_divide(
         F.aggregate(
             F.transform(toks, lambda t: F.length(t).cast("double")),
             F.lit(0.0),
             lambda a, x: a + x,
-        )
-        / F.size(toks)
+        ),
+        F.size(toks),
     )
-    uniq_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    uniq_ratio = F.try_divide(F.size(F.array_distinct(toks)), F.size(toks))
     # ppm integers, half-up via floor(x*1e6+0.5): these are exact
     # rationals, where float round() is engine-dependent at .5 boundaries
     return d.select(
@@ -69,15 +72,18 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape of a pretraining quality filter, deterministic."""
     d = io.load(spark, sf_dir, "documents")
     toks = F.expr(_TOKENS_SPARK)
-    avg_len = (
+    # try_divide: an empty-token document (empty/whitespace text) must
+    # yield NULL features like the oracle's x/0 -> NULL, not crash the
+    # whole query under ANSI mode (the F1 quarantine-not-poison rule)
+    avg_len = F.try_divide(
         F.aggregate(
             F.transform(toks, lambda t: F.length(t).cast("double")),
             F.lit(0.0),
             lambda a, x: a + x,
-        )
-        / F.size(toks)
+        ),
+        F.size(toks),
     )
-    uniq_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    uniq_ratio = F.try_divide(F.size(F.array_distinct(toks)), F.size(toks))
     len_score = F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
     shape_score = F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(avg_len - 5.0) / F.lit(5.0))
     score = 0.3 * len_score + 0.4 * uniq_ratio + 0.3 * shape_score
@@ -376,7 +382,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         digit.alias("n_digit_runs"),
         punct.alias("n_punct"),
         F.floor(
-            F.col("n_chars") / (alpha + digit + punct) * 1_000_000 + 0.5
+            F.try_divide(F.col("n_chars"), alpha + digit + punct) * 1_000_000 + 0.5
         ).cast("bigint").alias("chars_per_token_ppm"),
     )
 

@@ -223,8 +223,10 @@ def semdedup_ingest_batch(
             "doc_a",
             "doc_b",
             F.round(
-                similarity._dot(F.col("a_emb"), F.col("b_emb"))
-                / (F.col("a_nrm") * F.col("b_nrm")),
+                F.try_divide(
+                    similarity._dot(F.col("a_emb"), F.col("b_emb")),
+                    F.col("a_nrm") * F.col("b_nrm"),
+                ),
                 6,
             ).alias("cosine"),
         )

@@ -52,6 +52,11 @@ FUZZED_QUERIES = [
     "mm_frame_sample",
     # integral sketch with deterministic indexes; rank ties break on tok
     "doc_cms_heavy_hitters",
+    # ppm-integral token features; empty-token docs exercise the
+    # try_divide NULL-not-crash contract (ANSI divide-by-zero)
+    "doc_token_stats",
+    "doc_quality_score",
+    "doc_bpe_token_stats",
 ]
 
 
@@ -219,6 +224,72 @@ def test_fuzzed_orders_match_oracle(spark, tmp_path_factory, qname, data):
 
     con = duckdb.connect()
     con.sql(f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet/*.parquet'")
+    want = con.sql(Q.oracle_sql()[qname]).df()
+
+    assert len(got) == len(want), (qname, len(got), len(want))
+    assert sorted(got.columns) == sorted(want.columns), qname
+    assert _hash(_normalize(got)) == _hash(_normalize(want)), qname
+
+
+# --- embeddings family fuzzer ------------------------------------------------
+#
+# The fixed embeddings tables are uniform random — no zero vectors, no
+# exact duplicates, no degenerate cells. This tier plants exactly those:
+# a zero vector makes every cosine division 0/0, which under Spark 4
+# ANSI mode is a query-killing error unless the operator uses
+# try_divide (the fix this tier pins), while DuckDB yields NULL and
+# filters the row.
+
+EMBED_QUERIES = [
+    "embed_knn_bruteforce",
+    "embed_lsh_buckets",
+    "embed_cosine_neardup",
+    "embed_semdedup",
+    "embed_label_centroids",
+    "embed_quantize_int8",
+    "embed_covariance",
+    "embed_topk_per_label",
+]
+
+vec_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["unit", "zero", "dup_prev", "mixed"]),
+        st.integers(0, 63),   # which axis for unit vectors
+        st.integers(0, 4),    # label
+    ),
+    min_size=8,
+    max_size=24,
+)
+
+
+@pytest.mark.parametrize("qname", EMBED_QUERIES)
+@settings(max_examples=4, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(data=vec_strategy)
+def test_fuzzed_embeddings_match_oracle(spark, tmp_path_factory, qname, data):
+    rows = []
+    prev = [1.0] + [0.0] * 63
+    for i, (kind, axis, label) in enumerate(data):
+        if kind == "zero":
+            v = [0.0] * 64
+        elif kind == "unit":
+            v = [0.0] * 64
+            v[axis] = 1.0
+        elif kind == "dup_prev":
+            v = list(prev)
+        else:  # mixed: deterministic small dense vector
+            v = [((i * 31 + d * 7) % 13 - 6) / 10.0 for d in range(64)]
+        prev = v
+        rows.append((i, v, label))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = tmp_path_factory.mktemp("efuzz")
+    df.coalesce(2).write.parquet(str(d / "embeddings.parquet"))
+
+    got = Q.queries()[qname](spark, str(d)).toPandas()
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+    )
     want = con.sql(Q.oracle_sql()[qname]).df()
 
     assert len(got) == len(want), (qname, len(got), len(want))
