@@ -155,6 +155,35 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: how many 30-min-gap sessions are active
+    at each boundary instant — the interval-overlap COUNTING shape
+    (peak concurrent users is its max), distinct from the pairwise
+    range join (ev_pairs_within_5min) and from gap sessionization
+    itself. Each session interval [start, end] contributes +1 at start
+    and −1 at end + 1 µs (closed intervals); deltas are PRE-AGGREGATED
+    per boundary timestamp, so the running sum sees one row per
+    distinct instant — at 100 TB the boundary table is two rows per
+    session (≪ events), and the single ordered prefix-sum over it
+    upgrades to the classic two-phase scan (per-partition partials +
+    driver-prefixed offsets) before it ever becomes the bottleneck;
+    today Spark plans one narrow sort over session-count rows."""
+    s = sessionize(spark, sf_dir)
+    deltas = (
+        s.select(F.col("session_start").alias("ts"), F.lit(1).alias("d"))
+        .unionAll(
+            s.select(
+                (F.col("session_end") + F.expr("INTERVAL 1 MICROSECOND")).alias("ts"),
+                F.lit(-1).alias("d"),
+            )
+        )
+        .groupBy("ts")
+        .agg(F.sum("d").cast("bigint").alias("delta"))
+    )
+    w = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.withColumn("depth", F.sum("delta").over(w).cast("bigint"))
+
+
 SESSIONIZE_SQL = f"""
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
@@ -174,6 +203,20 @@ SELECT user_id, session_seq,
        count(*) AS n_events,
        round(sum(value), 6) AS sum_value
 FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+CONCURRENT_SESSIONS_SQL = f"""
+WITH deltas AS (
+  SELECT ts, CAST(sum(d) AS BIGINT) AS delta FROM (
+    SELECT session_start AS ts, 1 AS d FROM ({SESSIONIZE_SQL}) s1
+    UNION ALL
+    SELECT session_end + INTERVAL 1 MICROSECOND AS ts, -1 AS d FROM ({SESSIONIZE_SQL}) s2
+  ) GROUP BY ts
+)
+SELECT ts, delta,
+       CAST(sum(delta) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth
+FROM deltas
 """
 
 

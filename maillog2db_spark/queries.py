@@ -310,6 +310,8 @@ register("ev_sliding_hourly", _win.SLIDING_HOURLY_SQL,
          doc="1h window sliding every 15min (overlapping windows; F.window size+slide)")(_win.sliding_hourly)
 register("ev_trailing_7d_stats", _win.TRAILING_WINDOW_STATS_SQL,
          doc="RANGE window frame: per-user trailing-7-day stats at every event (value-based bounds, integer-us ordering)")(_win.trailing_window_stats)
+register("ev_concurrent_sessions", _win.CONCURRENT_SESSIONS_SQL,
+         doc="Sweep-line interval-overlap counting: active session depth at every boundary (pre-aggregated deltas + prefix sum)")(_win.concurrent_sessions)
 register("ord_customer_gaps", _win.CUSTOMER_ORDER_GAPS_SQL,
          doc="lag / row_number / moving-avg sharing one window partitioning")(_win.customer_order_gaps)
 
@@ -527,7 +529,7 @@ _PRIORITY = [
     # and lead the r5 rotation.
     "ev_sliding_hourly", "embed_semdedup", "doc_shard_assignment",
     "mm_wav_loudness", "mm_frame_sample", "ev_trailing_7d_stats",
-    "doc_cms_heavy_hitters", "embed_covariance",
+    "doc_cms_heavy_hitters", "embed_covariance", "ev_concurrent_sessions",
     "doc_normalized_dedup",
 ]
 

@@ -131,6 +131,9 @@ EV_QUERIES = [
     # RANGE frame: duplicate order keys make PEER rows — both engines
     # must include the full peer group in each other's frame
     "ev_trailing_7d_stats",
+    # sweep-line depth over sessionized intervals (coincident
+    # boundaries pre-aggregate, so ordering ties can't diverge)
+    "ev_concurrent_sessions",
 ]
 
 events_strategy = st.lists(

@@ -917,3 +917,23 @@ def test_pca_components_match_numpy_direct(spark):
         if ref[pivot] < 0:
             ref = -ref
         assert np.allclose(got, ref, atol=1e-6)
+
+
+def test_concurrent_sessions_sweep_invariants(spark):
+    """Sweep-line sanity: depth is non-negative at every boundary, the
+    final boundary closes back to zero, and the peak equals the true
+    maximum interval overlap recomputed naively from the session
+    table."""
+    from maillog2db_spark.operators import windows as W
+
+    rows = sorted(W.concurrent_sessions(spark, SF).collect(), key=lambda r: r.ts)
+    assert all(r.depth >= 0 for r in rows)
+    assert rows[-1].depth == 0
+    sessions = W.sessionize(spark, SF).collect()
+    peak = max(rows, key=lambda r: r.depth).depth
+    boundaries = [r.ts for r in rows]
+    naive_peak = max(
+        sum(1 for s in sessions if s.session_start <= t <= s.session_end)
+        for t in boundaries
+    )
+    assert peak == naive_peak
