@@ -56,6 +56,71 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT::DOUBLE
 """
 
 
+# --- leakage-safe train/val/test split ---------------------------------------
+
+SPLIT_VAL_PPM = 50_000  # 5% validation
+SPLIT_TEST_PPM = 50_000  # 5% test (train gets the rest)
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment with DUPLICATE-LEAKAGE
+    safety: the split variate derives from the content FINGERPRINT
+    (md5 of (lang, text)), not the doc id, so byte-identical copies of
+    a document land in the SAME split by construction — the classic
+    eval-contamination failure (train/test both containing a duplicate)
+    cannot happen no matter how many copies exist or in what order they
+    arrive. Same purity contract as the other sampling ops: a pure
+    function of the row, stable under repartition, AQE, and replay.
+
+    Output is the per-(split, lang) audit: doc count, distinct content
+    groups, char mass — the record reviewed before an eval is trusted.
+    Plan: one codegen'd projection + one aggregation; the split itself
+    (a per-row column) is reusable by any downstream writer."""
+    d = io.load(spark, sf_dir, "documents")
+    # explicit coalesce: concat_ws silently SKIPS nulls while the
+    # oracle's || propagates them — a NULL text must fingerprint as ''
+    # on both engines, not diverge
+    fp = F.md5(
+        F.concat_ws("\x1f", F.coalesce("lang", F.lit("")), F.coalesce("text", F.lit("")))
+    )
+    u_ppm = F.floor(_uniform(fp) * 1_000_000).cast("bigint")
+    split = (
+        F.when(u_ppm < SPLIT_VAL_PPM, "val")
+        .when(u_ppm < SPLIT_VAL_PPM + SPLIT_TEST_PPM, "test")
+        .otherwise("train")
+    )
+    return (
+        d.select(split.alias("split"), "lang", fp.alias("fingerprint"), "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_groups"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+_SPLIT_FP = "md5(coalesce(lang, '') || chr(31) || coalesce(text, ''))"
+_SPLIT_U_PPM = (
+    f"CAST(floor(('0x' || substr(md5({_SPLIT_FP}), 1, 8))::BIGINT::DOUBLE"
+    " / 4294967296.0 * 1000000) AS BIGINT)"
+)
+
+LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH t AS (
+  SELECT CASE WHEN {_SPLIT_U_PPM} < {SPLIT_VAL_PPM} THEN 'val'
+              WHEN {_SPLIT_U_PPM} < {SPLIT_VAL_PPM + SPLIT_TEST_PPM} THEN 'test'
+              ELSE 'train' END AS split,
+         lang, {_SPLIT_FP} AS fingerprint, n_chars
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs,
+       count(DISTINCT fingerprint) AS n_groups,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM t GROUP BY split, lang
+"""
+
+
 # per-source mixing weights: >1 upsamples (integer copies + hash-gated
 # fractional copy), <1 downsamples, 0 drops — the data-mixing step of a
 # pretraining pipeline

@@ -421,6 +421,8 @@ from .operators import sampling as _smp  # noqa: E402
 
 register("doc_stratified_sample", _smp.STRATIFIED_SAMPLE_SQL,
          doc="Content-hash stratified sampling (deterministic under repartition/replay)")(_smp.stratified_sample)
+register("doc_leakage_safe_split", _smp.LEAKAGE_SAFE_SPLIT_SQL,
+         doc="Train/val/test split keyed on the content fingerprint — byte-identical duplicates can never straddle splits (eval-contamination guard)")(_smp.leakage_safe_split)
 register("doc_shard_assignment", _smp.SHARD_ASSIGNMENT_SQL,
          doc="Deterministic training-shard manifest: content-hash sharding + order-independent checksums (audit twin of sinks.write_training_shards)")(_smp.shard_assignment)
 from .operators import corpus_pipeline as _cp  # noqa: E402
@@ -530,6 +532,7 @@ _PRIORITY = [
     "ev_sliding_hourly", "embed_semdedup", "doc_shard_assignment",
     "mm_wav_loudness", "mm_frame_sample", "ev_trailing_7d_stats",
     "doc_cms_heavy_hitters", "embed_covariance", "ev_concurrent_sessions",
+    "doc_leakage_safe_split",
     "doc_normalized_dedup",
 ]
 

@@ -57,6 +57,8 @@ FUZZED_QUERIES = [
     "doc_token_stats",
     "doc_quality_score",
     "doc_bpe_token_stats",
+    # fingerprint-keyed split (forced exact copies must co-locate)
+    "doc_leakage_safe_split",
 ]
 
 

@@ -937,3 +937,34 @@ def test_concurrent_sessions_sweep_invariants(spark):
         for t in boundaries
     )
     assert peak == naive_peak
+
+
+def test_leakage_safe_split_colocated_duplicates(spark, tmp_path):
+    """Duplicate-leakage guard: byte-identical copies of a document
+    must ALL land in the same split (the per-doc split column derives
+    from the content fingerprint), and the three splits partition the
+    corpus."""
+    from maillog2db_spark.operators import sampling as S
+
+    rows = []
+    did = 0
+    for g in range(200):  # 200 content groups, 1-3 copies each
+        text = f"group {g} content " + "tok " * (g % 5)
+        for _ in range(1 + g % 3):
+            rows.append((did, text, "en" if g % 2 else "de", "s0", len(text)))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    out = S.leakage_safe_split(spark, str(tmp_path)).collect()
+    assert sum(r.n_docs for r in out) == len(rows)
+    # every split has at least a group at this corpus size and rates?
+    # not guaranteed for val/test at 5% — instead pin the invariant the
+    # operator exists for: per (split, lang) docs >= groups, and the
+    # total group count equals the distinct content count (no group in
+    # two splits for its lang)
+    assert all(r.n_docs >= r.n_groups for r in out)
+    n_groups_total = sum(r.n_groups for r in out)
+    distinct_contents = df.select("lang", "text").distinct().count()
+    assert n_groups_total == distinct_contents
