@@ -148,13 +148,21 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chunks_col = F.expr(f"(greatest(n_chars, 1) - 1) div {CHUNK_STRIDE} + 1")
     one = F.lit(1)
     zero = F.lit(0)
+    # coalesce: F.sum over ZERO rows is NULL, but these are counts —
+    # an empty corpus must report 0 like the oracle's count(*) and the
+    # streaming admission funnel's counters, not NULL
+    def cnt(cond, val=one):
+        return F.coalesce(F.sum(F.when(cond, val).otherwise(zero)), F.lit(0)).cast(
+            "bigint"
+        )
+
     agg = flags.agg(
         F.count(one).cast("bigint").alias("n1"),
-        F.sum(F.when(q_ok, one).otherwise(zero)).cast("bigint").alias("n2"),
-        F.sum(F.when(is_dedup, one).otherwise(zero)).cast("bigint").alias("n3"),
-        F.sum(F.when(is_novel, one).otherwise(zero)).cast("bigint").alias("n4"),
-        F.sum(F.when(is_clean, one).otherwise(zero)).cast("bigint").alias("n5"),
-        F.sum(F.when(is_clean, n_chunks_col).otherwise(zero)).cast("bigint").alias("n6"),
+        cnt(q_ok).alias("n2"),
+        cnt(is_dedup).alias("n3"),
+        cnt(is_novel).alias("n4"),
+        cnt(is_clean).alias("n5"),
+        cnt(is_clean, n_chunks_col).alias("n6"),
     )
 
     # pack bins need the running token sum over clean rows — the one
@@ -247,7 +255,7 @@ SELECT * FROM (
   UNION ALL SELECT '4_novelty', CAST(count(*) AS BIGINT) FROM novel
   UNION ALL SELECT '5_decontaminated', CAST(count(*) AS BIGINT) FROM clean
   UNION ALL SELECT '6_chunks',
-    CAST(sum((greatest(n_chars, 1) - 1) // {CHUNK_STRIDE} + 1) AS BIGINT) FROM clean
+    CAST(COALESCE(sum((greatest(n_chars, 1) - 1) // {CHUNK_STRIDE} + 1), 0) AS BIGINT) FROM clean
   UNION ALL SELECT '7_pack_bins', CAST(count(*) AS BIGINT) FROM bins
 ) ORDER BY stage
 """

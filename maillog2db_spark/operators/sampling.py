@@ -160,6 +160,19 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_SHARDS = 8
 
 
+def member_checksum(key) -> "F.Column":
+    """Order-independent per-member checksum term: md5 bits 33–64 of
+    the key as a bigint. Summed per shard it detects loss/duplication/
+    mis-assignment without reading payloads. SINGLE source of truth for
+    the manifest ≡ audit ≡ query integrity contract — the writer
+    (sinks.write_training_shards), the file-level audit, and the
+    registered doc_shard_assignment query all call this; a drift in any
+    copy would silently break shard-loss detection."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 9, 8), 16, 10
+    ).cast("bigint")
+
+
 def shard_id(key) -> "F.Column":
     """Content-derived shard id: first 32 md5 bits of the key mod
     N_SHARDS. Same determinism contract as _uniform — a pure function
@@ -181,9 +194,7 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifests detects a lost/duplicated shard without reading data.
     Plan: one codegen'd projection + one shuffle on shard_id."""
     d = io.load(spark, sf_dir, "documents")
-    member_sum = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10
-    ).cast("bigint")
+    member_sum = member_checksum(F.col("doc_id"))
     return (
         d.select(shard_id(F.col("doc_id")).alias("shard_id"), "doc_id", "n_chars", member_sum.alias("csum"))
         .groupBy("shard_id")

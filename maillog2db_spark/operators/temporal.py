@@ -176,6 +176,12 @@ def range_join(
         raise ValueError(f"alias overlapping non-key columns first: {sorted(clash)}")
     w = upper - lower
 
+    def _bq(name: str) -> str:
+        # backtick-quote a caller-supplied column name for F.expr —
+        # bare interpolation breaks on names needing quoting (spaces,
+        # reserved words), which F.col-based resolution used to accept
+        return "`" + name.replace("`", "``") + "`"
+
     def _floor_div(expr: str, width: int) -> F.Column:
         # exact integer floor division: (x - pmod(x, w)) is the floor
         # multiple (pmod is non-negative), and `div` on that multiple
@@ -185,14 +191,14 @@ def range_join(
             f"(({expr}) - pmod({expr}, {width}L)) div {width}L"
         )
 
-    lcell = _floor_div(f"{left_ts} + {lower}L", w)
+    lcell = _floor_div(f"{_bq(left_ts)} + {lower}L", w)
     probe = left.select(
         "*", F.explode(F.array(lcell, lcell + 1)).alias("_cell")
     )
     build = right.select(
         *[F.col(c).alias(f"_r_{c}") for c in by],
         *[F.col(c) for c in right.columns if c not in by],
-        _floor_div(right_ts, w).alias("_r_cell"),
+        _floor_div(_bq(right_ts), w).alias("_r_cell"),
     )
     gap = F.col(right_ts) - F.col(left_ts)
     cond = F.col("_cell") == F.col("_r_cell")

@@ -207,11 +207,12 @@ FROM numbered GROUP BY user_id, session_seq
 
 
 CONCURRENT_SESSIONS_SQL = f"""
-WITH deltas AS (
+WITH sess AS ({SESSIONIZE_SQL}),
+deltas AS (
   SELECT ts, CAST(sum(d) AS BIGINT) AS delta FROM (
-    SELECT session_start AS ts, 1 AS d FROM ({SESSIONIZE_SQL}) s1
+    SELECT session_start AS ts, 1 AS d FROM sess
     UNION ALL
-    SELECT session_end + INTERVAL 1 MICROSECOND AS ts, -1 AS d FROM ({SESSIONIZE_SQL}) s2
+    SELECT session_end + INTERVAL 1 MICROSECOND AS ts, -1 AS d FROM sess
   ) GROUP BY ts
 )
 SELECT ts, delta,

@@ -465,9 +465,9 @@ def write_training_shards(
         .partitionBy("shard_id")
         .json(os.path.join(out_dir, "data"))
     )
-    member_sum = F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 9, 8), 16, 10
-    ).cast("bigint")
+    from .operators.sampling import member_checksum
+
+    member_sum = member_checksum(F.col(key_col))
     manifest_rows = (
         sharded.groupBy("shard_id")
         .agg(
@@ -492,9 +492,9 @@ def audit_training_shards(spark: SparkSession, out_dir: str, key_col: str = "doc
     mis-assigned — the cheap end-to-end integrity check before a
     training run."""
     back = spark.read.json(os.path.join(out_dir, "data"))
-    member_sum = F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 9, 8), 16, 10
-    ).cast("bigint")
+    from .operators.sampling import member_checksum
+
+    member_sum = member_checksum(F.col(key_col))
     rows = (
         back.groupBy("shard_id")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(member_sum).alias("checksum"))

@@ -56,13 +56,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .ledger import FileBatchLedger
+
 from .operators.chunking import CHUNK_STRIDE, PACK_BUDGET
 from .operators.corpus_pipeline import QUALITY_MIN_PPM, _quality_ppm_from_toks
 from .operators.decontam import BENCH_SOURCE, CONTAM_PPM_THRESHOLD
 from .operators.dedup import _SHINGLES_FROM_TOKS_SPARK, _TOKENS_SPARK
 
 
-class AdmissionStore:
+class AdmissionStore(FileBatchLedger):
     """Persisted admission state under one root directory."""
 
     def __init__(self, root: str, n_buckets: int = 16):
@@ -71,17 +73,6 @@ class AdmissionStore:
 
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
-
-    def _ledger(self, batch_id: int) -> str:
-        return os.path.join(self.root, "_ledger", str(batch_id))
-
-    def committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._ledger(batch_id))
-
-    def mark_committed(self, batch_id: int) -> None:
-        os.makedirs(os.path.dirname(self._ledger(batch_id)), exist_ok=True)
-        with open(self._ledger(batch_id), "w"):
-            pass
 
     def _exists(self, name: str) -> bool:
         p = self._path(name)

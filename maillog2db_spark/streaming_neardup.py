@@ -39,10 +39,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .ledger import FileBatchLedger
+
 from .operators import dedup
 
 
-class MinHashStore:
+class MinHashStore(FileBatchLedger):
     """Bucketed parquet signature state: one row per exact-dedup
     representative — (doc_id, lang, fingerprint, sh, mh0..mhN, part)."""
 
@@ -57,17 +59,6 @@ class MinHashStore:
     @property
     def pairs_path(self) -> str:
         return os.path.join(self.root, "pairs")
-
-    def _ledger(self, batch_id: int) -> str:
-        return os.path.join(self.root, "_ledger", str(batch_id))
-
-    def committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._ledger(batch_id))
-
-    def mark_committed(self, batch_id: int) -> None:
-        os.makedirs(os.path.dirname(self._ledger(batch_id)), exist_ok=True)
-        with open(self._ledger(batch_id), "w"):
-            pass
 
     def exists(self) -> bool:
         return os.path.isdir(self.sigs_path) and any(

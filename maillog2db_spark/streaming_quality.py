@@ -43,10 +43,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .ledger import FileBatchLedger
+
 from .operators.dedup import _TOKENS_SPARK
 
 
-class VocabStore:
+class VocabStore(FileBatchLedger):
     """Bucketed parquet unigram counts: (tok, cnt, src_batch, part).
 
     ``src_batch`` is merge provenance: the batch id that contributed a
@@ -62,17 +64,6 @@ class VocabStore:
     @property
     def vocab_path(self) -> str:
         return os.path.join(self.root, "vocab")
-
-    def _ledger(self, batch_id: int) -> str:
-        return os.path.join(self.root, "_ledger", str(batch_id))
-
-    def committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._ledger(batch_id))
-
-    def mark_committed(self, batch_id: int) -> None:
-        os.makedirs(os.path.dirname(self._ledger(batch_id)), exist_ok=True)
-        with open(self._ledger(batch_id), "w"):
-            pass
 
     def exists(self) -> bool:
         return os.path.isdir(self.vocab_path) and any(

@@ -43,11 +43,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .ledger import FileBatchLedger
+
 from .operators import similarity
 from .operators.dedup import _pairs_within_groups
 
 
-class VecStore:
+class VecStore(FileBatchLedger):
     """Cell-partitioned parquet vector state + frozen quantizer:
     vectors at (vec_id, cell, bucket, embedding, nrm), quantizer as a
     centroid parquet plus ppm-quantized plane thresholds."""
@@ -66,17 +68,6 @@ class VecStore:
     @property
     def _quant_dir(self) -> str:
         return os.path.join(self.root, "quantizer")
-
-    def _ledger(self, batch_id: int) -> str:
-        return os.path.join(self.root, "_ledger", str(batch_id))
-
-    def committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._ledger(batch_id))
-
-    def mark_committed(self, batch_id: int) -> None:
-        os.makedirs(os.path.dirname(self._ledger(batch_id)), exist_ok=True)
-        with open(self._ledger(batch_id), "w"):
-            pass
 
     # -- quantizer ----------------------------------------------------------
 

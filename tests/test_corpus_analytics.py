@@ -213,3 +213,29 @@ def test_normalized_dedup_groups_unicode_variants(spark, tmp_path):
     # the cross-engine assertion: identical fingerprints even for the
     # sigma/\u0130 rows where str.lower() vs utf8proc lower() disagree
     assert want == norm
+
+
+def test_corpus_pipeline_empty_corpus_counts_zero(spark, tmp_path):
+    """Review regression: F.sum over zero rows is NULL — a documents
+    table whose every row is the benchmark source (empty corpus) must
+    still report integer 0 for stages 2-6 on BOTH engines, like the
+    streaming admission counters do."""
+    import duckdb
+
+    from maillog2db_spark.operators.corpus_pipeline import CORPUS_PIPELINE_SQL, corpus_pipeline
+    from maillog2db_spark.operators.decontam import BENCH_SOURCE
+
+    rows = [(i, f"bench text {i} alpha beta", "en", BENCH_SOURCE, 20) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r.stage: r.n for r in corpus_pipeline(spark, str(tmp_path)).collect()}
+    assert got == {
+        "1_corpus": 0, "2_quality": 0, "3_dedup_canonical": 0,
+        "4_novelty": 0, "5_decontaminated": 0, "6_chunks": 0, "7_pack_bins": 0,
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'")
+    want = {r[0]: r[1] for r in con.sql(CORPUS_PIPELINE_SQL).fetchall()}
+    assert want == got

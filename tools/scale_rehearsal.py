@@ -53,10 +53,25 @@ def main() -> int:
         "concat('w', pmod(xxhash64(concat(cast(id as string), '_', "
         "cast(i as string))), 5000))"
     )
+    # branch order matters: ids ≡ 199 (mod 200) are exact dups of the
+    # PREVIOUS doc, and that previous doc (≡ 198) carries the
+    # SUBSTITUTED near-dup text — so the copy must reproduce the
+    # substituted recipe, not the plain formula of id-1 (the original
+    # version did the latter, silently halving the planted exact-dup
+    # mass; caught in round-4 review)
     docs = base.select(
         F.col("id").alias("doc_id"),
         F.lit("en").alias("lang"),
         F.when(
+            F.expr("id % 200 = 199"),  # exact dup of a near-dup doc
+            F.expr(
+                "array_join(transform(sequence(0, 59), i -> CASE WHEN i = 30 "
+                "THEN 'subst' ELSE "
+                + tok.replace("cast(id as string)", "cast(id - 198 as string)")
+                + " END), ' ')"
+            ),
+        )
+        .when(
             F.expr("id % 100 = 99"),  # exact dup of the previous doc
             F.expr(
                 "array_join(transform(sequence(0, 59), i -> "
