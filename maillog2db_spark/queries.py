@@ -524,11 +524,14 @@ _PRIORITY = [
     # 7. remaining never-covered
     "mm_binary_meta", "ev_retention_cohorts", "price_percentiles_approx",
     # ---- 50-entry window boundary ----
-    # The r4-NEW queries (sliding window, semdedup, shard manifest) sit
-    # first in the tail: they cannot displace window entries without
-    # breaking the r3+r4 union covering the whole pre-r4 registry, so
-    # they are locally oracle-verified this round (tools/oracle_check.py)
-    # and lead the r5 rotation.
+    # The TEN r4-NEW queries (sliding/RANGE/sweep-line windows,
+    # semdedup, shard manifest, leakage-safe split, WAV/frame codecs,
+    # CMS, covariance) sit first in the tail: they cannot displace
+    # window entries without breaking the r3+r4 union covering the
+    # whole pre-r4 registry, so they are locally oracle-verified this
+    # round (tools/oracle_check.py, default + plain sessions, plus
+    # dedicated fuzz tiers) and MUST lead the r5 rotation — they are
+    # the only registry entries with no driver verdict on any data.
     "ev_sliding_hourly", "embed_semdedup", "doc_shard_assignment",
     "mm_wav_loudness", "mm_frame_sample", "ev_trailing_7d_stats",
     "doc_cms_heavy_hitters", "embed_covariance", "ev_concurrent_sessions",
