@@ -929,3 +929,113 @@ SELECT doc_id_a, doc_id_b,
        bit_count(xor(sig_a, sig_b)) AS hamming_distance
 FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_HD_MAX}
 """
+
+
+# --- sorted-neighborhood blocking --------------------------------------------
+
+SN_WINDOW = 3  # successors compared per doc
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup detection (Hernández & Stolfo's
+    merge/purge method): canonicalize each doc to a SORT KEY (its
+    sorted distinct token set as one string — reordered/duplicated-word
+    variants key identically), sort per language, and compare each doc
+    to only its SN_WINDOW successors with exact shingle Jaccard. The
+    blocking FAMILY complement to LSH banding: no hashing — similarity
+    must show up as sort-key adjacency — with cost = one distributed
+    sort + W comparisons per doc instead of banding's hash shuffles.
+    Classic trade-off (documented, not hidden): near-dups whose edit is
+    in the leading tokens of the key can sort far apart and be missed,
+    which is why production systems run multiple passes with different
+    keys; this operator is one pass with the canonical key.
+
+    Scale: the sort is a distributed range sort; the comparison window
+    partitions by lang — at 100 TB partition by (lang, key-prefix) so
+    no window partition outgrows a task (neighbors across a prefix
+    boundary are the standard multi-pass overlap concern). Docs too
+    short to shingle carry no comparison evidence and are excluded up
+    front — which also keeps the Jaccard denominator nonzero (the ANSI
+    zero-divisor rule)."""
+    from pyspark.sql import Window
+
+    p = spark.sparkContext.defaultParallelism
+    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
+    base = (
+        d.select("doc_id", "lang", F.expr(_TOKENS_SPARK).alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            F.array_join(F.array_sort(F.array_distinct("toks")), " ").alias("skey"),
+            F.expr(_SHINGLES_FROM_TOKS_SPARK).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
+    w = Window.partitionBy("lang").orderBy("skey", "doc_id")
+    ks = range(1, SN_WINDOW + 1)
+    leads = base.select(
+        "doc_id",
+        "sh",
+        *[F.lead("doc_id", k).over(w).alias(f"_id{k}") for k in ks],
+        *[F.lead("sh", k).over(w).alias(f"_sh{k}") for k in ks],
+    )
+    nbrs = leads.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"_id{k}").alias("n_id"), F.col(f"_sh{k}").alias("n_sh")
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("nb"),
+    ).filter(F.col("nb.n_id").isNotNull())
+    j, ppm = jaccard_ppm(F.col("sh"), F.col("nb.n_sh"))
+    return (
+        nbrs.withColumn("_j", j)
+        .filter(F.col("_j") >= JACCARD_THRESHOLD)
+        .select(
+            F.least("doc_id", F.col("nb.n_id")).alias("doc_a"),
+            F.greatest("doc_id", F.col("nb.n_id")).alias("doc_b"),
+            ppm.alias("jaccard_ppm"),
+        )
+    )
+
+
+_SN_LEADS = ",\n         ".join(
+    f"lead(doc_id, {k}) OVER w AS id{k}, lead(sh, {k}) OVER w AS sh{k}"
+    for k in range(1, SN_WINDOW + 1)
+)
+
+_SN_PAIR_SELECTS = "\n  UNION ALL\n".join(
+    f"""  SELECT doc_id, sh, id{k} AS n_id, sh{k} AS n_sh FROM leads WHERE id{k} IS NOT NULL"""
+    for k in range(1, SN_WINDOW + 1)
+)
+
+SORTED_NEIGHBORHOOD_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOKENS_DUCK} AS toks, {_SHINGLES_DUCK} AS sh FROM documents
+), base AS (
+  SELECT doc_id, lang,
+         array_to_string(list_sort(list_distinct(toks)), ' ') AS skey, sh
+  FROM t WHERE len(sh) > 0
+), leads AS (
+  SELECT doc_id, sh,
+         {_SN_LEADS}
+  FROM base
+  WINDOW w AS (PARTITION BY lang ORDER BY skey, doc_id)
+), nbrs AS (
+{_SN_PAIR_SELECTS}
+)
+SELECT least(doc_id, n_id) AS doc_a, greatest(doc_id, n_id) AS doc_b,
+       CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_ppm
+FROM (
+  SELECT doc_id, n_id,
+         len(list_intersect(sh, n_sh))::DOUBLE
+           / len(list_distinct(list_concat(sh, n_sh))) AS j
+  FROM nbrs
+) WHERE j >= {JACCARD_THRESHOLD}
+"""

@@ -59,6 +59,9 @@ FUZZED_QUERIES = [
     "doc_bpe_token_stats",
     # fingerprint-keyed split (forced exact copies must co-locate)
     "doc_leakage_safe_split",
+    # sort-based blocking: binary UTF-8 key ordering must agree
+    # cross-engine (non-ASCII WORDS reach multi-byte comparisons)
+    "doc_sorted_neighborhood",
 ]
 
 

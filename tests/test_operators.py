@@ -968,3 +968,36 @@ def test_leakage_safe_split_colocated_duplicates(spark, tmp_path):
     n_groups_total = sum(r.n_groups for r in out)
     distinct_contents = df.select("lang", "text").distinct().count()
     assert n_groups_total == distinct_contents
+
+
+def test_sorted_neighborhood_finds_planted_dups(spark, tmp_path):
+    """Exact duplicates share the canonical sort key, so they are
+    always adjacent in the neighborhood ordering and must be reported
+    at Jaccard ppm 1e6; a reordered-token variant (same key, different
+    shingles) is adjacent but only reported if its shingle Jaccard
+    clears the threshold; unrelated docs are not paired."""
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta",
+        1: "alpha beta gamma delta epsilon zeta",      # exact dup of 0
+        2: "alpha beta gamma delta epsilon zeta",      # exact dup of 0
+        3: "zeta epsilon delta gamma beta alpha",      # same token SET as 0
+        4: "one two three four five six seven",        # unrelated
+        5: "red green blue cyan magenta yellow",       # unrelated
+    }
+    rows = [(i, t, "en", "s0", len(t)) for i, t in texts.items()]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    sn = {
+        (r.doc_a, r.doc_b): r.jaccard_ppm
+        for r in dedup.sorted_neighborhood_pairs(spark, str(tmp_path)).collect()
+    }
+    assert sn.get((0, 1)) == 1_000_000
+    assert sn.get((1, 2)) == 1_000_000
+    assert sn.get((0, 2)) == 1_000_000  # within the W=3 neighborhood
+    # the reordered variant shares no 3-shingles with the originals:
+    # adjacent but below threshold, so NOT reported
+    assert (2, 3) not in sn and (0, 3) not in sn
+    # unrelated docs never pair above threshold
+    assert not any(4 in p or 5 in p for p in sn)
