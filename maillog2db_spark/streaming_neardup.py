@@ -77,6 +77,39 @@ class MinHashStore(FileBatchLedger):
             )
         return spark.read.parquet(self.pairs_path)
 
+    def compact_pairs(self, spark: SparkSession, n_files: int = 1) -> None:
+        """Compact the append-only pairs log. Every micro-batch appends
+        its own file-set, so a long-running stream accumulates small
+        files (the classic small-files problem — at 100 TB the pairs
+        log would be read by downstream clustering jobs whose task
+        count tracks FILE count, not data size). Rewrites the log as
+        one deduplicated snapshot via write-then-atomic-directory-swap;
+        safe between batches — replay skipping is decided by the batch
+        ledger, never by the pairs file layout, and a crash mid-swap
+        leaves either the old or the new complete directory.
+        ``n_files`` sizes the snapshot (default 1 suits test/driver
+        scale; size to data volume / 128 MB on a cluster)."""
+        import shutil
+
+        if not (os.path.isdir(self.pairs_path) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(self.pairs_path)
+        )):
+            return
+        tmp = self.pairs_path + "_compacting"
+        old = self.pairs_path + "_old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        (
+            spark.read.parquet(self.pairs_path)
+            .distinct()
+            .coalesce(n_files)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.rename(self.pairs_path, old)
+        os.rename(tmp, self.pairs_path)
+        shutil.rmtree(old)
+
     def _with_part(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
             "part", F.pmod(F.xxhash64("fingerprint"), F.lit(self.n_buckets)).cast("int")

@@ -507,6 +507,16 @@ def test_streaming_neardup_matches_batch(spark, tmp_path_factory):
     final = sorted(map(tuple, store.read_pairs(spark).collect()))
     assert final == got
 
+    # small-files compaction: per-batch appends collapse to one
+    # snapshot with identical content
+    import pathlib
+
+    n_before = len(list(pathlib.Path(store.pairs_path).glob("part-*")))
+    store.compact_pairs(spark)
+    n_after = len(list(pathlib.Path(store.pairs_path).glob("part-*")))
+    assert n_after == 1 and n_before > n_after
+    assert sorted(map(tuple, store.read_pairs(spark).collect())) == got
+
 
 def test_streaming_vocab_scoring_matches_batch(spark, tmp_path_factory):
     """Incremental vocabulary build (persisted token-count store, batch
