@@ -961,14 +961,24 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = spark.sparkContext.defaultParallelism
     d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
+    # localCheckpoint BEFORE the filter: predicate pushdown would sink
+    # `size(sh) > 0` below the repartition, re-evaluating the whole
+    # interpreted shingle expression on the narrow pre-exchange scan
+    # (one core for a small parquet — the _with_shingles pathology;
+    # seen in-plan as a Filter under the Exchange, measured 4.8 s of a
+    # 5.6 s query). The barrier pins tokenize/shingle to the 32-way
+    # stage and the filter runs on materialized arrays. sort_array, not
+    # array_sort: same ascending order, but array_sort carries a
+    # comparator lambda while sort_array is a plain codegen expression.
     base = (
         d.select("doc_id", "lang", F.expr(_TOKENS_SPARK).alias("toks"))
         .select(
             "doc_id",
             "lang",
-            F.array_join(F.array_sort(F.array_distinct("toks")), " ").alias("skey"),
+            F.array_join(F.sort_array(F.array_distinct("toks")), " ").alias("skey"),
             F.expr(_SHINGLES_FROM_TOKS_SPARK).alias("sh"),
         )
+        .localCheckpoint(eager=False)
         .filter(F.size("sh") > 0)
     )
     w = Window.partitionBy("lang").orderBy("skey", "doc_id")
