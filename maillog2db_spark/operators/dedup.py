@@ -1049,3 +1049,82 @@ FROM (
   FROM nbrs
 ) WHERE j >= {JACCARD_THRESHOLD}
 """
+
+
+# --- MinHash estimator calibration -------------------------------------------
+
+_EST_STEP = 1_000_000 // N_HASHES  # ppm per matching component
+
+
+def minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration for the MinHash pipeline: for every LSH
+    candidate pair, the SIGNATURE-based Jaccard estimate (matching
+    components / N_HASHES — what a signature-only store can compute)
+    next to the EXACT shingle Jaccard and their absolute error. This is
+    the measurement that justifies — or refutes — replacing the exact
+    verify with the estimate at a given N_HASHES. Two effects surface:
+    the 1e6/N_HASHES granularity, and — larger in practice — the
+    Carter-Wegman components (mh_i = min(h1 + i·h2)) being CORRELATED,
+    not independent permutations: a pair sharing its argmin shingle
+    under h1 tends to match on many i at once, so chance band
+    collisions can carry wildly inflated estimates (measured: mean
+    |err| ≈ 0.55e6 ppm over raw candidates at sf0.001). That is
+    precisely why the engine keeps shingle arrays in the store and
+    verifies EXACTLY (streaming_neardup docstring); a 100 TB deployment
+    weighing store size against verification cost reads this table
+    first.
+
+    Deterministic end to end (signatures are md5-derived, estimates are
+    exact 1e6/N_HASHES multiples, exact Jaccard is ppm-floored), so it
+    carries a full hash oracle. Cost: candidates only — the signature
+    and shingle joins are the same shape as the verify step."""
+    cand = lsh_candidate_pairs(spark, sf_dir)
+    mh = [f"mh{i}" for i in range(N_HASHES)]
+    s = _rep_signatures(spark, sf_dir)
+    a = s.select(F.col("doc_id").alias("a_id"), *[F.col(c).alias(f"a_{c}") for c in mh])
+    b = s.select(F.col("doc_id").alias("b_id"), *[F.col(c).alias(f"b_{c}") for c in mh])
+    n_match = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in mh
+    )
+    d = _reps(spark, sf_dir)
+    sha = d.select(F.col("doc_id").alias("sa_id"), F.col("sh").alias("a_sh"))
+    shb = d.select(F.col("doc_id").alias("sb_id"), F.col("sh").alias("b_sh"))
+    j, ppm = jaccard_ppm(F.col("a_sh"), F.col("b_sh"))
+    return (
+        cand.join(a, cand.doc_a == a.a_id)
+        .join(b, cand.doc_b == b.b_id)
+        .join(sha, F.col("doc_a") == F.col("sa_id"))
+        .join(shb, F.col("doc_b") == F.col("sb_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (n_match * _EST_STEP).cast("bigint").alias("est_ppm"),
+            ppm.alias("exact_ppm"),
+        )
+        .withColumn("err_ppm", F.abs(F.col("est_ppm") - F.col("exact_ppm")))
+    )
+
+
+_EST_MATCHES_DUCK = " + ".join(
+    f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+)
+
+MINHASH_ESTIMATE_SQL = f"""WITH {_REPS_DUCK_CTE},
+{_sig_cte('reps')},
+{_BANDS_DUCK_CTE},
+sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM reps)
+SELECT doc_a, doc_b,
+       CAST(({_EST_MATCHES_DUCK}) * {_EST_STEP} AS BIGINT) AS est_ppm,
+       CAST(floor(len(list_intersect(x.sh, y.sh))::DOUBLE
+                  / len(list_distinct(list_concat(x.sh, y.sh))) * 1000000 + 0.5)
+            AS BIGINT) AS exact_ppm,
+       CAST(abs(({_EST_MATCHES_DUCK}) * {_EST_STEP}
+                - floor(len(list_intersect(x.sh, y.sh))::DOUBLE
+                        / len(list_distinct(list_concat(x.sh, y.sh))) * 1000000 + 0.5))
+            AS BIGINT) AS err_ppm
+FROM cand
+JOIN sigs a ON cand.doc_a = a.doc_id
+JOIN sigs b ON cand.doc_b = b.doc_id
+JOIN sh x ON cand.doc_a = x.doc_id
+JOIN sh y ON cand.doc_b = y.doc_id
+"""

@@ -349,6 +349,8 @@ register("doc_blocked_jaccard", _dd.BLOCKED_JACCARD_PAIRS_SQL,
          doc="Blocked n-gram Jaccard near-dup baseline")(_dd.blocked_jaccard_pairs)
 register("doc_sorted_neighborhood", _dd.SORTED_NEIGHBORHOOD_PAIRS_SQL,
          doc="Sorted-neighborhood (merge/purge) near-dup pass: canonical sort key + W-successor window, exact Jaccard verify — the sort-based blocking family")(_dd.sorted_neighborhood_pairs)
+register("doc_minhash_estimate", _dd.MINHASH_ESTIMATE_SQL,
+         doc="MinHash estimator calibration: signature-based Jaccard estimate vs exact per candidate pair — the store-size-vs-verify-cost decision table")(_dd.minhash_estimate_vs_exact)
 register("doc_neardup_clusters", _dd.NEARDUP_CLUSTERS_SQL,
          doc="Connected components over near-dup pairs (Spark: iterative min-label propagation, driver-side loop over distributed data; oracle: WITH RECURSIVE reachability fixpoint)")(_dd.neardup_clusters)
 register("doc_simhash", _dd.SIMHASH_SIGNATURES_SQL,
@@ -538,6 +540,7 @@ _PRIORITY = [
     "mm_wav_loudness", "mm_frame_sample", "ev_trailing_7d_stats",
     "doc_cms_heavy_hitters", "embed_covariance", "ev_concurrent_sessions",
     "doc_leakage_safe_split", "doc_sorted_neighborhood",
+    "doc_minhash_estimate",
     "doc_normalized_dedup",
 ]
 

@@ -139,6 +139,9 @@ EV_QUERIES = [
     # sweep-line depth over sessionized intervals (coincident
     # boundaries pre-aggregate, so ordering ties can't diverge)
     "ev_concurrent_sessions",
+    # overlapping windows: epoch-aligned starts via integer-µs
+    # arithmetic on both engines
+    "ev_sliding_hourly",
 ]
 
 events_strategy = st.lists(

@@ -1001,3 +1001,32 @@ def test_sorted_neighborhood_finds_planted_dups(spark, tmp_path):
     assert (2, 3) not in sn and (0, 3) not in sn
     # unrelated docs never pair above threshold
     assert not any(4 in p or 5 in p for p in sn)
+
+
+def test_minhash_estimate_calibration(spark):
+    """Estimator sanity on real candidates: estimates are exact
+    multiples of 1e6/N_HASHES, every value is a valid ppm, and the mean
+    absolute error stays within twice the single-component granularity.
+    Note what is deliberately NOT asserted: a full signature match does
+    NOT imply identical shingle sets (at J=0.9 all 8 components agree
+    with probability ~0.47) — which is exactly the statistical fact
+    that makes 8 components a blocking key but NOT a verification
+    substitute, and the reason this table exists."""
+    rows = dedup.minhash_estimate_vs_exact(spark, SF).collect()
+    assert rows
+    step = 1_000_000 // dedup.N_HASHES
+    assert all(r.est_ppm % step == 0 for r in rows)
+    assert all(0 <= r.est_ppm <= 1_000_000 and 0 <= r.exact_ppm <= 1_000_000 for r in rows)
+    assert all(r.err_ppm == abs(r.est_ppm - r.exact_ppm) for r in rows)
+    # the Carter-Wegman components (mh_i = min(h1 + i*h2)) are NOT
+    # independent permutations: a shared argmin shingle under h1 tends
+    # to repeat across i, so chance band collisions can carry inflated
+    # estimates — the calibration table makes that variance VISIBLE
+    # (which is the point). The robust contract is discrimination: the
+    # estimator must separate the verified-similar family from chance
+    # collisions.
+    hi = [r.est_ppm for r in rows if r.exact_ppm >= dedup.JACCARD_THRESHOLD * 1_000_000]
+    lo = [r.est_ppm for r in rows if r.exact_ppm < dedup.JACCARD_THRESHOLD * 1_000_000]
+    assert hi, "fixture plants near-dups that must reach candidates"
+    if lo:
+        assert sum(hi) / len(hi) > sum(lo) / len(lo)
