@@ -224,6 +224,55 @@ _W_SQL = "CASE " + " ".join(
     f"WHEN source = '{s}' THEN {r}" for s, r in MIX_WEIGHTS.items()
 ) + f" ELSE {DEFAULT_WEIGHT} END"
 
+
+# --- weighted sampling without replacement (Efraimidis–Spirakis) ------------
+
+SAMPLE_K = 120  # target sample size
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement via the
+    Efraimidis–Spirakis exponential-key trick: each row gets key
+    u^(1/w) (u = content-derived uniform, w = char mass as the
+    token-budget proxy) and the global top-k keys are the sample —
+    inclusion probability proportional to weight, no two draws of the
+    same row, and, because u comes from the content hash rather than an
+    RNG stream, the sample is a pure function of the data: identical
+    under repartition, AQE, speculative retry, and streaming replay.
+
+    Scale: orderBy().limit(k) compiles to TakeOrderedAndProject —
+    each task keeps a k-row heap and the driver merges per-partition
+    heaps; no global sort, no shuffle of the corpus, memory O(k) per
+    task. This is the 100 TB-safe form of "sample 1M docs by token
+    mass from the whole corpus".
+
+    The key is rounded to 9 decimals with doc_id as tiebreak so
+    selection at the cutoff cannot depend on last-ulp libm differences
+    between engines (pow is the one transcendental here)."""
+    d = io.load(spark, sf_dir, "documents")
+    w = F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1)).cast("double")
+    key = F.round(F.pow(_uniform(F.col("doc_id")), F.lit(1.0) / w), 9)
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("wkey"))
+        .orderBy(F.desc("wkey"), F.asc("doc_id"))
+        .limit(SAMPLE_K)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, source, n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         round(pow(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT::DOUBLE
+                   / 4294967296.0,
+                   1.0 / CAST(greatest(coalesce(n_chars, 0), 1) AS DOUBLE)), 9) AS wkey
+  FROM documents
+)
+ORDER BY wkey DESC, doc_id ASC
+LIMIT {SAMPLE_K}
+"""
+
 SOURCE_MIX_SQL = f"""
 WITH w AS (
   SELECT doc_id, source,

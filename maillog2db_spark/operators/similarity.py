@@ -941,3 +941,158 @@ def query_ivf_index(
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# --- k-means (fixed-iteration Lloyd's) --------------------------------------
+
+N_KMEANS_ITER = 2  # unrolled in the oracle SQL; keep the two in sync
+DIM = 64
+
+
+def _round_arr(col, places: int = 6):
+    return F.transform(col, lambda x: F.round(x, places))
+
+
+def _sqdist(a, b):
+    """Σ (a_i − b_i)², float32 inputs cast to double elementwise —
+    identical fold shape to _dot so both engines walk positions in the
+    same order."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd assignment step: nearest centroid per vector by
+    squared L2, distance rounded to 6 BEFORE the argmin with cell id
+    as tiebreak — assignment can never hinge on a last-ulp libm
+    difference between engines. Centroids broadcast (k×dim is always
+    tiny); the corpus never shuffles for assignment."""
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        F.round(_sqdist(F.col("embedding"), F.col("centroid")), 6).alias("d2r"),
+    )
+    best = scored.groupBy("vec_id", "embedding").agg(
+        F.min(F.struct("d2r", "cell")).alias("b")
+    )
+    return best.select(
+        "vec_id", "embedding", F.col("b.cell").alias("cluster"), F.col("b.d2r").alias("d2r")
+    )
+
+
+def _kmeans_recompute(assigned: DataFrame) -> DataFrame:
+    """Centroid update: per-(cluster, position) mean, rounded to 6 so
+    the next iteration's distances start from cross-engine-identical
+    coordinates. posexplode + two map-side-combined aggregations —
+    the same shape as the coarse-quantizer build."""
+    pos = assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+    cent = pos.groupBy("cluster", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("m")
+    )
+    return cent.groupBy(F.col("cluster").alias("cell")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+        ).alias("centroid")
+    )
+
+
+def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means, N_KMEANS_ITER iterations, seeded
+    from the per-label centroids (deterministic init — no RNG, so the
+    whole trajectory is a pure function of the data and both engines
+    replay it exactly). Completes the IVF story: _centroids() notes the
+    coarse quantizer "at real scale comes from k-means" — this is that
+    trainer, on the same broadcast-assign / tiny-aggregate primitives.
+
+    Per iteration the corpus is scanned once: assignment is a broadcast
+    join + map-side-combined argmin (no shuffle of vectors beyond the
+    initial repartition), and the update aggregates k×dim cells. The
+    driver holds control flow only — never data. At 100 TB this is the
+    canonical pattern (MLlib's KMeans does the same loop over RDDs).
+
+    Output: per final cluster, member count, inertia (Σ d², summed as
+    ppm-fixed-point integers — order-exact), and centroid L2 norm."""
+    e = _embeddings(spark, sf_dir)
+    cents = centroids_with_norms(spark, sf_dir).select(
+        "cell", _round_arr(F.col("centroid")).alias("centroid")
+    )
+    assigned = None
+    for _ in range(N_KMEANS_ITER):
+        assigned = _kmeans_assign(e, cents)
+        # the LAST iteration's assignment pairs with the centroids it
+        # was assigned TO (cents from the previous update), so recompute
+        # only between iterations
+        if _ < N_KMEANS_ITER - 1:
+            cents = _kmeans_recompute(assigned)
+    norms = cents.select(
+        "cell", F.round(F.sqrt(F.aggregate(
+            F.transform(F.col("centroid"), lambda x: x * x),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )), 6).alias("centroid_norm"),
+    )
+    stats = assigned.groupBy(F.col("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.round(F.col("d2r") * 1_000_000).cast("bigint")).alias("inertia_ppm"),
+    )
+    return stats.join(F.broadcast(norms), stats.cluster == norms.cell).select(
+        "cluster", "n_vectors", "inertia_ppm", "centroid_norm"
+    )
+
+
+_SQDIST_DUCK = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])))"
+)
+
+# iteration 1 starts from the rounded per-label centroids; iteration 2
+# from the rounded post-assignment means — each stage rounds exactly
+# where the Spark path does, so the trajectory is engine-independent
+KMEANS_SQL = f"""
+WITH pos0 AS (
+  SELECT label, r.range AS pos,
+         CAST(embedding[CAST(r.range AS INT) + 1] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN range({DIM}) r
+), cent0 AS (
+  SELECT label AS cell, pos, round(avg(v), 6) AS m FROM pos0 GROUP BY 1, 2
+), c0 AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM cent0 GROUP BY cell
+), s1 AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         round({_SQDIST_DUCK.format(a='e.embedding', b='c.centroid')}, 6) AS d2r
+  FROM embeddings e CROSS JOIN c0 c
+), a1 AS (
+  SELECT vec_id, embedding, cell AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2r, cell) AS rn FROM s1
+  ) WHERE rn = 1
+), pos1 AS (
+  SELECT cluster, r.range AS pos,
+         CAST(embedding[CAST(r.range AS INT) + 1] AS DOUBLE) AS v
+  FROM a1 CROSS JOIN range({DIM}) r
+), cent1 AS (
+  SELECT cluster AS cell, pos, round(avg(v), 6) AS m FROM pos1 GROUP BY 1, 2
+), c1 AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM cent1 GROUP BY cell
+), s2 AS (
+  SELECT e.vec_id, c.cell,
+         round({_SQDIST_DUCK.format(a='e.embedding', b='c.centroid')}, 6) AS d2r
+  FROM embeddings e CROSS JOIN c1 c
+), a2 AS (
+  SELECT vec_id, cell AS cluster, d2r FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2r, cell) AS rn FROM s2
+  ) WHERE rn = 1
+)
+SELECT a.cluster, count(*) AS n_vectors,
+       CAST(sum(CAST(round(a.d2r * 1000000) AS BIGINT)) AS BIGINT) AS inertia_ppm,
+       n.centroid_norm
+FROM a2 a JOIN (
+  SELECT cell, round(sqrt(list_sum(list_transform(centroid, x -> x * x))), 6) AS centroid_norm
+  FROM c1
+) n ON a.cluster = n.cell
+GROUP BY a.cluster, n.centroid_norm
+"""

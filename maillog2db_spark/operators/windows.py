@@ -476,3 +476,74 @@ SELECT strftime(c.cohort_dt, '%Y-%m-%d') AS cohort_week,
 FROM active a JOIN cohort c USING (user_id)
 GROUP BY 1, 2
 """
+
+
+# --- Markov transition matrix over sessionized event streams ----------------
+
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types WITHIN a
+    session: for each ordered in-session event pair (prev → next),
+    the transition count and row-normalized probability. The classic
+    behavioral-sequence model behind next-action prediction and
+    anomaly scoring ("a checkout following nothing is suspicious").
+
+    Session scoping reuses the 30-min inactivity gap (SESSION_GAP_MIN):
+    a transition only counts when the gap to the predecessor is within
+    the session threshold, so cross-session pairs never pollute the
+    matrix — same boundary rule as sessionize(), without needing the
+    session numbering (lag + gap predicate suffices).
+
+    Plan/scale: ONE shuffle on user_id for the lag window (events for
+    one user sort together — the same partitioning every other
+    per-user window op here uses), then a map-side-combined groupBy on
+    the (prev, next) pair whose cardinality is |types|² (~tiny), then a
+    window over prev_type rows for row normalization — post-aggregate,
+    so the normalization runs on dozens of rows no matter the input
+    size. Probabilities are exact-int divisions (IEEE-correctly-rounded
+    on both engines), rounded to 9 to match the oracle's comparison
+    grid."""
+    e = io.load_events(spark, sf_dir)
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(by_user)
+    pairs = (
+        e.select(
+            F.lag("event_type").over(by_user).alias("prev_type"),
+            F.col("event_type"),
+            gap_us.alias("gap_us"),
+        )
+        .filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("gap_us") <= SESSION_GAP_MIN * 60 * 1_000_000)
+        )
+    )
+    counts = pairs.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    by_prev = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(by_prev), 9).alias("p"),
+    )
+
+
+MARKOV_TRANSITIONS_SQL = f"""
+WITH lagged AS (
+  SELECT lag(event_type) OVER w AS prev_type,
+         event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), pairs AS (
+  SELECT prev_type, event_type FROM lagged
+  WHERE prev_type IS NOT NULL AND gap_us <= {SESSION_GAP_MIN * 60 * 1000000}
+), counts AS (
+  SELECT prev_type, event_type, count(*) AS n FROM pairs GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n,
+       round(CAST(n AS DOUBLE) /
+             CAST(CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS DOUBLE), 9) AS p
+FROM counts
+"""

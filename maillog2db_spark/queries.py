@@ -312,6 +312,8 @@ register("ev_trailing_7d_stats", _win.TRAILING_WINDOW_STATS_SQL,
          doc="RANGE window frame: per-user trailing-7-day stats at every event (value-based bounds, integer-us ordering)")(_win.trailing_window_stats)
 register("ev_concurrent_sessions", _win.CONCURRENT_SESSIONS_SQL,
          doc="Sweep-line interval-overlap counting: active session depth at every boundary (pre-aggregated deltas + prefix sum)")(_win.concurrent_sessions)
+register("ev_markov_transitions", _win.MARKOV_TRANSITIONS_SQL,
+         doc="First-order Markov transition matrix of in-session event types (lag + gap predicate, post-aggregate row normalization)")(_win.markov_transitions)
 register("ord_customer_gaps", _win.CUSTOMER_ORDER_GAPS_SQL,
          doc="lag / row_number / moving-avg sharing one window partitioning")(_win.customer_order_gaps)
 
@@ -371,6 +373,8 @@ register("embed_cosine_neardup", _sim.COSINE_NEARDUP_PAIRS_SQL,
          doc="Embedding-cosine near-dup (LSH blocking + exact verify)")(_sim.cosine_neardup_pairs)
 register("embed_covariance", _sim.EMBEDDING_COVARIANCE_SQL,
          doc="Distributed embedding covariance (PCA/whitening reduction): one-pass centered outer products, ppm-quantized means + 1e-12 fixed-point before cross-row sums — order-exact integers")(_sim.embedding_covariance)
+register("embed_kmeans", _sim.KMEANS_SQL,
+         doc="Distributed Lloyd's k-means (2 unrolled iterations, label-centroid init): broadcast-assign + tiny centroid aggregate per pass, ppm-fixed-point inertia — the IVF coarse-quantizer trainer")(_sim.kmeans)
 register("embed_semdedup", _sim.SEMDEDUP_SQL,
          doc="SemDeDup-style semantic dedup: quantizer cell + in-cell LSH blocking, exact-cosine verify, first-writer keep policy (arXiv:2303.09540)")(_sim.semantic_dedup)
 register("doc_token_stats", _tx.TOKEN_STATS_SQL,
@@ -435,6 +439,8 @@ register("doc_corpus_pipeline", _cp.CORPUS_PIPELINE_SQL,
          doc="Composed corpus pipeline funnel: quality → canonical dedup → near-dup novelty → decontaminate → chunk/pack counts")(_cp.corpus_pipeline)
 register("doc_source_mix", _smp.SOURCE_MIX_SQL,
          doc="Weighted source mixing: fractional up/downsampling with deterministic copies")(_smp.source_mix)
+register("doc_weighted_sample", _smp.WEIGHTED_SAMPLE_SQL,
+         doc="Efraimidis-Spirakis weight-proportional sample without replacement (content-hash keys, TakeOrderedAndProject top-k — O(k) memory per task, no corpus shuffle)")(_smp.weighted_sample)
 
 from .operators import corpus_analytics as _ca  # noqa: E402
 

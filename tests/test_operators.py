@@ -1030,3 +1030,76 @@ def test_minhash_estimate_calibration(spark):
     assert hi, "fixture plants near-dups that must reach candidates"
     if lo:
         assert sum(hi) / len(hi) > sum(lo) / len(lo)
+
+
+def test_weighted_sample_is_without_replacement_and_weight_biased(spark):
+    """Efraimidis-Spirakis invariants: exactly SAMPLE_K distinct docs
+    (no replacement), deterministic across invocations (content-hash
+    keys, no RNG stream), and weight-proportional — the char-mass of
+    the sample skews above the corpus mean because longer docs carry
+    proportionally larger inclusion probability."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import sampling as S
+
+    rows = S.weighted_sample(spark, SF).collect()
+    assert len(rows) == S.SAMPLE_K
+    assert len({r.doc_id for r in rows}) == S.SAMPLE_K
+    rows2 = S.weighted_sample(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    docs = mio.load(spark, SF, "documents")
+    corpus_mean = docs.agg({"n_chars": "avg"}).first()[0]
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+
+
+def test_markov_transitions_row_stochastic(spark):
+    """The transition matrix is row-stochastic (each prev_type's
+    probabilities sum to 1 within rounding grid), counts are positive,
+    and every state seen in the matrix is a real event type."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import windows as W
+
+    rows = W.markov_transitions(spark, SF).collect()
+    assert rows, "matrix must be non-empty at sf0.001"
+    by_prev: dict = {}
+    for r in rows:
+        assert r.n > 0
+        by_prev.setdefault(r.prev_type, 0.0)
+        by_prev[r.prev_type] += r.p
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-6, (prev, total)
+    types = {
+        r[0] for r in mio.load_events(spark, SF).select("event_type").distinct().collect()
+    }
+    assert {r.prev_type for r in rows} <= types
+    assert {r.event_type for r in rows} <= types
+
+
+def test_kmeans_lloyd_invariants(spark):
+    """Lloyd's guarantees on the fixed-iteration trainer: clusters
+    tile the corpus (counts sum to |embeddings|), every final cluster
+    is one of the init cells, and total inertia does not increase
+    when the iteration count grows (monotone descent — the rounding
+    grid is 1e-6, far below the per-step improvements here)."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import similarity as sim
+
+    rows = sim.kmeans(spark, SF).collect()
+    n_emb = mio.load(spark, SF, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n_emb
+    labels = {
+        r[0] for r in mio.load(spark, SF, "embeddings").select("label").distinct().collect()
+    }
+    assert {r.cluster for r in rows} <= labels
+
+    # one-iteration inertia (assignment against the init centroids)
+    e = sim._embeddings(spark, SF)
+    c0 = sim.centroids_with_norms(spark, SF).select(
+        "cell", sim._round_arr(F.col("centroid")).alias("centroid")
+    )
+    a1 = sim._kmeans_assign(e, c0)
+    inertia1 = a1.agg(
+        F.sum(F.round(F.col("d2r") * 1_000_000).cast("bigint"))
+    ).first()[0]
+    inertia2 = sum(r.inertia_ppm for r in rows)
+    assert inertia2 <= inertia1

@@ -19,6 +19,7 @@ BNL_ALLOWED = {
     "embed_knn_bruteforce",
     "embed_ann_ivf_topk",
     "embed_semdedup",  # same broadcast quantizer scoring as ann_ivf_topk
+    "embed_kmeans",  # broadcast k×dim centroids scored against the corpus
     "doc_tfidf_topk",
     "tpch_q11_important_parts",
     "tpch_q22_dormant_customers",
