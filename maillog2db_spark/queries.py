@@ -458,6 +458,11 @@ register("ev_value_anomaly", _ca.VALUE_ANOMALY_SQL,
          doc="Per-type 3-sigma value outliers (tiny stats aggregate broadcast back; no full-table window)")(_ca.value_anomaly)
 register("ord_rfm_segments", _ca.RFM_SEGMENTS_SQL,
          doc="RFM customer segmentation: recency/frequency/monetary quartiles via deterministic ntile")(_ca.rfm_segments)
+
+from .operators import layout as _lay  # noqa: E402
+
+register("ord_zorder_key", _lay.ZORDER_KEY_SQL,
+         doc="Z-order (Morton) clustering key over (price, date) — the layout-optimizer key behind min/max file skipping; pure codegen integer interleave, bit-exact oracle")(_lay.zorder_key)
 register("mm_png_roundtrip", _mm.PNG_ROUNDTRIP_SQL,
          doc="REAL-codec round-trip: text bytes -> grayscale PNG -> decode, dims+pixel md5 predicted arithmetically by the oracle")(_mm.png_roundtrip)
 register("mm_wav_loudness", _mm.WAV_LOUDNESS_SQL,

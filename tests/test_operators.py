@@ -1103,3 +1103,42 @@ def test_kmeans_lloyd_invariants(spark):
     ).first()[0]
     inertia2 = sum(r.inertia_ppm for r in rows)
     assert inertia2 <= inertia1
+
+
+def test_zorder_layout_concentrates_box_queries(spark, tmp_path):
+    """Data-skipping effectiveness: after z-order clustering, a 2-D box
+    predicate (price range AND date range) finds all its rows in a
+    small fraction of files, while the same data laid out by orderkey
+    spreads them across nearly every file. Files with zero matching
+    rows are exactly the files parquet min/max stats let the reader
+    skip. Also pins that the layout is lossless (same matching rows)."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import layout as L
+
+    orders = mio.load(spark, SF, "orders")
+    n_files = 16
+    zdir, ndir = str(tmp_path / "z"), str(tmp_path / "naive")
+    L.write_zordered(orders, zdir, n_files)
+    (
+        orders.repartitionByRange(n_files, "o_orderkey")
+        .write.mode("overwrite").parquet(ndir)
+    )
+
+    pred = (
+        (F.col("o_totalprice") >= 100_000)
+        & (F.col("o_totalprice") < 160_000)
+        & (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    z_touched, z_total = L.files_touched(spark, zdir, pred)
+    n_touched, n_total = L.files_touched(spark, ndir, pred)
+    assert z_total == n_files and n_total == n_files
+
+    matching = orders.filter(pred).count()
+    assert matching > 0, "box must select something at sf0.001"
+    assert spark.read.parquet(zdir).filter(pred).count() == matching
+    # the box covers ~12% of price range x ~14% of date range; z-order
+    # must confine it to a minority of files while the orderkey layout
+    # (uncorrelated with either dimension) smears it over ~all of them
+    assert z_touched <= n_files // 2
+    assert z_touched < n_touched
