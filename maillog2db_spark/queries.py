@@ -552,6 +552,11 @@ _PRIORITY = [
     "doc_cms_heavy_hitters", "embed_covariance", "ev_concurrent_sessions",
     "doc_leakage_safe_split", "doc_sorted_neighborhood",
     "doc_minhash_estimate",
+    # r4-late additions (same situation as the block above: locally
+    # oracle-verified this round, zero driver verdicts — r5 window
+    # material alongside them)
+    "doc_weighted_sample", "ev_markov_transitions", "embed_kmeans",
+    "ord_zorder_key",
     "doc_normalized_dedup",
 ]
 

@@ -62,6 +62,9 @@ FUZZED_QUERIES = [
     # sort-based blocking: binary UTF-8 key ordering must agree
     # cross-engine (non-ASCII WORDS reach multi-byte comparisons)
     "doc_sorted_neighborhood",
+    # Efraimidis-Spirakis top-k: selection order (rounded key, doc_id
+    # tiebreak) must agree cross-engine on duplicate-heavy corpora
+    "doc_weighted_sample",
 ]
 
 
@@ -142,6 +145,9 @@ EV_QUERIES = [
     # overlapping windows: epoch-aligned starts via integer-µs
     # arithmetic on both engines
     "ev_sliding_hourly",
+    # transition matrix: lag ordering ties (same-ts events) break on
+    # event_id identically; row normalization is exact-int division
+    "ev_markov_transitions",
 ]
 
 events_strategy = st.lists(
@@ -190,7 +196,9 @@ def test_fuzzed_events_match_oracle(spark, tmp_path_factory, qname, data):
     assert _hash(_normalize(got)) == _hash(_normalize(want)), qname
 
 
-ORD_QUERIES = ["ord_rfm_segments", "ord_customer_gaps"]
+# zorder: pure integer interleave — fuzz reaches the bucket caps and
+# pre-epoch-grid dates the fixed table can't
+ORD_QUERIES = ["ord_rfm_segments", "ord_customer_gaps", "ord_zorder_key"]
 
 orders_strategy = st.lists(
     st.tuples(
@@ -260,6 +268,9 @@ EMBED_QUERIES = [
     "embed_quantize_int8",
     "embed_covariance",
     "embed_topk_per_label",
+    # fixed-trajectory Lloyd's: distance ties between unit/dup vectors
+    # must break on cell id identically through BOTH unrolled iterations
+    "embed_kmeans",
 ]
 
 vec_strategy = st.lists(
