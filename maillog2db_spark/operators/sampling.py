@@ -230,6 +230,15 @@ _W_SQL = "CASE " + " ".join(
 SAMPLE_K = 120  # target sample size
 
 
+def weighted_key(doc_id_col, n_chars_col) -> "F.Column":
+    """The Efraimidis–Spirakis inclusion key u^(1/w) — SINGLE source of
+    truth shared by the batch sample and the streaming reservoir
+    (streaming_sample.py): both must rank by the identical key or the
+    stream≡batch equivalence breaks."""
+    w = F.greatest(F.coalesce(n_chars_col, F.lit(0)), F.lit(1)).cast("double")
+    return F.round(F.pow(_uniform(doc_id_col), F.lit(1.0) / w), 9)
+
+
 def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional sample WITHOUT replacement via the
     Efraimidis–Spirakis exponential-key trick: each row gets key
@@ -250,8 +259,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection at the cutoff cannot depend on last-ulp libm differences
     between engines (pow is the one transcendental here)."""
     d = io.load(spark, sf_dir, "documents")
-    w = F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1)).cast("double")
-    key = F.round(F.pow(_uniform(F.col("doc_id")), F.lit(1.0) / w), 9)
+    key = weighted_key(F.col("doc_id"), F.col("n_chars"))
     return (
         d.select("doc_id", "source", "n_chars", key.alias("wkey"))
         .orderBy(F.desc("wkey"), F.asc("doc_id"))

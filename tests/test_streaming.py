@@ -826,3 +826,52 @@ def test_streaming_semdedup_matches_batch(spark, tmp_path_factory):
     )
     q3.awaitTermination(180)
     assert sorted(map(tuple, store.read_decisions(spark).collect())) == got
+
+
+def test_streaming_weighted_reservoir_matches_batch(spark, tmp_path_factory):
+    """The incremental weighted reservoir, fed the corpus in waves,
+    equals the batch Efraimidis-Spirakis sample over the same corpus
+    (top-k is a mergeable monoid), and replaying the whole stream
+    through a fresh checkpoint changes nothing — the merge is
+    idempotent without any ledger."""
+    import shutil as _sh
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_sample as ss
+    from maillog2db_spark.operators import sampling as S
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    want = sorted(map(tuple, S.weighted_sample(spark, sf).collect()))
+
+    d = tmp_path_factory.mktemp("reservoir_stream")
+    src = d / "docs"
+    src.mkdir()
+    for i, (lo, hi) in enumerate([(None, 170), (170, 340), (340, None)]):
+        w = docs
+        if lo is not None:
+            w = w.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            w = w.filter(F.col("doc_id") < hi)
+        tmp = d / f"_tmp{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"wave{i}.parquet"
+        _sh.move(str(part), str(dest))
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+        _sh.rmtree(tmp)
+
+    store = ss.ReservoirStore(str(d / "store"))
+    q = ss.start_reservoir_stream(spark, str(src), store, str(d / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+    got = sorted(map(tuple, store.sample(spark).collect()))
+    assert got == want
+
+    # replay: fresh checkpoint re-delivers every wave; reservoir unchanged
+    q2 = ss.start_reservoir_stream(spark, str(src), store, str(d / "ckpt2"), available_now=True)
+    q2.awaitTermination(300)
+    assert sorted(map(tuple, store.sample(spark).collect())) == want
+
+    # crash-window replay: re-merging one wave directly is the identity
+    ss.reservoir_ingest_batch(spark, docs.filter(F.col("doc_id") < 170), store)
+    assert sorted(map(tuple, store.sample(spark).collect())) == want
