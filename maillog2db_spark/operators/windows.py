@@ -547,3 +547,72 @@ SELECT prev_type, event_type, n,
              CAST(CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS DOUBLE), 9) AS p
 FROM counts
 """
+
+
+# --- exponentially-weighted daily revenue (truncated EWMA) ------------------
+
+EWMA_ALPHA = 0.2
+EWMA_SPAN_DAYS = 27  # trailing frame: weights below (1-α)^27 ≈ 0.002 truncate
+
+
+def revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted trailing daily revenue — the smoothing/
+    nowcast primitive (anomaly baselines, demand curves). The exact
+    EWMA recursion is inherently sequential; the standard distributed
+    form truncates it to a value-bounded RANGE frame: weights decay by
+    ACTUAL day gap (missing days weigh in absently, not shifted), and
+    beyond 27 days the weight is <0.2% — below the output rounding.
+
+    Numerics discipline: revenue is summed as exact cents (bigint)
+    BEFORE any float enters; the per-day fold walks the frame in
+    ascending-day order on both engines (array_sort here, frame order
+    in the oracle), so the only float divergence surface is pow/fold
+    rounding — absorbed by the 1e-6 output grid.
+
+    Scale shape: the windowed fold runs over the POST-AGGREGATE daily
+    table (one row per day — thousands of rows at any corpus size),
+    after one map-side-combined groupBy of orders. The unpartitioned
+    window is bounded by the calendar, not the data — same upgrade
+    note as the sweep-line query."""
+    o = io.load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents")
+        )
+        .withColumn("d", F.datediff(F.col("day"), F.lit("1995-01-01").cast("date")))
+    )
+    frame = Window.orderBy("d").rangeBetween(-EWMA_SPAN_DAYS, 0)
+    hist = F.collect_list(F.struct("d", "rev_cents")).over(frame)
+    fold = F.aggregate(
+        F.array_sort(hist),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["rev_cents"].cast("double")
+        * F.pow(F.lit(1.0 - EWMA_ALPHA), F.col("d") - x["d"]),
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        F.round(F.lit(EWMA_ALPHA) * fold / 100.0, 6).alias("ewma"),
+    )
+
+
+REVENUE_EWMA_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1, 2
+), framed AS (
+  SELECT day, d, rev_cents,
+         list(struct_pack(d := d, rc := rev_cents))
+           OVER (ORDER BY d RANGE BETWEEN {EWMA_SPAN_DAYS} PRECEDING AND CURRENT ROW) AS hist
+  FROM daily
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+       round({EWMA_ALPHA} * list_sum(list_transform(hist,
+             x -> CAST(x.rc AS DOUBLE) * pow({1.0 - EWMA_ALPHA}, d - x.d))) / 100.0, 6) AS ewma
+FROM framed
+"""

@@ -316,6 +316,8 @@ register("ev_markov_transitions", _win.MARKOV_TRANSITIONS_SQL,
          doc="First-order Markov transition matrix of in-session event types (lag + gap predicate, post-aggregate row normalization)")(_win.markov_transitions)
 register("ord_customer_gaps", _win.CUSTOMER_ORDER_GAPS_SQL,
          doc="lag / row_number / moving-avg sharing one window partitioning")(_win.customer_order_gaps)
+register("ord_revenue_ewma", _win.REVENUE_EWMA_SQL,
+         doc="Truncated EWMA over daily revenue: exact-cents pre-aggregate, gap-aware decay in a RANGE frame, ascending-day fold on both engines")(_win.revenue_ewma)
 
 from .operators import semistructured as _sj  # noqa: E402
 
@@ -556,7 +558,7 @@ _PRIORITY = [
     # oracle-verified this round, zero driver verdicts — r5 window
     # material alongside them)
     "doc_weighted_sample", "ev_markov_transitions", "embed_kmeans",
-    "ord_zorder_key",
+    "ord_zorder_key", "ord_revenue_ewma",
     "doc_normalized_dedup",
 ]
 

@@ -198,7 +198,10 @@ def test_fuzzed_events_match_oracle(spark, tmp_path_factory, qname, data):
 
 # zorder: pure integer interleave — fuzz reaches the bucket caps and
 # pre-epoch-grid dates the fixed table can't
-ORD_QUERIES = ["ord_rfm_segments", "ord_customer_gaps", "ord_zorder_key"]
+ORD_QUERIES = ["ord_rfm_segments", "ord_customer_gaps", "ord_zorder_key",
+               # gap-aware decay: fuzz reaches sparse calendars and
+               # same-day collisions the fixed table can't
+               "ord_revenue_ewma"]
 
 orders_strategy = st.lists(
     st.tuples(

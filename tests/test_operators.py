@@ -1142,3 +1142,19 @@ def test_zorder_layout_concentrates_box_queries(spark, tmp_path):
     # (uncorrelated with either dimension) smears it over ~all of them
     assert z_touched <= n_files // 2
     assert z_touched < n_touched
+
+
+def test_revenue_ewma_first_day_and_bounds(spark):
+    """EWMA sanity: the earliest day's smoothed value is exactly
+    alpha x that day's revenue (empty history), every value is
+    positive, and the smoothed series never exceeds alpha x the
+    trailing-frame revenue mass (weights <= 1)."""
+    from maillog2db_spark.operators import windows as W
+
+    rows = sorted(W.revenue_ewma(spark, SF).collect(), key=lambda r: r.day)
+    assert rows
+    first = rows[0]
+    assert abs(first.ewma - W.EWMA_ALPHA * first.revenue) < 1e-6
+    assert all(r.ewma > 0 for r in rows)
+    total = sum(r.revenue for r in rows)
+    assert all(r.ewma <= W.EWMA_ALPHA * total for r in rows)
