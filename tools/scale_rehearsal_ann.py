@@ -109,6 +109,14 @@ def main() -> int:
         lambda: f"{similarity.ann_ivf_topk(spark, d).count()} result rows",
     )
 
+    # Lloyd's trainer over the same corpus: cost must be ~2 linear
+    # assignment scans (broadcast centroids) + k×dim aggregates —
+    # the per-vector rate should track the dedup stage, not exceed it
+    stage(
+        "kmeans(2 iter)",
+        lambda: f"{similarity.kmeans(spark, d).count()} clusters",
+    )
+
     total = sum(timings.values())
     print(
         f"total {total:.1f} s = {1e6 * total / n_vecs:.0f} us/vector "
