@@ -98,6 +98,69 @@ def write_zordered(df: DataFrame, path: str, n_files: int) -> None:
     )
 
 
+MONTH_COL = "o_month"
+
+
+def _with_month(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        MONTH_COL, F.date_format(F.col("o_orderdate"), "yyyy-MM")
+    )
+
+
+def write_zordered_partitioned(df: DataFrame, path: str, n_files: int) -> None:
+    """Initial layout for a CONTINUOUSLY-INGESTED table: coarse time
+    partitions (month directories — the partition-pruning dimension)
+    with z-ordered files inside each. This is the shape incremental
+    maintenance needs: new data lands in a few recent partitions, so
+    re-clustering touches only those directories — never the table."""
+    price_b, day_b = _buckets()
+    keyed = _with_month(df).withColumn("_zkey", interleave_bits(price_b, day_b))
+    (
+        keyed.repartitionByRange(n_files, MONTH_COL, "_zkey")
+        .sortWithinPartitions(MONTH_COL, "_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .partitionBy(MONTH_COL)
+        .parquet(path)
+    )
+
+
+def append_unclustered(df: DataFrame, path: str) -> None:
+    """Streaming-ingest shape: append rows into their month partitions
+    with no clustering — the small, z-disordered files an OPTIMIZE
+    pass later compacts."""
+    _with_month(df).write.mode("append").partitionBy(MONTH_COL).parquet(path)
+
+
+def optimize_partitions(
+    spark: SparkSession, path: str, months: list[str], files_per_month: int = 1
+) -> None:
+    """Incremental OPTIMIZE ZORDER: re-cluster ONLY the named month
+    partitions (dynamic-partition overwrite — untouched directories'
+    files are not rewritten, not even listed for data). At 100 TB the
+    optimize job is sized by the ingest rate (a few recent partitions),
+    not the table; this is the same touched-buckets-only discipline as
+    the streaming state store's merges. The bounded localCheckpoint
+    breaks lineage so the rewrite may overwrite the directories it
+    read."""
+    price_b, day_b = _buckets()
+    part = (
+        spark.read.parquet(path)
+        .filter(F.col(MONTH_COL).isin(months))
+        .localCheckpoint(eager=True)
+    )
+    keyed = part.withColumn("_zkey", interleave_bits(price_b, day_b))
+    (
+        keyed.repartitionByRange(max(1, files_per_month * len(months)), MONTH_COL, "_zkey")
+        .sortWithinPartitions(MONTH_COL, "_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(MONTH_COL)
+        .parquet(path)
+    )
+
+
 def files_touched(spark: SparkSession, path: str, predicate) -> tuple[int, int]:
     """(files containing matching rows, total files) for a layout — the
     min/max-skipping effectiveness metric: a file with no matching rows

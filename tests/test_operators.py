@@ -1158,3 +1158,57 @@ def test_revenue_ewma_first_day_and_bounds(spark):
     assert all(r.ewma > 0 for r in rows)
     total = sum(r.revenue for r in rows)
     assert all(r.ewma <= W.EWMA_ALPHA * total for r in rows)
+
+
+def test_incremental_zorder_optimize_restores_skipping(spark, tmp_path):
+    """OPTIMIZE-style maintenance: unclustered appends degrade file
+    skipping in their partitions; re-clustering ONLY the touched month
+    directories restores it, leaves every untouched partition's files
+    physically alone, and loses no rows."""
+    import glob as _g
+    import os as _os
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import layout as L
+
+    orders = mio.load(spark, SF, "orders")
+    in_window = (F.col("o_orderdate") >= F.lit("1997-01-01")) & (
+        F.col("o_orderdate") < F.lit("1997-03-01")
+    )
+    base = orders.filter(~in_window)
+    path = str(tmp_path / "t")
+    L.write_zordered_partitioned(base, path, n_files=24)
+
+    def snapshot(months):
+        out = {}
+        for m in months:
+            for f in _g.glob(f"{path}/{L.MONTH_COL}={m}/*.parquet"):
+                out[f] = _os.stat(f).st_mtime_ns
+        return out
+
+    untouched_before = snapshot(["1996-05", "1998-07", "2000-11"])
+
+    # ingest the two missing months as THREE interleaved unclustered
+    # appends — each month directory accumulates 3 price-mixed files
+    wave = orders.filter(in_window)
+    for i in range(3):
+        L.append_unclustered(wave.filter(F.col("o_orderkey") % 3 == i).coalesce(1), path)
+
+    # price >= 32*PRICE_STEP sets the TOP interleave bit, so the
+    # predicate selects a contiguous z-range regardless of day bits —
+    # exactly the file-skipping shape the layout promises
+    pred = F.col("o_totalprice") >= 32 * L.PRICE_STEP
+    jan = (F.col(L.MONTH_COL) == "1997-01") & pred
+    jan_files = lambda: len(_g.glob(f"{path}/{L.MONTH_COL}=1997-01/*.parquet"))
+    t_before, _ = L.files_touched(spark, path, jan)
+    # unclustered appends: price is uncorrelated with arrival order, so
+    # the box finds rows in EVERY January file — zero skipping
+    assert t_before == jan_files() == 3
+
+    L.optimize_partitions(spark, path, ["1997-01", "1997-02"], files_per_month=3)
+    t_after, _ = L.files_touched(spark, path, jan)
+
+    assert spark.read.parquet(path).count() == orders.count()
+    # re-clustered files are price-runs: the box now skips files
+    assert t_after < jan_files()
+    assert untouched_before == snapshot(["1996-05", "1998-07", "2000-11"])
