@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import io
-from .dedup import _TOKENS_DUCK, _TOKENS_SPARK, _with_shingles, _SHINGLES_DUCK
+from .dedup import _TOKENS_DUCK, _TOKENS_SPARK, _with_shingles, _SHINGLES_DUCK, SHINGLE_W
 from .similarity import _dot, _embeddings, _norm, centroids_with_norms
 
 TOPK_PER_LABEL = 5
@@ -509,4 +509,109 @@ SELECT o_custkey, recency,
             + ntile(4) OVER (ORDER BY frequency DESC, o_custkey) * 10
             + ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS segment
 FROM per_cust
+"""
+
+
+# --- cross-corpus duplicate-span removal ------------------------------------
+
+
+def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-SPAN removal (the transform behind Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, at shingle granularity): every 3-token span whose
+    shingle first appeared in a LOWER-doc_id document is scrubbed from
+    the text; overlapping duplicate spans merge via distinct covered
+    positions. Complements shingle_novelty (which only SCORES) — this
+    emits the cleaned text plus the removal audit.
+
+    Plan shape: positional shingles explode from one token scan (same
+    repartition-before-HOF discipline as _with_shingles), first-writer
+    attribution is one map-side-combined shuffle on the shingle key,
+    coverage re-aggregates to a per-doc sorted position array (bounded
+    by document length — in-row state, same bound as the shingle
+    arrays), and the rebuild is a single filter-by-index lambda over
+    the original token array. Nothing is ever quadratic in corpus or
+    document count."""
+    W = SHINGLE_W
+    p = spark.sparkContext.defaultParallelism
+    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
+    t = d.select("doc_id", F.expr(_TOKENS_SPARK).alias("toks"))
+    occ = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.when(
+                F.size("toks") >= W,
+                F.sequence(F.lit(1), F.size("toks") - W + 1),
+            ).otherwise(F.expr("array()"))
+        ).alias("i"),
+    ).select(
+        "doc_id", "i", F.expr(f"array_join(slice(toks, i, {W}), ' ')").alias("shingle")
+    )
+    first = occ.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    dup = occ.join(first, "shingle").filter(F.col("first_doc") < F.col("doc_id"))
+    cov = (
+        dup.select("doc_id", F.explode(F.expr(f"sequence(i, i + {W - 1})")).alias("p"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("p")).alias("cov"))
+    )
+    out = t.join(cov, "doc_id", "left")
+    n_removed = F.when(F.col("cov").isNull(), 0).otherwise(F.size("cov")).cast("bigint")
+    return out.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        n_removed.alias("n_removed"),
+        F.when(F.size("toks") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "CAST(floor((CASE WHEN cov IS NULL THEN 0 ELSE size(cov) END)"
+                " * 1000000.0 / size(toks) + 0.5) AS BIGINT)"
+            )
+        )
+        .alias("scrub_ppm"),
+        # Spark filter-lambda indexes are 0-based; cov stores 1-based
+        # positions (the oracle's convention) — compare j + 1
+        F.expr(
+            "array_join(filter(toks, (x, j) ->"
+            " NOT array_contains(coalesce(cov, array()), j + 1)), ' ')"
+        ).alias("scrubbed"),
+    )
+
+
+SPAN_SCRUB_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+), occ AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - {SHINGLE_W - 1}, 0))) AS i
+  FROM t
+), sh AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(toks, i, i + {SHINGLE_W - 1}), ' ') AS shingle
+  FROM occ
+), first AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1
+), dup AS (
+  SELECT s.doc_id, s.i FROM sh s JOIN first f USING (shingle)
+  WHERE f.first_doc < s.doc_id
+), pos AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(i, i + {SHINGLE_W - 1})) AS p FROM dup
+), cov AS (
+  SELECT doc_id, list_sort(list(p)) AS cov FROM pos GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_toks,
+       CAST(coalesce(len(cov), 0) AS BIGINT) AS n_removed,
+       CASE WHEN len(toks) = 0 THEN 0
+            ELSE CAST(floor(coalesce(len(cov), 0) * 1000000.0 / len(toks) + 0.5) AS BIGINT)
+       END AS scrub_ppm,
+       -- DuckDB stringifies an EMPTY list as NULL where Spark's
+       -- array_join gives '' — coalesce the all-removed case, but let
+       -- a NULL token array stay NULL on both engines
+       CASE WHEN toks IS NULL THEN NULL
+            ELSE coalesce(array_to_string(
+                   list_filter(toks, (x, j) -> NOT list_contains(coalesce(cov, []), j)), ' '), '')
+       END AS scrubbed
+FROM t LEFT JOIN cov USING (doc_id)
 """

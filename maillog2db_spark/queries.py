@@ -452,6 +452,8 @@ register("doc_shingle_novelty", _ca.SHINGLE_NOVELTY_SQL,
          doc="Substring-dedup attribution: per-doc fraction of shingles first seen in an earlier doc (first-writer-wins)")(_ca.shingle_novelty)
 register("doc_dedup_keep_best", _ca.DEDUP_KEEP_BEST_SQL,
          doc="Exact-dup keep-best policy: retain longest member per (lang, fingerprint) group")(_ca.dedup_keep_best)
+register("doc_span_scrub", _ca.SPAN_SCRUB_SQL,
+         doc="Duplicate-span REMOVAL (arXiv:2107.06499 at shingle granularity): first-writer attribution, merged covered positions, filter-by-index text rebuild")(_ca.span_scrub)
 register("doc_source_overlap", _ca.SOURCE_OVERLAP_SQL,
          doc="Cross-source contamination: pairwise shingle containment/Jaccard between sources")(_ca.source_overlap)
 register("embed_topk_per_label", _ca.TOPK_PER_LABEL_SQL,
@@ -558,7 +560,7 @@ _PRIORITY = [
     # oracle-verified this round, zero driver verdicts — r5 window
     # material alongside them)
     "doc_weighted_sample", "ev_markov_transitions", "embed_kmeans",
-    "ord_zorder_key", "ord_revenue_ewma",
+    "ord_zorder_key", "ord_revenue_ewma", "doc_span_scrub",
     "doc_normalized_dedup",
 ]
 

@@ -65,6 +65,10 @@ FUZZED_QUERIES = [
     # Efraimidis-Spirakis top-k: selection order (rounded key, doc_id
     # tiebreak) must agree cross-engine on duplicate-heavy corpora
     "doc_weighted_sample",
+    # duplicate-span removal: forced exact copies + shared prefixes
+    # reach all-removed docs (the empty-list stringify trap) and
+    # overlapping-span merges
+    "doc_span_scrub",
 ]
 
 

@@ -1212,3 +1212,32 @@ def test_incremental_zorder_optimize_restores_skipping(spark, tmp_path):
     # re-clustered files are price-runs: the box now skips files
     assert t_after < jan_files()
     assert untouched_before == snapshot(["1996-05", "1998-07", "2000-11"])
+
+
+def test_span_scrub_removes_copied_spans(spark, tmp_path):
+    """Planted-duplication semantics: the first writer keeps its text
+    verbatim; a later doc that embeds the first doc's passage loses
+    exactly that span (plus boundary shingles) while its fresh prose
+    survives; token accounting is exact."""
+    from maillog2db_spark.operators import corpus_analytics as ca
+
+    a = "one two three four five six"
+    b = "fresh opening words " + a + " fresh closing words"
+    c = "wholly original content nine ten eleven"
+    rows = [(0, a, "en", "s", len(a)), (1, b, "en", "s", len(b)), (2, c, "en", "s", len(c))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: r for r in ca.span_scrub(spark, str(tmp_path)).collect()}
+    assert out[0].n_removed == 0 and out[0].scrubbed == a
+    assert out[2].n_removed == 0 and out[2].scrubbed == c
+    # doc 1: the copied six-token span is covered; both flanking fresh
+    # phrases keep the tokens outside any duplicated shingle
+    assert out[1].n_removed >= 6
+    kept = out[1].scrubbed.split()
+    assert "fresh" in kept and "opening" in kept and "closing" in kept
+    assert "three" not in kept and "four" not in kept
+    for r in out.values():
+        assert len(r.scrubbed.split()) == r.n_toks - r.n_removed
