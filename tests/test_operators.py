@@ -1241,3 +1241,26 @@ def test_span_scrub_removes_copied_spans(spark, tmp_path):
     assert "three" not in kept and "four" not in kept
     for r in out.values():
         assert len(r.scrubbed.split()) == r.n_toks - r.n_removed
+
+
+def test_interleave_bits_is_injective_and_per_axis_monotone(spark):
+    """Morton-key contract behind the skipping guarantees: the
+    interleave is a bijection onto [0, 4^ZBITS) (no two grid cells
+    share a key — a collision would co-locate unrelated data), and
+    fixing one axis makes the key monotone in the other (an axis range
+    predicate maps to a bounded set of z-ranges)."""
+    from maillog2db_spark.operators import layout as L
+
+    n = 1 << L.ZBITS
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(n) for b in range(n)], "a long, b long"
+    )
+    keys = grid.select(
+        "a", "b", L.interleave_bits(F.col("a"), F.col("b")).alias("z")
+    ).collect()
+    zs = {(r.a, r.b): r.z for r in keys}
+    assert sorted(zs.values()) == list(range(n * n))
+    for fixed in (0, 5, n - 1):
+        row = [zs[(a, fixed)] for a in range(n)]
+        col = [zs[(fixed, b)] for b in range(n)]
+        assert row == sorted(row) and col == sorted(col)
