@@ -515,6 +515,63 @@ FROM per_cust
 # --- cross-corpus duplicate-span removal ------------------------------------
 
 
+def positional_shingles(t: DataFrame) -> DataFrame:
+    """(doc_id, toks) → one row per shingle OCCURRENCE (doc_id, i,
+    shingle), i 1-based. Shared by the batch scrub and its streaming
+    dual (streaming_scrub.py) — both must derive occurrences from the
+    identical expression or stream≡batch breaks."""
+    W = SHINGLE_W
+    return t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.when(
+                F.size("toks") >= W,
+                F.sequence(F.lit(1), F.size("toks") - W + 1),
+            ).otherwise(F.expr("array()"))
+        ).alias("i"),
+    ).select(
+        "doc_id", "i", F.expr(f"array_join(slice(toks, i, {W}), ' ')").alias("shingle")
+    )
+
+
+def coverage_from_dup_occurrences(dup: DataFrame) -> DataFrame:
+    """(doc_id, i) duplicate occurrences → per-doc sorted 1-based
+    covered-position arrays (bounded by document length)."""
+    W = SHINGLE_W
+    return (
+        dup.select("doc_id", F.explode(F.expr(f"sequence(i, i + {W - 1})")).alias("p"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("p")).alias("cov"))
+    )
+
+
+def rebuild_scrubbed(t: DataFrame, cov: DataFrame) -> DataFrame:
+    """(doc_id, toks) ⟕ (doc_id, cov) → the scrub audit + cleaned text
+    (filter-by-index rebuild; Spark lambda indexes are 0-based, cov is
+    1-based)."""
+    out = t.join(cov, "doc_id", "left")
+    n_removed = F.when(F.col("cov").isNull(), 0).otherwise(F.size("cov")).cast("bigint")
+    return out.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        n_removed.alias("n_removed"),
+        F.when(F.size("toks") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "CAST(floor((CASE WHEN cov IS NULL THEN 0 ELSE size(cov) END)"
+                " * 1000000.0 / size(toks) + 0.5) AS BIGINT)"
+            )
+        )
+        .alias("scrub_ppm"),
+        F.expr(
+            "array_join(filter(toks, (x, j) ->"
+            " NOT array_contains(coalesce(cov, array()), j + 1)), ' ')"
+        ).alias("scrubbed"),
+    )
+
+
 def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-SPAN removal (the transform behind Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better",
@@ -532,51 +589,13 @@ def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays), and the rebuild is a single filter-by-index lambda over
     the original token array. Nothing is ever quadratic in corpus or
     document count."""
-    W = SHINGLE_W
     p = spark.sparkContext.defaultParallelism
     d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
     t = d.select("doc_id", F.expr(_TOKENS_SPARK).alias("toks"))
-    occ = t.select(
-        "doc_id",
-        "toks",
-        F.explode(
-            F.when(
-                F.size("toks") >= W,
-                F.sequence(F.lit(1), F.size("toks") - W + 1),
-            ).otherwise(F.expr("array()"))
-        ).alias("i"),
-    ).select(
-        "doc_id", "i", F.expr(f"array_join(slice(toks, i, {W}), ' ')").alias("shingle")
-    )
+    occ = positional_shingles(t)
     first = occ.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     dup = occ.join(first, "shingle").filter(F.col("first_doc") < F.col("doc_id"))
-    cov = (
-        dup.select("doc_id", F.explode(F.expr(f"sequence(i, i + {W - 1})")).alias("p"))
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("p")).alias("cov"))
-    )
-    out = t.join(cov, "doc_id", "left")
-    n_removed = F.when(F.col("cov").isNull(), 0).otherwise(F.size("cov")).cast("bigint")
-    return out.select(
-        "doc_id",
-        F.size("toks").cast("bigint").alias("n_toks"),
-        n_removed.alias("n_removed"),
-        F.when(F.size("toks") == 0, F.lit(0).cast("bigint"))
-        .otherwise(
-            F.expr(
-                "CAST(floor((CASE WHEN cov IS NULL THEN 0 ELSE size(cov) END)"
-                " * 1000000.0 / size(toks) + 0.5) AS BIGINT)"
-            )
-        )
-        .alias("scrub_ppm"),
-        # Spark filter-lambda indexes are 0-based; cov stores 1-based
-        # positions (the oracle's convention) — compare j + 1
-        F.expr(
-            "array_join(filter(toks, (x, j) ->"
-            " NOT array_contains(coalesce(cov, array()), j + 1)), ' ')"
-        ).alias("scrubbed"),
-    )
+    return rebuild_scrubbed(t, coverage_from_dup_occurrences(dup))
 
 
 SPAN_SCRUB_SQL = f"""

@@ -56,7 +56,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .ledger import FileBatchLedger
+from .stores import BucketedMinStore
 
 from .operators.chunking import CHUNK_STRIDE, PACK_BUDGET
 from .operators.corpus_pipeline import QUALITY_MIN_PPM, _quality_ppm_from_toks
@@ -64,84 +64,17 @@ from .operators.decontam import BENCH_SOURCE, CONTAM_PPM_THRESHOLD
 from .operators.dedup import _SHINGLES_FROM_TOKS_SPARK, _TOKENS_SPARK
 
 
-class AdmissionStore(FileBatchLedger):
-    """Persisted admission state under one root directory."""
+class AdmissionStore(BucketedMinStore):
+    """Persisted admission state under one root directory. The
+    bucketed min-merge / provenance / batch-artifact protocol lives in
+    stores.BucketedMinStore (shared with the span-scrub store).
+    """
 
     def __init__(self, root: str, n_buckets: int = 16):
         self.root = root
         self.n_buckets = n_buckets
 
-    def _path(self, name: str) -> str:
-        return os.path.join(self.root, name)
-
-    def _exists(self, name: str) -> bool:
-        p = self._path(name)
-        return os.path.isdir(p) and any(
-            not e.startswith(("_", ".")) for e in os.listdir(p)
-        )
-
-    # --- bucketed min-merge stores (fingerprints, shingle first-writers) ----
-
-    def _merge_min(
-        self,
-        spark: SparkSession,
-        name: str,
-        key: str,
-        new_rows: DataFrame,
-        batch_id: int,
-    ) -> None:
-        """Merge (key, doc_id) rows keeping min doc_id per key; touches
-        only the buckets the new keys hash into. Rows carry the batch
-        id that contributed them (``src_batch``) so a REPLAYED batch
-        can read the store as it was before its own crashed attempt —
-        without the filter, a replayed batch's fingerprint anti-join
-        would see its own residue and suppress its every doc. Min-dedup
-        (struct min: doc_id, then earliest batch) keeps the merge
-        itself idempotent."""
-        new_b = new_rows.withColumn(
-            "part", F.pmod(F.xxhash64(key), F.lit(self.n_buckets)).cast("int")
-        ).withColumn("src_batch", F.lit(batch_id).cast("long"))
-        if self._exists(name):
-            touched = [r["part"] for r in new_b.select("part").distinct().collect()]
-            old = spark.read.parquet(self._path(name)).filter(
-                F.col("part").isin(touched)
-            )
-            merged = old.unionByName(new_b)
-        else:
-            merged = new_b
-        (
-            merged.groupBy("part", key)
-            .agg(F.min(F.struct("doc_id", "src_batch")).alias("_s"))
-            .select("part", key, F.col("_s.doc_id").alias("doc_id"),
-                    F.col("_s.src_batch").alias("src_batch"))
-            .repartition("part")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("part")
-            .parquet(self._path(name))
-        )
-
-    def _read_keys(
-        self, spark: SparkSession, name: str, exclude_batch: int | None = None
-    ) -> DataFrame | None:
-        if not self._exists(name):
-            return None
-        df = spark.read.parquet(self._path(name))
-        if exclude_batch is not None:
-            df = df.filter(F.col("src_batch") != exclude_batch)
-        return df.drop("part", "src_batch")
-
     # --- per-batch partitioned artifacts (counters, admitted, pack state) ---
-
-    def _write_batch_rows(self, df: DataFrame, name: str, batch_id: int) -> None:
-        (
-            df.withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .repartition(1)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(self._path(name))
-        )
 
     def read_counters(self, spark: SparkSession) -> DataFrame | None:
         if not self._exists("counters"):

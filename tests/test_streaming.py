@@ -875,3 +875,56 @@ def test_streaming_weighted_reservoir_matches_batch(spark, tmp_path_factory):
     # crash-window replay: re-merging one wave directly is the identity
     ss.reservoir_ingest_batch(spark, docs.filter(F.col("doc_id") < 170), store)
     assert sorted(map(tuple, store.sample(spark).collect())) == want
+
+
+def test_streaming_span_scrub_matches_batch(spark, tmp_path_factory):
+    """Incremental span scrubbing, fed doc_id-monotone waves, produces
+    EXACTLY the batch operator's scrubbed rows (text and audit columns
+    both), and replaying through a fresh checkpoint plus a direct
+    crash-window re-ingest changes nothing."""
+    import shutil as _sh
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_scrub as sc
+    from maillog2db_spark.operators import corpus_analytics as ca
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    want = sorted(map(tuple, ca.span_scrub(spark, sf).collect()))
+
+    d = tmp_path_factory.mktemp("scrub_stream")
+    src = d / "docs"
+    src.mkdir()
+    for i, (lo, hi) in enumerate([(None, 170), (170, 340), (340, None)]):
+        w = docs
+        if lo is not None:
+            w = w.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            w = w.filter(F.col("doc_id") < hi)
+        tmp = d / f"_tmp{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"wave{i}.parquet"
+        _sh.move(str(part), str(dest))
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+        _sh.rmtree(tmp)
+
+    store = sc.ScrubStore(str(d / "store"), n_buckets=4)
+    q = sc.start_scrub_stream(spark, str(src), store, str(d / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+    got = sorted(map(tuple, store.read_scrubbed(spark).collect()))
+    assert got == want
+
+    # fresh-checkpoint replay: every wave re-delivers; ledger skips,
+    # output partitions identical
+    q2 = sc.start_scrub_stream(spark, str(src), store, str(d / "ckpt2"), available_now=True)
+    q2.awaitTermination(300)
+    assert sorted(map(tuple, store.read_scrubbed(spark).collect())) == want
+
+    # crash inside the commit window: drop batch 1's ledger mark and
+    # re-ingest it directly — provenance filtering makes it converge
+    os.remove(store._ledger(1))
+    sc.scrub_ingest_batch(
+        spark, docs.filter((F.col("doc_id") >= 170) & (F.col("doc_id") < 340)), store, 1
+    )
+    assert sorted(map(tuple, store.read_scrubbed(spark).collect())) == want
