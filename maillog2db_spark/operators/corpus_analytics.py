@@ -634,3 +634,81 @@ SELECT t.doc_id,
        END AS scrubbed
 FROM t LEFT JOIN cov USING (doc_id)
 """
+
+
+# --- market-basket part affinity --------------------------------------------
+
+BASKET_MIN_SUPPORT = 2
+
+
+def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence / association mining over order baskets: for every
+    part pair appearing in >= MIN_SUPPORT common orders, the support
+    count and lift (observed co-occurrence vs independence). The
+    distributed-affinity pattern behind recommendations and
+    complementary-product analysis.
+
+    Scale shape: the self-join is keyed on the ORDER — co-partitioned,
+    never a part-cross-part product — and its output is bounded by
+    sum(basket_size²) ≈ orders × avg_basket² (TPC-H baskets are ~4-7
+    items; the same bound a 100 TB retail log obeys). Pair counts
+    aggregate map-side; the per-part order counts join onto the
+    POST-AGGREGATE pair table; the single-row order total broadcasts.
+    Lift is a ratio of exact integers (correctly-rounded double
+    division on both engines), rounded to the comparison grid."""
+    li = (
+        io.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(b, "l_orderkey").filter(
+        F.col("a.l_partkey") < F.col("b.l_partkey")
+    )
+    n_ab = pairs.groupBy(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    ).agg(F.count(F.lit(1)).alias("n_ab"))
+    part_cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    out = (
+        n_ab.filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+        .join(part_cnt.withColumnRenamed("n_part", "n_a"),
+              F.col("part_a") == F.col("l_partkey")).drop("l_partkey")
+        .join(part_cnt.withColumnRenamed("n_part", "n_b"),
+              F.col("part_b") == F.col("l_partkey")).drop("l_partkey")
+        .join(F.broadcast(n_orders))
+    )
+    return out.select(
+        "part_a",
+        "part_b",
+        "n_ab",
+        F.round(
+            F.col("n_ab") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 9
+        ).alias("lift"),
+    )
+
+
+BASKET_AFFINITY_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), part_cnt AS (
+  SELECT l_partkey, count(*) AS n_part FROM li GROUP BY 1
+), total AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM li
+)
+SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+       round(CAST(n_ab AS DOUBLE) * n_orders /
+             (CAST(pa.n_part AS DOUBLE) * CAST(pb.n_part AS DOUBLE)), 9) AS lift
+FROM pairs
+JOIN part_cnt pa ON pairs.part_a = pa.l_partkey
+JOIN part_cnt pb ON pairs.part_b = pb.l_partkey
+CROSS JOIN total
+WHERE n_ab >= {BASKET_MIN_SUPPORT}
+"""

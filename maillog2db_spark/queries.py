@@ -452,6 +452,8 @@ register("doc_shingle_novelty", _ca.SHINGLE_NOVELTY_SQL,
          doc="Substring-dedup attribution: per-doc fraction of shingles first seen in an earlier doc (first-writer-wins)")(_ca.shingle_novelty)
 register("doc_dedup_keep_best", _ca.DEDUP_KEEP_BEST_SQL,
          doc="Exact-dup keep-best policy: retain longest member per (lang, fingerprint) group")(_ca.dedup_keep_best)
+register("li_basket_affinity", _ca.BASKET_AFFINITY_SQL,
+         doc="Market-basket part affinity: order-keyed co-occurrence self-join (bounded by basket size, never part x part), lift over exact-integer ratios")(_ca.basket_affinity)
 register("doc_span_scrub", _ca.SPAN_SCRUB_SQL,
          doc="Duplicate-span REMOVAL (arXiv:2107.06499 at shingle granularity): first-writer attribution, merged covered positions, filter-by-index text rebuild")(_ca.span_scrub)
 register("doc_source_overlap", _ca.SOURCE_OVERLAP_SQL,
@@ -561,6 +563,7 @@ _PRIORITY = [
     # material alongside them)
     "doc_weighted_sample", "ev_markov_transitions", "embed_kmeans",
     "ord_zorder_key", "ord_revenue_ewma", "doc_span_scrub",
+    "li_basket_affinity",
     "doc_normalized_dedup",
 ]
 

@@ -1264,3 +1264,42 @@ def test_interleave_bits_is_injective_and_per_axis_monotone(spark):
         row = [zs[(a, fixed)] for a in range(n)]
         col = [zs[(fixed, b)] for b in range(n)]
         assert row == sorted(row) and col == sorted(col)
+
+
+def test_basket_affinity_lift_semantics(spark):
+    """Association-mining invariants: pairs are canonical (a < b),
+    support meets the threshold, and lift matches the independent
+    recount n_ab * N / (n_a * n_b) computed from scratch."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import corpus_analytics as ca
+
+    rows = ca.basket_affinity(spark, SF).collect()
+    assert rows
+    li = (
+        mio.load(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    from collections import Counter, defaultdict
+
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    part_n = Counter(p for b in baskets.values() for p in b)
+    pair_n = Counter()
+    for b in baskets.values():
+        s = sorted(b)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair_n[(s[i], s[j])] += 1
+    n_orders = len(baskets)
+    expected = {
+        k: v for k, v in pair_n.items() if v >= ca.BASKET_MIN_SUPPORT
+    }
+    got = {(r.part_a, r.part_b): r for r in rows}
+    assert set(got) == set(expected)
+    for (pa, pb), r in got.items():
+        assert pa < pb and r.n_ab == expected[(pa, pb)]
+        lift = r.n_ab * n_orders / (part_n[pa] * part_n[pb])
+        assert abs(r.lift - lift) < 1e-6

@@ -24,6 +24,7 @@ BNL_ALLOWED = {
     "tpch_q11_important_parts",
     "tpch_q22_dormant_customers",
     "doc_unigram_lm_score",  # single-row corpus-total scalar broadcast
+    "li_basket_affinity",  # single-row order-total scalar broadcast
     "doc_corpus_pipeline",  # 1-row funnel agg × 1-row bins agg combine
 }
 
