@@ -624,3 +624,65 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
+
+
+# --- referential-integrity audit --------------------------------------------
+
+# (relationship name, child table, child key, parent table, parent key)
+_FK_RELATIONSHIPS = [
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key audit across the whole star schema: per relationship,
+    child row count, NULL-key rows, and orphans (non-null keys with no
+    parent) — the constraint check a warehouse runs before trusting a
+    load, which the reference's MySQL schema declares nowhere (no FK
+    constraints in the DDL, maillog2db.go:61-110) and Spark tables
+    never enforce.
+
+    Plan per relationship: one left-anti join on the key (null keys
+    filtered first — anti joins never match NULL anyway, so the NULL
+    count is its own cheap aggregate) + one count; seven bounded
+    aggregates unioned. At 100 TB each anti join is the standard
+    shuffle-or-broadcast Catalyst choice; nothing is quadratic and no
+    relationship reads a column it doesn't audit."""
+    out = None
+    for name, child, ck, parent, pk in _FK_RELATIONSHIPS:
+        c = _t(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        orphans = c.filter(F.col("k").isNotNull()).join(p, "k", "left_anti")
+        row = (
+            c.agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_null_keys"),
+            )
+            .join(F.broadcast(orphans.agg(F.count(F.lit(1)).alias("n_orphans"))))
+            .select(
+                F.lit(name).alias("relationship"),
+                "n_child",
+                "n_null_keys",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+REFERENTIAL_INTEGRITY_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS relationship,
+       (SELECT count(*) FROM {child}) AS n_child,
+       (SELECT count(*) FROM {child} WHERE {ck} IS NULL) AS n_null_keys,
+       (SELECT count(*) FROM {child} c WHERE c.{ck} IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})) AS n_orphans"""
+    for name, child, ck, parent, pk in _FK_RELATIONSHIPS
+)

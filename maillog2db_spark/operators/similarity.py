@@ -1096,3 +1096,54 @@ FROM a2 a JOIN (
 ) n ON a.cluster = n.cell
 GROUP BY a.cluster, n.centroid_norm
 """
+
+
+# --- ANN recall evaluation ---------------------------------------------------
+
+
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF probe against the exact brute-force top-k —
+    the accuracy contract an ANN index ships with. Registered as a
+    first-class query so the driver hash-verifies the entire eval
+    (both rankings AND the join) rather than trusting a test assertion.
+
+    Reuses both registered rankings; the hit-join is on (query,
+    neighbor) — k×n_queries rows, trivially broadcastable. Recall is
+    an exact-int ratio."""
+    ann = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        ann.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    qs = exact.select("query_id").distinct()
+    return (
+        qs.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.lit(float(TOP_K)), 9
+            ).alias("recall"),
+        )
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH ann AS ({{ann}}),
+     exact AS ({{exact}}),
+     hits AS (
+       SELECT a.query_id, count(*) AS n_hit
+       FROM ann a JOIN exact e
+         ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       GROUP BY 1
+     )
+SELECT q.query_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(h.n_hit, 0) / {float(TOP_K)}, 9) AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h USING (query_id)
+"""
+
+ANN_RECALL_SQL = ANN_RECALL_SQL.format(ann=ANN_IVF_TOPK_SQL, exact=KNN_BRUTEFORCE_SQL)

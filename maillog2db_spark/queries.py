@@ -289,6 +289,8 @@ register("tpch_q21_waiting_suppliers", _rex.WAITING_SUPPLIERS_SQL,
          doc="EXISTS/NOT EXISTS self-correlation via shared per-key aggregates (TPC-H Q21 shape)")(_rex.waiting_suppliers)
 register("tpch_q22_dormant_customers", _rex.DORMANT_CUSTOMERS_SQL,
          doc="Scalar-subquery threshold + anti join (TPC-H Q22 shape)")(_rex.dormant_customers)
+register("dq_referential_integrity", _rex.REFERENTIAL_INTEGRITY_SQL,
+         doc="Foreign-key audit across the star schema: per relationship child/null/orphan counts via left-anti joins (the constraint check Spark tables never enforce)")(_rex.referential_integrity)
 register("grouping_sets_orders", _rex.GROUPING_SETS_ORDERS_SQL,
          doc="Arbitrary GROUPING SETS (the general form rollup/cube specialize)")(_rex.grouping_sets_orders)
 
@@ -377,6 +379,8 @@ register("embed_covariance", _sim.EMBEDDING_COVARIANCE_SQL,
          doc="Distributed embedding covariance (PCA/whitening reduction): one-pass centered outer products, ppm-quantized means + 1e-12 fixed-point before cross-row sums — order-exact integers")(_sim.embedding_covariance)
 register("embed_kmeans", _sim.KMEANS_SQL,
          doc="Distributed Lloyd's k-means (2 unrolled iterations, label-centroid init): broadcast-assign + tiny centroid aggregate per pass, ppm-fixed-point inertia — the IVF coarse-quantizer trainer")(_sim.kmeans)
+register("embed_ann_recall", _sim.ANN_RECALL_SQL,
+         doc="Recall@k of the IVF probe vs exact brute-force top-k — the ANN accuracy contract, hash-verified end to end")(_sim.ann_recall)
 register("embed_semdedup", _sim.SEMDEDUP_SQL,
          doc="SemDeDup-style semantic dedup: quantizer cell + in-cell LSH blocking, exact-cosine verify, first-writer keep policy (arXiv:2303.09540)")(_sim.semantic_dedup)
 register("doc_token_stats", _tx.TOKEN_STATS_SQL,
@@ -563,7 +567,7 @@ _PRIORITY = [
     # material alongside them)
     "doc_weighted_sample", "ev_markov_transitions", "embed_kmeans",
     "ord_zorder_key", "ord_revenue_ewma", "doc_span_scrub",
-    "li_basket_affinity",
+    "li_basket_affinity", "dq_referential_integrity", "embed_ann_recall",
     "doc_normalized_dedup",
 ]
 

@@ -1303,3 +1303,53 @@ def test_basket_affinity_lift_semantics(spark):
         assert pa < pb and r.n_ab == expected[(pa, pb)]
         lift = r.n_ab * n_orders / (part_n[pa] * part_n[pb])
         assert abs(r.lift - lift) < 1e-6
+
+
+def test_referential_integrity_clean_star_schema(spark):
+    """The generated star schema is referentially clean: all seven
+    relationships report zero orphans and zero NULL keys, and child
+    counts match the raw tables."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import relational_ext as rex
+
+    rows = {r.relationship: r for r in rex.referential_integrity(spark, SF).collect()}
+    assert len(rows) == len(rex._FK_RELATIONSHIPS)
+    for r in rows.values():
+        assert r.n_orphans == 0 and r.n_null_keys == 0
+    assert rows["lineitem->orders"].n_child == mio.load(spark, SF, "lineitem").count()
+
+    # planted orphan detection: corrupt one child key in memory and
+    # recount that relationship by hand through the same anti-join shape
+    li = mio.load(spark, SF, "lineitem").select("l_orderkey")
+    corrupted = li.withColumn(
+        "l_orderkey",
+        F.when(F.monotonically_increasing_id() == 0, F.lit(10**12)).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+    orders = mio.load(spark, SF, "orders").select("o_orderkey")
+    orphans = corrupted.join(
+        orders, corrupted.l_orderkey == orders.o_orderkey, "left_anti"
+    ).count()
+    assert orphans == 1
+
+
+def test_ann_recall_bounds_and_exact_self_agreement(spark):
+    """Recall rows cover every query, land in [0, 1], and n_hit never
+    exceeds TOP_K; the registered value must equal a recount from the
+    two component rankings."""
+    from maillog2db_spark.operators import similarity as sim
+
+    rows = {r.query_id: r for r in sim.ann_recall(spark, SF).collect()}
+    assert set(rows) == set(range(sim.N_QUERIES))
+    ann = {
+        (r.query_id, r.neighbor_id) for r in sim.ann_ivf_topk(spark, SF).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id) for r in sim.knn_bruteforce(spark, SF).collect()
+    }
+    for q, r in rows.items():
+        want = len({n for (qq, n) in ann if qq == q} & {n for (qq, n) in exact if qq == q})
+        assert r.n_hit == want
+        assert 0 <= r.n_hit <= sim.TOP_K
+        assert abs(r.recall - r.n_hit / sim.TOP_K) < 1e-9

@@ -20,6 +20,7 @@ BNL_ALLOWED = {
     "embed_ann_ivf_topk",
     "embed_semdedup",  # same broadcast quantizer scoring as ann_ivf_topk
     "embed_kmeans",  # broadcast k×dim centroids scored against the corpus
+    "embed_ann_recall",  # composes the two BNL-allowed rankings above
     "doc_tfidf_topk",
     "tpch_q11_important_parts",
     "tpch_q22_dormant_customers",
