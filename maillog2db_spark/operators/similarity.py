@@ -1147,3 +1147,100 @@ LEFT JOIN hits h USING (query_id)
 """
 
 ANN_RECALL_SQL = ANN_RECALL_SQL.format(ann=ANN_IVF_TOPK_SQL, exact=KNN_BRUTEFORCE_SQL)
+
+
+# --- product quantization ----------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_D = DIM // PQ_M  # dims per subspace
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): split each vector into PQ_M
+    subvectors, quantize each against a per-subspace codebook, emit the
+    compact code word plus the exact reconstruction error. With k=10
+    codes per subspace this compresses 64 float32s (256 B) to 8 code
+    bytes — the memory lever that lets a billion-vector index live in
+    RAM; the IVF family here provides the coarse level, PQ the fine.
+
+    Codebooks are the per-(label, subspace) centroids rounded to 1e-6
+    (deterministic 'trained' codebooks, same framing as the IVF coarse
+    quantizer — the kmeans trainer shows how they'd be refined at
+    scale). One subvector explode (M rows per vector), one broadcast
+    of the M×k×(DIM/M) codebook table, per-(vec, subspace) argmin with
+    the rounded-distance + code-id tiebreak, one re-aggregation to the
+    code word. Reconstruction error sums ppm-fixed-point integers —
+    order-exact."""
+    e = _embeddings(spark, sf_dir)
+    sub = e.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" m -> struct(m AS m, slice(embedding, m * {PQ_D} + 1, {PQ_D}) AS svec))"
+            )
+        ).alias("s"),
+    ).select("vec_id", "label", F.col("s.m").alias("m"), F.col("s.svec").alias("svec"))
+    pos = sub.select("label", "m", F.posexplode("svec").alias("pos", "v"))
+    cb = (
+        pos.groupBy("label", "m", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        .groupBy(F.col("label").alias("code"), "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            ).alias("centroid")
+        )
+    )
+    scored = sub.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "code",
+        F.round(_sqdist(F.col("svec"), F.col("centroid")), 6).alias("d2r"),
+    )
+    best = scored.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d2r", "code")).alias("b")
+    )
+    return (
+        best.select(
+            "vec_id", "m", F.col("b.code").alias("code"), F.col("b.d2r").alias("d2r")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "code"))),
+                    lambda x: x["code"].cast("string"),
+                ),
+            ).alias("pq_code"),
+            F.sum(F.round(F.col("d2r") * 1_000_000).cast("bigint")).alias("recon_ppm"),
+        )
+    )
+
+
+PQ_ENCODE_SQL = f"""
+WITH sub AS (
+  SELECT vec_id, label, m.range AS m, r.range AS pos,
+         CAST(embedding[CAST(m.range * {PQ_D} + r.range AS INT) + 1] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN range({PQ_M}) m CROSS JOIN range({PQ_D}) r
+), cb AS (
+  SELECT label AS code, m, pos, round(avg(v), 6) AS c
+  FROM sub GROUP BY 1, 2, 3
+), d AS (
+  SELECT s.vec_id, s.m, cb.code,
+         round(sum((s.v - cb.c) * (s.v - cb.c)), 6) AS d2r
+  FROM sub s JOIN cb ON s.m = cb.m AND s.pos = cb.pos
+  GROUP BY 1, 2, 3
+), a AS (
+  SELECT vec_id, m, code, d2r FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2r, code) AS rn FROM d
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       array_to_string(list(CAST(code AS VARCHAR) ORDER BY m), '-') AS pq_code,
+       CAST(sum(CAST(round(d2r * 1000000) AS BIGINT)) AS BIGINT) AS recon_ppm
+FROM a GROUP BY vec_id
+"""

@@ -379,6 +379,8 @@ register("embed_covariance", _sim.EMBEDDING_COVARIANCE_SQL,
          doc="Distributed embedding covariance (PCA/whitening reduction): one-pass centered outer products, ppm-quantized means + 1e-12 fixed-point before cross-row sums — order-exact integers")(_sim.embedding_covariance)
 register("embed_kmeans", _sim.KMEANS_SQL,
          doc="Distributed Lloyd's k-means (2 unrolled iterations, label-centroid init): broadcast-assign + tiny centroid aggregate per pass, ppm-fixed-point inertia — the IVF coarse-quantizer trainer")(_sim.kmeans)
+register("embed_pq_encode", _sim.PQ_ENCODE_SQL,
+         doc="Product quantization (Jegou et al. 2011): per-subspace codebook assignment, 256B float vectors to 8 code bytes, ppm-exact reconstruction error")(_sim.pq_encode)
 register("embed_ann_recall", _sim.ANN_RECALL_SQL,
          doc="Recall@k of the IVF probe vs exact brute-force top-k — the ANN accuracy contract, hash-verified end to end")(_sim.ann_recall)
 register("embed_semdedup", _sim.SEMDEDUP_SQL,
@@ -567,7 +569,7 @@ _PRIORITY = [
     # material alongside them)
     "doc_weighted_sample", "ev_markov_transitions", "embed_kmeans",
     "ord_zorder_key", "ord_revenue_ewma", "doc_span_scrub",
-    "li_basket_affinity", "dq_referential_integrity", "embed_ann_recall",
+    "li_basket_affinity", "dq_referential_integrity", "embed_ann_recall", "embed_pq_encode",
     "doc_normalized_dedup",
 ]
 

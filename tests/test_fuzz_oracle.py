@@ -278,6 +278,8 @@ EMBED_QUERIES = [
     # fixed-trajectory Lloyd's: distance ties between unit/dup vectors
     # must break on cell id identically through BOTH unrolled iterations
     "embed_kmeans",
+    # per-subspace argmin ties (zero/unit subvectors) break on code id
+    "embed_pq_encode",
 ]
 
 vec_strategy = st.lists(
@@ -319,6 +321,54 @@ def test_fuzzed_embeddings_match_oracle(spark, tmp_path_factory, qname, data):
     con.sql(
         f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
     )
+    want = con.sql(Q.oracle_sql()[qname]).df()
+
+    assert len(got) == len(want), (qname, len(got), len(want))
+    assert sorted(got.columns) == sorted(want.columns), qname
+    assert _hash(_normalize(got)) == _hash(_normalize(want)), qname
+
+
+# --- lineitem family fuzzer --------------------------------------------------
+
+LI_QUERIES = ["li_basket_affinity"]
+
+basket_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 9),    # orderkey — few orders force co-occurrence
+        st.integers(0, 7),    # partkey — small catalog forces support >= 2
+    ),
+    min_size=4,
+    max_size=60,
+)
+
+
+@pytest.mark.parametrize("qname", LI_QUERIES)
+@settings(max_examples=4, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(data=basket_strategy)
+def test_fuzzed_lineitem_matches_oracle(spark, tmp_path_factory, qname, data):
+    rows = [
+        (ok, pk, 1, i, 1.0, 10.0, 0.0, 0.0, "N", "O", 1_500_000_000 + i)
+        for i, (ok, pk) in enumerate(data)
+    ]
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, epoch long",
+        )
+        .withColumn("l_shipdate", F.timestamp_seconds(F.col("epoch")).cast("timestamp_ntz"))
+        .drop("epoch")
+    )
+    d = tmp_path_factory.mktemp("fuzz_li")
+    df.coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+
+    got = Q.queries()[qname](spark, str(d)).toPandas()
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{d}/lineitem.parquet/*.parquet'")
     want = con.sql(Q.oracle_sql()[qname]).df()
 
     assert len(got) == len(want), (qname, len(got), len(want))

@@ -1353,3 +1353,41 @@ def test_ann_recall_bounds_and_exact_self_agreement(spark):
         assert r.n_hit == want
         assert 0 <= r.n_hit <= sim.TOP_K
         assert abs(r.recall - r.n_hit / sim.TOP_K) < 1e-9
+
+
+def test_pq_encode_optimality_and_shape(spark):
+    """PQ invariants: every vector gets a PQ_M-field code over valid
+    codebook ids, and the chosen reconstruction error is never worse
+    than force-assigning each subvector to the vector's OWN label
+    codeword (argmin optimality against a natural competitor)."""
+    import numpy as np
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import similarity as sim
+
+    rows = {r.vec_id: r for r in sim.pq_encode(spark, SF).collect()}
+    emb = mio.load(spark, SF, "embeddings").collect()
+    assert set(rows) == {r.vec_id for r in emb}
+    labels = {r.label for r in emb}
+
+    # rebuild the codebooks exactly as the operator defines them
+    by_lm: dict = {}
+    for r in emb:
+        v = np.array(r.embedding, dtype=np.float64)
+        for m in range(sim.PQ_M):
+            by_lm.setdefault((r.label, m), []).append(
+                v[m * sim.PQ_D : (m + 1) * sim.PQ_D]
+            )
+    cb = {k: np.round(np.mean(vs, axis=0), 6) for k, vs in by_lm.items()}
+
+    for r in emb:
+        got = rows[r.vec_id]
+        codes = [int(c) for c in got.pq_code.split("-")]
+        assert len(codes) == sim.PQ_M and all(c in labels for c in codes)
+        v = np.array(r.embedding, dtype=np.float64)
+        own_ppm = 0
+        for m in range(sim.PQ_M):
+            s = v[m * sim.PQ_D : (m + 1) * sim.PQ_D]
+            d2 = round(float(np.sum((s - cb[(r.label, m)]) ** 2)), 6)
+            own_ppm += round(d2 * 1_000_000)
+        assert got.recon_ppm <= own_ppm
