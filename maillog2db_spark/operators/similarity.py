@@ -1244,3 +1244,116 @@ SELECT vec_id,
        CAST(sum(CAST(round(d2r * 1000000) AS BIGINT)) AS BIGINT) AS recon_ppm
 FROM a GROUP BY vec_id
 """
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation over the PQ codes — the actual
+    PQ search path (Jégou et al. 2011 §III): per query, precompute the
+    distance from each of its subvectors to every codeword (an M×k
+    lookup table — here 5 queries × 8 subspaces × k codes, always
+    tiny), then score a compressed vector as the SUM of M table
+    lookups keyed by its code word. The corpus is never decompressed
+    and the scoring join touches only (code, subspace) keys — this is
+    why a PQ index scans billions of codes at RAM speed.
+
+    Approximation contract: ADC ranks by reconstruction-space
+    distance, so top-k differs from exact kNN exactly as the
+    compression loses information — embed_ann_recall is the eval shape
+    for that; here the oracle hash-verifies the ADC arithmetic itself.
+    Sums are over M=8 rounded doubles per pair (one fixed fold order
+    per engine — ppm-quantized per-lookup BEFORE the cross-row sum,
+    order-exact integers)."""
+    e = _embeddings(spark, sf_dir)
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" m -> struct(m AS m, slice(embedding, m * {PQ_D} + 1, {PQ_D}) AS svec))"
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.svec").alias("svec"))
+    pos = e.select("label", F.posexplode("embedding").alias("fpos", "v"))
+    cb = (
+        pos.select(
+            "label",
+            (F.col("fpos") / PQ_D).cast("int").alias("m"),
+            F.pmod("fpos", F.lit(PQ_D)).alias("pos"),
+            F.col("v").cast("double").alias("v"),
+        )
+        .groupBy(F.col("label").alias("code"), "m", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+        .groupBy("code", "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            ).alias("centroid")
+        )
+    )
+    # the query-side lookup tables: (query, m, code) -> ppm distance
+    q_sub = sub.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    lut = q_sub.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        "code",
+        F.round(F.round(_sqdist(F.col("svec"), F.col("centroid")), 6) * 1_000_000)
+        .cast("bigint")
+        .alias("d_ppm"),
+    )
+    # corpus side: the stored codes (reuse the encoder)
+    codes = (
+        pq_encode(spark, sf_dir)
+        .filter(F.col("vec_id") >= N_QUERIES)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.posexplode(F.split("pq_code", "-")).alias("m", "code_s"),
+        )
+        .select("neighbor_id", "m", F.col("code_s").cast("int").alias("code"))
+    )
+    scored = codes.join(F.broadcast(lut), ["m", "code"]).groupBy(
+        "query_id", "neighbor_id"
+    ).agg(F.sum("d_ppm").alias("adc_ppm"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_ppm"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_ppm", "rank")
+    )
+
+
+PQ_ADC_TOPK_SQL = f"""
+WITH sub AS (
+  SELECT vec_id, label, m.range AS m, r.range AS pos,
+         CAST(embedding[CAST(m.range * {PQ_D} + r.range AS INT) + 1] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN range({PQ_M}) m CROSS JOIN range({PQ_D}) r
+), cb AS (
+  SELECT label AS code, m, pos, round(avg(v), 6) AS c
+  FROM sub GROUP BY 1, 2, 3
+), d AS (
+  SELECT s.vec_id, s.m, cb.code,
+         round(sum((s.v - cb.c) * (s.v - cb.c)), 6) AS d2r
+  FROM sub s JOIN cb ON s.m = cb.m AND s.pos = cb.pos
+  GROUP BY 1, 2, 3
+), assigned AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2r, code) AS rn FROM d
+  ) WHERE rn = 1
+), lut AS (
+  SELECT vec_id AS query_id, m, code,
+         CAST(round(d2r * 1000000) AS BIGINT) AS d_ppm
+  FROM d WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT l.query_id, a.vec_id AS neighbor_id,
+         CAST(sum(l.d_ppm) AS BIGINT) AS adc_ppm
+  FROM assigned a JOIN lut l ON a.m = l.m AND a.code = l.code
+  WHERE a.vec_id >= {N_QUERIES}
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_ppm, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_ppm, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""

@@ -381,6 +381,8 @@ register("embed_kmeans", _sim.KMEANS_SQL,
          doc="Distributed Lloyd's k-means (2 unrolled iterations, label-centroid init): broadcast-assign + tiny centroid aggregate per pass, ppm-fixed-point inertia — the IVF coarse-quantizer trainer")(_sim.kmeans)
 register("embed_pq_encode", _sim.PQ_ENCODE_SQL,
          doc="Product quantization (Jegou et al. 2011): per-subspace codebook assignment, 256B float vectors to 8 code bytes, ppm-exact reconstruction error")(_sim.pq_encode)
+register("embed_pq_adc_topk", _sim.PQ_ADC_TOPK_SQL,
+         doc="PQ asymmetric-distance search: per-query M x k lookup tables, compressed corpus scored by table-lookup sums — billions of codes at RAM speed, never decompressed")(_sim.pq_adc_topk)
 register("embed_ann_recall", _sim.ANN_RECALL_SQL,
          doc="Recall@k of the IVF probe vs exact brute-force top-k — the ANN accuracy contract, hash-verified end to end")(_sim.ann_recall)
 register("embed_semdedup", _sim.SEMDEDUP_SQL,
@@ -569,7 +571,7 @@ _PRIORITY = [
     # material alongside them)
     "doc_weighted_sample", "ev_markov_transitions", "embed_kmeans",
     "ord_zorder_key", "ord_revenue_ewma", "doc_span_scrub",
-    "li_basket_affinity", "dq_referential_integrity", "embed_ann_recall", "embed_pq_encode",
+    "li_basket_affinity", "dq_referential_integrity", "embed_ann_recall", "embed_pq_encode", "embed_pq_adc_topk",
     "doc_normalized_dedup",
 ]
 

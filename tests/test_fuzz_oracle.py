@@ -280,6 +280,8 @@ EMBED_QUERIES = [
     "embed_kmeans",
     # per-subspace argmin ties (zero/unit subvectors) break on code id
     "embed_pq_encode",
+    # table-lookup sums over degenerate codebooks; rank ties on distance
+    "embed_pq_adc_topk",
 ]
 
 vec_strategy = st.lists(

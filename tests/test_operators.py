@@ -1391,3 +1391,44 @@ def test_pq_encode_optimality_and_shape(spark):
             d2 = round(float(np.sum((s - cb[(r.label, m)]) ** 2)), 6)
             own_ppm += round(d2 * 1_000_000)
         assert got.recon_ppm <= own_ppm
+
+
+def test_pq_adc_matches_lookup_table_recount(spark):
+    """ADC invariants: every query gets TOP_K ranked neighbors with
+    non-decreasing quantized distance, and each reported adc_ppm equals
+    the numpy recount of the M table lookups for that (query, neighbor)
+    pair through the same codebooks and rounding points."""
+    import numpy as np
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import similarity as sim
+
+    rows = sim.pq_adc_topk(spark, SF).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(sim.N_QUERIES))
+
+    emb = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label)
+           for r in mio.load(spark, SF, "embeddings").collect()}
+    by_lm: dict = {}
+    for v, lab in emb.values():
+        for m in range(sim.PQ_M):
+            by_lm.setdefault((lab, m), []).append(v[m * sim.PQ_D:(m + 1) * sim.PQ_D])
+    cb = {k: np.round(np.mean(vs, axis=0), 6) for k, vs in by_lm.items()}
+    codes = {int(r.vec_id): [int(c) for c in r.pq_code.split("-")]
+             for r in sim.pq_encode(spark, SF).collect()}
+
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, sim.TOP_K + 1))
+        dists = [r.adc_ppm for r in rs]
+        assert dists == sorted(dists)
+        qv = emb[q][0]
+        for r in rs:
+            want = 0
+            for m in range(sim.PQ_M):
+                s = qv[m * sim.PQ_D:(m + 1) * sim.PQ_D]
+                d2 = round(float(np.sum((s - cb[(codes[r.neighbor_id][m], m)]) ** 2)), 6)
+                want += round(d2 * 1_000_000)
+            assert r.adc_ppm == want
