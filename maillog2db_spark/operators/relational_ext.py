@@ -686,3 +686,52 @@ REFERENTIAL_INTEGRITY_SQL = "\nUNION ALL\n".join(
           AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})) AS n_orphans"""
     for name, child, ck, parent, pk in _FK_RELATIONSHIPS
 )
+
+
+def daily_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of the order stream against the
+    shipment stream by calendar day — the audit that finds days where
+    one side is silent (orders placed but nothing shipped, shipments
+    on days with no order intake). Completes the engine's join-type
+    surface: inner/semi/anti/left/as-of/range are all exercised
+    elsewhere; this is the full-outer shape, on POST-AGGREGATE daily
+    tables (two map-side-combined groupBys, then a calendar-bounded
+    join — never row×row)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_shipped"))
+    )
+    j = o.join(l, "day", "full_outer")
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce("n_shipped", F.lit(0)).cast("bigint").alias("n_shipped"),
+        F.when(F.col("n_orders").isNull(), "ship_only")
+        .when(F.col("n_shipped").isNull(), "order_only")
+        .otherwise("both")
+        .alias("status"),
+    )
+
+
+DAILY_RECONCILIATION_SQL = """
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+  FROM orders GROUP BY 1
+), l AS (
+  SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n_shipped
+  FROM lineitem GROUP BY 1
+)
+SELECT strftime(coalesce(o.day, l.day), '%Y-%m-%d') AS day,
+       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(n_shipped, 0) AS BIGINT) AS n_shipped,
+       CASE WHEN n_orders IS NULL THEN 'ship_only'
+            WHEN n_shipped IS NULL THEN 'order_only'
+            ELSE 'both' END AS status
+FROM o FULL OUTER JOIN l USING (day)
+"""

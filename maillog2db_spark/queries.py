@@ -291,6 +291,8 @@ register("tpch_q22_dormant_customers", _rex.DORMANT_CUSTOMERS_SQL,
          doc="Scalar-subquery threshold + anti join (TPC-H Q22 shape)")(_rex.dormant_customers)
 register("dq_referential_integrity", _rex.REFERENTIAL_INTEGRITY_SQL,
          doc="Foreign-key audit across the star schema: per relationship child/null/orphan counts via left-anti joins (the constraint check Spark tables never enforce)")(_rex.referential_integrity)
+register("dq_daily_reconciliation", _rex.DAILY_RECONCILIATION_SQL,
+         doc="FULL OUTER day-level reconciliation of orders vs shipments on post-aggregate daily tables — the join-type surface's last uncovered shape")(_rex.daily_reconciliation)
 register("grouping_sets_orders", _rex.GROUPING_SETS_ORDERS_SQL,
          doc="Arbitrary GROUPING SETS (the general form rollup/cube specialize)")(_rex.grouping_sets_orders)
 
@@ -571,7 +573,7 @@ _PRIORITY = [
     # material alongside them)
     "doc_weighted_sample", "ev_markov_transitions", "embed_kmeans",
     "ord_zorder_key", "ord_revenue_ewma", "doc_span_scrub",
-    "li_basket_affinity", "dq_referential_integrity", "embed_ann_recall", "embed_pq_encode", "embed_pq_adc_topk",
+    "li_basket_affinity", "dq_referential_integrity", "dq_daily_reconciliation", "embed_ann_recall", "embed_pq_encode", "embed_pq_adc_topk",
     "doc_normalized_dedup",
 ]
 

@@ -1432,3 +1432,29 @@ def test_pq_adc_matches_lookup_table_recount(spark):
                 d2 = round(float(np.sum((s - cb[(codes[r.neighbor_id][m], m)]) ** 2)), 6)
                 want += round(d2 * 1_000_000)
             assert r.adc_ppm == want
+
+
+def test_daily_reconciliation_covers_both_calendars(spark):
+    """Full-outer semantics: the day set is exactly the union of the
+    two sides' calendars, one-sided days carry the right status, and
+    per-side totals are conserved."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import relational_ext as rex
+
+    rows = rex.daily_reconciliation(spark, SF).collect()
+    o = mio.load(spark, SF, "orders")
+    li = mio.load(spark, SF, "lineitem")
+    o_days = {r[0].strftime("%Y-%m-%d") for r in
+              o.select(F.col("o_orderdate").cast("date")).distinct().collect()}
+    l_days = {r[0].strftime("%Y-%m-%d") for r in
+              li.select(F.col("l_shipdate").cast("date")).distinct().collect()}
+    assert {r.day for r in rows} == o_days | l_days
+    assert sum(r.n_orders for r in rows) == o.count()
+    assert sum(r.n_shipped for r in rows) == li.count()
+    statuses = {r.status for r in rows}
+    assert "both" in statuses and "ship_only" in statuses
+    for r in rows:
+        if r.status == "ship_only":
+            assert r.n_orders == 0 and r.day in l_days and r.day not in o_days
+        elif r.status == "order_only":
+            assert r.n_shipped == 0
