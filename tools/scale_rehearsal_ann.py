@@ -117,6 +117,18 @@ def main() -> int:
         lambda: f"{similarity.kmeans(spark, d).count()} clusters",
     )
 
+    # PQ: encode must be ~one assignment scan (cheaper than kmeans —
+    # subspace distances are 8-dim); ADC search cost is corpus-linear
+    # in CODE rows, independent of vector dimensionality
+    stage(
+        "pq_encode",
+        lambda: f"{similarity.pq_encode(spark, d).count()} code words",
+    )
+    stage(
+        "pq_adc_topk",
+        lambda: f"{similarity.pq_adc_topk(spark, d).count()} result rows",
+    )
+
     total = sum(timings.values())
     print(
         f"total {total:.1f} s = {1e6 * total / n_vecs:.0f} us/vector "
