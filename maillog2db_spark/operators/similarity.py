@@ -97,9 +97,21 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    # two-phase exact top-k (same monoid shape as pq_adc_topk, where the
+    # single-phase window measured 3.5× slower at 1M): local top-k per
+    # physical partition keeps the sort parallel at any corpus size; the
+    # global rank sees ≤ k×partitions survivors per query
+    order = (F.col("cosine").desc(), F.asc("neighbor_id"))
+    local_w = Window.partitionBy("query_id", "pid").orderBy(*order)
+    survivors = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrank", F.row_number().over(local_w))
+        .filter(F.col("lrank") <= TOP_K)
+        .drop("pid", "lrank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
