@@ -648,25 +648,38 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     constraints in the DDL, maillog2db.go:61-110) and Spark tables
     never enforce.
 
-    Plan per relationship: one left-anti join on the key (null keys
-    filtered first — anti joins never match NULL anyway, so the NULL
-    count is its own cheap aggregate) + one count; seven bounded
-    aggregates unioned. At 100 TB each anti join is the standard
+    Plan per relationship: ONE left join of the child keys against the
+    deduped parent keys carrying a hit flag, then one aggregate that
+    reads rows/nulls/orphans off the flag in a single pass — no
+    second job and no condition-less scalar-stitch join (the earlier
+    two-aggregate form planned a 1x1 BroadcastNestedLoopJoin to glue
+    the counts together). At 100 TB the join is the standard
     shuffle-or-broadcast Catalyst choice; nothing is quadratic and no
-    relationship reads a column it doesn't audit."""
+    relationship reads a column it doesn't audit. Parent keys are
+    primary keys, but the dropDuplicates guard keeps the count
+    semantics exact even against a corrupted parent load."""
     out = None
     for name, child, ck, parent, pk in _FK_RELATIONSHIPS:
         c = _t(spark, sf_dir, child).select(F.col(ck).alias("k"))
-        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("k"))
-        orphans = c.filter(F.col("k").isNotNull()).join(p, "k", "left_anti")
+        p = (
+            _t(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"))
+            .dropDuplicates(["k"])
+            .withColumn("hit", F.lit(1))
+        )
         row = (
-            c.agg(
+            c.join(p, "k", "left")
+            .agg(
                 F.count(F.lit(1)).alias("n_child"),
                 F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
                 .cast("bigint")
                 .alias("n_null_keys"),
+                F.sum(
+                    F.when(F.col("k").isNotNull() & F.col("hit").isNull(), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_orphans"),
             )
-            .join(F.broadcast(orphans.agg(F.count(F.lit(1)).alias("n_orphans"))))
             .select(
                 F.lit(name).alias("relationship"),
                 "n_child",

@@ -1388,3 +1388,248 @@ SELECT query_id, neighbor_id, adc_ppm, rank FROM (
   FROM scored
 ) WHERE rank <= {TOP_K}
 """
+
+
+# --- IVF-PQ (IVFADC) ---------------------------------------------------------
+
+
+def _sqdist_ppm(a, b):
+    """Σ (a_i − b_i)² over two BIGINT ppm arrays — pure integer fold,
+    exact in any summation order on any engine (the float sqdist's
+    8-term sum can flip a 1e-6 rounding boundary between engines; ppm
+    magnitudes ≤ ~4e6 keep the squared sum far inside int64)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV): the two compression levels this
+    module builds separately — IVF coarse cells (`ann_ivf_topk`) and
+    product quantization (`pq_adc_topk`) — composed the way a
+    billion-scale index actually deploys them. Corpus vectors are
+    assigned to their nearest coarse cell, the RESIDUAL to the cell
+    centroid is PQ-encoded (residuals concentrate near the origin, so
+    the same code budget quantizes them far more accurately than raw
+    vectors), and a query probes only its N_PROBE nearest cells,
+    scoring each cell's codes with a per-(query, cell) asymmetric
+    lookup table built from the QUERY residual in that cell.
+
+    Scale design: search cost is (corpus/cells × N_PROBE) table-lookup
+    sums per query — the cell prune bounds candidates, the codes are 8
+    bytes each, and the only big-side operation is one broadcast-LUT
+    equi-join on (cell, m, code) followed by a two-phase top-k (local
+    per-partition heads, then a global rank over ≤ k×partitions
+    survivors). Cross-engine exactness: residual components quantize
+    to BIGINT ppm at birth; every downstream distance is then exact
+    integer arithmetic (codebook entries round(avg(bigint)) — a single
+    IEEE division of exact integer sums on both engines), so no sum
+    order anywhere can flip a value. Ties break on code/cell/neighbor
+    ids."""
+    e = _embeddings(spark, sf_dir)
+    cents = centroids_with_norms(spark, sf_dir)
+
+    def assigned_with_residual(df, id_col, emb_col, nrm_col, n):
+        # nearest-cell assignment KEEPING the winning centroid, so the
+        # ppm residual is computed without a second join
+        scored = df.join(F.broadcast(cents)).select(
+            id_col,
+            emb_col,
+            "cell",
+            "centroid",
+            F.round(
+                F.try_divide(
+                    _dot(F.col(emb_col), F.col("centroid")),
+                    F.col(nrm_col) * F.col("cent_nrm"),
+                ),
+                6,
+            ).alias("csim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n)
+            .select(
+                id_col,
+                "cell",
+                F.zip_with(
+                    emb_col,
+                    "centroid",
+                    lambda x, y: F.round((x.cast("double") - y) * 1_000_000).cast(
+                        "bigint"
+                    ),
+                ).alias("resid"),
+            )
+        )
+
+    def subvectors(df, *keys):
+        return df.select(
+            *keys,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PQ_M - 1}),"
+                    f" m -> struct(m AS m, slice(resid, m * {PQ_D} + 1, {PQ_D}) AS svec))"
+                )
+            ).alias("s"),
+        ).select(*keys, F.col("s.m").alias("m"), F.col("s.svec").alias("svec"))
+
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
+    )
+    inv = assigned_with_residual(
+        corpus.drop("label"), "neighbor_id", "c_emb", "c_nrm", 1
+    ).join(corpus.select("neighbor_id", "label"), "neighbor_id")
+    c_sub = subvectors(inv, "neighbor_id", "label", "cell")
+
+    # residual codebooks: per-(label, subspace) ppm mean of CORPUS
+    # residual subvectors — deterministic 'trained' codebooks, same
+    # framing as the PQ raw-vector codebooks (kmeans() shows the
+    # refinement loop). avg(bigint) is sum/count of exact integers on
+    # both engines — one IEEE division, cross-engine identical.
+    cb = (
+        c_sub.select("label", "m", F.posexplode("svec").alias("pos", "v"))
+        .groupBy("label", "m", "pos")
+        .agg(F.round(F.avg("v")).cast("bigint").alias("c"))
+        .groupBy(F.col("label").alias("code"), "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            ).alias("cvec")
+        )
+    )
+
+    # encode: per-(corpus vector, subspace) argmin over codes — exact
+    # integer distances, ties on code id
+    codes = (
+        c_sub.join(F.broadcast(cb), "m")
+        .select(
+            "neighbor_id",
+            "cell",
+            "m",
+            "code",
+            _sqdist_ppm(F.col("svec"), F.col("cvec")).alias("d2"),
+        )
+        .groupBy("neighbor_id", "cell", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("b"))
+        .select("neighbor_id", "cell", "m", F.col("b.code").alias("code"))
+    )
+
+    # query side: probe N_PROBE cells, one LUT per (query, probed cell)
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
+    )
+    q_res = assigned_with_residual(queries, "query_id", "q_emb", "q_nrm", N_PROBE)
+    lut = (
+        subvectors(q_res, "query_id", "cell")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "cell",
+            "m",
+            "code",
+            _sqdist_ppm(F.col("svec"), F.col("cvec")).alias("d2"),
+        )
+    )
+
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "m", "code"])
+        .groupBy("query_id", "neighbor_id", "cell")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    order = (F.asc("adc_d2"), F.asc("neighbor_id"))
+    local_w = Window.partitionBy("query_id", "pid").orderBy(*order)
+    survivors = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrank", F.row_number().over(local_w))
+        .filter(F.col("lrank") <= TOP_K)
+        .drop("pid", "lrank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cell", "adc_d2", "rank")
+    )
+
+
+_IVFPQ_ASSIGN_DUCK = """
+  SELECT {id_col}, cell, centroid, {emb} AS emb FROM (
+    SELECT {id_col}, {emb}, cell, centroid,
+           row_number() OVER (PARTITION BY {id_col}
+                              ORDER BY csim DESC, cell) AS crank
+    FROM (
+      SELECT {src}.*, cents.cell, cents.centroid,
+             round({dot_ec}
+                   / (sqrt({dot_ee}) * sqrt({dot_cc})), 6) AS csim
+      FROM {src} CROSS JOIN cents
+    )
+  ) WHERE crank <= {n}
+"""
+
+IVFPQ_ADC_TOPK_SQL = f"""
+WITH {_CENTROID_DUCK},
+corpus AS (
+  SELECT vec_id AS neighbor_id, label, embedding AS c_emb
+  FROM embeddings WHERE vec_id >= {N_QUERIES}
+), queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), inv AS ({_IVFPQ_ASSIGN_DUCK.format(
+    id_col="neighbor_id", emb="c_emb", src="corpus", n=1,
+    dot_ec=_DOT_DUCK.format(a="c_emb", b="centroid"),
+    dot_ee=_DOT_DUCK.format(a="c_emb", b="c_emb"),
+    dot_cc=_DOT_DUCK.format(a="centroid", b="centroid"))}
+), rsub AS (
+  SELECT i.neighbor_id, c.label, i.cell, m.range AS m, r.range AS spos,
+         CAST(round((CAST(i.emb[CAST(m.range * {PQ_D} + r.range AS INT) + 1] AS DOUBLE)
+               - i.centroid[CAST(m.range * {PQ_D} + r.range AS INT) + 1]) * 1000000) AS BIGINT) AS v
+  FROM inv i JOIN corpus c USING (neighbor_id)
+  CROSS JOIN range({PQ_M}) m CROSS JOIN range({PQ_D}) r
+), cb AS (
+  SELECT label AS code, m, spos, CAST(round(avg(v)) AS BIGINT) AS c
+  FROM rsub GROUP BY 1, 2, 3
+), d AS (
+  SELECT s.neighbor_id, s.cell, s.m, cb.code,
+         CAST(sum((s.v - cb.c) * (s.v - cb.c)) AS BIGINT) AS d2
+  FROM rsub s JOIN cb ON s.m = cb.m AND s.spos = cb.spos
+  GROUP BY 1, 2, 3, 4
+), codes AS (
+  SELECT neighbor_id, cell, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY neighbor_id, m
+                                 ORDER BY d2, code) AS rn FROM d
+  ) WHERE rn = 1
+), probes AS ({_IVFPQ_ASSIGN_DUCK.format(
+    id_col="query_id", emb="q_emb", src="queries", n=N_PROBE,
+    dot_ec=_DOT_DUCK.format(a="q_emb", b="centroid"),
+    dot_ee=_DOT_DUCK.format(a="q_emb", b="q_emb"),
+    dot_cc=_DOT_DUCK.format(a="centroid", b="centroid"))}
+), qsub AS (
+  SELECT query_id, cell, m.range AS m, r.range AS spos,
+         CAST(round((CAST(emb[CAST(m.range * {PQ_D} + r.range AS INT) + 1] AS DOUBLE)
+               - centroid[CAST(m.range * {PQ_D} + r.range AS INT) + 1]) * 1000000) AS BIGINT) AS v
+  FROM probes
+  CROSS JOIN range({PQ_M}) m CROSS JOIN range({PQ_D}) r
+), lut AS (
+  SELECT q.query_id, q.cell, q.m, cb.code,
+         CAST(sum((q.v - cb.c) * (q.v - cb.c)) AS BIGINT) AS d2
+  FROM qsub q JOIN cb ON q.m = cb.m AND q.spos = cb.spos
+  GROUP BY 1, 2, 3, 4
+), scored AS (
+  SELECT l.query_id, c.neighbor_id, c.cell,
+         CAST(sum(l.d2) AS BIGINT) AS adc_d2
+  FROM codes c JOIN lut l USING (cell, m, code)
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, neighbor_id, cell, adc_d2, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_d2, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""

@@ -385,6 +385,8 @@ register("embed_pq_encode", _sim.PQ_ENCODE_SQL,
          doc="Product quantization (Jegou et al. 2011): per-subspace codebook assignment, 256B float vectors to 8 code bytes, ppm-exact reconstruction error")(_sim.pq_encode)
 register("embed_pq_adc_topk", _sim.PQ_ADC_TOPK_SQL,
          doc="PQ asymmetric-distance search: per-query M x k lookup tables, compressed corpus scored by table-lookup sums — billions of codes at RAM speed, never decompressed")(_sim.pq_adc_topk)
+register("embed_ivfpq_topk", _sim.IVFPQ_ADC_TOPK_SQL,
+         doc="IVFADC (Jegou et al. 2011 SIV): coarse-cell prune + residual-PQ codes scored by per-(query,cell) lookup tables — the composed billion-scale ANN layout; search cost corpus/cells x N_PROBE lookup sums per query")(_sim.ivfpq_adc_topk)
 register("embed_ann_recall", _sim.ANN_RECALL_SQL,
          doc="Recall@k of the IVF probe vs exact brute-force top-k — the ANN accuracy contract, hash-verified end to end")(_sim.ann_recall)
 register("embed_semdedup", _sim.SEMDEDUP_SQL,
@@ -573,7 +575,7 @@ _PRIORITY = [
     # material alongside them)
     "doc_weighted_sample", "ev_markov_transitions", "embed_kmeans",
     "ord_zorder_key", "ord_revenue_ewma", "doc_span_scrub",
-    "li_basket_affinity", "dq_referential_integrity", "dq_daily_reconciliation", "embed_ann_recall", "embed_pq_encode", "embed_pq_adc_topk",
+    "li_basket_affinity", "dq_referential_integrity", "dq_daily_reconciliation", "embed_ann_recall", "embed_pq_encode", "embed_pq_adc_topk", "embed_ivfpq_topk",
     "doc_normalized_dedup",
 ]
 

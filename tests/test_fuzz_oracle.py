@@ -282,6 +282,9 @@ EMBED_QUERIES = [
     "embed_pq_encode",
     # table-lookup sums over degenerate codebooks; rank ties on distance
     "embed_pq_adc_topk",
+    # composed coarse-cell + residual-PQ path: zero/dup vectors hit NULL
+    # csim cell assignment AND integer-ppm residual quantization at once
+    "embed_ivfpq_topk",
 ]
 
 vec_strategy = st.lists(

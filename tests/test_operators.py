@@ -1458,3 +1458,78 @@ def test_daily_reconciliation_covers_both_calendars(spark):
             assert r.n_orders == 0 and r.day in l_days and r.day not in o_days
         elif r.status == "order_only":
             assert r.n_shipped == 0
+
+
+def test_ivfpq_adc_matches_numpy_recount(spark):
+    """IVFADC differential: recompute the whole path from scratch in
+    numpy — coarse-cell assignment, ppm residuals, residual codebooks,
+    code assignment, per-(query, probed-cell) lookup tables, ADC sums,
+    top-k — and demand the registered query's output exactly."""
+    import numpy as np
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import similarity as sim
+
+    def r6(x):  # HALF_UP to 6 places, matching both engines' round()
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    def rint(x):  # HALF_UP (away from zero) to integer
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+    emb = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label)
+           for r in mio.load(spark, SF, "embeddings").collect()}
+    labs = sorted({lab for _, lab in emb.values()})
+    cents = {lab: np.mean([v for v, l in emb.values() if l == lab], axis=0)
+             for lab in labs}
+
+    def cell_ranking(v):
+        nv = np.sqrt(v @ v)
+        out = []
+        for lab in labs:
+            c = cents[lab]
+            out.append((-float(r6(v @ c / (nv * np.sqrt(c @ c)))), lab))
+        return [lab for _, lab in sorted(out)]
+
+    corpus = {vid: ve for vid, ve in emb.items() if vid >= sim.N_QUERIES}
+    cell_of = {vid: cell_ranking(v)[0] for vid, (v, _) in corpus.items()}
+    resid = {vid: rint((v - cents[cell_of[vid]]) * 1_000_000)
+             for vid, (v, _) in corpus.items()}
+
+    by_lm: dict = {}
+    for vid, r in resid.items():
+        lab = corpus[vid][1]
+        for m in range(sim.PQ_M):
+            by_lm.setdefault((lab, m), []).append(r[m * sim.PQ_D:(m + 1) * sim.PQ_D])
+    cb = {k: rint(np.mean(np.array(vs, dtype=np.float64), axis=0))
+          for k, vs in by_lm.items()}
+
+    code_of = {}
+    for vid, r in resid.items():
+        cw = []
+        for m in range(sim.PQ_M):
+            s = r[m * sim.PQ_D:(m + 1) * sim.PQ_D]
+            _, best = min((int(np.sum((s - cb[(c, m)]) ** 2)), c)
+                          for c in labs if (c, m) in cb)
+            cw.append(best)
+        code_of[vid] = cw
+
+    expected = []
+    for q in range(sim.N_QUERIES):
+        qv = emb[q][0]
+        probes = set(cell_ranking(qv)[:sim.N_PROBE])
+        scored = []
+        for vid in corpus:
+            cell = cell_of[vid]
+            if cell not in probes:
+                continue
+            qr = rint((qv - cents[cell]) * 1_000_000)
+            adc = sum(int(np.sum((qr[m * sim.PQ_D:(m + 1) * sim.PQ_D]
+                                  - cb[(code_of[vid][m], m)]) ** 2))
+                      for m in range(sim.PQ_M))
+            scored.append((adc, vid, cell))
+        for rank, (adc, vid, cell) in enumerate(sorted(scored)[:sim.TOP_K], 1):
+            expected.append((q, vid, cell, adc, rank))
+
+    got = sorted((r.query_id, r.neighbor_id, r.cell, r.adc_d2, r.rank)
+                 for r in sim.ivfpq_adc_topk(spark, SF).collect())
+    assert got == sorted(expected)

@@ -21,6 +21,7 @@ BNL_ALLOWED = {
     "embed_semdedup",  # same broadcast quantizer scoring as ann_ivf_topk
     "embed_kmeans",  # broadcast k×dim centroids scored against the corpus
     "embed_ann_recall",  # composes the two BNL-allowed rankings above
+    "embed_ivfpq_topk",  # broadcast k×dim coarse centroids, as ann_ivf_topk
     "doc_tfidf_topk",
     "tpch_q11_important_parts",
     "tpch_q22_dormant_customers",
