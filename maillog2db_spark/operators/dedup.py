@@ -1128,3 +1128,116 @@ JOIN sigs b ON cand.doc_b = b.doc_id
 JOIN sh x ON cand.doc_a = x.doc_id
 JOIN sh y ON cand.doc_b = y.doc_id
 """
+
+
+# --- blocked edit-distance near-dup ------------------------------------------
+
+EDIT_T = 20  # max Levenshtein distance reported
+EDIT_BAND = EDIT_T  # length-band width; width >= T makes the blocking lossless
+
+
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate pairs: ALL unordered doc pairs with
+    Levenshtein distance <= EDIT_T, found without an all-pairs scan.
+    Completes the blocking families (hash/LSH, bit-sketch, prefix
+    filter, sort key) with the metric the others only approximate:
+    lev(a, b) <= T implies |len(a) - len(b)| <= T, so blocking on
+    length bands of width W = T and probing only each band and its
+    successor is LOSSLESS — every qualifying pair lands in exactly one
+    (band, band+1) or within-band candidate, no recall knob.
+
+    Distances are computed over the ASCII projection of the text
+    (every non-ASCII codepoint folds to one 0x7F placeholder on both
+    engines): Spark's levenshtein counts codepoints while DuckDB's
+    counts bytes, and the projection makes those alphabets coincide
+    for ANY input — the projection is the documented contract, not an
+    implementation accident (cf. the textnorm ASCII-fold precedent).
+    NULL texts drop on both engines (NULL band joins nothing).
+
+    Scale design: the self-join is band-keyed (never corpus x corpus);
+    candidate volume is sum over bands of occupancy x (own + successor
+    occupancy), data-bounded by the length histogram; the verify is
+    Spark's threshold-capped levenshtein (banded DP, O(len x T) per
+    pair, early-exit -1) rather than the O(len^2) full matrix. A hot
+    band (mass of same-length docs) would salt the same way
+    _pairs_within_groups does; the length histogram keeps driver-SF
+    bands small."""
+    p = spark.sparkContext.defaultParallelism
+    d = (
+        io.load(spark, sf_dir, "documents")
+        .repartition(p, "doc_id")
+        .select(
+            "doc_id",
+            F.regexp_replace("text", r"[^\x00-\x7F]", "\x7f").alias("ftext"),
+        )
+        .withColumn("flen", F.length("ftext"))
+        .withColumn("band", F.expr(f"flen div {EDIT_BAND}"))
+    )
+    lhs = d.select(
+        F.col("doc_id").alias("ida"),
+        F.col("ftext").alias("ta"),
+        F.col("flen").alias("la"),
+        F.col("band").alias("band_a"),
+        F.explode(F.array(F.col("band"), F.col("band") + F.lit(1))).alias("key"),
+    )
+    rhs = d.select(
+        F.col("doc_id").alias("idb"),
+        F.col("ftext").alias("tb"),
+        F.col("flen").alias("lb"),
+        F.col("band").alias("key"),
+    )
+    cand = lhs.join(rhs, "key").filter(
+        (
+            (F.col("band_a") < F.col("key"))
+            | ((F.col("band_a") == F.col("key")) & (F.col("ida") < F.col("idb")))
+        )
+        & (F.abs(F.col("la") - F.col("lb")) <= EDIT_T)
+    )
+    v = cand.select(
+        "ida",
+        "idb",
+        "la",
+        "lb",
+        F.levenshtein("ta", "tb", EDIT_T).alias("lev"),
+    ).filter(F.col("lev") >= 0)
+    return v.select(
+        F.least("ida", "idb").alias("doc_a"),
+        F.greatest("ida", "idb").alias("doc_b"),
+        F.col("lev").cast("int").alias("lev"),
+        F.when(F.col("ida") < F.col("idb"), F.col("la"))
+        .otherwise(F.col("lb"))
+        .cast("bigint")
+        .alias("len_a"),
+        F.when(F.col("ida") < F.col("idb"), F.col("lb"))
+        .otherwise(F.col("la"))
+        .cast("bigint")
+        .alias("len_b"),
+    )
+
+
+EDIT_DISTANCE_PAIRS_SQL = f"""
+WITH fold AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', chr(127), 'g') AS ftext
+  FROM documents
+), d AS (
+  SELECT doc_id, ftext, length(ftext) AS flen,
+         length(ftext) // {EDIT_BAND} AS band
+  FROM fold
+), lhs AS (
+  SELECT doc_id, ftext, flen, band, band + b.range AS key
+  FROM d CROSS JOIN range(2) b
+), cand AS (
+  SELECT l.doc_id AS ida, r.doc_id AS idb, l.ftext AS ta, r.ftext AS tb,
+         l.flen AS la, r.flen AS lb
+  FROM lhs l JOIN d r ON l.key = r.band
+  WHERE (l.band < r.band OR (l.band = r.band AND l.doc_id < r.doc_id))
+    AND abs(l.flen - r.flen) <= {EDIT_T}
+), v AS (
+  SELECT ida, idb, la, lb, levenshtein(ta, tb) AS lev FROM cand
+)
+SELECT least(ida, idb) AS doc_a, greatest(ida, idb) AS doc_b,
+       CAST(lev AS INT) AS lev,
+       CAST(CASE WHEN ida < idb THEN la ELSE lb END AS BIGINT) AS len_a,
+       CAST(CASE WHEN ida < idb THEN lb ELSE la END AS BIGINT) AS len_b
+FROM v WHERE lev <= {EDIT_T}
+"""

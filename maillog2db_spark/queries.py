@@ -357,6 +357,8 @@ register("doc_blocked_jaccard", _dd.BLOCKED_JACCARD_PAIRS_SQL,
          doc="Blocked n-gram Jaccard near-dup baseline")(_dd.blocked_jaccard_pairs)
 register("doc_sorted_neighborhood", _dd.SORTED_NEIGHBORHOOD_PAIRS_SQL,
          doc="Sorted-neighborhood (merge/purge) near-dup pass: canonical sort key + W-successor window, exact Jaccard verify — the sort-based blocking family")(_dd.sorted_neighborhood_pairs)
+register("doc_edit_distance_pairs", _dd.EDIT_DISTANCE_PAIRS_SQL,
+         doc="Blocked edit-distance near-dup: lossless length-band blocking (|len diff|<=T => adjacent bands), threshold-capped Levenshtein verify over the ASCII projection — the metric the other blocking families only approximate")(_dd.edit_distance_pairs)
 register("doc_minhash_estimate", _dd.MINHASH_ESTIMATE_SQL,
          doc="MinHash estimator calibration: signature-based Jaccard estimate vs exact per candidate pair — the store-size-vs-verify-cost decision table")(_dd.minhash_estimate_vs_exact)
 register("doc_neardup_clusters", _dd.NEARDUP_CLUSTERS_SQL,
@@ -576,6 +578,7 @@ _PRIORITY = [
     "doc_weighted_sample", "ev_markov_transitions", "embed_kmeans",
     "ord_zorder_key", "ord_revenue_ewma", "doc_span_scrub",
     "li_basket_affinity", "dq_referential_integrity", "dq_daily_reconciliation", "embed_ann_recall", "embed_pq_encode", "embed_pq_adc_topk", "embed_ivfpq_topk",
+    "doc_edit_distance_pairs",
     "doc_normalized_dedup",
 ]
 

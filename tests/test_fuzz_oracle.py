@@ -69,6 +69,10 @@ FUZZED_QUERIES = [
     # reach all-removed docs (the empty-list stringify trap) and
     # overlapping-span merges
     "doc_span_scrub",
+    # lossless length-band blocking + ASCII-projected Levenshtein: the
+    # non-ASCII WORDS (incl. the combining accent) certify that byte-
+    # (DuckDB) and codepoint- (Spark) distances coincide after the fold
+    "doc_edit_distance_pairs",
 ]
 
 

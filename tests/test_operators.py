@@ -1533,3 +1533,43 @@ def test_ivfpq_adc_matches_numpy_recount(spark):
     got = sorted((r.query_id, r.neighbor_id, r.cell, r.adc_d2, r.rank)
                  for r in sim.ivfpq_adc_topk(spark, SF).collect())
     assert got == sorted(expected)
+
+
+def test_edit_distance_pairs_planted(spark, tmp_path):
+    """Blocking losslessness + verify exactness: a near pair straddling
+    a band boundary is found with its true distance, a pair past the
+    threshold is absent, unrelated lengths never become candidates."""
+    from maillog2db_spark.operators import dedup as dd
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the quiet field at dawn")  # 98 chars, band 4
+    near = base + " xx yy"            # 104 chars, band 5: lev 6, crosses bands
+    far = base.replace("quick", "x" * 30)               # way past EDIT_T
+    docs = [
+        (0, base, "en", "s0", len(base)),
+        (1, near, "en", "s0", len(near)),
+        (2, far, "en", "s0", len(far)),
+        (3, "zz", "en", "s0", 2),     # unrelated tiny doc, band 0
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = {(r.doc_a, r.doc_b): r for r in
+            dd.edit_distance_pairs(spark, str(tmp_path)).collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    assert set(rows) == {(0, 1)}
+    got = rows[(0, 1)]
+    assert got.lev == lev(base, near) == 6
+    assert (got.len_a, got.len_b) == (len(base), len(near))
