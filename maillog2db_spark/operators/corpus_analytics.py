@@ -712,3 +712,116 @@ JOIN part_cnt pb ON pairs.part_b = pb.l_partkey
 CROSS JOIN total
 WHERE n_ab >= {BASKET_MIN_SUPPORT}
 """
+
+
+# --- interpolated bigram LM --------------------------------------------------
+
+BIGRAM_LAMBDA = 0.8  # interpolation weight on the bigram term
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under an
+    interpolated bigram model — the next rung above the unigram proxy
+    (`unigram_lm_score`): p(w|prev) = λ·c(prev,w)/c(prev·) +
+    (1−λ)·c(w)/N, the Jelinek–Mercer smoothing every n-gram quality
+    filter (CCNet-style) starts from. Repetitive boilerplate scores
+    LOW (its bigrams are corpus-frequent), topic-shifted or shuffled
+    text scores HIGH even when its unigrams are common — the signal
+    the unigram model cannot see.
+
+    Plan shape: bigrams come from zipping the token array against its
+    own 1-shift (slice+arrays_zip, codegen — no window, no
+    self-join), so the token stream explodes ONCE per model term; the
+    three count tables (bigram, context, unigram) are Zipf-bounded
+    and AQE broadcasts them back onto the bigram stream. Docs with
+    fewer than two tokens have no bigrams and drop on both engines.
+
+    Determinism: p is one fixed-shape double expression over exact
+    integer counts (identical IEEE ops both engines); each -ln p
+    quantizes to ppm BEFORE the per-doc sum — integer aggregation,
+    order-exact."""
+    p = spark.sparkContext.defaultParallelism
+    base = (
+        io.load(spark, sf_dir, "documents")
+        .repartition(p, "doc_id")
+        .select("doc_id", F.expr(_TOKENS_SPARK).alias("toks"))
+    )
+    toks = base.select("doc_id", F.explode("toks").alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cw"))
+    total = vocab.agg(F.sum("cw").alias("total"))
+    bg = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(toks, 1, size(toks) - 1)"),
+                    F.expr("slice(toks, 2, size(toks) - 1)"),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.0").alias("prev"), F.col("b.1").alias("tok"))
+    )
+    bgc = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cbg"))
+    ctx = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("cprev"))
+    scored = (
+        bg.join(bgc, ["prev", "tok"])
+        .join(ctx, "prev")
+        .join(vocab, "tok")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(floor(-ln({BIGRAM_LAMBDA} * (CAST(cbg AS DOUBLE) / cprev)"
+                f" + {1 - BIGRAM_LAMBDA:.1f} * (CAST(cw AS DOUBLE) / total))"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("nll_ppm"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_ppm").alias("sum_nll_ppm"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_nll_ppm",
+            F.expr("sum_nll_ppm div n_bigrams").alias("avg_nll_ppm"),
+        )
+    )
+
+
+BIGRAM_LM_SCORE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS tl FROM documents
+), toks AS (
+  SELECT doc_id, unnest(tl) AS tok FROM base
+), vocab AS (
+  SELECT tok, count(*) AS cw FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(cw) AS BIGINT) AS total FROM vocab
+), bg AS (
+  SELECT doc_id,
+         unnest(list_slice(tl, 1, len(tl) - 1)) AS prev,
+         unnest(list_slice(tl, 2, len(tl))) AS tok
+  FROM base WHERE len(tl) >= 2
+), bgc AS (
+  SELECT prev, tok, count(*) AS cbg FROM bg GROUP BY prev, tok
+), ctx AS (
+  SELECT prev, count(*) AS cprev FROM bg GROUP BY prev
+), scored AS (
+  SELECT doc_id,
+         CAST(floor(-ln({BIGRAM_LAMBDA} * (cbg::DOUBLE / cprev)
+                        + {1 - BIGRAM_LAMBDA:.1f} * (cw::DOUBLE / total))
+                    * 1000000 + 0.5) AS BIGINT) AS nll_ppm
+  FROM bg JOIN bgc USING (prev, tok) JOIN ctx USING (prev)
+          JOIN vocab USING (tok) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(nll_ppm) AS BIGINT) AS sum_nll_ppm,
+       CAST(sum(nll_ppm) // count(*) AS BIGINT) AS avg_nll_ppm
+FROM scored GROUP BY doc_id
+"""

@@ -462,6 +462,8 @@ from .operators import corpus_analytics as _ca  # noqa: E402
 
 register("doc_unigram_lm_score", _ca.UNIGRAM_LM_SCORE_SQL,
          doc="Unigram-LM quality proxy: per-doc avg negative log-likelihood, ppm fixed-point (CCNet-style cheap perplexity)")(_ca.unigram_lm_score)
+register("doc_bigram_lm_score", _ca.BIGRAM_LM_SCORE_SQL,
+         doc="Interpolated bigram LM (Jelinek-Mercer): lambda*c(prev,w)/c(prev.) + (1-lambda)*c(w)/N, ppm fixed-point — sees the word-order signal the unigram proxy cannot")(_ca.bigram_lm_score)
 register("doc_shingle_novelty", _ca.SHINGLE_NOVELTY_SQL,
          doc="Substring-dedup attribution: per-doc fraction of shingles first seen in an earlier doc (first-writer-wins)")(_ca.shingle_novelty)
 register("doc_dedup_keep_best", _ca.DEDUP_KEEP_BEST_SQL,
@@ -578,7 +580,7 @@ _PRIORITY = [
     "doc_weighted_sample", "ev_markov_transitions", "embed_kmeans",
     "ord_zorder_key", "ord_revenue_ewma", "doc_span_scrub",
     "li_basket_affinity", "dq_referential_integrity", "dq_daily_reconciliation", "embed_ann_recall", "embed_pq_encode", "embed_pq_adc_topk", "embed_ivfpq_topk",
-    "doc_edit_distance_pairs",
+    "doc_edit_distance_pairs", "doc_bigram_lm_score",
     "doc_normalized_dedup",
 ]
 

@@ -239,3 +239,47 @@ def test_corpus_pipeline_empty_corpus_counts_zero(spark, tmp_path):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'")
     want = {r[0]: r[1] for r in con.sql(CORPUS_PIPELINE_SQL).fetchall()}
     assert want == got
+
+
+def test_bigram_lm_score_matches_local_model(spark):
+    """The distributed interpolated-bigram score equals a single-process
+    recomputation of the same Jelinek–Mercer model (ppm-exact); docs
+    with fewer than two tokens are absent."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in io.load(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    from collections import Counter
+
+    tok = lambda t: [x for x in t.lower().strip().split() if x]
+    vocab: Counter = Counter()
+    bgc: Counter = Counter()
+    ctx: Counter = Counter()
+    for t in docs.values():
+        ts = tok(t)
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            bgc[(a, b)] += 1
+            ctx[a] += 1
+    total = sum(vocab.values())
+    lam = ca.BIGRAM_LAMBDA
+    expected = {}
+    for d, t in docs.items():
+        ts = tok(t)
+        if len(ts) < 2:
+            continue
+        ppm = [
+            math.floor(
+                -math.log(lam * (bgc[(a, b)] / ctx[a]) + (1 - lam) * (vocab[b] / total))
+                * 1_000_000
+                + 0.5
+            )
+            for a, b in zip(ts, ts[1:])
+        ]
+        expected[d] = (len(ppm), sum(ppm), sum(ppm) // len(ppm))
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_nll_ppm"], r["avg_nll_ppm"])
+        for r in ca.bigram_lm_score(spark, SF).collect()
+    }
+    assert got == expected

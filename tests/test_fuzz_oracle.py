@@ -69,6 +69,9 @@ FUZZED_QUERIES = [
     # reach all-removed docs (the empty-list stringify trap) and
     # overlapping-span merges
     "doc_span_scrub",
+    # interpolated bigram LM: single-token and empty docs must drop
+    # identically; zipped-slice bigrams on duplicate-heavy corpora
+    "doc_bigram_lm_score",
     # lossless length-band blocking + ASCII-projected Levenshtein: the
     # non-ASCII WORDS (incl. the combining accent) certify that byte-
     # (DuckDB) and codepoint- (Spark) distances coincide after the fold
