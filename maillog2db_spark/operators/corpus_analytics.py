@@ -825,3 +825,79 @@ SELECT doc_id,
        CAST(sum(nll_ppm) // count(*) AS BIGINT) AS avg_nll_ppm
 FROM scored GROUP BY doc_id
 """
+
+
+# --- robust (MAD) anomaly detection ------------------------------------------
+
+MAD_Z = 3.5  # Iglewicz–Hoaglin modified z-score cut
+MAD_K = 0.6745  # consistency constant (Φ⁻¹(0.75)): MAD·1/K estimates σ
+
+
+def value_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers via the modified z-score
+    0.6745·(x − median)/MAD — the companion to `value_anomaly`'s
+    3σ rule for the case that matters in practice: when the outliers
+    themselves inflate σ enough to hide each other (masking), the
+    median and MAD stay put, so the robust cut still fires.
+
+    Same 100 TB plan shape as the σ version: two tiny per-type
+    aggregates (median, then median absolute deviation — each an
+    exact interpolated percentile; approx_percentile is the
+    documented sketch swap-in at scale) broadcast back onto the
+    stream, then a stateless filter — no full-table window. Median
+    and MAD round to 1e-6 and the modified z to 1e-4 before the cut,
+    so the line is identical on both engines; MAD = 0 types (a
+    constant-valued majority) define no finite score and drop via the
+    same guard + try_divide discipline the σ version pinned."""
+    e = io.load_events(spark, sf_dir)
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    mad = (
+        dev.groupBy("event_type")
+        .agg(F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad"))
+        .filter(F.col("mad") > 0)
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            F.round(
+                F.try_divide(F.lit(MAD_K) * (F.col("value") - F.col("med")), F.col("mad")),
+                4,
+            ).alias("rz"),
+        )
+        .filter(F.abs(F.col("rz")) > MAD_Z)
+    )
+
+
+VALUE_MAD_ANOMALY_SQL = f"""
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS dev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+  FROM dev GROUP BY 1 HAVING round(quantile_cont(dev, 0.5), 6) > 0
+)
+SELECT event_id, event_type, value, med, mad, rz FROM (
+  SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+         round({MAD_K} * (d.value - d.med) / m.mad, 4) AS rz
+  FROM dev d JOIN mad m USING (event_type)
+)
+WHERE abs(rz) > {MAD_Z}
+"""

@@ -616,3 +616,76 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
              x -> CAST(x.rc AS DOUBLE) * pow({1.0 - EWMA_ALPHA}, d - x.d))) / 100.0, 6) AS ewma
 FROM framed
 """
+
+
+# --- gaps-and-islands run collapse (SCD2 builder) ----------------------------
+
+
+def priority_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse each customer's order timeline into runs of consecutive
+    same-priority orders — the gaps-and-islands pattern, which is
+    exactly how a slowly-changing-dimension (SCD type 2) history table
+    is built from an event stream: one row per regime with
+    valid_from/valid_to observation bounds, n_orders support, and a
+    per-customer regime ordinal.
+
+    Plan shape: change-flag (lag ≠ current) + running sum over ONE
+    (custkey)-partitioned, (date, orderkey)-ordered window — every
+    window function shares the single sort, so the whole collapse is
+    one shuffle + one sort regardless of how many regimes a customer
+    has; the island aggregate and the ordinal rank then reuse the
+    same custkey clustering. At 100 TB this is the shape CDC/SCD
+    merges want: nothing is quadratic in history length and no
+    full-table state is held — compare the reference's row-at-a-time
+    freshness UPDATE (maillog2db.go:308-330), which walks entities
+    one SQL round trip per line."""
+    o = io.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderpriority").over(w)
+    flag = F.when(prev.isNull() | (prev != F.col("o_orderpriority")), 1).otherwise(0)
+    seq = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("island"),
+    )
+    g = seq.groupBy("o_custkey", "o_orderpriority", "island").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("valid_to"),
+    )
+    return g.select(
+        "o_custkey",
+        F.col("island").cast("int").alias("regime_seq"),
+        F.col("o_orderpriority").alias("priority"),
+        "valid_from",
+        "valid_to",
+        "n_orders",
+    )
+
+
+PRIORITY_ISLANDS_SQL = """
+WITH flagged AS (
+  SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                OR lag(o_orderpriority) OVER w <> o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), seq AS (
+  SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT o_custkey,
+       CAST(island AS INT) AS regime_seq,
+       o_orderpriority AS priority,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS valid_from,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS valid_to,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM seq
+GROUP BY o_custkey, o_orderpriority, island
+"""

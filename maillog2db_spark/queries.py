@@ -320,6 +320,8 @@ register("ev_markov_transitions", _win.MARKOV_TRANSITIONS_SQL,
          doc="First-order Markov transition matrix of in-session event types (lag + gap predicate, post-aggregate row normalization)")(_win.markov_transitions)
 register("ord_customer_gaps", _win.CUSTOMER_ORDER_GAPS_SQL,
          doc="lag / row_number / moving-avg sharing one window partitioning")(_win.customer_order_gaps)
+register("ord_priority_islands", _win.PRIORITY_ISLANDS_SQL,
+         doc="Gaps-and-islands run collapse = SCD type-2 history builder: per-customer priority regimes with valid_from/valid_to, one change-flag cumsum window (single shuffle+sort)")(_win.priority_islands)
 register("ord_revenue_ewma", _win.REVENUE_EWMA_SQL,
          doc="Truncated EWMA over daily revenue: exact-cents pre-aggregate, gap-aware decay in a RANGE frame, ascending-day fold on both engines")(_win.revenue_ewma)
 
@@ -478,6 +480,8 @@ register("embed_topk_per_label", _ca.TOPK_PER_LABEL_SQL,
          doc="Per-label top-k most-central vectors (cosine to own-label centroid, broadcast centroids)")(_ca.topk_per_label)
 register("ev_value_anomaly", _ca.VALUE_ANOMALY_SQL,
          doc="Per-type 3-sigma value outliers (tiny stats aggregate broadcast back; no full-table window)")(_ca.value_anomaly)
+register("ev_value_mad_anomaly", _ca.VALUE_MAD_ANOMALY_SQL,
+         doc="Robust per-type outliers: modified z-score 0.6745*(x-med)/MAD — immune to the masking that inflates sigma; same broadcast-stats, no-full-table-window plan as the sigma rule")(_ca.value_mad_anomaly)
 register("ord_rfm_segments", _ca.RFM_SEGMENTS_SQL,
          doc="RFM customer segmentation: recency/frequency/monetary quartiles via deterministic ntile")(_ca.rfm_segments)
 
@@ -580,7 +584,7 @@ _PRIORITY = [
     "doc_weighted_sample", "ev_markov_transitions", "embed_kmeans",
     "ord_zorder_key", "ord_revenue_ewma", "doc_span_scrub",
     "li_basket_affinity", "dq_referential_integrity", "dq_daily_reconciliation", "embed_ann_recall", "embed_pq_encode", "embed_pq_adc_topk", "embed_ivfpq_topk",
-    "doc_edit_distance_pairs", "doc_bigram_lm_score",
+    "doc_edit_distance_pairs", "doc_bigram_lm_score", "ev_value_mad_anomaly", "ord_priority_islands",
     "doc_normalized_dedup",
 ]
 

@@ -159,6 +159,10 @@ EV_QUERIES = [
     # transition matrix: lag ordering ties (same-ts events) break on
     # event_id identically; row normalization is exact-int division
     "ev_markov_transitions",
+    # robust MAD outliers: interpolated medians are single midpoint IEEE
+    # ops, identical both engines; constant-valued types must drop via
+    # the mad>0 guard + try_divide on both sides
+    "ev_value_mad_anomaly",
 ]
 
 events_strategy = st.lists(
@@ -210,6 +214,9 @@ def test_fuzzed_events_match_oracle(spark, tmp_path_factory, qname, data):
 # zorder: pure integer interleave — fuzz reaches the bucket caps and
 # pre-epoch-grid dates the fixed table can't
 ORD_QUERIES = ["ord_rfm_segments", "ord_customer_gaps", "ord_zorder_key",
+               # change-flag cumsum islands: same-date ties must order
+               # on orderkey identically in both engines
+               "ord_priority_islands",
                # gap-aware decay: fuzz reaches sparse calendars and
                # same-day collisions the fixed table can't
                "ord_revenue_ewma"]

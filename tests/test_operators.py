@@ -1573,3 +1573,52 @@ def test_edit_distance_pairs_planted(spark, tmp_path):
     got = rows[(0, 1)]
     assert got.lev == lev(base, near) == 6
     assert (got.len_a, got.len_b) == (len(base), len(near))
+
+
+def test_priority_islands_conserve_and_are_contiguous(spark):
+    """Island rows partition each customer's orders: supports sum to
+    the order count, regime ordinals are contiguous from 1, and
+    consecutive regimes never share a priority (else they'd be one)."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import windows as win
+
+    rows = win.priority_islands(spark, SF).collect()
+    n_orders = mio.load(spark, SF, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    by_cust: dict = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for regs in by_cust.values():
+        regs.sort(key=lambda r: r.regime_seq)
+        assert [r.regime_seq for r in regs] == list(range(1, len(regs) + 1))
+        for a, b in zip(regs, regs[1:]):
+            assert a.priority != b.priority
+            assert a.valid_from <= a.valid_to <= b.valid_from
+
+
+def test_mad_anomaly_resists_masking(spark, tmp_path):
+    """The scenario MAD exists for: two huge outliers inflate sigma
+    enough that the 3-sigma rule sees nothing, while the modified
+    z-score flags exactly them."""
+    import datetime
+
+    from maillog2db_spark.operators import corpus_analytics as ca
+
+    base = datetime.datetime(2024, 1, 1)
+    # 8 gross outliers among 48: enough mass to inflate sigma to ~200,
+    # putting their z-scores near 2.4 — under the 3-sigma cut
+    vals = [10.0 + (i % 7) * 0.1 for i in range(40)] + [500.0, -480.0] * 4
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), i % 5, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    outliers = set(range(40, 48))
+    sigma = {r.event_id for r in ca.value_anomaly(spark, str(tmp_path)).collect()}
+    mad = {r.event_id for r in ca.value_mad_anomaly(spark, str(tmp_path)).collect()}
+    assert mad == outliers          # the robust rule flags all of them
+    assert not sigma & outliers     # the sigma rule is fully masked
