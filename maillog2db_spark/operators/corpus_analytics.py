@@ -901,3 +901,129 @@ SELECT event_id, event_type, value, med, mad, rz FROM (
 )
 WHERE abs(rz) > {MAD_Z}
 """
+
+
+# --- PageRank over the co-purchase graph -------------------------------------
+
+PAGERANK_D = 0.85
+PAGERANK_ITER = 2  # unrolled in the oracle SQL; keep the two in sync
+
+
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (edges = parts sharing
+    an order, weighted by common-order count; the same basket self-join
+    bound as `basket_affinity` — order-keyed, never part×part). Two
+    power iterations from the uniform vector, unrolled exactly like
+    `kmeans`' Lloyd steps — the canonical "iterative algorithm on
+    Spark" shape where the DRIVER holds only the loop counter and each
+    iteration is one join + one aggregate over distributed data.
+
+    Scale design: the edge table is the only big operand; each step
+    joins it to the (nodes-sized) rank vector on src — co-partitioned
+    after the first shuffle — and aggregates contributions map-side
+    onto dst. No collect, no cross product; 10 iterations at 100 TB
+    are 10 such stages. Undirected edges mean no dangling mass.
+
+    Determinism: ranks live as BIGINT parts-per-billion; each edge
+    contribution floors d·pr·w/wout + 0.5 to an integer BEFORE the
+    cross-row sum (the double product stays under 2^53), so iteration
+    results are order-exact integers on both engines."""
+    li = (
+        io.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
+    ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    edges_n = edges.join(outw, "src")
+    nn = outw.agg(F.count(F.lit(1)).alias("n"))
+    pr = (
+        outw.select(F.col("src").alias("part_id"))
+        .join(F.broadcast(nn))
+        .select(
+            "part_id",
+            F.expr("CAST(floor(1000000000.0 / n + 0.5) AS BIGINT)").alias("pr"),
+        )
+    )
+    for _ in range(PAGERANK_ITER):
+        contrib = (
+            edges_n.join(pr, edges_n.src == pr.part_id)
+            .select(
+                "dst",
+                F.expr(
+                    f"CAST(floor({PAGERANK_D} * pr * w / wout + 0.5) AS BIGINT)"
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            pr.select("part_id")
+            .join(contrib, pr.part_id == contrib.dst, "left")
+            .join(F.broadcast(nn))
+            .select(
+                "part_id",
+                (
+                    F.expr(
+                        f"CAST(floor({1 - PAGERANK_D:.2f} * 1000000000.0 / n + 0.5) AS BIGINT)"
+                    )
+                    + F.coalesce(F.col("s"), F.lit(0))
+                ).alias("pr"),
+            )
+        )
+    return pr.select("part_id", F.col("pr").alias("pr_ppb"))
+
+
+PART_PAGERANK_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS w
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT pa AS src, pb AS dst, w FROM und
+  UNION ALL
+  SELECT pb AS src, pa AS dst, w FROM und
+), outw AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY 1
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM outw
+), pr0 AS (
+  SELECT src AS part_id, CAST(floor(1000000000.0 / n + 0.5) AS BIGINT) AS pr
+  FROM outw CROSS JOIN nn
+), c1 AS (
+  SELECT e.dst,
+         CAST(sum(CAST(floor({PAGERANK_D} * p.pr * e.w / o.wout + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM edges e JOIN outw o USING (src) JOIN pr0 p ON e.src = p.part_id
+  GROUP BY 1
+), pr1 AS (
+  SELECT p.part_id,
+         CAST(floor({1 - PAGERANK_D:.2f} * 1000000000.0 / n + 0.5) AS BIGINT)
+           + coalesce(c1.s, 0) AS pr
+  FROM pr0 p CROSS JOIN nn LEFT JOIN c1 ON c1.dst = p.part_id
+), c2 AS (
+  SELECT e.dst,
+         CAST(sum(CAST(floor({PAGERANK_D} * p.pr * e.w / o.wout + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM edges e JOIN outw o USING (src) JOIN pr1 p ON e.src = p.part_id
+  GROUP BY 1
+), pr2 AS (
+  SELECT p.part_id,
+         CAST(floor({1 - PAGERANK_D:.2f} * 1000000000.0 / n + 0.5) AS BIGINT)
+           + coalesce(c2.s, 0) AS pr
+  FROM pr1 p CROSS JOIN nn LEFT JOIN c2 ON c2.dst = p.part_id
+)
+SELECT part_id, pr AS pr_ppb FROM pr2
+"""

