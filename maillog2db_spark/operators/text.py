@@ -526,3 +526,124 @@ SELECT tok, CAST(rk AS INT) AS rk, est_n, true_n FROM (
   SELECT *, row_number() OVER (ORDER BY est_n DESC, tok) AS rk FROM est
 ) WHERE rk <= {CMS_TOP_K}
 """
+
+
+# --- BPE merge training ------------------------------------------------------
+
+BPE_TRAIN_ITERS = 3  # unrolled in the oracle SQL; keep the two in sync
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first BPE_TRAIN_ITERS byte-pair-encoding merges on the
+    corpus (Sennrich et al. 2016) — the distributed tokenizer-training
+    step of an LLM data pipeline. Classic formulation: training runs on
+    the WORD-FREQUENCY table (Zipf-bounded — a vocabulary, not the
+    corpus), each word held as a space-delimited symbol sequence; per
+    iteration, count adjacent symbol pairs weighted by word frequency,
+    pick the most frequent pair (ties to the lexicographically largest,
+    so argmax is a plain struct max), and fuse it everywhere.
+
+    Merge application is one left-to-right replace() pass over the
+    padded sequence (' l r ' -> ' lr ') — the standard replace-trick:
+    a run like 'a a a a' fuses its FIRST pair per pass because the
+    match consumes the separator; both engines' replace() scans
+    resume after the insertion, so the pass is deterministic and
+    engine-identical (the documented contract; canonical run
+    collapsing converges over subsequent iterations).
+
+    Scale design: per iteration — one vocab-sized symbol explode, one
+    map-side-combined pair count, one global top-1 (TakeOrdered, no
+    full sort materialization), one broadcast of the single winning
+    pair back over the vocab. The corpus is touched once, for word
+    counts. 30k merges at 100 TB are 30k such vocab-sized stages — a
+    driver loop, never a driver dataset."""
+    words = (
+        io.load(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = words.select(
+        "freq", F.expr("trim(regexp_replace(tok, '(.)', '$1 '))").alias("s")
+    )
+    merges = []
+    for step in range(1, BPE_TRAIN_ITERS + 1):
+        pairs = (
+            syms.select("freq", F.split("s", " ").alias("a"))
+            .select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(a, 1, size(a) - 1)"),
+                        F.expr("slice(a, 2, size(a) - 1)"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.0").alias("l"), F.col("p.1").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("l").desc(), F.col("r").desc()
+        ).limit(1)
+        merges.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("l").alias("lhs"),
+                F.col("r").alias("rhs"),
+                F.concat("l", "r").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        syms = syms.crossJoin(F.broadcast(best)).select(
+            "freq",
+            F.expr(
+                "trim(replace(concat(' ', s, ' '),"
+                " concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' ')))"
+            ).alias("s"),
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_pairs_duck(src: str) -> str:
+    return f"""(
+  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq,
+           unnest(list_slice(a, 1, len(a) - 1)) AS l,
+           unnest(list_slice(a, 2, len(a))) AS r
+    FROM (SELECT freq, string_split(s, ' ') AS a FROM {src})
+  ) GROUP BY l, r)"""
+
+
+def _bpe_apply_duck(src: str, best: str) -> str:
+    return f"""(
+  SELECT freq,
+         trim(replace(' ' || s || ' ',
+                      ' ' || b.l || ' ' || b.r || ' ',
+                      ' ' || b.l || b.r || ' ')) AS s
+  FROM {src} CROSS JOIN {best} b)"""
+
+
+BPE_TRAIN_MERGES_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS_DUCK}) AS tok FROM documents
+), words AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok
+), s0 AS (
+  SELECT freq, trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS s FROM words
+), p1 AS {_bpe_pairs_duck('s0')},
+b1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l DESC, r DESC LIMIT 1),
+s1 AS {_bpe_apply_duck('s0', 'b1')},
+p2 AS {_bpe_pairs_duck('s1')},
+b2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l DESC, r DESC LIMIT 1),
+s2 AS {_bpe_apply_duck('s1', 'b2')},
+p3 AS {_bpe_pairs_duck('s2')},
+b3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l DESC, r DESC LIMIT 1)
+SELECT 1 AS step, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM b1
+UNION ALL
+SELECT 2, l, r, l || r, cnt FROM b2
+UNION ALL
+SELECT 3, l, r, l || r, cnt FROM b3
+"""

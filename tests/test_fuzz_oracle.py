@@ -69,6 +69,9 @@ FUZZED_QUERIES = [
     # reach all-removed docs (the empty-list stringify trap) and
     # overlapping-span merges
     "doc_span_scrub",
+    # BPE training: duplicate-heavy corpora and non-ASCII symbols hit
+    # the argmax tiebreak and the replace-trick application in lockstep
+    "doc_bpe_train_merges",
     # interpolated bigram LM: single-token and empty docs must drop
     # identically; zipped-slice bigrams on duplicate-heavy corpora
     "doc_bigram_lm_score",

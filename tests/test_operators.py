@@ -1622,3 +1622,45 @@ def test_mad_anomaly_resists_masking(spark, tmp_path):
     mad = {r.event_id for r in ca.value_mad_anomaly(spark, str(tmp_path)).collect()}
     assert mad == outliers          # the robust rule flags all of them
     assert not sigma & outliers     # the sigma rule is fully masked
+
+
+def test_bpe_train_merges_matches_local_trainer(spark, tmp_path):
+    """The distributed 3-merge BPE trainer equals a single-process
+    trainer with the same contract (frequency-weighted adjacent pair
+    counts, (cnt, l, r)-max tiebreak, one replace-trick pass)."""
+    from collections import Counter
+
+    from maillog2db_spark.operators import text as tx
+
+    corpus = ["low low low low lower lower lowest", "new newer newest low"]
+    rows = [(i, t, "en", "s0", len(t)) for i, t in enumerate(corpus)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    words = Counter(w for t in corpus for w in t.lower().split())
+    seqs = {w: " ".join(w) for w in words}
+    expected = []
+    for step in range(1, tx.BPE_TRAIN_ITERS + 1):
+        pc: Counter = Counter()
+        for w, f in words.items():
+            a = seqs[w].split(" ")
+            for l, r in zip(a, a[1:]):
+                pc[(l, r)] += f
+        if not pc:
+            break
+        (l, r), cnt = max(pc.items(), key=lambda kv: (kv[1], kv[0]))
+        expected.append((step, l, r, l + r, cnt))
+        seqs = {
+            w: (" " + s + " ").replace(f" {l} {r} ", f" {l}{r} ").strip()
+            for w, s in seqs.items()
+        }
+
+    got = sorted(
+        (r.step, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in tx.bpe_train_merges(spark, str(tmp_path)).collect()
+    )
+    assert got == expected
+    # with the largest-pair tiebreak, (o,w) beats (l,o) at count 7,
+    # and the fused symbol chains into 'low' on the next step
+    assert got[0][3] == "ow" and got[1][3] == "low"
