@@ -928,3 +928,87 @@ def test_streaming_span_scrub_matches_batch(spark, tmp_path_factory):
         spark, docs.filter((F.col("doc_id") >= 170) & (F.col("doc_id") < 340)), store, 1
     )
     assert sorted(map(tuple, store.read_scrubbed(spark).collect())) == want
+
+
+def test_streaming_scd2_matches_batch(spark, tmp_path_factory):
+    """Incremental SCD2 maintenance, fed date-monotone waves, resolves
+    to EXACTLY the batch gaps-and-islands table; replay through a
+    fresh checkpoint, a direct crash-window re-ingest, and a log
+    compaction all change nothing; late data quarantines instead of
+    rewriting history."""
+    import shutil as _sh
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_scd2 as s2
+    from maillog2db_spark.operators import windows as win
+
+    sf = "/root/testdata/sf0.001"
+    orders = mio.load(spark, sf, "orders")
+    cols = ("o_custkey", "regime_seq", "priority", "valid_from", "valid_to", "n_orders")
+    want = sorted(
+        tuple(r[c] for c in cols) for r in win.priority_islands(spark, sf).collect()
+    )
+
+    dates = sorted(r[0] for r in orders.select("o_orderdate").distinct().collect())
+    c1, c2 = dates[len(dates) // 3], dates[2 * len(dates) // 3]
+    waves = [
+        orders.filter(F.col("o_orderdate") < F.lit(c1)),
+        orders.filter((F.col("o_orderdate") >= F.lit(c1)) & (F.col("o_orderdate") < F.lit(c2))),
+        orders.filter(F.col("o_orderdate") >= F.lit(c2)),
+    ]
+
+    d = tmp_path_factory.mktemp("scd2_stream")
+    src = d / "orders"
+    src.mkdir()
+    for i, w in enumerate(waves):
+        tmp = d / f"_tmp{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"wave{i}.parquet"
+        _sh.move(str(part), str(dest))
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+        _sh.rmtree(tmp)
+
+    store = s2.Scd2Store(str(d / "store"))
+    q = s2.start_scd2_stream(spark, str(src), store, str(d / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+
+    def resolved():
+        return sorted(
+            tuple(r[c] for c in cols)
+            for r in store.current_islands(spark).collect()
+        )
+
+    assert resolved() == want
+    q0 = store.quarantined(spark)
+    assert q0 is None or q0.count() == 0
+
+    # fresh-checkpoint replay: ledger skips every redelivered wave
+    q2 = s2.start_scd2_stream(spark, str(src), store, str(d / "ckpt2"), available_now=True)
+    q2.awaitTermination(300)
+    assert resolved() == want
+
+    # crash inside the commit window: the engine replays the IN-FLIGHT
+    # batch before any later batch runs (SCD2 state is sequential, so
+    # that ordering is the guarantee that matters) — drive a second
+    # store manually, crash batch 1 after its writes but before its
+    # commit mark, replay it, then continue
+    store2 = s2.Scd2Store(str(d / "store2"))
+    s2.scd2_ingest_batch(spark, waves[0], store2, 0)
+    s2.scd2_ingest_batch(spark, waves[1], store2, 1)
+    os.remove(store2._ledger(1))
+    s2.scd2_ingest_batch(spark, waves[1], store2, 1)  # replay converges
+    s2.scd2_ingest_batch(spark, waves[2], store2, 2)
+    assert sorted(
+        tuple(r[c] for c in cols) for r in store2.current_islands(spark).collect()
+    ) == want
+
+    # compaction rewrites resolved state under a fresh partition
+    store.compact(spark, batch_id=10_000)
+    assert resolved() == want
+
+    # late data: re-sending the oldest wave as a NEW batch would require
+    # splitting closed history — every row quarantines, state unchanged
+    s2.scd2_ingest_batch(spark, waves[0], store, 11_000)
+    assert resolved() == want
+    assert store.quarantined(spark).count() == waves[0].count()
