@@ -533,6 +533,67 @@ SELECT tok, CAST(rk AS INT) AS rk, est_n, true_n FROM (
 BPE_TRAIN_ITERS = 3  # unrolled in the oracle SQL; keep the two in sync
 
 
+def _bpe_step(spark: SparkSession, syms: DataFrame, keys: tuple[str, ...]):
+    """One BPE merge pass over the vocab table: weighted adjacent-pair
+    count, argmax with (cnt, l, r) ordering, replace-trick apply.
+    A sentinel ('', '', -1) pair keeps the argmax at exactly one row
+    even when no pairs remain (all-single-symbol vocab) — its apply is
+    a no-op (three spaces never occur in a single-spaced sequence), so
+    the iteration degrades gracefully instead of annihilating the
+    vocab through the cross join. Both the winning pair and the
+    applied vocab are eagerly checkpointed: the tables are vocab-sized
+    (tiny), and without the cut each iteration would re-run the whole
+    prior lineage per job (measured 5x on the encode path)."""
+    pairs = (
+        syms.select("freq", F.split("s", " ").alias("a"))
+        .select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(a, 1, size(a) - 1)"),
+                    F.expr("slice(a, 2, size(a) - 1)"),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.0").alias("l"), F.col("p.1").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    sentinel = spark.range(1).select(
+        F.lit("").alias("l"), F.lit("").alias("r"), F.lit(-1).cast("bigint").alias("cnt")
+    )
+    best = (
+        pairs.unionByName(sentinel)
+        .orderBy(F.col("cnt").desc(), F.col("l").desc(), F.col("r").desc())
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    applied = (
+        syms.crossJoin(F.broadcast(best.drop("cnt")))
+        .select(
+            *keys,
+            F.expr(
+                "trim(replace(concat(' ', s, ' '),"
+                " concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' ')))"
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return applied, best
+
+
+def _bpe_words(spark: SparkSession, sf_dir: str, with_tok: bool) -> DataFrame:
+    words = (
+        io.load(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    keys = ("tok", "freq") if with_tok else ("freq",)
+    return words.select(
+        *keys, F.expr("trim(regexp_replace(tok, '(.)', '$1 '))").alias("s")
+    )
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the first BPE_TRAIN_ITERS byte-pair-encoding merges on the
     corpus (Sennrich et al. 2016) — the distributed tokenizer-training
@@ -557,36 +618,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair back over the vocab. The corpus is touched once, for word
     counts. 30k merges at 100 TB are 30k such vocab-sized stages — a
     driver loop, never a driver dataset."""
-    words = (
-        io.load(spark, sf_dir, "documents")
-        .select(F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    syms = words.select(
-        "freq", F.expr("trim(regexp_replace(tok, '(.)', '$1 '))").alias("s")
-    )
+    syms = _bpe_words(spark, sf_dir, with_tok=False)
     merges = []
     for step in range(1, BPE_TRAIN_ITERS + 1):
-        pairs = (
-            syms.select("freq", F.split("s", " ").alias("a"))
-            .select(
-                "freq",
-                F.explode(
-                    F.arrays_zip(
-                        F.expr("slice(a, 1, size(a) - 1)"),
-                        F.expr("slice(a, 2, size(a) - 1)"),
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.0").alias("l"), F.col("p.1").alias("r"))
-            .agg(F.sum("freq").alias("cnt"))
-        )
-        best = pairs.orderBy(
-            F.col("cnt").desc(), F.col("l").desc(), F.col("r").desc()
-        ).limit(1)
+        syms, best = _bpe_step(spark, syms, keys=("freq",))
         merges.append(
-            best.select(
+            best.filter(F.col("cnt") > 0).select(
                 F.lit(step).alias("step"),
                 F.col("l").alias("lhs"),
                 F.col("r").alias("rhs"),
@@ -594,17 +631,48 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cnt").alias("pair_count"),
             )
         )
-        syms = syms.crossJoin(F.broadcast(best)).select(
-            "freq",
-            F.expr(
-                "trim(replace(concat(' ', s, ' '),"
-                " concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' ')))"
-            ).alias("s"),
-        )
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained BPE merges (the encode path to
+    `bpe_train_merges`' train path): run the same BPE_TRAIN_ITERS
+    merge passes over the word table, producing each word's symbol
+    count, then roll up per document — whitespace token count vs BPE
+    symbol count and the resulting compression in ppm. This is the
+    tokenizer's deployment shape: training touches the corpus once
+    for word counts; ENCODING is a vocab-table lookup joined back to
+    the token stream, never a per-document scan of the merge list.
+
+    Scale design: the merge loop runs on the vocab (Zipf-bounded);
+    the corpus-sized work is one token explode + one join against the
+    (word → n_symbols) table — AQE broadcasts it — and one per-doc
+    aggregate. Compression is an exact-integer ppm ratio."""
+    docs = io.load(spark, sf_dir, "documents")
+    syms = _bpe_words(spark, sf_dir, with_tok=True)
+    for _ in range(BPE_TRAIN_ITERS):
+        syms, _best = _bpe_step(spark, syms, keys=("tok", "freq"))
+    enc = syms.select("tok", F.size(F.split("s", " ")).alias("n_syms"))
+    per_doc = (
+        docs.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+        .join(enc, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_syms").alias("n_bpe_symbols"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_symbols",
+        F.expr("CAST(n_tokens * 1000000 div n_bpe_symbols AS BIGINT)").alias(
+            "compression_ppm"
+        ),
+    )
 
 
 def _bpe_pairs_duck(src: str) -> str:
@@ -614,16 +682,30 @@ def _bpe_pairs_duck(src: str) -> str:
            unnest(list_slice(a, 1, len(a) - 1)) AS l,
            unnest(list_slice(a, 2, len(a))) AS r
     FROM (SELECT freq, string_split(s, ' ') AS a FROM {src})
-  ) GROUP BY l, r)"""
+  ) GROUP BY l, r
+  UNION ALL SELECT '', '', CAST(-1 AS BIGINT))"""
 
 
-def _bpe_apply_duck(src: str, best: str) -> str:
+def _bpe_best_duck(pairs: str) -> str:
+    return f"(SELECT l, r, cnt FROM {pairs} ORDER BY cnt DESC, l DESC, r DESC LIMIT 1)"
+
+
+def _bpe_apply_duck(src: str, best: str, keys: str) -> str:
     return f"""(
-  SELECT freq,
+  SELECT {keys},
          trim(replace(' ' || s || ' ',
                       ' ' || b.l || ' ' || b.r || ' ',
                       ' ' || b.l || b.r || ' ')) AS s
   FROM {src} CROSS JOIN {best} b)"""
+
+
+def _bpe_chain_duck(keys: str) -> str:
+    out = []
+    for k in range(1, BPE_TRAIN_ITERS + 1):
+        out.append(f"p{k} AS {_bpe_pairs_duck(f's{k-1}')}")
+        out.append(f"b{k} AS {_bpe_best_duck(f'p{k}')}")
+        out.append(f"s{k} AS {_bpe_apply_duck(f's{k-1}', f'b{k}', keys)}")
+    return ",\n".join(out)
 
 
 BPE_TRAIN_MERGES_SQL = f"""
@@ -633,17 +715,32 @@ WITH toks AS (
   SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok
 ), s0 AS (
   SELECT freq, trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS s FROM words
-), p1 AS {_bpe_pairs_duck('s0')},
-b1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l DESC, r DESC LIMIT 1),
-s1 AS {_bpe_apply_duck('s0', 'b1')},
-p2 AS {_bpe_pairs_duck('s1')},
-b2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l DESC, r DESC LIMIT 1),
-s2 AS {_bpe_apply_duck('s1', 'b2')},
-p3 AS {_bpe_pairs_duck('s2')},
-b3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l DESC, r DESC LIMIT 1)
-SELECT 1 AS step, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM b1
-UNION ALL
-SELECT 2, l, r, l || r, cnt FROM b2
-UNION ALL
-SELECT 3, l, r, l || r, cnt FROM b3
+),
+{_bpe_chain_duck('freq')}
+SELECT * FROM (
+{" UNION ALL ".join(
+    f"SELECT {k} AS step, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM b{k}"
+    for k in range(1, BPE_TRAIN_ITERS + 1))}
+) WHERE pair_count > 0
+"""
+
+BPE_ENCODE_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents
+), words AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok
+), s0 AS (
+  SELECT tok, freq, trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS s FROM words
+),
+{_bpe_chain_duck('tok, freq')},
+enc AS (
+  SELECT tok, CAST(len(string_split(s, ' ')) AS INT) AS n_syms
+  FROM s{BPE_TRAIN_ITERS}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(n_syms) AS BIGINT) AS n_bpe_symbols,
+       CAST(count(*) * 1000000 // sum(n_syms) AS BIGINT) AS compression_ppm
+FROM toks JOIN enc USING (tok)
+GROUP BY doc_id
 """

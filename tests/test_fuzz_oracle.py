@@ -72,6 +72,7 @@ FUZZED_QUERIES = [
     # BPE training: duplicate-heavy corpora and non-ASCII symbols hit
     # the argmax tiebreak and the replace-trick application in lockstep
     "doc_bpe_train_merges",
+    "doc_bpe_encode_stats",
     # interpolated bigram LM: single-token and empty docs must drop
     # identically; zipped-slice bigrams on duplicate-heavy corpora
     "doc_bigram_lm_score",

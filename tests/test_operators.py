@@ -1664,3 +1664,12 @@ def test_bpe_train_merges_matches_local_trainer(spark, tmp_path):
     # with the largest-pair tiebreak, (o,w) beats (l,o) at count 7,
     # and the fused symbol chains into 'low' on the next step
     assert got[0][3] == "ow" and got[1][3] == "low"
+
+    # encode path: per-doc symbol counts under the same merges
+    enc_rows = {r.doc_id: (r.n_tokens, r.n_bpe_symbols, r.compression_ppm)
+                for r in tx.bpe_encode_stats(spark, str(tmp_path)).collect()}
+    for i, t in enumerate(corpus):
+        toks_i = t.lower().split()
+        n_sym = sum(len(seqs[w].split(" ")) for w in toks_i)
+        assert enc_rows[i] == (len(toks_i), n_sym,
+                               len(toks_i) * 1_000_000 // n_sym)

@@ -129,6 +129,14 @@ def main() -> int:
         lambda: f"{similarity.pq_adc_topk(spark, d).count()} result rows",
     )
 
+    # IVFADC composition: coarse cells prune the candidate set BEFORE
+    # the ADC lookups, so this stage should undercut pq_adc_topk (which
+    # scans every code) — the gap is the prune factor cells/N_PROBE
+    stage(
+        "ivfpq_adc_topk",
+        lambda: f"{similarity.ivfpq_adc_topk(spark, d).count()} result rows",
+    )
+
     total = sum(timings.values())
     print(
         f"total {total:.1f} s = {1e6 * total / n_vecs:.0f} us/vector "
