@@ -37,7 +37,7 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import io
@@ -747,4 +747,81 @@ SELECT strftime(coalesce(o.day, l.day), '%Y-%m-%d') AS day,
             WHEN n_shipped IS NULL THEN 'order_only'
             ELSE 'both' END AS status
 FROM o FULL OUTER JOIN l USING (day)
+"""
+
+
+# --- ABC / Pareto classification ---------------------------------------------
+
+ABC_A = (4, 5)    # cum share <= 4/5  (80%)
+ABC_B = (19, 20)  # cum share <= 19/20 (95%)
+
+
+def abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) customer classification: rank customers by total
+    revenue, walk the cumulative share, and class the head that carries
+    80% as A, the next 15% as B, the tail as C — the inventory/accounts
+    segmentation every warehouse ships. Revenue sums in exact integer
+    cents and BOTH class cuts compare integer cross-products
+    (5·cum ≤ 4·total, 20·cum ≤ 19·total), so no engine ever decides a
+    boundary on a float.
+
+    Scale note: a Pareto walk is inherently a global ranking, but it
+    runs on the POST-AGGREGATE customer-grain table (one map-side-
+    combined groupBy of the fact stream first) — the window sees
+    customers, not orders. At extreme customer counts the same cumsum
+    decomposes into range-partitioned partial sums; at the driver's
+    grain the single sorted partition is the right plan."""
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("revenue_cents"))
+    )
+    total = rev.agg(F.sum("revenue_cents").alias("total_cents"))
+    w = Window.orderBy(F.col("revenue_cents").desc(), F.col("o_custkey"))
+    ranked = rev.select(
+        "o_custkey",
+        "revenue_cents",
+        F.row_number().over(w).alias("rank"),
+        F.sum("revenue_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_cents"),
+    )
+    return ranked.join(F.broadcast(total)).select(
+        "o_custkey",
+        "revenue_cents",
+        "rank",
+        F.expr("CAST(cum_cents * 1000000 div total_cents AS BIGINT)").alias(
+            "cum_share_ppm"
+        ),
+        F.when(
+            F.col("cum_cents") * ABC_A[1] <= F.col("total_cents") * ABC_A[0], "A"
+        )
+        .when(F.col("cum_cents") * ABC_B[1] <= F.col("total_cents") * ABC_B[0], "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+ABC_PARETO_SQL = f"""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT CAST(sum(revenue_cents) AS BIGINT) AS total_cents FROM rev
+), ranked AS (
+  SELECT o_custkey, revenue_cents,
+         CAST(row_number() OVER w AS INT) AS rank,
+         CAST(sum(revenue_cents) OVER (ORDER BY revenue_cents DESC, o_custkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW) AS BIGINT) AS cum_cents
+  FROM rev
+  WINDOW w AS (ORDER BY revenue_cents DESC, o_custkey)
+)
+SELECT o_custkey, revenue_cents, rank,
+       CAST(cum_cents * 1000000 // total_cents AS BIGINT) AS cum_share_ppm,
+       CASE WHEN cum_cents * {ABC_A[1]} <= total_cents * {ABC_A[0]} THEN 'A'
+            WHEN cum_cents * {ABC_B[1]} <= total_cents * {ABC_B[0]} THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked CROSS JOIN tot
 """

@@ -221,6 +221,9 @@ ORD_QUERIES = ["ord_rfm_segments", "ord_customer_gaps", "ord_zorder_key",
                # change-flag cumsum islands: same-date ties must order
                # on orderkey identically in both engines
                "ord_priority_islands",
+               # integer cross-product class cuts; revenue ties rank on
+               # custkey identically
+               "ord_abc_pareto",
                # gap-aware decay: fuzz reaches sparse calendars and
                # same-day collisions the fixed table can't
                "ord_revenue_ewma"]

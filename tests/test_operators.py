@@ -1673,3 +1673,25 @@ def test_bpe_train_merges_matches_local_trainer(spark, tmp_path):
         n_sym = sum(len(seqs[w].split(" ")) for w in toks_i)
         assert enc_rows[i] == (len(toks_i), n_sym,
                                len(toks_i) * 1_000_000 // n_sym)
+
+
+def test_abc_pareto_class_boundaries(spark):
+    """Classes partition the ranking monotonically (A then B then C as
+    rank increases), cumulative cents reconcile with the total, and the
+    A head really carries <= 80% while A+B carries <= 95%."""
+    from maillog2db_spark.operators import relational_ext as rex
+
+    rows = sorted(rex.abc_pareto(spark, SF).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    classes = [r.abc_class for r in rows]
+    assert classes == sorted(classes)  # A* then B* then C*
+    total = sum(r.revenue_cents for r in rows)
+    cum = 0
+    for r in rows:
+        cum += r.revenue_cents
+        assert r.cum_share_ppm == cum * 1_000_000 // total
+        if r.abc_class == "A":
+            assert cum * 5 <= total * 4
+        elif r.abc_class == "B":
+            assert cum * 20 <= total * 19
+    assert {"A", "B", "C"} == set(classes)
