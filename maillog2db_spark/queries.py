@@ -486,6 +486,8 @@ register("doc_bpe_encode_stats", _tx.BPE_ENCODE_STATS_SQL,
          doc="BPE encode path: apply the trained merges as a vocab-table lookup joined back to the token stream — per-doc whitespace-vs-BPE symbol counts and exact-ppm compression")(_tx.bpe_encode_stats)
 register("li_part_pagerank", _ca.PART_PAGERANK_SQL,
          doc="PageRank over the part co-purchase graph: 2 unrolled power iterations, ppb-integer ranks, per-edge contributions floored before cross-row sums — the driver holds only the loop counter")(_ca.part_pagerank)
+register("ord_cohort_ltv", _win.COHORT_LTV_SQL,
+         doc="Cohort LTV curves: first-order-month cohorts x months-since-acquisition, integer-cents cumulative revenue and per-customer LTV — the orders-side companion to event retention")(_win.cohort_ltv)
 register("ord_abc_pareto", _rex.ABC_PARETO_SQL,
          doc="ABC/Pareto classification: global revenue ranking on the post-aggregate customer table, integer-cents cumulative shares, class cuts on integer cross-products — no float boundary decisions")(_rex.abc_pareto)
 register("ev_value_mad_anomaly", _ca.VALUE_MAD_ANOMALY_SQL,
@@ -592,7 +594,7 @@ _PRIORITY = [
     "doc_weighted_sample", "ev_markov_transitions", "embed_kmeans",
     "ord_zorder_key", "ord_revenue_ewma", "doc_span_scrub",
     "li_basket_affinity", "dq_referential_integrity", "dq_daily_reconciliation", "embed_ann_recall", "embed_pq_encode", "embed_pq_adc_topk", "embed_ivfpq_topk",
-    "doc_edit_distance_pairs", "doc_bigram_lm_score", "ev_value_mad_anomaly", "ord_priority_islands", "ord_abc_pareto", "li_part_pagerank", "doc_bpe_train_merges", "doc_bpe_encode_stats",
+    "doc_edit_distance_pairs", "doc_bigram_lm_score", "ev_value_mad_anomaly", "ord_priority_islands", "ord_abc_pareto", "ord_cohort_ltv", "li_part_pagerank", "doc_bpe_train_merges", "doc_bpe_encode_stats",
     "doc_normalized_dedup",
 ]
 

@@ -224,6 +224,9 @@ ORD_QUERIES = ["ord_rfm_segments", "ord_customer_gaps", "ord_zorder_key",
                # integer cross-product class cuts; revenue ties rank on
                # custkey identically
                "ord_abc_pareto",
+               # integer month arithmetic; single-order cohorts and
+               # same-month repeat buyers
+               "ord_cohort_ltv",
                # gap-aware decay: fuzz reaches sparse calendars and
                # same-day collisions the fixed table can't
                "ord_revenue_ewma"]

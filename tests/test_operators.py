@@ -1695,3 +1695,33 @@ def test_abc_pareto_class_boundaries(spark):
         elif r.abc_class == "B":
             assert cum * 20 <= total * 19
     assert {"A", "B", "C"} == set(classes)
+
+
+def test_cohort_ltv_reconciles(spark):
+    """Cohort curves reconcile: revenue across all (cohort, age) cells
+    equals total order revenue, cumulative sums are running totals,
+    age-0 cells contain every cohort member's first order, and LTV is
+    the exact integer division of cum revenue by cohort size."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import windows as win
+
+    rows = win.cohort_ltv(spark, SF).collect()
+    o = mio.load(spark, SF, "orders")
+    total_cents = o.select(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+    ).collect()[0][0]
+    assert sum(r.revenue_cents for r in rows) == total_cents
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_month, []).append(r)
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(rs[0].cohort_size for rs in by_cohort.values()) == n_cust
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r.months_since)
+        assert rs[0].months_since == 0
+        assert rs[0].n_active == rs[0].cohort_size  # everyone buys at age 0
+        cum = 0
+        for r in rs:
+            cum += r.revenue_cents
+            assert r.cum_revenue_cents == cum
+            assert r.ltv_cents_per_customer == cum // r.cohort_size

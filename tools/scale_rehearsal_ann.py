@@ -133,7 +133,13 @@ def main() -> int:
     # the ADC lookups, so this stage should undercut pq_adc_topk (which
     # scans every code) — the gap is the prune factor cells/N_PROBE
     stage(
-        "ivfpq_adc_topk",
+        "ivfpq_adc_topk(build+query)",
+        lambda: f"{similarity.ivfpq_adc_topk(spark, d).count()} result rows",
+    )
+    # the deployment shape: index built once (cached above), every
+    # further query pays only LUT build + the cell-pruned scoring join
+    stage(
+        "ivfpq_adc_topk(warm probe)",
         lambda: f"{similarity.ivfpq_adc_topk(spark, d).count()} result rows",
     )
 
