@@ -263,3 +263,85 @@ FROM events a JOIN events b
  AND b.ts > a.ts
  AND epoch_us(b.ts) - epoch_us(a.ts) <= {RANGE_WINDOW_SEC * 1_000_000}
 """
+
+
+# --- multi-touch attribution -------------------------------------------------
+
+ATTRIB_WINDOW_SEC = 30 * 60  # look-back credited to each purchase
+
+
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the 30 minutes
+    before a same-user purchase shares that purchase's value equally —
+    the many-touch generalization of `asof_purchase_click`'s last-touch
+    rule, and a REGISTERED composition over the generic `range_join`
+    API (the cell-decomposed bounded-interval join: equi-shuffle on
+    (user, cell), two probed cells, no per-user cross product).
+
+    Exactness: purchase value quantizes to BIGINT micro-units once;
+    each touch's credit is integer division by the touch count (both
+    engines truncate toward zero), so credited sums are order-exact
+    integers. The un-credited division remainder (< n_touches micros
+    per purchase) stays with no touch — conservation up to that
+    remainder is pinned in tests."""
+    e = io.load_events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("value_micro"),
+    )
+    pairs = range_join(
+        clicks,
+        purchases,
+        by=["user_id"],
+        left_ts="click_us",
+        right_ts="purchase_us",
+        lower=0,
+        upper=ATTRIB_WINDOW_SEC * 1_000_000,
+    )
+    touches = pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_touches")
+    )
+    credited = pairs.join(touches, "purchase_id").select(
+        "click_id",
+        "user_id",
+        F.expr("value_micro div n_touches").alias("credit_micro"),
+    )
+    return credited.groupBy("click_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases_touched"),
+        F.sum("credit_micro").alias("credited_micro"),
+    )
+
+
+MULTITOUCH_ATTRIBUTION_SQL = f"""
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+  FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us,
+         CAST(round(value * 1000000) AS BIGINT) AS value_micro
+  FROM events WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT c.click_id, c.user_id, p.purchase_id, p.value_micro
+  FROM clicks c JOIN purchases p
+    ON c.user_id = p.user_id
+   AND p.purchase_us - c.click_us > 0
+   AND p.purchase_us - c.click_us <= {ATTRIB_WINDOW_SEC * 1_000_000}
+), touches AS (
+  SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_touches
+  FROM pairs GROUP BY purchase_id
+), credited AS (
+  SELECT click_id, user_id, value_micro // n_touches AS credit_micro
+  FROM pairs JOIN touches USING (purchase_id)
+)
+SELECT click_id, user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases_touched,
+       CAST(sum(credit_micro) AS BIGINT) AS credited_micro
+FROM credited GROUP BY click_id, user_id
+"""

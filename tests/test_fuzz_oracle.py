@@ -163,6 +163,10 @@ EV_QUERIES = [
     # transition matrix: lag ordering ties (same-ts events) break on
     # event_id identically; row normalization is exact-int division
     "ev_markov_transitions",
+    # multi-touch credits: integer micro-division ties, negative
+    # purchase values (both engines truncate toward zero), window-edge
+    # gaps exactly at 30min
+    "ev_multitouch_attribution",
     # robust MAD outliers: interpolated medians are single midpoint IEEE
     # ops, identical both engines; constant-valued types must drop via
     # the mad>0 guard + try_divide on both sides

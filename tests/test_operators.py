@@ -1725,3 +1725,37 @@ def test_cohort_ltv_reconciles(spark):
             cum += r.revenue_cents
             assert r.cum_revenue_cents == cum
             assert r.ltv_cents_per_customer == cum // r.cohort_size
+
+
+def test_multitouch_attribution_conserves_value(spark):
+    """Each purchase's credited mass equals its micro value minus the
+    integer-division remainder (< n_touches micros); purchases with no
+    in-window click credit nothing; the pair set equals a naive scan."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import temporal as tmp
+
+    e = [(r.event_id, r.user_id, r.event_type, r.ts, r.value)
+         for r in mio.load_events(spark, SF).collect()]
+    clicks = [(i, u, ts) for i, u, t, ts, v in e if t == "click"]
+    purchases = [(i, u, ts, round(v * 1_000_000)) for i, u, t, ts, v in e
+                 if t == "purchase"]
+    win = tmp.ATTRIB_WINDOW_SEC
+    touch: dict = {}
+    for ci, cu, cts in clicks:
+        for pi, pu, pts, pv in purchases:
+            gap = (pts - cts).total_seconds()
+            if cu == pu and 0 < gap <= win:
+                touch.setdefault(pi, []).append(ci)
+    expected: dict = {}
+    for pi, cis in touch.items():
+        pv = next(v for i, _, _, v in purchases if i == pi)
+        # trunc-toward-zero division, matching both engines
+        q = abs(pv) // len(cis)
+        credit = q if pv >= 0 else -q
+        for ci in cis:
+            n, c = expected.get(ci, (0, 0))
+            expected[ci] = (n + 1, c + credit)
+
+    got = {r.click_id: (r.n_purchases_touched, r.credited_micro)
+           for r in tmp.multitouch_attribution(spark, SF).collect()}
+    assert got == expected
