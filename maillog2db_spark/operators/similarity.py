@@ -1649,3 +1649,117 @@ SELECT query_id, neighbor_id, cell, adc_d2, rank FROM (
   FROM scored
 ) WHERE rank <= {TOP_K}
 """
+
+
+# --- truncated-dimension recall (Matryoshka-style eval) -----------------------
+
+TRUNC_D = 16  # prefix dimensions kept by the truncated ranking
+
+
+def truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of a PREFIX-truncated cosine ranking (first TRUNC_D of
+    DIM dims) against the full-dimension exact top-k — the evaluation
+    behind Matryoshka-style embedding truncation (Kusupati et al.
+    2022): if prefix dims carry the signal, a 4× narrower index serves
+    the first-stage retrieval. Same composed-eval shape as
+    `ann_recall` (both rankings hash-verified end to end by one
+    oracle), so the accuracy claim for the memory saving is itself a
+    REGISTERED, driver-checked query.
+
+    Plan: two broadcast-query scans over the corpus (the truncated one
+    reads 4× fewer floats through the fold), two two-phase top-k
+    ranks, one k-row-per-query join. Ties and rounding follow the
+    brute-force contract (round-6 cosine, neighbor-id tiebreak)."""
+    e = _embeddings(spark, sf_dir)
+
+    def topk(dims: int, rank_col: str) -> DataFrame:
+        emb = F.expr(f"slice(embedding, 1, {dims})")
+        q = e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            emb.alias("q_emb"),
+            _norm(emb).alias("q_nrm"),
+        )
+        c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("neighbor_id"),
+            emb.alias("c_emb"),
+            _norm(emb).alias("c_nrm"),
+        )
+        scored = c.join(F.broadcast(q)).select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.try_divide(
+                    _dot(F.col("q_emb"), F.col("c_emb")),
+                    F.col("q_nrm") * F.col("c_nrm"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        order = (F.col("cosine").desc(), F.asc("neighbor_id"))
+        local_w = Window.partitionBy("query_id", "pid").orderBy(*order)
+        survivors = (
+            scored.withColumn("pid", F.spark_partition_id())
+            .withColumn("lrank", F.row_number().over(local_w))
+            .filter(F.col("lrank") <= TOP_K)
+            .drop("pid", "lrank")
+        )
+        w = Window.partitionBy("query_id").orderBy(*order)
+        return (
+            survivors.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk(DIM, "rank_full")
+    trunc = topk(TRUNC_D, "rank_trunc")
+    hits = full.join(trunc, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        full.select("query_id")
+        .distinct()
+        .join(hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+              "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(f"CAST(coalesce(n_hits, 0) * 1000000 div {TOP_K} AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
+def _topk_duck(dims: int) -> str:
+    emb = f"list_slice(embedding, 1, {dims})"
+    dot = _DOT_DUCK.format(a="q_emb", b="c_emb")
+    qn = _DOT_DUCK.format(a="q_emb", b="q_emb")
+    cn = _DOT_DUCK.format(a="c_emb", b="c_emb")
+    return f"""(
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM (
+      SELECT q.query_id, c.neighbor_id,
+             round({dot} / (sqrt({qn}) * sqrt({cn})), 6) AS cosine
+      FROM (SELECT vec_id AS query_id, {emb} AS q_emb
+            FROM embeddings WHERE vec_id < {N_QUERIES}) q
+      CROSS JOIN (SELECT vec_id AS neighbor_id, {emb} AS c_emb
+                  FROM embeddings WHERE vec_id >= {N_QUERIES}) c
+    )
+  ) WHERE rnk <= {TOP_K})"""
+
+
+TRUNCATION_RECALL_SQL = f"""
+WITH full_k AS {_topk_duck(DIM)},
+trunc_k AS {_topk_duck(TRUNC_D)},
+hits AS (
+  SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM full_k f JOIN trunc_k t USING (query_id, neighbor_id)
+  GROUP BY f.query_id
+)
+SELECT query_id,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(n_hits, 0) * 1000000 // {TOP_K} AS BIGINT) AS recall_ppm
+FROM (SELECT DISTINCT query_id FROM full_k) q
+LEFT JOIN hits USING (query_id)
+"""

@@ -393,6 +393,8 @@ register("embed_pq_adc_topk", _sim.PQ_ADC_TOPK_SQL,
          doc="PQ asymmetric-distance search: per-query M x k lookup tables, compressed corpus scored by table-lookup sums — billions of codes at RAM speed, never decompressed")(_sim.pq_adc_topk)
 register("embed_ivfpq_topk", _sim.IVFPQ_ADC_TOPK_SQL,
          doc="IVFADC (Jegou et al. 2011 SIV): coarse-cell prune + residual-PQ codes scored by per-(query,cell) lookup tables — the composed billion-scale ANN layout; search cost corpus/cells x N_PROBE lookup sums per query")(_sim.ivfpq_adc_topk)
+register("embed_truncation_recall", _sim.TRUNCATION_RECALL_SQL,
+         doc="Matryoshka-style eval: recall@k of a 16-dim prefix-truncated cosine ranking vs the full 64-dim exact top-k — the accuracy contract behind serving a 4x narrower first-stage index")(_sim.truncation_recall)
 register("embed_ann_recall", _sim.ANN_RECALL_SQL,
          doc="Recall@k of the IVF probe vs exact brute-force top-k — the ANN accuracy contract, hash-verified end to end")(_sim.ann_recall)
 register("embed_semdedup", _sim.SEMDEDUP_SQL,
@@ -595,7 +597,7 @@ _PRIORITY = [
     # material alongside them)
     "doc_weighted_sample", "ev_markov_transitions", "embed_kmeans",
     "ord_zorder_key", "ord_revenue_ewma", "doc_span_scrub",
-    "li_basket_affinity", "dq_referential_integrity", "dq_daily_reconciliation", "embed_ann_recall", "embed_pq_encode", "embed_pq_adc_topk", "embed_ivfpq_topk",
+    "li_basket_affinity", "dq_referential_integrity", "dq_daily_reconciliation", "embed_ann_recall", "embed_pq_encode", "embed_pq_adc_topk", "embed_ivfpq_topk", "embed_truncation_recall",
     "doc_edit_distance_pairs", "doc_bigram_lm_score", "ev_value_mad_anomaly", "ev_multitouch_attribution", "ord_priority_islands", "ord_abc_pareto", "ord_cohort_ltv", "li_part_pagerank", "doc_bpe_train_merges", "doc_bpe_encode_stats",
     "doc_normalized_dedup",
 ]

@@ -313,6 +313,9 @@ EMBED_QUERIES = [
     # composed coarse-cell + residual-PQ path: zero/dup vectors hit NULL
     # csim cell assignment AND integer-ppm residual quantization at once
     "embed_ivfpq_topk",
+    # prefix-truncated vs full ranking: zero PREFIXES of nonzero vectors
+    # hit try_divide NULLs in only one of the two rankings
+    "embed_truncation_recall",
 ]
 
 vec_strategy = st.lists(

@@ -1759,3 +1759,40 @@ def test_multitouch_attribution_conserves_value(spark):
     got = {r.click_id: (r.n_purchases_touched, r.credited_micro)
            for r in tmp.multitouch_attribution(spark, SF).collect()}
     assert got == expected
+
+
+def test_truncation_recall_matches_numpy(spark):
+    """The registered recall numbers equal a numpy recount of both
+    rankings (round-6 cosine, neighbor-id ties), and recall is 1.0
+    when the 'truncation' keeps every dimension."""
+    import numpy as np
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import similarity as sim
+
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in mio.load(spark, SF, "embeddings").collect()}
+
+    def r6(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    def topk(dims):
+        out = {}
+        for q in range(sim.N_QUERIES):
+            qv = emb[q][:dims]
+            scored = sorted(
+                (-r6(float(qv @ emb[n][:dims]
+                           / (np.sqrt(qv @ qv) * np.sqrt(emb[n][:dims] @ emb[n][:dims])))), n)
+                for n in emb if n >= sim.N_QUERIES
+            )[: sim.TOP_K]
+            out[q] = {n for _, n in scored}
+        return out
+
+    full, trunc = topk(sim.DIM), topk(sim.TRUNC_D)
+    expected = {
+        q: (len(full[q] & trunc[q]), len(full[q] & trunc[q]) * 1_000_000 // sim.TOP_K)
+        for q in full
+    }
+    got = {r.query_id: (r.n_hits, r.recall_ppm)
+           for r in sim.truncation_recall(spark, SF).collect()}
+    assert got == expected
