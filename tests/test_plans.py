@@ -22,10 +22,16 @@ BNL_ALLOWED = {
     "embed_kmeans",  # broadcast k×dim centroids scored against the corpus
     "embed_ann_recall",  # composes the two BNL-allowed rankings above
     "embed_ivfpq_topk",  # broadcast k×dim coarse centroids, as ann_ivf_topk
+    "embed_truncation_recall",  # composes two knn_bruteforce-shaped rankings
     "doc_tfidf_topk",
     "tpch_q11_important_parts",
     "tpch_q22_dormant_customers",
     "doc_unigram_lm_score",  # single-row corpus-total scalar broadcast
+    "doc_bigram_lm_score",  # same single-row total broadcast as unigram
+    "li_part_pagerank",  # single-row node-count scalar broadcast
+    "ord_abc_pareto",  # single-row grand-total scalar broadcast
+    "doc_bpe_train_merges",  # 1-row winning-pair broadcast per iteration
+    "doc_bpe_encode_stats",  # same 1-row winning-pair broadcast
     "li_basket_affinity",  # single-row order-total scalar broadcast
     "doc_corpus_pipeline",  # 1-row funnel agg × 1-row bins agg combine
 }
@@ -167,3 +173,32 @@ def test_round3_queries_prune_columns(spark):
     p = _plan(spark, "ord_rfm_segments")
     scan = next(l for l in p.splitlines() if "FileScan parquet" in l and "orders" in l)
     assert "o_totalprice" in scan and "o_orderpriority" not in scan and "o_orderstatus" not in scan
+
+
+def test_round4_session_query_plan_shapes(spark):
+    """Plan pins for the round-4-late operators: the IVFPQ scoring join
+    broadcasts the lookup table; the edit-distance candidate join is a
+    band-keyed equi-join (hash/merge, never nested-loop); attribution
+    rides the range join's cell-decomposed equi-shuffle; the Pareto
+    walk windows over the POST-AGGREGATE table (one HashAggregate
+    below the window)."""
+    p = _plan(spark, "embed_ivfpq_topk")
+    assert "BroadcastHashJoin" in p
+    for name in ("doc_edit_distance_pairs", "ev_multitouch_attribution",
+                 "ord_cohort_ltv"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, name
+        assert "HashJoin" in p or "SortMergeJoin" in p, name
+    # the whole islands collapse (flag, cumsum, aggregate) rides ONE
+    # custkey shuffle — a second Exchange means the window partitioning
+    # stopped feeding the aggregate
+    p = _plan(spark, "ord_priority_islands")
+    assert "Join" not in p
+    assert p.count("Exchange") == 1, p
+    # pagerank's only BNL is the 1-row node-count broadcast; the
+    # edge×rank joins themselves must be equi-joins
+    p = _plan(spark, "li_part_pagerank")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    p = _plan(spark, "ord_abc_pareto")
+    assert p.index("Window") < p.index("HashAggregate")  # window above the agg
