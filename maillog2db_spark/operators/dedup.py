@@ -1130,40 +1130,26 @@ JOIN sh y ON cand.doc_b = y.doc_id
 """
 
 
-# --- blocked edit-distance near-dup ------------------------------------------
+# --- edit-distance near-dup (PassJoin segment blocking) ----------------------
 
-EDIT_T = 20  # max Levenshtein distance reported
-EDIT_BAND = EDIT_T  # length-band width; width >= T makes the blocking lossless
+EDIT_T = 5  # max Levenshtein distance reported
+EDIT_K = EDIT_T + 1  # segments per indexed string (pigeonhole: T edits
+#                      cannot touch all T+1 segments)
+EDIT_SHORT = 2 * EDIT_K  # strings below this length use the band path
+#                          (segments would be 0-1 chars — all-collide keys)
+
+_SEGS_EXPR = f"""
+transform(sequence(0, {EDIT_K - 1}), i -> struct(
+  i AS i,
+  CAST((lb div {EDIT_K}) + IF(i >= {EDIT_K} - (lb % {EDIT_K}), 1, 0) AS INT) AS li,
+  CAST(i * (lb div {EDIT_K})
+       + greatest(0, i - ({EDIT_K} - (lb % {EDIT_K}))) AS INT) AS si))
+"""
 
 
-def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-duplicate pairs: ALL unordered doc pairs with
-    Levenshtein distance <= EDIT_T, found without an all-pairs scan.
-    Completes the blocking families (hash/LSH, bit-sketch, prefix
-    filter, sort key) with the metric the others only approximate:
-    lev(a, b) <= T implies |len(a) - len(b)| <= T, so blocking on
-    length bands of width W = T and probing only each band and its
-    successor is LOSSLESS — every qualifying pair lands in exactly one
-    (band, band+1) or within-band candidate, no recall knob.
-
-    Distances are computed over the ASCII projection of the text
-    (every non-ASCII codepoint folds to one 0x7F placeholder on both
-    engines): Spark's levenshtein counts codepoints while DuckDB's
-    counts bytes, and the projection makes those alphabets coincide
-    for ANY input — the projection is the documented contract, not an
-    implementation accident (cf. the textnorm ASCII-fold precedent).
-    NULL texts drop on both engines (NULL band joins nothing).
-
-    Scale design: the self-join is band-keyed (never corpus x corpus);
-    candidate volume is sum over bands of occupancy x (own + successor
-    occupancy), data-bounded by the length histogram; the verify is
-    Spark's threshold-capped levenshtein (banded DP, O(len x T) per
-    pair, early-exit -1) rather than the O(len^2) full matrix. A hot
-    band (mass of same-length docs) would salt the same way
-    _pairs_within_groups does; the length histogram keeps driver-SF
-    bands small."""
+def _folded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = spark.sparkContext.defaultParallelism
-    d = (
+    return (
         io.load(spark, sf_dir, "documents")
         .repartition(p, "doc_id")
         .select(
@@ -1171,57 +1157,176 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("text", r"[^\x00-\x7F]", "\x7f").alias("ftext"),
         )
         .withColumn("flen", F.length("ftext"))
-        .withColumn("band", F.expr(f"flen div {EDIT_BAND}"))
+        .filter(F.col("flen").isNotNull())
     )
-    lhs = d.select(
+
+
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate pairs: ALL unordered doc pairs with
+    Levenshtein distance <= EDIT_T, found without an all-pairs scan —
+    and, unlike plain length-band blocking, without the hot-band
+    hazard: on a length-concentrated corpus (the dedup rehearsal's
+    uniform 60-token docs, or any templated/log-like collection) every
+    doc lands in ONE band and a band self-join goes quadratic.
+
+    Candidate generation is PassJoin-style segment blocking (Li,
+    Deng, Feng 2011): each indexed string splits into K = T+1 even
+    segments; T edits cannot touch all K segments, so for any
+    qualifying pair at least one segment of b survives INTACT in a,
+    shifted by at most T (net indels) — the candidate join is a plain
+    equi-join on (partner-length, segment-index, segment-content),
+    probing each doc's substrings only at the <= 2T+1 allowed
+    positions for each of the <= 2T+1 partner lengths THAT EXIST
+    (broadcast length-dictionary semi-join prunes the rest). Content
+    keys block as sharply as the text is diverse — same-length docs
+    no longer collide unless they actually share a segment. Blocking
+    is LOSSLESS (pigeonhole, no recall knob); the oracle implements
+    the naive band join, so the hash gate itself certifies
+    losslessness. Strings shorter than EDIT_SHORT (segments of 0-1
+    chars would all-collide) take the band path, extended to their
+    every possible partner length; the paths overlap rather than gap
+    and a distinct() unifies them before the single verify pass.
+
+    Distances are computed over the ASCII projection of the text
+    (every non-ASCII codepoint folds to one 0x7F placeholder on both
+    engines): Spark's levenshtein counts codepoints while DuckDB's
+    counts bytes, and the projection makes those alphabets coincide
+    for ANY input. NULL texts drop on both engines.
+
+    Scale design: index side emits K rows/doc; probe side <=
+    (existing lengths within T) x K x (2T+1) rows/doc — corpus-linear
+    with a constant factor, never corpus^2; the verify is Spark's
+    threshold-capped levenshtein (banded DP, O(len x T), early-exit
+    -1) and runs once per DISTINCT surviving candidate pair."""
+    d = _folded_docs(spark, sf_dir)
+
+    # --- short path: band join among docs short enough to have
+    # degenerate segments, extended to every possible partner length
+    shorts = d.filter(F.col("flen") < EDIT_SHORT + EDIT_T)
+    s_lhs = shorts.select(
         F.col("doc_id").alias("ida"),
-        F.col("ftext").alias("ta"),
         F.col("flen").alias("la"),
-        F.col("band").alias("band_a"),
-        F.explode(F.array(F.col("band"), F.col("band") + F.lit(1))).alias("key"),
+        F.expr(f"flen div {EDIT_T}").alias("band_a"),
+        F.explode(
+            F.array(
+                F.expr(f"flen div {EDIT_T}"), F.expr(f"flen div {EDIT_T}") + F.lit(1)
+            )
+        ).alias("key"),
     )
-    rhs = d.select(
+    s_rhs = shorts.select(
         F.col("doc_id").alias("idb"),
-        F.col("ftext").alias("tb"),
         F.col("flen").alias("lb"),
-        F.col("band").alias("key"),
+        F.expr(f"flen div {EDIT_T}").alias("key"),
     )
-    cand = lhs.join(rhs, "key").filter(
-        (
-            (F.col("band_a") < F.col("key"))
-            | ((F.col("band_a") == F.col("key")) & (F.col("ida") < F.col("idb")))
+    short_pairs = (
+        s_lhs.join(s_rhs, "key")
+        .filter(
+            (
+                (F.col("band_a") < F.col("key"))
+                | ((F.col("band_a") == F.col("key")) & (F.col("ida") < F.col("idb")))
+            )
+            & (F.abs(F.col("la") - F.col("lb")) <= EDIT_T)
+            # at least one side genuinely short — long×long belongs to
+            # the segment path (overlap is harmless, distinct() unifies)
+            & (F.least("la", "lb") < EDIT_SHORT)
         )
-        & (F.abs(F.col("la") - F.col("lb")) <= EDIT_T)
+        .select(
+            F.least("ida", "idb").alias("lo"), F.greatest("ida", "idb").alias("hi")
+        )
     )
-    v = cand.select(
-        "ida",
-        "idb",
-        "la",
-        "lb",
-        F.levenshtein("ta", "tb", EDIT_T).alias("lev"),
-    ).filter(F.col("lev") >= 0)
-    return v.select(
-        F.least("ida", "idb").alias("doc_a"),
-        F.greatest("ida", "idb").alias("doc_b"),
-        F.col("lev").cast("int").alias("lev"),
-        F.when(F.col("ida") < F.col("idb"), F.col("la"))
-        .otherwise(F.col("lb"))
-        .cast("bigint")
-        .alias("len_a"),
-        F.when(F.col("ida") < F.col("idb"), F.col("lb"))
-        .otherwise(F.col("la"))
-        .cast("bigint")
-        .alias("len_b"),
+
+    # --- long path: PassJoin segment equi-join
+    longs = d.filter(F.col("flen") >= EDIT_SHORT)
+    lens = longs.select(F.col("flen").alias("lb")).distinct()
+    build = (
+        longs.select(
+            F.col("doc_id").alias("idb"),
+            F.col("ftext").alias("tb"),
+            F.col("flen").alias("lb"),
+        )
+        .select(
+            "idb", "tb", "lb", F.explode(F.expr(_SEGS_EXPR)).alias("g")
+        )
+        .select(
+            "idb",
+            "lb",
+            F.col("g.i").alias("i"),
+            F.expr("substring(tb, g.si + 1, g.li)").alias("seg"),
+        )
+    )
+    probe = (
+        longs.select(
+            F.col("doc_id").alias("ida"),
+            F.col("ftext").alias("ta"),
+            F.col("flen").alias("la"),
+            F.explode(
+                F.sequence(F.col("flen") - EDIT_T, F.col("flen") + EDIT_T)
+            ).alias("lb"),
+        )
+        .join(F.broadcast(lens), "lb")  # only partner lengths that exist
+        .select("ida", "ta", "la", "lb", F.explode(F.expr(_SEGS_EXPR)).alias("g"))
+        .select(
+            "ida",
+            "ta",
+            "la",
+            "lb",
+            F.col("g.i").alias("i"),
+            F.col("g.li").alias("li"),
+            F.greatest(F.lit(0), F.col("g.si") - EDIT_T).alias("p_lo"),
+            F.least(F.col("la") - F.col("g.li"), F.col("g.si") + EDIT_T).alias("p_hi"),
+        )
+        .filter(F.col("p_lo") <= F.col("p_hi"))
+        .select(
+            "ida",
+            "ta",
+            "lb",
+            "i",
+            "li",
+            F.explode(F.sequence("p_lo", "p_hi")).alias("p"),
+        )
+        .select(
+            "ida", "lb", "i", F.expr("substring(ta, p + 1, li)").alias("seg")
+        )
+    )
+    long_pairs = (
+        probe.join(build, ["lb", "i", "seg"])
+        .filter(F.col("ida") != F.col("idb"))
+        .select(
+            F.least("ida", "idb").alias("lo"), F.greatest("ida", "idb").alias("hi")
+        )
+    )
+
+    cand = short_pairs.unionByName(long_pairs).distinct()
+    a = d.select(
+        F.col("doc_id").alias("lo"), F.col("ftext").alias("ta"), F.col("flen").alias("la")
+    )
+    b = d.select(
+        F.col("doc_id").alias("hi"), F.col("ftext").alias("tb"), F.col("flen").alias("lb")
+    )
+    return (
+        cand.join(a, "lo")
+        .join(b, "hi")
+        .select(
+            F.col("lo").alias("doc_a"),
+            F.col("hi").alias("doc_b"),
+            F.levenshtein("ta", "tb", EDIT_T).alias("lev"),
+            F.col("la").cast("bigint").alias("len_a"),
+            F.col("lb").cast("bigint").alias("len_b"),
+        )
+        .filter(F.col("lev") >= 0)
+        .select("doc_a", "doc_b", F.col("lev").cast("int").alias("lev"), "len_a", "len_b")
     )
 
 
+# The oracle implements the NAIVE band join — hash equality against it
+# certifies the PassJoin blocking lossless on every gate corpus.
 EDIT_DISTANCE_PAIRS_SQL = f"""
 WITH fold AS (
   SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', chr(127), 'g') AS ftext
   FROM documents
 ), d AS (
   SELECT doc_id, ftext, length(ftext) AS flen,
-         length(ftext) // {EDIT_BAND} AS band
+         length(ftext) // {EDIT_T} AS band
   FROM fold
 ), lhs AS (
   SELECT doc_id, ftext, flen, band, band + b.range AS key

@@ -1536,20 +1536,24 @@ def test_ivfpq_adc_matches_numpy_recount(spark):
 
 
 def test_edit_distance_pairs_planted(spark, tmp_path):
-    """Blocking losslessness + verify exactness: a near pair straddling
-    a band boundary is found with its true distance, a pair past the
-    threshold is absent, unrelated lengths never become candidates."""
+    """Blocking losslessness + verify exactness across BOTH candidate
+    paths: a long near pair (PassJoin segments), a short near pair
+    (band path), a short-long boundary pair, a pair past the
+    threshold, and unrelated docs — exact distances throughout."""
     from maillog2db_spark.operators import dedup as dd
 
     base = ("the quick brown fox jumps over the lazy dog and keeps on "
-            "running through the quiet field at dawn")  # 98 chars, band 4
-    near = base + " xx yy"            # 104 chars, band 5: lev 6, crosses bands
+            "running through the quiet field at dawn")  # 98 chars
+    near = base + " xx y"                # +5 chars: lev 5, at the cut
     far = base.replace("quick", "x" * 30)               # way past EDIT_T
     docs = [
         (0, base, "en", "s0", len(base)),
         (1, near, "en", "s0", len(near)),
         (2, far, "en", "s0", len(far)),
-        (3, "zz", "en", "s0", 2),     # unrelated tiny doc, band 0
+        (3, "zz", "en", "s0", 2),        # short path
+        (4, "zzyx", "en", "s0", 4),      # short path: lev(zz, zzyx)=2
+        (5, "abcdefghijk", "en", "s0", 11),    # short side of the boundary
+        (6, "abcdefghijkxy", "en", "s0", 13),  # long side: lev 2, mixed pair
     ]
     df = spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string, n_chars long"
@@ -1569,10 +1573,13 @@ def test_edit_distance_pairs_planted(spark, tmp_path):
             prev = cur
         return prev[-1]
 
-    assert set(rows) == {(0, 1)}
-    got = rows[(0, 1)]
-    assert got.lev == lev(base, near) == 6
-    assert (got.len_a, got.len_b) == (len(base), len(near))
+    assert set(rows) == {(0, 1), (3, 4), (5, 6)}
+    for a, b in rows:
+        got = rows[(a, b)]
+        assert got.lev == lev(docs[a][1], docs[b][1])
+        assert (got.len_a, got.len_b) == (len(docs[a][1]), len(docs[b][1]))
+    assert rows[(0, 1)].lev == 5 and rows[(5, 6)].lev == 2
+
 
 
 def test_priority_islands_conserve_and_are_contiguous(spark):

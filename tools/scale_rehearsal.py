@@ -128,6 +128,23 @@ def main() -> int:
     )
     stage("neardup_verify", lambda: f"{verified.count()} verified")
 
+    # PassJoin edit-distance pass on the SAME corpus: this corpus is the
+    # length-band worst case (uniform 60-token docs — one giant band), the
+    # shape that sent the banded v1 quadratic; segment-content blocking
+    # must stay corpus-linear here
+    import tempfile
+
+    ed_dir = tempfile.mkdtemp(prefix="ed_rehearsal_")
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s0")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        f"{ed_dir}/documents.parquet"
+    )
+    stage(
+        "edit_distance_pairs(PassJoin)",
+        lambda: f"{dedup.edit_distance_pairs(spark, ed_dir).count()} pairs",
+    )
+
     total = sum(timings.values())
     print(
         f"total {total:.1f} s = {1e6 * total / n:.0f} us/doc "
