@@ -1405,145 +1405,109 @@ def _sqdist_ppm(a, b):
     )
 
 
-def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFADC (Jégou et al. 2011 §IV): the two compression levels this
-    module builds separately — IVF coarse cells (`ann_ivf_topk`) and
-    product quantization (`pq_adc_topk`) — composed the way a
-    billion-scale index actually deploys them. Corpus vectors are
-    assigned to their nearest coarse cell, the RESIDUAL to the cell
-    centroid is PQ-encoded (residuals concentrate near the origin, so
-    the same code budget quantizes them far more accurately than raw
-    vectors), and a query probes only its N_PROBE nearest cells,
-    scoring each cell's codes with a per-(query, cell) asymmetric
-    lookup table built from the QUERY residual in that cell.
+def _ivfpq_assign_residual(cents, df, id_col, emb_col, nrm_col, n):
+    """Nearest-cell assignment KEEPING the winning centroid, emitting
+    the BIGINT-ppm residual — shared by the inline query, the build
+    path, and the probe path."""
+    scored = df.join(F.broadcast(cents)).select(
+        id_col,
+        emb_col,
+        "cell",
+        "centroid",
+        F.round(
+            F.try_divide(
+                _dot(F.col(emb_col), F.col("centroid")),
+                F.col(nrm_col) * F.col("cent_nrm"),
+            ),
+            6,
+        ).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n)
+        .select(
+            id_col,
+            "cell",
+            F.zip_with(
+                emb_col,
+                "centroid",
+                lambda x, y: F.round((x.cast("double") - y) * 1_000_000).cast(
+                    "bigint"
+                ),
+            ).alias("resid"),
+        )
+    )
 
-    Scale design: search cost is (corpus/cells × N_PROBE) table-lookup
-    sums per query — the cell prune bounds candidates, the codes are 8
-    bytes each, and the only big-side operation is one broadcast-LUT
-    equi-join on (cell, m, code) followed by a two-phase top-k (local
-    per-partition heads, then a global rank over ≤ k×partitions
-    survivors). Cross-engine exactness: residual components quantize
-    to BIGINT ppm at birth; every downstream distance is then exact
-    integer arithmetic (codebook entries round(avg(bigint)) — a single
-    IEEE division of exact integer sums on both engines), so no sum
-    order anywhere can flip a value. Ties break on code/cell/neighbor
-    ids."""
+
+def _ivfpq_subvectors(df, *keys):
+    return df.select(
+        *keys,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" m -> struct(m AS m, slice(resid, m * {PQ_D} + 1, {PQ_D}) AS svec))"
+            )
+        ).alias("s"),
+    ).select(*keys, F.col("s.m").alias("m"), F.col("s.svec").alias("svec"))
+
+
+def _ivfpq_corpus_subvectors(spark, sf_dir):
     e = _embeddings(spark, sf_dir)
     cents = centroids_with_norms(spark, sf_dir)
-
-    def assigned_with_residual(df, id_col, emb_col, nrm_col, n):
-        # nearest-cell assignment KEEPING the winning centroid, so the
-        # ppm residual is computed without a second join
-        scored = df.join(F.broadcast(cents)).select(
-            id_col,
-            emb_col,
-            "cell",
-            "centroid",
-            F.round(
-                F.try_divide(
-                    _dot(F.col(emb_col), F.col("centroid")),
-                    F.col(nrm_col) * F.col("cent_nrm"),
-                ),
-                6,
-            ).alias("csim"),
-        )
-        w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell"))
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= n)
-            .select(
-                id_col,
-                "cell",
-                F.zip_with(
-                    emb_col,
-                    "centroid",
-                    lambda x, y: F.round((x.cast("double") - y) * 1_000_000).cast(
-                        "bigint"
-                    ),
-                ).alias("resid"),
-            )
-        )
-
-    def subvectors(df, *keys):
-        return df.select(
-            *keys,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {PQ_M - 1}),"
-                    f" m -> struct(m AS m, slice(resid, m * {PQ_D} + 1, {PQ_D}) AS svec))"
-                )
-            ).alias("s"),
-        ).select(*keys, F.col("s.m").alias("m"), F.col("s.svec").alias("svec"))
-
-    def corpus_residual_subvectors():
-        corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
-            F.col("vec_id").alias("neighbor_id"),
-            "label",
-            F.col("embedding").alias("c_emb"),
-            _norm(F.col("embedding")).alias("c_nrm"),
-        )
-        inv = assigned_with_residual(
-            corpus.drop("label"), "neighbor_id", "c_emb", "c_nrm", 1
-        ).join(corpus.select("neighbor_id", "label"), "neighbor_id")
-        return subvectors(inv, "neighbor_id", "label", "cell")
-
-    def build_cb():
-        # residual codebooks: per-(label, subspace) ppm mean of CORPUS
-        # residual subvectors — deterministic 'trained' codebooks, same
-        # framing as the PQ raw-vector codebooks (kmeans() shows the
-        # refinement loop). avg(bigint) is sum/count of exact integers
-        # on both engines — one IEEE division, cross-engine identical.
-        return (
-            corpus_residual_subvectors()
-            .select("label", "m", F.posexplode("svec").alias("pos", "v"))
-            .groupBy("label", "m", "pos")
-            .agg(F.round(F.avg("v")).cast("bigint").alias("c"))
-            .groupBy(F.col("label").alias("code"), "m")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
-                ).alias("cvec")
-            )
-        )
-
-    # session-cached index: cell assignment + residual encode + codebooks
-    # are the BUILD phase of an IVFADC index (built once, queried many
-    # times — same materialize-once framing as the pq_codes cache). The
-    # 1M rehearsal measured the inline build dominating the query 2:1;
-    # warm probes pay only LUT build + the pruned scoring join.
-    from .dedup import _cached
-
-    cb = _cached(spark, sf_dir, "ivfpq_cb", build_cb)
-
-    def build_codes():
-        # encode: per-(corpus vector, subspace) argmin over codes —
-        # exact integer distances, ties on code id
-        return (
-            corpus_residual_subvectors()
-            .join(F.broadcast(cb), "m")
-            .select(
-                "neighbor_id",
-                "cell",
-                "m",
-                "code",
-                _sqdist_ppm(F.col("svec"), F.col("cvec")).alias("d2"),
-            )
-            .groupBy("neighbor_id", "cell", "m")
-            .agg(F.min(F.struct("d2", "code")).alias("b"))
-            .select("neighbor_id", "cell", "m", F.col("b.code").alias("code"))
-        )
-
-    codes = _cached(spark, sf_dir, "ivfpq_codes", build_codes)
-
-    # query side: probe N_PROBE cells, one LUT per (query, probed cell)
-    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        _norm(F.col("embedding")).alias("q_nrm"),
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
     )
-    q_res = assigned_with_residual(queries, "query_id", "q_emb", "q_nrm", N_PROBE)
-    lut = (
-        subvectors(q_res, "query_id", "cell")
+    inv = _ivfpq_assign_residual(
+        cents, corpus.drop("label"), "neighbor_id", "c_emb", "c_nrm", 1
+    ).join(corpus.select("neighbor_id", "label"), "neighbor_id")
+    return _ivfpq_subvectors(inv, "neighbor_id", "label", "cell")
+
+
+def _ivfpq_build_cb(c_sub):
+    # residual codebooks: per-(label, subspace) ppm mean of CORPUS
+    # residual subvectors — deterministic 'trained' codebooks, same
+    # framing as the PQ raw-vector codebooks (kmeans() shows the
+    # refinement loop). avg(bigint) is sum/count of exact integers on
+    # both engines — one IEEE division, cross-engine identical.
+    return (
+        c_sub.select("label", "m", F.posexplode("svec").alias("pos", "v"))
+        .groupBy("label", "m", "pos")
+        .agg(F.round(F.avg("v")).cast("bigint").alias("c"))
+        .groupBy(F.col("label").alias("code"), "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            ).alias("cvec")
+        )
+    )
+
+
+def _ivfpq_encode(c_sub, cb):
+    # encode: per-(corpus vector, subspace) argmin over codes — exact
+    # integer distances, ties on code id
+    return (
+        c_sub.join(F.broadcast(cb), "m")
+        .select(
+            "neighbor_id",
+            "cell",
+            "m",
+            "code",
+            _sqdist_ppm(F.col("svec"), F.col("cvec")).alias("d2"),
+        )
+        .groupBy("neighbor_id", "cell", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("b"))
+        .select("neighbor_id", "cell", "m", F.col("b.code").alias("code"))
+    )
+
+
+def _ivfpq_lut(cents, queries, cb, n_probe):
+    q_res = _ivfpq_assign_residual(cents, queries, "query_id", "q_emb", "q_nrm", n_probe)
+    return (
+        _ivfpq_subvectors(q_res, "query_id", "cell")
         .join(F.broadcast(cb), "m")
         .select(
             "query_id",
@@ -1554,6 +1518,8 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+def _ivfpq_score_topk(codes, lut):
     scored = (
         codes.join(F.broadcast(lut), ["cell", "m", "code"])
         .groupBy("query_id", "neighbor_id", "cell")
@@ -1573,6 +1539,96 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cell", "adc_d2", "rank")
     )
+
+
+def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV): the two compression levels this
+    module builds separately — IVF coarse cells (`ann_ivf_topk`) and
+    product quantization (`pq_adc_topk`) — composed the way a
+    billion-scale index actually deploys them. Corpus vectors are
+    assigned to their nearest coarse cell, the RESIDUAL to the cell
+    centroid is PQ-encoded (residuals concentrate near the origin, so
+    the same code budget quantizes them far more accurately than raw
+    vectors), and a query probes only its N_PROBE nearest cells,
+    scoring each cell's codes with a per-(query, cell) asymmetric
+    lookup table built from the QUERY residual in that cell.
+
+    Scale design: search cost is (corpus/cells × N_PROBE) table-lookup
+    sums per query — the cell prune bounds candidates, the codes are 8
+    bytes each, and the only big-side operation is one broadcast-LUT
+    equi-join on (cell, m, code) followed by a two-phase top-k. The
+    index (assignment + encode + codebooks) is session-cached: built
+    once, queried many times (the 1M rehearsal measured the inline
+    build at 2× the query itself; warm probes run 1.5 s vs the flat
+    ADC scan's 43 s). `build_ivfpq_index`/`query_ivfpq_index` are the
+    persisted, partition-pruned form of the same split.
+
+    Cross-engine exactness: residual components quantize to BIGINT
+    ppm at birth; every downstream distance is exact integer
+    arithmetic (codebook entries round(avg(bigint)) — a single IEEE
+    division of exact integer sums on both engines), so no sum order
+    anywhere can flip a value. Ties break on code/cell/neighbor ids."""
+    e = _embeddings(spark, sf_dir)
+    cents = centroids_with_norms(spark, sf_dir)
+    from .dedup import _cached
+
+    cb = _cached(
+        spark, sf_dir, "ivfpq_cb",
+        lambda: _ivfpq_build_cb(_ivfpq_corpus_subvectors(spark, sf_dir)),
+    )
+    codes = _cached(
+        spark, sf_dir, "ivfpq_codes",
+        lambda: _ivfpq_encode(_ivfpq_corpus_subvectors(spark, sf_dir), cb),
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
+    )
+    lut = _ivfpq_lut(cents, queries, cb, N_PROBE)
+    return _ivfpq_score_topk(codes, lut)
+
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Materialize the IVFADC index: coarse centroids + residual
+    codebooks (both tiny) and the 8-byte code corpus partitioned BY
+    CELL on disk — the layout a billion-vector index ships with
+    (Jégou et al. 2011 §V: inverted lists of codes). Query-time work
+    never re-touches raw vectors; only probed cell directories are
+    read (partition pruning, verified in-plan)."""
+    cents = centroids_with_norms(spark, sf_dir)
+    c_sub = _ivfpq_corpus_subvectors(spark, sf_dir)
+    cb = _ivfpq_build_cb(c_sub)
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    cb.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+    (
+        _ivfpq_encode(c_sub, cb)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/codes")
+    )
+
+
+def query_ivfpq_index(
+    spark: SparkSession, index_dir: str, queries: DataFrame, n_probe: int = None
+) -> DataFrame:
+    """Probe a persisted IVFADC index: rank cells against the broadcast
+    centroids, build the per-(query, probed-cell) lookup tables from
+    the broadcast codebooks, and ADC-score ONLY the probed cells'
+    code directories (isin on the partition column prunes the rest).
+    `queries` needs (query_id, q_emb). Result-identical to the inline
+    ivfpq_adc_topk (tested)."""
+    n_probe = N_PROBE if n_probe is None else n_probe
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    cb = spark.read.parquet(f"{index_dir}/codebooks")
+    q = queries.select("query_id", "q_emb", _norm(F.col("q_emb")).alias("q_nrm"))
+    lut = _ivfpq_lut(cents, q, cb, n_probe)
+    probe_cells = [r.cell for r in lut.select("cell").distinct().collect()]
+    codes = spark.read.parquet(f"{index_dir}/codes").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    return _ivfpq_score_topk(codes, lut)
 
 
 _IVFPQ_ASSIGN_DUCK = """

@@ -1803,3 +1803,25 @@ def test_truncation_recall_matches_numpy(spark):
     got = {r.query_id: (r.n_hits, r.recall_ppm)
            for r in sim.truncation_recall(spark, SF).collect()}
     assert got == expected
+
+
+def test_persisted_ivfpq_index_matches_inline_and_prunes_partitions(spark, tmp_path):
+    """build_ivfpq_index + query_ivfpq_index returns exactly the inline
+    ivfpq_adc_topk results, and the codes scan carries a partition
+    filter (only probed cell directories are read)."""
+    from maillog2db_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivfpq")
+    sim.build_ivfpq_index(spark, sf, idx)
+    queries = sim._embeddings(spark, sf).filter(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got_df = sim.query_ivfpq_index(spark, idx, queries)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan
+    got = {(r.query_id, r.neighbor_id, r.cell, r.adc_d2, r.rank)
+           for r in got_df.collect()}
+    want = {(r.query_id, r.neighbor_id, r.cell, r.adc_d2, r.rank)
+            for r in sim.ivfpq_adc_topk(spark, sf).collect()}
+    assert got == want and got
