@@ -1251,7 +1251,7 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "idb",
             "lb",
             F.col("g.i").alias("i"),
-            F.expr("substring(tb, g.si + 1, g.li)").alias("seg"),
+            F.xxhash64(F.expr("substring(tb, g.si + 1, g.li)")).alias("h"),
         )
     )
     probe = (
@@ -1272,8 +1272,17 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lb",
             F.col("g.i").alias("i"),
             F.col("g.li").alias("li"),
-            F.greatest(F.lit(0), F.col("g.si") - EDIT_T).alias("p_lo"),
-            F.least(F.col("la") - F.col("g.li"), F.col("g.si") + EDIT_T).alias("p_hi"),
+            # tight shift bound: |d| edits must precede the segment and
+            # |d - (La-Lb)| must follow it, so |d| + |d-dl| <= T — at
+            # most T+1 probe positions (vs 2T+1 with the naive bound)
+            F.expr(
+                f"greatest(0, g.si + least(0, la - lb)"
+                f" - ({EDIT_T} - abs(la - lb)) div 2)"
+            ).alias("p_lo"),
+            F.expr(
+                f"least(la - g.li, g.si + greatest(0, la - lb)"
+                f" + ({EDIT_T} - abs(la - lb)) div 2)"
+            ).alias("p_hi"),
         )
         .filter(F.col("p_lo") <= F.col("p_hi"))
         .select(
@@ -1284,12 +1293,17 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "li",
             F.explode(F.sequence("p_lo", "p_hi")).alias("p"),
         )
+        # join on the segment's 8-byte hash, not its content: the
+        # shuffle carries fixed-width keys instead of ~L/K-char
+        # strings; a hash collision only creates a spurious candidate,
+        # which the levenshtein verify kills
         .select(
-            "ida", "lb", "i", F.expr("substring(ta, p + 1, li)").alias("seg")
+            "ida", "lb", "i",
+            F.xxhash64(F.expr("substring(ta, p + 1, li)")).alias("h"),
         )
     )
     long_pairs = (
-        probe.join(build, ["lb", "i", "seg"])
+        probe.join(build, ["lb", "i", "h"])
         .filter(F.col("ida") != F.col("idb"))
         .select(
             F.least("ida", "idb").alias("lo"), F.greatest("ida", "idb").alias("hi")
