@@ -641,6 +641,35 @@ FROM t LEFT JOIN cov USING (doc_id)
 BASKET_MIN_SUPPORT = 2
 
 
+
+def _li_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached co-purchase pair counts — the (part_a < part_b,
+    common-order count) table both `basket_affinity` and
+    `part_pagerank` start from. The order-keyed self-join (bounded by
+    basket size^2, never part x part) runs once per (session, sf_dir);
+    the same materialize-once framing as the dedup rep/signature
+    bases."""
+    from .dedup import _cached
+
+    def build():
+        li = (
+            io.load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a, b = li.alias("a"), li.alias("b")
+        return (
+            a.join(b, "l_orderkey")
+            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .groupBy(
+                F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+
+    return _cached(spark, sf_dir, "li_pair_counts", build)
+
+
 def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-occurrence / association mining over order baskets: for every
     part pair appearing in >= MIN_SUPPORT common orders, the support
@@ -661,13 +690,10 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = a.join(b, "l_orderkey").filter(
-        F.col("a.l_partkey") < F.col("b.l_partkey")
+    n_ab = _li_pair_counts(spark, sf_dir).select(
+        F.col("pa").alias("part_a"), F.col("pb").alias("part_b"),
+        F.col("w").alias("n_ab"),
     )
-    n_ab = pairs.groupBy(
-        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-    ).agg(F.count(F.lit(1)).alias("n_ab"))
     part_cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
@@ -928,20 +954,7 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution floors d·pr·w/wout + 0.5 to an integer BEFORE the
     cross-row sum (the double product stays under 2^53), so iteration
     results are order-exact integers on both engines."""
-    li = (
-        io.load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    und = _li_pair_counts(spark, sf_dir)
     edges = und.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
     ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"))
