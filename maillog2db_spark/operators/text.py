@@ -744,3 +744,43 @@ SELECT doc_id,
 FROM toks JOIN enc USING (tok)
 GROUP BY doc_id
 """
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the language-ID heuristic against the
+    labeled lang column — the model-eval-as-registered-query pattern
+    (cf. embed_ann_recall): per (labeled, guessed) cell, the count and
+    its exact-ppm share of the labeled language's documents, so
+    precision/recall per language read straight off the table and the
+    driver hash-verifies the whole evaluation. Two map-side-combined
+    aggregates over the per-doc guesses; the totals table is
+    |languages|-sized and broadcast back."""
+    per_doc = language_id(spark, sf_dir)
+    cells = per_doc.groupBy("labeled_lang", "guessed_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = per_doc.groupBy("labeled_lang").agg(
+        F.count(F.lit(1)).alias("n_labeled")
+    )
+    return cells.join(F.broadcast(totals), "labeled_lang").select(
+        "labeled_lang",
+        "guessed_lang",
+        "n_docs",
+        "n_labeled",
+        F.expr("CAST(n_docs * 1000000 div n_labeled AS BIGINT)").alias("share_ppm"),
+    )
+
+
+LANGID_CONFUSION_SQL = f"""
+WITH per_doc AS ({LANGUAGE_ID_SQL}),
+cells AS (
+  SELECT labeled_lang, guessed_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM per_doc GROUP BY 1, 2
+), totals AS (
+  SELECT labeled_lang, CAST(count(*) AS BIGINT) AS n_labeled
+  FROM per_doc GROUP BY 1
+)
+SELECT labeled_lang, guessed_lang, n_docs, n_labeled,
+       CAST(n_docs * 1000000 // n_labeled AS BIGINT) AS share_ppm
+FROM cells JOIN totals USING (labeled_lang)
+"""

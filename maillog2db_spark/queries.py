@@ -484,6 +484,8 @@ register("embed_topk_per_label", _ca.TOPK_PER_LABEL_SQL,
          doc="Per-label top-k most-central vectors (cosine to own-label centroid, broadcast centroids)")(_ca.topk_per_label)
 register("ev_value_anomaly", _ca.VALUE_ANOMALY_SQL,
          doc="Per-type 3-sigma value outliers (tiny stats aggregate broadcast back; no full-table window)")(_ca.value_anomaly)
+register("doc_langid_confusion", _tx.LANGID_CONFUSION_SQL,
+         doc="Language-ID confusion matrix vs the labeled column: per (labeled, guessed) cell counts + exact-ppm shares — the whole model eval as one hash-verified query")(_tx.langid_confusion)
 register("doc_bpe_train_merges", _tx.BPE_TRAIN_MERGES_SQL,
          doc="Distributed BPE tokenizer training (Sennrich et al. 2016): first 3 merges on the Zipf-bounded word-frequency table — per step one vocab explode, one pair count, one global top-1, one broadcast apply")(_tx.bpe_train_merges)
 register("doc_bpe_encode_stats", _tx.BPE_ENCODE_STATS_SQL,
@@ -598,7 +600,7 @@ _PRIORITY = [
     "doc_weighted_sample", "ev_markov_transitions", "embed_kmeans",
     "ord_zorder_key", "ord_revenue_ewma", "doc_span_scrub",
     "li_basket_affinity", "dq_referential_integrity", "dq_daily_reconciliation", "embed_ann_recall", "embed_pq_encode", "embed_pq_adc_topk", "embed_ivfpq_topk", "embed_truncation_recall",
-    "doc_edit_distance_pairs", "doc_bigram_lm_score", "ev_value_mad_anomaly", "ev_multitouch_attribution", "ord_priority_islands", "ord_abc_pareto", "ord_cohort_ltv", "li_part_pagerank", "doc_bpe_train_merges", "doc_bpe_encode_stats",
+    "doc_edit_distance_pairs", "doc_bigram_lm_score", "ev_value_mad_anomaly", "ev_multitouch_attribution", "ord_priority_islands", "ord_abc_pareto", "ord_cohort_ltv", "li_part_pagerank", "doc_langid_confusion", "doc_bpe_train_merges", "doc_bpe_encode_stats",
     "doc_normalized_dedup",
 ]
 

@@ -40,6 +40,7 @@ FUZZED_QUERIES = [
     # partial-sum ordering makes exact .5 rounding boundaries reachable
     # under fuzz, which would be false alarms, not bugs)
     "doc_language_id",
+    "doc_langid_confusion",
     "doc_rolling_fingerprint",
     "doc_length_deciles",
     # real-codec multimodal ops: their oracles are arithmetic

@@ -1825,3 +1825,24 @@ def test_persisted_ivfpq_index_matches_inline_and_prunes_partitions(spark, tmp_p
     want = {(r.query_id, r.neighbor_id, r.cell, r.adc_d2, r.rank)
             for r in sim.ivfpq_adc_topk(spark, sf).collect()}
     assert got == want and got
+
+
+def test_langid_confusion_reconciles_with_per_doc(spark):
+    """Cells sum to the corpus, per-label shares sum to ~1e6 (integer
+    division slack < |cells|), and the diagonal equals the per-doc
+    match count."""
+    from maillog2db_spark.operators import text as tx
+
+    per_doc = tx.language_id(spark, SF).collect()
+    rows = tx.langid_confusion(spark, SF).collect()
+    assert sum(r.n_docs for r in rows) == len(per_doc)
+    diag = sum(r.n_docs for r in rows if r.labeled_lang == r.guessed_lang)
+    assert diag == sum(r.match for r in per_doc)
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r.labeled_lang, []).append(r)
+    for label, cells in by_label.items():
+        assert all(c.n_labeled == cells[0].n_labeled for c in cells)
+        assert sum(c.n_docs for c in cells) == cells[0].n_labeled
+        s = sum(c.share_ppm for c in cells)
+        assert 1_000_000 - len(cells) < s <= 1_000_000
