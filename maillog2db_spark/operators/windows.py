@@ -778,3 +778,92 @@ SELECT CAST((cohort_idx - 1) // 12 AS VARCHAR) || '-' ||
        CAST(cum_revenue_cents // cohort_size AS BIGINT) AS ltv_cents_per_customer
 FROM curve JOIN sizes USING (cohort_idx)
 """
+
+
+# --- funnel stage latency ----------------------------------------------------
+
+
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles for the view→click→purchase funnel:
+    per user, first view, first click at-or-after it, first purchase
+    at-or-after that click; then one corpus-level row of stage counts
+    and p50/p90/max latencies per transition — the question "WHERE do
+    users stall, and for how long" that `funnel_conversion`'s counts
+    alone can't answer.
+
+    Determinism: stage times are integer epoch-micros mins; gaps are
+    exact integer micros; the interpolated percentiles round to 1e-4
+    seconds (the `ml_relay_latency` discipline). Plan shape: three
+    stage aggregates each keyed on user (the later ones join the
+    earlier frontier and filter before aggregating — no window over
+    the event stream), then a single-row reduce."""
+    e = io.load_events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    fv = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("fv")
+    )
+    fc = (
+        e.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("us") >= F.col("fv"))
+        .groupBy("user_id", "fv")
+        .agg(F.min("us").alias("fc"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("us") >= F.col("fc"))
+        .groupBy("user_id", "fv", "fc")
+        .agg(F.min("us").alias("fp"))
+    )
+    full = fv.join(fc.select("user_id", "fc"), "user_id", "left").join(
+        fp.select("user_id", "fp"), "user_id", "left"
+    )
+    sec = lambda col: F.col(col) / F.lit(1_000_000.0)
+    pct = lambda expr, q, name: F.round(
+        F.expr(f"percentile({expr}, {q})"), 4
+    ).alias(name)
+    return full.agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.count("fc").alias("n_clicked"),
+        F.count("fp").alias("n_purchased"),
+        pct("(fc - fv) / 1000000.0", 0.5, "p50_view_to_click_sec"),
+        pct("(fc - fv) / 1000000.0", 0.9, "p90_view_to_click_sec"),
+        F.round(F.max(sec("fc") - sec("fv")), 4).alias("max_view_to_click_sec"),
+        pct("(fp - fc) / 1000000.0", 0.5, "p50_click_to_purchase_sec"),
+        pct("(fp - fc) / 1000000.0", 0.9, "p90_click_to_purchase_sec"),
+        F.round(F.max(sec("fp") - sec("fc")), 4).alias("max_click_to_purchase_sec"),
+    )
+
+
+FUNNEL_LATENCY_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), fv AS (
+  SELECT user_id, min(us) AS fv FROM e WHERE event_type = 'view' GROUP BY 1
+), fc AS (
+  SELECT e.user_id, fv, min(us) AS fc
+  FROM e JOIN fv USING (user_id)
+  WHERE event_type = 'click' AND us >= fv
+  GROUP BY 1, 2
+), fp AS (
+  SELECT e.user_id, fc.fv, fc.fc, min(us) AS fp
+  FROM e JOIN fc USING (user_id)
+  WHERE event_type = 'purchase' AND us >= fc.fc
+  GROUP BY 1, 2, 3
+), funnel AS (
+  SELECT fv.user_id, fv.fv, fc.fc, fp.fp
+  FROM fv LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_viewed,
+       CAST(count(fc) AS BIGINT) AS n_clicked,
+       CAST(count(fp) AS BIGINT) AS n_purchased,
+       round(quantile_cont((fc - fv) / 1000000.0, 0.5), 4) AS p50_view_to_click_sec,
+       round(quantile_cont((fc - fv) / 1000000.0, 0.9), 4) AS p90_view_to_click_sec,
+       round(max(fc / 1000000.0 - fv / 1000000.0), 4) AS max_view_to_click_sec,
+       round(quantile_cont((fp - fc) / 1000000.0, 0.5), 4) AS p50_click_to_purchase_sec,
+       round(quantile_cont((fp - fc) / 1000000.0, 0.9), 4) AS p90_click_to_purchase_sec,
+       round(max(fp / 1000000.0 - fc / 1000000.0), 4) AS max_click_to_purchase_sec
+FROM funnel
+"""

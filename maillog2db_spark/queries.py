@@ -338,6 +338,8 @@ register("ev_asof_purchase_click", _tmp.ASOF_PURCHASE_CLICK_SQL,
          doc="Left as-of join via union + ordered last() — one shuffle, no range probe")(_tmp.asof_purchase_click)
 register("ev_pairs_within_5min", _tmp.EVENT_PAIRS_WITHIN_WINDOW_SQL,
          doc="Bounded range self-join via coarse-bucket equi-join decomposition")(_tmp.event_pairs_within_window)
+register("ev_funnel_latency", _win.FUNNEL_LATENCY_SQL,
+         doc="Funnel stage latency: first view -> first click -> first purchase per user, stage counts + p50/p90/max transition seconds in one row — where users stall and for how long")(_win.funnel_latency)
 register("ev_multitouch_attribution", _tmp.MULTITOUCH_ATTRIBUTION_SQL,
          doc="Linear multi-touch attribution: clicks within 30min before a same-user purchase split its value equally — registered composition over the generic cell-decomposed range_join; integer micro-unit credits")(_tmp.multitouch_attribution)
 
@@ -600,7 +602,7 @@ _PRIORITY = [
     "doc_weighted_sample", "ev_markov_transitions", "embed_kmeans",
     "ord_zorder_key", "ord_revenue_ewma", "doc_span_scrub",
     "li_basket_affinity", "dq_referential_integrity", "dq_daily_reconciliation", "embed_ann_recall", "embed_pq_encode", "embed_pq_adc_topk", "embed_ivfpq_topk", "embed_truncation_recall",
-    "doc_edit_distance_pairs", "doc_bigram_lm_score", "ev_value_mad_anomaly", "ev_multitouch_attribution", "ord_priority_islands", "ord_abc_pareto", "ord_cohort_ltv", "li_part_pagerank", "doc_langid_confusion", "doc_bpe_train_merges", "doc_bpe_encode_stats",
+    "doc_edit_distance_pairs", "doc_bigram_lm_score", "ev_value_mad_anomaly", "ev_multitouch_attribution", "ev_funnel_latency", "ord_priority_islands", "ord_abc_pareto", "ord_cohort_ltv", "li_part_pagerank", "doc_langid_confusion", "doc_bpe_train_merges", "doc_bpe_encode_stats",
     "doc_normalized_dedup",
 ]
 

@@ -164,6 +164,10 @@ EV_QUERIES = [
     # transition matrix: lag ordering ties (same-ts events) break on
     # event_id identically; row normalization is exact-int division
     "ev_markov_transitions",
+    # funnel stage latencies: users with clicks before any view, or
+    # purchases without clicks, must fall out of both engines the same
+    # way; percentile interpolation is midpoint IEEE both sides
+    "ev_funnel_latency",
     # multi-touch credits: integer micro-division ties, negative
     # purchase values (both engines truncate toward zero), window-edge
     # gaps exactly at 30min

@@ -1846,3 +1846,39 @@ def test_langid_confusion_reconciles_with_per_doc(spark):
         assert sum(c.n_docs for c in cells) == cells[0].n_labeled
         s = sum(c.share_ppm for c in cells)
         assert 1_000_000 - len(cells) < s <= 1_000_000
+
+
+def test_funnel_latency_matches_local_recount(spark):
+    """The single-row funnel latencies equal a local recomputation of
+    stage frontiers and interpolated percentiles."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import windows as win
+
+    ev = [(r.user_id, r.event_type, r.ts) for r in mio.load_events(spark, SF).collect()]
+    us = lambda ts: int(ts.timestamp() * 1_000_000)
+    fv: dict = {}
+    for u, t, ts in ev:
+        if t == "view":
+            fv[u] = min(fv.get(u, 10**30), us(ts))
+    fc: dict = {}
+    for u, t, ts in ev:
+        if t == "click" and u in fv and us(ts) >= fv[u]:
+            fc[u] = min(fc.get(u, 10**30), us(ts))
+    fp: dict = {}
+    for u, t, ts in ev:
+        if t == "purchase" and u in fc and us(ts) >= fc[u]:
+            fp[u] = min(fp.get(u, 10**30), us(ts))
+
+    def pq(vals, q):
+        vals = sorted(vals)
+        pos = (len(vals) - 1) * q
+        lo, hi = int(pos), min(int(pos) + 1, len(vals) - 1)
+        return round(vals[lo] + (vals[hi] - vals[lo]) * (pos - lo), 4)
+
+    vc = [(fc[u] - fv[u]) / 1e6 for u in fc]
+    cp = [(fp[u] - fc[u]) / 1e6 for u in fp]
+    r = win.funnel_latency(spark, SF).collect()[0]
+    assert (r.n_viewed, r.n_clicked, r.n_purchased) == (len(fv), len(fc), len(fp))
+    assert r.p50_view_to_click_sec == pq(vc, 0.5)
+    assert r.p90_click_to_purchase_sec == pq(cp, 0.9)
+    assert r.max_view_to_click_sec == round(max(vc), 4)
