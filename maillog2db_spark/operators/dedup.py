@@ -1186,6 +1186,12 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars would all-collide) take the band path, extended to their
     every possible partner length; the paths overlap rather than gap
     and a distinct() unifies them before the single verify pass.
+    Honest bound: a corpus CONCENTRATED in sub-17-char docs (tweets,
+    titles) re-creates the hot-band hazard inside the short path —
+    there, collapse exact duplicates first (`exact_dedup` reps, as the
+    LSH family does) so the band join sees distinct shorts only, and
+    distinct short strings within a 5-char length band are
+    alphabet-bounded rather than corpus-bounded.
 
     Distances are computed over the ASCII projection of the text
     (every non-ASCII codepoint folds to one 0x7F placeholder on both
