@@ -65,15 +65,18 @@ class Scd2Store(FileBatchLedger):
             not e.startswith(("_", ".")) for e in os.listdir(p)
         )
 
-    def _write_partition(self, df: DataFrame, name: str, batch_id: int) -> None:
-        (
-            df.withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .repartition(1)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(self._path(name))
-        )
+    def _write_partition(
+        self, df: DataFrame, name: str, batch_id: int, replace_all: bool = False
+    ) -> None:
+        # dynamic mode touches only this batch's partition (the replay
+        # contract); replace_all statically overwrites the whole table
+        # (compaction — the point is that the old partitions GO AWAY)
+        w = df.withColumn("batch_id", F.lit(batch_id).cast("long")).repartition(
+            1
+        ).write.mode("overwrite")
+        if not replace_all:
+            w = w.option("partitionOverwriteMode", "dynamic")
+        w.partitionBy("batch_id").parquet(self._path(name))
 
     def current_islands(
         self, spark: SparkSession, exclude_batch: int | None = None
@@ -107,7 +110,11 @@ class Scd2Store(FileBatchLedger):
         log length resets to the regime count (run between batches)."""
         cur = self.current_islands(spark)
         if cur is not None:
-            self._write_partition(cur.localCheckpoint(eager=True), "islands", batch_id)
+            # eager checkpoint: the resolved rows must be materialized
+            # BEFORE the overwrite deletes the files they came from
+            self._write_partition(
+                cur.localCheckpoint(eager=True), "islands", batch_id, replace_all=True
+            )
 
 
 def _batch_runs(batch: DataFrame) -> DataFrame:

@@ -1003,9 +1003,14 @@ def test_streaming_scd2_matches_batch(spark, tmp_path_factory):
         tuple(r[c] for c in cols) for r in store2.current_islands(spark).collect()
     ) == want
 
-    # compaction rewrites resolved state under a fresh partition
+    # compaction rewrites resolved state under ONE fresh partition —
+    # and the old log partitions are actually gone
     store.compact(spark, batch_id=10_000)
     assert resolved() == want
+    import glob as _glob
+    parts = {p.rsplit("=", 1)[-1] for p in
+             _glob.glob(str(d / "store" / "islands" / "batch_id=*"))}
+    assert parts == {"10000"}
 
     # late data: re-sending the oldest wave as a NEW batch would require
     # splitting closed history — every row quarantines, state unchanged
