@@ -1040,3 +1040,72 @@ WITH li AS (
 )
 SELECT part_id, pr AS pr_ppb FROM pr2
 """
+
+
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules over the co-purchase pairs: for each
+    ordered rule a→b with support ≥ BASKET_MIN_SUPPORT, its
+    confidence n_ab/n_a and support share n_ab/n_orders — the
+    asymmetric half of `basket_affinity` (lift is symmetric;
+    confidence is not: printers→ink strongly, ink→printers weakly).
+    Reads the SAME session-cached pair-count base; both directions
+    come from one symmetric union of the post-aggregate table, and
+    every ratio is an exact-ppm integer division — no float boundary
+    decides which rules appear."""
+    und = _li_pair_counts(spark, sf_dir)
+    li = (
+        io.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    part_cnt = li.groupBy(F.col("l_partkey").alias("antecedent")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    directed = und.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "w"
+    ).unionByName(
+        und.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "w"
+        )
+    )
+    return (
+        directed.filter(F.col("w") >= BASKET_MIN_SUPPORT)
+        .join(part_cnt, "antecedent")
+        .join(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("w").alias("n_ab"),
+            F.expr("CAST(w * 1000000 div n_a AS BIGINT)").alias("confidence_ppm"),
+            F.expr("CAST(w * 1000000 div n_orders AS BIGINT)").alias("support_ppm"),
+        )
+    )
+
+
+BASKET_RULES_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS w
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), directed AS (
+  SELECT pa AS antecedent, pb AS consequent, w FROM und
+  UNION ALL
+  SELECT pb AS antecedent, pa AS consequent, w FROM und
+), part_cnt AS (
+  SELECT l_partkey AS antecedent, CAST(count(*) AS BIGINT) AS n_a
+  FROM li GROUP BY 1
+), total AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li
+)
+SELECT antecedent, consequent, w AS n_ab,
+       CAST(w * 1000000 // n_a AS BIGINT) AS confidence_ppm,
+       CAST(w * 1000000 // n_orders AS BIGINT) AS support_ppm
+FROM directed JOIN part_cnt USING (antecedent) CROSS JOIN total
+WHERE w >= {BASKET_MIN_SUPPORT}
+"""

@@ -492,6 +492,8 @@ register("doc_bpe_train_merges", _tx.BPE_TRAIN_MERGES_SQL,
          doc="Distributed BPE tokenizer training (Sennrich et al. 2016): first 3 merges on the Zipf-bounded word-frequency table — per step one vocab explode, one pair count, one global top-1, one broadcast apply")(_tx.bpe_train_merges)
 register("doc_bpe_encode_stats", _tx.BPE_ENCODE_STATS_SQL,
          doc="BPE encode path: apply the trained merges as a vocab-table lookup joined back to the token stream — per-doc whitespace-vs-BPE symbol counts and exact-ppm compression")(_tx.bpe_encode_stats)
+register("li_basket_rules", _ca.BASKET_RULES_SQL,
+         doc="Directed association rules a->b: confidence n_ab/n_a and support share as exact-ppm integers — the asymmetric half of basket affinity, from the same cached pair base")(_ca.basket_rules)
 register("li_part_pagerank", _ca.PART_PAGERANK_SQL,
          doc="PageRank over the part co-purchase graph: 2 unrolled power iterations, ppb-integer ranks, per-edge contributions floored before cross-row sums — the driver holds only the loop counter")(_ca.part_pagerank)
 register("ord_cohort_ltv", _win.COHORT_LTV_SQL,
@@ -602,7 +604,7 @@ _PRIORITY = [
     "doc_weighted_sample", "ev_markov_transitions", "embed_kmeans",
     "ord_zorder_key", "ord_revenue_ewma", "doc_span_scrub",
     "li_basket_affinity", "dq_referential_integrity", "dq_daily_reconciliation", "embed_ann_recall", "embed_pq_encode", "embed_pq_adc_topk", "embed_ivfpq_topk", "embed_truncation_recall",
-    "doc_edit_distance_pairs", "doc_bigram_lm_score", "ev_value_mad_anomaly", "ev_multitouch_attribution", "ev_funnel_latency", "ord_priority_islands", "ord_abc_pareto", "ord_cohort_ltv", "li_part_pagerank", "doc_langid_confusion", "doc_bpe_train_merges", "doc_bpe_encode_stats",
+    "doc_edit_distance_pairs", "doc_bigram_lm_score", "ev_value_mad_anomaly", "ev_multitouch_attribution", "ev_funnel_latency", "ord_priority_islands", "ord_abc_pareto", "ord_cohort_ltv", "li_part_pagerank", "li_basket_rules", "doc_langid_confusion", "doc_bpe_train_merges", "doc_bpe_encode_stats",
     "doc_normalized_dedup",
 ]
 

@@ -376,6 +376,9 @@ LI_QUERIES = [
     # ppb-integer power iterations: singleton baskets (no edges) and
     # duplicate (order, part) rows must collapse identically
     "li_part_pagerank",
+    # directed confidence: both orientations of every pair, exact-ppm
+    # integer ratios
+    "li_basket_rules",
 ]
 
 basket_strategy = st.lists(

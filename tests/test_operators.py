@@ -1882,3 +1882,27 @@ def test_funnel_latency_matches_local_recount(spark):
     assert r.p50_view_to_click_sec == pq(vc, 0.5)
     assert r.p90_click_to_purchase_sec == pq(cp, 0.9)
     assert r.max_view_to_click_sec == round(max(vc), 4)
+
+
+def test_basket_rules_directional_consistency(spark):
+    """Every undirected affinity pair yields exactly its two directed
+    rules, confidence is the exact ppm ratio against the antecedent's
+    order count, and the asymmetry is real (confidences differ when
+    the antecedents' supports do)."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import corpus_analytics as ca
+
+    rules = {(r.antecedent, r.consequent): r
+             for r in ca.basket_rules(spark, SF).collect()}
+    aff = {(r.part_a, r.part_b): r.n_ab
+           for r in ca.basket_affinity(spark, SF).collect()}
+    assert set(rules) == {(a, b) for a, b in aff} | {(b, a) for a, b in aff}
+    li = mio.load(spark, SF, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_part = {r.l_partkey: r.n for r in
+              li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n")).collect()}
+    asym = 0
+    for (a, b), r in rules.items():
+        assert r.confidence_ppm == r.n_ab * 1_000_000 // n_part[a]
+        if n_part[a] != n_part[b]:
+            asym += 1
+    assert asym > 0
