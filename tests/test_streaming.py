@@ -1017,3 +1017,78 @@ def test_streaming_scd2_matches_batch(spark, tmp_path_factory):
     s2.scd2_ingest_batch(spark, waves[0], store, 11_000)
     assert resolved() == want
     assert store.quarantined(spark).count() == waves[0].count()
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path_factory):
+    """Incremental multi-touch credits, fed time-ordered waves, total
+    to EXACTLY the batch operator's output; replay through a fresh
+    checkpoint and a crash-window re-ingest (even after later batches
+    committed — negative gaps self-filter) change nothing; vacuuming
+    buckets behind the window drops storage, not results."""
+    import shutil as _sh
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_attribution as sa
+    from maillog2db_spark.operators import temporal as tmp
+
+    sf = "/root/testdata/sf0.001"
+    ev = mio.load_events(spark, sf)
+    want = sorted(
+        (r.click_id, r.user_id, r.n_purchases_touched, r.credited_micro)
+        for r in tmp.multitouch_attribution(spark, sf).collect()
+    )
+
+    tss = sorted(r[0] for r in ev.select("ts").distinct().collect())
+    c1, c2 = tss[len(tss) // 3], tss[2 * len(tss) // 3]
+    waves = [
+        ev.filter(F.col("ts") < F.lit(c1)),
+        ev.filter((F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2))),
+        ev.filter(F.col("ts") >= F.lit(c2)),
+    ]
+
+    d = tmp_path_factory.mktemp("attr_stream")
+    src = d / "events"
+    src.mkdir()
+    for i, w in enumerate(waves):
+        t = d / f"_tmp{i}"
+        w.coalesce(1).write.parquet(str(t))
+        part = next(t.glob("part-*.parquet"))
+        dest = src / f"wave{i}.parquet"
+        _sh.move(str(part), str(dest))
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+        _sh.rmtree(t)
+
+    store = sa.AttributionStore(str(d / "store"))
+    q = sa.start_attribution_stream(spark, str(src), store, str(d / "ckpt"),
+                                    available_now=True)
+    q.awaitTermination(300)
+
+    def resolved():
+        return sorted(
+            (r.click_id, r.user_id, r.n_purchases_touched, r.credited_micro)
+            for r in store.credited_totals(spark).collect()
+        )
+
+    assert resolved() == want
+
+    # fresh-checkpoint replay: ledger skips every redelivered wave
+    q2 = sa.start_attribution_stream(spark, str(src), store, str(d / "ckpt2"),
+                                     available_now=True)
+    q2.awaitTermination(300)
+    assert resolved() == want
+
+    # crash-window: re-ingest wave 1 AFTER wave 2 committed — stored
+    # later clicks pair at negative gaps and self-filter, provenance
+    # hides the crashed attempt's own residue
+    os.remove(store._ledger(1))
+    sa.attribution_ingest_batch(spark, waves[1], store, 1)
+    assert resolved() == want
+
+    # vacuum behind the final frontier: storage shrinks, totals don't
+    import glob as _glob
+    frontier = int(tss[-1].timestamp() * 1_000_000)
+    n_before = len(_glob.glob(str(d / "store" / "clicks" / "tbucket=*")))
+    store.vacuum(spark, frontier)
+    n_after = len(_glob.glob(str(d / "store" / "clicks" / "tbucket=*")))
+    assert n_after < n_before
+    assert resolved() == want
