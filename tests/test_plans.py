@@ -33,6 +33,7 @@ BNL_ALLOWED = {
     "doc_bpe_train_merges",  # 1-row winning-pair broadcast per iteration
     "doc_bpe_encode_stats",  # same 1-row winning-pair broadcast
     "li_basket_affinity",  # single-row order-total scalar broadcast
+    "li_basket_rules",  # same single-row order-total broadcast
     "doc_corpus_pipeline",  # 1-row funnel agg × 1-row bins agg combine
 }
 
