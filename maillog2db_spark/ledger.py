@@ -19,6 +19,7 @@ place and covers every store at once.
 from __future__ import annotations
 
 import os
+import shutil
 
 
 class FileBatchLedger:
@@ -36,3 +37,42 @@ class FileBatchLedger:
         os.makedirs(os.path.dirname(self._ledger(batch_id)), exist_ok=True)
         with open(self._ledger(batch_id), "w"):
             pass
+
+    def max_committed(self) -> int | None:
+        """Largest committed batch id, or None before any commit —
+        the internally-derived version compaction rewrites under."""
+        d = os.path.join(self.root, "_ledger")
+        if not os.path.isdir(d):
+            return None
+        ids = [int(e) for e in os.listdir(d) if e.isdigit()]
+        return max(ids) if ids else None
+
+
+def atomic_rewrite(df, path: str, partition_by: list[str] | None = None,
+                   n_files: int = 1) -> None:
+    """Rewrite a store directory from a DataFrame that READS that same
+    directory, crash-safely: materialize to a sibling temp dir first,
+    then swap via two ``os.rename`` calls. A static in-place overwrite
+    of a directory the plan is reading loses the only durable copy if
+    the job dies between Spark clearing the target and committing the
+    new files (localCheckpoint blocks are session-local, so they don't
+    survive the crash either) — after the swap pattern a crash at any
+    point leaves either the complete old or the complete new directory
+    (plus at worst a stale ``_old``/``_rewriting`` sibling the next
+    rewrite clears). Single-filesystem rename is atomic on POSIX; on an
+    object store this maps to the same commit-by-rename contract the
+    cloud committers provide."""
+    tmp = path + "_rewriting"
+    old = path + "_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    w = (
+        df.repartition(*partition_by) if partition_by else df.coalesce(n_files)
+    ).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)

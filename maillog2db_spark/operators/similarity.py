@@ -1623,7 +1623,11 @@ def query_ivfpq_index(
     cents = spark.read.parquet(f"{index_dir}/centroids")
     cb = spark.read.parquet(f"{index_dir}/codebooks")
     q = queries.select("query_id", "q_emb", _norm(F.col("q_emb")).alias("q_nrm"))
-    lut = _ivfpq_lut(cents, q, cb, n_probe)
+    # materialize the LUT (bounded: queries × n_probe × M × codes)
+    # before collecting its cells — otherwise the codebook-join
+    # distance job runs twice, once for the cell list and again
+    # uncached inside _ivfpq_score_topk
+    lut = _ivfpq_lut(cents, q, cb, n_probe).localCheckpoint(eager=True)
     probe_cells = [r.cell for r in lut.select("cell").distinct().collect()]
     codes = spark.read.parquet(f"{index_dir}/codes").filter(
         F.col("cell").isin(probe_cells)

@@ -527,85 +527,53 @@ register("doc_normalized_dedup", _tn.NORMALIZED_DEDUP_SQL,
 # --- driver-window ordering -------------------------------------------------
 #
 # The driver's correctness gate records verdicts for only the FIRST 50
-# registry entries per round (time/size-capped window). Round 3's
-# window (CORRECTNESS_r03.json) hash-verified 49 entries + the
-# then-no-oracle clusters query; the round-4 window ROTATES to the 49
-# entries that file does NOT cover, so the union of the r3+r4 driver
-# files gives every registry entry a driver verdict on
-# post-regeneration data. Ordering inside the window, riskiest first
-# (the window is time-capped as well as size-capped):
-#   1. tpch_q13/q16 — the only two queries with NO driver verdict on
-#      the regenerated testdata, ever (deliberately clipped in r3 as
-#      date-free);
-#   2. doc_neardup_clusters — no_oracle in r3; gained a WITH RECURSIVE
-#      DuckDB oracle in r4, so the driver can now hash-verify it;
-#   3. the dedup/similarity families — implementing code changed in r3
-#      (adaptive pair-split, centered LSH) and again in r4 (ASCII-fold
-#      tokenizer, NULL-safe group keys, memoized oversize probe);
-#   4. the composed pipeline + chunk/pack/sample/mix stages (r3
-#      pipeline rework, r4 tokenizer);
-#   5. the ml_* parse family (r3 pruning pin touched their plans);
-#   6. the text/decontam family (r4 tokenizer change — values
-#      unchanged on ASCII corpora, verified locally, but the driver
-#      hash is the hard signal);
-#   7. remaining never-covered entries (mm_binary_meta, retention,
-#      percentile twin).
-# Everything BELOW the window keeps its green r3 driver verdict.
-# doc_normalized_dedup leads that tail: its oracle SQL changed in r4
-# (translate-based ASCII fold), values identical on the ASCII driver
-# corpus — locally re-verified (tools/oracle_check.py + non-ASCII fuzz
-# tier), but it cedes its window slot to the never-covered entries.
+# registry entries per round (time/size-capped window). The union of
+# CORRECTNESS_r03 (49 entries) + CORRECTNESS_r04 (50 entries) gives
+# every PRE-round-4 registry entry a driver verdict; the 39 queries
+# added during round 4 have never appeared in any driver window. The
+# round-5 window therefore leads with all 39 of them — heaviest /
+# riskiest new machinery first, since the window is time-capped as
+# well as size-capped:
+#   1. the round-4 heavy families: PassJoin edit-distance, SemDeDup,
+#      IVFPQ/PQ-ADC, PageRank, BPE train+encode, bigram LM, DQ audits,
+#      k-means, covariance, real-codec multimodal;
+#   2. the remaining round-4 additions (windows/sweep-line, sampling,
+#      scrub, retail analytics, z-order);
+#   3. 11 backfill slots for r3-verdict queries whose shared code
+#      changed in round 4 (tokenizer/session caches/codecs/temporal)
+#      or changes in round 5 (ord_rfm_segments rides the new
+#      distributed two-phase cumsum; windows.py family shares code
+#      with ev_concurrent_sessions' rewrite).
+# Everything BELOW the window keeps its green r3/r4 driver verdict on
+# unchanged code.
 
 _PRIORITY = [
-    # 1. never driver-verified on current data
-    "tpch_q13_order_distribution", "tpch_q16_supplier_counts",
-    # 2. no_oracle → hash-verifiable this round
-    "doc_neardup_clusters",
-    # 3a. dedup family (r3+r4 code changes)
-    "doc_exact_dedup", "doc_minhash_signatures", "doc_lsh_candidate_pairs",
-    "doc_neardup_pairs", "doc_blocked_jaccard", "doc_simhash",
-    "doc_simhash_neardup",
-    # 3b. similarity family (r3 centered LSH, r4 probe memoization)
-    "embed_cosine_neardup", "embed_knn_bruteforce", "embed_lsh_buckets",
-    "embed_label_centroids", "embed_ann_ivf_topk", "embed_quantize_int8",
-    # 4. composed pipeline + admission stages
-    "doc_corpus_pipeline", "doc_chunks", "doc_pack_bins",
-    "doc_stratified_sample", "doc_source_mix",
-    # 5. ml_* parse family
-    "ml_parse_header", "ml_router_counts", "ml_logs", "ml_clients",
-    "ml_messages", "ml_deliveries", "ml_delivery_typed", "ml_relay_latency",
-    "ml_relay_latency_approx", "ml_msg_delivery_join", "ml_pii_scrub",
-    "ml_admission_stats",
-    # 6. text/decontam family (r4 tokenizer)
-    "doc_token_stats", "doc_quality_score", "doc_language_id",
-    "doc_rolling_fingerprint", "doc_length_deciles", "doc_tfidf_topk",
-    "doc_bpe_token_stats", "doc_ngram_topk", "doc_repetition_stats",
-    "doc_winnowing", "doc_decontaminate", "doc_bloom_decontaminate",
-    "doc_distinct_tokens_approx", "doc_token_hll_rollup",
-    # 7. remaining never-covered
-    "mm_binary_meta", "ev_retention_cohorts", "price_percentiles_approx",
+    # 1. round-4 heavy machinery — never driver-verified
+    "doc_edit_distance_pairs", "embed_semdedup", "embed_ivfpq_topk",
+    "embed_pq_adc_topk", "li_part_pagerank", "doc_bpe_train_merges",
+    "doc_bpe_encode_stats", "doc_bigram_lm_score",
+    "dq_referential_integrity", "embed_kmeans", "embed_covariance",
+    "mm_wav_loudness", "mm_frame_sample",
+    # 2. remaining round-4 additions — never driver-verified
+    "embed_pq_encode", "embed_ann_recall", "embed_truncation_recall",
+    "doc_minhash_estimate", "doc_cms_heavy_hitters",
+    "doc_sorted_neighborhood", "doc_leakage_safe_split",
+    "doc_shard_assignment", "doc_weighted_sample", "doc_span_scrub",
+    "doc_langid_confusion", "dq_daily_reconciliation",
+    "ev_sliding_hourly", "ev_trailing_7d_stats", "ev_concurrent_sessions",
+    "ev_markov_transitions", "ev_funnel_latency",
+    "ev_multitouch_attribution", "ev_value_mad_anomaly",
+    "ord_priority_islands", "ord_revenue_ewma", "ord_abc_pareto",
+    "ord_cohort_ltv", "ord_zorder_key", "li_basket_affinity",
+    "li_basket_rules",
+    # 3. backfill: r3-verdict queries with r4/r5 code changes
+    "ord_rfm_segments", "doc_source_overlap", "doc_unigram_lm_score",
+    "doc_shingle_novelty", "doc_dedup_keep_best", "mm_png_roundtrip",
+    "doc_profile", "ev_value_anomaly", "ev_sessionize",
+    "ord_customer_gaps", "ev_asof_purchase_click",
     # ---- 50-entry window boundary ----
-    # The TEN r4-NEW queries (sliding/RANGE/sweep-line windows,
-    # semdedup, shard manifest, leakage-safe split, WAV/frame codecs,
-    # CMS, covariance) sit first in the tail: they cannot displace
-    # window entries without breaking the r3+r4 union covering the
-    # whole pre-r4 registry, so they are locally oracle-verified this
-    # round (tools/oracle_check.py, default + plain sessions, plus
-    # dedicated fuzz tiers) and MUST lead the r5 rotation — they are
-    # the only registry entries with no driver verdict on any data.
-    "ev_sliding_hourly", "embed_semdedup", "doc_shard_assignment",
-    "mm_wav_loudness", "mm_frame_sample", "ev_trailing_7d_stats",
-    "doc_cms_heavy_hitters", "embed_covariance", "ev_concurrent_sessions",
-    "doc_leakage_safe_split", "doc_sorted_neighborhood",
-    "doc_minhash_estimate",
-    # r4-late additions (same situation as the block above: locally
-    # oracle-verified this round, zero driver verdicts — r5 window
-    # material alongside them)
-    "doc_weighted_sample", "ev_markov_transitions", "embed_kmeans",
-    "ord_zorder_key", "ord_revenue_ewma", "doc_span_scrub",
-    "li_basket_affinity", "dq_referential_integrity", "dq_daily_reconciliation", "embed_ann_recall", "embed_pq_encode", "embed_pq_adc_topk", "embed_ivfpq_topk", "embed_truncation_recall",
-    "doc_edit_distance_pairs", "doc_bigram_lm_score", "ev_value_mad_anomaly", "ev_multitouch_attribution", "ev_funnel_latency", "ord_priority_islands", "ord_abc_pareto", "ord_cohort_ltv", "li_part_pagerank", "li_basket_rules", "doc_langid_confusion", "doc_bpe_train_merges", "doc_bpe_encode_stats",
-    "doc_normalized_dedup",
+    # The tail keeps its most recent green driver verdict (r3 or r4)
+    # on code unchanged since that verdict.
 ]
 
 REGISTRY = {

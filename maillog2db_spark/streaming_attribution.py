@@ -39,7 +39,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ledger import FileBatchLedger
+from .ledger import FileBatchLedger, atomic_rewrite
 from .operators.temporal import ATTRIB_WINDOW_SEC, range_join
 
 _W_US = ATTRIB_WINDOW_SEC * 1_000_000
@@ -139,16 +139,15 @@ class AttributionStore(FileBatchLedger):
         if not self._exists("clicks"):
             return
         min_live = (frontier_us - _W_US) // _W_US
-        live = (
-            spark.read.parquet(self._path("clicks"))
-            .filter(F.col("tbucket") >= min_live)
-            .localCheckpoint(eager=True)
-        )
-        (
-            live.repartition("tbucket")
-            .write.mode("overwrite")
-            .partitionBy("tbucket")
-            .parquet(self._path("clicks"))
+        # write-to-temp + rename swap, never a static overwrite of the
+        # directory being read: the click store has no replay path that
+        # could reconstruct it after a crash mid-overwrite
+        atomic_rewrite(
+            spark.read.parquet(self._path("clicks")).filter(
+                F.col("tbucket") >= min_live
+            ),
+            self._path("clicks"),
+            partition_by=["tbucket"],
         )
 
 

@@ -39,7 +39,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .ledger import FileBatchLedger
+from .ledger import FileBatchLedger, atomic_rewrite
 
 from .operators import dedup
 
@@ -89,26 +89,15 @@ class MinHashStore(FileBatchLedger):
         leaves either the old or the new complete directory.
         ``n_files`` sizes the snapshot (default 1 suits test/driver
         scale; size to data volume / 128 MB on a cluster)."""
-        import shutil
-
         if not (os.path.isdir(self.pairs_path) and any(
             not e.startswith(("_", ".")) for e in os.listdir(self.pairs_path)
         )):
             return
-        tmp = self.pairs_path + "_compacting"
-        old = self.pairs_path + "_old"
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
-        (
-            spark.read.parquet(self.pairs_path)
-            .distinct()
-            .coalesce(n_files)
-            .write.mode("overwrite")
-            .parquet(tmp)
+        atomic_rewrite(
+            spark.read.parquet(self.pairs_path).distinct(),
+            self.pairs_path,
+            n_files=n_files,
         )
-        os.rename(self.pairs_path, old)
-        os.rename(tmp, self.pairs_path)
-        shutil.rmtree(old)
 
     def _with_part(self, df: DataFrame) -> DataFrame:
         return df.withColumn(

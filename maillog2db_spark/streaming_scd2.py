@@ -47,7 +47,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .ledger import FileBatchLedger
+from .ledger import FileBatchLedger, atomic_rewrite
 
 
 class Scd2Store(FileBatchLedger):
@@ -65,18 +65,17 @@ class Scd2Store(FileBatchLedger):
             not e.startswith(("_", ".")) for e in os.listdir(p)
         )
 
-    def _write_partition(
-        self, df: DataFrame, name: str, batch_id: int, replace_all: bool = False
-    ) -> None:
+    def _write_partition(self, df: DataFrame, name: str, batch_id: int) -> None:
         # dynamic mode touches only this batch's partition (the replay
-        # contract); replace_all statically overwrites the whole table
-        # (compaction — the point is that the old partitions GO AWAY)
-        w = df.withColumn("batch_id", F.lit(batch_id).cast("long")).repartition(
-            1
-        ).write.mode("overwrite")
-        if not replace_all:
-            w = w.option("partitionOverwriteMode", "dynamic")
-        w.partitionBy("batch_id").parquet(self._path(name))
+        # contract); whole-table rewrites go through atomic_rewrite
+        (
+            df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self._path(name))
+        )
 
     def current_islands(
         self, spark: SparkSession, exclude_batch: int | None = None
@@ -105,16 +104,30 @@ class Scd2Store(FileBatchLedger):
             return None
         return spark.read.parquet(self._path("quarantine")).drop("batch_id")
 
-    def compact(self, spark: SparkSession, batch_id: int) -> None:
-        """Rewrite the resolved state under one fresh partition so the
-        log length resets to the regime count (run between batches)."""
+    def compact(self, spark: SparkSession) -> None:
+        """Rewrite the resolved state as one partition so the log
+        length resets to the regime count (run between batches).
+
+        The compaction partition id is derived INTERNALLY as the max
+        committed batch id: LWW resolution is by max batch_id, so the
+        compacted snapshot must sit exactly at the frontier — a
+        caller-chosen larger id would silently out-rank any later
+        stream batch that restarts at a smaller id, and reusing a
+        future batch's id would make the replay view (exclude_batch)
+        hide the whole state. The rewrite goes through
+        ``atomic_rewrite`` (write-to-temp + rename swap), never a
+        static overwrite of the directory being read — a crash
+        mid-overwrite would otherwise destroy the only durable copy."""
         cur = self.current_islands(spark)
-        if cur is not None:
-            # eager checkpoint: the resolved rows must be materialized
-            # BEFORE the overwrite deletes the files they came from
-            self._write_partition(
-                cur.localCheckpoint(eager=True), "islands", batch_id, replace_all=True
-            )
+        if cur is None:
+            return
+        cid = self.max_committed()
+        assert cid is not None, "compact() before any committed batch"
+        atomic_rewrite(
+            cur.withColumn("batch_id", F.lit(cid).cast("long")),
+            self._path("islands"),
+            partition_by=["batch_id"],
+        )
 
 
 def _batch_runs(batch: DataFrame) -> DataFrame:
@@ -145,6 +158,19 @@ def scd2_ingest_batch(
 ) -> None:
     if store.committed(batch_id):
         return
+    # LWW resolution and the compaction id both lean on batch ids being
+    # monotone within a store lifetime (one checkpoint lineage). An
+    # UNCOMMITTED id at or below the committed frontier means the
+    # stream restarted with a fresh checkpoint against an old store —
+    # its writes would silently lose LWW to newer-id rows, so refuse.
+    frontier_id = store.max_committed()
+    if frontier_id is not None and batch_id <= frontier_id:
+        raise ValueError(
+            f"batch_id {batch_id} <= committed frontier {frontier_id}: "
+            "stream restarted with a fresh checkpoint against an existing "
+            "Scd2Store; point the query at the original checkpointLocation "
+            "or start a new store root"
+        )
     rows = batch.select(
         "o_custkey", "o_orderkey", "o_orderpriority", "o_orderdate"
     ).localCheckpoint(eager=True)

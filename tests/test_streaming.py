@@ -1003,20 +1003,36 @@ def test_streaming_scd2_matches_batch(spark, tmp_path_factory):
         tuple(r[c] for c in cols) for r in store2.current_islands(spark).collect()
     ) == want
 
-    # compaction rewrites resolved state under ONE fresh partition —
-    # and the old log partitions are actually gone
-    store.compact(spark, batch_id=10_000)
+    # compaction rewrites resolved state under ONE partition at the
+    # committed frontier id (derived internally — a caller-chosen id
+    # could out-rank or shadow later stream batches), the old log
+    # partitions are actually gone, and no leftover swap dirs remain
+    store.compact(spark)
     assert resolved() == want
     import glob as _glob
     parts = {p.rsplit("=", 1)[-1] for p in
              _glob.glob(str(d / "store" / "islands" / "batch_id=*"))}
-    assert parts == {"10000"}
+    assert parts == {str(store.max_committed())}
+    assert not os.path.isdir(str(d / "store" / "islands_rewriting"))
+    assert not os.path.isdir(str(d / "store" / "islands_old"))
+
+    # a later batch still wins last-writer-wins over the compacted rows
+    # (compaction id sits AT the frontier, never above it)
+    late_id = store.max_committed() + 1
 
     # late data: re-sending the oldest wave as a NEW batch would require
     # splitting closed history — every row quarantines, state unchanged
-    s2.scd2_ingest_batch(spark, waves[0], store, 11_000)
+    s2.scd2_ingest_batch(spark, waves[0], store, late_id)
     assert resolved() == want
     assert store.quarantined(spark).count() == waves[0].count()
+
+    # fresh-checkpoint restart against an existing store: an UNCOMMITTED
+    # batch id at or below the committed frontier would silently lose
+    # LWW — the ingest refuses it loudly instead
+    store3 = s2.Scd2Store(str(d / "store3"))
+    s2.scd2_ingest_batch(spark, waves[0], store3, 5)
+    with pytest.raises(ValueError, match="committed frontier"):
+        s2.scd2_ingest_batch(spark, waves[1], store3, 3)
 
 
 def test_streaming_attribution_matches_batch(spark, tmp_path_factory):
