@@ -422,22 +422,35 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     with custkey tiebreak (deterministic in both engines), combined
     into a 3-digit segment code.
 
-    One shuffle (the per-customer aggregate); the three ntile windows
-    share a single global sort each over the CUSTOMER-grain table
-    (already ~1/10 the order count), not the fact table."""
+    The customer-grain table is data-proportional, so the three
+    quartile cuts never run as unpartitioned ntile windows (three
+    global single-partition sorts): each is a
+    ``windows.distributed_cumulative`` global rank (range-partitioned,
+    all partitions in parallel) and ``ntile_from_rank`` recomputes the
+    identical bucket from (rank, total) in exact integer arithmetic —
+    same total order, same tiebreaks, same values."""
+    from .windows import distributed_cumulative, ntile_from_rank
+
     o = io.load(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("recency"),
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    r_w = Window.orderBy(F.col("recency").desc(), F.col("o_custkey"))
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    g = per_cust
+    for dim, col in (("r", "recency"), ("f", "frequency"), ("m", "monetary")):
+        g = distributed_cumulative(
+            g, [F.col(col).desc(), F.col("o_custkey")]
+        ).withColumnRenamed("_grank", f"_{dim}_rank")
+    # count from g, not per_cust: g is materialized by the cumulative
+    # passes, so this is a customer-grain scan, not a re-aggregation
+    # of the orders fact table
+    n = g.agg(F.count(F.lit(1)).alias("n_total"))
     return (
-        per_cust.withColumn("r_quartile", F.ntile(4).over(r_w))
-        .withColumn("f_quartile", F.ntile(4).over(f_w))
-        .withColumn("m_quartile", F.ntile(4).over(m_w))
+        g.join(F.broadcast(n))
+        .withColumn("r_quartile", ntile_from_rank("_r_rank", "n_total", 4))
+        .withColumn("f_quartile", ntile_from_rank("_f_rank", "n_total", 4))
+        .withColumn("m_quartile", ntile_from_rank("_m_rank", "n_total", 4))
         .select(
             "o_custkey",
             "recency",

@@ -765,26 +765,30 @@ def abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     (5·cum ≤ 4·total, 20·cum ≤ 19·total), so no engine ever decides a
     boundary on a float.
 
-    Scale note: a Pareto walk is inherently a global ranking, but it
-    runs on the POST-AGGREGATE customer-grain table (one map-side-
-    combined groupBy of the fact stream first) — the window sees
-    customers, not orders. At extreme customer counts the same cumsum
-    decomposes into range-partitioned partial sums; at the driver's
-    grain the single sorted partition is the right plan."""
+    Scale note: a Pareto walk is inherently a global ranking over the
+    POST-AGGREGATE customer-grain table (one map-side-combined groupBy
+    of the fact stream first) — but that grain is still
+    data-proportional (~10⁹ customers at warehouse scale), so the rank
+    and running sum go through ``windows.distributed_cumulative``:
+    range-partitioned per-partition partials, driver-prefixed offsets
+    broadcast back — no single-partition sort anywhere in the plan."""
+    from .windows import distributed_cumulative
+
     rev = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(_cents("o_totalprice")).alias("revenue_cents"))
     )
     total = rev.agg(F.sum("revenue_cents").alias("total_cents"))
-    w = Window.orderBy(F.col("revenue_cents").desc(), F.col("o_custkey"))
-    ranked = rev.select(
+    ranked = distributed_cumulative(
+        rev,
+        [F.col("revenue_cents").desc(), F.col("o_custkey")],
+        sum_cols=("revenue_cents",),
+    ).select(
         "o_custkey",
         "revenue_cents",
-        F.row_number().over(w).alias("rank"),
-        F.sum("revenue_cents")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum_cents"),
+        F.col("_grank").cast("int").alias("rank"),
+        F.col("_gcum_revenue_cents").alias("cum_cents"),
     )
     return ranked.join(F.broadcast(total)).select(
         "o_custkey",

@@ -15,6 +15,104 @@ from .. import io
 SESSION_GAP_MIN = 30
 
 
+def distributed_cumulative(
+    df: DataFrame,
+    order_exprs: list,
+    sum_cols: tuple[str, ...] = (),
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Distributed global row_number + integer running sums — the
+    two-phase decomposition of ``Window.orderBy(...)`` with no
+    partition key, which Spark otherwise plans as ONE task sorting the
+    entire input (the `WindowExec: No Partition Defined` scale-killer:
+    at 100 TB a customer-grain table is ~10⁹ rows through one thread).
+
+    Phase 1: range-partition on the order key (partition ids provably
+    ascend along the sort order, including desc keys — the same
+    machinery global sort uses), then per-partition row_number/cumsum
+    run as ordinary partitioned windows, all partitions in parallel.
+    Phase 2: per-partition row counts and value sums (≤ n_parts rows —
+    bounded by the partition count, NEVER data-proportional) come back
+    to the driver, exclusive prefix offsets are computed there, and a
+    broadcast join adds each partition's offset to its local values.
+    The local phase is materialized (localCheckpoint) so the offsets
+    job and the final plan share one computation of the input lineage.
+
+    ``order_exprs`` must define a TOTAL order (include a unique
+    tiebreaker) — a tie spanning a partition boundary would otherwise
+    make ranks depend on the sampled bounds. ``sum_cols`` must be
+    integer-typed (the engine's fixed-point doctrine: running sums in
+    exact integers, never floats). Appends ``_grank`` (1-based global
+    row_number, BIGINT) and ``_gcum_<col>`` per sum column.
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = df.repartitionByRange(n_parts, *order_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_exprs)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    local = part.withColumn("_lrn", F.row_number().over(w))
+    for c in sum_cols:
+        local = local.withColumn(f"_lcum_{c}", F.sum(c).over(cum))
+    local = local.localCheckpoint(eager=True)
+
+    partials = sorted(
+        local.groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            # partition total = sum of the RAW column, not max of the
+            # running sum — with negative values (sweep-line deltas)
+            # the running sum's max is not its final value
+            *[F.sum(c).alias(f"_s_{c}") for c in sum_cols],
+        )
+        .collect(),
+        key=lambda r: r._pid,
+    )
+    off_rows, off_n = [], 0
+    offs = {c: 0 for c in sum_cols}
+    for r in partials:
+        off_rows.append((r._pid, off_n, *[offs[c] for c in sum_cols]))
+        off_n += r._n
+        for c in sum_cols:
+            offs[c] += r[f"_s_{c}"] or 0
+    schema = "_pid int, _off_n bigint" + "".join(
+        f", _off_{c} bigint" for c in sum_cols
+    )
+    off = spark.createDataFrame(off_rows, schema)
+
+    out = local.join(F.broadcast(off), "_pid").withColumn(
+        "_grank", (F.col("_off_n") + F.col("_lrn")).cast("bigint")
+    )
+    drop = ["_pid", "_lrn", "_off_n"]
+    for c in sum_cols:
+        out = out.withColumn(
+            f"_gcum_{c}",
+            (F.col(f"_off_{c}") + F.col(f"_lcum_{c}")).cast("bigint"),
+        )
+        drop += [f"_lcum_{c}", f"_off_{c}"]
+    return out.drop(*drop)
+
+
+def ntile_from_rank(rank_col: str, total_col: str, n: int):
+    """SQL ``ntile(n)`` recomputed from a global rank and total count
+    in exact integer arithmetic — the companion to
+    ``distributed_cumulative`` for quantile bucketing without a
+    single-partition window. Standard ntile fill: the first
+    ``total mod n`` buckets get ``total div n + 1`` rows, the rest get
+    ``total div n`` (identical in Spark and DuckDB; integer ``div``
+    never lets a float decide a bucket boundary)."""
+    q = f"({total_col} div {n})"
+    rem = f"({total_col} % {n})"
+    cut = f"({rem} * ({q} + 1))"
+    return F.expr(
+        f"CAST(CASE WHEN {rank_col} <= {cut} "
+        f"THEN ({rank_col} - 1) div ({q} + 1) + 1 "
+        f"ELSE {rem} + ({rank_col} - {cut} - 1) div {q} + 1 END AS INT)"
+    )
+
+
 def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling window per event_type — F.window is the native
     streaming-compatible bucketing (epoch-aligned, identical to
@@ -162,12 +260,11 @@ def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     range join (ev_pairs_within_5min) and from gap sessionization
     itself. Each session interval [start, end] contributes +1 at start
     and −1 at end + 1 µs (closed intervals); deltas are PRE-AGGREGATED
-    per boundary timestamp, so the running sum sees one row per
-    distinct instant — at 100 TB the boundary table is two rows per
-    session (≪ events), and the single ordered prefix-sum over it
-    upgrades to the classic two-phase scan (per-partition partials +
-    driver-prefixed offsets) before it ever becomes the bottleneck;
-    today Spark plans one narrow sort over session-count rows."""
+    per boundary timestamp, so the prefix sum sees one row per distinct
+    instant. The boundary table is still two rows per session —
+    data-proportional — so the prefix sum runs through
+    ``distributed_cumulative`` (range-partitioned partials + broadcast
+    offsets), never a single-partition global window."""
     s = sessionize(spark, sf_dir)
     deltas = (
         s.select(F.col("session_start").alias("ts"), F.lit(1).alias("d"))
@@ -180,8 +277,9 @@ def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ts")
         .agg(F.sum("d").cast("bigint").alias("delta"))
     )
-    w = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
-    return deltas.withColumn("depth", F.sum("delta").over(w).cast("bigint"))
+    return distributed_cumulative(
+        deltas, [F.col("ts")], sum_cols=("delta",)
+    ).select("ts", "delta", F.col("_gcum_delta").alias("depth"))
 
 
 SESSIONIZE_SQL = f"""

@@ -1906,3 +1906,61 @@ def test_basket_rules_directional_consistency(spark):
         if n_part[a] != n_part[b]:
             asym += 1
     assert asym > 0
+
+
+def test_distributed_cumulative_matches_single_partition_window(spark):
+    """The two-phase global rank/cumsum must equal the single-partition
+    Window it replaces — on adversarial input: negative values (the
+    sweep-line deltas), duplicate order keys broken by a tiebreaker,
+    desc ordering, and a partition count far above AND below the row
+    count (empty range partitions / everything in one partition)."""
+    import random
+
+    from pyspark.sql import Window
+    from maillog2db_spark.operators.windows import (
+        distributed_cumulative,
+        ntile_from_rank,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(-50, 50), rng.randint(0, 9)) for i in range(997)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint, k bigint")
+
+    w = Window.orderBy(F.col("k").desc(), F.col("id"))
+    want = sorted(
+        (r.id, r.rank, r.cum)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rank"),
+            F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        ).collect()
+    )
+    for n_parts in (7, 2000):
+        got = sorted(
+            (r.id, r._grank, r._gcum_v)
+            for r in distributed_cumulative(
+                df, [F.col("k").desc(), F.col("id")], sum_cols=("v",),
+                n_parts=n_parts,
+            ).collect()
+        )
+        assert got == want, n_parts
+
+    # ntile_from_rank reproduces SQL ntile for every (N, n) shape:
+    # N < n (one row per bucket), N % n == 0, and ragged fills
+    for total in (3, 8, 997):
+        sub = df.limit(total)
+        wn = Window.orderBy(F.col("k").desc(), F.col("id"))
+        want_nt = sorted(
+            (r.id, r.nt)
+            for r in sub.select("id", F.ntile(4).over(wn).alias("nt")).collect()
+        )
+        ranked = distributed_cumulative(
+            sub, [F.col("k").desc(), F.col("id")], n_parts=5
+        ).withColumn("n_total", F.lit(total).cast("bigint"))
+        got_nt = sorted(
+            (r.id, r.nt)
+            for r in ranked.select(
+                "id", ntile_from_rank("_grank", "n_total", 4).alias("nt")
+            ).collect()
+        )
+        assert got_nt == want_nt, total

@@ -5,41 +5,70 @@ registered queries."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from maillog2db_spark import queries as Q
 
 SF = "/root/testdata/sf0.001"
 
-# cross joins that are INTENTIONAL broadcast-nested-loop (a tiny
-# broadcast side scored against the corpus — the right plan for
-# small × big with no equi-key; doc_tfidf_topk / tpch_q11 / tpch_q22
-# broadcast a 1-row scalar aggregate back over the big side)
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin,
+# each mapped to the marker(s) its broadcast BUILD SIDE must contain —
+# either a zero-key (1-row) scalar aggregate, or a constant-bounded
+# broadcast (query-head filter / label-cardinality centroids). The
+# per-query marker stops a future REAL cross product from hiding
+# behind a blanket allowlist: every IdentityBroadcastMode exchange in
+# the plan must match one of the query's markers.
+_SCALAR = "HashAggregate(keys=[]"  # zero grouping keys → exactly 1 row
 BNL_ALLOWED = {
-    "embed_knn_bruteforce",
-    "embed_ann_ivf_topk",
-    "embed_semdedup",  # same broadcast quantizer scoring as ann_ivf_topk
-    "embed_kmeans",  # broadcast k×dim centroids scored against the corpus
-    "embed_ann_recall",  # composes the two BNL-allowed rankings above
-    "embed_ivfpq_topk",  # broadcast k×dim coarse centroids, as ann_ivf_topk
-    "embed_truncation_recall",  # composes two knn_bruteforce-shaped rankings
-    "doc_tfidf_topk",
-    "tpch_q11_important_parts",
-    "tpch_q22_dormant_customers",
-    "doc_unigram_lm_score",  # single-row corpus-total scalar broadcast
-    "doc_bigram_lm_score",  # same single-row total broadcast as unigram
-    "li_part_pagerank",  # single-row node-count scalar broadcast
-    "ord_abc_pareto",  # single-row grand-total scalar broadcast
-    "doc_bpe_train_merges",  # 1-row winning-pair broadcast per iteration
-    "doc_bpe_encode_stats",  # same 1-row winning-pair broadcast
-    "li_basket_affinity",  # single-row order-total scalar broadcast
-    "li_basket_rules",  # same single-row order-total broadcast
-    "doc_corpus_pipeline",  # 1-row funnel agg × 1-row bins agg combine
+    # N_QUERIES-head broadcast (vec_id < 25 filter) scored vs corpus
+    "embed_knn_bruteforce": [_SCALAR, "vec_id"],
+    "embed_ann_ivf_topk": [_SCALAR, "vec_id", "label"],
+    "embed_semdedup": [_SCALAR, "label"],  # label-grain quantizer cells
+    "embed_kmeans": [_SCALAR, "label"],  # k×dim centroids
+    "embed_ann_recall": [_SCALAR, "vec_id", "label"],
+    "embed_ivfpq_topk": [_SCALAR, "vec_id", "label"],
+    "embed_truncation_recall": [_SCALAR, "vec_id"],
+    # 1-row scalar aggregates broadcast back over the big side
+    "doc_tfidf_topk": [_SCALAR],
+    "tpch_q11_important_parts": [_SCALAR],
+    "tpch_q22_dormant_customers": [_SCALAR],
+    "doc_unigram_lm_score": [_SCALAR],
+    "doc_bigram_lm_score": [_SCALAR],
+    "li_part_pagerank": [_SCALAR],
+    "ord_abc_pareto": [_SCALAR],
+    "doc_bpe_train_merges": [_SCALAR],
+    "doc_bpe_encode_stats": [_SCALAR],
+    "li_basket_affinity": [_SCALAR],
+    "li_basket_rules": [_SCALAR],
+    "doc_corpus_pipeline": [_SCALAR],
+    "ord_rfm_segments": [_SCALAR],  # 1-row customer-count broadcast
 }
 
 
 def _plan(spark, name: str) -> str:
     return Q.REGISTRY[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def _tree_depth(line: str) -> int:
+    """Nesting depth of a plan line = length of its marker prefix
+    (space / ':' / '+' / '-' runs grow by 3 per level)."""
+    return len(re.match(r"^[\s:+\-]*", line).group(0))
+
+
+def _subtrees(plan: str, needle: str) -> list[str]:
+    """Each subtree rooted at a line containing ``needle``."""
+    lines = plan.splitlines()
+    out = []
+    for i, l in enumerate(lines):
+        if needle in l:
+            d = _tree_depth(l)
+            j = i + 1
+            while j < len(lines) and _tree_depth(lines[j]) > d:
+                j += 1
+            out.append("\n".join(lines[i:j]))
+    return out
 
 
 def test_no_cartesian_products_anywhere(spark):
@@ -48,8 +77,49 @@ def test_no_cartesian_products_anywhere(spark):
         p = _plan(spark, name)
         if "CartesianProduct" in p:
             offenders.append((name, "CartesianProduct"))
-        if "BroadcastNestedLoopJoin" in p and name not in BNL_ALLOWED:
-            offenders.append((name, "BroadcastNestedLoopJoin"))
+        if "BroadcastNestedLoopJoin" in p:
+            if name not in BNL_ALLOWED:
+                offenders.append((name, "BroadcastNestedLoopJoin"))
+            else:
+                # BNL broadcast sides always use IdentityBroadcastMode
+                # (hash joins use HashedRelationBroadcastMode): every
+                # such exchange must be the query's justified tiny side
+                for sub in _subtrees(p, "BroadcastExchange IdentityBroadcastMode"):
+                    if not any(m in sub for m in BNL_ALLOWED[name]):
+                        offenders.append((name, "unjustified BNL build side"))
+    assert offenders == []
+
+
+# Unpartitioned ORDERED windows run as ONE task sorting the whole
+# input — allowed only where the input is bounded by construction,
+# never data-proportional (those go through
+# windows.distributed_cumulative).
+UNPARTITIONED_WINDOW_ALLOWED = {
+    "doc_cms_heavy_hitters",  # runs post-limit(CMS_TOP_K): ≤ K rows
+    "ord_revenue_ewma",  # RANGE frame over calendar days: ≤ date span
+}
+
+
+def test_no_unpartitioned_window_over_data_proportional_input(spark):
+    """Generalizes the round-4 pin: across ALL registered queries, any
+    ``Window`` with an ORDER BY but no PARTITION BY (the
+    `WindowExec: No Partition Defined` single-task shape) must be on
+    the bounded-input allowlist. A Window plan line renders as
+    `Window [exprs], [partitionCols], [orderCols]`; with no partition
+    spec only two bracket groups remain and the last carries the
+    ASC/DESC order — partition-only specs (no ORDER BY) also have two
+    groups but no sort direction, and are fine (hash-partitioned)."""
+    offenders = []
+    for name in Q.REGISTRY:
+        p = _plan(spark, name)
+        for l in p.splitlines():
+            ls = l.strip()
+            if not re.match(r"^[\s:+\-]*(\*\(\d+\) )?Window ", l):
+                continue
+            groups = ls.split("], [")
+            if len(groups) == 2 and re.search(r"(ASC|DESC)", groups[-1]):
+                if name not in UNPARTITIONED_WINDOW_ALLOWED:
+                    offenders.append((name, ls[:120]))
     assert offenders == []
 
 
@@ -171,7 +241,10 @@ def test_round3_queries_prune_columns(spark):
     scan = next(l for l in p.splitlines() if "FileScan parquet" in l and "documents" in l)
     assert "text" in scan and "source" not in scan and "n_chars" not in scan
 
-    p = _plan(spark, "ord_rfm_segments")
+    # rfm's orders scan now sits inside the checkpointed two-phase
+    # subtree (not visible in the final plan), so pin the same
+    # (custkey, orderdate, totalprice) pruning on cohort LTV instead
+    p = _plan(spark, "ord_cohort_ltv")
     scan = next(l for l in p.splitlines() if "FileScan parquet" in l and "orders" in l)
     assert "o_totalprice" in scan and "o_orderpriority" not in scan and "o_orderstatus" not in scan
 
@@ -201,5 +274,13 @@ def test_round4_session_query_plan_shapes(spark):
     p = _plan(spark, "li_part_pagerank")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
-    p = _plan(spark, "ord_abc_pareto")
-    assert p.index("Window") < p.index("HashAggregate")  # window above the agg
+    # the Pareto walk / RFM quartiles / sweep-line depth ride the
+    # two-phase distributed cumsum: the local phase is materialized
+    # (ExistingRDD scan) and the offsets come back via a broadcast
+    # HASH join on _pid — no Window survives into the final plan at
+    # all (it runs partitioned inside the checkpointed subtree)
+    for name in ("ord_abc_pareto", "ord_rfm_segments", "ev_concurrent_sessions"):
+        p = _plan(spark, name)
+        assert "Scan ExistingRDD" in p, name
+        assert "BroadcastHashJoin" in p, name
+        assert "Window" not in p, name
