@@ -1260,6 +1260,44 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.xxhash64(F.expr("substring(tb, g.si + 1, g.li)")).alias("h"),
         )
     )
+    # All probe keys for one (doc, partner-length) computed inside ONE
+    # nested higher-order-function expression, then exploded once. The
+    # previous three-generator chain (explode lengths → explode
+    # segments → explode positions) carried the FULL document text
+    # through every intermediate row — ~300 UnsafeRow copies of the
+    # text per doc at the 2M rehearsal (~1.4e9 generated rows, the
+    # measured bottleneck); here the text is copied once per existing
+    # partner length (1 row/doc on a uniform-length corpus) and the
+    # explode emits only fixed-width (i, h) structs. array_distinct
+    # pre-dedups repeated keys (repeated text windows) BEFORE the
+    # shuffle; the later pair-level distinct() stays as the contract.
+    # Inner bindings via single-element transform-as-let: layer 1
+    # binds the segment layout (li, si), layer 2 the tight probe
+    # window [plo, phi] — |d| edits must precede the segment and
+    # |d - (La-Lb)| must follow it, so |d| + |d-dl| <= T: at most T+1
+    # probe positions (vs 2T+1 with the naive bound).
+    _emit = (
+        "transform(sequence(b.plo, b.phi), "
+        "p -> struct(i AS i, xxhash64(substring(ta, p + 1, seg.li)) AS h))"
+    )
+    _guarded = f"IF(b.plo <= b.phi, {_emit}, array())"
+    _bind_window = (
+        "flatten(transform(array(named_struct("
+        f"'plo', greatest(0, seg.si + least(0, la - lb)"
+        f" - ({EDIT_T} - abs(la - lb)) div 2), "
+        f"'phi', least(la - seg.li, seg.si + greatest(0, la - lb)"
+        f" + ({EDIT_T} - abs(la - lb)) div 2)"
+        f")), b -> {_guarded}))"
+    )
+    _bind_seg = (
+        "flatten(transform(array(named_struct("
+        f"'li', CAST((lb div {EDIT_K}) + IF(i >= {EDIT_K} - (lb % {EDIT_K}), 1, 0) AS INT), "
+        f"'si', CAST(i * (lb div {EDIT_K}) + greatest(0, i - ({EDIT_K} - (lb % {EDIT_K}))) AS INT)"
+        f")), seg -> {_bind_window}))"
+    )
+    probe_keys = (
+        f"array_distinct(flatten(transform(sequence(0, {EDIT_K - 1}), i -> {_bind_seg})))"
+    )
     probe = (
         longs.select(
             F.col("doc_id").alias("ida"),
@@ -1270,43 +1308,12 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lb"),
         )
         .join(F.broadcast(lens), "lb")  # only partner lengths that exist
-        .select("ida", "ta", "la", "lb", F.explode(F.expr(_SEGS_EXPR)).alias("g"))
-        .select(
-            "ida",
-            "ta",
-            "la",
-            "lb",
-            F.col("g.i").alias("i"),
-            F.col("g.li").alias("li"),
-            # tight shift bound: |d| edits must precede the segment and
-            # |d - (La-Lb)| must follow it, so |d| + |d-dl| <= T — at
-            # most T+1 probe positions (vs 2T+1 with the naive bound)
-            F.expr(
-                f"greatest(0, g.si + least(0, la - lb)"
-                f" - ({EDIT_T} - abs(la - lb)) div 2)"
-            ).alias("p_lo"),
-            F.expr(
-                f"least(la - g.li, g.si + greatest(0, la - lb)"
-                f" + ({EDIT_T} - abs(la - lb)) div 2)"
-            ).alias("p_hi"),
-        )
-        .filter(F.col("p_lo") <= F.col("p_hi"))
-        .select(
-            "ida",
-            "ta",
-            "lb",
-            "i",
-            "li",
-            F.explode(F.sequence("p_lo", "p_hi")).alias("p"),
-        )
         # join on the segment's 8-byte hash, not its content: the
         # shuffle carries fixed-width keys instead of ~L/K-char
         # strings; a hash collision only creates a spurious candidate,
         # which the levenshtein verify kills
-        .select(
-            "ida", "lb", "i",
-            F.xxhash64(F.expr("substring(ta, p + 1, li)")).alias("h"),
-        )
+        .select("ida", "lb", F.explode(F.expr(probe_keys)).alias("g"))
+        .select("ida", "lb", F.col("g.i").alias("i"), F.col("g.h").alias("h"))
     )
     long_pairs = (
         # hash-join with the SMALL side (K rows/doc) as build: Catalyst's

@@ -32,16 +32,24 @@ def _uniform(key) -> "F.Column":
     )
 
 
+def strata_keep_predicate() -> "F.Column":
+    """The stratified-sample membership predicate — a pure function of
+    (doc_id, lang); shared by the batch operator and the streaming
+    dual so the two can never drift."""
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return _uniform(F.col("doc_id")) < rate
+
+
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language stratified sample of documents. Embarrassingly
     parallel — a pure per-row predicate, no shuffle, no state; the
     filter pushes to the scan output and the plan is a single
-    codegen'd stage."""
+    codegen'd stage. Streaming dual: streaming_mix (same predicate,
+    per-batch append)."""
     d = io.load(spark, sf_dir, "documents")
-    rate = F.lit(DEFAULT_RATE)
-    for lang, r in STRATA_RATES.items():
-        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
-    return d.filter(_uniform(F.col("doc_id")) < rate).select("doc_id", "lang", "source")
+    return d.filter(strata_keep_predicate()).select("doc_id", "lang", "source")
 
 
 _RATE_SQL = "CASE " + " ".join(
@@ -128,6 +136,19 @@ MIX_WEIGHTS: dict[str, float] = {"src1": 2.5, "src2": 0.3, "src3": 0.0}
 DEFAULT_WEIGHT = 1.0
 
 
+def mix_copies_col() -> "F.Column":
+    """Copy count per document for source mixing — a pure function of
+    (doc_id, source); shared by the batch operator and the streaming
+    dual so the two can never drift."""
+    w = F.lit(DEFAULT_WEIGHT)
+    for src, r in MIX_WEIGHTS.items():
+        w = F.when(F.col("source") == src, F.lit(r)).otherwise(w)
+    base = F.floor(w)
+    return (
+        base + F.when(_uniform(F.col("doc_id")) < w - base, 1).otherwise(0)
+    ).cast("int")
+
+
 def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted source mixing: each document emits floor(w) copies plus
     one more when its content-hash uniform falls under frac(w). Same
@@ -136,13 +157,8 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode is data-parallel: no shuffle anywhere, output size is
     sum(w_s × |source_s|) by construction."""
     d = io.load(spark, sf_dir, "documents")
-    w = F.lit(DEFAULT_WEIGHT)
-    for src, r in MIX_WEIGHTS.items():
-        w = F.when(F.col("source") == src, F.lit(r)).otherwise(w)
-    base = F.floor(w)
-    n = (base + F.when(_uniform(F.col("doc_id")) < w - base, 1).otherwise(0)).cast("int")
     return (
-        d.withColumn("n_copies", n)
+        d.withColumn("n_copies", mix_copies_col())
         .select(
             "doc_id",
             "source",

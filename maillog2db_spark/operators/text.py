@@ -533,21 +533,14 @@ SELECT tok, CAST(rk AS INT) AS rk, est_n, true_n FROM (
 BPE_TRAIN_ITERS = 3  # unrolled in the oracle SQL; keep the two in sync
 
 
-def _bpe_step(spark: SparkSession, syms: DataFrame, keys: tuple[str, ...]):
-    """One BPE merge pass over the vocab table: weighted adjacent-pair
-    count, argmax with (cnt, l, r) ordering, replace-trick apply.
-    A sentinel ('', '', -1) pair keeps the argmax at exactly one row
-    even when no pairs remain (all-single-symbol vocab) — its apply is
-    a no-op (three spaces never occur in a single-spaced sequence), so
-    the iteration degrades gracefully instead of annihilating the
-    vocab through the cross join. Both the winning pair and the
-    applied vocab are eagerly checkpointed: the tables are vocab-sized
-    (tiny), and without the cut each iteration would re-run the whole
-    prior lineage per job (measured 5x on the encode path)."""
-    pairs = (
-        syms.select("freq", F.split("s", " ").alias("a"))
+def _bpe_pair_counts(syms: DataFrame, weight) -> DataFrame:
+    """Weighted adjacent-pair counts of a symbol-sequence table —
+    the recount primitive (also used with a NEGATIVE weight to emit
+    retraction deltas in the incremental trainer)."""
+    return (
+        syms.select(weight.alias("w"), F.split("s", " ").alias("a"))
         .select(
-            "freq",
+            "w",
             F.explode(
                 F.arrays_zip(
                     F.expr("slice(a, 1, size(a) - 1)"),
@@ -556,29 +549,100 @@ def _bpe_step(spark: SparkSession, syms: DataFrame, keys: tuple[str, ...]):
             ).alias("p"),
         )
         .groupBy(F.col("p.0").alias("l"), F.col("p.1").alias("r"))
-        .agg(F.sum("freq").alias("cnt"))
+        .agg(F.sum("w").alias("cnt"))
     )
-    sentinel = spark.range(1).select(
-        F.lit("").alias("l"), F.lit("").alias("r"), F.lit(-1).cast("bigint").alias("cnt")
-    )
-    best = (
-        pairs.unionByName(sentinel)
-        .orderBy(F.col("cnt").desc(), F.col("l").desc(), F.col("r").desc())
-        .limit(1)
-        .localCheckpoint(eager=True)
-    )
-    applied = (
-        syms.crossJoin(F.broadcast(best.drop("cnt")))
-        .select(
-            *keys,
-            F.expr(
-                "trim(replace(concat(' ', s, ' '),"
-                " concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' ')))"
-            ).alias("s"),
+
+
+def _bpe_train(
+    spark: SparkSession,
+    syms: DataFrame,
+    n_iters: int,
+    keys: tuple[str, ...],
+    stats: list | None = None,
+):
+    """BPE merge loop with INCREMENTAL pair-count maintenance: the full
+    adjacent-pair count runs ONCE (init); each merge then updates the
+    count table by exact delta from only the AFFECTED words (those
+    containing the fused pair) — retract their old pairs, assert their
+    rewritten pairs. counts ≡ init + Σ deltas ≡ a full recount at every
+    step (unaffected words contribute identically to both sides), so
+    the argmax sequence — and therefore every merge and the final
+    vocab — is bit-identical to the naive recount formulation, which
+    remains the DuckDB oracle path. At the documented 30k-merge target
+    this is the difference between 30k full vocab-table pair shuffles
+    and 30k affected-word-volume deltas (Sennrich et al. 2016 §3;
+    the classic incremental trainer bookkeeping, set-oriented).
+
+    The winning pair is one collected row (bounded: 1 row/merge), so
+    the apply/filter embed it as LITERALS — pure codegen string ops,
+    no broadcast join of any kind in the loop. Checkpoints per merge
+    are vocab-sized (counts table + symbol table), cutting lineage
+    exactly as before.
+
+    Returns (final syms, merges rows [(step, l, r, cnt), ...])."""
+    counts = _bpe_pair_counts(syms, F.col("freq")).localCheckpoint(eager=True)
+    syms = syms.localCheckpoint(eager=True)
+    # the per-merge union (untouched ∪ rewritten) would otherwise DOUBLE
+    # the partition count every merge (rewritten is a narrow child of
+    # syms, union adds both sides' partitions: 32 → 32k tasks by merge
+    # 15 — found by the 100-merge rehearsal); coalesce back to the
+    # input's partitioning before every checkpoint
+    import time as _time
+
+    n_parts = syms.rdd.getNumPartitions()
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_iters + 1):
+        _t0 = _time.time()
+        best = (
+            counts.orderBy(
+                F.col("cnt").desc(), F.col("l").desc(), F.col("r").desc()
+            )
+            .limit(1)
+            .collect()
         )
-        .localCheckpoint(eager=True)
-    )
-    return applied, best
+        if not best or best[0].cnt <= 0:
+            # no pairs left (all-single-symbol vocab): remaining steps
+            # are no-ops, same graceful degradation as the sentinel row
+            # in the oracle's unrolled formulation
+            break
+        l, r, cnt = best[0].l, best[0].r, best[0].cnt
+        merges.append((step, l, r, cnt))
+        pat, fused = f" {l} {r} ", f" {l}{r} "
+        padded = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+        hit = F.instr(padded, pat) > 0
+        rewritten = syms.filter(hit).select(
+            *keys, F.trim(F.replace(padded, F.lit(pat), F.lit(fused))).alias("s")
+        )
+        delta = (
+            _bpe_pair_counts(rewritten, F.col("freq"))
+            .unionByName(_bpe_pair_counts(syms.filter(hit), -F.col("freq")))
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").alias("d"))
+        )
+        counts = (
+            counts.join(delta, ["l", "r"], "full_outer")
+            .select(
+                "l",
+                "r",
+                (
+                    F.coalesce(F.col("cnt"), F.lit(0))
+                    + F.coalesce(F.col("d"), F.lit(0))
+                ).alias("cnt"),
+            )
+            .filter(F.col("cnt") > 0)
+            .localCheckpoint(eager=True)
+        )
+        syms = (
+            syms.filter(~hit)
+            .unionByName(rewritten)
+            .coalesce(n_parts)
+            .localCheckpoint(eager=True)
+        )
+        if stats is not None:
+            # (step, fused-pair occurrence mass, wall seconds) — lets a
+            # rehearsal correlate per-merge cost with affected volume
+            stats.append((step, cnt, _time.time() - _t0))
+    return syms, merges
 
 
 def _bpe_words(spark: SparkSession, sf_dir: str, with_tok: bool) -> DataFrame:
@@ -612,29 +676,20 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical (the documented contract; canonical run
     collapsing converges over subsequent iterations).
 
-    Scale design: per iteration — one vocab-sized symbol explode, one
-    map-side-combined pair count, one global top-1 (TakeOrdered, no
-    full sort materialization), one broadcast of the single winning
-    pair back over the vocab. The corpus is touched once, for word
-    counts. 30k merges at 100 TB are 30k such vocab-sized stages — a
-    driver loop, never a driver dataset."""
+    Scale design: the full pair count runs ONCE; each merge then
+    maintains the count table incrementally — retract/assert deltas
+    from only the words containing the fused pair (`_bpe_train`), one
+    global top-1 per merge (TakeOrdered over the persisted count
+    table), winning pair embedded as literals. The corpus is touched
+    once, for word counts. 30k merges at 100 TB are 30k
+    affected-word-volume delta stages — a driver loop, never a driver
+    dataset, and never a full vocab recount per merge."""
     syms = _bpe_words(spark, sf_dir, with_tok=False)
-    merges = []
-    for step in range(1, BPE_TRAIN_ITERS + 1):
-        syms, best = _bpe_step(spark, syms, keys=("freq",))
-        merges.append(
-            best.filter(F.col("cnt") > 0).select(
-                F.lit(step).alias("step"),
-                F.col("l").alias("lhs"),
-                F.col("r").alias("rhs"),
-                F.concat("l", "r").alias("merged"),
-                F.col("cnt").alias("pair_count"),
-            )
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    _final, merges = _bpe_train(spark, syms, BPE_TRAIN_ITERS, keys=("freq",))
+    return spark.createDataFrame(
+        [(s, l, r, l + r, c) for s, l, r, c in merges],
+        "step int, lhs string, rhs string, merged string, pair_count bigint",
+    )
 
 
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,9 +707,10 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (word → n_symbols) table — AQE broadcasts it — and one per-doc
     aggregate. Compression is an exact-integer ppm ratio."""
     docs = io.load(spark, sf_dir, "documents")
-    syms = _bpe_words(spark, sf_dir, with_tok=True)
-    for _ in range(BPE_TRAIN_ITERS):
-        syms, _best = _bpe_step(spark, syms, keys=("tok", "freq"))
+    syms, _merges = _bpe_train(
+        spark, _bpe_words(spark, sf_dir, with_tok=True), BPE_TRAIN_ITERS,
+        keys=("tok", "freq"),
+    )
     enc = syms.select("tok", F.size(F.split("s", " ")).alias("n_syms"))
     per_doc = (
         docs.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))

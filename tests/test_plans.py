@@ -38,8 +38,8 @@ BNL_ALLOWED = {
     "doc_bigram_lm_score": [_SCALAR],
     "li_part_pagerank": [_SCALAR],
     "ord_abc_pareto": [_SCALAR],
-    "doc_bpe_train_merges": [_SCALAR],
-    "doc_bpe_encode_stats": [_SCALAR],
+    # (doc_bpe_* left the list in round 5: the winning pair is now a
+    # collected literal, so the trainer has no broadcast join at all)
     "li_basket_affinity": [_SCALAR],
     "li_basket_rules": [_SCALAR],
     "doc_corpus_pipeline": [_SCALAR],

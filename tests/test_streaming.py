@@ -877,6 +877,69 @@ def test_streaming_weighted_reservoir_matches_batch(spark, tmp_path_factory):
     assert sorted(map(tuple, store.sample(spark).collect())) == want
 
 
+def test_streaming_sample_mix_matches_batch(spark, tmp_path_factory):
+    """The stateless samplers (stratified membership + weighted source
+    mix), fed the corpus in waves, accumulate to EXACTLY the batch
+    operators' outputs (membership is a pure content-hash function, so
+    stream ≡ batch needs no state); a fresh-checkpoint rerun and a
+    crash-window replay of one wave both converge (ledger + per-batch
+    partition overwrite)."""
+    import shutil as _sh
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_mix as sm
+    from maillog2db_spark.operators import sampling as S
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    want_strat = sorted(map(tuple, S.stratified_sample(spark, sf).collect()))
+    want_mix = sorted(map(tuple, S.source_mix(spark, sf).collect()))
+
+    d = tmp_path_factory.mktemp("samplemix_stream")
+    src = d / "docs"
+    src.mkdir()
+    waves = []
+    for i, (lo, hi) in enumerate([(None, 170), (170, 340), (340, None)]):
+        w = docs
+        if lo is not None:
+            w = w.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            w = w.filter(F.col("doc_id") < hi)
+        waves.append(w)
+        tmp = d / f"_tmp{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"wave{i}.parquet"
+        _sh.move(str(part), str(dest))
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+        _sh.rmtree(tmp)
+
+    store = sm.SampleMixStore(str(d / "store"))
+    q = sm.start_sample_mix_stream(spark, str(src), store, str(d / "ckpt"),
+                                   available_now=True)
+    q.awaitTermination(300)
+
+    def got():
+        return (
+            sorted(map(tuple, store.stratified(spark).collect())),
+            sorted(map(tuple, store.mixed(spark).collect())),
+        )
+
+    assert got() == (want_strat, want_mix)
+
+    # fresh-checkpoint rerun: ledger skips every redelivered wave
+    q2 = sm.start_sample_mix_stream(spark, str(src), store, str(d / "ckpt2"),
+                                    available_now=True)
+    q2.awaitTermination(300)
+    assert got() == (want_strat, want_mix)
+
+    # crash inside the commit window: wave 1's ledger mark lost after
+    # its writes — replay overwrites exactly its own partitions
+    os.remove(store._ledger(1))
+    sm.sample_mix_ingest_batch(spark, waves[1], store, 1)
+    assert got() == (want_strat, want_mix)
+
+
 def test_streaming_span_scrub_matches_batch(spark, tmp_path_factory):
     """Incremental span scrubbing, fed doc_id-monotone waves, produces
     EXACTLY the batch operator's scrubbed rows (text and audit columns
