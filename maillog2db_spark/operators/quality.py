@@ -193,3 +193,156 @@ SELECT doc_id, n_grams, len(fps) AS n_fingerprints,
        list_min(fps) AS fp_min, list_max(fps) AS fp_max
 FROM s
 """
+
+
+# --- character-entropy scoring ----------------------------------------------
+#
+# Shannon entropy of the character distribution — the classic cheap
+# signal for binary junk, encoding glitches, and keyboard-mash rows
+# (natural text sits ~4.0-4.6 bits/char; near-0 means repeated filler,
+# near-log2(alphabet) means noise). Computed ENTIRELY inside array
+# expressions: histogram = per-distinct-char filter counts over the
+# char array (ASCII-ish alphabets are ≤ a few hundred distinct, so the
+# len × distinct scan is bounded per row), no shuffle anywhere. Each
+# term quantizes to ppm BEFORE the cross-term sum (bigint sum is
+# order-free — the engine's fixed-point doctrine), so libm ulp drift
+# in log2 cannot flip the hash.
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-entropy quality signal (entropy in ppm
+    of a bit). Zero-shuffle: one codegen'd map stage."""
+    d = io.load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    expr = """
+    aggregate(
+      array_sort(array_distinct(transform(sequence(1, length(text)),
+                                          i -> substring(text, i, 1)))),
+      CAST(0 AS BIGINT),
+      (acc, c) -> acc + CAST(round(
+        (CAST(size(filter(transform(sequence(1, length(text)),
+                                    i -> substring(text, i, 1)), x -> x = c))
+              AS DOUBLE) / length(text))
+        * log2(CAST(length(text) AS DOUBLE)
+               / size(filter(transform(sequence(1, length(text)),
+                                       i -> substring(text, i, 1)), x -> x = c)))
+        * 1000000) AS BIGINT))
+    """
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_text"),
+        F.size(
+            F.array_distinct(
+                F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+            )
+        ).cast("bigint").alias("n_distinct_chars"),
+        F.expr(expr).alias("entropy_ppm"),
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, length(text) AS n_chars_text,
+         list_transform(generate_series(1, length(text)),
+                        i -> substr(text, i, 1)) AS cs
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id, CAST(n_chars_text AS BIGINT) AS n_chars_text,
+       CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct_chars,
+       CAST(list_sum(list_transform(list_sort(list_distinct(cs)), c ->
+         CAST(round(
+           (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n_chars_text)
+           * log2(CAST(n_chars_text AS DOUBLE) / len(list_filter(cs, x -> x = c)))
+           * 1000000) AS BIGINT))) AS BIGINT) AS entropy_ppm
+FROM chars
+"""
+
+
+# --- distribution-drift audit (PSI) ------------------------------------------
+#
+# Population Stability Index between each source's document-length
+# distribution and the whole corpus — the drift monitor a pipeline
+# runs on every new drop before admitting it (PSI < 0.1 stable,
+# 0.1-0.25 moderate shift, > 0.25 investigate). Fixed equal-width
+# bins + add-one smoothing (so empty bins never hit ln(0)); each
+# bin's term quantizes to ppm before the order-free bigint sum.
+# Plan shape: ONE map-side-combined groupBy(source, bin) over the
+# corpus; everything after runs on the tiny (sources × bins) grid.
+
+PSI_BIN_W = 200  # chars per length bin
+PSI_BINS = 20  # bins [0..19], top bin open-ended
+
+
+def length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = io.load(spark, sf_dir, "documents")
+    binned = d.select(
+        "source",
+        F.least(
+            F.expr(f"n_chars div {PSI_BIN_W}"), F.lit(PSI_BINS - 1)
+        ).cast("int").alias("bin"),
+    )
+    per_src = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # dense (source × bin) grid so smoothing sees every empty bin
+    grid = per_src.select("source").distinct().crossJoin(
+        spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    )
+    dense = grid.join(per_src, ["source", "bin"], "left").select(
+        "source", "bin", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    totals = dense.groupBy("source").agg(F.sum("cnt").alias("n_src"))
+    ref = dense.groupBy("bin").agg(F.sum("cnt").alias("ref_cnt"))
+    # corpus total derived from the TINY ref grid (20 rows), never a
+    # second corpus scan; 1-row scalar broadcast (BNL-allowlisted)
+    n_all = ref.agg(F.sum("ref_cnt").alias("n_all"))
+    term = (
+        f"(CAST(cnt + 1 AS DOUBLE) / (n_src + {PSI_BINS})"
+        f" - CAST(ref_cnt + 1 AS DOUBLE) / (n_all + {PSI_BINS}))"
+        f" * ln((CAST(cnt + 1 AS DOUBLE) / (n_src + {PSI_BINS}))"
+        f"      / (CAST(ref_cnt + 1 AS DOUBLE) / (n_all + {PSI_BINS})))"
+    )
+    return (
+        dense.join(F.broadcast(totals), "source")
+        .join(F.broadcast(ref), "bin")
+        .join(F.broadcast(n_all))
+        .withColumn("term_ppm", F.expr(f"CAST(round(({term}) * 1000000) AS BIGINT)"))
+        .groupBy("source")
+        .agg(
+            F.first("n_src").cast("bigint").alias("n_docs"),
+            F.sum("term_ppm").cast("bigint").alias("psi_ppm"),
+        )
+    )
+
+
+LENGTH_DRIFT_PSI_SQL = f"""
+WITH binned AS (
+  SELECT source, least(n_chars // {PSI_BIN_W}, {PSI_BINS - 1}) AS bin
+  FROM documents
+), per_src AS (
+  SELECT source, bin, count(*) AS cnt FROM binned GROUP BY 1, 2
+), grid AS (
+  SELECT s.source, CAST(b.range AS INT) AS bin
+  FROM (SELECT DISTINCT source FROM per_src) s CROSS JOIN range({PSI_BINS}) b
+), dense AS (
+  SELECT g.source, g.bin, coalesce(p.cnt, 0) AS cnt
+  FROM grid g LEFT JOIN per_src p ON g.source = p.source AND g.bin = p.bin
+), tot AS (
+  SELECT source, sum(cnt) AS n_src FROM dense GROUP BY 1
+), ref AS (
+  SELECT bin, sum(cnt) AS ref_cnt FROM dense GROUP BY 1
+), n_all AS (
+  SELECT count(*) AS n FROM documents
+)
+SELECT d.source, CAST(t.n_src AS BIGINT) AS n_docs,
+       CAST(sum(CAST(round(
+         ((CAST(d.cnt + 1 AS DOUBLE) / (t.n_src + {PSI_BINS})
+           - CAST(r.ref_cnt + 1 AS DOUBLE) / (n_all.n + {PSI_BINS}))
+          * ln((CAST(d.cnt + 1 AS DOUBLE) / (t.n_src + {PSI_BINS}))
+               / (CAST(r.ref_cnt + 1 AS DOUBLE) / (n_all.n + {PSI_BINS}))))
+         * 1000000) AS BIGINT)) AS BIGINT) AS psi_ppm
+FROM dense d
+JOIN tot t USING (source) JOIN ref r USING (bin) CROSS JOIN n_all
+GROUP BY d.source, t.n_src
+"""

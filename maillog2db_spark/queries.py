@@ -439,6 +439,10 @@ register("doc_repetition_stats", _ql.REPETITION_STATS_SQL,
          doc="Gopher-rule repetition profile: top-unigram + dup n-gram fractions, keep/drop flag")(_ql.repetition_stats)
 register("doc_winnowing", _ql.WINNOWING_SQL,
          doc="Winnowing (MOSS) fingerprint selection: window-min of k-gram hashes, zero shuffles")(_ql.winnowing_fingerprints)
+register("doc_char_entropy", _ql.CHAR_ENTROPY_SQL,
+         doc="Per-doc character Shannon entropy (junk/noise signal): in-expression histogram, zero shuffles, ppm-quantized terms")(_ql.char_entropy)
+register("dq_length_drift_psi", _ql.LENGTH_DRIFT_PSI_SQL,
+         doc="Population Stability Index of each source's length distribution vs the corpus: fixed bins + add-one smoothing, one map-side-combined aggregate")(_ql.length_drift_psi)
 register("ev_retention_cohorts", _win.RETENTION_COHORTS_SQL,
          doc="Cohort retention triangle: first-seen week × week offset distinct users")(_win.retention_cohorts)
 

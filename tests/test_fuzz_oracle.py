@@ -77,6 +77,13 @@ FUZZED_QUERIES = [
     # interpolated bigram LM: single-token and empty docs must drop
     # identically; zipped-slice bigrams on duplicate-heavy corpora
     "doc_bigram_lm_score",
+    # char-entropy: per-term ppm quantization before the order-free
+    # bigint sum; non-ASCII WORDS certify codepoint-level histograms
+    # agree cross-engine (incl. the NFD combining accent)
+    "doc_char_entropy",
+    # PSI drift: dense bin grid + add-one smoothing; single-source
+    # corpora must yield psi ≈ 0 rows, never division blowups
+    "dq_length_drift_psi",
     # lossless length-band blocking + ASCII-projected Levenshtein: the
     # non-ASCII WORDS (incl. the combining accent) certify that byte-
     # (DuckDB) and codepoint- (Spark) distances coincide after the fold

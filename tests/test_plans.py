@@ -44,6 +44,8 @@ BNL_ALLOWED = {
     "li_basket_rules": [_SCALAR],
     "doc_corpus_pipeline": [_SCALAR],
     "ord_rfm_segments": [_SCALAR],  # 1-row customer-count broadcast
+    # 1-row corpus-total broadcast + constant 20-row bin-grid Range
+    "dq_length_drift_psi": [_SCALAR, "Range (0, 20"],
 }
 
 
