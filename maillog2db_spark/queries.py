@@ -443,6 +443,11 @@ register("doc_char_entropy", _ql.CHAR_ENTROPY_SQL,
          doc="Per-doc character Shannon entropy (junk/noise signal): in-expression histogram, zero shuffles, ppm-quantized terms")(_ql.char_entropy)
 register("dq_length_drift_psi", _ql.LENGTH_DRIFT_PSI_SQL,
          doc="Population Stability Index of each source's length distribution vs the corpus: fixed bins + add-one smoothing, one map-side-combined aggregate")(_ql.length_drift_psi)
+
+from .operators import classifier as _cl  # noqa: E402
+
+register("doc_quality_classifier", _cl.QUALITY_CLASSIFIER_SQL,
+         doc="CCNet-style domain-discriminator quality filter: logistic regression trained by integer-exact distributed GD (rational sigmoid, ppb gradient quantization), scores every doc")(_cl.quality_classifier)
 register("ev_retention_cohorts", _win.RETENTION_COHORTS_SQL,
          doc="Cohort retention triangle: first-seen week × week offset distinct users")(_win.retention_cohorts)
 

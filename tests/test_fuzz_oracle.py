@@ -84,6 +84,11 @@ FUZZED_QUERIES = [
     # PSI drift: dense bin grid + add-one smoothing; single-source
     # corpora must yield psi ≈ 0 rows, never division blowups
     "dq_length_drift_psi",
+    # GD-trained classifier: integer features/gradients/weights and a
+    # rational sigmoid — per-row rounding only, no cross-row float
+    # sums, so the training trajectory is bit-identical cross-engine
+    # even on degenerate corpora (all-one-source, empty texts)
+    "doc_quality_classifier",
     # lossless length-band blocking + ASCII-projected Levenshtein: the
     # non-ASCII WORDS (incl. the combining accent) certify that byte-
     # (DuckDB) and codepoint- (Spark) distances coincide after the fold

@@ -1964,3 +1964,42 @@ def test_distributed_cumulative_matches_single_partition_window(spark):
             ).collect()
         )
         assert got_nt == want_nt, total
+
+
+def test_quality_classifier_separates_planted_classes(spark, tmp_path):
+    """The trained domain discriminator must actually discriminate on
+    SEPARABLE data: a planted corpus where the bench source's docs are
+    long multi-token text and the rest are short fragments. After
+    CLS_ITERS GD steps every bench doc must outscore every non-bench
+    doc (the features differ by construction, so a correct gradient
+    direction yields a clean margin). Also pins determinism: training
+    twice yields identical scores (integer weights, no RNG), and on
+    the driver corpus — where sources are feature-identical by
+    construction — training converges without flipping any score past
+    the decision boundary spuriously."""
+    from maillog2db_spark.operators import classifier as C
+    from maillog2db_spark.operators.decontam import BENCH_SOURCE
+
+    rows = []
+    for i in range(60):
+        long_text = " ".join(f"token{j}" for j in range(200))
+        rows.append((i, "en", BENCH_SOURCE, long_text, len(long_text)))
+    for i in range(60, 300):
+        rows.append((i, "en", "srcX", "tiny bit", 8))
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = C.quality_classifier(spark, str(tmp_path)).collect()
+    pos = [r.lr_score_ppm for r in out if r.source == BENCH_SOURCE]
+    neg = [r.lr_score_ppm for r in out if r.source != BENCH_SOURCE]
+    assert len(pos) == 60 and len(neg) == 240
+    assert min(pos) > max(neg)  # clean margin on separable data
+
+    # determinism on the driver corpus: identical scores across runs
+    sf = "/root/testdata/sf0.001"
+    a = sorted((r.doc_id, r.lr_score_ppm)
+               for r in C.quality_classifier(spark, sf).collect())
+    b = sorted((r.doc_id, r.lr_score_ppm)
+               for r in C.quality_classifier(spark, sf).collect())
+    assert a == b
