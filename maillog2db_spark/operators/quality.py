@@ -274,17 +274,28 @@ PSI_BIN_W = 200  # chars per length bin
 PSI_BINS = 20  # bins [0..19], top bin open-ended
 
 
+def psi_bin_col() -> "F.Column":
+    """Length-bin assignment — shared with the streaming dual."""
+    return (
+        F.least(F.expr(f"n_chars div {PSI_BIN_W}"), F.lit(PSI_BINS - 1))
+        .cast("int")
+        .alias("bin")
+    )
+
+
 def length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = io.load(spark, sf_dir, "documents")
-    binned = d.select(
-        "source",
-        F.least(
-            F.expr(f"n_chars div {PSI_BIN_W}"), F.lit(PSI_BINS - 1)
-        ).cast("int").alias("bin"),
-    )
-    per_src = binned.groupBy("source", "bin").agg(
+    per_src = d.select("source", psi_bin_col()).groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    return psi_from_counts(spark, per_src)
+
+
+def psi_from_counts(spark: SparkSession, per_src: DataFrame) -> DataFrame:
+    """The dense-grid + add-one-smoothing + ppm-quantized-term PSI
+    math over an arbitrary (source, bin, cnt) table — shared by the
+    batch operator and the streaming dual (accumulated grids, and the
+    batch-vs-history admission gate) so the math cannot drift."""
     # dense (source × bin) grid so smoothing sees every empty bin
     grid = per_src.select("source").distinct().crossJoin(
         spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))

@@ -940,6 +940,68 @@ def test_streaming_sample_mix_matches_batch(spark, tmp_path_factory):
     assert got() == (want_strat, want_mix)
 
 
+def test_streaming_drift_psi_matches_batch(spark, tmp_path_factory):
+    """The incremental drift monitor, fed the corpus in waves,
+    resolves to EXACTLY the batch dq_length_drift_psi rows (counts are
+    additive, the grid math is shared code); fresh-checkpoint rerun
+    and crash-window replay converge; and the admission-time
+    batch-vs-history gate flags a planted out-of-distribution drop
+    while passing an in-distribution one."""
+    import shutil as _sh
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_drift as sd
+    from maillog2db_spark.operators.quality import length_drift_psi
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    want = sorted(map(tuple, length_drift_psi(spark, sf).collect()))
+
+    d = tmp_path_factory.mktemp("drift_stream")
+    src = d / "docs"
+    src.mkdir()
+    waves = []
+    for i, (lo, hi) in enumerate([(None, 170), (170, 340), (340, None)]):
+        w = docs
+        if lo is not None:
+            w = w.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            w = w.filter(F.col("doc_id") < hi)
+        waves.append(w)
+        tmp = d / f"_tmp{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"wave{i}.parquet"
+        _sh.move(str(part), str(dest))
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+        _sh.rmtree(tmp)
+
+    store = sd.DriftStore(str(d / "store"))
+    q = sd.start_drift_stream(spark, str(src), store, str(d / "ckpt"),
+                              available_now=True)
+    q.awaitTermination(300)
+    assert sorted(map(tuple, sd.psi(spark, store).collect())) == want
+
+    # fresh-checkpoint rerun + crash-window replay both converge
+    q2 = sd.start_drift_stream(spark, str(src), store, str(d / "ckpt2"),
+                               available_now=True)
+    q2.awaitTermination(300)
+    os.remove(store._ledger(1))
+    sd.drift_ingest_batch(spark, waves[1], store, 1)
+    assert sorted(map(tuple, sd.psi(spark, store).collect())) == want
+
+    # admission gate: an in-distribution drop (a corpus slice) scores
+    # low; a planted length-shifted drop (all-maximal lengths) scores
+    # an order of magnitude higher
+    ok = sd.batch_vs_history_psi(spark, waves[0], store).collect()
+    shifted = waves[0].withColumn("n_chars", F.lit(PSI_SHIFT_CHARS))
+    bad = sd.batch_vs_history_psi(spark, shifted, store).collect()
+    assert max(r.psi_ppm for r in ok) < min(r.psi_ppm for r in bad)
+
+
+PSI_SHIFT_CHARS = 999_999  # way past every bin the corpus occupies
+
+
 def test_streaming_span_scrub_matches_batch(spark, tmp_path_factory):
     """Incremental span scrubbing, fed doc_id-monotone waves, produces
     EXACTLY the batch operator's scrubbed rows (text and audit columns
