@@ -22,14 +22,17 @@ SF = "/root/testdata/sf0.001"
 # the plan must match one of the query's markers.
 _SCALAR = "HashAggregate(keys=[]"  # zero grouping keys → exactly 1 row
 BNL_ALLOWED = {
-    # N_QUERIES-head broadcast (vec_id < 25 filter) scored vs corpus
-    "embed_knn_bruteforce": [_SCALAR, "vec_id"],
-    "embed_ann_ivf_topk": [_SCALAR, "vec_id", "label"],
-    "embed_semdedup": [_SCALAR, "label"],  # label-grain quantizer cells
-    "embed_kmeans": [_SCALAR, "label"],  # k×dim centroids
-    "embed_ann_recall": [_SCALAR, "vec_id", "label"],
-    "embed_ivfpq_topk": [_SCALAR, "vec_id", "label"],
-    "embed_truncation_recall": [_SCALAR, "vec_id"],
+    # N_QUERIES-head broadcast (vec_id < 25 filter) scored vs corpus;
+    # "cent_nrm" is the session-cached k-row centroid table, whose
+    # InMemoryTableScan renders by its columns once another test/query
+    # has warmed the cache (order-dependent plan text, same tiny side)
+    "embed_knn_bruteforce": [_SCALAR, "vec_id", "cent_nrm"],
+    "embed_ann_ivf_topk": [_SCALAR, "vec_id", "label", "cent_nrm"],
+    "embed_semdedup": [_SCALAR, "label", "cent_nrm"],
+    "embed_kmeans": [_SCALAR, "label", "cent_nrm"],
+    "embed_ann_recall": [_SCALAR, "vec_id", "label", "cent_nrm"],
+    "embed_ivfpq_topk": [_SCALAR, "vec_id", "label", "cent_nrm"],
+    "embed_truncation_recall": [_SCALAR, "vec_id", "cent_nrm"],
     # 1-row scalar aggregates broadcast back over the big side
     "doc_tfidf_topk": [_SCALAR],
     "tpch_q11_important_parts": [_SCALAR],
