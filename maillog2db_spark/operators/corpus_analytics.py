@@ -1122,3 +1122,207 @@ SELECT antecedent, consequent, w AS n_ab,
 FROM directed JOIN part_cnt USING (antecedent) CROSS JOIN total
 WHERE w >= {BASKET_MIN_SUPPORT}
 """
+
+
+# --- pairwise source KL divergence -------------------------------------------
+
+KL_TOP_TERMS = 200
+KL_ALPHA = 1  # add-one smoothing inside the selected support
+
+
+def source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise KL divergence between per-source unigram distributions
+    over the corpus's top-M terms — the drift/mixing audit run before
+    combining sources into a training mix (a high KL(a‖b) says source
+    a's head vocabulary is poorly covered by b; asymmetric by design,
+    both directions are rows).
+
+    The support is the corpus-wide TOP-M head (deterministic: count
+    desc, term asc), NOT the full vocabulary: bounded at M rows, the
+    per-source distributions renormalize inside that shared support
+    with add-one smoothing (no zero denominators, distributions sum to
+    exactly 1). That is what keeps the operator 100 TB-safe: the
+    per-(source, term) grid is sources × M — broadcastable metadata —
+    while the only corpus-scale work is the one term-count shuffle
+    that every text operator here already shares.
+
+    Determinism: per-term contributions p_a·ln(p_a/p_b) are one
+    fixed-shape double expression over exact integer counts, quantized
+    to 1e-12 (pico) BEFORE the per-pair sum — KL summands are tiny and
+    ppm would erase them; pico keeps 6 significant digits on the
+    smallest contribution while the bigint sum stays order-exact."""
+    p = spark.sparkContext.defaultParallelism
+    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
+    toks = d.select("source", F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
+    counts = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        counts.groupBy("term")
+        .agg(F.sum("c").alias("tot"))
+        .orderBy(F.col("tot").desc(), F.col("term"))
+        .limit(KL_TOP_TERMS)
+        .select("term")
+    )
+    sources = d.select("source").distinct()
+    # sources × top-M grid (bounded), zero-filled then smoothed
+    grid = (
+        sources.crossJoin(F.broadcast(top))
+        .join(counts, ["source", "term"], "left")
+        .select("source", "term", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    # materialize the bounded grid ONCE: grid feeds both its own
+    # normalizer and the pairwise self-join (2 refs × 2 refs = the
+    # whole counts shuffle re-ran 4× when left as lineage — seen in
+    # the executed plan as four TakeOrderedAndProject(limit=200)
+    # subtrees, i.e. four full corpus passes at scale)
+    grid = grid.localCheckpoint(eager=True)
+    norm = grid.groupBy("source").agg(F.sum("c").alias("n"))
+    probs = grid.join(norm, "source").select(
+        "source",
+        "term",
+        (
+            (F.col("c") + F.lit(KL_ALPHA)).cast("double")
+            / (F.col("n") + F.lit(KL_ALPHA * KL_TOP_TERMS)).cast("double")
+        ).alias("p"),
+    )
+    a, b = probs.alias("a"), probs.alias("b")
+    pairs = (
+        a.join(b, F.col("a.term") == F.col("b.term"))
+        .filter(F.col("a.source") != F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.floor(
+                F.col("a.p") * F.log(F.col("a.p") / F.col("b.p")) * 1e12 + 0.5
+            )
+            .cast("bigint")
+            .alias("c_pico"),
+        )
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.sum("c_pico").cast("bigint").alias("kl_pico")
+    )
+
+
+SOURCE_KL_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKENS_DUCK}) AS term FROM documents
+), counts AS (
+  SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2
+), top AS (
+  SELECT term FROM (
+    SELECT term, sum(c) AS tot FROM counts GROUP BY 1
+  ) ORDER BY tot DESC, term LIMIT {KL_TOP_TERMS}
+), grid AS (
+  SELECT s.source, t.term, coalesce(c.c, 0) AS c
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN top t
+  LEFT JOIN counts c ON c.source = s.source AND c.term = t.term
+), norm AS (
+  SELECT source, sum(c) AS n FROM grid GROUP BY 1
+), probs AS (
+  SELECT source, term,
+         CAST(c + {KL_ALPHA} AS DOUBLE)
+           / CAST(n + {KL_ALPHA * KL_TOP_TERMS} AS DOUBLE) AS p
+  FROM grid JOIN norm USING (source)
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(sum(CAST(floor(a.p * ln(a.p / b.p) * 1e12 + 0.5) AS BIGINT))
+            AS BIGINT) AS kl_pico
+FROM probs a JOIN probs b ON a.term = b.term AND a.source <> b.source
+GROUP BY 1, 2
+"""
+
+
+# --- co-purchase triangle counting -------------------------------------------
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle count and local clustering coefficient on the
+    thresholded co-purchase graph — the graph-density diagnostic over
+    the same edge base PageRank and basket affinity share (a part in
+    many triangles sits in a dense substitution/complement cluster; a
+    high-degree part with NO triangles is a hub like a common staple).
+
+    Plan shape: edges come from the session-cached order-keyed pair
+    base (bounded by basket size², never part × part), thresholded at
+    the affinity support floor. Triangle enumeration is the standard
+    two-join oriented count — edges are oriented a<b<c so each
+    triangle is generated EXACTLY once: wedges (a<b)⋈(b<c) shuffle on
+    the shared endpoint, then close against (a<c). Wedge volume is
+    Σ deg² of the thresholded graph; the threshold is what bounds skew
+    (an unthresholded 100 TB graph would need the standard
+    high-degree-vertex split before the wedge join — noted, not
+    needed at the affinity floor). Per-part attribution explodes each
+    triangle to its 3 corners; the clustering coefficient
+    2T/(deg·(deg−1)) is exact integer arithmetic on the ppm grid."""
+    edges = (
+        _li_pair_counts(spark, sf_dir)
+        .filter(F.col("w") >= BASKET_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("a"),
+            F.col("e1.pb").alias("b"),
+            F.col("e2.pb").alias("c"),
+        )
+    )
+    per_part = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("pa").alias("part"))
+        .unionAll(edges.select(F.col("pb").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    out = deg.join(per_part, "part", "left").select(
+        "part",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+    )
+    clust = F.when(
+        F.col("degree") >= 2,
+        F.expr("CAST(2 * n_triangles * 1000000 div (degree * (degree - 1)) AS BIGINT)"),
+    )
+    return out.select("part", "degree", "n_triangles", clust.alias("clust_ppm"))
+
+
+COPURCHASE_TRIANGLES_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {BASKET_MIN_SUPPORT}
+), tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.pb = e2.pa
+  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+), per_part AS (
+  SELECT part, count(*) AS n_triangles
+  FROM (SELECT unnest([a, b, c]) AS part FROM tri)
+  GROUP BY 1
+), deg AS (
+  SELECT part, count(*) AS degree FROM (
+    SELECT pa AS part FROM edges UNION ALL SELECT pb AS part FROM edges
+  ) GROUP BY 1
+)
+SELECT d.part, d.degree,
+       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN CAST(2 * coalesce(t.n_triangles, 0) * 1000000
+                      // (d.degree * (d.degree - 1)) AS BIGINT)
+       END AS clust_ppm
+FROM deg d LEFT JOIN per_part t USING (part)
+"""

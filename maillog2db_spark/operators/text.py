@@ -840,3 +840,270 @@ SELECT labeled_lang, guessed_lang, n_docs, n_labeled,
        CAST(n_docs * 1000000 // n_labeled AS BIGINT) AS share_ppm
 FROM cells JOIN totals USING (labeled_lang)
 """
+
+
+# --- BM25 retrieval ----------------------------------------------------------
+
+BM25_N_QUERIES = 20  # doc_id < N act as queries; the rest are the corpus
+BM25_TOP_K = 5
+BM25_K1 = 1.2
+BM25_B = 0.75
+# literals shared verbatim with the oracle SQL: both engines must parse
+# the SAME decimal string (computing k1+1 on one side and writing "2.2"
+# on the other risks a ties-to-even ULP split)
+_BM25_K1P1 = BM25_K1 + 1.0  # 2.2, round-trips exactly
+_BM25_1MB = 1.0 - BM25_B    # 0.25, exact
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document retrieval: the first N documents act as queries
+    against the rest of the corpus; per query, the top-k docs by
+    Okapi BM25 (Lucene idf variant: ln((N-df+0.5)/(df+0.5)+1), so
+    weights are never negative). The text-side counterpart of the
+    embedding ANN family — same query/corpus split, same two-phase
+    exact top-k.
+
+    Plan shape at scale: term frequencies and doc lengths are ONE
+    (doc, term) shuffle each; document frequencies aggregate FROM the
+    tf table (no second corpus pass); the query-term table is bounded
+    (N_QUERIES × query length) and BROADCAST onto the corpus postings
+    — the classic inverted-index probe, candidate mass = the posting
+    lists of the query's terms, never corpus × queries. The corpus
+    stats (n_docs, avgdl) are a 1-row broadcast. Top-k is two-phase
+    (local per-partition window, then global over ≤ k×partitions
+    survivors per query) so no single reducer sorts a posting list's
+    worth of candidates.
+
+    Determinism: each per-term contribution is ONE fixed-shape double
+    expression over exact integer counts (identical IEEE op order both
+    engines), quantized to ppm BEFORE the per-(query,doc) sum — the
+    cross-row aggregation is integer, so partial-sum order can't move
+    the result. Ranking compares the integer; ties break on doc_id."""
+    p = spark.sparkContext.defaultParallelism
+    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
+    toks = d.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
+    corpus = toks.filter(F.col("doc_id") >= BM25_N_QUERIES)
+    ctf = corpus.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        toks.filter(F.col("doc_id") < BM25_N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    wtf = (F.col("tf") * F.lit(_BM25_K1P1)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(_BM25_1MB) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
+    )
+    contrib = (
+        ctf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(idf * wtf * 1_000_000 + 0.5).cast("bigint").alias("c_upm"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c_upm").cast("bigint").alias("bm25_ppm")
+    )
+    from pyspark.sql import Window
+
+    order = (F.col("bm25_ppm").desc(), F.asc("doc_id"))
+    local_w = Window.partitionBy("query_id", "pid").orderBy(*order)
+    survivors = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrank", F.row_number().over(local_w))
+        .filter(F.col("lrank") <= BM25_TOP_K)
+        .drop("pid", "lrank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "bm25_ppm", "rank")
+    )
+
+
+BM25_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_DUCK}) AS term FROM documents
+), ctf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE doc_id >= {BM25_N_QUERIES} GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks
+  WHERE doc_id >= {BM25_N_QUERIES} GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), dfreq AS (
+  SELECT term, count(*) AS df FROM ctf GROUP BY 1
+), qterms AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM toks
+  WHERE doc_id < {BM25_N_QUERIES}
+), contrib AS (
+  SELECT q.query_id, c.doc_id,
+         CAST(floor(
+           ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+           * ((tf * {_BM25_K1P1!r}) / (tf + {BM25_K1!r}
+              * ({_BM25_1MB!r} + {BM25_B!r} * (dl / avgdl))))
+           * 1000000 + 0.5) AS BIGINT) AS c_upm
+  FROM ctf c
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  JOIN qterms q USING (term)
+  CROSS JOIN stats
+), scored AS (
+  SELECT query_id, doc_id, CAST(sum(c_upm) AS BIGINT) AS bm25_ppm
+  FROM contrib GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY bm25_ppm DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, bm25_ppm, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {BM25_TOP_K}
+"""
+
+
+# --- vocabulary growth (Heaps' law) ------------------------------------------
+
+VOCAB_BUCKETS = 50
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth audit: walk the corpus in doc_id
+    order, bucket it into a fixed grid, and report cumulative token
+    mass vs cumulative DISTINCT vocabulary plus the implied Heaps
+    exponent ln(V)/ln(N) per bucket. Flat new-term counts late in the
+    corpus flag template/duplicated content; a jump flags a
+    distribution shift — the standard ingest-order audit before
+    training-data freezing.
+
+    Scale shape: "cumulative distinct" never materializes a running
+    set — each term's FIRST occurrence (min doc_id, one vocab-keyed
+    shuffle) is attributed to its bucket, so cumulative vocabulary =
+    running sum of per-bucket first-occurrence counts. All cumulative
+    windows run over the POST-AGGREGATE bucket grid (≤ VOCAB_BUCKETS
+    rows by construction — the bounded-window exemption, same class as
+    the calendar-bounded EWMA); the max-doc-id scalar is a 1-row
+    broadcast. Bucketing is exact integer arithmetic (never a float
+    boundary), so the grid is identical across engines."""
+    B = VOCAB_BUCKETS
+    bucket = f"least({B - 1}, doc_id * {B} div (max_id + 1))"
+    d = io.load(spark, sf_dir, "documents")
+    maxid = d.agg(F.max("doc_id").alias("max_id"))
+    docs_b = (
+        d.crossJoin(F.broadcast(maxid))
+        .select(F.expr(bucket).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    toks = d.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
+    toks_b = (
+        toks.crossJoin(F.broadcast(maxid))
+        .select(F.expr(bucket).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    first_b = (
+        toks.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .crossJoin(F.broadcast(maxid))
+        .select(F.expr(bucket).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new_terms"))
+    )
+    grid = (
+        docs_b.join(toks_b, "bucket", "left")
+        .join(first_b, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_new_terms", F.lit(0)).alias("n_new_terms"),
+        )
+    )
+    from pyspark.sql import Window
+
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    out = grid.select(
+        "bucket",
+        "n_docs",
+        "n_new_terms",
+        F.sum("n_tokens").over(cum).cast("bigint").alias("cum_tokens"),
+        F.sum("n_new_terms").over(cum).cast("bigint").alias("cum_terms"),
+    )
+    beta = F.when(
+        (F.col("cum_tokens") > 1) & (F.col("cum_terms") > 0),
+        F.floor(
+            F.log(F.col("cum_terms").cast("double"))
+            / F.log(F.col("cum_tokens").cast("double"))
+            * 1_000_000
+            + 0.5
+        ).cast("bigint"),
+    )
+    return out.select(
+        "bucket", "n_docs", "n_new_terms", "cum_tokens", "cum_terms",
+        beta.alias("heaps_beta_ppm"),
+    )
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH m AS (SELECT max(doc_id) AS max_id FROM documents),
+db AS (
+  SELECT least({VOCAB_BUCKETS - 1},
+               doc_id * {VOCAB_BUCKETS} // (max_id + 1)) AS bucket,
+         doc_id, {_TOKENS_DUCK} AS toks
+  FROM documents CROSS JOIN m
+), docs_b AS (
+  SELECT bucket, count(*) AS n_docs FROM db GROUP BY 1
+), tt AS (
+  SELECT bucket, doc_id, unnest(toks) AS term FROM db
+), toks_b AS (
+  SELECT bucket, count(*) AS n_tokens FROM tt GROUP BY 1
+), first_b AS (
+  SELECT least({VOCAB_BUCKETS - 1},
+               fd * {VOCAB_BUCKETS} // (max_id + 1)) AS bucket,
+         count(*) AS n_new_terms
+  FROM (SELECT term, min(doc_id) AS fd FROM tt GROUP BY 1) CROSS JOIN m
+  GROUP BY 1
+), grid AS (
+  SELECT d.bucket, d.n_docs,
+         coalesce(t.n_tokens, 0) AS n_tokens,
+         coalesce(f.n_new_terms, 0) AS n_new_terms
+  FROM docs_b d
+  LEFT JOIN toks_b t USING (bucket)
+  LEFT JOIN first_b f USING (bucket)
+), cum AS (
+  SELECT bucket, n_docs, n_new_terms,
+         CAST(sum(n_tokens) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens,
+         CAST(sum(n_new_terms) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_terms
+  FROM grid
+)
+SELECT bucket, n_docs, n_new_terms, cum_tokens, cum_terms,
+       CASE WHEN cum_tokens > 1 AND cum_terms > 0
+            THEN CAST(floor(ln(CAST(cum_terms AS DOUBLE))
+                            / ln(CAST(cum_tokens AS DOUBLE))
+                            * 1000000 + 0.5) AS BIGINT)
+       END AS heaps_beta_ppm
+FROM cum
+"""

@@ -413,8 +413,12 @@ register("doc_length_deciles", _tx.LENGTH_DECILES_SQL,
          doc="Per-language length deciles (partitioned ntile, no global sort)")(_tx.length_deciles)
 register("doc_tfidf_topk", _tx.TFIDF_TOPK_SQL,
          doc="Per-doc top-k TF-IDF terms (vocabulary-keyed shuffle join, integer-ranked)")(_tx.tfidf_topk)
+register("doc_bm25_topk", _tx.BM25_TOPK_SQL,
+         doc="BM25 retrieval: query docs vs corpus via broadcast inverted-index probe, two-phase exact top-k")(_tx.bm25_topk)
 register("doc_bpe_token_stats", _tx.BPE_TOKEN_STATS_SQL,
          doc="BPE-style pre-tokenizer profile (letter/digit/punct runs, codegen-only)")(_tx.bpe_token_stats)
+register("doc_vocab_growth", _tx.VOCAB_GROWTH_SQL,
+         doc="Heaps-law vocabulary growth: first-occurrence attribution over a bounded bucket grid (no running set)")(_tx.vocab_growth)
 register("doc_ngram_topk", _tx.NGRAM_TOPK_SQL,
          doc="Corpus-wide top-k trigram frequency (contamination/boilerplate detector)")(_tx.ngram_topk)
 register("doc_cms_heavy_hitters", _tx.CMS_HEAVY_HITTERS_SQL,
@@ -487,6 +491,10 @@ register("doc_dedup_keep_best", _ca.DEDUP_KEEP_BEST_SQL,
          doc="Exact-dup keep-best policy: retain longest member per (lang, fingerprint) group")(_ca.dedup_keep_best)
 register("li_basket_affinity", _ca.BASKET_AFFINITY_SQL,
          doc="Market-basket part affinity: order-keyed co-occurrence self-join (bounded by basket size, never part x part), lift over exact-integer ratios")(_ca.basket_affinity)
+register("li_copurchase_triangles", _ca.COPURCHASE_TRIANGLES_SQL,
+         doc="Per-part triangle count + clustering coefficient on the thresholded co-purchase graph (oriented a<b<c wedge join, each triangle counted once)")(_ca.copurchase_triangles)
+register("doc_source_kl", _ca.SOURCE_KL_SQL,
+         doc="Pairwise source KL divergence over the top-M head vocabulary (bounded grid, add-one smoothing, pico fixed-point)")(_ca.source_kl)
 register("doc_span_scrub", _ca.SPAN_SCRUB_SQL,
          doc="Duplicate-span REMOVAL (arXiv:2107.06499 at shingle granularity): first-writer attribution, merged covered positions, filter-by-index text rebuild")(_ca.span_scrub)
 register("doc_source_overlap", _ca.SOURCE_OVERLAP_SQL,
@@ -575,11 +583,12 @@ _PRIORITY = [
     "ord_priority_islands", "ord_revenue_ewma", "ord_abc_pareto",
     "ord_cohort_ltv", "ord_zorder_key", "li_basket_affinity",
     "li_basket_rules",
-    # 3. backfill: r3-verdict queries with r4/r5 code changes
+    # 3. round-5 additions — never driver-verified
+    "doc_char_entropy", "dq_length_drift_psi", "doc_quality_classifier",
+    # 4. backfill: r3-verdict queries with r4/r5 code changes
     "ord_rfm_segments", "doc_source_overlap", "doc_unigram_lm_score",
     "doc_shingle_novelty", "doc_dedup_keep_best", "mm_png_roundtrip",
-    "doc_profile", "ev_value_anomaly", "ev_sessionize",
-    "ord_customer_gaps", "ev_asof_purchase_click",
+    "doc_profile", "ev_value_anomaly",
     # ---- 50-entry window boundary ----
     # The tail keeps its most recent green driver verdict (r3 or r4)
     # on code unchanged since that verdict.

@@ -49,6 +49,12 @@ BNL_ALLOWED = {
     "ord_rfm_segments": [_SCALAR],  # 1-row customer-count broadcast
     # 1-row corpus-total broadcast + constant 20-row bin-grid Range
     "dq_length_drift_psi": [_SCALAR, "Range (0, 20"],
+    # 1-row (n_docs, avgdl) corpus-stats broadcast
+    "doc_bm25_topk": [_SCALAR],
+    # 1-row max-doc-id broadcast (bucket-grid boundary)
+    "doc_vocab_growth": [_SCALAR],
+    # constant-bounded top-M head-vocabulary broadcast (KL support grid)
+    "doc_source_kl": [_SCALAR, "TakeOrderedAndProject(limit=200"],
 }
 
 
@@ -102,6 +108,7 @@ def test_no_cartesian_products_anywhere(spark):
 UNPARTITIONED_WINDOW_ALLOWED = {
     "doc_cms_heavy_hitters",  # runs post-limit(CMS_TOP_K): ≤ K rows
     "ord_revenue_ewma",  # RANGE frame over calendar days: ≤ date span
+    "doc_vocab_growth",  # cumsum over the bucket grid: ≤ VOCAB_BUCKETS rows
 }
 
 
