@@ -965,3 +965,132 @@ SELECT CAST(count(*) AS BIGINT) AS n_viewed,
        round(max(fp / 1000000.0 - fc / 1000000.0), 4) AS max_click_to_purchase_sec
 FROM funnel
 """
+
+
+# --- Holt double-exponential smoothing ---------------------------------------
+
+HOLT_ALPHA = 0.5  # level gain (exact binary fraction)
+HOLT_BETA = 0.3   # trend gain
+# literals shared verbatim with the oracle SQL (repr round-trips the
+# exact double; computing 1-β on one side and writing 0.7 on the other
+# would risk a ULP split if the subtraction didn't land on the literal)
+_H_A, _H_1MA = repr(HOLT_ALPHA), repr(1.0 - HOLT_ALPHA)
+_H_B, _H_1MB = repr(HOLT_BETA), repr(1.0 - HOLT_BETA)
+
+
+def revenue_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing over monthly revenue: the
+    trend-aware upgrade of the EWMA nowcast (level AND trend state, so
+    the one-step-ahead fit follows a drifting series instead of
+    lagging it). fitted(t) = level(t−1)+trend(t−1) is the honest
+    one-step forecast each month; level/trend update by the standard
+    recursion l←α·y+(1−α)(l+b), b←β(l−l_prev)+(1−β)b, initialized
+    level=first month, trend=0.
+
+    The recursion is inherently sequential, so it runs as ONE ordered
+    fold over the POST-AGGREGATE monthly table — bounded by the
+    calendar (≤ date-span months at any corpus size; same
+    bounded-input exemption as the EWMA's RANGE frame). The corpus-
+    scale work is one map-side-combined groupBy to cents-exact monthly
+    totals; the fold itself is array arithmetic on ≤ ~10² elements.
+
+    Determinism: revenue aggregates as exact cents BEFORE any float;
+    the fold walks months in ascending order on both engines (here an
+    array_sort'ed fold, in the oracle a recursive CTE joined on the
+    month index) with literally identical double expressions; outputs
+    quantize on the ppm grid (floor(x·1e6+0.5) — sign-safe half-up,
+    identical both engines, unlike engine-native round())."""
+    o = io.load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents")
+    )
+    series = monthly.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "month",
+                    F.col("rev_cents").alias("rc"),
+                    (F.col("rev_cents").cast("double") / 100.0).alias("rev"),
+                )
+            )
+        ).alias("s")
+    )
+    out_t = (
+        "array<struct<month:string,rc:bigint,fitted:double,"
+        "level:double,trend:double>>"
+    )
+    fold = f"""
+    aggregate(
+      s,
+      named_struct('first', true, 'level', 0.0D, 'trend', 0.0D,
+                   'outs', CAST(array() AS {out_t})),
+      (acc, x) -> CASE WHEN acc.first THEN named_struct(
+          'first', false, 'level', x.rev, 'trend', 0.0D,
+          'outs', array_append(acc.outs, named_struct(
+            'month', x.month, 'rc', x.rc, 'fitted', CAST(NULL AS DOUBLE),
+            'level', x.rev, 'trend', 0.0D)))
+        ELSE named_struct(
+          'first', false,
+          'level', {_H_A} * x.rev + {_H_1MA} * (acc.level + acc.trend),
+          'trend', {_H_B} * (({_H_A} * x.rev + {_H_1MA} * (acc.level + acc.trend))
+                             - acc.level) + {_H_1MB} * acc.trend,
+          'outs', array_append(acc.outs, named_struct(
+            'month', x.month, 'rc', x.rc,
+            'fitted', acc.level + acc.trend,
+            'level', {_H_A} * x.rev + {_H_1MA} * (acc.level + acc.trend),
+            'trend', {_H_B} * (({_H_A} * x.rev + {_H_1MA} * (acc.level + acc.trend))
+                               - acc.level) + {_H_1MB} * acc.trend)))
+        END,
+      acc -> acc.outs
+    )
+    """
+    ppm = (
+        lambda c: F.when(
+            F.col(c).isNotNull(),
+            F.floor(F.col(c) * 1_000_000 + 0.5).cast("bigint"),
+        ).alias(f"{c}_ppm")
+    )
+    return (
+        series.select(F.explode(F.expr(fold)).alias("r"))
+        .select("r.*")
+        .select(
+            "month",
+            F.col("rc").alias("rev_cents"),
+            ppm("fitted"),
+            ppm("level"),
+            ppm("trend"),
+        )
+    )
+
+
+REVENUE_HOLT_SQL = f"""
+WITH RECURSIVE monthly AS (
+  SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m') AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT month, rev_cents, CAST(rev_cents AS DOUBLE) / 100.0 AS rev,
+         row_number() OVER (ORDER BY month) AS i
+  FROM monthly
+), rec AS (
+  SELECT i, month, rev_cents, rev,
+         rev AS level, CAST(0.0 AS DOUBLE) AS trend,
+         CAST(NULL AS DOUBLE) AS fitted
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT m.i, m.month, m.rev_cents, m.rev,
+         {_H_A} * m.rev + {_H_1MA} * (r.level + r.trend) AS level,
+         {_H_B} * (({_H_A} * m.rev + {_H_1MA} * (r.level + r.trend))
+                   - r.level) + {_H_1MB} * r.trend AS trend,
+         r.level + r.trend AS fitted
+  FROM rec r JOIN idx m ON m.i = r.i + 1
+)
+SELECT month, rev_cents,
+       CASE WHEN fitted IS NOT NULL
+            THEN CAST(floor(fitted * 1000000 + 0.5) AS BIGINT) END AS fitted_ppm,
+       CAST(floor(level * 1000000 + 0.5) AS BIGINT) AS level_ppm,
+       CAST(floor(trend * 1000000 + 0.5) AS BIGINT) AS trend_ppm
+FROM rec
+"""

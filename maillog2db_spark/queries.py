@@ -324,6 +324,8 @@ register("ord_priority_islands", _win.PRIORITY_ISLANDS_SQL,
          doc="Gaps-and-islands run collapse = SCD type-2 history builder: per-customer priority regimes with valid_from/valid_to, one change-flag cumsum window (single shuffle+sort)")(_win.priority_islands)
 register("ord_revenue_ewma", _win.REVENUE_EWMA_SQL,
          doc="Truncated EWMA over daily revenue: exact-cents pre-aggregate, gap-aware decay in a RANGE frame, ascending-day fold on both engines")(_win.revenue_ewma)
+register("ord_revenue_holt", _win.REVENUE_HOLT_SQL,
+         doc="Holt double-exponential smoothing over monthly revenue: ordered fold on the calendar-bounded aggregate, oracle is a recursive CTE with identical arithmetic")(_win.revenue_holt)
 
 from .operators import semistructured as _sj  # noqa: E402
 
@@ -585,10 +587,10 @@ _PRIORITY = [
     "li_basket_rules",
     # 3. round-5 additions — never driver-verified
     "doc_char_entropy", "dq_length_drift_psi", "doc_quality_classifier",
+    "doc_bm25_topk", "doc_vocab_growth", "doc_source_kl",
+    "li_copurchase_triangles", "ord_revenue_holt",
     # 4. backfill: r3-verdict queries with r4/r5 code changes
     "ord_rfm_segments", "doc_source_overlap", "doc_unigram_lm_score",
-    "doc_shingle_novelty", "doc_dedup_keep_best", "mm_png_roundtrip",
-    "doc_profile", "ev_value_anomaly",
     # ---- 50-entry window boundary ----
     # The tail keeps its most recent green driver verdict (r3 or r4)
     # on code unchanged since that verdict.
