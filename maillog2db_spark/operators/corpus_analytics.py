@@ -1175,13 +1175,20 @@ def source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the executed plan as four TakeOrderedAndProject(limit=200)
     # subtrees, i.e. four full corpus passes at scale)
     grid = grid.localCheckpoint(eager=True)
-    norm = grid.groupBy("source").agg(F.sum("c").alias("n"))
+    # normalize by Σ(c+α) over the ACTUAL support — distributions then
+    # sum to exactly 1 whatever the head size turns out to be (a fixed
+    # +α·M denominator undersums when the corpus vocabulary is smaller
+    # than M, and a sub-1 "distribution" breaks KL's non-negativity —
+    # caught by the Gibbs-inequality differential test)
+    norm = grid.groupBy("source").agg(
+        F.sum(F.col("c") + F.lit(KL_ALPHA)).alias("n1")
+    )
     probs = grid.join(norm, "source").select(
         "source",
         "term",
         (
             (F.col("c") + F.lit(KL_ALPHA)).cast("double")
-            / (F.col("n") + F.lit(KL_ALPHA * KL_TOP_TERMS)).cast("double")
+            / F.col("n1").cast("double")
         ).alias("p"),
     )
     a, b = probs.alias("a"), probs.alias("b")
@@ -1218,11 +1225,10 @@ WITH toks AS (
   CROSS JOIN top t
   LEFT JOIN counts c ON c.source = s.source AND c.term = t.term
 ), norm AS (
-  SELECT source, sum(c) AS n FROM grid GROUP BY 1
+  SELECT source, sum(c + {KL_ALPHA}) AS n1 FROM grid GROUP BY 1
 ), probs AS (
   SELECT source, term,
-         CAST(c + {KL_ALPHA} AS DOUBLE)
-           / CAST(n + {KL_ALPHA * KL_TOP_TERMS} AS DOUBLE) AS p
+         CAST(c + {KL_ALPHA} AS DOUBLE) / CAST(n1 AS DOUBLE) AS p
   FROM grid JOIN norm USING (source)
 )
 SELECT a.source AS src_a, b.source AS src_b,

@@ -1,0 +1,206 @@
+"""Round-5 operator tests: BM25 retrieval, source KL, co-purchase
+triangles, Heaps vocabulary growth, Holt smoothing — each checked
+against an independent pure-Python recomputation at sf0.001 (the same
+differential discipline as test_corpus_analytics; the sf0.01 DuckDB
+oracle is the driver's gate, this is the local one)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+
+from maillog2db_spark.operators import corpus_analytics as ca
+from maillog2db_spark.operators import text as tx
+from maillog2db_spark.operators import windows as win
+
+SF = "/root/testdata/sf0.001"
+
+_AZ_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_AZ_LO = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _tokens(text: str) -> list[str]:
+    t = text.strip().translate(str.maketrans(_AZ_UP, _AZ_LO))
+    return [w for w in re.split(r"\s+", t) if w]
+
+
+def _docs():
+    return duckdb.sql(
+        f"SELECT doc_id, text, source FROM '{SF}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+
+def test_bm25_matches_local_model(spark):
+    rows = {
+        (r.query_id, r.doc_id): (r.bm25_ppm, r.rank)
+        for r in tx.bm25_topk(spark, SF).collect()
+    }
+    docs = _docs()
+    corpus = {d: _tokens(t) for d, t, _ in docs if d >= tx.BM25_N_QUERIES}
+    corpus = {d: t for d, t in corpus.items() if t}
+    dl = {d: len(t) for d, t in corpus.items()}
+    n = len(dl)
+    avgdl = float(sum(dl.values())) / n
+    dfreq = Counter()
+    tf = {d: Counter(t) for d, t in corpus.items()}
+    for d, c in tf.items():
+        dfreq.update(c.keys())
+    inverted = defaultdict(list)
+    for d, c in tf.items():
+        for term in c:
+            inverted[term].append(d)
+    expected = {}
+    for q, t, _ in docs:
+        if q >= tx.BM25_N_QUERIES:
+            continue
+        scores = Counter()
+        for term in set(_tokens(t)):
+            if term not in dfreq:
+                continue
+            df = dfreq[term]
+            idf = math.log((float(n) - df + 0.5) / (df + 0.5) + 1.0)
+            for d in inverted[term]:
+                f = tf[d][term]
+                wtf = (f * 2.2) / (
+                    f + 1.2 * (0.25 + 0.75 * (dl[d] / avgdl))
+                )
+                scores[d] += int(math.floor(idf * wtf * 1_000_000 + 0.5))
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (d, s) in enumerate(top[: tx.BM25_TOP_K], start=1):
+            expected[(q, d)] = (s, rank)
+    assert rows == expected
+
+
+def test_source_kl_matches_local_model(spark):
+    got = {
+        (r.src_a, r.src_b): r.kl_pico for r in ca.source_kl(spark, SF).collect()
+    }
+    docs = _docs()
+    counts = defaultdict(Counter)
+    total = Counter()
+    for _, t, s in docs:
+        toks = _tokens(t)
+        counts[s].update(toks)
+        total.update(toks)
+    top = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[: ca.KL_TOP_TERMS]
+    support = [t for t, _ in top]
+    m = len(support)  # actual head size (≤ KL_TOP_TERMS)
+    probs = {}
+    for s, c in counts.items():
+        n1 = sum(c[t] + ca.KL_ALPHA for t in support)
+        probs[s] = {
+            t: float(c[t] + ca.KL_ALPHA) / float(n1) for t in support
+        }
+    expected = {}
+    for a in probs:
+        for b in probs:
+            if a == b:
+                continue
+            expected[(a, b)] = sum(
+                int(
+                    math.floor(
+                        probs[a][t] * math.log(probs[a][t] / probs[b][t]) * 1e12
+                        + 0.5
+                    )
+                )
+                for t in support
+            )
+    assert got == expected
+    # KL is non-negative up to quantization slack (±0.5 pico per term)
+    assert all(v >= -m for v in got.values())
+
+
+def test_copurchase_triangles_match_local_enumeration(spark):
+    got = {
+        r.part: (r.degree, r.n_triangles, r.clust_ppm)
+        for r in ca.copurchase_triangles(spark, SF).collect()
+    }
+    edges = set(
+        duckdb.sql(
+            f"""
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM '{SF}/lineitem.parquet')
+            SELECT a.l_partkey, b.l_partkey
+            FROM li a JOIN li b USING (l_orderkey)
+            WHERE a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= {ca.BASKET_MIN_SUPPORT}
+            """
+        ).fetchall()
+    )
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = Counter()
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # oriented a<b<c, counted once
+                for v in (a, b, c):
+                    tri[v] += 1
+    expected = {}
+    for part, nbrs in adj.items():
+        deg, t = len(nbrs), tri[part]
+        clust = (2 * t * 1_000_000) // (deg * (deg - 1)) if deg >= 2 else None
+        expected[part] = (deg, t, clust)
+    assert got == expected
+    # sanity: a part can't be in more triangles than neighbor pairs
+    for deg, t, _ in got.values():
+        assert t <= deg * (deg - 1) // 2
+
+
+def test_vocab_growth_invariants_and_totals(spark):
+    rows = sorted(tx.vocab_growth(spark, SF).collect(), key=lambda r: r.bucket)
+    docs = _docs()
+    all_terms = set()
+    n_tokens = 0
+    for _, t, _ in docs:
+        toks = _tokens(t)
+        all_terms.update(toks)
+        n_tokens += len(toks)
+    assert sum(r.n_docs for r in rows) == len(docs)
+    assert rows[-1].cum_terms == len(all_terms)
+    assert rows[-1].cum_tokens == n_tokens
+    assert sum(r.n_new_terms for r in rows) == len(all_terms)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.cum_tokens >= prev.cum_tokens
+        assert cur.cum_terms >= prev.cum_terms
+    assert all(0 <= r.bucket < tx.VOCAB_BUCKETS for r in rows)
+
+
+def test_revenue_holt_matches_local_recursion(spark):
+    got = {
+        r.month: (r.rev_cents, r.fitted_ppm, r.level_ppm, r.trend_ppm)
+        for r in win.revenue_holt(spark, SF).collect()
+    }
+    monthly = duckdb.sql(
+        f"""
+        SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m'),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    a, b = win.HOLT_ALPHA, win.HOLT_BETA
+    oma, omb = 1.0 - a, 1.0 - b
+    ppm = lambda x: int(math.floor(x * 1_000_000 + 0.5))
+    expected = {}
+    level = trend = None
+    for month, rc in monthly:
+        rev = float(rc) / 100.0
+        if level is None:
+            level, trend, fitted = rev, 0.0, None
+        else:
+            fitted = level + trend
+            nl = a * rev + oma * (level + trend)
+            trend = b * ((a * rev + oma * (level + trend)) - level) + omb * trend
+            level = nl
+        expected[month] = (
+            rc,
+            None if fitted is None else ppm(fitted),
+            ppm(level),
+            ppm(trend),
+        )
+    assert got == expected
