@@ -1006,6 +1006,14 @@ def revenue_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents")
     )
+    return holt_from_monthly(monthly)
+
+
+def holt_from_monthly(monthly: DataFrame) -> DataFrame:
+    """The Holt fold over any (month: string, rev_cents: bigint) table
+    — shared by the batch operator above and the streaming dual
+    (streaming_holt.py), so stream≡batch equivalence is equality of
+    inputs, not of two fold implementations."""
     series = monthly.groupBy().agg(
         F.array_sort(
             F.collect_list(

@@ -1233,3 +1233,55 @@ def test_streaming_attribution_matches_batch(spark, tmp_path_factory):
     n_after = len(_glob.glob(str(d / "store" / "clicks" / "tbucket=*")))
     assert n_after < n_before
     assert resolved() == want
+
+
+def test_streaming_holt_matches_batch(spark, tmp_path_factory):
+    """The incremental Holt nowcaster, fed orders in waves that SPLIT
+    months across batches (partial sums must add correctly), resolves
+    to EXACTLY the batch ord_revenue_holt rows (shared fold, additive
+    monthly cents); fresh-checkpoint rerun and crash-window replay
+    converge; and the one-step nowcast is the final fitted state's
+    level+trend."""
+    import shutil as _sh
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_holt as sh
+    from maillog2db_spark.operators.windows import revenue_holt
+
+    sf = "/root/testdata/sf0.001"
+    orders = mio.load(spark, sf, "orders")
+    want = sorted(map(tuple, revenue_holt(spark, sf).collect()))
+
+    d = tmp_path_factory.mktemp("holt_stream")
+    src = d / "orders"
+    src.mkdir()
+    # waves by orderkey mod — every month's total is split across all
+    # three batches, so correctness REQUIRES the partial-sum resolution
+    waves = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    for i, w in enumerate(waves):
+        tmp = d / f"_tmp{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"wave{i}.parquet"
+        _sh.move(str(part), str(dest))
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+        _sh.rmtree(tmp)
+
+    store = sh.HoltStore(str(d / "store"))
+    q = sh.start_holt_stream(spark, str(src), store, str(d / "ckpt"),
+                             available_now=True)
+    q.awaitTermination(300)
+    assert sorted(map(tuple, sh.holt(spark, store).collect())) == want
+
+    # fresh-checkpoint rerun + crash-window replay both converge
+    q2 = sh.start_holt_stream(spark, str(src), store, str(d / "ckpt2"),
+                              available_now=True)
+    q2.awaitTermination(300)
+    os.remove(store._ledger(1))
+    sh.holt_ingest_batch(spark, waves[1], store, 1)
+    assert sorted(map(tuple, sh.holt(spark, store).collect())) == want
+
+    # nowcast = final fitted state's level + trend on the ppm grid
+    last = max(want, key=lambda r: r[0])
+    month, fc = sh.nowcast(spark, store)
+    assert month == last[0] and fc == last[3] + last[4]
