@@ -309,3 +309,67 @@ WITH w AS (
 SELECT doc_id, source, unnest(range(1, CAST(n_copies AS BIGINT) + 1)) AS copy_id
 FROM w
 """
+
+
+# --- temperature-scaled source sampling policy --------------------------------
+
+TEMP_ALPHA_NOTE = "alpha = 0.5 (sqrt)"  # see docstring: sqrt, not pow
+
+
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-temperature source sampling policy (the mT5/XLM-R upsampling
+    rule): sampling share q_s ∝ p_s^α flattens the source distribution
+    so long-tail sources aren't drowned by the head. α is fixed at 0.5
+    — deliberately, a numerics decision: q_s ∝ √n_s and IEEE sqrt is
+    CORRECTLY ROUNDED on every platform, where pow(x, 0.3) is
+    libm-dependent (Java Math.pow allows 1-ulp error) and could split
+    a hash gate on the last ulp. √n_s quantizes to ppm integers BEFORE
+    the cross-source normalization, so shares are exact integer ratios.
+
+    Output per source: corpus share, temperature share, and the boost
+    factor q_s/p_s a sampler applies as per-doc weight. Plan shape:
+    one map-side-combined groupBy(source) + a 1-row total broadcast —
+    the policy table is sources-sized; nothing corpus-scale moves."""
+    d = io.load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_src = per_src.withColumn(
+        "sqrt_upm",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1_000_000 + 0.5).cast(
+            "bigint"
+        ),
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").alias("n_total"), F.sum("sqrt_upm").alias("sqrt_total")
+    )
+    out = per_src.join(F.broadcast(tot))
+    return out.select(
+        "source",
+        "n_docs",
+        F.expr("CAST(n_docs * 1000000 div n_total AS BIGINT)").alias("share_ppm"),
+        F.expr("CAST(sqrt_upm * 1000000 div sqrt_total AS BIGINT)").alias(
+            "temp_share_ppm"
+        ),
+        # boost = q/p as exact integer cross-products: (sqrt_upm *
+        # n_total * 1e6) div (sqrt_total * n_docs)
+        F.expr(
+            "CAST(sqrt_upm * n_total * 1000000 div (sqrt_total * n_docs) AS BIGINT)"
+        ).alias("boost_ppm"),
+    )
+
+
+SOURCE_TEMPERATURE_MIX_SQL = """
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS sqrt_upm
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT sum(n_docs) AS n_total, sum(sqrt_upm) AS sqrt_total FROM per_src
+)
+SELECT source, n_docs,
+       CAST(n_docs * 1000000 // n_total AS BIGINT) AS share_ppm,
+       CAST(sqrt_upm * 1000000 // sqrt_total AS BIGINT) AS temp_share_ppm,
+       CAST(sqrt_upm * n_total * 1000000 // (sqrt_total * n_docs) AS BIGINT)
+         AS boost_ppm
+FROM per_src CROSS JOIN tot
+"""

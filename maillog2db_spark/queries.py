@@ -478,6 +478,8 @@ register("doc_corpus_pipeline", _cp.CORPUS_PIPELINE_SQL,
          doc="Composed corpus pipeline funnel: quality → canonical dedup → near-dup novelty → decontaminate → chunk/pack counts")(_cp.corpus_pipeline)
 register("doc_source_mix", _smp.SOURCE_MIX_SQL,
          doc="Weighted source mixing: fractional up/downsampling with deterministic copies")(_smp.source_mix)
+register("doc_source_temperature_mix", _smp.SOURCE_TEMPERATURE_MIX_SQL,
+         doc="Alpha-temperature source sampling policy (mT5-style, alpha=0.5 via correctly-rounded sqrt): exact-integer shares and boost factors")(_smp.source_temperature_mix)
 register("doc_weighted_sample", _smp.WEIGHTED_SAMPLE_SQL,
          doc="Efraimidis-Spirakis weight-proportional sample without replacement (content-hash keys, TakeOrderedAndProject top-k — O(k) memory per task, no corpus shuffle)")(_smp.weighted_sample)
 
@@ -589,8 +591,9 @@ _PRIORITY = [
     "doc_char_entropy", "dq_length_drift_psi", "doc_quality_classifier",
     "doc_bm25_topk", "doc_vocab_growth", "doc_source_kl",
     "li_copurchase_triangles", "ord_revenue_holt",
+    "doc_source_temperature_mix",
     # 4. backfill: r3-verdict queries with r4/r5 code changes
-    "ord_rfm_segments", "doc_source_overlap", "doc_unigram_lm_score",
+    "ord_rfm_segments", "doc_source_overlap",
     # ---- 50-entry window boundary ----
     # The tail keeps its most recent green driver verdict (r3 or r4)
     # on code unchanged since that verdict.
