@@ -884,17 +884,28 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
     corpus = toks.filter(F.col("doc_id") >= BM25_N_QUERIES)
     ctf = corpus.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    dfreq = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qterms = (
         toks.filter(F.col("doc_id") < BM25_N_QUERIES)
         .select(F.col("doc_id").alias("query_id"), "term")
         .distinct()
     )
+    return bm25_from_tf(ctf, qterms)
+
+
+def bm25_from_tf(ctf: DataFrame, qterms: DataFrame) -> DataFrame:
+    """The BM25 scoring/top-k pipeline from a (doc_id, term, tf) table
+    and a (query_id, term) query-term table — shared by the batch
+    operator above and the streaming inverted-index dual
+    (streaming_bm25.py), so stream≡batch equivalence is equality of
+    the resolved tf tables, not of two scoring implementations. Doc
+    lengths, document frequencies and corpus stats all derive FROM
+    the tf table (dl = Σtf per doc — no second corpus pass)."""
+    dl = ctf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))

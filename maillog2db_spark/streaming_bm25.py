@@ -1,0 +1,164 @@
+"""Streaming dual of ``doc_bm25_topk``: incremental inverted-index
+maintenance plus ad-hoc search over the accumulated index.
+
+BM25's corpus state is exactly one table — (doc_id, term, tf) — and tf
+is additive across batches, so the streaming form persists each
+micro-batch's OWN tf partial under its batch_id partition (dynamic
+overwrite + ledger: a replayed batch rewrites exactly its partition,
+ST5) and resolves the postings by summation at read time. Doc lengths,
+document frequencies, corpus stats, and the query-doc term table all
+DERIVE from the resolved postings inside the shared scoring core
+(``operators.text.bm25_from_tf``), so
+
+    bm25_topk(after any prefix of batches)
+      ≡ doc_bm25_topk over the union of those batches
+
+(tested, including fresh-checkpoint rerun and a crash-window replay).
+
+Beyond equivalence, the streaming form adds what batch cannot:
+``search(spark, store, text, k)`` — score an AD-HOC query string
+against the accumulated index without any corpus rescan: tokenize with
+the corpus rule, probe the posting lists of the query's terms, BM25 as
+usual. That is the serving path of a search index, and it falls out of
+the same shared core with a 1-query qterms table.
+
+Scale shape per batch: one map-side-combined groupBy(doc, term) over
+the batch. State is postings × batches rows; the read-time summation
+is one (doc, term)-keyed shuffle — the same shuffle the batch operator
+pays, but over postings instead of raw text. If batch count ever
+dominates, the partials compact by summing into one partition
+(the additive-grid pattern shared with streaming_drift/streaming_holt).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ledger import FileBatchLedger
+from .operators.dedup import _TOKENS_SPARK
+from .operators.text import BM25_N_QUERIES, BM25_TOP_K, bm25_from_tf
+
+
+class PostingsStore(FileBatchLedger):
+    """batch_id-partitioned (doc_id, term, tf) partials."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    @property
+    def path(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    def _exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(self.path)
+        )
+
+    def write_partial(self, partial: DataFrame, batch_id: int) -> None:
+        (
+            partial.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.path)
+        )
+
+    def postings(
+        self, spark: SparkSession, exclude_batch: int | None = None
+    ) -> DataFrame | None:
+        """Resolved (doc_id, term, tf) postings; ``exclude_batch``
+        reads the index as-of before that batch (the replay view)."""
+        if not self._exists():
+            return None
+        df = spark.read.parquet(self.path)
+        if exclude_batch is not None:
+            df = df.filter(F.col("batch_id") != exclude_batch)
+        return df.groupBy("doc_id", "term").agg(
+            F.sum("tf").cast("bigint").alias("tf")
+        )
+
+
+def _batch_tf(batch_docs: DataFrame) -> DataFrame:
+    return (
+        batch_docs.select(
+            "doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_ingest_batch(
+    spark: SparkSession, batch_docs: DataFrame, store: PostingsStore, batch_id: int
+) -> None:
+    if store.committed(batch_id):
+        return
+    store.write_partial(_batch_tf(batch_docs).localCheckpoint(eager=True), batch_id)
+    store.mark_committed(batch_id)
+
+
+def bm25_topk(spark: SparkSession, store: PostingsStore) -> DataFrame:
+    """Accumulated retrieval — equal to ``doc_bm25_topk`` over the
+    union of all ingested batches (shared core, shared tf shape):
+    query docs are doc_id < BM25_N_QUERIES, corpus is the rest."""
+    tf = store.postings(spark)
+    if tf is None:
+        raise ValueError("no batches ingested yet")
+    ctf = tf.filter(F.col("doc_id") >= BM25_N_QUERIES)
+    qterms = (
+        tf.filter(F.col("doc_id") < BM25_N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    return bm25_from_tf(ctf, qterms)
+
+
+def search(
+    spark: SparkSession, store: PostingsStore, text: str, k: int = BM25_TOP_K
+) -> DataFrame:
+    """Ad-hoc query against the accumulated index — no corpus rescan.
+    Tokenizes ``text`` with the corpus rule, probes the posting lists
+    of its terms through the shared scoring core (query_id = -1), and
+    returns the top-k (doc_id, bm25_ppm, rank)."""
+    tf = store.postings(spark)
+    if tf is None:
+        raise ValueError("no batches ingested yet")
+    ctf = tf.filter(F.col("doc_id") >= BM25_N_QUERIES)
+    qterms = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
+        .distinct()
+        .select(F.lit(-1).cast("bigint").alias("query_id"), "term")
+    )
+    out = bm25_from_tf(ctf, qterms)
+    return out.filter(F.col("rank") <= k).select("doc_id", "bm25_ppm", "rank")
+
+
+def start_bm25_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    store: PostingsStore,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = 1,
+):
+    """Follow a directory of document parquet drops and maintain the
+    postings incrementally."""
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_dir)
+    writer = (
+        docs.writeStream.foreachBatch(
+            lambda df, bid: bm25_ingest_batch(df.sparkSession, df, store, bid)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("bm25_ingest")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

