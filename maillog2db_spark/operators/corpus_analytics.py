@@ -1155,6 +1155,18 @@ def source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
     toks = d.select("source", F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
     counts = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    return source_kl_from_counts(counts, d.select("source").distinct())
+
+
+def source_kl_from_counts(counts: DataFrame, sources: DataFrame) -> DataFrame:
+    """The top-M + smoothing + pico-quantized KL math from a
+    (source, term, c) count table — shared by the batch operator above
+    and the streaming vocabulary store (streaming_vocab.py): term
+    counts are additive across batches, so the streaming form resolves
+    the same table from partials. ``sources`` is passed separately
+    (distinct sources of the DOCUMENTS, per the oracle semantics — a
+    source whose docs are all token-free still gets distribution rows
+    via smoothing)."""
     top = (
         counts.groupBy("term")
         .agg(F.sum("c").alias("tot"))
@@ -1162,7 +1174,6 @@ def source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(KL_TOP_TERMS)
         .select("term")
     )
-    sources = d.select("source").distinct()
     # sources × top-M grid (bounded), zero-filled then smoothed
     grid = (
         sources.crossJoin(F.broadcast(top))

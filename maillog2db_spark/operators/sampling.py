@@ -332,6 +332,14 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the policy table is sources-sized; nothing corpus-scale moves."""
     d = io.load(spark, sf_dir, "documents")
     per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return temperature_mix_from_counts(per_src)
+
+
+def temperature_mix_from_counts(per_src: DataFrame) -> DataFrame:
+    """The policy math from a (source, n_docs) table — shared by the
+    batch operator above and the streaming vocabulary store
+    (streaming_vocab.py), where doc counts resolve from additive
+    batch partials."""
     per_src = per_src.withColumn(
         "sqrt_upm",
         F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1_000_000 + 0.5).cast(

@@ -1014,40 +1014,51 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the calendar-bounded EWMA); the max-doc-id scalar is a 1-row
     broadcast. Bucketing is exact integer arithmetic (never a float
     boundary), so the grid is identical across engines."""
+    d = io.load(spark, sf_dir, "documents")
+    doc_stats = d.select(
+        "doc_id",
+        F.size(F.coalesce(F.expr(_TOKENS_SPARK), F.expr("array()")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    term_first = (
+        d.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    return vocab_growth_from(doc_stats, term_first)
+
+
+def vocab_growth_from(doc_stats: DataFrame, term_first: DataFrame) -> DataFrame:
+    """The bucket-grid math from a (doc_id, n_tokens) table and a
+    (term, first_doc) table — shared by the batch operator above and
+    the streaming vocabulary store (streaming_vocab.py): per-doc token
+    counts are additive and per-term first occurrences are
+    min-mergeable, so both resolve from batch partials."""
     B = VOCAB_BUCKETS
     bucket = f"least({B - 1}, doc_id * {B} div (max_id + 1))"
-    d = io.load(spark, sf_dir, "documents")
-    maxid = d.agg(F.max("doc_id").alias("max_id"))
+    maxid = doc_stats.agg(F.max("doc_id").alias("max_id"))
     docs_b = (
-        d.crossJoin(F.broadcast(maxid))
-        .select(F.expr(bucket).alias("bucket"))
+        doc_stats.crossJoin(F.broadcast(maxid))
+        .select(F.expr(bucket).alias("bucket"), "n_tokens")
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-    toks = d.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
-    toks_b = (
-        toks.crossJoin(F.broadcast(maxid))
-        .select(F.expr(bucket).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
     )
     first_b = (
-        toks.groupBy("term")
-        .agg(F.min("doc_id").alias("doc_id"))
+        term_first.select(F.col("first_doc").alias("doc_id"))
         .crossJoin(F.broadcast(maxid))
         .select(F.expr(bucket).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_new_terms"))
     )
-    grid = (
-        docs_b.join(toks_b, "bucket", "left")
-        .join(first_b, "bucket", "left")
-        .select(
-            "bucket",
-            "n_docs",
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.coalesce("n_new_terms", F.lit(0)).alias("n_new_terms"),
-        )
+    grid = docs_b.join(first_b, "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_new_terms", F.lit(0)).alias("n_new_terms"),
     )
     from pyspark.sql import Window
 

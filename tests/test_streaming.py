@@ -1355,3 +1355,70 @@ def test_streaming_bm25_matches_batch_and_serves_adhoc(spark, tmp_path_factory):
         if r.rank <= 3
     )
     assert hits == want_hits and len(hits) == 3
+
+
+def test_streaming_vocab_store_serves_three_batch_twins(spark, tmp_path_factory):
+    """ONE additive vocabulary store, fed documents in waves, resolves
+    to EXACTLY the batch doc_source_kl, doc_vocab_growth, and
+    doc_source_temperature_mix rows (shared cores — equality of
+    resolved inputs); fresh-checkpoint rerun and crash-window replay
+    converge; and the admission-time OOV gate scores an already-seen
+    slice at zero while flagging a planted new-vocabulary drop."""
+    import shutil as _sh
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_vocab as sv
+    from maillog2db_spark.operators.corpus_analytics import source_kl
+    from maillog2db_spark.operators.sampling import source_temperature_mix
+    from maillog2db_spark.operators.text import vocab_growth
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    want_kl = sorted(map(tuple, source_kl(spark, sf).collect()))
+    want_vg = sorted(map(tuple, vocab_growth(spark, sf).collect()))
+    want_tm = sorted(map(tuple, source_temperature_mix(spark, sf).collect()))
+
+    d = tmp_path_factory.mktemp("vocab_stream")
+    src = d / "docs"
+    src.mkdir()
+    waves = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, w in enumerate(waves):
+        tmp = d / f"_tmp{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"wave{i}.parquet"
+        _sh.move(str(part), str(dest))
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+        _sh.rmtree(tmp)
+
+    store = sv.VocabStore(str(d / "store"))
+    q = sv.start_vocab_stream(spark, str(src), store, str(d / "ckpt"),
+                              available_now=True)
+    q.awaitTermination(300)
+
+    def got():
+        return (
+            sorted(map(tuple, sv.source_kl(spark, store).collect())),
+            sorted(map(tuple, sv.vocab_growth(spark, store).collect())),
+            sorted(map(tuple, sv.temperature_mix(spark, store).collect())),
+        )
+
+    assert got() == (want_kl, want_vg, want_tm)
+
+    # fresh-checkpoint rerun + crash-window replay both converge
+    q2 = sv.start_vocab_stream(spark, str(src), store, str(d / "ckpt2"),
+                               available_now=True)
+    q2.awaitTermination(300)
+    os.remove(store._ledger(1))
+    sv.vocab_ingest_batch(spark, waves[1], store, 1)
+    assert got() == (want_kl, want_vg, want_tm)
+
+    # OOV gate: an already-ingested slice has NOTHING unseen; a drop
+    # with planted never-seen tokens flags at a positive rate
+    seen = sv.batch_oov_rate(spark, waves[0], store).collect()
+    assert all(r.n_unseen == 0 and r.oov_ppm == 0 for r in seen)
+    planted = waves[0].withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzqnovel1 zzqnovel2"))
+    )
+    flagged = sv.batch_oov_rate(spark, planted, store).collect()
+    assert all(r.n_unseen == 2 and r.oov_ppm > 0 for r in flagged)
