@@ -1065,8 +1065,10 @@ _SQDIST_DUCK = (
 # iteration 1 starts from the rounded per-label centroids; iteration 2
 # from the rounded post-assignment means — each stage rounds exactly
 # where the Spark path does, so the trajectory is engine-independent
-KMEANS_SQL = f"""
-WITH pos0 AS (
+# the 2-iteration trajectory as a reusable CTE prefix: c1 = final
+# centroids, s2 = every (vector, final-centroid) rounded sq-distance,
+# a2 = final assignment — shared by KMEANS_SQL and SILHOUETTE_SQL
+_KMEANS_CTES = f"""pos0 AS (
   SELECT label, r.range AS pos,
          CAST(embedding[CAST(r.range AS INT) + 1] AS DOUBLE) AS v
   FROM embeddings CROSS JOIN range({DIM}) r
@@ -1098,7 +1100,10 @@ WITH pos0 AS (
   SELECT vec_id, cell AS cluster, d2r FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2r, cell) AS rn FROM s2
   ) WHERE rn = 1
-)
+)"""
+
+KMEANS_SQL = f"""
+WITH {_KMEANS_CTES}
 SELECT a.cluster, count(*) AS n_vectors,
        CAST(sum(CAST(round(a.d2r * 1000000) AS BIGINT)) AS BIGINT) AS inertia_ppm,
        n.centroid_norm
@@ -1822,4 +1827,97 @@ SELECT query_id,
        CAST(coalesce(n_hits, 0) * 1000000 // {TOP_K} AS BIGINT) AS recall_ppm
 FROM (SELECT DISTINCT query_id FROM full_k) q
 LEFT JOIN hits USING (query_id)
+"""
+
+
+# --- cluster-quality evaluation (simplified silhouette) -----------------------
+
+
+def silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette cluster-quality evaluation over the
+    k-means result: per vector, s = (b − a) / max(a, b) where a is the
+    distance to its own (nearest) final centroid and b to the
+    second-nearest — the standard O(n·k) silhouette variant (the exact
+    pairwise form is O(n²) and never runs at corpus scale). Registered
+    as a first-class query so the driver hash-verifies the whole
+    clustering eval, the same contract as embed_ann_recall.
+
+    Shares the k-means trajectory exactly: final centroids replay the
+    same broadcast-assign / tiny-recompute loop (identical rounding at
+    every stage), and the own-cluster pick orders by the SQUARED
+    rounded distance with the cell tiebreak — the assignment rule —
+    before any sqrt, so a vector's cluster here can never disagree
+    with embed_kmeans over a post-sqrt rounding tie.
+
+    Plan shape: one broadcast join of k centroids onto the corpus, one
+    per-vector k-row sorted-array aggregate (k is bounded), one
+    cluster-grain aggregate. Determinism: distances round to 1e-6,
+    s quantizes to ppm per vector (sums of NON-NEGATIVE integers —
+    a ≤ b by argmin construction — so the integer-div mean is
+    engine-identical); a == b == 0 yields NULL via try_divide, exactly
+    the oracle's x/0."""
+    e = _embeddings(spark, sf_dir)
+    cents = centroids_with_norms(spark, sf_dir).select(
+        "cell", _round_arr(F.col("centroid")).alias("centroid")
+    )
+    for _ in range(N_KMEANS_ITER - 1):
+        cents = _kmeans_recompute(_kmeans_assign(e, cents))
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        F.round(_sqdist(F.col("embedding"), F.col("centroid")), 6).alias("d2r"),
+    )
+    top2 = scored.groupBy("vec_id").agg(
+        F.array_sort(F.collect_list(F.struct("d2r", "cell"))).alias("ds")
+    )
+    per_vec = top2.select(
+        "vec_id",
+        F.col("ds")[0]["cell"].alias("cluster"),
+        F.round(F.sqrt(F.col("ds")[0]["d2r"]), 6).alias("a"),
+        F.round(F.sqrt(F.col("ds")[1]["d2r"]), 6).alias("b"),
+    ).select(
+        "vec_id",
+        "cluster",
+        F.floor(
+            F.try_divide(F.col("b") - F.col("a"), F.greatest("a", "b"))
+            * 1_000_000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("s_ppm"),
+    )
+    return per_vec.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.count("s_ppm").alias("n_scored"),
+        F.expr("CAST(sum(s_ppm) div count(s_ppm) AS BIGINT)").alias("mean_sil_ppm"),
+        F.min("s_ppm").alias("min_sil_ppm"),
+        F.max("s_ppm").alias("max_sil_ppm"),
+    )
+
+
+SILHOUETTE_SQL = f"""
+WITH {_KMEANS_CTES},
+ranked AS (
+  SELECT vec_id, cell, d2r,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2r, cell) AS rn
+  FROM s2
+), per_vec AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN cell END) AS cluster,
+         round(sqrt(max(CASE WHEN rn = 1 THEN d2r END)), 6) AS a,
+         round(sqrt(max(CASE WHEN rn = 2 THEN d2r END)), 6) AS b
+  FROM ranked WHERE rn <= 2 GROUP BY vec_id
+), sil AS (
+  SELECT vec_id, cluster,
+         CASE WHEN greatest(a, b) <> 0
+              THEN CAST(floor((b - a) / greatest(a, b) * 1000000 + 0.5) AS BIGINT)
+         END AS s_ppm
+  FROM per_vec
+)
+SELECT cluster, count(*) AS n_vectors,
+       count(s_ppm) AS n_scored,
+       CAST(sum(s_ppm) // count(s_ppm) AS BIGINT) AS mean_sil_ppm,
+       min(s_ppm) AS min_sil_ppm,
+       max(s_ppm) AS max_sil_ppm
+FROM sil GROUP BY cluster
 """

@@ -391,6 +391,8 @@ register("embed_covariance", _sim.EMBEDDING_COVARIANCE_SQL,
          doc="Distributed embedding covariance (PCA/whitening reduction): one-pass centered outer products, ppm-quantized means + 1e-12 fixed-point before cross-row sums — order-exact integers")(_sim.embedding_covariance)
 register("embed_kmeans", _sim.KMEANS_SQL,
          doc="Distributed Lloyd's k-means (2 unrolled iterations, label-centroid init): broadcast-assign + tiny centroid aggregate per pass, ppm-fixed-point inertia — the IVF coarse-quantizer trainer")(_sim.kmeans)
+register("embed_silhouette", _sim.SILHOUETTE_SQL,
+         doc="Simplified-silhouette cluster-quality eval over the shared k-means trajectory: O(n*k) nearest/second-nearest centroid distances, ppm-integer per-cluster summary")(_sim.silhouette)
 register("embed_pq_encode", _sim.PQ_ENCODE_SQL,
          doc="Product quantization (Jegou et al. 2011): per-subspace codebook assignment, 256B float vectors to 8 code bytes, ppm-exact reconstruction error")(_sim.pq_encode)
 register("embed_pq_adc_topk", _sim.PQ_ADC_TOPK_SQL,
@@ -591,9 +593,9 @@ _PRIORITY = [
     "doc_char_entropy", "dq_length_drift_psi", "doc_quality_classifier",
     "doc_bm25_topk", "doc_vocab_growth", "doc_source_kl",
     "li_copurchase_triangles", "ord_revenue_holt",
-    "doc_source_temperature_mix",
+    "doc_source_temperature_mix", "embed_silhouette",
     # 4. backfill: r3-verdict queries with r4/r5 code changes
-    "ord_rfm_segments", "doc_source_overlap",
+    "ord_rfm_segments",
     # ---- 50-entry window boundary ----
     # The tail keeps its most recent green driver verdict (r3 or r4)
     # on code unchanged since that verdict.

@@ -204,3 +204,58 @@ def test_revenue_holt_matches_local_recursion(spark):
             ppm(trend),
         )
     assert got == expected
+
+
+def test_silhouette_matches_numpy_recount(spark):
+    """Simplified silhouette vs an independent numpy replay of the full
+    trajectory: label-centroid init, 2 Lloyd iterations with the same
+    1e-6 rounding at every stage, nearest/second-nearest by (rounded
+    d2, cell), ppm-floored scores, integer-div cluster means."""
+    import numpy as np
+
+    from maillog2db_spark.operators import similarity as sim
+
+    got = {
+        r.cluster: (r.n_vectors, r.n_scored, r.mean_sil_ppm,
+                    r.min_sil_ppm, r.max_sil_ppm)
+        for r in sim.silhouette(spark, SF).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    labels = np.array([r[2] for r in rows])
+    cells = sorted(set(labels.tolist()))
+    cents = np.round(
+        np.stack([X[labels == c].mean(axis=0) for c in cells]), 6
+    )
+    for _ in range(sim.N_KMEANS_ITER - 1):
+        d2 = np.round(((X[:, None, :] - cents[None]) ** 2).sum(axis=2), 6)
+        assign = np.lexsort((np.arange(len(cells))[None, :].repeat(len(X), 0), d2), axis=1)[:, 0]
+        cents = np.round(
+            np.stack([X[assign == i].mean(axis=0) for i in range(len(cells))]), 6
+        )
+    d2 = np.round(((X[:, None, :] - cents[None]) ** 2).sum(axis=2), 6)
+    per_cluster = {}
+    for i in range(len(X)):
+        order = sorted(range(len(cells)), key=lambda j: (d2[i, j], cells[j]))
+        c = cells[order[0]]
+        a = round(math.sqrt(d2[i, order[0]]), 6)
+        b = round(math.sqrt(d2[i, order[1]]), 6)
+        s = (
+            None
+            if max(a, b) == 0
+            else int(math.floor((b - a) / max(a, b) * 1_000_000 + 0.5))
+        )
+        per_cluster.setdefault(c, []).append(s)
+    expected = {}
+    for c, ss in per_cluster.items():
+        scored = [s for s in ss if s is not None]
+        expected[c] = (
+            len(ss),
+            len(scored),
+            sum(scored) // len(scored),
+            min(scored),
+            max(scored),
+        )
+    assert got == expected
