@@ -829,3 +829,59 @@ SELECT o_custkey, revenue_cents, rank,
             ELSE 'C' END AS abc_class
 FROM ranked CROSS JOIN tot
 """
+
+
+# --- exact equi-depth histogram ----------------------------------------------
+
+EQUIDEPTH_BUCKETS = 20
+
+
+def price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth histogram of order prices: every bucket holds
+    the same row count (±1), boundaries fall where the data says, not
+    on a fixed grid — the profile a cost-based optimizer or a
+    quantile-SLA report wants, and the exact complement of the
+    t-digest approximation in the sketch family.
+
+    Exact equi-depth needs a global rank over a DATA-PROPORTIONAL
+    column — precisely the shape ``windows.distributed_cumulative``
+    exists for (range-partitioned two-phase rank; an ntile window here
+    would be a single task sorting every order). ``ntile_from_rank``
+    then recomputes the bucket from (rank, total) in pure integer
+    arithmetic — no float ever decides a boundary. Prices aggregate in
+    exact cents; the (ties → o_orderkey) tiebreak makes the total
+    order, and therefore every bucket edge, engine-identical."""
+    from .windows import distributed_cumulative, ntile_from_rank
+
+    o = io.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    g = distributed_cumulative(o, [F.col("cents"), F.col("o_orderkey")])
+    n = g.agg(F.count(F.lit(1)).alias("n_total"))
+    bucketed = g.join(F.broadcast(n)).withColumn(
+        "bucket", ntile_from_rank("_grank", "n_total", EQUIDEPTH_BUCKETS)
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+PRICE_EQUIDEPTH_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT cents,
+         CAST(ntile({EQUIDEPTH_BUCKETS})
+              OVER (ORDER BY cents, o_orderkey) AS INT) AS bucket
+  FROM o
+)
+SELECT bucket, count(*) AS n_orders,
+       min(cents) AS lo_cents, max(cents) AS hi_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM ranked GROUP BY bucket
+"""

@@ -523,6 +523,8 @@ register("ord_cohort_ltv", _win.COHORT_LTV_SQL,
          doc="Cohort LTV curves: first-order-month cohorts x months-since-acquisition, integer-cents cumulative revenue and per-customer LTV — the orders-side companion to event retention")(_win.cohort_ltv)
 register("ord_abc_pareto", _rex.ABC_PARETO_SQL,
          doc="ABC/Pareto classification: global revenue ranking on the post-aggregate customer table, integer-cents cumulative shares, class cuts on integer cross-products — no float boundary decisions")(_rex.abc_pareto)
+register("ord_price_equidepth", _rex.PRICE_EQUIDEPTH_SQL,
+         doc="Exact equi-depth price histogram: two-phase distributed global rank + integer ntile recompute — data-decided bucket edges with no single-partition sort")(_rex.price_equidepth)
 register("ev_value_mad_anomaly", _ca.VALUE_MAD_ANOMALY_SQL,
          doc="Robust per-type outliers: modified z-score 0.6745*(x-med)/MAD — immune to the masking that inflates sigma; same broadcast-stats, no-full-table-window plan as the sigma rule")(_ca.value_mad_anomaly)
 register("ord_rfm_segments", _ca.RFM_SEGMENTS_SQL,
@@ -594,8 +596,11 @@ _PRIORITY = [
     "doc_bm25_topk", "doc_vocab_growth", "doc_source_kl",
     "li_copurchase_triangles", "ord_revenue_holt",
     "doc_source_temperature_mix", "embed_silhouette",
-    # 4. backfill: r3-verdict queries with r4/r5 code changes
-    "ord_rfm_segments",
+    "ord_price_equidepth",
+    # (ord_rfm_segments left the window for ord_price_equidepth:
+    # never-verified beats re-verify, and the r5 cumsum rewrite rfm
+    # shares is driver-covered in-window by ord_abc_pareto and
+    # ev_concurrent_sessions, which changed identically)
     # ---- 50-entry window boundary ----
     # The tail keeps its most recent green driver verdict (r3 or r4)
     # on code unchanged since that verdict.
