@@ -55,6 +55,12 @@ BNL_ALLOWED = {
     "doc_vocab_growth": [_SCALAR],
     # constant-bounded top-M head-vocabulary broadcast (KL support grid)
     "doc_source_kl": [_SCALAR, "TakeOrderedAndProject(limit=200"],
+    # 1-row (n_total, sqrt_total) policy-normalizer broadcast
+    "doc_source_temperature_mix": [_SCALAR],
+    # k-row final-centroid broadcast (same tiny side as embed_kmeans)
+    "embed_silhouette": [_SCALAR, "label", "cluster", "cent_nrm"],
+    # 1-row total-count broadcast feeding ntile_from_rank
+    "ord_price_equidepth": [_SCALAR],
 }
 
 
