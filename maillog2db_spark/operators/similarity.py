@@ -1870,11 +1870,16 @@ def silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     top2 = scored.groupBy("vec_id").agg(
         F.array_sort(F.collect_list(F.struct("d2r", "cell"))).alias("ds")
     )
+    # F.get, not [] indexing: a single-cluster corpus has no second
+    # centroid, and under ANSI mode ds[1] is a query-killing
+    # INVALID_ARRAY_INDEX where get() yields NULL like the oracle's
+    # missing rn=2 row (the F1 quarantine-not-poison rule; caught by
+    # the embeddings fuzz tier on an all-one-label corpus)
     per_vec = top2.select(
         "vec_id",
-        F.col("ds")[0]["cell"].alias("cluster"),
-        F.round(F.sqrt(F.col("ds")[0]["d2r"]), 6).alias("a"),
-        F.round(F.sqrt(F.col("ds")[1]["d2r"]), 6).alias("b"),
+        F.get("ds", 0)["cell"].alias("cluster"),
+        F.round(F.sqrt(F.get("ds", 0)["d2r"]), 6).alias("a"),
+        F.round(F.sqrt(F.get("ds", 1)["d2r"]), 6).alias("b"),
     ).select(
         "vec_id",
         "cluster",

@@ -93,6 +93,18 @@ FUZZED_QUERIES = [
     # non-ASCII WORDS (incl. the combining accent) certify that byte-
     # (DuckDB) and codepoint- (Spark) distances coincide after the fold
     "doc_edit_distance_pairs",
+    # BM25: tiny corpora can be ALL query docs (empty corpus side) —
+    # the stats aggregate must NULL out, not blow up, on both engines;
+    # per-term ppm quantization before integer sums
+    "doc_bm25_topk",
+    # source KL: single-source corpora have no pairs; all-empty-token
+    # corpora have an EMPTY head (0 rows on both engines)
+    "doc_source_kl",
+    # first-occurrence bucket attribution; all-empty-token corpora keep
+    # doc buckets but zero token/term mass
+    "doc_vocab_growth",
+    # sqrt-exact policy shares on degenerate single-source corpora
+    "doc_source_temperature_mix",
 ]
 
 
@@ -250,7 +262,13 @@ ORD_QUERIES = ["ord_rfm_segments", "ord_customer_gaps", "ord_zorder_key",
                "ord_cohort_ltv",
                # gap-aware decay: fuzz reaches sparse calendars and
                # same-day collisions the fixed table can't
-               "ord_revenue_ewma"]
+               "ord_revenue_ewma",
+               # sequential Holt fold vs recursive CTE: single-month
+               # corpora exercise the base case (trend 0, fitted NULL)
+               "ord_revenue_holt",
+               # two-phase rank + integer ntile with total < bucket
+               # count (q=0 branch must stay unevaluated on both sides)
+               "ord_price_equidepth"]
 
 orders_strategy = st.lists(
     st.tuples(
@@ -333,6 +351,10 @@ EMBED_QUERIES = [
     # prefix-truncated vs full ranking: zero PREFIXES of nonzero vectors
     # hit try_divide NULLs in only one of the two rankings
     "embed_truncation_recall",
+    # simplified silhouette: zero vectors give a=b=0 -> NULL score via
+    # try_divide; single-label corpora have no second centroid (b NULL,
+    # n_scored 0, NULL mean — never a divide error)
+    "embed_silhouette",
 ]
 
 vec_strategy = st.lists(
@@ -391,6 +413,9 @@ LI_QUERIES = [
     # directed confidence: both orientations of every pair, exact-ppm
     # integer ratios
     "li_basket_rules",
+    # oriented wedge join: duplicate (order, part) rows collapse first;
+    # edgeless graphs (singleton baskets) give 0 rows on both engines
+    "li_copurchase_triangles",
 ]
 
 basket_strategy = st.lists(
