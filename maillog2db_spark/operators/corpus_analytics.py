@@ -1343,3 +1343,90 @@ SELECT d.part, d.degree,
        END AS clust_ppm
 FROM deg d LEFT JOIN per_part t USING (part)
 """
+
+
+# --- quality-weighted semantic dedup (cross-table composition) ---------------
+
+
+def semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted semantic dedup: the policy layer OVER
+    embed_semdedup — in each semantic-duplicate attribution group
+    (a first-writer root plus every vector attributed to it), keep the
+    member with the HIGHEST text-quality score instead of the lowest
+    id. This is the composition real curation runs: the embedding side
+    decides WHAT is redundant, the text side decides WHICH copy
+    survives — and it is a cross-table join (embeddings ⋈ documents on
+    vec_id = doc_id, the embedding-of-document layout this testdata
+    uses; at scale the key is whatever FK links a vector to its
+    source row).
+
+    Groups here are the dedup ATTRIBUTION groups (root = dup_of), not
+    transitive clusters — doc_neardup_clusters owns the
+    connected-component semantics; this operator's contract is "for
+    every first-writer group the dedup pass formed, which member does
+    the quality policy actually keep".
+
+    Plan shape: both inputs are the registered operators' own plans
+    (shared session caches); groups are duplicate-scale, not
+    corpus-scale; the argmax is one struct-max aggregate with the
+    (quality desc, id asc) tiebreak encoded as max(struct(q, -id)) —
+    exact integers end to end."""
+    from .similarity import semantic_dedup
+    from .text import quality_score
+
+    sd = semantic_dedup(spark, sf_dir)
+    dups = sd.filter(~F.col("kept")).select(
+        "vec_id", F.col("dup_of").alias("root")
+    )
+    roots = dups.select("root").distinct().select(
+        F.col("root").alias("vec_id"), F.col("root")
+    )
+    members = dups.unionByName(roots)
+    q = quality_score(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "quality_ppm"
+    )
+    m = members.join(q, "vec_id")
+    out = m.groupBy("root").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.struct("quality_ppm", (-F.col("vec_id")).alias("nid"))).alias("b"),
+    ).select(
+        "root",
+        "n_members",
+        (-F.col("b.nid")).cast("bigint").alias("kept_id"),
+        F.col("b.quality_ppm").alias("kept_quality_ppm"),
+    )
+    return out.withColumn(
+        "policy_overrode_first_writer", F.col("kept_id") != F.col("root")
+    )
+
+
+def _SEMDEDUP_KEEP_BEST_SQL() -> str:
+    # composed lazily: SEMDEDUP_SQL / QUALITY_SCORE_SQL are module
+    # constants in similarity/text — nesting them as parenthesized
+    # WITH-subqueries keeps ONE source of truth for both stages
+    from .similarity import SEMDEDUP_SQL
+    from .text import QUALITY_SCORE_SQL
+
+    return f"""
+WITH sd AS ({SEMDEDUP_SQL}),
+q AS ({QUALITY_SCORE_SQL}),
+dups AS (
+  SELECT vec_id, dup_of AS root FROM sd WHERE NOT kept
+), members AS (
+  SELECT vec_id, root FROM dups
+  UNION ALL
+  SELECT DISTINCT root AS vec_id, root FROM dups
+), m AS (
+  SELECT members.vec_id, members.root, q.quality_ppm
+  FROM members JOIN q ON q.doc_id = members.vec_id
+), best AS (
+  SELECT root, count(*) AS n_members,
+         max(struct_pack(quality_ppm := quality_ppm, nid := -vec_id)) AS b
+  FROM m GROUP BY root
+)
+SELECT root, n_members,
+       CAST(-b.nid AS BIGINT) AS kept_id,
+       b.quality_ppm AS kept_quality_ppm,
+       (CAST(-b.nid AS BIGINT) <> root) AS policy_overrode_first_writer
+FROM best
+"""

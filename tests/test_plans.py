@@ -61,6 +61,8 @@ BNL_ALLOWED = {
     "embed_silhouette": [_SCALAR, "label", "cluster", "cent_nrm"],
     # 1-row total-count broadcast feeding ntile_from_rank
     "ord_price_equidepth": [_SCALAR],
+    # inherits embed_semdedup's centroid/threshold tiny sides
+    "embed_semdedup_keep_best": [_SCALAR, "label", "cent_nrm"],
 }
 
 
