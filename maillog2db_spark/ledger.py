@@ -76,3 +76,52 @@ def atomic_rewrite(df, path: str, partition_by: list[str] | None = None,
         os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+COMPACTED_BATCH_ID = -1  # negative: can never collide with a stream batch id
+
+
+def compact_additive_store(
+    spark, path: str, is_committed, aggregate
+) -> None:
+    """Compact a batch_id-partitioned ADDITIVE store (the
+    streaming_drift / streaming_holt / streaming_bm25 / streaming_vocab
+    state shape): fold every COMMITTED batch partition — plus any
+    previous compaction output (batch_id < 0) — into one aggregated
+    partition under ``COMPACTED_BATCH_ID``, preserving uncommitted
+    partitions raw. State size becomes keys + in-flight batches instead
+    of keys × batches, and every read-time resolution (which already
+    aggregates across partitions) is unchanged by construction.
+
+    Replay safety, spelled out:
+      * committed batches stay in the ledger, so a checkpoint replay
+        SKIPS them — their rows living in the compacted partition
+        instead of their own is invisible to the ingest path;
+      * an in-flight batch (wrote data, crashed before the ledger
+        mark) is NOT folded — its partition survives raw, and the
+        re-ingest's dynamic overwrite replaces exactly that partition;
+      * the compaction id is negative, so no future stream batch's
+        dynamic overwrite can ever clobber the compacted partition
+        (the SCD2 id-collision lesson, enforced structurally here);
+      * the rewrite itself goes through ``atomic_rewrite`` — a crash
+        leaves the complete old or complete new directory.
+
+    The one thing compaction trades away is the per-batch as-of view
+    (``exclude_batch``) for batches already folded — callers that need
+    an as-of lookback (admission gates) must compact only batches
+    older than their window. ``aggregate`` receives a DataFrame WITH
+    the batch_id column and must return the folded rows WITHOUT it.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    ids = [r.batch_id for r in df.select("batch_id").distinct().collect()]
+    raw_ids = [i for i in ids if i >= 0 and not is_committed(i)]
+    foldable = df.filter(~F.col("batch_id").isin(raw_ids)) if raw_ids else df
+    compacted = aggregate(foldable).withColumn(
+        "batch_id", F.lit(COMPACTED_BATCH_ID).cast("long")
+    )
+    out = compacted
+    if raw_ids:
+        out = out.unionByName(df.filter(F.col("batch_id").isin(raw_ids)))
+    atomic_rewrite(out, path, partition_by=["batch_id"])

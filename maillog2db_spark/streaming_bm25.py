@@ -162,3 +162,21 @@ def start_bm25_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_postings(spark: SparkSession, store: PostingsStore) -> None:
+    """Fold committed batch partials into one summed partition
+    (``ledger.compact_additive_store`` — atomic, replay-safe, negative
+    partition id): index size becomes postings instead of
+    postings × batches. ``bm25_topk``/``search`` are unchanged by
+    construction (they already sum across partitions)."""
+    from .ledger import compact_additive_store
+
+    compact_additive_store(
+        spark,
+        store.path,
+        store.committed,
+        lambda df: df.groupBy("doc_id", "term").agg(
+            F.sum("tf").cast("bigint").alias("tf")
+        ),
+    )

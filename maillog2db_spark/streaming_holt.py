@@ -138,3 +138,19 @@ def start_holt_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_monthly(spark: SparkSession, store: HoltStore) -> None:
+    """Fold committed batch partials into one summed partition
+    (``ledger.compact_additive_store`` — atomic, replay-safe, negative
+    partition id): state becomes months instead of months × batches."""
+    from .ledger import compact_additive_store
+
+    compact_additive_store(
+        spark,
+        store.path,
+        store.committed,
+        lambda df: df.groupBy("month").agg(
+            F.sum("rev_cents").cast("bigint").alias("rev_cents")
+        ),
+    )

@@ -224,3 +224,29 @@ def start_vocab_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_store(spark: SparkSession, store: VocabStore) -> None:
+    """Fold committed batch partials of BOTH tables into one partition
+    each (``ledger.compact_additive_store`` — atomic, replay-safe,
+    negative partition id): term state becomes vocabulary-sized
+    (counts summed, first occurrences min-merged), doc stats collapse
+    their partition fan-out (write-once rows, folded by passthrough).
+    Every view and the OOV gate are unchanged by construction."""
+    from .ledger import compact_additive_store
+
+    compact_additive_store(
+        spark,
+        store.term_path,
+        store.committed,
+        lambda df: df.groupBy("source", "term").agg(
+            F.sum("c").cast("bigint").alias("c"),
+            F.min("first_doc").alias("first_doc"),
+        ),
+    )
+    compact_additive_store(
+        spark,
+        store.doc_path,
+        store.committed,
+        lambda df: df.select("doc_id", "source", "n_tokens"),
+    )

@@ -1422,3 +1422,76 @@ def test_streaming_vocab_store_serves_three_batch_twins(spark, tmp_path_factory)
     )
     flagged = sv.batch_oov_rate(spark, planted, store).collect()
     assert all(r.n_unseen == 2 and r.oov_ppm > 0 for r in flagged)
+
+
+def test_additive_store_compaction_preserves_views_and_replay(
+    spark, tmp_path_factory
+):
+    """ledger.compact_additive_store across all three additive stores
+    (postings, monthly, vocab): folding committed partials into the
+    negative-id partition changes NO resolved view, shrinks the
+    partition fan-out to {compacted, in-flight}, leaves an in-flight
+    (written-but-uncommitted) batch raw so its crash-window re-ingest
+    still converges, and a SECOND compaction folds the re-ingested
+    batch plus the previous compaction output."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_bm25 as sb
+    from maillog2db_spark import streaming_holt as sh
+    from maillog2db_spark import streaming_vocab as sv
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    orders = mio.load(spark, sf, "orders")
+    d = tmp_path_factory.mktemp("compaction")
+    bstore = sb.PostingsStore(str(d / "bm25"))
+    hstore = sh.HoltStore(str(d / "holt"))
+    vstore = sv.VocabStore(str(d / "vocab"))
+
+    for i in range(4):
+        dw = docs.filter(F.col("doc_id") % 4 == i)
+        ow = orders.filter(F.col("o_orderkey") % 4 == i)
+        sb.bm25_ingest_batch(spark, dw, bstore, i)
+        sh.holt_ingest_batch(spark, ow, hstore, i)
+        sv.vocab_ingest_batch(spark, dw, vstore, i)
+    # batch 3 becomes in-flight: written, ledger mark lost (the crash
+    # window) — compaction must NOT fold it
+    for store in (bstore, hstore, vstore):
+        os.remove(store._ledger(3))
+
+    def views():
+        return (
+            sorted(map(tuple, sb.bm25_topk(spark, bstore).collect())),
+            sorted(map(tuple, sh.holt(spark, hstore).collect())),
+            sorted(map(tuple, sv.source_kl(spark, vstore).collect())),
+            sorted(map(tuple, sv.vocab_growth(spark, vstore).collect())),
+            sorted(map(tuple, sv.temperature_mix(spark, vstore).collect())),
+        )
+
+    def parts(path):
+        return sorted(
+            int(e.split("=")[1])
+            for e in os.listdir(path)
+            if e.startswith("batch_id=")
+        )
+
+    want = views()
+    sb.compact_postings(spark, bstore)
+    sh.compact_monthly(spark, hstore)
+    sv.compact_store(spark, vstore)
+    assert views() == want
+    for path in (bstore.path, hstore.path, vstore.term_path, vstore.doc_path):
+        assert parts(path) == [-1, 3]
+
+    # crash-window re-ingest of the in-flight batch converges
+    sb.bm25_ingest_batch(spark, docs.filter(F.col("doc_id") % 4 == 3), bstore, 3)
+    sh.holt_ingest_batch(spark, orders.filter(F.col("o_orderkey") % 4 == 3), hstore, 3)
+    sv.vocab_ingest_batch(spark, docs.filter(F.col("doc_id") % 4 == 3), vstore, 3)
+    assert views() == want
+
+    # second compaction folds everything (batch 3 is committed now)
+    sb.compact_postings(spark, bstore)
+    sh.compact_monthly(spark, hstore)
+    sv.compact_store(spark, vstore)
+    assert views() == want
+    for path in (bstore.path, hstore.path, vstore.term_path, vstore.doc_path):
+        assert parts(path) == [-1]
