@@ -151,3 +151,21 @@ def start_drift_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_grids(spark: SparkSession, store: DriftStore) -> None:
+    """Fold committed batch grids into one summed partition
+    (``ledger.compact_additive_store`` — atomic, replay-safe, negative
+    partition id): state becomes sources × bins instead of
+    sources × bins × batches. ``psi``/``batch_vs_history_psi`` are
+    unchanged by construction (they already sum across partitions)."""
+    from .ledger import compact_additive_store
+
+    compact_additive_store(
+        spark,
+        store.path,
+        store.committed,
+        lambda df: df.groupBy("source", "bin").agg(
+            F.sum("cnt").cast("bigint").alias("cnt")
+        ),
+    )

@@ -998,6 +998,10 @@ def test_streaming_drift_psi_matches_batch(spark, tmp_path_factory):
     bad = sd.batch_vs_history_psi(spark, shifted, store).collect()
     assert max(r.psi_ppm for r in ok) < min(r.psi_ppm for r in bad)
 
+    # compaction folds the grids without moving a single psi value
+    sd.compact_grids(spark, store)
+    assert sorted(map(tuple, sd.psi(spark, store).collect())) == want
+
 
 PSI_SHIFT_CHARS = 999_999  # way past every bin the corpus occupies
 
