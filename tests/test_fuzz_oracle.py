@@ -460,3 +460,62 @@ def test_fuzzed_lineitem_matches_oracle(spark, tmp_path_factory, qname, data):
     assert len(got) == len(want), (qname, len(got), len(want))
     assert sorted(got.columns) == sorted(want.columns), qname
     assert _hash(_normalize(got)) == _hash(_normalize(want)), qname
+
+
+# --- cross-table (documents ⋈ embeddings) fuzzer ------------------------------
+#
+# embed_semdedup_keep_best joins the two corpora on vec_id = doc_id —
+# neither single-table fuzzer can reach it. This tier generates BOTH:
+# degenerate vectors (zero/unit/dup) drive the dedup side into NULL
+# cosines and forced duplicate groups, while the derived text column
+# (deterministic function of the vector spec) gives every doc a
+# quality score the argmax policy must rank identically cross-engine.
+
+CROSS_QUERIES = ["embed_semdedup_keep_best"]
+
+
+@pytest.mark.parametrize("qname", CROSS_QUERIES)
+@settings(max_examples=4, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(data=vec_strategy)
+def test_fuzzed_cross_table_matches_oracle(spark, tmp_path_factory, qname, data):
+    erows, drows = [], []
+    prev = [1.0] + [0.0] * 63
+    for i, (kind, axis, label) in enumerate(data):
+        if kind == "zero":
+            v = [0.0] * 64
+        elif kind == "unit":
+            v = [0.0] * 64
+            v[axis] = 1.0
+        elif kind == "dup_prev":
+            v = list(prev)
+        else:
+            v = [((i * 31 + d * 7) % 13 - 6) / 10.0 for d in range(64)]
+        prev = v
+        erows.append((i, v, label))
+        # deterministic text whose quality varies with the spec: dup
+        # vectors get LONGER, more diverse text than their originals,
+        # so the quality argmax must genuinely override first-writer
+        text = " ".join(WORDS[(i * 7 + k) % len(WORDS)] for k in range(2 + (i % 6)))
+        drows.append((i, text, "en", f"s{label}", len(text)))
+    d = tmp_path_factory.mktemp("xfuzz")
+    spark.createDataFrame(
+        erows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(2).write.parquet(str(d / "embeddings.parquet"))
+    spark.createDataFrame(
+        drows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(2).write.parquet(str(d / "documents.parquet"))
+
+    got = Q.queries()[qname](spark, str(d)).toPandas()
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+    )
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = con.sql(Q.oracle_sql()[qname]).df()
+
+    assert len(got) == len(want), (qname, len(got), len(want))
+    assert sorted(got.columns) == sorted(want.columns), qname
+    assert _hash(_normalize(got)) == _hash(_normalize(want)), qname
