@@ -49,7 +49,7 @@ class FileBatchLedger:
 
 
 def atomic_rewrite(df, path: str, partition_by: list[str] | None = None,
-                   n_files: int = 1) -> None:
+                   n_files: int = 1, repartition_by_cols: bool = True) -> None:
     """Rewrite a store directory from a DataFrame that READS that same
     directory, crash-safely: materialize to a sibling temp dir first,
     then swap via two ``os.rename`` calls. A static in-place overwrite
@@ -66,8 +66,17 @@ def atomic_rewrite(df, path: str, partition_by: list[str] | None = None,
     old = path + "_old"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
+    # repartition_by_cols=False keeps the plan's own partitioning under
+    # a partitionBy writer: repartitioning BY the partition column
+    # collapses each value to ONE task and one file — fine for the
+    # small LWW stores, but the store-compaction rehearsal measured a
+    # 14M-row compacted partition landing in a single parquet file,
+    # making post-compaction reads SLOWER (one task) than the
+    # 120-partition fan-out it replaced
     w = (
-        df.repartition(*partition_by) if partition_by else df.coalesce(n_files)
+        (df.repartition(*partition_by) if repartition_by_cols else df)
+        if partition_by
+        else df.coalesce(n_files)
     ).write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -124,4 +133,9 @@ def compact_additive_store(
     out = compacted
     if raw_ids:
         out = out.unionByName(df.filter(F.col("batch_id").isin(raw_ids)))
-    atomic_rewrite(out, path, partition_by=["batch_id"])
+    # repartition_by_cols=False: the compacted value is ONE partition —
+    # repartitioning by it would funnel the whole folded state through
+    # one task into one file (measured: post-compaction reads slower
+    # than the fan-out they replaced); the aggregate's own hash
+    # partitioning writes parallel, splittable files instead
+    atomic_rewrite(out, path, partition_by=["batch_id"], repartition_by_cols=False)
