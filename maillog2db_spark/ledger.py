@@ -91,7 +91,8 @@ COMPACTED_BATCH_ID = -1  # negative: can never collide with a stream batch id
 
 
 def compact_additive_store(
-    spark, path: str, is_committed, aggregate
+    spark, path: str, is_committed, aggregate,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Compact a batch_id-partitioned ADDITIVE store (the
     streaming_drift / streaming_holt / streaming_bm25 / streaming_vocab
@@ -137,5 +138,12 @@ def compact_additive_store(
     # repartitioning by it would funnel the whole folded state through
     # one task into one file (measured: post-compaction reads slower
     # than the fan-out they replaced); the aggregate's own hash
-    # partitioning writes parallel, splittable files instead
-    atomic_rewrite(out, path, partition_by=["batch_id"], repartition_by_cols=False)
+    # partitioning writes parallel, splittable files instead.
+    # partition_by extends the layout with sub-partition columns a
+    # store prunes on at read time (e.g. the postings term buckets).
+    atomic_rewrite(
+        out,
+        path,
+        partition_by=["batch_id"] + (partition_by or []),
+        repartition_by_cols=False,
+    )

@@ -906,6 +906,22 @@ def bm25_from_tf(ctf: DataFrame, qterms: DataFrame) -> DataFrame:
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     dfreq = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return bm25_score_topk(ctf, dl, stats, dfreq, qterms)
+
+
+def bm25_score_topk(
+    ctf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    dfreq: DataFrame,
+    qterms: DataFrame,
+) -> DataFrame:
+    """Scoring + two-phase top-k from pre-resolved inputs. Split out of
+    ``bm25_from_tf`` so a partition-pruned serving path (the streaming
+    index's ``search``) can pass postings restricted to the QUERY's
+    term buckets while dl/stats come from the full-corpus lengths
+    table — the pruning changes which rows are scanned, never a
+    score."""
     idf = F.log(
         (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))

@@ -42,8 +42,20 @@ from .operators.dedup import _TOKENS_SPARK
 from .operators.text import BM25_N_QUERIES, BM25_TOP_K, bm25_from_tf
 
 
+N_TERM_BUCKETS = 16  # posting-list sub-partitioning for search pruning
+
+_TERM_BUCKET = F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
+
+
 class PostingsStore(FileBatchLedger):
-    """batch_id-partitioned (doc_id, term, tf) partials."""
+    """(batch_id, term_bucket)-partitioned (doc_id, term, tf) partials.
+
+    The term-bucket sub-partitioning is the IVF-index trick applied to
+    the inverted index: an ad-hoc ``search`` touches only the buckets
+    its query terms hash into (parquet partition pruning — verified
+    in-plan), so serving cost tracks the query's posting lists, not
+    the index. Full resolutions (``postings`` → bm25_topk) read every
+    bucket, unchanged."""
 
     def __init__(self, root: str):
         self.root = root
@@ -51,6 +63,10 @@ class PostingsStore(FileBatchLedger):
     @property
     def path(self) -> str:
         return os.path.join(self.root, "postings")
+
+    @property
+    def lengths_path(self) -> str:
+        return os.path.join(self.root, "lengths")
 
     def _exists(self) -> bool:
         return os.path.isdir(self.path) and any(
@@ -62,20 +78,50 @@ class PostingsStore(FileBatchLedger):
             partial.withColumn("batch_id", F.lit(batch_id).cast("long"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
+            .partitionBy("batch_id", "term_bucket")
             .parquet(self.path)
         )
+        # additive (doc_id, dl) side table: the serving path's corpus
+        # stats must cover ALL docs, which pruned postings cannot give
+        (
+            partial.groupBy("doc_id")
+            .agg(F.sum("tf").cast("bigint").alias("dl"))
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.lengths_path)
+        )
+
+    def lengths(
+        self, spark: SparkSession, exclude_batch: int | None = None
+    ) -> DataFrame | None:
+        """Resolved (doc_id, dl) — additive over batches."""
+        if not os.path.isdir(self.lengths_path):
+            return None
+        df = spark.read.parquet(self.lengths_path)
+        if exclude_batch is not None:
+            df = df.filter(F.col("batch_id") != exclude_batch)
+        return df.groupBy("doc_id").agg(F.sum("dl").cast("bigint").alias("dl"))
+
+    def _raw(
+        self, spark: SparkSession, exclude_batch: int | None = None
+    ) -> DataFrame | None:
+        if not self._exists():
+            return None
+        df = spark.read.parquet(self.path)
+        if exclude_batch is not None:
+            df = df.filter(F.col("batch_id") != exclude_batch)
+        return df
 
     def postings(
         self, spark: SparkSession, exclude_batch: int | None = None
     ) -> DataFrame | None:
         """Resolved (doc_id, term, tf) postings; ``exclude_batch``
         reads the index as-of before that batch (the replay view)."""
-        if not self._exists():
+        df = self._raw(spark, exclude_batch)
+        if df is None:
             return None
-        df = spark.read.parquet(self.path)
-        if exclude_batch is not None:
-            df = df.filter(F.col("batch_id") != exclude_batch)
         return df.groupBy("doc_id", "term").agg(
             F.sum("tf").cast("bigint").alias("tf")
         )
@@ -88,6 +134,7 @@ def _batch_tf(batch_docs: DataFrame) -> DataFrame:
         )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("term_bucket", _TERM_BUCKET)
     )
 
 
@@ -119,21 +166,44 @@ def bm25_topk(spark: SparkSession, store: PostingsStore) -> DataFrame:
 def search(
     spark: SparkSession, store: PostingsStore, text: str, k: int = BM25_TOP_K
 ) -> DataFrame:
-    """Ad-hoc query against the accumulated index — no corpus rescan.
-    Tokenizes ``text`` with the corpus rule, probes the posting lists
-    of its terms through the shared scoring core (query_id = -1), and
-    returns the top-k (doc_id, bm25_ppm, rank)."""
-    tf = store.postings(spark)
-    if tf is None:
+    """Ad-hoc query against the accumulated index — no corpus rescan,
+    and no full-index scan either: the query's terms hash to their
+    term buckets (a bounded-metadata collect, same contract as the IVF
+    probe-cell list) and the postings read PRUNES to exactly those
+    parquet partitions. Document frequencies stay exact under pruning
+    (a term's full posting list lives in its one bucket); corpus
+    stats (n_docs, avgdl) come from the additive lengths side table,
+    which pruned postings cannot provide. Scores are identical to the
+    unpruned path by construction — pruning changes which rows are
+    scanned, never a score (tested)."""
+    raw = store._raw(spark)
+    dl_all = store.lengths(spark)
+    if raw is None or dl_all is None:
         raise ValueError("no batches ingested yet")
-    ctf = tf.filter(F.col("doc_id") >= BM25_N_QUERIES)
     qterms = (
         spark.createDataFrame([(text,)], "text string")
         .select(F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
         .distinct()
         .select(F.lit(-1).cast("bigint").alias("query_id"), "term")
     )
-    out = bm25_from_tf(ctf, qterms)
+    buckets = [
+        r.b for r in qterms.select(_TERM_BUCKET.alias("b")).distinct().collect()
+    ]
+    ctf = (
+        raw.filter(F.col("term_bucket").isin(buckets))
+        .groupBy("doc_id", "term")
+        .agg(F.sum("tf").cast("bigint").alias("tf"))
+        .filter(F.col("doc_id") >= BM25_N_QUERIES)
+    )
+    dl = dl_all.filter(F.col("doc_id") >= BM25_N_QUERIES)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from .operators.text import bm25_score_topk
+
+    out = bm25_score_topk(ctf, dl, stats, dfreq, qterms)
     return out.filter(F.col("rank") <= k).select("doc_id", "bm25_ppm", "rank")
 
 
@@ -168,15 +238,26 @@ def compact_postings(spark: SparkSession, store: PostingsStore) -> None:
     """Fold committed batch partials into one summed partition
     (``ledger.compact_additive_store`` — atomic, replay-safe, negative
     partition id): index size becomes postings instead of
-    postings × batches. ``bm25_topk``/``search`` are unchanged by
-    construction (they already sum across partitions)."""
+    postings × batches. The term_bucket sub-partitioning SURVIVES
+    compaction (it is the grouping + layout key), so ``search`` prunes
+    identically before and after. The lengths side table compacts the
+    same way."""
     from .ledger import compact_additive_store
 
     compact_additive_store(
         spark,
         store.path,
         store.committed,
-        lambda df: df.groupBy("doc_id", "term").agg(
+        lambda df: df.groupBy("term_bucket", "doc_id", "term").agg(
             F.sum("tf").cast("bigint").alias("tf")
+        ),
+        partition_by=["term_bucket"],
+    )
+    compact_additive_store(
+        spark,
+        store.lengths_path,
+        store.committed,
+        lambda df: df.groupBy("doc_id").agg(
+            F.sum("dl").cast("bigint").alias("dl")
         ),
     )

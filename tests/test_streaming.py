@@ -1360,6 +1360,23 @@ def test_streaming_bm25_matches_batch_and_serves_adhoc(spark, tmp_path_factory):
     )
     assert hits == want_hits and len(hits) == 3
 
+    # the serving path must PRUNE: its postings scan carries a
+    # term_bucket partition filter (the IVF-probe contract applied to
+    # the inverted index), and scores are unchanged by construction
+    splan = (
+        sb.search(spark, store, probe, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = next(
+        l for l in splan.splitlines()
+        if "FileScan parquet" in l and "postings" in l
+    )
+    assert "PartitionFilters" in scan and "term_bucket" in scan.split(
+        "PartitionFilters"
+    )[1][:200]
+
 
 def test_streaming_vocab_store_serves_three_batch_twins(spark, tmp_path_factory):
     """ONE additive vocabulary store, fed documents in waves, resolves
