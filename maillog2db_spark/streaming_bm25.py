@@ -44,7 +44,11 @@ from .operators.text import BM25_N_QUERIES, BM25_TOP_K, bm25_from_tf
 
 N_TERM_BUCKETS = 16  # posting-list sub-partitioning for search pruning
 
-_TERM_BUCKET = F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
+
+def _term_bucket() -> "F.Column":
+    # built lazily: a module-level Column would need an active Spark
+    # session at IMPORT time (plain-script imports break otherwise)
+    return F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
 
 
 class PostingsStore(FileBatchLedger):
@@ -134,7 +138,7 @@ def _batch_tf(batch_docs: DataFrame) -> DataFrame:
         )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("term_bucket", _TERM_BUCKET)
+        .withColumn("term_bucket", _term_bucket())
     )
 
 
@@ -187,7 +191,7 @@ def search(
         .select(F.lit(-1).cast("bigint").alias("query_id"), "term")
     )
     buckets = [
-        r.b for r in qterms.select(_TERM_BUCKET.alias("b")).distinct().collect()
+        r.b for r in qterms.select(_term_bucket().alias("b")).distinct().collect()
     ]
     ctf = (
         raw.filter(F.col("term_bucket").isin(buckets))

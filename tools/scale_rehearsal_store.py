@@ -82,6 +82,40 @@ def main() -> int:
         f"{t_after:.1f} s cold, {t_after2:.1f} s warm — postings identical",
         flush=True,
     )
+
+    # serving path: a short (realistic) query prunes to its terms'
+    # buckets; compare against a full-resolution rescore of the same
+    # query (the pre-round-5 serving shape)
+    from pyspark.sql import functions as F2
+    from maillog2db_spark.operators.text import (
+        BM25_N_QUERIES, bm25_from_tf,
+    )
+
+    q = "w17 w401 w2203"
+    t0 = time.time()
+    pruned = sb.search(spark, store, q, k=5).collect()
+    t_pruned = time.time() - t0
+    t0 = time.time()
+    tf = store.postings(spark)
+    ctf = tf.filter(F2.col("doc_id") >= BM25_N_QUERIES)
+    qt = (
+        spark.createDataFrame([(q,)], "text string")
+        .select(F2.explode(F2.expr(sb._TOKENS_SPARK)).alias("term"))
+        .distinct()
+        .select(F2.lit(-1).cast("bigint").alias("query_id"), "term")
+    )
+    full = [
+        (r.doc_id, r.bm25_ppm, r.rank)
+        for r in bm25_from_tf(ctf, qt).collect()
+        if r.rank <= 5
+    ]
+    t_full = time.time() - t0
+    assert sorted(full) == sorted((r.doc_id, r.bm25_ppm, r.rank) for r in pruned)
+    print(
+        f"3-term search: pruned {t_pruned:.1f} s vs full-resolution "
+        f"{t_full:.1f} s — results identical",
+        flush=True,
+    )
     return 0
 
 
