@@ -1926,3 +1926,210 @@ SELECT cluster, count(*) AS n_vectors,
        max(s_ppm) AS max_sil_ppm
 FROM sil GROUP BY cluster
 """
+
+
+# --- binary sign-sketch ANN (Hamming scan + exact rerank) ------------------
+
+SIG_WORD_BITS = 32  # bits per signature word (DuckDB cannot shift into
+# a BIGINT's sign bit, and 32-bit words generalize to any DIM as
+# ceil(DIM/32) columns — the layout a real serving index would use)
+SIG_WORDS = DIM // SIG_WORD_BITS
+HAMMING_CAND = 4 * TOP_K  # binary-scan survivors per query before rerank
+
+
+def _sig_word(col: str, w: int) -> "F.Column":
+    """32-bit sign-signature word ``w``: bit i set iff dim (w*32+i) of
+    the vector is positive — Charikar (2002) SRP bits with the identity
+    basis (the corpus IS the rotation for synthetic data; a learned/
+    random rotation drops in by rewriting the ``get`` index). Pure
+    codegen integer fold — no Python, no floats past the comparison."""
+    base = w * SIG_WORD_BITS
+    return F.expr(
+        f"aggregate(sequence(0, {SIG_WORD_BITS - 1}), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc | IF(get({col}, i + {base}) > 0.0D, "
+        f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+    )
+
+
+def hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign-quantized ANN: 64 floats compress to 2 signature
+    words (256 B -> 8 B, a 32x memory cut on top of which int8/PQ are
+    the finer tiers), the first-stage scan is XOR+POPCNT over bigints
+    (whole-stage codegen, no float math), and only the HAMMING_CAND
+    survivors per query touch the real vectors for the exact-cosine
+    rerank — the classic two-tier binary-sketch serving layout
+    (Charikar 2002 random-hyperplane sketches; the reference engine,
+    maillog2db.go:180-280, has no vector surface at all).
+
+    Plan shape: one codegen scan builds signatures; the query head
+    (N_QUERIES rows) broadcasts over the corpus for the Hamming scan;
+    two-phase top-k keeps the candidate sort partition-local; the
+    rerank joins survivors (<= HAMMING_CAND x N_QUERIES rows) back to
+    the corpus floats by id. At 100 TB the signature table is the only
+    full-width scan and it reads 8 bytes of sketch per vector."""
+    e = _embeddings(spark, sf_dir)
+    sigs = e.select(
+        "vec_id",
+        *[_sig_word("embedding", w).alias(f"sig{w}") for w in range(SIG_WORDS)],
+    )
+    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"sig{w}").alias(f"q{w}") for w in range(SIG_WORDS)],
+    )
+    c = sigs.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[F.col(f"sig{w}").alias(f"c{w}") for w in range(SIG_WORDS)],
+    )
+    ham = " + ".join(f"bit_count(q{w} ^ c{w})" for w in range(SIG_WORDS))
+    scored = c.join(F.broadcast(q)).select(
+        "query_id", "neighbor_id",
+        F.expr(f"CAST({ham} AS BIGINT)").alias("hamming"),
+    )
+    # two-phase candidate top-k (same monoid as knn_bruteforce: local
+    # per-partition rank, then a global rank over <= cand*partitions
+    # survivors — no single-partition sort at any corpus size)
+    order = (F.asc("hamming"), F.asc("neighbor_id"))
+    local_w = Window.partitionBy("query_id", "pid").orderBy(*order)
+    cand = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrank", F.row_number().over(local_w))
+        .filter(F.col("lrank") <= HAMMING_CAND)
+        .drop("pid", "lrank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    cand = (
+        cand.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= HAMMING_CAND)
+        .drop("crank")
+    )
+    # exact rerank: survivors join back to the float vectors; the query
+    # side is the broadcast N_QUERIES head, the corpus side an id
+    # equi-join touching only candidate rows
+    qe = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
+    )
+    ce = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
+    )
+    rer = (
+        cand.join(ce, "neighbor_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id", "neighbor_id", "hamming",
+            F.round(
+                F.try_divide(
+                    _dot(F.col("q_emb"), F.col("c_emb")),
+                    F.col("q_nrm") * F.col("c_nrm"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "hamming", "cosine", "rank")
+    )
+
+
+def _sig_word_duck(w: int) -> str:
+    base = w * SIG_WORD_BITS
+    return (
+        f"list_aggregate(list_transform(range({SIG_WORD_BITS}), i -> "
+        f"CASE WHEN embedding[i + {base + 1}] > 0 THEN (1::BIGINT << i) "
+        f"ELSE 0::BIGINT END), 'bit_or')"
+    )
+
+
+HAMMING_TOPK_SQL = f"""
+WITH sigs AS (
+  SELECT vec_id,
+         {", ".join(f"{_sig_word_duck(w)} AS sig{w}" for w in range(SIG_WORDS))}
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id,
+         {", ".join(f"sig{w} AS q{w}" for w in range(SIG_WORDS))}
+  FROM sigs WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id,
+         {", ".join(f"sig{w} AS c{w}" for w in range(SIG_WORDS))}
+  FROM sigs WHERE vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT query_id, neighbor_id,
+         CAST({" + ".join(f"bit_count(xor(q{w}, c{w}))" for w in range(SIG_WORDS))}
+              AS BIGINT) AS hamming
+  FROM c CROSS JOIN q
+), cand AS (
+  SELECT query_id, neighbor_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming, neighbor_id) AS crank
+  FROM scored
+), rer AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.hamming,
+         round({_DOT_DUCK.format(a='qe.embedding', b='ce.embedding')}
+               / (sqrt({_DOT_DUCK.format(a='qe.embedding', b='qe.embedding')})
+                  * sqrt({_DOT_DUCK.format(a='ce.embedding', b='ce.embedding')})),
+               6) AS cosine
+  FROM cand
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  WHERE cand.crank <= {HAMMING_CAND}
+), ranked AS (
+  SELECT query_id, neighbor_id, hamming, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rer
+)
+SELECT query_id, neighbor_id, hamming, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the binary-sketch retrieval (Hamming scan + exact
+    rerank) against the exact brute-force top-k — the accuracy
+    contract the 32x sketch compression ships with, hash-verified end
+    to end like `ann_recall` / `truncation_recall`."""
+    ham = hamming_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        ham.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    qs = exact.select("query_id").distinct()
+    return (
+        qs.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.expr(f"CAST(coalesce(n_hit, 0) * 1000000 div {TOP_K} AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
+HAMMING_RECALL_SQL = f"""
+WITH ham AS (
+  SELECT query_id, neighbor_id FROM ({HAMMING_TOPK_SQL})
+), exact AS (
+  SELECT query_id, neighbor_id FROM ({KNN_BRUTEFORCE_SQL})
+), hits AS (
+  SELECT h.query_id, count(*) AS n_hit
+  FROM ham h JOIN exact e USING (query_id, neighbor_id)
+  GROUP BY h.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(n_hit, 0) * 1000000 // {TOP_K} AS BIGINT) AS recall_ppm
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits ON hits.query_id = q.query_id
+"""

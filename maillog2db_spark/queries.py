@@ -403,6 +403,10 @@ register("embed_truncation_recall", _sim.TRUNCATION_RECALL_SQL,
          doc="Matryoshka-style eval: recall@k of a 16-dim prefix-truncated cosine ranking vs the full 64-dim exact top-k — the accuracy contract behind serving a 4x narrower first-stage index")(_sim.truncation_recall)
 register("embed_ann_recall", _sim.ANN_RECALL_SQL,
          doc="Recall@k of the IVF probe vs exact brute-force top-k — the ANN accuracy contract, hash-verified end to end")(_sim.ann_recall)
+register("embed_hamming_topk", _sim.HAMMING_TOPK_SQL,
+         doc="Binary sign-sketch ANN (Charikar 2002): 64 floats -> 2 signature words (32x compression), XOR+POPCNT Hamming scan, exact-cosine rerank of the candidate head")(_sim.hamming_topk)
+register("embed_hamming_recall", _sim.HAMMING_RECALL_SQL,
+         doc="Recall@k of the binary-sketch retrieval vs exact brute-force top-k — the accuracy contract behind the 32x sketch compression, hash-verified end to end")(_sim.hamming_recall)
 register("embed_semdedup", _sim.SEMDEDUP_SQL,
          doc="SemDeDup-style semantic dedup: quantizer cell + in-cell LSH blocking, exact-cosine verify, first-writer keep policy (arXiv:2303.09540)")(_sim.semantic_dedup)
 register("doc_token_stats", _tx.TOKEN_STATS_SQL,

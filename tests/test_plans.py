@@ -29,6 +29,9 @@ BNL_ALLOWED = {
     "embed_knn_bruteforce": [_SCALAR, "vec_id", "cent_nrm"],
     "embed_ann_ivf_topk": [_SCALAR, "vec_id", "label", "cent_nrm"],
     "embed_semdedup": [_SCALAR, "label", "cent_nrm"],
+    # N_QUERIES-head signature/query broadcasts (Hamming scan + rerank)
+    "embed_hamming_topk": [_SCALAR, "vec_id", "cent_nrm"],
+    "embed_hamming_recall": [_SCALAR, "vec_id", "cent_nrm"],
     "embed_kmeans": [_SCALAR, "label", "cent_nrm"],
     "embed_ann_recall": [_SCALAR, "vec_id", "label", "cent_nrm"],
     "embed_ivfpq_topk": [_SCALAR, "vec_id", "label", "cent_nrm"],

@@ -259,3 +259,69 @@ def test_silhouette_matches_numpy_recount(spark):
             max(scored),
         )
     assert got == expected
+
+
+def test_hamming_topk_matches_numpy_replay(spark):
+    """Binary sign-sketch ANN vs an independent numpy replay: sign
+    signatures, XOR+POPCNT Hamming candidate head (ties by id), exact
+    float64 cosine rerank with round-6 + id tiebreak."""
+    import numpy as np
+
+    from maillog2db_spark.operators import similarity as sim
+
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.hamming, r.cosine)
+        for r in sim.hamming_topk(spark, SF).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    bits = (X > 0).astype(np.int64)
+    expected = {}
+    for qi in range(len(ids)):
+        if ids[qi] >= sim.N_QUERIES:
+            continue
+        cand = []
+        for ci in range(len(ids)):
+            if ids[ci] < sim.N_QUERIES:
+                continue
+            cand.append((int((bits[qi] != bits[ci]).sum()), int(ids[ci]), ci))
+        cand.sort()
+        rer = []
+        for ham, nid, ci in cand[: sim.HAMMING_CAND]:
+            cos = round(
+                float(X[qi] @ X[ci])
+                / (math.sqrt(float(X[qi] @ X[qi])) * math.sqrt(float(X[ci] @ X[ci]))),
+                6,
+            )
+            rer.append((-cos, nid, ham))
+        rer.sort()
+        for rank, (negcos, nid, ham) in enumerate(rer[: sim.TOP_K], start=1):
+            expected[(int(ids[qi]), rank)] = (nid, ham, -negcos)
+    assert set(got) == set(expected)
+    for k, (nid, ham, cos) in expected.items():
+        gnid, gham, gcos = got[k]
+        assert (gnid, gham) == (nid, ham), k
+        assert abs(gcos - cos) < 2e-6, k
+
+
+def test_hamming_recall_consistent_with_rankings(spark):
+    """recall_ppm must equal the exact hit-count ratio between the two
+    registered rankings (internal consistency, not just the oracle)."""
+    from maillog2db_spark.operators import similarity as sim
+
+    ham = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.hamming_topk(spark, SF).collect()
+    }
+    exact = {}
+    for r in sim.knn_bruteforce(spark, SF).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rec = {r.query_id: (r.n_hit, r.recall_ppm)
+           for r in sim.hamming_recall(spark, SF).collect()}
+    assert set(rec) == set(exact)
+    for q, nbrs in exact.items():
+        n_hit = len({(q, n) for n in nbrs} & ham)
+        assert rec[q] == (n_hit, n_hit * 1_000_000 // sim.TOP_K), q
