@@ -1430,3 +1430,148 @@ SELECT root, n_members,
        (CAST(-b.nid AS BIGINT) <> root) AS policy_overrode_first_writer
 FROM best
 """
+
+
+# --- DSIR hashed n-gram importance weights ---------------------------------
+
+DSIR_BUCKETS = 4096  # hashed-feature dimensionality (Xie et al. use 10k;
+# the bucket table is model state, bounded and broadcastable at any size)
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every document by the log importance
+    ratio of a hashed-bigram model of the TARGET domain (the curated
+    benchmark slice, as in decontam/quality_classifier) over a model
+    of the raw remainder — the selection signal behind
+    domain-matched pretraining corpora. Docs whose hashed bigrams are
+    relatively frequent in the target score high; the weight feeds
+    the existing weighted/stratified samplers as-is.
+
+    Plan shape: the token stream explodes ONCE into hashed bigram
+    buckets (md5-slice idiom — deterministic and engine-portable);
+    one wide groupBy((doc, bucket)) produces per-doc feature counts;
+    BOTH model count tables re-aggregate from that table and are
+    bounded by DSIR_BUCKETS rows (broadcast), so the corpus never
+    shuffles twice. The two totals ride a 1-row scalar broadcast.
+
+    Determinism: add-one-smoothed log ratios are one fixed-shape
+    double expression over exact integer counts, quantized to ppm per
+    FEATURE before the k-weighted per-doc integer sum — order-exact.
+    No per-doc integer division (negative sums truncate differently
+    across engines), only sums."""
+    p = spark.sparkContext.defaultParallelism
+    base = (
+        io.load(spark, sf_dir, "documents")
+        .repartition(p, "doc_id")
+        .select("doc_id", "source", F.expr(_TOKENS_SPARK).alias("toks"))
+    )
+    bg = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(toks, 1, size(toks) - 1)"),
+                    F.expr("slice(toks, 2, size(toks) - 1)"),
+                )
+            ).alias("b"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.col("b.0"), F.col("b.1"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+    per_doc = bg.groupBy("doc_id", "source", "bucket").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    from .decontam import BENCH_SOURCE
+
+    is_t = F.col("source") == BENCH_SOURCE
+    model = per_doc.groupBy("bucket").agg(
+        F.sum(F.when(is_t, F.col("k")).otherwise(F.lit(0))).alias("ct"),
+        F.sum(F.when(~is_t, F.col("k")).otherwise(F.lit(0))).alias("cr"),
+    )
+    totals = model.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    scored = (
+        per_doc.join(F.broadcast(model), "bucket")
+        .join(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                F.col("k")
+                * F.expr(
+                    f"CAST(floor((ln((CAST(ct AS DOUBLE) + 1) / (nt + {DSIR_BUCKETS}))"
+                    f" - ln((CAST(cr AS DOUBLE) + 1) / (nr + {DSIR_BUCKETS})))"
+                    " * 1000000 + 0.5) AS BIGINT)"
+                )
+            ).alias("w_ppm"),
+            F.col("k"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum("w_ppm").alias("weight_ppm"),
+        )
+    )
+    docs = io.load(spark, sf_dir, "documents").select("doc_id", "source")
+    return docs.join(scored, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("weight_ppm", F.lit(0)).cast("bigint").alias("weight_ppm"),
+    )
+
+
+from .decontam import BENCH_SOURCE as _BENCH
+
+DSIR_WEIGHTS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, {_TOKENS_DUCK} AS tl FROM documents
+), bg AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5(prev || ' ' || tok), 1, 8))::BIGINT
+          % {DSIR_BUCKETS}) AS bucket
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_slice(tl, 1, len(tl) - 1)) AS prev,
+           unnest(list_slice(tl, 2, len(tl))) AS tok
+    FROM base WHERE len(tl) >= 2
+  )
+), per_doc AS (
+  SELECT doc_id, source, bucket, count(*) AS k
+  FROM bg GROUP BY doc_id, source, bucket
+), model AS (
+  SELECT bucket,
+         sum(CASE WHEN source = '{_BENCH}' THEN k ELSE 0 END) AS ct,
+         sum(CASE WHEN source <> '{_BENCH}' THEN k ELSE 0 END) AS cr
+  FROM per_doc GROUP BY bucket
+), tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM model
+), scored AS (
+  SELECT doc_id,
+         CAST(sum(k) AS BIGINT) AS n_bigrams,
+         CAST(sum(k * CAST(floor((ln((ct::DOUBLE + 1) / (nt + {DSIR_BUCKETS}))
+                                  - ln((cr::DOUBLE + 1) / (nr + {DSIR_BUCKETS})))
+                                 * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS weight_ppm
+  FROM per_doc JOIN model USING (bucket) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(weight_ppm, 0) AS BIGINT) AS weight_ppm
+FROM documents d LEFT JOIN scored ON scored.doc_id = d.doc_id
+"""

@@ -505,6 +505,8 @@ register("li_copurchase_triangles", _ca.COPURCHASE_TRIANGLES_SQL,
          doc="Per-part triangle count + clustering coefficient on the thresholded co-purchase graph (oriented a<b<c wedge join, each triangle counted once)")(_ca.copurchase_triangles)
 register("embed_semdedup_keep_best", _ca._SEMDEDUP_KEEP_BEST_SQL(),
          doc="Quality-weighted semantic dedup: embeddings decide WHAT is redundant, the documents table decides WHICH copy survives — cross-table argmax policy over the embed_semdedup attribution groups")(_ca.semdedup_keep_best)
+register("doc_dsir_weights", _ca.DSIR_WEIGHTS_SQL,
+         doc="DSIR importance weights (Xie et al. 2023): hashed-bigram target-vs-raw log ratios, md5-bucketed features, ppm-exact per-feature terms — the domain-matched selection signal feeding the samplers")(_ca.dsir_weights)
 register("doc_source_kl", _ca.SOURCE_KL_SQL,
          doc="Pairwise source KL divergence over the top-M head vocabulary (bounded grid, add-one smoothing, pico fixed-point)")(_ca.source_kl)
 register("doc_span_scrub", _ca.SPAN_SCRUB_SQL,

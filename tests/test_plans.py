@@ -60,6 +60,9 @@ BNL_ALLOWED = {
     "doc_source_kl": [_SCALAR, "TakeOrderedAndProject(limit=200"],
     # 1-row (n_total, sqrt_total) policy-normalizer broadcast
     "doc_source_temperature_mix": [_SCALAR],
+    # 1-row (nt, nr) model-total broadcast (the bucket model itself is
+    # an equi-join on bucket, not a BNL)
+    "doc_dsir_weights": [_SCALAR],
     # k-row final-centroid broadcast (same tiny side as embed_kmeans)
     "embed_silhouette": [_SCALAR, "label", "cluster", "cent_nrm"],
     # 1-row total-count broadcast feeding ntile_from_rank

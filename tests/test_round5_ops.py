@@ -325,3 +325,53 @@ def test_hamming_recall_consistent_with_rankings(spark):
     for q, nbrs in exact.items():
         n_hit = len({(q, n) for n in nbrs} & ham)
         assert rec[q] == (n_hit, n_hit * 1_000_000 // sim.TOP_K), q
+
+
+def test_dsir_weights_match_local_model(spark):
+    """DSIR log-importance weights vs a pure-Python replay of the full
+    chain: md5 bucket hashing, add-one smoothed target/raw models,
+    ppm-floored per-feature terms, k-weighted integer sums — plus the
+    semantic sanity check that the target-source docs themselves score
+    highest on average (they ARE the target distribution)."""
+    import hashlib
+
+    from maillog2db_spark.operators import corpus_analytics as ca
+    from maillog2db_spark.operators.decontam import BENCH_SOURCE
+
+    got = {
+        r.doc_id: (r.source, r.n_bigrams, r.weight_ppm)
+        for r in ca.dsir_weights(spark, SF).collect()
+    }
+    docs = _docs()
+
+    def bucket(prev: str, tok: str) -> int:
+        h = hashlib.md5(f"{prev} {tok}".encode()).hexdigest()[:8]
+        return int(h, 16) % ca.DSIR_BUCKETS
+
+    per_doc: dict[int, Counter] = {}
+    src = {}
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    for d, t, s in docs:
+        toks = _tokens(t)
+        src[d] = s
+        c = Counter(bucket(a, b) for a, b in zip(toks, toks[1:]))
+        per_doc[d] = c
+        (ct if s == BENCH_SOURCE else cr).update(c)
+    nt, nr = sum(ct.values()), sum(cr.values())
+    B = ca.DSIR_BUCKETS
+    expected = {}
+    for d, _, s in docs:
+        w = 0
+        for b, k in per_doc[d].items():
+            term = math.floor(
+                (math.log((ct[b] + 1) / (nt + B)) - math.log((cr[b] + 1) / (nr + B)))
+                * 1_000_000
+                + 0.5
+            )
+            w += k * term
+        expected[d] = (s, sum(per_doc[d].values()), w)
+    assert got == expected
+    bench = [w for d, (s, _, w) in got.items() if s == BENCH_SOURCE]
+    rest = [w for d, (s, _, w) in got.items() if s != BENCH_SOURCE]
+    assert sum(bench) / len(bench) > sum(rest) / len(rest)
