@@ -1457,19 +1457,36 @@ def _ivfpq_subvectors(df, *keys):
     ).select(*keys, F.col("s.m").alias("m"), F.col("s.svec").alias("svec"))
 
 
+def _ivfpq_corpus_residuals(spark, sf_dir):
+    """Session-cached per-vector residual assignment — the expensive
+    half of the index build (corpus × centroids ranking + ppm
+    residual). Cached at the PER-VECTOR grain, not the exploded
+    subvector grain, so the codebook-train and code-assign consumers
+    each explode it cheaply instead of recomputing the assignment: the
+    5M rehearsal measured the build at 2× the query precisely because
+    both consumers re-ran this lineage."""
+    from .dedup import _cached
+
+    def build():
+        e = _embeddings(spark, sf_dir)
+        cents = centroids_with_norms(spark, sf_dir)
+        corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.col("embedding").alias("c_emb"),
+            _norm(F.col("embedding")).alias("c_nrm"),
+        )
+        return _ivfpq_assign_residual(
+            cents, corpus.drop("label"), "neighbor_id", "c_emb", "c_nrm", 1
+        ).join(corpus.select("neighbor_id", "label"), "neighbor_id")
+
+    return _cached(spark, sf_dir, "ivfpq_resid", build)
+
+
 def _ivfpq_corpus_subvectors(spark, sf_dir):
-    e = _embeddings(spark, sf_dir)
-    cents = centroids_with_norms(spark, sf_dir)
-    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"),
-        "label",
-        F.col("embedding").alias("c_emb"),
-        _norm(F.col("embedding")).alias("c_nrm"),
+    return _ivfpq_subvectors(
+        _ivfpq_corpus_residuals(spark, sf_dir), "neighbor_id", "label", "cell"
     )
-    inv = _ivfpq_assign_residual(
-        cents, corpus.drop("label"), "neighbor_id", "c_emb", "c_nrm", 1
-    ).join(corpus.select("neighbor_id", "label"), "neighbor_id")
-    return _ivfpq_subvectors(inv, "neighbor_id", "label", "cell")
 
 
 def _ivfpq_build_cb(c_sub):
