@@ -591,9 +591,9 @@ _PRIORITY = [
     "embed_pq_encode", "embed_ann_recall", "embed_truncation_recall",
     "doc_minhash_estimate", "doc_cms_heavy_hitters",
     "doc_sorted_neighborhood", "doc_leakage_safe_split",
-    "doc_shard_assignment", "doc_weighted_sample", "doc_span_scrub",
+    "doc_shard_assignment", "doc_span_scrub",
     "doc_langid_confusion", "dq_daily_reconciliation",
-    "ev_sliding_hourly", "ev_trailing_7d_stats", "ev_concurrent_sessions",
+    "ev_sliding_hourly", "ev_concurrent_sessions",
     "ev_markov_transitions", "ev_funnel_latency",
     "ev_multitouch_attribution", "ev_value_mad_anomaly",
     "ord_priority_islands", "ord_revenue_ewma", "ord_abc_pareto",
@@ -605,10 +605,21 @@ _PRIORITY = [
     "li_copurchase_triangles", "ord_revenue_holt",
     "doc_source_temperature_mix", "embed_silhouette",
     "ord_price_equidepth",
+    # 4. late round-5 additions — never driver-verified
+    "embed_hamming_topk", "doc_dsir_weights",
     # (ord_rfm_segments left the window for ord_price_equidepth:
     # never-verified beats re-verify, and the r5 cumsum rewrite rfm
     # shares is driver-covered in-window by ord_abc_pareto and
-    # ev_concurrent_sessions, which changed identically)
+    # ev_concurrent_sessions, which changed identically.
+    # doc_weighted_sample and ev_trailing_7d_stats ceded their slots
+    # to embed_hamming_topk and doc_dsir_weights: both are the most
+    # family-redundant window entries — the Efraimidis-Spirakis
+    # sampler is fuzz-tiered + property-tested and shares its
+    # content-hash key machinery with the IN-window stratified/split
+    # queries, and the trailing-7d RANGE frame shares its window code
+    # path with the in-window ev_sliding_hourly; embed_hamming_recall
+    # composes embed_hamming_topk + the r2-verified brute-force kNN,
+    # so topk's hash is the binding signal — recall queues for r6.)
     # ---- 50-entry window boundary ----
     # The tail keeps its most recent green driver verdict (r3 or r4)
     # on code unchanged since that verdict.

@@ -105,6 +105,10 @@ FUZZED_QUERIES = [
     "doc_vocab_growth",
     # sqrt-exact policy shares on degenerate single-source corpora
     "doc_source_temperature_mix",
+    # DSIR: fuzz corpora have NO bench-source docs (sources s0/s1), so
+    # the target model is all-zero counts — pure-smoothing terms; empty
+    # and single-token docs take the zero-filled left-join path
+    "doc_dsir_weights",
 ]
 
 
@@ -355,6 +359,11 @@ EMBED_QUERIES = [
     # try_divide; single-label corpora have no second centroid (b NULL,
     # n_scored 0, NULL mean — never a divide error)
     "embed_silhouette",
+    # sign-sketch ANN: zero vectors sign-quantize to the all-zero
+    # signature (Hamming ties break on id) and hit try_divide NULL
+    # cosine in the rerank; dup_prev vectors force Hamming-0 ties
+    "embed_hamming_topk",
+    "embed_hamming_recall",
 ]
 
 vec_strategy = st.lists(
