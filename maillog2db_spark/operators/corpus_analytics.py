@@ -1438,34 +1438,13 @@ DSIR_BUCKETS = 4096  # hashed-feature dimensionality (Xie et al. use 10k;
 # the bucket table is model state, bounded and broadcastable at any size)
 
 
-def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data Selection via Importance Resampling (Xie et al. 2023,
-    arXiv:2302.03169): score every document by the log importance
-    ratio of a hashed-bigram model of the TARGET domain (the curated
-    benchmark slice, as in decontam/quality_classifier) over a model
-    of the raw remainder — the selection signal behind
-    domain-matched pretraining corpora. Docs whose hashed bigrams are
-    relatively frequent in the target score high; the weight feeds
-    the existing weighted/stratified samplers as-is.
-
-    Plan shape: the token stream explodes ONCE into hashed bigram
-    buckets (md5-slice idiom — deterministic and engine-portable);
-    one wide groupBy((doc, bucket)) produces per-doc feature counts;
-    BOTH model count tables re-aggregate from that table and are
-    bounded by DSIR_BUCKETS rows (broadcast), so the corpus never
-    shuffles twice. The two totals ride a 1-row scalar broadcast.
-
-    Determinism: add-one-smoothed log ratios are one fixed-shape
-    double expression over exact integer counts, quantized to ppm per
-    FEATURE before the k-weighted per-doc integer sum — order-exact.
-    No per-doc integer division (negative sums truncate differently
-    across engines), only sums."""
-    p = spark.sparkContext.defaultParallelism
-    base = (
-        io.load(spark, sf_dir, "documents")
-        .repartition(p, "doc_id")
-        .select("doc_id", "source", F.expr(_TOKENS_SPARK).alias("toks"))
-    )
+def dsir_bucket_counts(docs: DataFrame) -> DataFrame:
+    """Per-doc hashed-bigram feature counts (doc_id, source, bucket, k)
+    from a (doc_id, source, text) frame — the write-once feature grain
+    shared by the batch query and the streaming store (which persists
+    exactly this table per batch, making stream ≡ batch equality of
+    inputs)."""
+    base = docs.select("doc_id", "source", F.expr(_TOKENS_SPARK).alias("toks"))
     bg = (
         base.filter(F.size("toks") >= 2)
         .select(
@@ -1493,19 +1472,29 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket"),
         )
     )
-    per_doc = bg.groupBy("doc_id", "source", "bucket").agg(
+    return bg.groupBy("doc_id", "source", "bucket").agg(
         F.count(F.lit(1)).alias("k")
     )
+
+
+def dsir_model(per_doc: DataFrame) -> DataFrame:
+    """Bounded (bucket, ct, cr) target/raw count model from the feature
+    grain — DSIR_BUCKETS rows at most, broadcast at every use site."""
     from .decontam import BENCH_SOURCE
 
     is_t = F.col("source") == BENCH_SOURCE
-    model = per_doc.groupBy("bucket").agg(
+    return per_doc.groupBy("bucket").agg(
         F.sum(F.when(is_t, F.col("k")).otherwise(F.lit(0))).alias("ct"),
         F.sum(F.when(~is_t, F.col("k")).otherwise(F.lit(0))).alias("cr"),
     )
-    totals = model.agg(
-        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
-    )
+
+
+def dsir_score(per_doc: DataFrame, model: DataFrame, docs: DataFrame) -> DataFrame:
+    """Score the docs in ``docs`` (doc_id, source) by their features in
+    ``per_doc`` against ``model`` — the shared core: the batch query
+    scores the corpus against its own model; the streaming admission
+    gate scores an incoming drop against the accumulated store model."""
+    totals = model.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     scored = (
         per_doc.join(F.broadcast(model), "bucket")
         .join(F.broadcast(totals))
@@ -1527,13 +1516,42 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w_ppm").alias("weight_ppm"),
         )
     )
-    docs = io.load(spark, sf_dir, "documents").select("doc_id", "source")
     return docs.join(scored, "doc_id", "left").select(
         "doc_id",
         "source",
         F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
         F.coalesce("weight_ppm", F.lit(0)).cast("bigint").alias("weight_ppm"),
     )
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every document by the log importance
+    ratio of a hashed-bigram model of the TARGET domain (the curated
+    benchmark slice, as in decontam/quality_classifier) over a model
+    of the raw remainder — the selection signal behind
+    domain-matched pretraining corpora. Docs whose hashed bigrams are
+    relatively frequent in the target score high; the weight feeds
+    the existing weighted/stratified samplers as-is.
+
+    Plan shape: the token stream explodes ONCE into hashed bigram
+    buckets (md5-slice idiom — deterministic and engine-portable);
+    one wide groupBy((doc, bucket)) produces per-doc feature counts;
+    BOTH model count tables re-aggregate from that table and are
+    bounded by DSIR_BUCKETS rows (broadcast), so the corpus never
+    shuffles twice. The two totals ride a 1-row scalar broadcast.
+
+    Determinism: add-one-smoothed log ratios are one fixed-shape
+    double expression over exact integer counts, quantized to ppm per
+    FEATURE before the k-weighted per-doc integer sum — order-exact.
+    No per-doc integer division (negative sums truncate differently
+    across engines), only sums."""
+    p = spark.sparkContext.defaultParallelism
+    docs = io.load(spark, sf_dir, "documents")
+    per_doc = dsir_bucket_counts(
+        docs.repartition(p, "doc_id").select("doc_id", "source", "text")
+    )
+    return dsir_score(per_doc, dsir_model(per_doc), docs.select("doc_id", "source"))
 
 
 from .decontam import BENCH_SOURCE as _BENCH

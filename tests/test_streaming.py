@@ -1516,3 +1516,91 @@ def test_additive_store_compaction_preserves_views_and_replay(
     assert views() == want
     for path in (bstore.path, hstore.path, vstore.term_path, vstore.doc_path):
         assert parts(path) == [-1]
+
+
+def test_streaming_dsir_matches_batch_and_gates_admission(spark, tmp_path_factory):
+    """The DSIR feature store, fed the corpus in waves, reproduces the
+    batch doc_dsir_weights EXACTLY (equality of inputs into the shared
+    cores); fresh-checkpoint replay changes nothing (ledger); the
+    admission gate scores a drop against the model as-of BEFORE it;
+    compaction folds partitions without moving any view; crash-window
+    re-ingest converges."""
+    import shutil
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_dsir as sd
+    from maillog2db_spark.operators import corpus_analytics as ca
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+
+    d = tmp_path_factory.mktemp("dsir_stream")
+    src = d / "docs"
+    src.mkdir()
+
+    def drop_wave(df, name, mtime):
+        tmp = d / f"_tmp_{name}"
+        df.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"{name}.parquet"
+        shutil.move(str(part), str(dest))
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp)
+
+    for i in range(3):
+        drop_wave(docs.filter(f"doc_id % 3 = {i}"), f"wave{i}", 1_700_000_000 + i * 60)
+
+    store = sd.DsirStore(str(d / "store"))
+    q = sd.start_dsir_stream(spark, str(src), store, str(d / "ckpt"), available_now=True)
+    q.awaitTermination(180)
+
+    def weights():
+        return {
+            r["doc_id"]: (r["source"], r["n_bigrams"], r["weight_ppm"])
+            for r in sd.corpus_weights(spark, store).collect()
+        }
+
+    want = {
+        r["doc_id"]: (r["source"], r["n_bigrams"], r["weight_ppm"])
+        for r in ca.dsir_weights(spark, sf).collect()
+    }
+    got = weights()
+    assert want and got == want
+
+    # fresh-checkpoint replay: ledger makes every batch a no-op
+    q2 = sd.start_dsir_stream(spark, str(src), store, str(d / "ckpt2"), available_now=True)
+    q2.awaitTermination(180)
+    assert weights() == want
+
+    # admission gate: scoring wave2 as-of-before-itself must equal
+    # scoring it against a store built from waves 0+1 only
+    wave2 = docs.filter("doc_id % 3 = 2")
+    store01 = sd.DsirStore(str(d / "store01"))
+    sd.dsir_ingest_batch(spark, docs.filter("doc_id % 3 = 0"), store01, 0)
+    sd.dsir_ingest_batch(spark, docs.filter("doc_id % 3 = 1"), store01, 1)
+    asof = {
+        r["source"]: (r["n_docs"], r["n_bigrams"], r["sum_weight_ppm"])
+        for r in sd.batch_weight_stats(spark, wave2, store, exclude_batch=2).collect()
+    }
+    frozen = {
+        r["source"]: (r["n_docs"], r["n_bigrams"], r["sum_weight_ppm"])
+        for r in sd.batch_weight_stats(spark, wave2, store01).collect()
+    }
+    assert asof and asof == frozen
+
+    # compaction: views unchanged, partitions folded
+    def parts(path):
+        return sorted(
+            int(e.split("=")[1])
+            for e in os.listdir(path)
+            if e.startswith("batch_id=")
+        )
+
+    sd.compact_store(spark, store)
+    assert weights() == want
+    for path in (store.feats_path, store.docs_path):
+        assert parts(path) == [-1]
+
+    # crash-window re-ingest (committed batch) is a ledger no-op
+    sd.dsir_ingest_batch(spark, docs.filter("doc_id % 3 = 1"), store, 1)
+    assert weights() == want
