@@ -1493,18 +1493,35 @@ def dsir_score(per_doc: DataFrame, model: DataFrame, docs: DataFrame) -> DataFra
     """Score the docs in ``docs`` (doc_id, source) by their features in
     ``per_doc`` against ``model`` — the shared core: the batch query
     scores the corpus against its own model; the streaming admission
-    gate scores an incoming drop against the accumulated store model."""
-    totals = model.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    gate scores an incoming drop against the accumulated store model.
+
+    The model is COLLECTED (bounded: ≤ DSIR_BUCKETS rows by
+    construction) and re-emitted as a literal frame with the totals
+    inlined as exact bigint literals. Before this, the final plan held
+    three live references to the model's lineage — ``model.agg``
+    (totals), ``broadcast(model)``, and through them ``per_doc`` —
+    so the expensive bigram explode recomputed ~3× per run (the same
+    recompute class as the IVFPQ LUT fix). Now the final plan touches
+    ``per_doc`` exactly once; the log-ratio expression itself stays
+    in-engine, over the same bigint counts, so oracle hashes are
+    unchanged."""
+    spark = per_doc.sparkSession
+    rows = model.select("bucket", "ct", "cr").collect()
+    nt = sum(int(r["ct"]) for r in rows)
+    nr = sum(int(r["cr"]) for r in rows)
+    lit_model = spark.createDataFrame(
+        [(int(r["bucket"]), int(r["ct"]), int(r["cr"])) for r in rows],
+        "bucket bigint, ct bigint, cr bigint",
+    )
     scored = (
-        per_doc.join(F.broadcast(model), "bucket")
-        .join(F.broadcast(totals))
+        per_doc.join(F.broadcast(lit_model), "bucket")
         .select(
             "doc_id",
             (
                 F.col("k")
                 * F.expr(
-                    f"CAST(floor((ln((CAST(ct AS DOUBLE) + 1) / (nt + {DSIR_BUCKETS}))"
-                    f" - ln((CAST(cr AS DOUBLE) + 1) / (nr + {DSIR_BUCKETS})))"
+                    f"CAST(floor((ln((CAST(ct AS DOUBLE) + 1) / ({nt} + {DSIR_BUCKETS}))"
+                    f" - ln((CAST(cr AS DOUBLE) + 1) / ({nr} + {DSIR_BUCKETS})))"
                     " * 1000000 + 0.5) AS BIGINT)"
                 )
             ).alias("w_ppm"),

@@ -60,15 +60,16 @@ BNL_ALLOWED = {
     "doc_source_kl": [_SCALAR, "TakeOrderedAndProject(limit=200"],
     # 1-row (n_total, sqrt_total) policy-normalizer broadcast
     "doc_source_temperature_mix": [_SCALAR],
-    # 1-row (nt, nr) model-total broadcast (the bucket model itself is
-    # an equi-join on bucket, not a BNL)
-    "doc_dsir_weights": [_SCALAR],
+    # (doc_dsir_weights left the list in round 5: the model totals are
+    # now exact bigint literals inlined at plan time — no BNL remains)
     # k-row final-centroid broadcast (same tiny side as embed_kmeans)
     "embed_silhouette": [_SCALAR, "label", "cluster", "cent_nrm"],
     # 1-row total-count broadcast feeding ntile_from_rank
     "ord_price_equidepth": [_SCALAR],
     # inherits embed_semdedup's centroid/threshold tiny sides
     "embed_semdedup_keep_best": [_SCALAR, "label", "cent_nrm"],
+    # 1-row corpus-count broadcast (per-epoch position = rank - epoch*n)
+    "doc_epoch_shuffle": [_SCALAR],
 }
 
 
