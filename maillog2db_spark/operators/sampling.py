@@ -381,3 +381,85 @@ SELECT source, n_docs,
          AS boost_ppm
 FROM per_src CROSS JOIN tot
 """
+
+
+# --- deterministic epoch shuffle (training-order export) --------------------
+
+SHUFFLE_EPOCHS = 2
+SHUFFLE_SHARD_SIZE = 64  # docs per serving shard within an epoch
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global training order: every epoch gets
+    an independent pseudo-random permutation of the corpus (md5 of
+    "epoch:doc_id" — replayable under repartition and across engines,
+    the same content-derived idiom as the samplers), materialized as
+    (position, shard, slot) so a trainer can stream shard files in
+    order. This is the training-order export step after
+    `doc_shard_assignment` (which buckets but does not ORDER): epoch
+    reshuffles change data order between passes without any stateful
+    shuffle buffer, a requirement the epochs-over-100-TB regime cannot
+    meet with an in-memory permutation.
+
+    Scale shape: the epoch fan-out is a SHUFFLE_EPOCHS-way in-expression
+    explode; the global order per epoch comes from ONE composite
+    two-phase distributed rank over (epoch, key, doc_id) — epochs are
+    contiguous equal-size rank blocks, so per-epoch position is
+    `rank - epoch*n` with the corpus count riding a 1-row scalar
+    broadcast. No unpartitioned window, no single-task sort (an ntile/
+    row_number PARTITION BY epoch would funnel the whole corpus
+    through SHUFFLE_EPOCHS tasks)."""
+    from .windows import distributed_cumulative
+
+    docs = io.load(spark, sf_dir, "documents").select("doc_id")
+    fan = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {SHUFFLE_EPOCHS - 1})")).alias("epoch"),
+    ).select(
+        "epoch",
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("skey"),
+    )
+    g = distributed_cumulative(
+        fan, [F.col("epoch"), F.col("skey"), F.col("doc_id")]
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        g.join(F.broadcast(n))
+        .withColumn(
+            "pos", (F.col("_grank") - 1 - F.col("epoch") * F.col("n_docs")).cast("bigint")
+        )
+        .select(
+            "epoch",
+            "doc_id",
+            "pos",
+            F.expr(f"pos div {SHUFFLE_SHARD_SIZE}").cast("bigint").alias("shard"),
+            F.expr(f"pos % {SHUFFLE_SHARD_SIZE}").cast("bigint").alias("slot"),
+        )
+    )
+
+
+EPOCH_SHUFFLE_SQL = f"""
+WITH fan AS (
+  SELECT t.epoch, d.doc_id,
+         (('0x' || substr(md5(t.epoch || ':' || d.doc_id), 1, 8))::BIGINT) AS skey
+  FROM documents d CROSS JOIN (SELECT unnest(range({SHUFFLE_EPOCHS})) AS epoch) t
+), ranked AS (
+  SELECT epoch, doc_id,
+         CAST(row_number() OVER (PARTITION BY epoch
+                                 ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
+  FROM fan
+)
+SELECT epoch, doc_id, pos,
+       CAST(pos // {SHUFFLE_SHARD_SIZE} AS BIGINT) AS shard,
+       CAST(pos % {SHUFFLE_SHARD_SIZE} AS BIGINT) AS slot
+FROM ranked
+"""

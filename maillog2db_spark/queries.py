@@ -486,6 +486,8 @@ register("doc_source_mix", _smp.SOURCE_MIX_SQL,
          doc="Weighted source mixing: fractional up/downsampling with deterministic copies")(_smp.source_mix)
 register("doc_source_temperature_mix", _smp.SOURCE_TEMPERATURE_MIX_SQL,
          doc="Alpha-temperature source sampling policy (mT5-style, alpha=0.5 via correctly-rounded sqrt): exact-integer shares and boost factors")(_smp.source_temperature_mix)
+register("doc_epoch_shuffle", _smp.EPOCH_SHUFFLE_SQL,
+         doc="Deterministic per-epoch training-order export: md5-keyed permutation per epoch via ONE composite two-phase distributed rank (no per-epoch single-task sort), (pos, shard, slot) layout")(_smp.epoch_shuffle)
 register("doc_weighted_sample", _smp.WEIGHTED_SAMPLE_SQL,
          doc="Efraimidis-Spirakis weight-proportional sample without replacement (content-hash keys, TakeOrderedAndProject top-k — O(k) memory per task, no corpus shuffle)")(_smp.weighted_sample)
 
@@ -588,7 +590,7 @@ _PRIORITY = [
     "dq_referential_integrity", "embed_kmeans", "embed_covariance",
     "mm_wav_loudness", "mm_frame_sample",
     # 2. remaining round-4 additions — never driver-verified
-    "embed_pq_encode", "embed_ann_recall", "embed_truncation_recall",
+    "embed_ann_recall", "embed_truncation_recall",
     "doc_minhash_estimate", "doc_cms_heavy_hitters",
     "doc_sorted_neighborhood", "doc_leakage_safe_split",
     "doc_shard_assignment", "doc_span_scrub",
@@ -597,7 +599,7 @@ _PRIORITY = [
     "ev_markov_transitions", "ev_funnel_latency",
     "ev_multitouch_attribution", "ev_value_mad_anomaly",
     "ord_priority_islands", "ord_revenue_ewma", "ord_abc_pareto",
-    "ord_cohort_ltv", "ord_zorder_key", "li_basket_affinity",
+    "ord_cohort_ltv", "ord_zorder_key",
     "li_basket_rules",
     # 3. round-5 additions — never driver-verified
     "doc_char_entropy", "dq_length_drift_psi", "doc_quality_classifier",
@@ -607,6 +609,15 @@ _PRIORITY = [
     "ord_price_equidepth",
     # 4. late round-5 additions — never driver-verified
     "embed_hamming_topk", "doc_dsir_weights",
+    "embed_semdedup_keep_best", "doc_epoch_shuffle",
+    # (li_basket_affinity and embed_pq_encode ceded their slots to the
+    # two newest machines: basket_rules builds ON affinity's shared
+    # co-purchase pair base (so a green rules hash binds the base, and
+    # li_part_pagerank in-window covers the same base a second way),
+    # and pq_encode's codes are consumed IN-plan by the in-window
+    # embed_pq_adc_topk and embed_ivfpq_topk — their hashes bind the
+    # encoding. Both stay oracle-checked + fuzz/property-tested
+    # locally; both queue for r6 with embed_hamming_recall.)
     # (ord_rfm_segments left the window for ord_price_equidepth:
     # never-verified beats re-verify, and the r5 cumsum rewrite rfm
     # shares is driver-covered in-window by ord_abc_pareto and

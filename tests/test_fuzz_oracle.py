@@ -109,6 +109,10 @@ FUZZED_QUERIES = [
     # the target model is all-zero counts — pure-smoothing terms; empty
     # and single-token docs take the zero-filled left-join path
     "doc_dsir_weights",
+    # epoch permutation: position/shard/slot layout must be identical
+    # cross-engine on any corpus size (incl. 1-doc corpora, where every
+    # epoch is a single rank block); md5-slice keys tie-break on doc_id
+    "doc_epoch_shuffle",
 ]
 
 
