@@ -1438,14 +1438,17 @@ DSIR_BUCKETS = 4096  # hashed-feature dimensionality (Xie et al. use 10k;
 # the bucket table is model state, bounded and broadcastable at any size)
 
 
-def dsir_bucket_counts(docs: DataFrame) -> DataFrame:
-    """Per-doc hashed-bigram feature counts (doc_id, source, bucket, k)
-    from a (doc_id, source, text) frame — the write-once feature grain
-    shared by the batch query and the streaming store (which persists
-    exactly this table per batch, making stream ≡ batch equality of
-    inputs)."""
+def dsir_bucket_occurrences(docs: DataFrame) -> DataFrame:
+    """Hashed-bigram bucket OCCURRENCES (doc_id, source, bucket, k=1)
+    from a (doc_id, source, text) frame — one row per bigram, NO
+    aggregation. This is the grain the batch query scores directly:
+    sum(k·w) over per-doc counts ≡ sum(w) over occurrences (exact
+    integers), so the (doc, bucket) groupBy — a rows×~59 shuffle, the
+    measured 100 TB bottleneck — is only needed where the grain is
+    PERSISTED (the streaming store). k is emitted as a literal 1 so
+    every consumer of the counted grain types identically."""
     base = docs.select("doc_id", "source", F.expr(_TOKENS_SPARK).alias("toks"))
-    bg = (
+    return (
         base.filter(F.size("toks") >= 2)
         .select(
             "doc_id",
@@ -1470,10 +1473,23 @@ def dsir_bucket_counts(docs: DataFrame) -> DataFrame:
                 ).cast("bigint")
                 % DSIR_BUCKETS
             ).alias("bucket"),
+            F.lit(1).cast("bigint").alias("k"),
         )
     )
-    return bg.groupBy("doc_id", "source", "bucket").agg(
-        F.count(F.lit(1)).alias("k")
+
+
+def dsir_bucket_counts(docs: DataFrame) -> DataFrame:
+    """Per-doc hashed-bigram feature counts (doc_id, source, bucket, k)
+    — the COMPACT grain the streaming store persists per batch (stream
+    ≡ batch is equality of inputs on this table). The batch query does
+    NOT route through this aggregate anymore: counting collapses ~59
+    rows/doc into ~50 (near-zero reduction), so its groupBy is a full
+    occurrence-volume shuffle that only pays for itself when the
+    result is written down and re-read many times (the store)."""
+    return (
+        dsir_bucket_occurrences(docs)
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.sum("k").alias("k"))
     )
 
 
@@ -1565,10 +1581,20 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines), only sums."""
     p = spark.sparkContext.defaultParallelism
     docs = io.load(spark, sf_dir, "documents")
-    per_doc = dsir_bucket_counts(
+    # OCCURRENCE grain, not the counted grain: the (doc, bucket)
+    # groupBy is a full occurrence-volume shuffle with ~1.1:1 reduction
+    # (bigrams within a 60-token doc rarely repeat a bucket), and
+    # materializing it (checkpoint) costs 2x the explode itself —
+    # measured 151 µs/doc at 2M docs vs 30 µs/doc at 500k. Scoring is
+    # linear in occurrences (sum(k·w) ≡ sum(w)), so the corpus makes
+    # exactly two passes (model aggregate → ≤DSIR_BUCKETS rows map-side
+    # collapsed; scoring join → per-doc partial agg collapses ~59:1
+    # map-side because a doc's bigrams never leave their partition) and
+    # the only data-proportional shuffle left is ~1 row/doc.
+    occ = dsir_bucket_occurrences(
         docs.repartition(p, "doc_id").select("doc_id", "source", "text")
     )
-    return dsir_score(per_doc, dsir_model(per_doc), docs.select("doc_id", "source"))
+    return dsir_score(occ, dsir_model(occ), docs.select("doc_id", "source"))
 
 
 from .decontam import BENCH_SOURCE as _BENCH

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from .ledger import FileBatchLedger
 from .operators.corpus_analytics import (
     dsir_bucket_counts,
+    dsir_bucket_occurrences,
     dsir_model,
     dsir_score,
 )
@@ -143,8 +144,11 @@ def batch_weight_stats(
     exact integer ratio is avoided: negative sums truncate differently
     cross-engine, so the mean ships as (sum, n))."""
     model = dsir_model(_require(store.feats(spark, exclude_batch), "features"))
+    # occurrence grain for the drop being scored (sum(k·w) ≡ sum(w) in
+    # exact integers) — the counted grain is only for what the store
+    # PERSISTS; the drop itself needs no (doc, bucket) shuffle
     scored = dsir_score(
-        dsir_bucket_counts(batch_docs.select("doc_id", "source", "text")),
+        dsir_bucket_occurrences(batch_docs.select("doc_id", "source", "text")),
         model,
         batch_docs.select("doc_id", "source"),
     )
