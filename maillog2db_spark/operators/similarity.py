@@ -73,22 +73,19 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
-def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: query set broadcast-joined against the full
-    corpus, per-query window top-k."""
-    e = _embeddings(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        _norm(F.col("embedding")).alias("q_nrm"),
-    )
-    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        _norm(F.col("embedding")).alias("c_nrm"),
-    )
-    # norms precomputed below the join (once per vector, not per pair);
-    # identical expression tree → bit-identical doubles vs the oracle
+def cosine_topk(q: DataFrame, c: DataFrame, top_k: int) -> DataFrame:
+    """Exact cosine top-k core from pre-projected query
+    (query_id, q_emb, q_nrm) and corpus (neighbor_id, c_emb, c_nrm)
+    frames — shared by ``knn_bruteforce`` and the hybrid RRF fusion
+    (operators/retrieval.py), so both rank on the identical expression
+    tree.
+
+    Norms are precomputed below the join (once per vector, not per
+    pair); identical expression tree → bit-identical doubles vs the
+    oracle. Top-k is two-phase (same monoid shape as pq_adc_topk,
+    where the single-phase window measured 3.5× slower at 1M): local
+    top-k per physical partition keeps the sort parallel at any corpus
+    size; the global rank sees ≤ k×partitions survivors per query."""
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
@@ -97,24 +94,43 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cosine"),
     )
-    # two-phase exact top-k (same monoid shape as pq_adc_topk, where the
-    # single-phase window measured 3.5× slower at 1M): local top-k per
-    # physical partition keeps the sort parallel at any corpus size; the
-    # global rank sees ≤ k×partitions survivors per query
     order = (F.col("cosine").desc(), F.asc("neighbor_id"))
     local_w = Window.partitionBy("query_id", "pid").orderBy(*order)
     survivors = (
         scored.withColumn("pid", F.spark_partition_id())
         .withColumn("lrank", F.row_number().over(local_w))
-        .filter(F.col("lrank") <= TOP_K)
+        .filter(F.col("lrank") <= top_k)
         .drop("pid", "lrank")
     )
     w = Window.partitionBy("query_id").orderBy(*order)
     return (
         survivors.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def knn_queries_corpus(e: DataFrame, n_queries: int):
+    """The standard query/corpus split projections (vec_id < n act as
+    queries) with norms precomputed — shared with retrieval.py."""
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
+    )
+    c = e.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
+    )
+    return q, c
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: query set broadcast-joined against the full
+    corpus, per-query window top-k."""
+    q, c = knn_queries_corpus(_embeddings(spark, sf_dir), N_QUERIES)
+    return cosine_topk(q, c, TOP_K)
 
 
 _DOT_DUCK = (

@@ -892,7 +892,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_from_tf(ctf, qterms)
 
 
-def bm25_from_tf(ctf: DataFrame, qterms: DataFrame) -> DataFrame:
+def bm25_from_tf(
+    ctf: DataFrame, qterms: DataFrame, top_k: int = BM25_TOP_K
+) -> DataFrame:
     """The BM25 scoring/top-k pipeline from a (doc_id, term, tf) table
     and a (query_id, term) query-term table — shared by the batch
     operator above and the streaming inverted-index dual
@@ -906,7 +908,7 @@ def bm25_from_tf(ctf: DataFrame, qterms: DataFrame) -> DataFrame:
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     dfreq = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    return bm25_score_topk(ctf, dl, stats, dfreq, qterms)
+    return bm25_score_topk(ctf, dl, stats, dfreq, qterms, top_k=top_k)
 
 
 def bm25_score_topk(
@@ -915,6 +917,7 @@ def bm25_score_topk(
     stats: DataFrame,
     dfreq: DataFrame,
     qterms: DataFrame,
+    top_k: int = BM25_TOP_K,
 ) -> DataFrame:
     """Scoring + two-phase top-k from pre-resolved inputs. Split out of
     ``bm25_from_tf`` so a partition-pruned serving path (the streaming
@@ -953,13 +956,13 @@ def bm25_score_topk(
     survivors = (
         scored.withColumn("pid", F.spark_partition_id())
         .withColumn("lrank", F.row_number().over(local_w))
-        .filter(F.col("lrank") <= BM25_TOP_K)
+        .filter(F.col("lrank") <= top_k)
         .drop("pid", "lrank")
     )
     w = Window.partitionBy("query_id").orderBy(*order)
     return (
         survivors.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BM25_TOP_K)
+        .filter(F.col("rank") <= top_k)
         .select("query_id", "doc_id", "bm25_ppm", "rank")
     )
 

@@ -423,6 +423,10 @@ register("doc_tfidf_topk", _tx.TFIDF_TOPK_SQL,
          doc="Per-doc top-k TF-IDF terms (vocabulary-keyed shuffle join, integer-ranked)")(_tx.tfidf_topk)
 register("doc_bm25_topk", _tx.BM25_TOPK_SQL,
          doc="BM25 retrieval: query docs vs corpus via broadcast inverted-index probe, two-phase exact top-k")(_tx.bm25_topk)
+from .operators import retrieval as _rtv  # noqa: E402
+
+register("doc_hybrid_rrf_topk", _rtv.HYBRID_RRF_TOPK_SQL,
+         doc="Hybrid retrieval: reciprocal-rank fusion (exact-integer 1e6 div (60+rank)) of the BM25 and cosine top-k cores over the paired documents/embeddings corpora")(_rtv.hybrid_rrf_topk)
 register("doc_bpe_token_stats", _tx.BPE_TOKEN_STATS_SQL,
          doc="BPE-style pre-tokenizer profile (letter/digit/punct runs, codegen-only)")(_tx.bpe_token_stats)
 register("doc_vocab_growth", _tx.VOCAB_GROWTH_SQL,

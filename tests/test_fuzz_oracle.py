@@ -484,7 +484,15 @@ def test_fuzzed_lineitem_matches_oracle(spark, tmp_path_factory, qname, data):
 # (deterministic function of the vector spec) gives every doc a
 # quality score the argmax policy must rank identically cross-engine.
 
-CROSS_QUERIES = ["embed_semdedup_keep_best"]
+CROSS_QUERIES = [
+    "embed_semdedup_keep_best",
+    # RRF fusion: tiny corpora force empty sides (all docs are queries
+    # → empty lexical corpus must NULL out, not blow up; zero vectors →
+    # NULL cosines whose DESC ordering must agree cross-engine), and
+    # the dup-heavy text makes tied BM25 scores exercise the doc_id
+    # tiebreak in both rankers and the fusion
+    "doc_hybrid_rrf_topk",
+]
 
 
 @pytest.mark.parametrize("qname", CROSS_QUERIES)

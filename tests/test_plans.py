@@ -54,6 +54,8 @@ BNL_ALLOWED = {
     "dq_length_drift_psi": [_SCALAR, "Range (0, 20"],
     # 1-row (n_docs, avgdl) corpus-stats broadcast
     "doc_bm25_topk": [_SCALAR],
+    # inherits bm25's 1-row stats broadcast + knn's N_QUERIES-head side
+    "doc_hybrid_rrf_topk": [_SCALAR, "vec_id", "cent_nrm"],
     # 1-row max-doc-id broadcast (bucket-grid boundary)
     "doc_vocab_growth": [_SCALAR],
     # constant-bounded top-M head-vocabulary broadcast (KL support grid)
