@@ -133,6 +133,70 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(q, c, TOP_K)
 
 
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor (the query
+    set), the top-k most-similar corpus vectors whose label DIFFERS
+    from the anchor's — the negatives that sit closest to the decision
+    boundary, the standard mining step for contrastive/triplet
+    embedding training (Xiong et al. 2021, ANCE — arXiv:2007.00808,
+    mines hard negatives by nearest-neighbor retrieval exactly like
+    this). Same broadcast query-side + two-phase top-k shape as
+    ``knn_bruteforce``; the label-mismatch predicate filters BELOW the
+    window, so candidate volume per query only shrinks. All-one-label
+    corpora yield 0 rows (no negative exists), never an error."""
+    e = _embeddings(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("anchor_label"))
+        .select(
+            "query_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(
+                F.try_divide(
+                    _dot(F.col("q_emb"), F.col("c_emb")),
+                    F.col("q_nrm") * F.col("c_nrm"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    order = (F.col("cosine").desc(), F.asc("neighbor_id"))
+    local_w = Window.partitionBy("query_id", "pid").orderBy(*order)
+    survivors = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrank", F.row_number().over(local_w))
+        .filter(F.col("lrank") <= TOP_K)
+        .drop("pid", "lrank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cosine",
+            "rank",
+        )
+    )
+
+
 _DOT_DUCK = (
     "list_sum(list_transform(list_zip({a}, {b}), "
     "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
@@ -155,6 +219,30 @@ WITH q AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+HARD_NEGATIVES_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS anchor_label, embedding AS q_emb
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, label AS neighbor_label, embedding AS c_emb
+  FROM embeddings WHERE vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT query_id, anchor_label, neighbor_id, neighbor_label,
+         round({_DOT_DUCK.format(a='q_emb', b='c_emb')}
+               / (sqrt({_DOT_DUCK.format(a='q_emb', b='q_emb')})
+                  * sqrt({_DOT_DUCK.format(a='c_emb', b='c_emb')})), 6) AS cosine
+  FROM c CROSS JOIN q
+  WHERE neighbor_label <> anchor_label
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, anchor_label, neighbor_id, neighbor_label, cosine,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
 """
 
 

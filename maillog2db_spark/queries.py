@@ -377,6 +377,8 @@ register("doc_simhash_neardup", _dd.SIMHASH_NEARDUP_PAIRS_SQL,
          doc="SimHash Hamming≤3 near-dup pairs (banded candidates, pigeonhole-exact recall)")(_dd.simhash_neardup_pairs)
 register("embed_knn_bruteforce", _sim.KNN_BRUTEFORCE_SQL,
          doc="Exact cosine top-k ANN baseline (broadcast queries)")(_sim.knn_bruteforce)
+register("embed_hard_negatives", _sim.HARD_NEGATIVES_SQL,
+         doc="Contrastive hard-negative mining (ANCE-style): per anchor, top-k most-similar corpus vectors with a DIFFERENT label — label-mismatch filter below the two-phase top-k")(_sim.hard_negatives)
 register("embed_lsh_buckets", _sim.LSH_BUCKETS_SQL,
          doc="Random-hyperplane LSH bucketing (ANN scale path)")(_sim.lsh_buckets)
 register("embed_label_centroids", _sim.LABEL_CENTROID_NORMS_SQL,

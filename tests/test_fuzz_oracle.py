@@ -339,6 +339,10 @@ def test_fuzzed_orders_match_oracle(spark, tmp_path_factory, qname, data):
 
 EMBED_QUERIES = [
     "embed_knn_bruteforce",
+    # hard negatives: all-one-label corpora must give 0 rows on both
+    # engines; zero vectors hit try_divide NULL cosines under the
+    # label-mismatch filter; dup vectors force cosine ties on id
+    "embed_hard_negatives",
     "embed_lsh_buckets",
     "embed_cosine_neardup",
     "embed_semdedup",

@@ -27,6 +27,7 @@ BNL_ALLOWED = {
     # InMemoryTableScan renders by its columns once another test/query
     # has warmed the cache (order-dependent plan text, same tiny side)
     "embed_knn_bruteforce": [_SCALAR, "vec_id", "cent_nrm"],
+    "embed_hard_negatives": ["vec_id", "cent_nrm"],
     "embed_ann_ivf_topk": [_SCALAR, "vec_id", "label", "cent_nrm"],
     "embed_semdedup": [_SCALAR, "label", "cent_nrm"],
     # N_QUERIES-head signature/query broadcasts (Hamming scan + rerank)
