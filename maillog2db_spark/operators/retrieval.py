@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 from .. import io
 from .dedup import _TOKENS_DUCK, _TOKENS_SPARK
-from .similarity import _DOT_DUCK, _embeddings, cosine_topk, knn_queries_corpus
+from .similarity import (
+    _DOT_DUCK,
+    _dot,
+    _embeddings,
+    cosine_topk,
+    knn_queries_corpus,
+)
 from .text import _BM25_1MB, _BM25_K1P1, BM25_B, BM25_K1, bm25_from_tf
 
 HYBRID_N_QUERIES = 5  # doc_id/vec_id < N act as queries on both sides
@@ -183,3 +189,257 @@ FROM (
   FROM rrf
 ) WHERE rank <= {HYBRID_TOP_K}
 """
+
+
+# --- MMR diversified rerank --------------------------------------------------
+
+MMR_POOL = 10         # relevance pool depth fed to the greedy selector
+MMR_K = 5             # selections per query
+MMR_SENTINEL_PPM = -2_000_000  # below any real cosine ppm (range ±1e6):
+# zero-norm vectors have NULL cosine; the sentinel makes them sort last
+# and keeps every score an exact bigint (no NULL arithmetic divergence)
+
+
+def _cos_ppm(col):
+    """6dp-rounded cosine → exact ppm bigint; NULL → sentinel. The
+    6dp double is bit-identical cross-engine (knn contract), so
+    floor(c·1e6 + 0.5) recovers the same integer on both sides."""
+    return F.coalesce(
+        F.floor(col * 1_000_000 + F.lit(0.5)),
+        F.lit(MMR_SENTINEL_PPM),
+    ).cast("bigint")
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
+    1998): greedily pick MMR_K of the MMR_POOL most-relevant corpus
+    vectors per query, each step maximizing
+    ``λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)`` with λ = 0.7 —
+    the standard diversity pass after first-stage retrieval (and the
+    diversity-aware sampling shape for near-dup-heavy corpora).
+
+    Determinism: both rel and pairwise sim are the knn contract's
+    6dp cosines lifted to exact ppm integers (NULL → sentinel), so the
+    greedy trajectory is integer arithmetic end-to-end:
+    ``score = 7·rel_ppm − 3·ms_ppm`` (λ = 0.7 as exact ×10 weights);
+    ties break on doc_id. The oracle unrolls the same K steps as CTEs
+    (the BPE-trainer pattern).
+
+    Plan shape at scale: the pool rides the two-phase cosine top-k
+    (bounded MMR_POOL rows/query); the pairwise sim table is
+    ≤ POOL²/query (bounded); both are localCheckpoint'd ONCE (bounded
+    metadata, like the kmeans centroid trajectory) so the K−1 greedy
+    iterations — per-query windows over ≤ POOL rows — never re-derive
+    the corpus scan. Everything after the pool is independent of
+    corpus size and partitioned by query_id."""
+    e = _embeddings(spark, sf_dir)
+    q, c = knn_queries_corpus(e, HYBRID_N_QUERIES)
+    pool = cosine_topk(q, c, MMR_POOL).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        _cos_ppm(F.col("cosine")).alias("rel_ppm"),
+    )
+    cv = c.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("c_emb"),
+        F.col("c_nrm"),
+    )
+    poolv = pool.join(cv, "doc_id").localCheckpoint(eager=True)
+    x, y = poolv.alias("x"), poolv.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.query_id") == F.col("y.query_id"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.query_id").alias("query_id"),
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            _cos_ppm(
+                F.round(
+                    F.try_divide(
+                        _dot(F.col("x.c_emb"), F.col("y.c_emb")),
+                        F.col("x.c_nrm") * F.col("y.c_nrm"),
+                    ),
+                    6,
+                )
+            ).alias("sim_ppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    rem = poolv.select("query_id", "doc_id", "rel_ppm")
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("rel_ppm").desc(), F.asc("doc_id")
+    )
+    sel = (
+        rem.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).cast("int").alias("step"),
+            "doc_id",
+            "rel_ppm",
+            F.lit(0).cast("bigint").alias("ms_ppm"),
+            (F.lit(7) * F.col("rel_ppm")).cast("bigint").alias("score_ppm"),
+        )
+    )
+    selected = sel
+    # running max-sim state for the not-yet-selected pool members
+    prs = pairs.select(
+        F.col("query_id").alias("pq"), "a", "b", "sim_ppm"
+    )
+    state = (
+        rem.join(
+            sel.select("query_id", F.col("doc_id").alias("sd")), "query_id"
+        )
+        .filter(F.col("doc_id") != F.col("sd"))
+        .join(
+            prs,
+            (F.col("pq") == F.col("query_id"))
+            & (F.col("a") == F.col("doc_id"))
+            & (F.col("b") == F.col("sd")),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "rel_ppm",
+            F.col("sim_ppm").alias("ms_ppm"),
+        )
+    )
+    for step in range(2, MMR_K + 1):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score_ppm").desc(), F.asc("doc_id")
+        )
+        s = (
+            state.withColumn(
+                "score_ppm",
+                (F.lit(7) * F.col("rel_ppm") - F.lit(3) * F.col("ms_ppm")).cast(
+                    "bigint"
+                ),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(step).cast("int").alias("step"),
+                "doc_id",
+                "rel_ppm",
+                "ms_ppm",
+                "score_ppm",
+            )
+        )
+        selected = selected.unionByName(s)
+        if step < MMR_K:
+            state = (
+                state.join(
+                    s.select("query_id", F.col("doc_id").alias("sd")),
+                    "query_id",
+                )
+                .filter(F.col("doc_id") != F.col("sd"))
+                .join(
+                    prs,
+                    (F.col("pq") == F.col("query_id"))
+                    & (F.col("a") == F.col("doc_id"))
+                    & (F.col("b") == F.col("sd")),
+                )
+                .select(
+                    "query_id",
+                    "doc_id",
+                    "rel_ppm",
+                    F.greatest("ms_ppm", "sim_ppm").alias("ms_ppm"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    return selected
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled-CTE oracle for the MMR greedy trajectory (the BPE
+    trainer's pattern: the oracle re-derives every step independently,
+    so the gate certifies the whole selection path, not one step)."""
+    ppm = (
+        "CAST(coalesce(floor({c} * 1000000 + 0.5), "
+        f"{MMR_SENTINEL_PPM}) AS BIGINT)"
+    )
+    cos = (
+        f"round({_DOT_DUCK.format(a='{a}', b='{b}')}"
+        f" / (sqrt({_DOT_DUCK.format(a='{a}', b='{a}')})"
+        f" * sqrt({_DOT_DUCK.format(a='{b}', b='{b}')})), 6)"
+    )
+    head = f"""WITH qv AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {HYBRID_N_QUERIES}
+), cv AS (
+  SELECT vec_id AS doc_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id >= {HYBRID_N_QUERIES}
+), scored AS (
+  SELECT query_id, doc_id,
+         {cos.format(a='q_emb', b='c_emb')} AS cosine
+  FROM cv CROSS JOIN qv
+), pool AS (
+  SELECT query_id, doc_id, {ppm.format(c='cosine')} AS rel_ppm FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC NULLS LAST, doc_id) AS rk
+    FROM scored
+  ) WHERE rk <= {MMR_POOL}
+), poolv AS (
+  SELECT p.query_id, p.doc_id, p.rel_ppm, cv.c_emb
+  FROM pool p JOIN cv USING (doc_id)
+), pairs AS (
+  SELECT x.query_id, x.doc_id AS a, y.doc_id AS b,
+         {ppm.format(c=cos.format(a='x.c_emb', b='y.c_emb'))} AS sim_ppm
+  FROM poolv x JOIN poolv y
+    ON x.query_id = y.query_id AND x.doc_id <> y.doc_id
+), sel1 AS (
+  SELECT query_id, 1 AS step, doc_id, rel_ppm,
+         CAST(0 AS BIGINT) AS ms_ppm,
+         CAST(7 * rel_ppm AS BIGINT) AS score_ppm
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel_ppm DESC, doc_id) AS rn
+    FROM pool
+  ) WHERE rn = 1
+), st1 AS (
+  SELECT p.query_id, p.doc_id, p.rel_ppm, pr.sim_ppm AS ms_ppm
+  FROM pool p
+  JOIN sel1 s ON s.query_id = p.query_id AND p.doc_id <> s.doc_id
+  JOIN pairs pr ON pr.query_id = p.query_id
+               AND pr.a = p.doc_id AND pr.b = s.doc_id
+)"""
+    steps = []
+    for n in range(2, MMR_K + 1):
+        steps.append(f""", sel{n} AS (
+  SELECT query_id, {n} AS step, doc_id, rel_ppm, ms_ppm, score_ppm
+  FROM (
+    SELECT *, CAST(7 * rel_ppm - 3 * ms_ppm AS BIGINT) AS score_ppm,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY 7 * rel_ppm - 3 * ms_ppm DESC,
+                                       doc_id) AS rn
+    FROM st{n - 1}
+  ) WHERE rn = 1
+)""")
+        if n < MMR_K:
+            steps.append(f""", st{n} AS (
+  SELECT t.query_id, t.doc_id, t.rel_ppm,
+         greatest(t.ms_ppm, pr.sim_ppm) AS ms_ppm
+  FROM st{n - 1} t
+  JOIN sel{n} s ON s.query_id = t.query_id AND t.doc_id <> s.doc_id
+  JOIN pairs pr ON pr.query_id = t.query_id
+               AND pr.a = t.doc_id AND pr.b = s.doc_id
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM sel{n}" for n in range(1, MMR_K + 1)
+    )
+    return (
+        head
+        + "".join(steps)
+        + "\nSELECT query_id, CAST(step AS INT) AS step, doc_id,"
+        + " rel_ppm, ms_ppm, score_ppm\nFROM (\n"
+        + union
+        + "\n)"
+    )
+
+
+MMR_RERANK_SQL = _mmr_oracle_sql()

@@ -429,6 +429,8 @@ from .operators import retrieval as _rtv  # noqa: E402
 
 register("doc_hybrid_rrf_topk", _rtv.HYBRID_RRF_TOPK_SQL,
          doc="Hybrid retrieval: reciprocal-rank fusion (exact-integer 1e6 div (60+rank)) of the BM25 and cosine top-k cores over the paired documents/embeddings corpora")(_rtv.hybrid_rrf_topk)
+register("embed_mmr_rerank", _rtv.MMR_RERANK_SQL,
+         doc="MMR diversified rerank (Carbonell-Goldstein): greedy k-step selection in exact-integer ppm (7*rel - 3*maxsim), bounded pool per query, unrolled-CTE oracle certifying the whole trajectory")(_rtv.mmr_rerank)
 register("doc_bpe_token_stats", _tx.BPE_TOKEN_STATS_SQL,
          doc="BPE-style pre-tokenizer profile (letter/digit/punct runs, codegen-only)")(_tx.bpe_token_stats)
 register("doc_vocab_growth", _tx.VOCAB_GROWTH_SQL,

@@ -343,6 +343,11 @@ EMBED_QUERIES = [
     # engines; zero vectors hit try_divide NULL cosines under the
     # label-mismatch filter; dup vectors force cosine ties on id
     "embed_hard_negatives",
+    # MMR greedy trajectory: dup vectors make sim ties the greedy
+    # argmax must break on doc_id in lockstep for FIVE chained steps;
+    # zero vectors ride the sentinel ppm; pools smaller than K drain
+    # both engines to the same short selection
+    "embed_mmr_rerank",
     "embed_lsh_buckets",
     "embed_cosine_neardup",
     "embed_semdedup",

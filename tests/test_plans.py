@@ -28,6 +28,9 @@ BNL_ALLOWED = {
     # has warmed the cache (order-dependent plan text, same tiny side)
     "embed_knn_bruteforce": [_SCALAR, "vec_id", "cent_nrm"],
     "embed_hard_negatives": ["vec_id", "cent_nrm"],
+    # pool rides cosine_topk's N_QUERIES-head broadcast; the greedy
+    # steps run over bounded checkpointed frames
+    "embed_mmr_rerank": [_SCALAR, "vec_id", "cent_nrm"],
     "embed_ann_ivf_topk": [_SCALAR, "vec_id", "label", "cent_nrm"],
     "embed_semdedup": [_SCALAR, "label", "cent_nrm"],
     # N_QUERIES-head signature/query broadcasts (Hamming scan + rerank)
