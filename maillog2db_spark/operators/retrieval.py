@@ -75,7 +75,14 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("rank_den"),
     )
+    return rrf_fuse(lex, den, HYBRID_TOP_K)
 
+
+def rrf_fuse(lex: DataFrame, den: DataFrame, top_k: int) -> DataFrame:
+    """The fusion core: two (query_id, doc_id, rank_lex/rank_den)
+    ranked lists → fused top-k. Shared by the batch query above and
+    the streaming serving path (streaming_hybrid.py), so serving
+    fusion is the SAME expression, not a reimplementation."""
     fused = (
         lex.join(den, ["query_id", "doc_id"], "full_outer")
         .select(
@@ -95,14 +102,14 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # bounded window: ≤ 2·HYBRID_TOP_K candidates per query by
-    # construction (union of two top-k lists)
+    # bounded window: ≤ 2·top_k candidates per query by construction
+    # (union of two top-k lists)
     w = Window.partitionBy("query_id").orderBy(
         F.col("rrf_ppm").desc(), F.asc("doc_id")
     )
     return (
         fused.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= HYBRID_TOP_K)
+        .filter(F.col("rank") <= top_k)
         .select("query_id", "doc_id", "rrf_ppm", "rank_lex", "rank_den", "rank")
     )
 

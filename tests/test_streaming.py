@@ -1604,3 +1604,64 @@ def test_streaming_dsir_matches_batch_and_gates_admission(spark, tmp_path_factor
     # crash-window re-ingest (committed batch) is a ledger no-op
     sd.dsir_ingest_batch(spark, docs.filter("doc_id % 3 = 1"), store, 1)
     assert weights() == want
+
+
+def test_streaming_hybrid_search_fuses_both_stores(spark, tmp_path_factory):
+    """The serving-path hybrid: one ad-hoc (text, vector) query against
+    the accumulated postings store + persisted IVFADC index must equal
+    the RRF fusion computed independently (pure-python, from each
+    component's own collected rank list) — certifying the composition
+    glue, since each component already has its own equivalence test.
+    Both sides must actually contribute (the probe is a corpus doc's
+    own text and embedding, so neither rank list is empty)."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_bm25 as sb
+    from maillog2db_spark import streaming_hybrid as shy
+    from maillog2db_spark.operators.retrieval import RRF_KAPPA
+    from maillog2db_spark.operators.similarity import build_ivfpq_index
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("hybrid_serve")
+    docs = mio.load(spark, sf, "documents")
+    store = sb.PostingsStore(str(d / "postings"))
+    sb.bm25_ingest_batch(spark, docs, store, 0)
+    idx = str(d / "ivfpq")
+    build_ivfpq_index(spark, sf, idx)
+
+    probe_doc = docs.filter(F.col("doc_id") == 100).collect()[0]
+    q_emb = [
+        float(x)
+        for x in mio.load(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == 100)
+        .collect()[0]
+        .embedding
+    ]
+    k = 5
+    got = sorted(
+        map(tuple, shy.hybrid_search(spark, store, idx, probe_doc.text, q_emb, k=k).collect())
+    )
+
+    # independent from-parts fusion
+    from maillog2db_spark.operators.similarity import query_ivfpq_index
+
+    lex = {r.doc_id: r.rank for r in sb.search(spark, store, probe_doc.text, k=k).collect()}
+    qdf = spark.createDataFrame(
+        [(-1, q_emb)], "query_id bigint, q_emb array<float>"
+    )
+    den = {
+        r.neighbor_id: r.rank
+        for r in query_ivfpq_index(spark, idx, qdf).collect()
+        if r.rank <= k
+    }
+    assert lex and den  # both systems retrieved something
+    fused = {}
+    for doc, rk in lex.items():
+        fused[doc] = fused.get(doc, 0) + 1_000_000 // (RRF_KAPPA + rk)
+    for doc, rk in den.items():
+        fused[doc] = fused.get(doc, 0) + 1_000_000 // (RRF_KAPPA + rk)
+    ranked = sorted(fused.items(), key=lambda t: (-t[1], t[0]))[:k]
+    want = sorted(
+        (-1, doc, ppm, lex.get(doc, 0), den.get(doc, 0), i + 1)
+        for i, (doc, ppm) in enumerate(ranked)
+    )
+    assert got == want
