@@ -681,43 +681,54 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level blocking, so the gate is a differential test of the
     engine (assignment, blocking, join, fold arithmetic), not of
     LSH/quantizer recall — which is tunable via cells × N_PLANES."""
-    from .dedup import _pairs_within_groups
+    from .dedup import _cached, _pairs_within_groups
 
-    e = _embeddings(spark, sf_dir)
-    cents = centroids_with_norms(spark, sf_dir)
-    vecs = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    assigned = _nearest_cells(cents, vecs, "vec_id", "embedding", "nrm", 1)
-    thr = _plane_thresholds(spark, sf_dir)
-    keyed = assigned.select(
-        F.col("vec_id").alias("doc_id"), "cell", _bucket_col(thr).alias("bucket")
-    )
-    cand = _pairs_within_groups(
-        keyed, ["cell", "bucket"], probe_key=(sf_dir, "semdedup")
-    )
-    pairs = (
-        cand.join(vecs.alias("l"), F.col("doc_a") == F.col("l.vec_id"))
-        .join(vecs.alias("r"), F.col("doc_b") == F.col("r.vec_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.try_divide(
-                    _dot(F.col("l.embedding"), F.col("r.embedding")),
-                    F.col("l.nrm") * F.col("r.nrm"),
-                ),
-                6,
-            ).alias("cosine"),
+    def build() -> DataFrame:
+        e = _embeddings(spark, sf_dir)
+        cents = centroids_with_norms(spark, sf_dir)
+        vecs = e.select(
+            "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
         )
-        .filter(F.col("cosine") >= SEMDEDUP_T)
-    )
-    dropped = pairs.groupBy(F.col("doc_b").alias("vec_id")).agg(
-        F.min("doc_a").alias("dup_of")
-    )
-    return (
-        keyed.select(F.col("doc_id").alias("vec_id"), "cell")
-        .join(dropped, "vec_id", "left")
-        .select("vec_id", "cell", F.col("dup_of").isNull().alias("kept"), "dup_of")
-    )
+        assigned = _nearest_cells(cents, vecs, "vec_id", "embedding", "nrm", 1)
+        thr = _plane_thresholds(spark, sf_dir)
+        keyed = assigned.select(
+            F.col("vec_id").alias("doc_id"), "cell", _bucket_col(thr).alias("bucket")
+        )
+        cand = _pairs_within_groups(
+            keyed, ["cell", "bucket"], probe_key=(sf_dir, "semdedup")
+        )
+        pairs = (
+            cand.join(vecs.alias("l"), F.col("doc_a") == F.col("l.vec_id"))
+            .join(vecs.alias("r"), F.col("doc_b") == F.col("r.vec_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.try_divide(
+                        _dot(F.col("l.embedding"), F.col("r.embedding")),
+                        F.col("l.nrm") * F.col("r.nrm"),
+                    ),
+                    6,
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= SEMDEDUP_T)
+        )
+        dropped = pairs.groupBy(F.col("doc_b").alias("vec_id")).agg(
+            F.min("doc_a").alias("dup_of")
+        )
+        return (
+            keyed.select(F.col("doc_id").alias("vec_id"), "cell")
+            .join(dropped, "vec_id", "left")
+            .select(
+                "vec_id", "cell", F.col("dup_of").isNull().alias("kept"), "dup_of"
+            )
+        )
+
+    # vec-grain decision table, two downstream consumers in the same
+    # session (the registered query and semdedup_keep_best's policy
+    # layer) — persist like pq_codes/ivfpq_resid so the LSH+verify
+    # pass runs once per (session, sf_dir)
+    return _cached(spark, sf_dir, "semdedup", build)
 
 
 SEMDEDUP_SQL = f"""
@@ -1933,6 +1944,155 @@ def _topk_duck(dims: int) -> str:
                   FROM embeddings WHERE vec_id >= {N_QUERIES}) c
     )
   ) WHERE rnk <= {TOP_K})"""
+
+
+def int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the int8-RECONSTRUCTED cosine ranking against the
+    full-precision exact top-k — the accuracy contract for the
+    embed_quantize_int8 compression leg, completing the family of
+    registered quantization evals (ann_recall for IVF pruning,
+    truncation_recall for dimension cuts, hamming_recall for sign
+    sketches: every lossy ANN layer carries a driver-hash-verified
+    recall query).
+
+    The approximate side ranks by cosine over x̂ = round(x/scale)·scale
+    (scale = absmax/127, exactly embed_quantize_int8's grid), i.e. what
+    a serving index that stores int8 codes + one scale per vector can
+    compute. Determinism: the reconstruction is closed-form double
+    arithmetic identical in both engines; cosines round to 1e-6 with
+    the neighbor-id tiebreak — the brute-force contract. Plan: two
+    broadcast-query corpus scans + two two-phase top-k ranks, the same
+    bounded shape as truncation_recall."""
+    # hoist the per-vector scale to its own projection so the
+    # reconstruction is O(d) per row, not a nested absmax fold per
+    # element; the eager localCheckpoint pins the reconstructed arrays
+    # so Catalyst's projection collapse can't re-derive them per
+    # broadcast-join output row
+    e = (
+        _embeddings(spark, sf_dir)
+        .withColumn(
+            "_scale",
+            F.aggregate(
+                F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+                F.lit(0.0),
+                lambda a, x: F.greatest(a, x),
+            )
+            / 127.0,
+        )
+        .withColumn(
+            "recon",
+            F.expr(
+                "transform(embedding, x -> CASE WHEN _scale > 0 "
+                "THEN round(CAST(x AS DOUBLE) / _scale, 0) * _scale "
+                "ELSE CAST(0.0 AS DOUBLE) END)"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def topk(emb_col: str, rank_col: str) -> DataFrame:
+        emb = F.col(emb_col)
+        q = e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            emb.alias("q_emb"),
+            _norm(emb).alias("q_nrm"),
+        )
+        c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("neighbor_id"),
+            emb.alias("c_emb"),
+            _norm(emb).alias("c_nrm"),
+        )
+        scored = c.join(F.broadcast(q)).select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.try_divide(
+                    _dot(F.col("q_emb"), F.col("c_emb")),
+                    F.col("q_nrm") * F.col("c_nrm"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        order = (F.col("cosine").desc(), F.asc("neighbor_id"))
+        local_w = Window.partitionBy("query_id", "pid").orderBy(*order)
+        survivors = (
+            scored.withColumn("pid", F.spark_partition_id())
+            .withColumn("lrank", F.row_number().over(local_w))
+            .filter(F.col("lrank") <= TOP_K)
+            .drop("pid", "lrank")
+        )
+        w = Window.partitionBy("query_id").orderBy(*order)
+        return (
+            survivors.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk("embedding", "rank_full")
+    q8 = topk("recon", "rank_q8")
+    hits = full.join(q8, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        full.select("query_id")
+        .distinct()
+        .join(hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+              "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(f"CAST(coalesce(n_hits, 0) * 1000000 div {TOP_K} AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
+# per-row scale hoisted into its own subquery level, mirroring the
+# Spark side: the reconstruction is O(d), never a nested absmax fold
+_RECON_DUCK_TABLE = """(
+  SELECT vec_id,
+         list_transform(embedding, x -> CASE WHEN scale > 0
+           THEN round(CAST(x AS DOUBLE) / scale, 0) * scale
+           ELSE CAST(0.0 AS DOUBLE) END) AS embedding
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                 y -> abs(CAST(y AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings))"""
+
+
+def _topk_emb_duck(table_sql: str) -> str:
+    dot = _DOT_DUCK.format(a="q_emb", b="c_emb")
+    qn = _DOT_DUCK.format(a="q_emb", b="q_emb")
+    cn = _DOT_DUCK.format(a="c_emb", b="c_emb")
+    return f"""(
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM (
+      SELECT q.query_id, c.neighbor_id,
+             round({dot} / (sqrt({qn}) * sqrt({cn})), 6) AS cosine
+      FROM (SELECT vec_id AS query_id, embedding AS q_emb
+            FROM {table_sql} WHERE vec_id < {N_QUERIES}) q
+      CROSS JOIN (SELECT vec_id AS neighbor_id, embedding AS c_emb
+                  FROM {table_sql} WHERE vec_id >= {N_QUERIES}) c
+    )
+  ) WHERE rnk <= {TOP_K})"""
+
+
+INT8_RECALL_SQL = f"""
+WITH full_k AS {_topk_emb_duck("embeddings")},
+q8_k AS {_topk_emb_duck(_RECON_DUCK_TABLE)},
+hits AS (
+  SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM full_k f JOIN q8_k t USING (query_id, neighbor_id)
+  GROUP BY f.query_id
+)
+SELECT query_id,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(n_hits, 0) * 1000000 // {TOP_K} AS BIGINT) AS recall_ppm
+FROM (SELECT DISTINCT query_id FROM full_k) q
+LEFT JOIN hits USING (query_id)
+"""
 
 
 TRUNCATION_RECALL_SQL = f"""

@@ -14,6 +14,14 @@ from .. import io
 
 SESSION_GAP_MIN = 30
 
+# distributed_cumulative: rows per range partition. ~1M-row local
+# sorts are the sweet spot the two-phase crossover rehearsal measured
+# (SCALING.md: single-partition wins below ~5M rows; per-task sort
+# cost stays sub-second at this grain). At 10⁹ customer-grain rows
+# this asks for ~1000 partitions, capped by the cluster's configured
+# shuffle width.
+_ROWS_PER_RANGE_PART = 1_048_576
+
 
 def distributed_cumulative(
     df: DataFrame,
@@ -44,19 +52,60 @@ def distributed_cumulative(
     integer-typed (the engine's fixed-point doctrine: running sums in
     exact integers, never floats). Appends ``_grank`` (1-based global
     row_number, BIGINT) and ``_gcum_<col>`` per sum column.
+
+    Parallelism is sized from the MEASURED input (the materialized
+    checkpoint makes the count a metadata-cheap job): one partition
+    per ``_ROWS_PER_RANGE_PART`` rows, floored at 1 and capped at
+    ``spark.sql.shuffle.partitions`` — the same size-not-guess
+    decision AQE makes when it coalesces shuffle partitions. A 190k-row
+    boundary table gets 1 partition (and skips the sampling and offset
+    jobs outright — the offset is zero by construction); a 10⁹-row
+    customer grain gets the full configured width. Ranks are
+    partitioning-independent (total order), so the plan choice can
+    never change a result.
     """
     spark = df.sparkSession
+    # Materialize the input ONCE before range partitioning:
+    # repartitionByRange first runs a sampling job over the full input
+    # lineage to pick range bounds, then re-runs that lineage for the
+    # actual shuffle. When the upstream is expensive (sessionize's
+    # window+agg feeding concurrent_sessions; the orders aggregate
+    # feeding rfm/abc), that is a double computation of the dominant
+    # stage. The checkpoint trades one extra materialization of the
+    # (already reduced, same-scale-as-`local`) input for running the
+    # upstream exactly once — the same trade `local` itself makes below.
+    df = df.localCheckpoint(eager=True)
     if n_parts is None:
-        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    part = df.repartitionByRange(n_parts, *order_exprs).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_parts = min(cap, max(1, -(-df.count() // _ROWS_PER_RANGE_PART)))
+    if n_parts == 1:
+        # Single range: no bounds to sample, offsets are identically
+        # zero — run the window over one coalesced partition and skip
+        # the sampling and partial-aggregate jobs entirely. _pid stays
+        # spark_partition_id() (a non-foldable 0), so the window keeps
+        # an explicit partition spec instead of Catalyst folding a
+        # literal key into `WindowExec: No Partition Defined`.
+        part = df.coalesce(1).withColumn("_pid", F.spark_partition_id())
+    else:
+        part = df.repartitionByRange(n_parts, *order_exprs).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     w = Window.partitionBy("_pid").orderBy(*order_exprs)
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     local = part.withColumn("_lrn", F.row_number().over(w))
     for c in sum_cols:
         local = local.withColumn(f"_lcum_{c}", F.sum(c).over(cum))
     local = local.localCheckpoint(eager=True)
+
+    if n_parts == 1:
+        out = local.withColumn("_grank", F.col("_lrn").cast("bigint"))
+        drop = ["_pid", "_lrn"]
+        for c in sum_cols:
+            out = out.withColumn(
+                f"_gcum_{c}", F.col(f"_lcum_{c}").cast("bigint")
+            )
+            drop.append(f"_lcum_{c}")
+        return out.drop(*drop)
 
     partials = sorted(
         local.groupBy("_pid")

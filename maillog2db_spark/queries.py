@@ -401,6 +401,8 @@ register("embed_pq_adc_topk", _sim.PQ_ADC_TOPK_SQL,
          doc="PQ asymmetric-distance search: per-query M x k lookup tables, compressed corpus scored by table-lookup sums — billions of codes at RAM speed, never decompressed")(_sim.pq_adc_topk)
 register("embed_ivfpq_topk", _sim.IVFPQ_ADC_TOPK_SQL,
          doc="IVFADC (Jegou et al. 2011 SIV): coarse-cell prune + residual-PQ codes scored by per-(query,cell) lookup tables — the composed billion-scale ANN layout; search cost corpus/cells x N_PROBE lookup sums per query")(_sim.ivfpq_adc_topk)
+register("embed_int8_recall", _sim.INT8_RECALL_SQL,
+         doc="int8-quantization eval: recall@k of the cosine ranking over round(x/scale)*scale reconstructed vectors vs the full-precision exact top-k — the accuracy contract for the 4x embed_quantize_int8 compression")(_sim.int8_recall)
 register("embed_truncation_recall", _sim.TRUNCATION_RECALL_SQL,
          doc="Matryoshka-style eval: recall@k of a 16-dim prefix-truncated cosine ranking vs the full 64-dim exact top-k — the accuracy contract behind serving a 4x narrower first-stage index")(_sim.truncation_recall)
 register("embed_ann_recall", _sim.ANN_RECALL_SQL,

@@ -377,6 +377,9 @@ EMBED_QUERIES = [
     # cosine in the rerank; dup_prev vectors force Hamming-0 ties
     "embed_hamming_topk",
     "embed_hamming_recall",
+    # int8 grid: zero vectors have scale 0 (reconstruct to all-zero,
+    # NULL cosine on the q8 side only); unit vectors saturate at ±127
+    "embed_int8_recall",
 ]
 
 vec_strategy = st.lists(

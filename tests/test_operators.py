@@ -1805,6 +1805,54 @@ def test_truncation_recall_matches_numpy(spark):
     assert got == expected
 
 
+def test_int8_recall_matches_numpy(spark):
+    """The int8-reconstruction recall eval equals a numpy recount:
+    quantize every vector to round(x/scale)*scale (scale = absmax/127
+    — embed_quantize_int8's exact grid), rank by round-6 cosine with
+    neighbor-id ties on both the full and reconstructed sides, and
+    compare hit sets."""
+    import numpy as np
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark.operators import similarity as sim
+
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in mio.load(spark, SF, "embeddings").collect()}
+
+    def recon(v):
+        s = np.max(np.abs(v)) / 127.0
+        if s <= 0:
+            return np.zeros_like(v)
+        # numpy rounds half-to-even; Spark/DuckDB round() is
+        # half-away-from-zero — match the engines
+        return np.sign(v) * np.floor(np.abs(v) / s + 0.5) * s
+
+    def r6(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    def topk(table):
+        out = {}
+        for q in range(sim.N_QUERIES):
+            qv = table[q]
+            scored = sorted(
+                (-r6(float(qv @ table[n]
+                           / (np.sqrt(qv @ qv) * np.sqrt(table[n] @ table[n])))), n)
+                for n in table if n >= sim.N_QUERIES
+            )[: sim.TOP_K]
+            out[q] = {n for _, n in scored}
+        return out
+
+    full = topk(emb)
+    q8 = topk({k: recon(v) for k, v in emb.items()})
+    expected = {
+        q: (len(full[q] & q8[q]), len(full[q] & q8[q]) * 1_000_000 // sim.TOP_K)
+        for q in full
+    }
+    got = {r.query_id: (r.n_hits, r.recall_ppm)
+           for r in sim.int8_recall(spark, SF).collect()}
+    assert got == expected
+
+
 def test_persisted_ivfpq_index_matches_inline_and_prunes_partitions(spark, tmp_path):
     """build_ivfpq_index + query_ivfpq_index returns exactly the inline
     ivfpq_adc_topk results, and the codes scan carries a partition
@@ -1935,7 +1983,9 @@ def test_distributed_cumulative_matches_single_partition_window(spark):
             F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
         ).collect()
     )
-    for n_parts in (7, 2000):
+    # 1 exercises the coalesced fast path (no sampling / offset jobs),
+    # 7 the general multi-range path, 2000 empty range partitions
+    for n_parts in (1, 7, 2000):
         got = sorted(
             (r.id, r._grank, r._gcum_v)
             for r in distributed_cumulative(

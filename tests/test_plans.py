@@ -309,11 +309,32 @@ def test_round4_session_query_plan_shapes(spark):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     # the Pareto walk / RFM quartiles / sweep-line depth ride the
     # two-phase distributed cumsum: the local phase is materialized
-    # (ExistingRDD scan) and the offsets come back via a broadcast
-    # HASH join on _pid — no Window survives into the final plan at
-    # all (it runs partitioned inside the checkpointed subtree)
+    # (ExistingRDD scan) and no Window survives into the final plan at
+    # all (it runs partitioned inside the checkpointed subtree). At
+    # this SF the size-adaptive width picks ONE range partition, so
+    # the offsets join is skipped outright; the multi-range
+    # broadcast-offset shape is pinned separately below.
     for name in ("ord_abc_pareto", "ord_rfm_segments", "ev_concurrent_sessions"):
         p = _plan(spark, name)
         assert "Scan ExistingRDD" in p, name
-        assert "BroadcastHashJoin" in p, name
         assert "Window" not in p, name
+    # multi-range path: offsets MUST come back as a broadcast HASH
+    # join on _pid (a sort-merge would re-shuffle the whole local
+    # phase to add ≤ n_parts scalars)
+    from pyspark.sql import functions as F
+
+    from maillog2db_spark.operators.windows import distributed_cumulative
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 10).alias("v")
+    )
+    phys = (
+        distributed_cumulative(
+            df, [F.col("v"), F.col("id")], sum_cols=("v",), n_parts=7
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in phys, phys[:800]
+    assert "BroadcastHashJoin" in phys, phys[:800]
