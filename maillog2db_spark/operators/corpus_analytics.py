@@ -1636,3 +1636,121 @@ SELECT d.doc_id, d.source,
        CAST(coalesce(weight_ppm, 0) AS BIGINT) AS weight_ppm
 FROM documents d LEFT JOIN scored ON scored.doc_id = d.doc_id
 """
+
+
+# --- k-means cluster labeling ------------------------------------------------
+
+CLUSTER_LABEL_TOP = 5     # terms reported per cluster
+CLUSTER_LABEL_MIN_CT = 3  # occurrence floor: singleton terms carry no signal
+
+
+def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-readable labels for the k-means clusters: per final
+    cluster, the TOP terms by LIFT — (term share within the cluster's
+    documents) / (term share across all clustered documents) — the
+    standard "what is this cluster about" readout a data-map / corpus
+    exploration UI runs after clustering (same family as c-TF-IDF in
+    BERTopic, Grootendorst 2022). A cross-table composition: the
+    embedding side decides the grouping (shared k-means trajectory,
+    identical rounding — a doc's cluster here can never disagree with
+    embed_kmeans/embed_silhouette), the text side supplies the
+    evidence, joined on vec_id = doc_id like embed_semdedup_keep_best.
+
+    Determinism: lift is computed as a ratio of integer ppb shares —
+    share_ct_ppb = n_ct·1e9 div t_c, share_t_ppb = n_t·1e9 div T,
+    lift_ppm = share_ct_ppb·1e6 div share_t_ppb — every intermediate
+    bounded (≤1e15), no float ever decides a rank; ties break on
+    (n_ct desc, term asc).
+
+    Plan shape: trajectory replay is the kmeans broadcast-assign loop
+    (corpus scanned once per iteration, k×dim updates); the token join
+    is doc-grain; (cluster, term) counts are vocab×k-bounded (the
+    Zipf-bounded vocab table), so the per-cluster rank window runs
+    over bounded input and the totals collect to literals off the
+    checkpointed counts — no data-proportional window, no 1-row
+    broadcast-nested-loop stitch."""
+    from .similarity import (
+        N_KMEANS_ITER,
+        _kmeans_assign,
+        _kmeans_recompute,
+        _round_arr,
+    )
+
+    e = _embeddings(spark, sf_dir)
+    cents = centroids_with_norms(spark, sf_dir).select(
+        "cell", _round_arr(F.col("centroid")).alias("centroid")
+    )
+    for _ in range(N_KMEANS_ITER - 1):
+        cents = _kmeans_recompute(_kmeans_assign(e, cents))
+    assigned = _kmeans_assign(e, cents).select(
+        F.col("vec_id").alias("doc_id"), "cluster"
+    )
+    toks = (
+        io.load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
+        .join(assigned, "doc_id")
+    )
+    ct = (
+        toks.groupBy("cluster", "term")
+        .agg(F.count(F.lit(1)).alias("n_ct"))
+        .localCheckpoint(eager=True)  # vocab×k grain; 3 consumers below
+    )
+    total = ct.agg(F.sum("n_ct")).collect()[0][0] or 0
+    t_c = ct.groupBy("cluster").agg(F.sum("n_ct").alias("t_c"))
+    n_t = ct.groupBy("term").agg(F.sum("n_ct").alias("n_t"))
+    scored = (
+        ct.filter(F.col("n_ct") >= CLUSTER_LABEL_MIN_CT)
+        .join(F.broadcast(t_c), "cluster")
+        .join(F.broadcast(n_t), "term")
+        .withColumn(
+            "lift_ppm",
+            F.expr(
+                f"CAST((n_ct * 1000000000 div t_c) * 1000000"
+                f" div (n_t * 1000000000 div {max(total, 1)}) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("lift_ppm").desc(), F.col("n_ct").desc(), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= CLUSTER_LABEL_TOP)
+        .select("cluster", "term", F.col("n_ct").cast("bigint").alias("n_ct"),
+                "lift_ppm", "rank")
+    )
+
+
+def _CLUSTER_LABELS_SQL() -> str:
+    from .similarity import _KMEANS_CTES
+
+    return f"""
+WITH {_KMEANS_CTES},
+toks AS (
+  SELECT t.doc_id, t.term, a.cluster
+  FROM (SELECT doc_id, unnest({_TOKENS_DUCK}) AS term FROM documents) t
+  JOIN a2 a ON t.doc_id = a.vec_id
+), ct AS (
+  SELECT cluster, term, CAST(count(*) AS BIGINT) AS n_ct
+  FROM toks GROUP BY cluster, term
+), tot AS (
+  SELECT CAST(sum(n_ct) AS BIGINT) AS total FROM ct
+), tc AS (
+  SELECT cluster, CAST(sum(n_ct) AS BIGINT) AS t_c FROM ct GROUP BY cluster
+), nt AS (
+  SELECT term, CAST(sum(n_ct) AS BIGINT) AS n_t FROM ct GROUP BY term
+), scored AS (
+  SELECT ct.cluster, ct.term, ct.n_ct,
+         CAST((ct.n_ct * 1000000000 // tc.t_c) * 1000000
+              // (nt.n_t * 1000000000 // greatest(tot.total, 1)) AS BIGINT)
+           AS lift_ppm
+  FROM ct JOIN tc USING (cluster) JOIN nt USING (term) CROSS JOIN tot
+  WHERE ct.n_ct >= {CLUSTER_LABEL_MIN_CT}
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY cluster
+              ORDER BY lift_ppm DESC, n_ct DESC, term) AS INT) AS rank
+  FROM scored
+)
+SELECT cluster, term, n_ct, lift_ppm, rank
+FROM ranked WHERE rank <= {CLUSTER_LABEL_TOP}
+"""

@@ -515,6 +515,8 @@ register("li_basket_affinity", _ca.BASKET_AFFINITY_SQL,
          doc="Market-basket part affinity: order-keyed co-occurrence self-join (bounded by basket size, never part x part), lift over exact-integer ratios")(_ca.basket_affinity)
 register("li_copurchase_triangles", _ca.COPURCHASE_TRIANGLES_SQL,
          doc="Per-part triangle count + clustering coefficient on the thresholded co-purchase graph (oriented a<b<c wedge join, each triangle counted once)")(_ca.copurchase_triangles)
+register("embed_cluster_labels", _ca._CLUSTER_LABELS_SQL(),
+         doc="Data-map cluster labeling (c-TF-IDF family): per final k-means cluster, top terms by integer-exact lift of in-cluster term share over corpus share — embeddings decide the grouping, text supplies the evidence, joined on vec_id = doc_id")(_ca.cluster_labels)
 register("embed_semdedup_keep_best", _ca._SEMDEDUP_KEEP_BEST_SQL(),
          doc="Quality-weighted semantic dedup: embeddings decide WHAT is redundant, the documents table decides WHICH copy survives — cross-table argmax policy over the embed_semdedup attribution groups")(_ca.semdedup_keep_best)
 register("doc_dsir_weights", _ca.DSIR_WEIGHTS_SQL,

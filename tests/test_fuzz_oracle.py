@@ -504,6 +504,11 @@ CROSS_QUERIES = [
     # the dup-heavy text makes tied BM25 scores exercise the doc_id
     # tiebreak in both rankers and the fusion
     "doc_hybrid_rrf_topk",
+    # cluster labeling: degenerate vectors force assignment ties (the
+    # cell tiebreak must agree with the kmeans trajectory on both
+    # engines) and the short dup-heavy texts hit the n_ct floor and
+    # the (lift, n_ct, term) tiebreak chain
+    "embed_cluster_labels",
 ]
 
 

@@ -375,3 +375,71 @@ def test_dsir_weights_match_local_model(spark):
     bench = [w for d, (s, _, w) in got.items() if s == BENCH_SOURCE]
     rest = [w for d, (s, _, w) in got.items() if s != BENCH_SOURCE]
     assert sum(bench) / len(bench) > sum(rest) / len(rest)
+
+
+def test_cluster_labels_matches_python_recount(spark):
+    """embed_cluster_labels vs an independent recount: numpy replay of
+    the k-means trajectory for the final assignment, pure-Python token
+    counting (the translate+split contract), integer ppb-share lift,
+    (lift desc, n_ct desc, term) ranking."""
+    import numpy as np
+
+    from maillog2db_spark.operators import corpus_analytics as ca
+    from maillog2db_spark.operators import similarity as sim
+
+    got = {
+        (r.cluster, r.rank): (r.term, r.n_ct, r.lift_ppm)
+        for r in ca.cluster_labels(spark, SF).collect()
+    }
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    labels = np.array([r[2] for r in rows])
+    cells = sorted(set(labels.tolist()))
+    cents = np.round(np.stack([X[labels == c].mean(axis=0) for c in cells]), 6)
+    for _ in range(sim.N_KMEANS_ITER - 1):
+        d2 = np.round(((X[:, None, :] - cents[None]) ** 2).sum(axis=2), 6)
+        assign = np.lexsort(
+            (np.arange(len(cells))[None, :].repeat(len(X), 0), d2), axis=1
+        )[:, 0]
+        cents = np.round(
+            np.stack([X[assign == i].mean(axis=0) for i in range(len(cells))]), 6
+        )
+    d2 = np.round(((X[:, None, :] - cents[None]) ** 2).sum(axis=2), 6)
+    cluster_of = {}
+    for i, r in enumerate(rows):
+        order = sorted(range(len(cells)), key=lambda j: (d2[i, j], cells[j]))
+        cluster_of[r[0]] = cells[order[0]]
+
+    lo = str.maketrans(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+    )
+    ct = Counter()
+    for doc_id, text in duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        if doc_id not in cluster_of:
+            continue
+        for tok in re.split(r"\s+", (text or "").strip().translate(lo)):
+            if tok:
+                ct[(cluster_of[doc_id], tok)] += 1
+    total = sum(ct.values())
+    t_c, n_t = Counter(), Counter()
+    for (c, t), n in ct.items():
+        t_c[c] += n
+        n_t[t] += n
+    expected = {}
+    for c in t_c:
+        scored = []
+        for (cc, t), n in ct.items():
+            if cc != c or n < ca.CLUSTER_LABEL_MIN_CT:
+                continue
+            lift = (n * 1_000_000_000 // t_c[c]) * 1_000_000 // (
+                n_t[t] * 1_000_000_000 // max(total, 1)
+            )
+            scored.append((-lift, -n, t))
+        for rank, (nl, nn, t) in enumerate(sorted(scored)[: ca.CLUSTER_LABEL_TOP], 1):
+            expected[(c, rank)] = (t, -nn, -nl)
+    assert got == expected
