@@ -1,0 +1,191 @@
+"""Connected components at scale: alternating large-star / small-star
+contraction (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+"Connected Components in MapReduce and Beyond", SoCC 2014).
+
+The engine already runs min-label PROPAGATION for near-dup clusters
+(dedup.neardup_clusters) — correct there because verified-duplicate
+components are tiny and shallow. Propagation, however, needs
+O(diameter) rounds: a 100 TB co-occurrence graph with a
+million-node chain component would take a million synchronized
+shuffles. Star contraction converges in O(log² n) rounds on ANY
+topology (each round at least halves the number of non-root nodes in
+expectation), which is why it — not propagation — is the canonical
+MapReduce/Spark CC. This module provides it as a generic operator
+plus the registered co-purchase component query.
+
+Round shape (all DataFrame ops, driver holds only the loop counter):
+  large-star: every node connects its strictly-larger neighbors to
+    the smallest node in its closed neighborhood;
+  small-star: every node connects its smaller neighbors (and itself)
+    to that minimum.
+Each is one groupBy (min per node) + one equi-join back to the edge
+list — two shuffles per round over the CURRENT edge set, which only
+shrinks toward the star forest. Convergence is an exact one-job
+fixpoint test (star forest ⇔ no dst also appears as src; both
+operations preserve connectivity, so a star forest's components are
+the input's), and each round's output is localCheckpoint-ed so
+lineage stays flat (the same iterative-algorithm pattern as
+kmeans/pagerank/neardup_clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+CC_MAX_ROUNDS = 50  # safety rail only: log²(n) rounds; 50 covers any real n
+
+
+def star_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS,
+                    stats: dict | None = None) -> DataFrame:
+    """(src, dst) undirected edge list (any orientation, self-loops
+    ignored) → (node, comp) where comp is the component's minimum node
+    id — identical labels to min-label propagation, in O(log² n)
+    rounds instead of O(diameter). Isolated nodes don't appear in an
+    edge list, so they are absent here too (callers union them back if
+    their table knows them). Pass ``stats`` to receive {"rounds": r}
+    for rehearsals/tests."""
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_rounds + 1):
+        # exact fixpoint test, ONE job: the edge set is a star forest
+        # iff no dst also appears as a src (depth 1 everywhere). Both
+        # star operations preserve connectivity, so a star forest's
+        # components ARE the input's components — and a star forest is
+        # a fixpoint of both operations, so stopping here is exact
+        # (cheaper than the count+exceptAll set-equality pair: one
+        # semi-join over the checkpointed edges per round).
+        deep = (
+            e.select("v")
+            .join(e.select(F.col("u").alias("v")).distinct(), "v", "left_semi")
+            .limit(1)
+            .count()
+        )
+        if deep == 0:
+            break
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"star_components did not converge in {max_rounds} rounds"
+            )
+        # large-star: from each node x's view (both directions), attach
+        # every strictly larger neighbor y to m(x) = min(N(x) ∪ {x}).
+        # Each undirected edge is seen once from its smaller endpoint
+        # (y > x), and m(x) ≤ x < y keeps the big→small orientation.
+        both = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+            e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        m = both.groupBy("x").agg(F.min("y").alias("mn"))
+        m = m.select("x", F.least("mn", F.col("x")).alias("m"))
+        ls = (
+            both.join(m, "x")
+            .filter(F.col("y") > F.col("x"))
+            .select(F.col("y").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: edges are big→small, so N⁻(u) is just u's dst
+        # set; attach each of them (and u) to m(u) = min(N⁻(u)).
+        mn = ls.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            ls.join(mn, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(mn.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    # converged star forest: every non-root points straight at its
+    # root (min(v) is belt-and-braces, not load-bearing); roots are
+    # dsts that never appear as src
+    non_root = (
+        e.groupBy("u").agg(F.min("v").alias("comp"))
+        .select(F.col("u").alias("node"), "comp")
+    )
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .join(non_root.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("comp"))
+    )
+    return non_root.unionByName(roots)
+
+
+def part_components(spark, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase affinity graph (part
+    pairs sharing ≥ BASKET_MIN_SUPPORT common orders — the same
+    session-cached pair base as basket_affinity/part_pagerank, so a
+    green hash here binds that base a third way): per component, its
+    id (min part key), member count, and edge count. The product-
+    catalog analogue of dedup clustering — "which products form one
+    co-purchase family" — and the registered face of star_components.
+    """
+    from .corpus_analytics import BASKET_MIN_SUPPORT, _li_pair_counts
+
+    pairs = (
+        _li_pair_counts(spark, sf_dir)
+        .filter(F.col("w") >= BASKET_MIN_SUPPORT)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .localCheckpoint(eager=True)  # two consumers: CC loop + edge count
+    )
+    labels = star_components(pairs)
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n_parts"))
+    edge_counts = (
+        pairs.join(labels, pairs.src == labels.node)
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return (
+        sizes.join(edge_counts, "comp")
+        .select(
+            F.col("comp").alias("component_id"),
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+        )
+    )
+
+
+# Oracle: the same quadratic recursive-reachability formulation the
+# near-dup cluster oracle uses (reach enumerates every (node, smaller
+# reachable id); min is the component label). Quadratic is oracle-only
+# — the engine side is the O(log² n) contraction.
+PART_COMPONENTS_SQL = """
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), p AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), strong AS (
+  SELECT pa, pb FROM p WHERE w >= {minsup}
+), edges AS (
+  SELECT pa AS src, pb AS dst FROM strong
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM strong
+), reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.r FROM edges e JOIN reach w ON w.node = e.dst
+), labels AS (
+  SELECT node, min(r) AS comp FROM reach GROUP BY node
+), sizes AS (
+  SELECT comp, CAST(count(*) AS BIGINT) AS n_parts FROM labels GROUP BY comp
+), ec AS (
+  SELECT l.comp, CAST(count(*) AS BIGINT) AS n_edges
+  FROM strong s JOIN labels l ON s.pa = l.node
+  GROUP BY l.comp
+)
+SELECT sizes.comp AS component_id, n_parts, n_edges
+FROM sizes JOIN ec ON sizes.comp = ec.comp
+"""

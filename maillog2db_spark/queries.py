@@ -539,6 +539,11 @@ register("doc_bpe_encode_stats", _tx.BPE_ENCODE_STATS_SQL,
          doc="BPE encode path: apply the trained merges as a vocab-table lookup joined back to the token stream — per-doc whitespace-vs-BPE symbol counts and exact-ppm compression")(_tx.bpe_encode_stats)
 register("li_basket_rules", _ca.BASKET_RULES_SQL,
          doc="Directed association rules a->b: confidence n_ab/n_a and support share as exact-ppm integers — the asymmetric half of basket affinity, from the same cached pair base")(_ca.basket_rules)
+from .operators import graph as _gr  # noqa: E402
+
+register("li_part_components",
+         _gr.PART_COMPONENTS_SQL.format(minsup=_ca.BASKET_MIN_SUPPORT),
+         doc="Connected components of the co-purchase affinity graph via alternating large-star/small-star contraction (Kiveris et al. 2014) — O(log^2 n) rounds on any topology, vs the O(diameter) min-label propagation the near-dup clusters use")(_gr.part_components)
 register("li_part_pagerank", _ca.PART_PAGERANK_SQL,
          doc="PageRank over the part co-purchase graph: 2 unrolled power iterations, ppb-integer ranks, per-edge contributions floored before cross-row sums — the driver holds only the loop counter")(_ca.part_pagerank)
 register("ord_cohort_ltv", _win.COHORT_LTV_SQL,

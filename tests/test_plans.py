@@ -40,6 +40,9 @@ BNL_ALLOWED = {
     "embed_ann_recall": [_SCALAR, "vec_id", "label", "cent_nrm"],
     "embed_ivfpq_topk": [_SCALAR, "vec_id", "label", "cent_nrm"],
     "embed_truncation_recall": [_SCALAR, "vec_id", "cent_nrm"],
+    # same N_QUERIES-head broadcast, over the checkpointed
+    # reconstructed-embedding scan (renders as ExistingRDD)
+    "embed_int8_recall": [_SCALAR, "vec_id", "cent_nrm", "Scan ExistingRDD"],
     # 1-row scalar aggregates broadcast back over the big side
     "doc_tfidf_topk": [_SCALAR],
     "tpch_q11_important_parts": [_SCALAR],

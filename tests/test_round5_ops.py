@@ -443,3 +443,73 @@ def test_cluster_labels_matches_python_recount(spark):
         for rank, (nl, nn, t) in enumerate(sorted(scored)[: ca.CLUSTER_LABEL_TOP], 1):
             expected[(c, rank)] = (t, -nn, -nl)
     assert got == expected
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_star_components_matches_union_find_on_adversarial_graphs(spark):
+    """Star contraction vs a Python union-find on the topologies that
+    break naive approaches: a 512-node chain (diameter stress — label
+    propagation would need 511 rounds), a star, two cliques joined by
+    a bridge, self-loops, duplicate and reversed edges, and singleton
+    pairs. Also pins the round bound: the chain must converge in
+    O(log n) rounds, not O(n)."""
+    from maillog2db_spark.operators.graph import star_components
+
+    chain = [(i, i + 1) for i in range(1000, 1512)]
+    star = [(2000, 2000 + i) for i in range(1, 40)]
+    cliq1 = [(3000 + i, 3000 + j) for i in range(8) for j in range(i + 1, 8)]
+    cliq2 = [(3100 + i, 3100 + j) for i in range(8) for j in range(i + 1, 8)]
+    bridge = [(3007, 3100)]
+    noise = [(4000, 4000), (4001, 4002), (4002, 4001), (4003, 4004),
+             (4004, 4003), (4003, 4004)]
+    edges = chain + star + cliq1 + cliq2 + bridge + noise
+    want = _union_find([(a, b) for a, b in edges if a != b])
+
+    stats = {}
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.comp
+           for r in star_components(df, stats=stats).collect()}
+    assert got == want
+    # 512-node chain: log2(512) = 9; allow slack for the constant, but
+    # anything near O(n) (hundreds of rounds) must fail loudly
+    assert stats["rounds"] <= 15, stats
+
+
+def test_part_components_matches_union_find(spark):
+    """The registered co-purchase component query vs an independent
+    union-find over the same thresholded pair base."""
+    from maillog2db_spark.operators import corpus_analytics as ca
+    from maillog2db_spark.operators.graph import part_components
+
+    pairs = [
+        (r.pa, r.pb)
+        for r in ca._li_pair_counts(spark, SF)
+        .filter(f"w >= {ca.BASKET_MIN_SUPPORT}")
+        .collect()
+    ]
+    labels = _union_find(pairs)
+    sizes, ecnt = defaultdict(int), defaultdict(int)
+    for n, c in labels.items():
+        sizes[c] += 1
+    for a, b in pairs:
+        ecnt[labels[a]] += 1
+    want = {c: (sizes[c], ecnt[c]) for c in sizes}
+    got = {r.component_id: (r.n_parts, r.n_edges)
+           for r in part_components(spark, SF).collect()}
+    assert got == want
