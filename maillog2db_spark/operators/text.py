@@ -1148,3 +1148,327 @@ SELECT bucket, n_docs, n_new_terms, cum_tokens, cum_terms,
        END AS heaps_beta_ppm
 FROM cum
 """
+
+
+# --- unigram-LM tokenizer training (SentencePiece-style) ---------------------
+#
+# Kudo 2018 ("Subword Regularization", the SentencePiece unigram
+# trainer): seed a substring vocabulary, then EM — segment every word
+# under current piece log-probs, re-estimate piece probabilities from
+# the segmentation counts. This is the HARD-EM (Viterbi) variant: the
+# E-step takes the single best segmentation rather than lattice
+# expectations — deterministic, exactly SQL-expressible, and the
+# encode path of the soft trainer is this same Viterbi DP anyway.
+#
+# Everything runs on the WORD-FREQUENCY table (Zipf-bounded, the same
+# framing as the BPE trainer): the corpus is touched once for word
+# counts; DP, backtrace, and re-estimation are vocab-grain. The DP is
+# a driver LOOP but never a driver DATASET — positions 1..max_word_len
+# build one lazy plan per EM iteration, actions happen only at the
+# iteration's count aggregate and checkpoint.
+
+UNI_MAX_PIECE = 4    # max piece length (chars)
+UNI_MAX_WORD = 16    # trainer word cap — longer words are excluded
+                     # (SentencePiece's trainer similarly caps input
+                     # lengths); oracle DP unrolls to this bound
+UNI_MIN_SEED = 2     # corpus-weighted floor for multi-char seed pieces
+UNI_EM_ITERS = 2     # unrolled in the oracle SQL; keep the two in sync
+UNI_TOP = 40         # output rows: top pieces by final count
+
+
+def _uni_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        io.load(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+        .filter(F.length("tok") <= UNI_MAX_WORD)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("len", F.length("tok").cast("int"))
+    )
+
+
+def _uni_pieces_of_words(words: DataFrame) -> DataFrame:
+    """(piece, cnt): every substring of length 1..UNI_MAX_PIECE,
+    corpus-weighted (word freq × occurrences within the word)."""
+    return (
+        words.select(
+            "tok", "freq", "len",
+            F.explode(F.expr("sequence(1, len)")).alias("i"),
+        )
+        .select(
+            "tok", "freq", "i",
+            F.explode(
+                F.expr(f"sequence(1, least({UNI_MAX_PIECE}, len - i + 1))")
+            ).alias("l"),
+        )
+        .select("freq", F.expr("substring(tok, i, l)").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _uni_logp(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """Add-one-smoothed piece log-probs in ppm integers:
+    lp = floor(ln((cnt+1)/(T+V)) · 1e6 + 0.5). T and V are bounded
+    vocab-grain scalars collected to literals (the DSIR pattern — no
+    1-row broadcast stitch); quantization happens per piece BEFORE any
+    cross-piece sum, so DP scores are exact integer arithmetic."""
+    counts = counts.localCheckpoint(eager=True)
+    row = counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("t"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    t, v = int(row.t), int(row.v)
+    return counts.select(
+        "piece",
+        F.expr(
+            f"CAST(floor(ln((cnt + 1) / CAST({t} + {v} AS DOUBLE))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("lp"),
+    )
+
+
+def _uni_dp_expr() -> str:
+    """The whole Viterbi DP as ONE codegen expression over (tok, len,
+    m: map<piece, lp>): fold end positions j = 1..len, appending
+    dp[j] = best struct(s, l) over piece lengths 1..UNI_MAX_PIECE.
+    `greatest` over structs compares (s, l) lexicographically and
+    skips NULLs (out-of-range or out-of-vocab candidates), so the
+    tie-break is highest score then longest piece — mirrored by the
+    oracle's list_sort(...)[-1]. A single expression per word means
+    NO per-position join or driver loop: the first formulation built
+    one lazy level per position, and each level re-embedded the
+    previous plan twice (union + join) — a 2^len plan blow-up that
+    cost ~25 s in pure compilation at ANY data size."""
+    cands = []
+    for l in range(1, UNI_MAX_PIECE + 1):
+        piece = f"substring(tok, j - {l} + 1, {l})"
+        prev = f"element_at(acc, j - {l} + 1)"
+        cands.append(
+            f"CASE WHEN j >= {l} AND try_element_at(m, {piece}) IS NOT NULL "
+            f"THEN named_struct('s', {prev}.s + try_element_at(m, {piece}), "
+            f"'l', {l}) END"
+        )
+    return (
+        "aggregate(sequence(1, len), "
+        "array(named_struct('s', CAST(0 AS BIGINT), 'l', 0)), "
+        f"(acc, j) -> array_append(acc, greatest({', '.join(cands)})))"
+    )
+
+
+_UNI_TRACE_EXPR = (
+    # walk bestl pointers from pos = len down to 0; sequence(1, len)
+    # gives exactly enough steps (every step consumes ≥ 1 char)
+    "aggregate(sequence(1, len), "
+    "named_struct('p', len, 'ps', CAST(array() AS array<string>)), "
+    "(st, k) -> CASE WHEN st.p > 0 THEN named_struct("
+    "'p', st.p - element_at(dparr, st.p + 1).l, "
+    "'ps', array_append(st.ps, substring(tok, "
+    "st.p - element_at(dparr, st.p + 1).l + 1, "
+    "element_at(dparr, st.p + 1).l))) ELSE st END, "
+    "st -> st.ps)"
+)
+
+
+def _uni_viterbi_counts(words: DataFrame, lp: DataFrame) -> DataFrame:
+    """One hard-EM E-step: Viterbi-segment every word under ``lp``,
+    return (piece, cnt) corpus-weighted segmentation counts.
+
+    Shape: one explode (word substrings) + one equi-join (vocab probe)
+    + one groupBy builds the per-word piece→lp map (≤ len·UNI_MAX_PIECE
+    entries); the DP and backtrace then run as two codegen expressions
+    per word — the corpus-scale cost is ~3 vocab-grain shuffles total,
+    independent of word length. Single-char pieces are always in the
+    vocabulary (M-step retention), so the DP is total."""
+    wp = (
+        words.select(
+            "tok", "freq", "len",
+            F.explode(F.expr("sequence(1, len)")).alias("i"),
+        )
+        .select(
+            "tok",
+            F.explode(
+                F.expr(f"sequence(1, least({UNI_MAX_PIECE}, len - i + 1))")
+            ).alias("l"),
+            "i",
+        )
+        .select("tok", F.expr("substring(tok, i, l)").alias("piece"))
+        .distinct()
+        .join(lp, "piece")
+        .groupBy("tok")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("piece", "lp"))).alias("m")
+        )
+    )
+    segs = (
+        words.join(wp, "tok")
+        .withColumn("dparr", F.expr(_uni_dp_expr()))
+        .withColumn("ps", F.expr(_UNI_TRACE_EXPR))
+        .select("freq", F.explode("ps").alias("piece"))
+    )
+    return segs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+
+
+def unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a unigram-LM subword tokenizer (SentencePiece family,
+    Kudo 2018) on the corpus word table — hard-EM: substring seed
+    vocabulary → UNI_EM_ITERS rounds of (Viterbi segment, re-estimate)
+    → final piece inventory. Output: the top UNI_TOP pieces by final
+    segmentation count with exact ppm corpus share and rank — the
+    registered, driver-hash-verified face of the whole trainer (seed,
+    both DP pyramids, both re-estimations).
+
+    Scale: the corpus is read once (word counts); every other table is
+    vocab-grain. Per EM iteration: one lazy DP plan (max_word_len
+    levels, each a bounded-fanout join on the piece table), one
+    backtrace walk over the checkpointed DP, one count aggregate, and
+    the smoothing scalars collect as literals. Words over UNI_MAX_WORD
+    chars are excluded from training (the documented trainer cap —
+    SentencePiece caps trainer input the same way), which is what lets
+    the oracle unroll the DP to a constant depth."""
+    words = _uni_words(spark, sf_dir).localCheckpoint(eager=True)
+    if words.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [], "piece string, piece_len int, cnt bigint, share_ppm bigint, rank int"
+        )
+    singles = (
+        words.select("tok", "freq", F.explode(F.expr("sequence(1, len)")).alias("i"))
+        .select(F.expr("substring(tok, i, 1)").alias("piece"))
+        .distinct()
+    )
+    seed = _uni_pieces_of_words(words).filter(
+        (F.length("piece") == 1) | (F.col("cnt") >= UNI_MIN_SEED)
+    )
+    lp = _uni_logp(spark, seed)
+    counts = None
+    for _ in range(UNI_EM_ITERS):
+        counts = _uni_viterbi_counts(words, lp)
+        # retain used pieces ∪ ALL single chars (keeps the next DP
+        # total: any word can fall back to characters)
+        retained = (
+            singles.join(counts, "piece", "left")
+            .select("piece", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+            .unionByName(counts.join(singles, "piece", "left_anti"))
+        )
+        lp = _uni_logp(spark, retained)
+    total_row = counts.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0]
+    total = max(int(total_row[0]), 1)
+    # final counts are piece-vocab-grain, but the global rank still
+    # rides the two-phase distributed cumsum (size-adaptive: one range
+    # at this grain, full width if a real corpus's piece vocab grows)
+    from .windows import distributed_cumulative
+
+    ranked = distributed_cumulative(
+        counts, [F.col("cnt").desc(), F.asc("piece")]
+    ).withColumn("rank", F.col("_grank").cast("int"))
+    return (
+        ranked.filter(F.col("rank") <= UNI_TOP)
+        .select(
+            "piece",
+            F.length("piece").cast("int").alias("piece_len"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.expr(f"CAST(cnt * 1000000 div {total} AS BIGINT)").alias("share_ppm"),
+            "rank",
+        )
+    )
+
+
+def _uni_words_duck() -> str:
+    return f"""words AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq, CAST(length(tok) AS INT) AS len
+  FROM (SELECT unnest({_TOKENS_DUCK}) AS tok FROM documents)
+  WHERE length(tok) <= {UNI_MAX_WORD}
+  GROUP BY tok
+)"""
+
+
+def _uni_lp_duck(tag: str, counts: str) -> str:
+    return f"""lp{tag} AS (
+  SELECT piece,
+         CAST(floor(ln((cnt + 1) / CAST(t.t + t.v AS DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT) AS lp
+  FROM {counts} CROSS JOIN
+       (SELECT coalesce(sum(cnt), 0) AS t, count(*) AS v FROM {counts}) t
+)"""
+
+
+def _uni_em_duck(tag: str, lp: str) -> str:
+    """One hard-EM E-step as recursive CTEs: dp{tag} carries each
+    word's DP array (struct(s, l) per position) forward one position
+    per recursion level, probing the {lp} piece table with one LEFT
+    JOIN per piece length; tr{tag} walks the bestl pointers back;
+    cnt{tag} aggregates the corpus-weighted piece counts. Candidate
+    selection is list_sort(non-null candidates)[-1] — struct (s, l)
+    lexicographic max, identical to the engine's greatest(structs)."""
+    cands, joins = [], []
+    for l in range(1, UNI_MAX_PIECE + 1):
+        cands.append(
+            f"CASE WHEN d.pos + 1 >= {l} AND j{l}.lp IS NOT NULL THEN "
+            f"{{'s': d.arr[d.pos + 2 - {l}].s + j{l}.lp, 'l': {l}}} END"
+        )
+        joins.append(
+            f"  LEFT JOIN {lp} j{l} ON d.pos + 1 >= {l} "
+            f"AND j{l}.piece = substr(d.tok, d.pos + 2 - {l}, {l})"
+        )
+    nl = "\n"
+    return f"""dp{tag}(tok, freq, len, pos, arr) AS (
+  SELECT tok, freq, len, 0,
+         [{{'s': CAST(0 AS BIGINT), 'l': 0}}] FROM words
+  UNION ALL
+  SELECT d.tok, d.freq, d.len, d.pos + 1,
+         list_append(d.arr, list_sort(list_filter([
+           {("," + nl + "           ").join(cands)}
+         ], x -> x IS NOT NULL))[-1])
+  FROM dp{tag} d
+{nl.join(joins)}
+  WHERE d.pos < d.len
+), tr{tag}(tok, freq, p, piece, arr) AS (
+  SELECT tok, freq, len, CAST(NULL AS VARCHAR), arr
+  FROM dp{tag} WHERE pos = len
+  UNION ALL
+  SELECT tok, freq, p - arr[p + 1].l,
+         substr(tok, p - arr[p + 1].l + 1, arr[p + 1].l), arr
+  FROM tr{tag} WHERE p > 0
+), cnt{tag} AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM tr{tag} WHERE piece IS NOT NULL GROUP BY piece
+)"""
+
+
+UNIGRAM_TOKENIZER_SQL = f"""
+WITH RECURSIVE {_uni_words_duck()},
+singles AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, len),
+                         i -> substr(tok, i, 1))) AS piece
+  FROM words
+),
+seed AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(flatten(list_transform(generate_series(1, len),
+      i -> list_transform(generate_series(1, least({UNI_MAX_PIECE}, len - i + 1)),
+                          l -> substr(tok, i, l))))) AS piece
+    FROM words
+  ) GROUP BY piece
+  HAVING length(piece) = 1 OR sum(freq) >= {UNI_MIN_SEED}
+),
+{_uni_lp_duck("0", "seed")},
+{_uni_em_duck("1", "lp0")},
+ret1 AS (
+  SELECT s.piece, coalesce(c.cnt, 0) AS cnt
+  FROM singles s LEFT JOIN cnt1 c USING (piece)
+  UNION ALL
+  SELECT c.piece, c.cnt FROM cnt1 c ANTI JOIN singles s USING (piece)
+),
+{_uni_lp_duck("1", "ret1")},
+{_uni_em_duck("2", "lp1")},
+tot AS (
+  SELECT greatest(CAST(coalesce(sum(cnt), 0) AS BIGINT), 1) AS total FROM cnt2
+)
+SELECT piece, CAST(length(piece) AS INT) AS piece_len, cnt,
+       CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+       CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+  FROM cnt2 CROSS JOIN tot
+) WHERE rn <= {UNI_TOP}
+"""

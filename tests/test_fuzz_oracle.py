@@ -58,6 +58,11 @@ FUZZED_QUERIES = [
     "doc_token_stats",
     "doc_quality_score",
     "doc_bpe_token_stats",
+    # unigram trainer: multi-byte chars reach the character-based
+    # substring contract in both DP pyramids; dup-heavy tiny corpora
+    # hit the add-one smoothing and the (score, piece-length) and
+    # (cnt, piece) tie-break chains
+    "doc_unigram_tokenizer",
     # fingerprint-keyed split (forced exact copies must co-locate)
     "doc_leakage_safe_split",
     # sort-based blocking: binary UTF-8 key ordering must agree

@@ -513,3 +513,77 @@ def test_part_components_matches_union_find(spark):
     got = {r.component_id: (r.n_parts, r.n_edges)
            for r in part_components(spark, SF).collect()}
     assert got == want
+
+
+def test_unigram_tokenizer_matches_python_trainer(spark):
+    """doc_unigram_tokenizer vs a from-scratch Python reimplementation
+    of the whole hard-EM trainer: substring seed with the multi-char
+    floor, add-one ppm log-probs (identical quantization), Viterbi
+    with the (score, piece-length) tie-break, retention of singles,
+    two EM rounds, final ranking. Also asserts the conservation
+    invariant: every word's Viterbi pieces concatenate to the word."""
+    got = [
+        (r.rank, r.piece, r.piece_len, r.cnt, r.share_ppm)
+        for r in tx.unigram_tokenizer(spark, SF).collect()
+    ]
+
+    lo = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                       "abcdefghijklmnopqrstuvwxyz")
+    words = Counter()
+    for (text,) in duckdb.sql(
+        f"SELECT text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        for t in re.split(r"\s+", (text or "").strip().translate(lo)):
+            if t and len(t) <= tx.UNI_MAX_WORD:
+                words[t] += 1
+
+    def logp(counts):
+        t, v = sum(counts.values()), len(counts)
+        return {p: math.floor(math.log((c + 1) / float(t + v)) * 1e6 + 0.5)
+                for p, c in counts.items()}
+
+    def viterbi_counts(lp):
+        out = Counter()
+        for w, f in words.items():
+            dp = [(0, 0)] + [None] * len(w)
+            for j in range(1, len(w) + 1):
+                best = None
+                for l in range(1, min(tx.UNI_MAX_PIECE, j) + 1):
+                    piece = w[j - l:j]
+                    if piece in lp and dp[j - l] is not None:
+                        c = (dp[j - l][0] + lp[piece], l)
+                        if best is None or c > best:
+                            best = c
+                dp[j] = best
+            pieces, p = [], len(w)
+            while p > 0:
+                l = dp[p][1]
+                pieces.append(w[p - l:p])
+                p -= l
+            assert "".join(reversed(pieces)) == w  # conservation
+            for piece in pieces:
+                out[piece] += f
+        return out
+
+    seed = Counter()
+    singles = set()
+    for w, f in words.items():
+        for i in range(len(w)):
+            singles.add(w[i])
+            for l in range(1, min(tx.UNI_MAX_PIECE, len(w) - i) + 1):
+                seed[w[i:i + l]] += f
+    seed = Counter({p: c for p, c in seed.items()
+                    if len(p) == 1 or c >= tx.UNI_MIN_SEED})
+    lp = logp(seed)
+    for _ in range(tx.UNI_EM_ITERS):
+        counts = viterbi_counts(lp)
+        retained = Counter({p: counts.get(p, 0) for p in singles})
+        retained.update({p: c for p, c in counts.items() if p not in singles})
+        lp = logp(retained)
+    total = max(sum(counts.values()), 1)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected = [
+        (i + 1, p, len(p), c, c * 1_000_000 // total)
+        for i, (p, c) in enumerate(ranked[: tx.UNI_TOP])
+    ]
+    assert got == expected
