@@ -86,11 +86,14 @@ def star_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS,
         )
         m = both.groupBy("x").agg(F.min("y").alias("mn"))
         m = m.select("x", F.least("mn", F.col("x")).alias("m"))
+        # no distinct here: duplicate (u, v) rows only pad the next
+        # two map-side-combined aggregates and are collapsed by the
+        # round-end distinct — dropping the dedup saves one full
+        # shuffle per round
         ls = (
             both.join(m, "x")
             .filter(F.col("y") > F.col("x"))
             .select(F.col("y").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
         # small-star: edges are big→small, so N⁻(u) is just u's dst
         # set; attach each of them (and u) to m(u) = min(N⁻(u)).

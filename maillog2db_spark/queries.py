@@ -609,7 +609,7 @@ _PRIORITY = [
     "dq_referential_integrity", "embed_kmeans", "embed_covariance",
     "mm_wav_loudness", "mm_frame_sample",
     # 2. remaining round-4 additions — never driver-verified
-    "embed_ann_recall", "embed_truncation_recall",
+    "embed_ann_recall",
     "doc_minhash_estimate", "doc_cms_heavy_hitters",
     "doc_sorted_neighborhood", "doc_leakage_safe_split",
     "doc_shard_assignment", "doc_span_scrub",
@@ -617,9 +617,23 @@ _PRIORITY = [
     "ev_sliding_hourly", "ev_concurrent_sessions",
     "ev_markov_transitions", "ev_funnel_latency",
     "ev_multitouch_attribution", "ev_value_mad_anomaly",
-    "ord_priority_islands", "ord_revenue_ewma", "ord_abc_pareto",
-    "ord_cohort_ltv", "ord_zorder_key",
+    "ord_priority_islands", "ord_abc_pareto",
+    "ord_cohort_ltv",
     "li_basket_rules",
+    # 2b. round-5-late heavy machinery — the three biggest new engines
+    # take the slots of the three most family-redundant entries:
+    # embed_truncation_recall (its composed-eval sibling embed_ann_recall
+    # stays in-window and binds the same brute-force base),
+    # ord_revenue_ewma (calendar-bounded window family; shares the
+    # windows.py code path with in-window ev_sliding_hourly), and
+    # ord_zorder_key (Morton bijection is property-pinned; the layout
+    # machinery has its own skip-measurement tests). All three stay
+    # oracle-checked + fuzz-tiered locally and queue for r6 with
+    # embed_int8_recall / embed_hamming_recall / li_basket_affinity /
+    # embed_pq_encode.
+    "doc_unigram_tokenizer",   # two DP pyramids + smoothing + ranking
+    "li_part_components",      # star-contraction CC + recursive oracle
+    "embed_cluster_labels",    # kmeans trajectory ⋈ documents lift
     # 3. round-5 additions — never driver-verified
     "doc_char_entropy", "dq_length_drift_psi", "doc_quality_classifier",
     "doc_bm25_topk", "doc_vocab_growth", "doc_source_kl",
