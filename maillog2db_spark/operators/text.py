@@ -767,7 +767,7 @@ def _bpe_chain_duck(keys: str) -> str:
 BPE_TRAIN_MERGES_SQL = f"""
 WITH toks AS (
   SELECT unnest({_TOKENS_DUCK}) AS tok FROM documents
-), words AS (
+), words AS MATERIALIZED (
   SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok
 ), s0 AS (
   SELECT freq, trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS s FROM words
@@ -783,7 +783,7 @@ SELECT * FROM (
 BPE_ENCODE_STATS_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents
-), words AS (
+), words AS MATERIALIZED (
   SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok
 ), s0 AS (
   SELECT tok, freq, trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS s FROM words
@@ -1270,9 +1270,10 @@ _UNI_TRACE_EXPR = (
 )
 
 
-def _uni_viterbi_counts(words: DataFrame, lp: DataFrame) -> DataFrame:
-    """One hard-EM E-step: Viterbi-segment every word under ``lp``,
-    return (piece, cnt) corpus-weighted segmentation counts.
+def _uni_segment(words: DataFrame, lp: DataFrame) -> DataFrame:
+    """Viterbi-segment every word under ``lp``: (tok, freq, ps) with
+    ps = the word's best piece sequence (reversed order — counts and
+    sizes don't care).
 
     Shape: one explode (word substrings) + one equi-join (vocab probe)
     + one groupBy builds the per-word piece→lp map (≤ len·UNI_MAX_PIECE
@@ -1300,37 +1301,45 @@ def _uni_viterbi_counts(words: DataFrame, lp: DataFrame) -> DataFrame:
             F.map_from_entries(F.collect_list(F.struct("piece", "lp"))).alias("m")
         )
     )
-    segs = (
+    return (
         words.join(wp, "tok")
         .withColumn("dparr", F.expr(_uni_dp_expr()))
         .withColumn("ps", F.expr(_UNI_TRACE_EXPR))
-        .select("freq", F.explode("ps").alias("piece"))
+        .select("tok", "freq", "ps")
     )
-    return segs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
 
 
-def unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train a unigram-LM subword tokenizer (SentencePiece family,
-    Kudo 2018) on the corpus word table — hard-EM: substring seed
-    vocabulary → UNI_EM_ITERS rounds of (Viterbi segment, re-estimate)
-    → final piece inventory. Output: the top UNI_TOP pieces by final
-    segmentation count with exact ppm corpus share and rank — the
-    registered, driver-hash-verified face of the whole trainer (seed,
-    both DP pyramids, both re-estimations).
+def _uni_viterbi_counts(words: DataFrame, lp: DataFrame) -> DataFrame:
+    """One hard-EM E-step: (piece, cnt) corpus-weighted segmentation
+    counts from the Viterbi segmentation."""
+    return (
+        _uni_segment(words, lp)
+        .select("freq", F.explode("ps").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
 
-    Scale: the corpus is read once (word counts); every other table is
-    vocab-grain. Per EM iteration: one lazy DP plan (max_word_len
-    levels, each a bounded-fanout join on the piece table), one
-    backtrace walk over the checkpointed DP, one count aggregate, and
-    the smoothing scalars collect as literals. Words over UNI_MAX_WORD
-    chars are excluded from training (the documented trainer cap —
-    SentencePiece caps trainer input the same way), which is what lets
-    the oracle unroll the DP to a constant depth."""
+
+def _uni_state(spark: SparkSession, sf_dir: str):
+    """Session-cached trainer state: (words, final-E-step counts,
+    final lp). Two registered consumers (the trainer's piece table and
+    the encode stats) — the EM rounds run once per (session, sf_dir),
+    the same materialize-once framing as the dedup/pair bases. counts
+    and lp are None for an empty corpus."""
+    from .dedup import _CORPUS_CACHE
+
+    io.ensure_session_conf(spark)
+    per_session = _CORPUS_CACHE.setdefault(spark, {})
+    key = (sf_dir, "uni_state")
+    st = per_session.get(key)
+    if st is not None:
+        return st
+
     words = _uni_words(spark, sf_dir).localCheckpoint(eager=True)
     if words.limit(1).count() == 0:
-        return spark.createDataFrame(
-            [], "piece string, piece_len int, cnt bigint, share_ppm bigint, rank int"
-        )
+        st = (words, None, None)
+        per_session[key] = st
+        return st
     singles = (
         words.select("tok", "freq", F.explode(F.expr("sequence(1, len)")).alias("i"))
         .select(F.expr("substring(tok, i, 1)").alias("piece"))
@@ -1351,6 +1360,33 @@ def unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(counts.join(singles, "piece", "left_anti"))
         )
         lp = _uni_logp(spark, retained)
+    st = (words, counts.localCheckpoint(eager=True), lp.localCheckpoint(eager=True))
+    per_session[key] = st
+    return st
+
+
+def unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a unigram-LM subword tokenizer (SentencePiece family,
+    Kudo 2018) on the corpus word table — hard-EM: substring seed
+    vocabulary → UNI_EM_ITERS rounds of (Viterbi segment, re-estimate)
+    → final piece inventory. Output: the top UNI_TOP pieces by final
+    segmentation count with exact ppm corpus share and rank — the
+    registered, driver-hash-verified face of the whole trainer (seed,
+    both DP pyramids, both re-estimations).
+
+    Scale: the corpus is read once (word counts); every other table is
+    vocab-grain. Per EM iteration: one lazy DP plan (max_word_len
+    levels, each a bounded-fanout join on the piece table), one
+    backtrace walk over the checkpointed DP, one count aggregate, and
+    the smoothing scalars collect as literals. Words over UNI_MAX_WORD
+    chars are excluded from training (the documented trainer cap —
+    SentencePiece caps trainer input the same way), which is what lets
+    the oracle unroll the DP to a constant depth."""
+    words, counts, _lp = _uni_state(spark, sf_dir)
+    if counts is None:
+        return spark.createDataFrame(
+            [], "piece string, piece_len int, cnt bigint, share_ppm bigint, rank int"
+        )
     total_row = counts.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0]
     total = max(int(total_row[0]), 1)
     # final counts are piece-vocab-grain, but the global rank still
@@ -1374,7 +1410,7 @@ def unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _uni_words_duck() -> str:
-    return f"""words AS (
+    return f"""words AS MATERIALIZED (
   SELECT tok, CAST(count(*) AS BIGINT) AS freq, CAST(length(tok) AS INT) AS len
   FROM (SELECT unnest({_TOKENS_DUCK}) AS tok FROM documents)
   WHERE length(tok) <= {UNI_MAX_WORD}
@@ -1383,7 +1419,7 @@ def _uni_words_duck() -> str:
 
 
 def _uni_lp_duck(tag: str, counts: str) -> str:
-    return f"""lp{tag} AS (
+    return f"""lp{tag} AS MATERIALIZED (
   SELECT piece,
          CAST(floor(ln((cnt + 1) / CAST(t.t + t.v AS DOUBLE)) * 1000000 + 0.5)
               AS BIGINT) AS lp
@@ -1429,7 +1465,7 @@ def _uni_em_duck(tag: str, lp: str) -> str:
   SELECT tok, freq, p - arr[p + 1].l,
          substr(tok, p - arr[p + 1].l + 1, arr[p + 1].l), arr
   FROM tr{tag} WHERE p > 0
-), cnt{tag} AS (
+), cnt{tag} AS MATERIALIZED (
   SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
   FROM tr{tag} WHERE piece IS NOT NULL GROUP BY piece
 )"""
@@ -1442,7 +1478,7 @@ singles AS (
                          i -> substr(tok, i, 1))) AS piece
   FROM words
 ),
-seed AS (
+seed AS MATERIALIZED (
   SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
     SELECT freq, unnest(flatten(list_transform(generate_series(1, len),
       i -> list_transform(generate_series(1, least({UNI_MAX_PIECE}, len - i + 1)),
@@ -1453,7 +1489,7 @@ seed AS (
 ),
 {_uni_lp_duck("0", "seed")},
 {_uni_em_duck("1", "lp0")},
-ret1 AS (
+ret1 AS MATERIALIZED (
   SELECT s.piece, coalesce(c.cnt, 0) AS cnt
   FROM singles s LEFT JOIN cnt1 c USING (piece)
   UNION ALL
@@ -1471,4 +1507,105 @@ FROM (
   SELECT *, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
   FROM cnt2 CROSS JOIN tot
 ) WHERE rn <= {UNI_TOP}
+"""
+
+
+def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained unigram model (the encode path to
+    `doc_unigram_tokenizer`'s train path, mirroring the BPE pair):
+    Viterbi-segment the word table under the FINAL piece log-probs —
+    in SentencePiece the encoder IS this DP — and roll up per
+    document: whitespace token count vs unigram piece count and the
+    exact-integer compression ppm. Words over the UNI_MAX_WORD trainer
+    cap encode as characters (the documented fallback: they never
+    entered training, so the model owes them nothing better).
+
+    Scale: training state is session-cached (one EM run per session);
+    encoding is one vocab-grain DP plus one (word → n_pieces) join
+    back to the token stream and a per-doc aggregate — the same
+    deployment shape as bpe_encode_stats."""
+    docs = io.load(spark, sf_dir, "documents")
+    dtoks = docs.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+    words, _counts, lp = _uni_state(spark, sf_dir)
+    if lp is None:
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_tokens bigint, n_pieces bigint, compression_ppm bigint"
+        )
+    enc = _uni_segment(words, lp).select(
+        "tok", F.size("ps").cast("bigint").alias("np")
+    )
+    fallback = (
+        dtoks.filter(F.length("tok") > UNI_MAX_WORD)
+        .select("tok")
+        .distinct()
+        .select("tok", F.length("tok").cast("bigint").alias("np"))
+    )
+    per_doc = (
+        dtoks.join(enc.unionByName(fallback), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("np").alias("n_pieces"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_pieces").cast("bigint").alias("n_pieces"),
+        F.expr("CAST(n_tokens * 1000000 div n_pieces AS BIGINT)").alias(
+            "compression_ppm"
+        ),
+    )
+
+
+UNIGRAM_ENCODE_STATS_SQL = f"""
+WITH RECURSIVE {_uni_words_duck()},
+singles AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, len),
+                         i -> substr(tok, i, 1))) AS piece
+  FROM words
+),
+seed AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(flatten(list_transform(generate_series(1, len),
+      i -> list_transform(generate_series(1, least({UNI_MAX_PIECE}, len - i + 1)),
+                          l -> substr(tok, i, l))))) AS piece
+    FROM words
+  ) GROUP BY piece
+  HAVING length(piece) = 1 OR sum(freq) >= {UNI_MIN_SEED}
+),
+{_uni_lp_duck("0", "seed")},
+{_uni_em_duck("1", "lp0")},
+ret1 AS MATERIALIZED (
+  SELECT s.piece, coalesce(c.cnt, 0) AS cnt
+  FROM singles s LEFT JOIN cnt1 c USING (piece)
+  UNION ALL
+  SELECT c.piece, c.cnt FROM cnt1 c ANTI JOIN singles s USING (piece)
+),
+{_uni_lp_duck("1", "ret1")},
+{_uni_em_duck("2", "lp1")},
+ret2 AS MATERIALIZED (
+  SELECT s.piece, coalesce(c.cnt, 0) AS cnt
+  FROM singles s LEFT JOIN cnt2 c USING (piece)
+  UNION ALL
+  SELECT c.piece, c.cnt FROM cnt2 c ANTI JOIN singles s USING (piece)
+),
+{_uni_lp_duck("2", "ret2")},
+{_uni_em_duck("3", "lp2")},
+dt AS (
+  SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents
+),
+np AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS np
+  FROM tr3 WHERE piece IS NOT NULL GROUP BY tok
+  UNION ALL
+  SELECT tok, CAST(length(tok) AS BIGINT) AS np
+  FROM (SELECT DISTINCT tok FROM dt WHERE length(tok) > {UNI_MAX_WORD})
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(np) AS BIGINT) AS n_pieces,
+       CAST(count(*) * 1000000 // sum(np) AS BIGINT) AS compression_ppm
+FROM dt JOIN np USING (tok)
+GROUP BY doc_id
 """

@@ -517,6 +517,8 @@ register("li_copurchase_triangles", _ca.COPURCHASE_TRIANGLES_SQL,
          doc="Per-part triangle count + clustering coefficient on the thresholded co-purchase graph (oriented a<b<c wedge join, each triangle counted once)")(_ca.copurchase_triangles)
 register("doc_unigram_tokenizer", _tx.UNIGRAM_TOKENIZER_SQL,
          doc="SentencePiece-family unigram-LM tokenizer trainer (Kudo 2018, hard-EM): substring seed vocab, 2 EM rounds of (single-expression Viterbi segment, add-one re-estimate) on the Zipf-bounded word table — corpus touched once; top pieces by final count, integer-ppm shares")(_tx.unigram_tokenizer)
+register("doc_unigram_encode_stats", _tx.UNIGRAM_ENCODE_STATS_SQL,
+         doc="Encode path of the unigram tokenizer: Viterbi-segment the word table under the FINAL trained piece log-probs, roll up per doc (whitespace tokens vs pieces, exact-integer compression ppm); over-cap words encode as characters")(_tx.unigram_encode_stats)
 register("embed_cluster_labels", _ca._CLUSTER_LABELS_SQL(),
          doc="Data-map cluster labeling (c-TF-IDF family): per final k-means cluster, top terms by integer-exact lift of in-cluster term share over corpus share — embeddings decide the grouping, text supplies the evidence, joined on vec_id = doc_id")(_ca.cluster_labels)
 register("embed_semdedup_keep_best", _ca._SEMDEDUP_KEEP_BEST_SQL(),

@@ -63,6 +63,9 @@ FUZZED_QUERIES = [
     # hit the add-one smoothing and the (score, piece-length) and
     # (cnt, piece) tie-break chains
     "doc_unigram_tokenizer",
+    # encode path: a THIRD DP pyramid under the final model plus the
+    # per-doc rollup join
+    "doc_unigram_encode_stats",
     # fingerprint-keyed split (forced exact copies must co-locate)
     "doc_leakage_safe_split",
     # sort-based blocking: binary UTF-8 key ordering must agree

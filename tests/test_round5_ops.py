@@ -515,28 +515,40 @@ def test_part_components_matches_union_find(spark):
     assert got == want
 
 
-def test_unigram_tokenizer_matches_python_trainer(spark):
-    """doc_unigram_tokenizer vs a from-scratch Python reimplementation
-    of the whole hard-EM trainer: substring seed with the multi-char
-    floor, add-one ppm log-probs (identical quantization), Viterbi
-    with the (score, piece-length) tie-break, retention of singles,
-    two EM rounds, final ranking. Also asserts the conservation
-    invariant: every word's Viterbi pieces concatenate to the word."""
-    got = [
-        (r.rank, r.piece, r.piece_len, r.cnt, r.share_ppm)
-        for r in tx.unigram_tokenizer(spark, SF).collect()
-    ]
+_LO = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                    "abcdefghijklmnopqrstuvwxyz")
 
-    lo = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ",
-                       "abcdefghijklmnopqrstuvwxyz")
-    words = Counter()
-    for (text,) in duckdb.sql(
-        f"SELECT text FROM '{SF}/documents.parquet'"
-    ).fetchall():
-        for t in re.split(r"\s+", (text or "").strip().translate(lo)):
-            if t and len(t) <= tx.UNI_MAX_WORD:
-                words[t] += 1
 
+def _py_tokens(text):
+    return [t for t in re.split(r"\s+", (text or "").strip().translate(_LO))
+            if t]
+
+
+def _py_unigram_segment(w, lp):
+    """Viterbi with the (score, piece-length) tie-break; asserts the
+    pieces concatenate back to the word."""
+    dp = [(0, 0)] + [None] * len(w)
+    for j in range(1, len(w) + 1):
+        best = None
+        for l in range(1, min(tx.UNI_MAX_PIECE, j) + 1):
+            piece = w[j - l:j]
+            if piece in lp and dp[j - l] is not None:
+                c = (dp[j - l][0] + lp[piece], l)
+                if best is None or c > best:
+                    best = c
+        dp[j] = best
+    pieces, p = [], len(w)
+    while p > 0:
+        l = dp[p][1]
+        pieces.append(w[p - l:p])
+        p -= l
+    assert "".join(reversed(pieces)) == w  # conservation
+    return pieces
+
+
+def _py_unigram_train(words):
+    """From-scratch hard-EM trainer: returns (final E-step counts,
+    final lp) — the Python twin of text._uni_state."""
     def logp(counts):
         t, v = sum(counts.values()), len(counts)
         return {p: math.floor(math.log((c + 1) / float(t + v)) * 1e6 + 0.5)
@@ -545,23 +557,7 @@ def test_unigram_tokenizer_matches_python_trainer(spark):
     def viterbi_counts(lp):
         out = Counter()
         for w, f in words.items():
-            dp = [(0, 0)] + [None] * len(w)
-            for j in range(1, len(w) + 1):
-                best = None
-                for l in range(1, min(tx.UNI_MAX_PIECE, j) + 1):
-                    piece = w[j - l:j]
-                    if piece in lp and dp[j - l] is not None:
-                        c = (dp[j - l][0] + lp[piece], l)
-                        if best is None or c > best:
-                            best = c
-                dp[j] = best
-            pieces, p = [], len(w)
-            while p > 0:
-                l = dp[p][1]
-                pieces.append(w[p - l:p])
-                p -= l
-            assert "".join(reversed(pieces)) == w  # conservation
-            for piece in pieces:
+            for piece in _py_unigram_segment(w, lp):
                 out[piece] += f
         return out
 
@@ -580,10 +576,68 @@ def test_unigram_tokenizer_matches_python_trainer(spark):
         retained = Counter({p: counts.get(p, 0) for p in singles})
         retained.update({p: c for p, c in counts.items() if p not in singles})
         lp = logp(retained)
+    return counts, lp
+
+
+def _py_train_words():
+    words = Counter()
+    for (text,) in duckdb.sql(
+        f"SELECT text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        for t in _py_tokens(text):
+            if len(t) <= tx.UNI_MAX_WORD:
+                words[t] += 1
+    return words
+
+
+def test_unigram_tokenizer_matches_python_trainer(spark):
+    """doc_unigram_tokenizer vs a from-scratch Python reimplementation
+    of the whole hard-EM trainer: substring seed with the multi-char
+    floor, add-one ppm log-probs (identical quantization), Viterbi
+    with the (score, piece-length) tie-break, retention of singles,
+    two EM rounds, final ranking — plus the pieces-concatenate-to-word
+    conservation invariant inside every segmentation."""
+    got = [
+        (r.rank, r.piece, r.piece_len, r.cnt, r.share_ppm)
+        for r in tx.unigram_tokenizer(spark, SF).collect()
+    ]
+    counts, _lp = _py_unigram_train(_py_train_words())
     total = max(sum(counts.values()), 1)
     ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
     expected = [
         (i + 1, p, len(p), c, c * 1_000_000 // total)
         for i, (p, c) in enumerate(ranked[: tx.UNI_TOP])
     ]
+    assert got == expected
+
+
+def test_unigram_encode_stats_matches_python(spark):
+    """doc_unigram_encode_stats vs the Python twin: segment every doc's
+    tokens under the FINAL trained log-probs (over-cap words fall back
+    to characters), per-doc token/piece counts and integer-ppm
+    compression."""
+    _counts, lp = _py_unigram_train(_py_train_words())
+    expected = {}
+    seg_cache = {}
+    for doc_id, text in duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        toks = _py_tokens(text)
+        if not toks:
+            continue
+        n_pieces = 0
+        for t in toks:
+            if len(t) > tx.UNI_MAX_WORD:
+                n_pieces += len(t)
+            else:
+                if t not in seg_cache:
+                    seg_cache[t] = len(_py_unigram_segment(t, lp))
+                n_pieces += seg_cache[t]
+        expected[doc_id] = (
+            len(toks), n_pieces, len(toks) * 1_000_000 // n_pieces
+        )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_pieces, r.compression_ppm)
+        for r in tx.unigram_encode_stats(spark, SF).collect()
+    }
     assert got == expected
