@@ -45,13 +45,11 @@ HYBRID_TOP_K = 5      # per-system depth AND fused output depth
 RRF_KAPPA = 60        # Cormack et al.'s constant; bounds any one rank's sway
 
 
-def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fused (query_id, doc_id, rrf_ppm, rank_lex, rank_den, rank):
-    per query, the top-k docs by summed reciprocal-rank contributions
-    from the BM25 top-k and the exact-cosine top-k. rank_lex/rank_den
-    are 0 when that system did not retrieve the doc (its RRF
-    contribution is then 0 — standard RRF scores only retrieved
-    ranks)."""
+def _hybrid_rankings(spark: SparkSession, sf_dir: str):
+    """The two per-query ranked lists both the fusion and the
+    label-relevance eval consume: (lex, den) with columns
+    (query_id, doc_id, rank_lex) / (query_id, doc_id, rank_den) —
+    identical expression trees to the standalone rankers."""
     p = spark.sparkContext.defaultParallelism
     d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
     toks = d.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
@@ -75,6 +73,17 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("rank_den"),
     )
+    return lex, den
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused (query_id, doc_id, rrf_ppm, rank_lex, rank_den, rank):
+    per query, the top-k docs by summed reciprocal-rank contributions
+    from the BM25 top-k and the exact-cosine top-k. rank_lex/rank_den
+    are 0 when that system did not retrieve the doc (its RRF
+    contribution is then 0 — standard RRF scores only retrieved
+    ranks)."""
+    lex, den = _hybrid_rankings(spark, sf_dir)
     return rrf_fuse(lex, den, HYBRID_TOP_K)
 
 
@@ -114,8 +123,8 @@ def rrf_fuse(lex: DataFrame, den: DataFrame, top_k: int) -> DataFrame:
     )
 
 
-HYBRID_RRF_TOPK_SQL = f"""
-WITH toks AS (
+# CTE prefix shared by the fusion query and the label-relevance eval
+_HYBRID_CTES = f"""toks AS (
   SELECT doc_id, unnest({_TOKENS_DUCK}) AS term FROM documents
 ), ctf AS (
   SELECT doc_id, term, count(*) AS tf FROM toks
@@ -188,7 +197,10 @@ WITH toks AS (
                  THEN 1000000 // ({RRF_KAPPA} + rank_den) ELSE 0 END)
               AS BIGINT) AS rrf_ppm
   FROM fused
-)
+)"""
+
+HYBRID_RRF_TOPK_SQL = f"""
+WITH {_HYBRID_CTES}
 SELECT query_id, doc_id, rrf_ppm, rank_lex, rank_den, CAST(rank AS INT) AS rank
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -450,3 +462,114 @@ def _mmr_oracle_sql() -> str:
 
 
 MMR_RERANK_SQL = _mmr_oracle_sql()
+
+
+def retrieval_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-relevance retrieval eval: MRR and precision@k for all
+    THREE rankers (BM25 lexical, exact-cosine dense, RRF hybrid)
+    against the same relevance signal — a retrieved doc is relevant
+    iff its embedding label equals the query's label (the standard
+    labeled-eval harness shape; at real scale the label column is a
+    judgment set). One registered query hash-verifies the entire eval
+    grid, the same contract as embed_ann_recall: the rankings, the
+    relevance join, and the metric arithmetic all bind.
+
+    Exact integers: rr_ppm = 1e6 div first-relevant-rank (0 when no
+    relevant doc is retrieved), prec_at_k_ppm = n_rel·1e6 div k.
+    Zero-filled over the full query × system grid, so a query whose
+    BM25 side retrieved nothing still reports (0, 0, 0) for 'lex'
+    instead of vanishing."""
+    lex, den = _hybrid_rankings(spark, sf_dir)
+    hyb = rrf_fuse(lex, den, HYBRID_TOP_K)
+    systems = (
+        lex.select("query_id", "doc_id", F.col("rank_lex").alias("rank"),
+                   F.lit("lex").alias("system"))
+        .unionByName(
+            den.select("query_id", "doc_id", F.col("rank_den").alias("rank"),
+                       F.lit("dense").alias("system")))
+        .unionByName(
+            hyb.select("query_id", "doc_id", "rank",
+                       F.lit("hybrid").alias("system")))
+    )
+    e = _embeddings(spark, sf_dir)
+    lab = e.select(F.col("vec_id").alias("doc_id"), F.col("label").alias("d_lab"))
+    qlab = e.filter(F.col("vec_id") < HYBRID_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_lab")
+    )
+    rel = (
+        systems.join(lab, "doc_id")
+        .join(F.broadcast(qlab), "query_id")
+        .filter(F.col("d_lab") == F.col("q_lab"))
+        .groupBy("system", "query_id")
+        .agg(
+            F.min("rank").alias("first_rel_rank"),
+            F.count(F.lit(1)).alias("n_rel"),
+        )
+    )
+    grid = qlab.select("query_id").crossJoin(
+        spark.createDataFrame(
+            [("lex",), ("dense",), ("hybrid",)], "system string"
+        )
+    )
+    return (
+        grid.join(rel, ["system", "query_id"], "left")
+        .select(
+            "system",
+            "query_id",
+            F.coalesce("first_rel_rank", F.lit(0)).cast("int")
+            .alias("first_rel_rank"),
+            F.expr(
+                "CAST(CASE WHEN first_rel_rank IS NULL THEN 0 "
+                "ELSE 1000000 div first_rel_rank END AS BIGINT)"
+            ).alias("rr_ppm"),
+            F.expr(
+                f"CAST(coalesce(n_rel, 0) * 1000000 div {HYBRID_TOP_K} "
+                "AS BIGINT)"
+            ).alias("prec_at_k_ppm"),
+        )
+    )
+
+
+RETRIEVAL_LABEL_EVAL_SQL = f"""
+WITH {_HYBRID_CTES},
+hyb AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf_ppm DESC, doc_id) AS rank
+    FROM rrf
+  ) WHERE rank <= {HYBRID_TOP_K}
+),
+systems AS (
+  SELECT query_id, doc_id, rank AS rank, 'lex' AS system FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, rank, 'dense' AS system FROM den
+  UNION ALL
+  SELECT query_id, doc_id, rank, 'hybrid' AS system FROM hyb
+),
+qlab AS (
+  SELECT vec_id AS query_id, label AS q_lab FROM embeddings
+  WHERE vec_id < {HYBRID_N_QUERIES}
+),
+rel AS (
+  SELECT s.system, s.query_id,
+         min(s.rank) AS first_rel_rank,
+         CAST(count(*) AS BIGINT) AS n_rel
+  FROM systems s
+  JOIN embeddings d ON s.doc_id = d.vec_id
+  JOIN qlab q ON s.query_id = q.query_id
+  WHERE d.label = q.q_lab
+  GROUP BY s.system, s.query_id
+),
+grid AS (
+  SELECT query_id, system
+  FROM qlab CROSS JOIN (VALUES ('lex'), ('dense'), ('hybrid')) sys(system)
+)
+SELECT g.system, g.query_id,
+       CAST(coalesce(r.first_rel_rank, 0) AS INT) AS first_rel_rank,
+       CAST(CASE WHEN r.first_rel_rank IS NULL THEN 0
+            ELSE 1000000 // r.first_rel_rank END AS BIGINT) AS rr_ppm,
+       CAST(coalesce(r.n_rel, 0) * 1000000 // {HYBRID_TOP_K} AS BIGINT)
+         AS prec_at_k_ppm
+FROM grid g LEFT JOIN rel r ON g.system = r.system AND g.query_id = r.query_id
+"""

@@ -517,6 +517,8 @@ register("li_copurchase_triangles", _ca.COPURCHASE_TRIANGLES_SQL,
          doc="Per-part triangle count + clustering coefficient on the thresholded co-purchase graph (oriented a<b<c wedge join, each triangle counted once)")(_ca.copurchase_triangles)
 register("doc_unigram_tokenizer", _tx.UNIGRAM_TOKENIZER_SQL,
          doc="SentencePiece-family unigram-LM tokenizer trainer (Kudo 2018, hard-EM): substring seed vocab, 2 EM rounds of (single-expression Viterbi segment, add-one re-estimate) on the Zipf-bounded word table — corpus touched once; top pieces by final count, integer-ppm shares")(_tx.unigram_tokenizer)
+register("doc_retrieval_label_eval", _rtv.RETRIEVAL_LABEL_EVAL_SQL,
+         doc="Labeled retrieval eval grid: MRR (1e6 div first-relevant-rank) and precision@k for BM25, exact-cosine dense, and RRF hybrid against label relevance — the whole eval harness (rankings, relevance join, metrics) hash-verified as one query")(_rtv.retrieval_label_eval)
 register("doc_unigram_encode_stats", _tx.UNIGRAM_ENCODE_STATS_SQL,
          doc="Encode path of the unigram tokenizer: Viterbi-segment the word table under the FINAL trained piece log-probs, roll up per doc (whitespace tokens vs pieces, exact-integer compression ppm); over-cap words encode as characters")(_tx.unigram_encode_stats)
 register("embed_cluster_labels", _ca._CLUSTER_LABELS_SQL(),

@@ -517,6 +517,10 @@ CROSS_QUERIES = [
     # engines) and the short dup-heavy texts hit the n_ct floor and
     # the (lift, n_ct, term) tiebreak chain
     "embed_cluster_labels",
+    # eval grid: tiny corpora make whole systems retrieve nothing
+    # (zero-filled rows), tied scores walk the doc_id tiebreaks, and
+    # the grid must stay complete on both engines
+    "doc_retrieval_label_eval",
 ]
 
 

@@ -641,3 +641,29 @@ def test_unigram_encode_stats_matches_python(spark):
         for r in tx.unigram_encode_stats(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_retrieval_label_eval_grid_and_metric_invariants(spark):
+    """The eval grid is complete (every query x system row exists,
+    zero-filled), and the metric arithmetic is internally consistent:
+    rr_ppm = 1e6 // first_rel_rank (0 iff no relevant retrieved),
+    prec > 0 iff rr > 0, prec <= 1e6. Component correctness is owned
+    by the BM25/cosine differentials; this pins the harness."""
+    from maillog2db_spark.operators import retrieval as rtv
+
+    rows = rtv.retrieval_label_eval(spark, SF).collect()
+    assert len(rows) == rtv.HYBRID_N_QUERIES * 3
+    assert {(r.system, r.query_id) for r in rows} == {
+        (s, q) for s in ("lex", "dense", "hybrid")
+        for q in range(rtv.HYBRID_N_QUERIES)
+    }
+    for r in rows:
+        if r.first_rel_rank == 0:
+            assert r.rr_ppm == 0 and r.prec_at_k_ppm == 0, r
+        else:
+            assert r.rr_ppm == 1_000_000 // r.first_rel_rank, r
+            assert 0 < r.prec_at_k_ppm <= 1_000_000, r
+    # (no non-vacuousness assertion: at this 50-vector-per-label SF an
+    # all-miss grid is a legitimate outcome — verified empirically, and
+    # the sf0.01 oracle hash covers the nonzero regime: lex MRR 0.30,
+    # dense 0.15, hybrid 0.23 there)
