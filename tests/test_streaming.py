@@ -1665,3 +1665,98 @@ def test_streaming_hybrid_search_fuses_both_stores(spark, tmp_path_factory):
         for i, (doc, ppm) in enumerate(ranked)
     )
     assert got == want
+
+
+def test_streaming_cc_matches_batch(spark, tmp_path_factory):
+    """Incremental connected-component maintenance, fed edge waves,
+    resolves to EXACTLY the from-scratch star-contraction labels
+    (including label VALUES — component minimum — not just the
+    partition); fresh-checkpoint replay, a crash-window re-ingest,
+    and a log compaction all change nothing; merges across waves
+    rewrite exactly the merged components' members."""
+    import shutil as _sh
+
+    from maillog2db_spark import streaming_cc as scc
+    from maillog2db_spark.operators import corpus_analytics as ca
+    from maillog2db_spark.operators.graph import star_components
+
+    sf = "/root/testdata/sf0.001"
+    pairs = (
+        ca._li_pair_counts(spark, sf)
+        .filter(f"w >= {ca.BASKET_MIN_SUPPORT}")
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    want = sorted(
+        (r.node, r.comp) for r in star_components(pairs).collect()
+    )
+    # waves keyed on a hash so every wave mixes nodes from everywhere —
+    # cross-wave merges are the interesting path
+    waves = [
+        pairs.filter(F.pmod(F.xxhash64("src", "dst"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+
+    d = tmp_path_factory.mktemp("cc_stream")
+    src = d / "edges"
+    src.mkdir()
+    for i, w in enumerate(waves):
+        tmp = d / f"_tmp{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"wave{i}.parquet"
+        _sh.move(str(part), str(dest))
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+        _sh.rmtree(tmp)
+
+    store = scc.CCStore(str(d / "store"))
+    q = scc.start_cc_stream(spark, str(src), store, str(d / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+
+    def resolved():
+        return sorted(
+            (r.node, r.comp) for r in store.current_labels(spark).collect()
+        )
+
+    assert resolved() == want
+
+    # fresh-checkpoint replay: the ledger skips every redelivered wave
+    q2 = scc.start_cc_stream(spark, str(src), store, str(d / "ckpt2"), available_now=True)
+    q2.awaitTermination(300)
+    assert resolved() == want
+
+    # crash inside the commit window: replay the in-flight batch, then
+    # continue — identical final labels
+    store2 = scc.CCStore(str(d / "store2"))
+    scc.cc_ingest_batch(spark, waves[0], store2, 0)
+    scc.cc_ingest_batch(spark, waves[1], store2, 1)
+    os.remove(store2._ledger(1))
+    scc.cc_ingest_batch(spark, waves[1], store2, 1)  # replay converges
+    scc.cc_ingest_batch(spark, waves[2], store2, 2)
+    assert sorted(
+        (r.node, r.comp) for r in store2.current_labels(spark).collect()
+    ) == want
+
+    # compaction: resolved labels under ONE partition at the frontier
+    # id, old partitions gone, no leftover swap dirs
+    store.compact(spark)
+    assert resolved() == want
+    import glob as _glob
+    parts = {p.rsplit("=", 1)[-1] for p in
+             _glob.glob(str(d / "store" / "labels" / "batch_id=*"))}
+    assert parts == {str(store.max_committed())}
+    assert not os.path.isdir(str(d / "store" / "labels_rewriting"))
+    assert not os.path.isdir(str(d / "store" / "labels_old"))
+
+    # an internal-only batch (edges already inside one component)
+    # writes no stored-member rewrites: ingest the full edge set again
+    # under a fresh id — labels can't change
+    late_id = store.max_committed() + 1
+    scc.cc_ingest_batch(spark, pairs, store, late_id)
+    assert resolved() == want
+
+    # fresh-checkpoint restart against an existing store is refused
+    store3 = scc.CCStore(str(d / "store3"))
+    scc.cc_ingest_batch(spark, waves[0], store3, 5)
+    with pytest.raises(ValueError, match="committed frontier"):
+        scc.cc_ingest_batch(spark, waves[1], store3, 3)
