@@ -49,7 +49,24 @@ def _hybrid_rankings(spark: SparkSession, sf_dir: str):
     """The two per-query ranked lists both the fusion and the
     label-relevance eval consume: (lex, den) with columns
     (query_id, doc_id, rank_lex) / (query_id, doc_id, rank_den) —
-    identical expression trees to the standalone rankers."""
+    identical expression trees to the standalone rankers. Both are
+    bounded top-k lists (queries × k rows), session-cached so the two
+    registered consumers run the BM25 probe and the dense scan once
+    per (session, sf_dir)."""
+    from .dedup import _cached
+
+    lex = _cached(
+        spark, sf_dir, "hyb_lex",
+        lambda: _hybrid_lex(spark, sf_dir),
+    )
+    den = _cached(
+        spark, sf_dir, "hyb_den",
+        lambda: _hybrid_den(spark, sf_dir),
+    )
+    return lex, den
+
+
+def _hybrid_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = spark.sparkContext.defaultParallelism
     d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
     toks = d.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
@@ -63,17 +80,18 @@ def _hybrid_rankings(spark: SparkSession, sf_dir: str):
         .select(F.col("doc_id").alias("query_id"), "term")
         .distinct()
     )
-    lex = bm25_from_tf(ctf, qterms, top_k=HYBRID_TOP_K).select(
+    return bm25_from_tf(ctf, qterms, top_k=HYBRID_TOP_K).select(
         "query_id", "doc_id", F.col("rank").alias("rank_lex")
     )
 
+
+def _hybrid_den(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, c = knn_queries_corpus(_embeddings(spark, sf_dir), HYBRID_N_QUERIES)
-    den = cosine_topk(q, c, HYBRID_TOP_K).select(
+    return cosine_topk(q, c, HYBRID_TOP_K).select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("rank_den"),
     )
-    return lex, den
 
 
 def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -463,3 +463,74 @@ SELECT epoch, doc_id, pos,
        CAST(pos % {SHUFFLE_SHARD_SIZE} AS BIGINT) AS slot
 FROM ranked
 """
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered training export (Bengio et al. 2009 shape,
+    as data pipelines run it: easy/clean first): global order =
+    quality DECILE descending, deterministic md5 shuffle within a
+    decile — the trainer streams the highest-quality tenth first
+    without any quality-correlated ordering artifacts inside a tier
+    (the md5 key de-correlates neighbors, the same content-derived
+    idiom as epoch_shuffle). Output is the (pos, shard, slot) layout
+    contract of `doc_epoch_shuffle`.
+
+    Two consumers of the size-adaptive two-phase rank, zero
+    unpartitioned windows: pass 1 ranks (coalesced) quality for the
+    integer-exact decile (ntile_from_rank over the 1-row count
+    broadcast); pass 2 ranks (decile desc, md5 key, doc_id) for the
+    global position. NULL quality (empty docs) coalesces to -1 —
+    explicitly BELOW every real score on both engines, rather than
+    riding engine-specific NULL ordering."""
+    from .windows import distributed_cumulative, ntile_from_rank
+    from .text import quality_score
+
+    q = quality_score(spark, sf_dir).select(
+        "doc_id", F.coalesce("quality_ppm", F.lit(-1)).alias("qv")
+    )
+    ranked = distributed_cumulative(q, [F.col("qv"), F.col("doc_id")])
+    n = ranked.sparkSession.createDataFrame(
+        [(ranked.count(),)], "n_total bigint"
+    )
+    decs = (
+        ranked.join(F.broadcast(n))
+        .withColumn("decile", ntile_from_rank("_grank", "n_total", 10))
+        .select(
+            "doc_id", "qv", "decile",
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("cur:"), F.col("doc_id"))), 1, 8),
+                16, 10,
+            ).cast("bigint").alias("skey"),
+        )
+    )
+    g = distributed_cumulative(
+        decs, [F.col("decile").desc(), F.col("skey"), F.col("doc_id")]
+    )
+    return g.select(
+        "doc_id",
+        F.col("decile").cast("int").alias("decile"),
+        (F.col("_grank") - 1).cast("bigint").alias("pos"),
+        F.expr(f"(_grank - 1) div {SHUFFLE_SHARD_SIZE}").cast("bigint").alias("shard"),
+        F.expr(f"(_grank - 1) % {SHUFFLE_SHARD_SIZE}").cast("bigint").alias("slot"),
+    )
+
+
+CURRICULUM_ORDER_SQL = f"""
+WITH q AS ({{quality_sql}}),
+qq AS (
+  SELECT doc_id, coalesce(quality_ppm, -1) AS qv FROM q
+), decs AS (
+  SELECT doc_id, qv,
+         CAST(ntile(10) OVER (ORDER BY qv, doc_id) AS INT) AS decile,
+         (('0x' || substr(md5('cur:' || doc_id), 1, 8))::BIGINT) AS skey
+  FROM qq
+)
+SELECT doc_id, decile,
+       CAST(row_number() OVER (ORDER BY decile DESC, skey, doc_id) - 1 AS BIGINT)
+         AS pos,
+       CAST((row_number() OVER (ORDER BY decile DESC, skey, doc_id) - 1)
+            // {SHUFFLE_SHARD_SIZE} AS BIGINT) AS shard,
+       CAST((row_number() OVER (ORDER BY decile DESC, skey, doc_id) - 1)
+            % {SHUFFLE_SHARD_SIZE} AS BIGINT) AS slot
+FROM decs
+"""

@@ -517,6 +517,9 @@ register("li_copurchase_triangles", _ca.COPURCHASE_TRIANGLES_SQL,
          doc="Per-part triangle count + clustering coefficient on the thresholded co-purchase graph (oriented a<b<c wedge join, each triangle counted once)")(_ca.copurchase_triangles)
 register("doc_unigram_tokenizer", _tx.UNIGRAM_TOKENIZER_SQL,
          doc="SentencePiece-family unigram-LM tokenizer trainer (Kudo 2018, hard-EM): substring seed vocab, 2 EM rounds of (single-expression Viterbi segment, add-one re-estimate) on the Zipf-bounded word table — corpus touched once; top pieces by final count, integer-ppm shares")(_tx.unigram_tokenizer)
+register("doc_curriculum_order",
+         _smp.CURRICULUM_ORDER_SQL.format(quality_sql=_tx.QUALITY_SCORE_SQL),
+         doc="Curriculum training-order export: quality decile descending with a deterministic md5 shuffle within each tier, materialized as the (pos, shard, slot) layout contract — two passes of the size-adaptive two-phase rank, no unpartitioned window")(_smp.curriculum_order)
 register("doc_retrieval_label_eval", _rtv.RETRIEVAL_LABEL_EVAL_SQL,
          doc="Labeled retrieval eval grid: MRR (1e6 div first-relevant-rank) and precision@k for BM25, exact-cosine dense, and RRF hybrid against label relevance — the whole eval harness (rankings, relevance join, metrics) hash-verified as one query")(_rtv.retrieval_label_eval)
 register("doc_unigram_encode_stats", _tx.UNIGRAM_ENCODE_STATS_SQL,

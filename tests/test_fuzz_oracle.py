@@ -68,6 +68,10 @@ FUZZED_QUERIES = [
     "doc_unigram_encode_stats",
     # fingerprint-keyed split (forced exact copies must co-locate)
     "doc_leakage_safe_split",
+    # curriculum export: integral ordering over quality_ppm + md5
+    # keys; tiny corpora hit the ntile ragged fill and NULL-quality
+    # (empty-doc) coalesce on both engines
+    "doc_curriculum_order",
     # sort-based blocking: binary UTF-8 key ordering must agree
     # cross-engine (non-ASCII WORDS reach multi-byte comparisons)
     "doc_sorted_neighborhood",

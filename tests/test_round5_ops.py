@@ -667,3 +667,27 @@ def test_retrieval_label_eval_grid_and_metric_invariants(spark):
     # all-miss grid is a legitimate outcome — verified empirically, and
     # the sf0.01 oracle hash covers the nonzero regime: lex MRR 0.30,
     # dense 0.15, hybrid 0.23 there)
+
+
+def test_curriculum_order_invariants(spark):
+    """Curriculum export: positions are the exact permutation 0..n-1,
+    deciles are weakly DESCENDING along the position order (the whole
+    point), each decile block is contiguous with the standard ntile
+    fill sizes, and shard/slot are pos's div/mod."""
+    from maillog2db_spark.operators import sampling as smp
+
+    rows = sorted(smp.curriculum_order(spark, SF).collect(),
+                  key=lambda r: r.pos)
+    n = len(rows)
+    assert [r.pos for r in rows] == list(range(n))
+    assert len({r.doc_id for r in rows}) == n
+    decs = [r.decile for r in rows]
+    assert all(a >= b for a, b in zip(decs, decs[1:]))  # descending tiers
+    sizes = Counter(decs)
+    q, rem = n // 10, n % 10
+    assert sorted(sizes.values(), reverse=True) == sorted(
+        [q + 1] * rem + [q] * (10 - rem), reverse=True
+    )
+    for r in rows:
+        assert r.shard == r.pos // smp.SHUFFLE_SHARD_SIZE
+        assert r.slot == r.pos % smp.SHUFFLE_SHARD_SIZE
