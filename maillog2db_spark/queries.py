@@ -637,7 +637,14 @@ _PRIORITY = [
     # machinery has its own skip-measurement tests). All three stay
     # oracle-checked + fuzz-tiered locally and queue for r6 with
     # embed_int8_recall / embed_hamming_recall / li_basket_affinity /
-    # embed_pq_encode.
+    # embed_pq_encode — and with the session's later additions
+    # (doc_unigram_encode_stats, doc_retrieval_label_eval,
+    # doc_curriculum_order), whose in-window parents bind their shared
+    # cores: the tokenizer hash binds the training the encode applies,
+    # the in-window doc_bm25_topk binds the eval grid's lexical core
+    # (the dense core carries r2-verified brute-force machinery), and
+    # the in-window doc_epoch_shuffle binds the curriculum's rank/
+    # layout machinery (quality_score keeps its earlier verdict).
     "doc_unigram_tokenizer",   # two DP pyramids + smoothing + ranking
     "li_part_components",      # star-contraction CC + recursive oracle
     "embed_cluster_labels",    # kmeans trajectory ⋈ documents lift

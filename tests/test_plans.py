@@ -43,6 +43,10 @@ BNL_ALLOWED = {
     # same N_QUERIES-head broadcast, over the checkpointed
     # reconstructed-embedding scan (renders as ExistingRDD)
     "embed_int8_recall": [_SCALAR, "vec_id", "cent_nrm", "Scan ExistingRDD"],
+    # eval grid: BM25's 1-row stats cross, the N_QUERIES-head cosine
+    # broadcast, and the (≤N_QUERIES)-row query-id grid crossed with
+    # the constant 3-row system table — every build side bounded
+    "doc_retrieval_label_eval": [_SCALAR, "vec_id", "cent_nrm"],
     # 1-row scalar aggregates broadcast back over the big side
     "doc_tfidf_topk": [_SCALAR],
     "tpch_q11_important_parts": [_SCALAR],
