@@ -1669,19 +1669,10 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     over bounded input and the totals collect to literals off the
     checkpointed counts — no data-proportional window, no 1-row
     broadcast-nested-loop stitch."""
-    from .similarity import (
-        N_KMEANS_ITER,
-        _kmeans_assign,
-        _kmeans_recompute,
-        _round_arr,
-    )
+    from .similarity import _kmeans_assign, _kmeans_final_cents
 
     e = _embeddings(spark, sf_dir)
-    cents = centroids_with_norms(spark, sf_dir).select(
-        "cell", _round_arr(F.col("centroid")).alias("centroid")
-    )
-    for _ in range(N_KMEANS_ITER - 1):
-        cents = _kmeans_recompute(_kmeans_assign(e, cents))
+    cents = _kmeans_final_cents(spark, sf_dir)
     assigned = _kmeans_assign(e, cents).select(
         F.col("vec_id").alias("doc_id"), "cluster"
     )

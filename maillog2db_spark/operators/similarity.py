@@ -1113,6 +1113,26 @@ def _kmeans_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _kmeans_final_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-row centroid table after N_KMEANS_ITER−1 Lloyd recomputes
+    — the exact trajectory state every consumer (kmeans stats,
+    silhouette, cluster labeling) assigns against. Session-cached: the
+    corpus-scan iterations run once per (session, sf_dir); the cached
+    table is k rows."""
+    from .dedup import _cached
+
+    def build() -> DataFrame:
+        e = _embeddings(spark, sf_dir)
+        cents = centroids_with_norms(spark, sf_dir).select(
+            "cell", _round_arr(F.col("centroid")).alias("centroid")
+        )
+        for _ in range(N_KMEANS_ITER - 1):
+            cents = _kmeans_recompute(_kmeans_assign(e, cents))
+        return cents
+
+    return _cached(spark, sf_dir, "kmeans_cents", build)
+
+
 def _kmeans_recompute(assigned: DataFrame) -> DataFrame:
     """Centroid update: per-(cluster, position) mean, rounded to 6 so
     the next iteration's distances start from cross-engine-identical
@@ -1146,17 +1166,12 @@ def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per final cluster, member count, inertia (Σ d², summed as
     ppm-fixed-point integers — order-exact), and centroid L2 norm."""
     e = _embeddings(spark, sf_dir)
-    cents = centroids_with_norms(spark, sf_dir).select(
-        "cell", _round_arr(F.col("centroid")).alias("centroid")
-    )
-    assigned = None
-    for _ in range(N_KMEANS_ITER):
-        assigned = _kmeans_assign(e, cents)
-        # the LAST iteration's assignment pairs with the centroids it
-        # was assigned TO (cents from the previous update), so recompute
-        # only between iterations
-        if _ < N_KMEANS_ITER - 1:
-            cents = _kmeans_recompute(assigned)
+    # the LAST iteration's assignment pairs with the centroids it was
+    # assigned TO (the session-cached N_KMEANS_ITER-1-recompute state
+    # shared with silhouette/cluster_labels — identical trajectory,
+    # identical rounding)
+    cents = _kmeans_final_cents(spark, sf_dir)
+    assigned = _kmeans_assign(e, cents)
     norms = cents.select(
         "cell", F.round(F.sqrt(F.aggregate(
             F.transform(F.col("centroid"), lambda x: x * x),
@@ -2138,11 +2153,7 @@ def silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical); a == b == 0 yields NULL via try_divide, exactly
     the oracle's x/0."""
     e = _embeddings(spark, sf_dir)
-    cents = centroids_with_norms(spark, sf_dir).select(
-        "cell", _round_arr(F.col("centroid")).alias("centroid")
-    )
-    for _ in range(N_KMEANS_ITER - 1):
-        cents = _kmeans_recompute(_kmeans_assign(e, cents))
+    cents = _kmeans_final_cents(spark, sf_dir)
     scored = e.join(F.broadcast(cents)).select(
         "vec_id",
         "cell",

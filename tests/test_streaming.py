@@ -1760,3 +1760,53 @@ def test_streaming_cc_matches_batch(spark, tmp_path_factory):
     scc.cc_ingest_batch(spark, waves[0], store3, 5)
     with pytest.raises(ValueError, match="committed frontier"):
         scc.cc_ingest_batch(spark, waves[1], store3, 3)
+
+
+def test_streaming_neardup_pairs_feed_streaming_cc(spark, tmp_path_factory):
+    """End-to-end incremental dedup clustering: document waves run
+    through the streaming near-dup pipeline, each wave's NEW verified
+    pairs feed the streaming connected-component store, and the final
+    resolved labels reproduce the batch doc_neardup_clusters table
+    exactly (cluster ids AND membership) — the full
+    admission→pairs→clusters path with no batch recomputation."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_cc as scc
+    from maillog2db_spark import streaming_neardup as snd
+    from maillog2db_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents").select("doc_id", "lang", "text")
+    want = {
+        (r.cluster_id, r.members)
+        for r in dedup.neardup_clusters(spark, sf).collect()
+    }
+
+    d = tmp_path_factory.mktemp("nd_cc")
+    nd = snd.MinHashStore(str(d / "nd"))
+    cc = scc.CCStore(str(d / "cc"))
+    waves = [
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i) for i in range(3)
+    ]
+    seen = None
+    for i, w in enumerate(waves):
+        snd.neardup_ingest_batch(spark, w, nd, i)
+        cur = nd.read_pairs(spark).select("doc_a", "doc_b").localCheckpoint(
+            eager=True
+        )
+        delta = cur if seen is None else cur.exceptAll(seen)
+        scc.cc_ingest_batch(
+            spark,
+            delta.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+            cc,
+            i,
+        )
+        seen = cur
+
+    labels = cc.current_labels(spark)
+    by_comp = {}
+    for r in labels.collect():
+        by_comp.setdefault(r.comp, []).append(r.node)
+    got = {
+        (c, ",".join(str(x) for x in sorted(ms))) for c, ms in by_comp.items()
+    }
+    assert got == want
