@@ -1151,3 +1151,87 @@ SELECT month, rev_cents,
        CAST(floor(trend * 1000000 + 0.5) AS BIGINT) AS trend_ppm
 FROM rec
 """
+
+
+def seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of monthly revenue:
+    ratio-to-centered-moving-average (the textbook multiplicative
+    X-11-style first step). Per month t with a COMPLETE ±6-month
+    neighborhood, the 2×12 centered MA is
+    (m[t−6] + 2·Σ m[t−5..t+5] + m[t+6]) / 24 and the seasonal ratio is
+    rev(t)/MA; the index per CALENDAR month (1..12) is the mean ratio.
+    De-seasonalizing a revenue series (or a training-data ingest-rate
+    series) is the standard use.
+
+    Exactness: monthly revenue aggregates to integer cents; the MA
+    numerator is the exact integer Σ₋₆..₊₆ + Σ₋₅..₊₅ (≡ the ×2-weighted
+    form), so ratio_ppm = rev·24·1e6 div numerator never lets a float
+    decide; the per-calendar-month mean is integer div over ppm ints.
+    Months index densely as year·12+month, so RANGE frames stay
+    correct under calendar GAPS (a rows-frame would silently treat
+    non-adjacent months as neighbors); an incomplete window (count <
+    13) yields NULL ratio and drops from the mean — both engines via
+    the same conditional.
+
+    Scale: corpus work is one map-side-combined groupBy to the monthly
+    table; the frames run over the calendar-bounded series (≤
+    date-span months at any corpus size — the revenue_ewma exemption)."""
+    o = io.load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+        ).alias("midx")
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents")
+    )
+    w13 = Window.orderBy("midx").rangeBetween(-6, 6)
+    w11 = Window.orderBy("midx").rangeBetween(-5, 5)
+    scored = monthly.select(
+        "midx",
+        "cents",
+        F.count(F.lit(1)).over(w13).alias("n13"),
+        (F.sum("cents").over(w13) + F.sum("cents").over(w11)).alias("num24"),
+    ).select(
+        "midx",
+        F.when(
+            (F.col("n13") == 13) & (F.col("num24") > 0),
+            F.expr("CAST(cents * 24 * 1000000 div num24 AS BIGINT)"),
+        ).alias("ratio_ppm"),
+    )
+    return (
+        scored.groupBy(((F.col("midx") - 1) % 12 + 1).cast("int").alias("month_num"))
+        .agg(
+            F.count("ratio_ppm").cast("bigint").alias("n_obs"),
+            F.expr(
+                "CAST(CASE WHEN count(ratio_ppm) > 0 THEN "
+                "sum(ratio_ppm) div count(ratio_ppm) END AS BIGINT)"
+            ).alias("mean_ratio_ppm"),
+        )
+    )
+
+
+SEASONAL_INDEX_SQL = """
+WITH monthly AS (
+  SELECT (year(CAST(o_orderdate AS DATE)) * 12
+          + month(CAST(o_orderdate AS DATE))) AS midx,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT midx,
+         CASE WHEN count(*) OVER w13 = 13
+               AND (sum(cents) OVER w13 + sum(cents) OVER w11) > 0
+              THEN CAST(cents * 24 * 1000000
+                        // (sum(cents) OVER w13 + sum(cents) OVER w11) AS BIGINT)
+         END AS ratio_ppm
+  FROM monthly
+  WINDOW w13 AS (ORDER BY midx RANGE BETWEEN 6 PRECEDING AND 6 FOLLOWING),
+         w11 AS (ORDER BY midx RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+)
+SELECT CAST((midx - 1) % 12 + 1 AS INT) AS month_num,
+       CAST(count(ratio_ppm) AS BIGINT) AS n_obs,
+       CAST(CASE WHEN count(ratio_ppm) > 0
+            THEN sum(ratio_ppm) // count(ratio_ppm) END AS BIGINT)
+         AS mean_ratio_ppm
+FROM scored GROUP BY 1
+"""

@@ -517,6 +517,8 @@ register("li_copurchase_triangles", _ca.COPURCHASE_TRIANGLES_SQL,
          doc="Per-part triangle count + clustering coefficient on the thresholded co-purchase graph (oriented a<b<c wedge join, each triangle counted once)")(_ca.copurchase_triangles)
 register("doc_unigram_tokenizer", _tx.UNIGRAM_TOKENIZER_SQL,
          doc="SentencePiece-family unigram-LM tokenizer trainer (Kudo 2018, hard-EM): substring seed vocab, 2 EM rounds of (single-expression Viterbi segment, add-one re-estimate) on the Zipf-bounded word table — corpus touched once; top pieces by final count, integer-ppm shares")(_tx.unigram_tokenizer)
+register("ord_seasonal_index", _win.SEASONAL_INDEX_SQL,
+         doc="Classical seasonal decomposition: ratio of monthly revenue to the 2x12 centered moving average (exact-integer numerator, dense year*12+month index so RANGE frames survive calendar gaps), mean ratio per calendar month")(_win.seasonal_index)
 register("doc_curriculum_order",
          _smp.CURRICULUM_ORDER_SQL.format(quality_sql=_tx.QUALITY_SCORE_SQL),
          doc="Curriculum training-order export: quality decile descending with a deterministic md5 shuffle within each tier, materialized as the (pos, shard, slot) layout contract — two passes of the size-adaptive two-phase rank, no unpartitioned window")(_smp.curriculum_order)

@@ -288,7 +288,11 @@ ORD_QUERIES = ["ord_rfm_segments", "ord_customer_gaps", "ord_zorder_key",
                "ord_revenue_holt",
                # two-phase rank + integer ntile with total < bucket
                # count (q=0 branch must stay unevaluated on both sides)
-               "ord_price_equidepth"]
+               "ord_price_equidepth",
+               # 2x12 centered MA over the dense month index: fuzz
+               # reaches calendar gaps (RANGE vs rows semantics) and
+               # sub-13-month spans (every ratio NULL, NULL means)
+               "ord_seasonal_index"]
 
 orders_strategy = st.lists(
     st.tuples(

@@ -137,6 +137,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "doc_cms_heavy_hitters",  # runs post-limit(CMS_TOP_K): ≤ K rows
     "ord_revenue_ewma",  # RANGE frame over calendar days: ≤ date span
     "doc_vocab_growth",  # cumsum over the bucket grid: ≤ VOCAB_BUCKETS rows
+    "ord_seasonal_index",  # RANGE frames over calendar months: ≤ date span
 }
 
 

@@ -691,3 +691,39 @@ def test_curriculum_order_invariants(spark):
     for r in rows:
         assert r.shard == r.pos // smp.SHUFFLE_SHARD_SIZE
         assert r.slot == r.pos % smp.SHUFFLE_SHARD_SIZE
+
+
+def test_seasonal_index_matches_local_recount(spark):
+    """ord_seasonal_index vs a from-scratch Python recount: dense
+    month index, complete-window 2x12 centered MA with the exact
+    integer numerator, ratio/mean integer quantization."""
+    got = {
+        r.month_num: (r.n_obs, r.mean_ratio_ppm)
+        for r in win.seasonal_index(spark, SF).collect()
+    }
+    monthly = {}
+    for (midx, cents) in duckdb.sql(
+        f"""
+        SELECT year(CAST(o_orderdate AS DATE)) * 12
+               + month(CAST(o_orderdate AS DATE)) AS midx,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM '{SF}/orders.parquet' GROUP BY 1
+        """
+    ).fetchall():
+        monthly[midx] = cents
+    per_month = defaultdict(list)
+    for midx, cents in monthly.items():
+        w13 = [monthly[i] for i in range(midx - 6, midx + 7) if i in monthly]
+        w11 = [monthly[i] for i in range(midx - 5, midx + 6) if i in monthly]
+        if len(w13) != 13:
+            continue
+        num24 = sum(w13) + sum(w11)
+        if num24 <= 0:
+            continue
+        per_month[(midx - 1) % 12 + 1].append(cents * 24 * 1_000_000 // num24)
+    expected = {}
+    for m in range(1, 13):
+        if m in {k for k in got}:
+            rs = per_month.get(m, [])
+            expected[m] = (len(rs), sum(rs) // len(rs) if rs else None)
+    assert got == expected
