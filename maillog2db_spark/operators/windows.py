@@ -1178,12 +1178,25 @@ def seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     date-span months at any corpus size — the revenue_ewma exemption)."""
     o = io.load(spark, sf_dir, "orders")
     monthly = o.groupBy(
-        (
-            F.year(F.col("o_orderdate").cast("date")) * 12
-            + F.month(F.col("o_orderdate").cast("date"))
-        ).alias("midx")
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month")
     ).agg(
-        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents")
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents")
+    )
+    return seasonal_from_monthly(monthly)
+
+
+def seasonal_from_monthly(monthly: DataFrame) -> DataFrame:
+    """The decomposition core over a resolved (month 'yyyy-MM',
+    rev_cents) table — the exact shape the Holt family and the
+    streaming monthly store (streaming_holt.HoltStore) already
+    produce, so the streaming twin is this same expression over the
+    accumulated store, not a reimplementation."""
+    monthly = monthly.select(
+        F.expr(
+            "CAST(substring(month, 1, 4) AS INT) * 12"
+            " + CAST(substring(month, 6, 2) AS INT)"
+        ).alias("midx"),
+        F.col("rev_cents").alias("cents"),
     )
     w13 = Window.orderBy("midx").rangeBetween(-6, 6)
     w11 = Window.orderBy("midx").rangeBetween(-5, 5)

@@ -154,3 +154,17 @@ def compact_monthly(spark: SparkSession, store: HoltStore) -> None:
             F.sum("rev_cents").cast("bigint").alias("rev_cents")
         ),
     )
+
+
+def seasonal(spark: SparkSession, store: HoltStore) -> DataFrame:
+    """Seasonal decomposition over the accumulated monthly store —
+    equal to ``ord_seasonal_index`` over the union of all ingested
+    batches (shared ``seasonal_from_monthly`` core; the additive
+    monthly partials resolve first, so late backfills of an existing
+    month flow into the MA like a batch rerun would)."""
+    from .operators.windows import seasonal_from_monthly
+
+    monthly = store.monthly(spark)
+    if monthly is None:
+        raise ValueError("no batches ingested yet")
+    return seasonal_from_monthly(monthly)

@@ -1290,6 +1290,17 @@ def test_streaming_holt_matches_batch(spark, tmp_path_factory):
     month, fc = sh.nowcast(spark, store)
     assert month == last[0] and fc == last[3] + last[4]
 
+    # the SAME accumulated monthly store serves the seasonal
+    # decomposition: equal to the batch ord_seasonal_index over the
+    # union of every ingested batch (shared seasonal_from_monthly core
+    # — month totals were split across all three waves, so this also
+    # re-proves the additive resolution through a second consumer)
+    from maillog2db_spark.operators.windows import seasonal_index
+
+    want_seasonal = sorted(map(tuple, seasonal_index(spark, sf).collect()))
+    got_seasonal = sorted(map(tuple, sh.seasonal(spark, store).collect()))
+    assert got_seasonal == want_seasonal
+
 
 def test_streaming_bm25_matches_batch_and_serves_adhoc(spark, tmp_path_factory):
     """The incremental inverted index, fed documents in waves, retrieves

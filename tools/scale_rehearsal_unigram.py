@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Unigram-tokenizer trainer rehearsal beyond the driver's SFs.
+
+Same deterministic corpus protocol as scale_rehearsal_bm25/dsir
+(60-token docs over a 5k-word xxhash64 vocab, no RNG). The trainer's
+cost model under test: the corpus is touched ONCE (word counts); the
+seed explode, both EM E-steps (per-word piece-map build + the
+two-expression DP), and the re-estimations are all WORD-VOCAB-grain —
+fixed at 5k words here — so total wall time must go corpus-linear
+with a flat vocab-side tail, and µs/doc must FALL as the word-count
+scan amortizes the fixed EM cost. A rising per-doc cost would mean
+corpus-grain work leaked into the EM loop.
+
+Usage:
+    PYTHONPATH=/root/repo python tools/scale_rehearsal_unigram.py [n_docs] [cpus]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+
+    from pyspark.sql import functions as F
+
+    from maillog2db_spark.operators import text as tx
+    from maillog2db_spark.session import get_spark
+
+    spark = get_spark("scale_rehearsal_unigram", cpus=cpus)
+    p = spark.sparkContext.defaultParallelism
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(max(cpus, n_docs // 15_000))
+    )
+
+    base = spark.range(0, n_docs, 1, p)
+    tok = (
+        "concat('w', pmod(xxhash64(concat(cast(id as string), '_', "
+        "cast(i as string))), 5000))"
+    )
+    docs = base.select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.lit("s1").alias("source"),
+        F.expr(
+            "array_join(transform(sequence(0, 59), i -> " + tok + "), ' ')"
+        ).alias("text"),
+    ).withColumn("n_chars", F.length("text"))
+
+    d = tempfile.mkdtemp(prefix="unigram_rehearsal_")
+    docs.write.parquet(f"{d}/documents.parquet")
+    print(f"corpus: {n_docs} docs at {d}", flush=True)
+
+    t0 = time.time()
+    rows = tx.unigram_tokenizer(spark, d).collect()
+    dt = time.time() - t0
+    assert len(rows) == tx.UNI_TOP, len(rows)
+    # semantic sanity: every piece count is positive and the shares
+    # are a valid ppm distribution head
+    assert all(r.cnt > 0 and 0 < r.share_ppm <= 1_000_000 for r in rows)
+    print(
+        f"unigram_tokenizer: {dt:.1f} s for {n_docs} docs "
+        f"({dt / n_docs * 1e6:.1f} us/doc); top piece "
+        f"{rows[0].piece!r} cnt={rows[0].cnt}",
+        flush=True,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
