@@ -644,9 +644,11 @@ _PRIORITY = [
     # doc_curriculum_order), whose in-window parents bind their shared
     # cores: the tokenizer hash binds the training the encode applies,
     # the in-window doc_bm25_topk binds the eval grid's lexical core
-    # (the dense core carries r2-verified brute-force machinery), and
-    # the in-window doc_epoch_shuffle binds the curriculum's rank/
-    # layout machinery (quality_score keeps its earlier verdict).
+    # (the dense core carries r2-verified brute-force machinery), the
+    # in-window doc_epoch_shuffle binds the curriculum's rank/layout
+    # machinery (quality_score keeps its earlier verdict), and the
+    # in-window ord_revenue_holt binds the monthly-cents core that
+    # ord_seasonal_index decomposes.
     "doc_unigram_tokenizer",   # two DP pyramids + smoothing + ranking
     "li_part_components",      # star-contraction CC + recursive oracle
     "embed_cluster_labels",    # kmeans trajectory ⋈ documents lift
