@@ -555,6 +555,9 @@ from .operators import graph as _gr  # noqa: E402
 register("li_part_components",
          _gr.PART_COMPONENTS_SQL.format(minsup=_ca.BASKET_MIN_SUPPORT),
          doc="Connected components of the co-purchase affinity graph via alternating large-star/small-star contraction (Kiveris et al. 2014) — O(log^2 n) rounds on any topology, vs the O(diameter) min-label propagation the near-dup clusters use")(_gr.part_components)
+register("li_part_kcore",
+         _gr.PART_KCORE_SQL.format(minsup=_ca.BASKET_MIN_SUPPORT),
+         doc="K-core of the co-purchase graph (Seidman 1983): fixed-round peeling of nodes with < K surviving neighbors — the cohesive trading core, fourth consumer of the shared pair base; convergence within the round budget is test-asserted")(_gr.part_kcore)
 register("li_part_pagerank", _ca.PART_PAGERANK_SQL,
          doc="PageRank over the part co-purchase graph: 2 unrolled power iterations, ppb-integer ranks, per-edge contributions floored before cross-row sums — the driver holds only the loop counter")(_ca.part_pagerank)
 register("ord_cohort_ltv", _win.COHORT_LTV_SQL,

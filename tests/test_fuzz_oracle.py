@@ -457,6 +457,12 @@ LI_QUERIES = [
     # oriented wedge join: duplicate (order, part) rows collapse first;
     # edgeless graphs (singleton baskets) give 0 rows on both engines
     "li_copurchase_triangles",
+    # star contraction vs the recursive-reachability oracle on fuzzed
+    # graphs; empty/thresholded-away edge sets give 0 rows both sides
+    "li_part_components",
+    # fixed-round peel vs the unrolled materialized rounds; fuzz graphs
+    # routinely peel to EMPTY cores (0 rows on both engines)
+    "li_part_kcore",
 ]
 
 basket_strategy = st.lists(
