@@ -21,9 +21,10 @@ Round shape (all DataFrame ops, driver holds only the loop counter):
 Each is one groupBy (min per node) + one equi-join back to the edge
 list — two shuffles per round over the CURRENT edge set, which only
 shrinks toward the star forest. Convergence is an exact one-job
-fixpoint test (star forest ⇔ no dst also appears as src; both
-operations preserve connectivity, so a star forest's components are
-the input's), and each round's output is localCheckpoint-ed so
+fixpoint test (star forest ⇔ no dst also appears as src AND every
+src has out-degree 1; both operations preserve connectivity, so a
+star forest's components are the input's), and each round's output
+is localCheckpoint-ed so
 lineage stays flat (the same iterative-algorithm pattern as
 kmeans/pagerank/neardup_clusters).
 """
@@ -57,20 +58,31 @@ def star_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS,
     )
     rounds = 0
     for _ in range(max_rounds + 1):
-        # exact fixpoint test, ONE job: the edge set is a star forest
-        # iff no dst also appears as a src (depth 1 everywhere). Both
-        # star operations preserve connectivity, so a star forest's
-        # components ARE the input's components — and a star forest is
-        # a fixpoint of both operations, so stopping here is exact
-        # (cheaper than the count+exceptAll set-equality pair: one
-        # semi-join over the checkpointed edges per round).
-        deep = (
+        # exact fixpoint test, ONE job: with edges oriented big→small,
+        # the edge set is a star forest iff BOTH hold: (a) no dst also
+        # appears as a src (depth 1 everywhere) AND (b) every src has
+        # out-degree 1 (a node attached to TWO distinct roots — the
+        # V-shape (1,3),(2,3) → edges 3→1, 3→2 — passes (a) alone but
+        # is one component, not two stars; checking only (a) returned
+        # wrong labels on exactly that shape). Both star operations
+        # preserve connectivity, so a star forest's components ARE the
+        # input's components — and a star forest is a fixpoint of both
+        # operations, so stopping here is exact. The two violation
+        # probes union into a single limit-1 job; e is distinct, so
+        # plain count(v) per u equals the distinct out-degree.
+        depth_viol = (
             e.select("v")
             .join(e.select(F.col("u").alias("v")).distinct(), "v", "left_semi")
-            .limit(1)
-            .count()
+            .select(F.lit(1).alias("one"))
         )
-        if deep == 0:
+        fanout_viol = (
+            e.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("nv"))
+            .filter(F.col("nv") > 1)
+            .select(F.lit(1).alias("one"))
+        )
+        not_star = depth_viol.unionAll(fanout_viol).limit(1).count()
+        if not_star == 0:
             break
         rounds += 1
         if rounds > max_rounds:

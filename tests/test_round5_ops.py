@@ -466,9 +466,12 @@ def test_star_components_matches_union_find_on_adversarial_graphs(spark):
     """Star contraction vs a Python union-find on the topologies that
     break naive approaches: a 512-node chain (diameter stress — label
     propagation would need 511 rounds), a star, two cliques joined by
-    a bridge, self-loops, duplicate and reversed edges, and singleton
-    pairs. Also pins the round bound: the chain must converge in
-    O(log n) rounds, not O(n)."""
+    a bridge, self-loops, duplicate and reversed edges, singleton
+    pairs — and the V-shapes that broke the original convergence test
+    (a node with out-edges to two distinct pure-sink roots passes the
+    'no dst is also a src' check alone, so [(1,3),(2,3)] used to exit
+    at round 0 with node 2 wrongly isolated). Also pins the round
+    bound: the chain must converge in O(log n) rounds, not O(n)."""
     from maillog2db_spark.operators.graph import star_components
 
     chain = [(i, i + 1) for i in range(1000, 1512)]
@@ -478,7 +481,13 @@ def test_star_components_matches_union_find_on_adversarial_graphs(spark):
     bridge = [(3007, 3100)]
     noise = [(4000, 4000), (4001, 4002), (4002, 4001), (4003, 4004),
              (4004, 4003), (4003, 4004)]
-    edges = chain + star + cliq1 + cliq2 + bridge + noise
+    # V-shapes: after big→small orientation these are 3→1, 3→2 (and
+    # 5→1, 5→2, 6→3) — depth 1 everywhere, but src 3 (resp. 5) has
+    # out-degree 2, so they are NOT star forests and need one more
+    # contraction round
+    vshape = [(1, 3), (2, 3)]
+    vshape2 = [(50, 10), (50, 20), (60, 30)]
+    edges = chain + star + cliq1 + cliq2 + bridge + noise + vshape + vshape2
     want = _union_find([(a, b) for a, b in edges if a != b])
 
     stats = {}

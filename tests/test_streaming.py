@@ -1680,16 +1680,17 @@ def test_streaming_hybrid_search_fuses_both_stores(spark, tmp_path_factory):
 
 def test_streaming_cc_matches_batch(spark, tmp_path_factory):
     """Incremental connected-component maintenance, fed edge waves,
-    resolves to EXACTLY the from-scratch star-contraction labels
+    resolves to EXACTLY an independent Python union-find's labels
     (including label VALUES — component minimum — not just the
-    partition); fresh-checkpoint replay, a crash-window re-ingest,
-    and a log compaction all change nothing; merges across waves
-    rewrite exactly the merged components' members."""
+    partition; the oracle is deliberately NOT star_components, so a
+    bug shared by the batch and streaming paths cannot cancel out);
+    fresh-checkpoint replay, a crash-window re-ingest, and a log
+    compaction all change nothing; merges across waves rewrite exactly
+    the merged components' members."""
     import shutil as _sh
 
     from maillog2db_spark import streaming_cc as scc
     from maillog2db_spark.operators import corpus_analytics as ca
-    from maillog2db_spark.operators.graph import star_components
 
     sf = "/root/testdata/sf0.001"
     pairs = (
@@ -1698,9 +1699,20 @@ def test_streaming_cc_matches_batch(spark, tmp_path_factory):
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .localCheckpoint(eager=True)
     )
-    want = sorted(
-        (r.node, r.comp) for r in star_components(pairs).collect()
-    )
+    parent = {}
+
+    def _find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = _find(r.src), _find(r.dst)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted((n, _find(n)) for n in parent)
     # waves keyed on a hash so every wave mixes nodes from everywhere —
     # cross-wave merges are the interesting path
     waves = [
@@ -1771,6 +1783,32 @@ def test_streaming_cc_matches_batch(spark, tmp_path_factory):
     scc.cc_ingest_batch(spark, waves[0], store3, 5)
     with pytest.raises(ValueError, match="committed frontier"):
         scc.cc_ingest_batch(spark, waves[1], store3, 3)
+
+
+def test_streaming_cc_v_merge_through_new_node(spark, tmp_path):
+    """A batch that merges two EXISTING components through one new
+    node: the contracted merge graph is exactly the V-shape (5,1),(5,2)
+    — node 5's edges contract to two distinct component roots. The
+    original star-forest convergence test (depth-only) declared this
+    converged at round 0 and left component 2 un-merged; this pins the
+    fix at the streaming-merge grain."""
+    from maillog2db_spark import streaming_cc as scc
+
+    store = scc.CCStore(str(tmp_path / "v_store"))
+    wave0 = spark.createDataFrame(
+        [(1, 10), (2, 20)], "src bigint, dst bigint"
+    )
+    scc.cc_ingest_batch(spark, wave0, store, 0)
+    assert sorted(
+        (r.node, r.comp) for r in store.current_labels(spark).collect()
+    ) == [(1, 1), (2, 2), (10, 1), (20, 2)]
+    wave1 = spark.createDataFrame(
+        [(5, 1), (5, 2)], "src bigint, dst bigint"
+    )
+    scc.cc_ingest_batch(spark, wave1, store, 1)
+    assert sorted(
+        (r.node, r.comp) for r in store.current_labels(spark).collect()
+    ) == [(1, 1), (2, 1), (5, 1), (10, 1), (20, 1)]
 
 
 def test_streaming_neardup_pairs_feed_streaming_cc(spark, tmp_path_factory):
