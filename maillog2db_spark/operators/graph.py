@@ -206,59 +206,97 @@ FROM sizes JOIN ec ON sizes.comp = ec.comp
 """
 
 
-KCORE_K = 3       # the core order under test
-KCORE_ROUNDS = 8  # fixed peel rounds, unrolled in the oracle SQL;
-                  # convergence within this budget is asserted by test
-                  # on the gate corpora (the kmeans/pagerank
-                  # fixed-iteration framing — both engines run EXACTLY
-                  # this many rounds, so the contract is deterministic
-                  # even on adversarial inputs where peeling hasn't
-                  # settled yet)
+KCORE_K = 3        # the core order under test
+KCORE_ROUNDS = 16  # oracle unroll depth: the DuckDB twin runs EXACTLY
+                   # this many peel rounds; the engine peels to the
+                   # runtime fixpoint, and a test asserts every gate
+                   # corpus converges within this depth (sf0.001: 0
+                   # rounds, sf0.01: 10, sf0.1: 2 — measured), so the
+                   # oracle's trailing rounds are no-ops and the hash
+                   # binds the TRUE core. The previous depth of 8 was
+                   # short of sf0.01's 10: both engines stopped
+                   # mid-peel and agreed on 5 non-core nodes — the
+                   # exact silent-wrong-at-scale mode the runtime
+                   # guard now prevents
+KCORE_MAX_ROUNDS = 64  # engine budget — peel chains can need O(n)
+                       # rounds on adversarial topologies; past this
+                       # the operator raises instead of silently
+                       # returning non-core nodes (the star_components
+                       # contract)
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K,
+          max_rounds: int = KCORE_MAX_ROUNDS,
+          stats: dict | None = None) -> DataFrame:
+    """K-core peeling to the TRUE fixpoint: drop every node with fewer
+    than ``k`` surviving neighbors, recompute degrees, repeat until the
+    edge set stops shrinking (Seidman 1983). Input is an undirected
+    (u, v) edge list (one row per edge, no self-loops); output is
+    (node, core_degree) for the surviving core.
+
+    Per round: one degree aggregate + two semi-joins against the
+    survivor set, then a count of the checkpointed result — peeling is
+    monotone (edges only shrink), so an unchanged edge COUNT is an
+    exact set-fixpoint test, one cheap job per round on data that was
+    just materialized anyway. Rounds past ``max_rounds`` raise — a
+    deeper graph fails loudly rather than silently labeling nodes with
+    < k surviving neighbors as core members. The driver holds only the
+    loop counter; survivor sets stay distributed and checkpointed
+    (flat lineage). Pass ``stats`` to receive {"rounds": r}."""
+    e = edges.localCheckpoint(eager=True)
+    n_edges = e.count()
+    rounds = 0
+    while n_edges > 0:
+        both = e.select(F.col("u").alias("n")).unionAll(
+            e.select(F.col("v").alias("n"))
+        )
+        alive = (
+            both.groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("n")
+        )
+        nxt = (
+            e.join(alive.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("n", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_edges:
+            break  # exact fixpoint: monotone shrink + equal count
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"kcore did not converge in {max_rounds} rounds"
+            )
+        e, n_edges = nxt, n_nxt
+    if stats is not None:
+        stats["rounds"] = rounds
+    both = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    )
+    return both.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
 
 
 def part_kcore(spark, sf_dir: str) -> DataFrame:
-    """K-core of the co-purchase graph: KCORE_ROUNDS rounds of peeling
-    — drop every node with fewer than KCORE_K surviving neighbors,
-    recompute degrees, repeat. The classic cohesive-subgraph extractor
-    (Seidman 1983): what remains is the graph's stable trading core,
-    where every member keeps ≥ K co-purchase partners even after the
-    fringe is removed — the fourth consumer of the shared pair base,
-    and the densest-region complement to the component/triangle views.
-
-    Per round: one degree aggregate + one semi-join against the
-    survivor set — affected-edge grain, edges only shrink. The driver
-    holds the loop counter; survivor sets stay distributed and
-    checkpointed (flat lineage). Output: (part, core_degree) for the
-    surviving nodes."""
+    """K-core of the co-purchase graph — the classic cohesive-subgraph
+    extractor: what remains is the graph's stable trading core, where
+    every member keeps ≥ K co-purchase partners even after the fringe
+    is removed — the fourth consumer of the shared pair base, and the
+    densest-region complement to the component/triangle views. Peels
+    to the runtime fixpoint via :func:`kcore`; the oracle unrolls
+    KCORE_ROUNDS rounds, which a test pins as past convergence on the
+    gate corpus. Output: (part, core_degree)."""
     from .corpus_analytics import BASKET_MIN_SUPPORT, _li_pair_counts
 
     edges = (
         _li_pair_counts(spark, sf_dir)
         .filter(F.col("w") >= BASKET_MIN_SUPPORT)
         .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(KCORE_ROUNDS):
-        both = edges.select(F.col("u").alias("n"), F.col("v").alias("m")).unionAll(
-            edges.select(F.col("v").alias("n"), F.col("u").alias("m"))
-        )
-        alive = (
-            both.groupBy("n")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= KCORE_K)
-            .select("n")
-        )
-        edges = (
-            edges.join(alive.withColumnRenamed("n", "u"), "u", "left_semi")
-            .join(alive.withColumnRenamed("n", "v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-    both = edges.select(F.col("u").alias("part")).unionAll(
-        edges.select(F.col("v").alias("part"))
-    )
-    return both.groupBy("part").agg(
-        F.count(F.lit(1)).cast("bigint").alias("core_degree")
-    )
+    return kcore(edges).withColumnRenamed("node", "part")
 
 
 def _kcore_round_duck(i: int, prev: str) -> str:

@@ -738,22 +738,16 @@ def test_seasonal_index_matches_local_recount(spark):
     assert got == expected
 
 
-def test_part_kcore_matches_python_peel_and_converges_in_budget(spark):
-    """li_part_kcore vs a Python peel run TO CONVERGENCE — and the
-    convergence must land within the fixed KCORE_ROUNDS budget on the
-    gate corpus (the fixed-iteration contract is only the true k-core
-    where peeling has settled; this pins that it has). Also the core
-    property itself: every surviving node keeps >= K neighbors."""
+def _python_peel(sf_dir):
+    """Reference k-core: peel to convergence in Python, return
+    (rounds, final degree dict)."""
     from maillog2db_spark.operators import graph as gr
-
-    got = {r.part: r.core_degree
-           for r in gr.part_kcore(spark, SF).collect()}
 
     edges = set(
         duckdb.sql(
             f"""
             WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
-                        FROM '{SF}/lineitem.parquet')
+                        FROM '{sf_dir}/lineitem.parquet')
             SELECT a.l_partkey, b.l_partkey
             FROM li a JOIN li b USING (l_orderkey)
             WHERE a.l_partkey < b.l_partkey
@@ -773,10 +767,64 @@ def test_part_kcore_matches_python_peel_and_converges_in_budget(spark):
             break
         edges = nxt
         rounds += 1
-    assert rounds <= gr.KCORE_ROUNDS, rounds  # budget covers convergence
     deg = Counter()
     for a, b in edges:
         deg[a] += 1
         deg[b] += 1
-    assert got == dict(deg)
+    return rounds, dict(deg)
+
+
+def test_part_kcore_matches_python_peel_and_converges_in_budget(spark):
+    """li_part_kcore vs a Python peel run TO CONVERGENCE — and every
+    gate corpus must converge within the KCORE_ROUNDS oracle unroll
+    depth (the unrolled DuckDB twin is only the true k-core where
+    peeling has settled by that round; sf0.01 needs 10 rounds, which
+    the original depth of 8 silently missed). Also the core property
+    itself: every surviving node keeps >= K neighbors."""
+    from maillog2db_spark.operators import graph as gr
+
+    got = {r.part: r.core_degree
+           for r in gr.part_kcore(spark, SF).collect()}
+    rounds, want = _python_peel(SF)
+    assert rounds <= gr.KCORE_ROUNDS, rounds
+    assert got == want
     assert all(d >= gr.KCORE_K for d in got.values())
+    # the oracle-depth pin at the DRIVER's gate scale (python-only,
+    # no second Spark run): convergence must land within the unroll
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        rounds, _ = _python_peel(sf_dir)
+        assert rounds <= gr.KCORE_ROUNDS, (sf_dir, rounds)
+
+
+def test_kcore_long_peel_chain_converges_past_oracle_depth(spark):
+    """The runtime convergence guard: a path glued to a 4-clique peels
+    ONE node per round under k=2 (only the dangling end is below
+    degree 2 each round), needing rounds ≈ path length — past the
+    8-round oracle unroll depth. The engine must keep peeling to the
+    true fixpoint (exactly the clique, degree 3 everywhere) instead of
+    stopping at a fixed round count and returning path nodes (which
+    have < 2 surviving neighbors) labeled as core members — the
+    failure mode the guard exists to prevent."""
+    from maillog2db_spark.operators import graph as gr
+
+    path = [(i, i + 1) for i in range(100, 120)]
+    clique = [(200 + i, 200 + j) for i in range(4) for j in range(i + 1, 4)]
+    glue = [(120, 200)]
+    df = spark.createDataFrame(path + clique + glue, "u bigint, v bigint")
+    stats = {}
+    got = {r.node: r.core_degree for r in gr.kcore(df, k=2, stats=stats).collect()}
+    assert got == {200 + i: 3 for i in range(4)}
+    assert stats["rounds"] > gr.KCORE_ROUNDS, stats  # the old fixed
+    # budget would have stopped mid-peel with path nodes still present
+
+
+def test_kcore_raises_past_round_budget(spark):
+    """Budget exhaustion fails loudly: the same slow-peeling path with
+    a tiny max_rounds raises instead of silently returning non-core
+    nodes."""
+    from maillog2db_spark.operators import graph as gr
+
+    path = [(i, i + 1) for i in range(100, 110)]
+    df = spark.createDataFrame(path, "u bigint, v bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        gr.kcore(df, k=2, max_rounds=3)
