@@ -878,30 +878,62 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression over exact integer counts (identical IEEE op order both
     engines), quantized to ppm BEFORE the per-(query,doc) sum — the
     cross-row aggregation is integer, so partial-sum order can't move
-    the result. Ranking compares the integer; ties break on doc_id."""
+    the result. Ranking compares the integer; ties break on doc_id.
+
+    Scored-mass control (the 2M-doc rehearsal's 1.35×/decade drift):
+    dl is CARRIED through the tf aggregate (dl = size of the token
+    array — one extra constant column through the shuffle that builds
+    ctf anyway), and corpus stats come from the DOC grain (one narrow
+    aggregate over the documents scan). Neither needs the per-doc dl
+    table as a join side any more — previously, once dl outgrew the
+    broadcast threshold (~300k docs), Catalyst sort-merge-shuffled the
+    ENTIRE (doc, term) tf table on doc_id BEFORE the bounded
+    query-term filter could cut it down; now the only full-width
+    shuffles are ctf's own groupBy and the post-probe (query, doc)
+    aggregate over the query terms' posting lists."""
     p = spark.sparkContext.defaultParallelism
     d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
-    toks = d.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
+    base = d.select("doc_id", F.expr(_TOKENS_SPARK).alias("toks"))
+    toks = base.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
     corpus = toks.filter(F.col("doc_id") >= BM25_N_QUERIES)
-    ctf = corpus.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ctf = corpus.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    # corpus stats from the doc grain — one row per doc already, no
+    # countDistinct and no join-back; docs whose text tokenizes empty
+    # contribute no ctf rows, so they are excluded here too
+    stats = (
+        base.filter(F.col("doc_id") >= BM25_N_QUERIES)
+        .select(F.size("toks").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+    )
+    dfreq = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qterms = (
         toks.filter(F.col("doc_id") < BM25_N_QUERIES)
         .select(F.col("doc_id").alias("query_id"), "term")
         .distinct()
     )
-    return bm25_from_tf(ctf, qterms)
+    return bm25_score_topk(ctf, None, stats, dfreq, qterms)
 
 
 def bm25_from_tf(
     ctf: DataFrame, qterms: DataFrame, top_k: int = BM25_TOP_K
 ) -> DataFrame:
     """The BM25 scoring/top-k pipeline from a (doc_id, term, tf) table
-    and a (query_id, term) query-term table — shared by the batch
-    operator above and the streaming inverted-index dual
-    (streaming_bm25.py), so stream≡batch equivalence is equality of
-    the resolved tf tables, not of two scoring implementations. Doc
-    lengths, document frequencies and corpus stats all derive FROM
-    the tf table (dl = Σtf per doc — no second corpus pass)."""
+    and a (query_id, term) query-term table — shared by the streaming
+    inverted-index dual (streaming_bm25.py) and the hybrid lexical leg,
+    so stream≡batch equivalence is equality of the resolved tf tables,
+    not of two scoring implementations. Doc lengths, document
+    frequencies and corpus stats all derive FROM the tf table (dl =
+    Σtf per doc — no second corpus pass). The batch ``bm25_topk``
+    carries dl through its own tf aggregate instead and skips the dl
+    join entirely."""
     dl = ctf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -913,7 +945,7 @@ def bm25_from_tf(
 
 def bm25_score_topk(
     ctf: DataFrame,
-    dl: DataFrame,
+    dl: DataFrame | None,
     stats: DataFrame,
     dfreq: DataFrame,
     qterms: DataFrame,
@@ -923,8 +955,24 @@ def bm25_score_topk(
     ``bm25_from_tf`` so a partition-pruned serving path (the streaming
     index's ``search``) can pass postings restricted to the QUERY's
     term buckets while dl/stats come from the full-corpus lengths
-    table — the pruning changes which rows are scanned, never a
-    score."""
+    table — the pruning changes which rows are scanned, never a score.
+    Pass ``dl=None`` when ctf already carries a dl column (the batch
+    path threads it through the tf aggregate).
+
+    Join order is scored-mass-aware: the BOUNDED broadcasts apply
+    first — qterms (queries × query length) prunes ctf to the query
+    terms' posting lists in the scan stage, and dfreq is semi-join-
+    restricted to the query terms BEFORE it is broadcast (the full
+    vocabulary's dfreq is corpus-scale; the query slice is bounded).
+    Only then does the per-doc dl join run, over the already-pruned
+    posting mass — previously dl joined the FULL tf table, and past
+    the broadcast threshold that was a corpus-wide sort-merge shuffle
+    (the measured super-linear decade at 2M docs)."""
+    qdf = F.broadcast(
+        dfreq.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+        )
+    )
     idf = F.log(
         (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
@@ -935,11 +983,12 @@ def bm25_score_topk(
         + F.lit(BM25_K1)
         * (F.lit(_BM25_1MB) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
     )
+    probed = ctf.join(qdf, "term")  # broadcast prune + df attach, one pass
+    if dl is not None:
+        probed = probed.join(dl, "doc_id")  # over the pruned mass only
+    probed = probed.join(F.broadcast(qterms), "term")  # per-query fan-out last
     contrib = (
-        ctf.join(dfreq, "term")
-        .join(dl, "doc_id")
-        .join(F.broadcast(qterms), "term")
-        .crossJoin(F.broadcast(stats))
+        probed.crossJoin(F.broadcast(stats))
         .select(
             "query_id",
             "doc_id",
