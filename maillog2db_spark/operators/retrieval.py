@@ -498,6 +498,29 @@ def retrieval_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     BM25 side retrieved nothing still reports (0, 0, 0) for 'lex'
     instead of vanishing."""
     lex, den = _hybrid_rankings(spark, sf_dir)
+    e = _embeddings(spark, sf_dir)
+    lab = e.select(F.col("vec_id").alias("doc_id"), F.col("label").alias("d_lab"))
+    qlab = e.filter(F.col("vec_id") < HYBRID_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_lab")
+    )
+    return label_eval_grid(spark, lex, den, lab, qlab)
+
+
+def label_eval_grid(
+    spark: SparkSession,
+    lex: DataFrame,
+    den: DataFrame,
+    lab: DataFrame,
+    qlab: DataFrame,
+) -> DataFrame:
+    """The eval-grid core from pre-resolved rankings: lex (query_id,
+    doc_id, rank_lex), den (query_id, doc_id, rank_den), a (doc_id,
+    d_lab) label table and a (query_id, q_lab) query-label table.
+    Split out of ``retrieval_label_eval`` so the streaming serving
+    path (streaming_retrieval_eval.py) evaluates its store-resolved
+    rankings through the IDENTICAL metric expression — ranking-quality
+    drift at ingest time is the same hash-verified arithmetic, not a
+    reimplementation."""
     hyb = rrf_fuse(lex, den, HYBRID_TOP_K)
     systems = (
         lex.select("query_id", "doc_id", F.col("rank_lex").alias("rank"),
@@ -508,11 +531,6 @@ def retrieval_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             hyb.select("query_id", "doc_id", "rank",
                        F.lit("hybrid").alias("system")))
-    )
-    e = _embeddings(spark, sf_dir)
-    lab = e.select(F.col("vec_id").alias("doc_id"), F.col("label").alias("d_lab"))
-    qlab = e.filter(F.col("vec_id") < HYBRID_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("label").alias("q_lab")
     )
     rel = (
         systems.join(lab, "doc_id")

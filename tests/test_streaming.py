@@ -1302,6 +1302,88 @@ def test_streaming_holt_matches_batch(spark, tmp_path_factory):
     assert got_seasonal == want_seasonal
 
 
+def test_streaming_retrieval_eval_matches_batch(spark, tmp_path_factory):
+    """The incremental retrieval-quality monitor: documents stream into
+    the postings store, corpus embeddings stream into the bounded dense
+    top-k store, and the resolved MRR/P@k grid equals the batch
+    doc_retrieval_label_eval EXACTLY (all three systems — lex, dense,
+    hybrid — metric values included). Replay of a committed batch is a
+    no-op; a crash-window re-ingest converges; a corpus batch smuggling
+    query-range vec_ids raises; mid-stream evaluation (the monitoring
+    read) runs on a prefix of batches without error."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_bm25 as sb
+    from maillog2db_spark import streaming_retrieval_eval as sre
+    from maillog2db_spark.operators.retrieval import (
+        HYBRID_N_QUERIES,
+        retrieval_label_eval,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = sorted(map(tuple, retrieval_label_eval(spark, sf).collect()))
+
+    docs = mio.load(spark, sf, "documents")
+    emb = mio.load(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= HYBRID_N_QUERIES)
+    d = tmp_path_factory.mktemp("ret_eval")
+    ps = sb.PostingsStore(str(d / "postings"))
+    ds = sre.DenseTopKStore(str(d / "dense"))
+    ds.register_queries(emb)
+    ds.register_queries(emb)  # idempotent second registration
+
+    doc_waves = [docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+                 for i in range(3)]
+    emb_waves = [corpus.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i)
+                 for i in range(3)]
+    for i in range(3):
+        sb.bm25_ingest_batch(spark, doc_waves[i], ps, i)
+        sre.dense_ingest_batch(spark, emb_waves[i], ds, i)
+        if i == 1:
+            # the monitoring read mid-stream: a full grid, one row per
+            # (system, query) even for queries with nothing retrieved
+            mid = sre.retrieval_eval(spark, ps, ds).collect()
+            assert len(mid) == 3 * HYBRID_N_QUERIES
+
+    def got():
+        return sorted(map(tuple, sre.retrieval_eval(spark, ps, ds).collect()))
+
+    assert got() == want
+
+    # committed-batch redelivery is skipped outright
+    sre.dense_ingest_batch(spark, emb_waves[1], ds, 1)
+    assert got() == want
+
+    # crash inside the commit window: state written, ledger mark lost —
+    # the replayed merge dedupes on (query_id, doc_id) and converges
+    os.remove(ds._ledger(2))
+    sre.dense_ingest_batch(spark, emb_waves[2], ds, 2)
+    assert got() == want
+
+    # the fixed-query-set contract is enforced, not assumed
+    with pytest.raises(ValueError, match="query-range"):
+        sre.dense_ingest_batch(spark, emb, ds, 99)
+
+    # the streaming-API surface maintains the same state: a fresh pair
+    # of stores fed through start_dense_stream lands on the same grid
+    src = d / "emb_drops"
+    src.mkdir()
+    import shutil as _sh
+    for i, w in enumerate(emb_waves):
+        tmp = d / f"_tmp{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        _sh.move(str(part), str(src / f"wave{i}.parquet"))
+        _sh.rmtree(tmp)
+    ds2 = sre.DenseTopKStore(str(d / "dense2"))
+    ds2.register_queries(emb)
+    q = sre.start_dense_stream(spark, str(src), ds2, str(d / "ckpt"),
+                               available_now=True)
+    q.awaitTermination(300)
+    assert sorted(
+        map(tuple, sre.retrieval_eval(spark, ps, ds2).collect())
+    ) == want
+
+
 def test_streaming_bm25_matches_batch_and_serves_adhoc(spark, tmp_path_factory):
     """The incremental inverted index, fed documents in waves, retrieves
     EXACTLY the batch doc_bm25_topk rows (tf partials are additive, the
