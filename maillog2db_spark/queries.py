@@ -593,100 +593,62 @@ register("doc_normalized_dedup", _tn.NORMALIZED_DEDUP_SQL,
 # --- driver-window ordering -------------------------------------------------
 #
 # The driver's correctness gate records verdicts for only the FIRST 50
-# registry entries per round (time/size-capped window). The union of
-# CORRECTNESS_r03 (49 entries) + CORRECTNESS_r04 (50 entries) gives
-# every PRE-round-4 registry entry a driver verdict; the 39 queries
-# added during round 4 have never appeared in any driver window. The
-# round-5 window therefore leads with all 39 of them — heaviest /
-# riskiest new machinery first, since the window is time-capped as
-# well as size-capped:
-#   1. the round-4 heavy families: PassJoin edit-distance, SemDeDup,
-#      IVFPQ/PQ-ADC, PageRank, BPE train+encode, bigram LM, DQ audits,
-#      k-means, covariance, real-codec multimodal;
-#   2. the remaining round-4 additions (windows/sweep-line, sampling,
-#      scrub, retail analytics, z-order);
-#   3. 11 backfill slots for r3-verdict queries whose shared code
-#      changed in round 4 (tokenizer/session caches/codecs/temporal)
-#      or changes in round 5 (ord_rfm_segments rides the new
-#      distributed two-phase cumsum; windows.py family shares code
-#      with ev_concurrent_sessions' rewrite).
-# Everything BELOW the window keeps its green r3/r4 driver verdict on
-# unchanged code.
+# registry entries per round (time/size-capped window). Union of
+# CORRECTNESS_r1–r5: 149/166 queries have a driver verdict; 17 have
+# never been in any window. The round-6 window:
+#   1. all 17 never-driver-verified queries — heaviest / riskiest
+#      first (MMR rerank, k-core, the retrieval eval grid, hybrid RRF,
+#      hard negatives, curriculum, unigram encode, seasonal index,
+#      then the four recall contracts and the lighter tail). With
+#      these in, EVERY hash-oracle registry entry has a driver verdict.
+#   2. the two queries whose shared code changed THIS round:
+#      li_part_components (the star-contraction convergence test was
+#      strengthened — depth alone is not a star forest; a node with
+#      edges to two distinct roots now forces one more round) and
+#      doc_bm25_topk (scored-mass pruning). li_part_kcore's change
+#      (peel to runtime fixpoint, oracle depth 16) is covered in
+#      group 1.
+#   3. ord_rfm_segments: its only verdict is r3, but it rides the r5
+#      distributed two-phase cumsum — the one remaining
+#      stale-verdict-on-changed-code entry.
+#   4. 30 backfill slots for the OLDEST (r3) verdicts, preferring the
+#      shapes that bind the shared relational core: the 20 TPC-H
+#      shapes, the grouping/pivot/set-op family, the heavier events
+#      shapes (sessionize, as-of, autocorrelation, self-join pairs),
+#      and keep-best dedup.
+# Everything BELOW the window keeps its green r3/r4/r5 driver verdict
+# on code unchanged since that verdict.
 
 _PRIORITY = [
-    # 1. round-4 heavy machinery — never driver-verified
-    "doc_edit_distance_pairs", "embed_semdedup", "embed_ivfpq_topk",
-    "embed_pq_adc_topk", "li_part_pagerank", "doc_bpe_train_merges",
-    "doc_bpe_encode_stats", "doc_bigram_lm_score",
-    "dq_referential_integrity", "embed_kmeans", "embed_covariance",
-    "mm_wav_loudness", "mm_frame_sample",
-    # 2. remaining round-4 additions — never driver-verified
-    "embed_ann_recall",
-    "doc_minhash_estimate", "doc_cms_heavy_hitters",
-    "doc_sorted_neighborhood", "doc_leakage_safe_split",
-    "doc_shard_assignment", "doc_span_scrub",
-    "doc_langid_confusion", "dq_daily_reconciliation",
-    "ev_sliding_hourly", "ev_concurrent_sessions",
-    "ev_markov_transitions", "ev_funnel_latency",
-    "ev_multitouch_attribution", "ev_value_mad_anomaly",
-    "ord_priority_islands", "ord_abc_pareto",
-    "ord_cohort_ltv",
-    "li_basket_rules",
-    # 2b. round-5-late heavy machinery — the three biggest new engines
-    # take the slots of the three most family-redundant entries:
-    # embed_truncation_recall (its composed-eval sibling embed_ann_recall
-    # stays in-window and binds the same brute-force base),
-    # ord_revenue_ewma (calendar-bounded window family; shares the
-    # windows.py code path with in-window ev_sliding_hourly), and
-    # ord_zorder_key (Morton bijection is property-pinned; the layout
-    # machinery has its own skip-measurement tests). All three stay
-    # oracle-checked + fuzz-tiered locally and queue for r6 with
-    # embed_int8_recall / embed_hamming_recall / li_basket_affinity /
-    # embed_pq_encode — and with the session's later additions
-    # (doc_unigram_encode_stats, doc_retrieval_label_eval,
-    # doc_curriculum_order), whose in-window parents bind their shared
-    # cores: the tokenizer hash binds the training the encode applies,
-    # the in-window doc_bm25_topk binds the eval grid's lexical core
-    # (the dense core carries r2-verified brute-force machinery), the
-    # in-window doc_epoch_shuffle binds the curriculum's rank/layout
-    # machinery (quality_score keeps its earlier verdict), and the
-    # in-window ord_revenue_holt binds the monthly-cents core that
-    # ord_seasonal_index decomposes.
-    "doc_unigram_tokenizer",   # two DP pyramids + smoothing + ranking
-    "li_part_components",      # star-contraction CC + recursive oracle
-    "embed_cluster_labels",    # kmeans trajectory ⋈ documents lift
-    # 3. round-5 additions — never driver-verified
-    "doc_char_entropy", "dq_length_drift_psi", "doc_quality_classifier",
-    "doc_bm25_topk", "doc_vocab_growth", "doc_source_kl",
-    "li_copurchase_triangles", "ord_revenue_holt",
-    "doc_source_temperature_mix", "embed_silhouette",
-    "ord_price_equidepth",
-    # 4. late round-5 additions — never driver-verified
-    "embed_hamming_topk", "doc_dsir_weights",
-    "embed_semdedup_keep_best", "doc_epoch_shuffle",
-    # (li_basket_affinity and embed_pq_encode ceded their slots to the
-    # two newest machines: basket_rules builds ON affinity's shared
-    # co-purchase pair base (so a green rules hash binds the base, and
-    # li_part_pagerank in-window covers the same base a second way),
-    # and pq_encode's codes are consumed IN-plan by the in-window
-    # embed_pq_adc_topk and embed_ivfpq_topk — their hashes bind the
-    # encoding. Both stay oracle-checked + fuzz/property-tested
-    # locally; both queue for r6 with embed_hamming_recall.)
-    # (ord_rfm_segments left the window for ord_price_equidepth:
-    # never-verified beats re-verify, and the r5 cumsum rewrite rfm
-    # shares is driver-covered in-window by ord_abc_pareto and
-    # ev_concurrent_sessions, which changed identically.
-    # doc_weighted_sample and ev_trailing_7d_stats ceded their slots
-    # to embed_hamming_topk and doc_dsir_weights: both are the most
-    # family-redundant window entries — the Efraimidis-Spirakis
-    # sampler is fuzz-tiered + property-tested and shares its
-    # content-hash key machinery with the IN-window stratified/split
-    # queries, and the trailing-7d RANGE frame shares its window code
-    # path with the in-window ev_sliding_hourly; embed_hamming_recall
-    # composes embed_hamming_topk + the r2-verified brute-force kNN,
-    # so topk's hash is the binding signal — recall queues for r6.)
+    # 1. never-driver-verified — heaviest first
+    "embed_mmr_rerank", "li_part_kcore", "doc_retrieval_label_eval",
+    "doc_hybrid_rrf_topk", "embed_hard_negatives", "doc_curriculum_order",
+    "doc_unigram_encode_stats", "ord_seasonal_index",
+    "embed_pq_encode", "embed_int8_recall", "embed_truncation_recall",
+    "embed_hamming_recall", "li_basket_affinity", "doc_weighted_sample",
+    "ev_trailing_7d_stats", "ord_revenue_ewma", "ord_zorder_key",
+    # 2. code changed in round 6
+    "li_part_components", "doc_bm25_topk",
+    # 3. stale verdict on r5-changed code
+    "ord_rfm_segments",
+    # 4. oldest-verdict (r3) backfill
+    "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_trade", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q10_returned_items",
+    "tpch_q11_important_parts", "tpch_q12_priority_shipping",
+    "tpch_q14_promo_share", "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue", "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers", "tpch_q22_dormant_customers",
+    "grouping_sets_orders", "cube_orders", "rollup_sales",
+    "pivot_returnflag", "set_ops_customers",
+    "ev_sessionize", "ev_asof_purchase_click",
+    "ev_user_daily_autocorr", "ev_pairs_within_5min",
+    "doc_dedup_keep_best",
     # ---- 50-entry window boundary ----
-    # The tail keeps its most recent green driver verdict (r3 or r4)
+    # The tail keeps its most recent green driver verdict (r3/r4/r5)
     # on code unchanged since that verdict.
 ]
 
