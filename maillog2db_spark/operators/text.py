@@ -7,6 +7,8 @@ exact DuckDB twin for the oracle gate.
 
 from __future__ import annotations
 
+import time as _time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1369,12 +1371,16 @@ def _uni_viterbi_counts(words: DataFrame, lp: DataFrame) -> DataFrame:
     )
 
 
-def _uni_state(spark: SparkSession, sf_dir: str):
+def _uni_state(spark: SparkSession, sf_dir: str, stats: dict | None = None):
     """Session-cached trainer state: (words, final-E-step counts,
     final lp). Two registered consumers (the trainer's piece table and
     the encode stats) — the EM rounds run once per (session, sf_dir),
     the same materialize-once framing as the dedup/pair bases. counts
-    and lp are None for an empty corpus."""
+    and lp are None for an empty corpus. Pass ``stats`` (rehearsal
+    instrumentation) to receive {"iter_sec": [...]} — each entry is
+    one EM round's wall time; ``_uni_logp``'s smoothing-scalar collect
+    forces that round's E-step, so the per-iteration split is real
+    work, not lazy-plan accounting."""
     from .dedup import _CORPUS_CACHE
 
     io.ensure_session_conf(spark)
@@ -1400,6 +1406,7 @@ def _uni_state(spark: SparkSession, sf_dir: str):
     lp = _uni_logp(spark, seed)
     counts = None
     for _ in range(UNI_EM_ITERS):
+        t0 = _time.time()
         counts = _uni_viterbi_counts(words, lp)
         # retain used pieces ∪ ALL single chars (keeps the next DP
         # total: any word can fall back to characters)
@@ -1409,6 +1416,8 @@ def _uni_state(spark: SparkSession, sf_dir: str):
             .unionByName(counts.join(singles, "piece", "left_anti"))
         )
         lp = _uni_logp(spark, retained)
+        if stats is not None:
+            stats.setdefault("iter_sec", []).append(round(_time.time() - t0, 3))
     st = (words, counts.localCheckpoint(eager=True), lp.localCheckpoint(eager=True))
     per_session[key] = st
     return st

@@ -97,9 +97,12 @@ class CCStore(FileBatchLedger):
 
 
 def cc_ingest_batch(
-    spark: SparkSession, batch: DataFrame, store: CCStore, batch_id: int
+    spark: SparkSession, batch: DataFrame, store: CCStore, batch_id: int,
+    stats: dict | None = None,
 ) -> None:
-    """Fold one batch of (src, dst) edges into the label store."""
+    """Fold one batch of (src, dst) edges into the label store. Pass
+    ``stats`` to receive the merge contraction's {"rounds": r}
+    (rehearsal instrumentation)."""
     if store.committed(batch_id):
         return
     frontier_id = store.max_committed()
@@ -147,7 +150,7 @@ def cc_ingest_batch(
     # relabel map over the AFFECTED old components only; identity rows
     # (root keeps its id) are dropped — their members need no rewrite
     relabel = (
-        star_components(contracted)
+        star_components(contracted, stats=stats)
         .filter(F.col("node") != F.col("comp"))
         .select(F.col("node").alias("old_comp"), F.col("comp").alias("new_comp"))
         .localCheckpoint(eager=True)

@@ -14,8 +14,19 @@ What a super-linear decade would mean: the per-round edge set stopped
 shrinking (large-star fanout pathology) or the convergence probe
 started scanning more than the edge list.
 
+Second phase (round 6): the STREAMING merge cost on the same graph —
+the edges split into hash-mixed waves (every wave carries edges from
+every block, so later waves force heavy cross-component merges), each
+wave folded through streaming_cc.cc_ingest_batch with per-batch wall
+time and merge-contraction round counts recorded, and the final
+resolved labels verified against the planted answer. The claim under
+test: per-batch cost is batch + merged-members grain, and the merge
+contraction runs on the CONTRACTED (component-id) graph, so its round
+count stays small even when the underlying blocks are
+million-node-diameter chains.
+
 Usage:
-    PYTHONPATH=/root/repo python tools/scale_rehearsal_cc.py [n_nodes] [cpus]
+    PYTHONPATH=/root/repo python tools/scale_rehearsal_cc.py [n_nodes] [cpus] [block] [waves]
 """
 
 from __future__ import annotations
@@ -75,6 +86,40 @@ def main() -> int:
         f"star_components: {dt:.1f} s for {n_nodes} nodes "
         f"({n} labeled, block diameter {block}) in {stats['rounds']} rounds "
         f"({dt / n_nodes * 1e6:.1f} us/node)",
+        flush=True,
+    )
+
+    # ---- streaming merge phase: hash-mixed waves, heavy cross-merges
+    import tempfile
+
+    from maillog2db_spark.streaming_cc import CCStore, cc_ingest_batch
+
+    n_waves = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    store = CCStore(tempfile.mkdtemp(prefix="cc_rehearsal_store_"))
+    edges = edges.localCheckpoint(eager=True)
+    for i in range(n_waves):
+        w = edges.filter(
+            F.pmod(F.xxhash64("src", "dst"), F.lit(n_waves)) == i
+        )
+        t0 = time.time()
+        bstats: dict = {}
+        cc_ingest_batch(spark, w, store, i, stats=bstats)
+        dt = time.time() - t0
+        print(
+            f"cc_ingest_batch {i}: {dt:.1f} s, merge contraction "
+            f"{bstats.get('rounds', 0)} rounds",
+            flush=True,
+        )
+    t0 = time.time()
+    resolved = store.current_labels(spark)
+    bad = resolved.filter(
+        F.col("comp") != F.col("node") - F.pmod(F.col("node"), F.lit(block))
+    ).count()
+    n = resolved.count()
+    dt = time.time() - t0
+    assert bad == 0, f"{bad} mislabeled streaming nodes"
+    print(
+        f"streaming resolve: {dt:.1f} s, {n} nodes verified == planted",
         flush=True,
     )
     return 0

@@ -11,8 +11,14 @@ with a flat vocab-side tail, and µs/doc must FALL as the word-count
 scan amortizes the fixed EM cost. A rising per-doc cost would mean
 corpus-grain work leaked into the EM loop.
 
+The VOCAB decade (round 6): pass a third argument to scale the WORD
+VOCAB while n_docs stays fixed — corpus-side work constant, vocab-side
+work scales, which isolates exactly the claim. Per-EM-iteration wall
+time is recorded via the trainer's stats hook (each round is forced by
+the smoothing-scalar collect, so the split is real work).
+
 Usage:
-    PYTHONPATH=/root/repo python tools/scale_rehearsal_unigram.py [n_docs] [cpus]
+    PYTHONPATH=/root/repo python tools/scale_rehearsal_unigram.py [n_docs] [cpus] [vocab]
 """
 
 from __future__ import annotations
@@ -28,6 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    vocab = int(sys.argv[3]) if len(sys.argv) > 3 else 5_000
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
 
@@ -45,7 +52,7 @@ def main() -> int:
     base = spark.range(0, n_docs, 1, p)
     tok = (
         "concat('w', pmod(xxhash64(concat(cast(id as string), '_', "
-        "cast(i as string))), 5000))"
+        f"cast(i as string))), {vocab}))"
     )
     docs = base.select(
         F.col("id").alias("doc_id"),
@@ -60,7 +67,11 @@ def main() -> int:
     docs.write.parquet(f"{d}/documents.parquet")
     print(f"corpus: {n_docs} docs at {d}", flush=True)
 
+    # warm the session state through the stats hook so the EM rounds
+    # are individually timed, then run the registered query (cache hit)
+    stats: dict = {}
     t0 = time.time()
+    tx._uni_state(spark, d, stats=stats)
     rows = tx.unigram_tokenizer(spark, d).collect()
     dt = time.time() - t0
     assert len(rows) == tx.UNI_TOP, len(rows)
@@ -68,8 +79,9 @@ def main() -> int:
     # are a valid ppm distribution head
     assert all(r.cnt > 0 and 0 < r.share_ppm <= 1_000_000 for r in rows)
     print(
-        f"unigram_tokenizer: {dt:.1f} s for {n_docs} docs "
-        f"({dt / n_docs * 1e6:.1f} us/doc); top piece "
+        f"unigram_tokenizer: {dt:.1f} s for {n_docs} docs, vocab {vocab} "
+        f"({dt / n_docs * 1e6:.1f} us/doc); per-EM-iteration "
+        f"{stats.get('iter_sec')}; top piece "
         f"{rows[0].piece!r} cnt={rows[0].cnt}",
         flush=True,
     )
