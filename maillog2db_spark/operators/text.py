@@ -1667,3 +1667,70 @@ SELECT doc_id,
 FROM dt JOIN np USING (tok)
 GROUP BY doc_id
 """
+
+# --- cross-tokenizer fertility grid -------------------------------------------
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-selection eval grid: corpus-level fertility (subword
+    units per whitespace word, the standard cross-tokenizer comparison
+    metric) and compression for BOTH trained tokenizers — the BPE merge
+    table and the unigram-LM Viterbi segmenter — in one hash-verified
+    row per system. This is the decision step between the two encode
+    paths: a team picking a tokenizer reads exactly this grid.
+
+    Pure composition: each system's per-doc stats ARE the registered
+    encode queries (`bpe_encode_stats`, `unigram_encode_stats` — same
+    expression trees, same session-cached training state), rolled up
+    to corpus grain with exact-integer ppm ratios. No new scoring
+    machinery, so a green hash here re-binds both trainers and both
+    encoders through a second aggregation shape.
+
+    Scale: both per-doc tables are doc-grain with vocab-grain joins
+    (the encode deployment shape); the rollup is one map-side-combined
+    aggregate per system over doc-grain rows."""
+    def grid(per_doc: DataFrame, units_col: str, system: str) -> DataFrame:
+        return per_doc.agg(
+            F.lit(system).alias("system"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_words"),
+            F.sum(units_col).cast("bigint").alias("n_units"),
+            F.expr(
+                f"CAST(sum({units_col}) * 1000000 div sum(n_tokens) "
+                "AS BIGINT)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                f"CAST(sum(n_tokens) * 1000000 div sum({units_col}) "
+                "AS BIGINT)"
+            ).alias("compression_ppm"),
+        )
+
+    bpe = grid(bpe_encode_stats(spark, sf_dir), "n_bpe_symbols", "bpe")
+    uni = grid(unigram_encode_stats(spark, sf_dir), "n_pieces", "unigram")
+    return bpe.unionByName(uni)
+
+
+# oracle: each system's per-doc SQL wrapped as a derived table (DuckDB
+# accepts WITH RECURSIVE inside a subquery), so the grid aggregates the
+# EXACT per-doc rows the sibling oracles produce — no re-derivation
+TOKENIZER_FERTILITY_SQL = f"""
+SELECT 'bpe' AS system,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_words,
+       CAST(sum(n_bpe_symbols) AS BIGINT) AS n_units,
+       CAST(sum(n_bpe_symbols) * 1000000 // sum(n_tokens) AS BIGINT)
+         AS fertility_ppm,
+       CAST(sum(n_tokens) * 1000000 // sum(n_bpe_symbols) AS BIGINT)
+         AS compression_ppm
+FROM ({BPE_ENCODE_STATS_SQL}) bpe_doc
+UNION ALL
+SELECT 'unigram' AS system,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_words,
+       CAST(sum(n_pieces) AS BIGINT) AS n_units,
+       CAST(sum(n_pieces) * 1000000 // sum(n_tokens) AS BIGINT)
+         AS fertility_ppm,
+       CAST(sum(n_tokens) * 1000000 // sum(n_pieces) AS BIGINT)
+         AS compression_ppm
+FROM ({UNIGRAM_ENCODE_STATS_SQL}) uni_doc
+"""

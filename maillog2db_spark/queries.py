@@ -548,6 +548,8 @@ register("doc_bpe_train_merges", _tx.BPE_TRAIN_MERGES_SQL,
          doc="Distributed BPE tokenizer training (Sennrich et al. 2016): first 3 merges on the Zipf-bounded word-frequency table — per step one vocab explode, one pair count, one global top-1, one broadcast apply")(_tx.bpe_train_merges)
 register("doc_bpe_encode_stats", _tx.BPE_ENCODE_STATS_SQL,
          doc="BPE encode path: apply the trained merges as a vocab-table lookup joined back to the token stream — per-doc whitespace-vs-BPE symbol counts and exact-ppm compression")(_tx.bpe_encode_stats)
+register("doc_tokenizer_fertility", _tx.TOKENIZER_FERTILITY_SQL,
+         doc="Tokenizer-selection grid: corpus-level fertility (subword units per word) and compression for BOTH trained tokenizers (BPE merges vs unigram-LM Viterbi) — pure composition of the two encode paths, one hash-verified row per system")(_tx.tokenizer_fertility)
 register("li_basket_rules", _ca.BASKET_RULES_SQL,
          doc="Directed association rules a->b: confidence n_ab/n_a and support share as exact-ppm integers — the asymmetric half of basket affinity, from the same cached pair base")(_ca.basket_rules)
 from .operators import graph as _gr  # noqa: E402
@@ -643,10 +645,13 @@ _PRIORITY = [
     "tpch_q19_disjunctive_revenue", "tpch_q20_excess_suppliers",
     "tpch_q21_waiting_suppliers", "tpch_q22_dormant_customers",
     "grouping_sets_orders", "cube_orders", "rollup_sales",
-    "pivot_returnflag", "set_ops_customers",
+    "pivot_returnflag",
     "ev_sessionize", "ev_asof_purchase_click",
     "ev_user_daily_autocorr", "ev_pairs_within_5min",
     "doc_dedup_keep_best",
+    # new this round — never driver-verified (takes set_ops_customers'
+    # slot: the most stable shape in the backfill tier)
+    "doc_tokenizer_fertility",
     # ---- 50-entry window boundary ----
     # The tail keeps its most recent green driver verdict (r3/r4/r5)
     # on code unchanged since that verdict.

@@ -2053,3 +2053,28 @@ def test_quality_classifier_separates_planted_classes(spark, tmp_path):
     b = sorted((r.doc_id, r.lr_score_ppm)
                for r in C.quality_classifier(spark, sf).collect())
     assert a == b
+
+
+def test_tokenizer_fertility_composes_the_two_encode_paths(spark):
+    """The fertility grid must be EXACTLY the corpus rollup of the two
+    registered per-doc encode queries — same trainers, same session
+    caches, one row per system with exact-integer ppm ratios."""
+    from maillog2db_spark.operators import text as tx
+
+    got = {r.system: r for r in tx.tokenizer_fertility(spark, SF).collect()}
+    assert set(got) == {"bpe", "unigram"}
+
+    bpe = tx.bpe_encode_stats(spark, SF).collect()
+    uni = tx.unigram_encode_stats(spark, SF).collect()
+    for system, rows, units in (
+        ("bpe", bpe, "n_bpe_symbols"),
+        ("unigram", uni, "n_pieces"),
+    ):
+        n_words = sum(r.n_tokens for r in rows)
+        n_units = sum(getattr(r, units) for r in rows)
+        g = got[system]
+        assert (g.n_docs, g.n_words, g.n_units) == (len(rows), n_words, n_units)
+        assert g.fertility_ppm == n_units * 1_000_000 // n_words
+        assert g.compression_ppm == n_words * 1_000_000 // n_units
+        # subword tokenizers split words: fertility >= 1 word/unit side
+        assert g.fertility_ppm >= 1_000_000

@@ -45,8 +45,14 @@ def main() -> int:
 
     spark = get_spark("scale_rehearsal_unigram", cpus=cpus)
     p = spark.sparkContext.defaultParallelism
+    # partition width must track BOTH volume drivers: the corpus scan
+    # (rows ∝ n_docs) and the vocab-side DP probe mass (rows ∝ word
+    # types × positions × piece lengths — ~33 rows/type at 8-char
+    # words); sizing by n_docs alone starved the 2M-type decade into
+    # oversized, spilling partitions
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(max(cpus, n_docs // 15_000))
+        "spark.sql.shuffle.partitions",
+        str(max(cpus, n_docs // 15_000, vocab // 30_000)),
     )
 
     base = spark.range(0, n_docs, 1, p)
