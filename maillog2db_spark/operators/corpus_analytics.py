@@ -866,6 +866,139 @@ FROM scored GROUP BY doc_id
 """
 
 
+# --- min-k% probability membership signal ------------------------------------
+
+MINK_PCT = 20  # tail share: the k% least-likely bigrams per document
+
+
+def mink_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-k% probability membership/contamination signal (Shi et al.,
+    ICLR 2024, "Detecting Pretraining Data from Large Language
+    Models"): per document, the mean NLL of its MINK_PCT% least-likely
+    bigrams under the SAME interpolated model as ``bigram_lm_score``.
+    The discriminative tail statistic: memorized or duplicated text
+    keeps a LOW tail NLL (even its worst transitions are
+    corpus-frequent), novel text shows a heavy tail — averaging over
+    ALL tokens (the sibling query) washes exactly this signal out.
+    The standard pre-freeze audit against benchmark leakage and
+    memorization, complementing the exact-match decontamination
+    queries with a distributional detector.
+
+    Plan shape: the model tables and per-bigram scoring are the
+    bigram_lm_score expression trees with one addition — posexplode
+    keeps each bigram's position for a deterministic tie-break. The
+    per-doc rank/count windows are doc-length-bounded (the bounded-
+    window exemption); everything model-side is Zipf-bounded and
+    broadcast. Tail size is exact-integer ceil(n·k/100); the mean is
+    an integer div over already-quantized ppm values."""
+    p = spark.sparkContext.defaultParallelism
+    base = (
+        io.load(spark, sf_dir, "documents")
+        .repartition(p, "doc_id")
+        .select("doc_id", F.expr(_TOKENS_SPARK).alias("toks"))
+    )
+    toks = base.select("doc_id", F.explode("toks").alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cw"))
+    total = vocab.agg(F.sum("cw").alias("total"))
+    bg = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.arrays_zip(
+                    F.expr("slice(toks, 1, size(toks) - 1)"),
+                    F.expr("slice(toks, 2, size(toks) - 1)"),
+                )
+            ).alias("pos", "b"),
+        )
+        .select(
+            "doc_id", "pos",
+            F.col("b.0").alias("prev"), F.col("b.1").alias("tok"),
+        )
+    )
+    bgc = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cbg"))
+    ctx = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("cprev"))
+    scored = (
+        bg.join(bgc, ["prev", "tok"])
+        .join(ctx, "prev")
+        .join(vocab, "tok")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id", "pos",
+            F.expr(
+                f"CAST(floor(-ln({BIGRAM_LAMBDA} * (CAST(cbg AS DOUBLE) / cprev)"
+                f" + {1 - BIGRAM_LAMBDA:.1f} * (CAST(cw AS DOUBLE) / total))"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("nll_ppm"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("doc_id")
+    ranked = scored.select(
+        "doc_id", "nll_ppm",
+        F.row_number().over(
+            wd.orderBy(F.col("nll_ppm").desc(), F.asc("pos"))
+        ).alias("rn"),
+        F.count(F.lit(1)).over(wd).alias("nb"),
+    )
+    tail = ranked.filter(
+        F.col("rn") <= F.expr(f"(nb * {MINK_PCT} + 99) div 100")
+    )
+    return tail.groupBy("doc_id").agg(
+        F.max("nb").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.expr("CAST(sum(nll_ppm) div count(*) AS BIGINT)").alias(
+            "mink_avg_nll_ppm"
+        ),
+    )
+
+
+MINK_PROB_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS tl FROM documents
+), toks AS (
+  SELECT doc_id, unnest(tl) AS tok FROM base
+), vocab AS (
+  SELECT tok, count(*) AS cw FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(cw) AS BIGINT) AS total FROM vocab
+), bg AS (
+  SELECT doc_id, b['pos'] AS pos, b['prev'] AS prev, b['tok'] AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(tl) - 1),
+             i -> {{'pos': i, 'prev': tl[i], 'tok': tl[i + 1]}})) AS b
+    FROM base WHERE len(tl) >= 2
+  )
+), bgc AS (
+  SELECT prev, tok, count(*) AS cbg FROM bg GROUP BY prev, tok
+), ctx AS (
+  SELECT prev, count(*) AS cprev FROM bg GROUP BY prev
+), scored AS (
+  SELECT doc_id, pos,
+         CAST(floor(-ln({BIGRAM_LAMBDA} * (cbg::DOUBLE / cprev)
+                        + {1 - BIGRAM_LAMBDA:.1f} * (cw::DOUBLE / total))
+                    * 1000000 + 0.5) AS BIGINT) AS nll_ppm
+  FROM bg JOIN bgc USING (prev, tok) JOIN ctx USING (prev)
+          JOIN vocab USING (tok) CROSS JOIN tot
+), ranked AS (
+  SELECT doc_id, nll_ppm,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY nll_ppm DESC, pos) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS nb
+  FROM scored
+)
+SELECT doc_id,
+       CAST(max(nb) AS BIGINT) AS n_bigrams,
+       CAST(count(*) AS BIGINT) AS n_tail,
+       CAST(sum(nll_ppm) // count(*) AS BIGINT) AS mink_avg_nll_ppm
+FROM ranked
+WHERE rn <= (nb * {MINK_PCT} + 99) // 100
+GROUP BY doc_id
+"""
+
+
 # --- robust (MAD) anomaly detection ------------------------------------------
 
 MAD_Z = 3.5  # Iglewicz–Hoaglin modified z-score cut

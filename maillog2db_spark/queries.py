@@ -507,6 +507,8 @@ register("doc_unigram_lm_score", _ca.UNIGRAM_LM_SCORE_SQL,
          doc="Unigram-LM quality proxy: per-doc avg negative log-likelihood, ppm fixed-point (CCNet-style cheap perplexity)")(_ca.unigram_lm_score)
 register("doc_bigram_lm_score", _ca.BIGRAM_LM_SCORE_SQL,
          doc="Interpolated bigram LM (Jelinek-Mercer): lambda*c(prev,w)/c(prev.) + (1-lambda)*c(w)/N, ppm fixed-point — sees the word-order signal the unigram proxy cannot")(_ca.bigram_lm_score)
+register("doc_mink_prob", _ca.MINK_PROB_SQL,
+         doc="Min-k% probability membership signal (Shi et al. 2024): per doc, mean NLL of its k% least-likely bigrams under the shared interpolated model — the distributional memorization/contamination detector the exact-match decontamination queries cannot see")(_ca.mink_prob)
 register("doc_shingle_novelty", _ca.SHINGLE_NOVELTY_SQL,
          doc="Substring-dedup attribution: per-doc fraction of shingles first seen in an earlier doc (first-writer-wins)")(_ca.shingle_novelty)
 register("doc_dedup_keep_best", _ca.DEDUP_KEEP_BEST_SQL,
@@ -645,13 +647,13 @@ _PRIORITY = [
     "tpch_q19_disjunctive_revenue", "tpch_q20_excess_suppliers",
     "tpch_q21_waiting_suppliers", "tpch_q22_dormant_customers",
     "grouping_sets_orders", "cube_orders", "rollup_sales",
-    "pivot_returnflag",
     "ev_sessionize", "ev_asof_purchase_click",
     "ev_user_daily_autocorr", "ev_pairs_within_5min",
     "doc_dedup_keep_best",
-    # new this round — never driver-verified (takes set_ops_customers'
-    # slot: the most stable shape in the backfill tier)
-    "doc_tokenizer_fertility",
+    # new this round — never driver-verified (take the two most stable
+    # shapes' slots in the backfill tier: set_ops_customers and
+    # pivot_returnflag keep their r3 verdicts on unchanged code)
+    "doc_tokenizer_fertility", "doc_mink_prob",
     # ---- 50-entry window boundary ----
     # The tail keeps its most recent green driver verdict (r3/r4/r5)
     # on code unchanged since that verdict.

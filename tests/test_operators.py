@@ -2078,3 +2078,28 @@ def test_tokenizer_fertility_composes_the_two_encode_paths(spark):
         assert g.compression_ppm == n_words * 1_000_000 // n_units
         # subword tokenizers split words: fertility >= 1 word/unit side
         assert g.fertility_ppm >= 1_000_000
+
+
+def test_mink_prob_flags_memorized_boilerplate(spark, tmp_path):
+    """Planted membership signal: a template repeated across many docs
+    keeps a LOW tail NLL (even its least-likely bigrams are corpus-
+    frequent), a novel doc over unique tokens scores a HIGH tail —
+    the separation the all-token average cannot show as cleanly. Also
+    pins the exact tail-size contract: n_tail == ceil(n_bigrams·k/100)."""
+    from maillog2db_spark.operators import corpus_analytics as ca
+
+    template = " ".join(f"common{i % 7}" for i in range(40))
+    rows = [(i, "en", "s0", template, len(template)) for i in range(10)]
+    novel = " ".join(f"rare{i}" for i in range(40))
+    rows.append((10, "en", "s0", novel, len(novel)))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, text string, n_chars int"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r.doc_id: r for r in ca.mink_prob(spark, str(tmp_path)).collect()}
+    assert set(got) == set(range(11))
+    for r in got.values():
+        assert r.n_tail == (r.n_bigrams * ca.MINK_PCT + 99) // 100
+    memorized = max(got[i].mink_avg_nll_ppm for i in range(10))
+    assert memorized < got[10].mink_avg_nll_ppm

@@ -53,6 +53,7 @@ BNL_ALLOWED = {
     "tpch_q22_dormant_customers": [_SCALAR],
     "doc_unigram_lm_score": [_SCALAR],
     "doc_bigram_lm_score": [_SCALAR],
+    "doc_mink_prob": [_SCALAR],  # same 1-row vocab-total broadcast
     "li_part_pagerank": [_SCALAR],
     "ord_abc_pareto": [_SCALAR],
     # (doc_bpe_* left the list in round 5: the winning pair is now a
