@@ -779,55 +779,42 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts (identical IEEE ops both engines); each -ln p
     quantizes to ppm BEFORE the per-doc sum — integer aggregation,
     order-exact."""
+    bg, toks = bigram_streams(spark, sf_dir)
+    bgc, ctx, vocab, total = bigram_model_tables(bg, toks)
+    return bigram_rollup(score_bigrams(bg, bgc, ctx, vocab, total))
+
+
+def bigram_streams(spark: SparkSession, sf_dir: str):
+    """(bg, toks): the positional bigram stream (doc_id, pos, prev,
+    tok) and the token stream (doc_id, tok) — the corpus-side inputs
+    every bigram-model consumer derives from."""
     p = spark.sparkContext.defaultParallelism
     base = (
         io.load(spark, sf_dir, "documents")
         .repartition(p, "doc_id")
         .select("doc_id", F.expr(_TOKENS_SPARK).alias("toks"))
     )
-    toks = base.select("doc_id", F.explode("toks").alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cw"))
-    total = vocab.agg(F.sum("cw").alias("total"))
-    bg = (
+    return bigrams_of(base), base.select("doc_id", F.explode("toks").alias("tok"))
+
+
+def bigrams_of(base: DataFrame) -> DataFrame:
+    """(doc_id, toks array) → positional bigram stream. posexplode
+    keeps each bigram's position: the min-k% tail needs it for
+    deterministic tie-breaks; the plain LM rollup ignores it."""
+    return (
         base.filter(F.size("toks") >= 2)
         .select(
             "doc_id",
-            F.explode(
+            F.posexplode(
                 F.arrays_zip(
                     F.expr("slice(toks, 1, size(toks) - 1)"),
                     F.expr("slice(toks, 2, size(toks) - 1)"),
                 )
-            ).alias("b"),
-        )
-        .select("doc_id", F.col("b.0").alias("prev"), F.col("b.1").alias("tok"))
-    )
-    bgc = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cbg"))
-    ctx = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("cprev"))
-    scored = (
-        bg.join(bgc, ["prev", "tok"])
-        .join(ctx, "prev")
-        .join(vocab, "tok")
-        .join(F.broadcast(total))
-        .select(
-            "doc_id",
-            F.expr(
-                f"CAST(floor(-ln({BIGRAM_LAMBDA} * (CAST(cbg AS DOUBLE) / cprev)"
-                f" + {1 - BIGRAM_LAMBDA:.1f} * (CAST(cw AS DOUBLE) / total))"
-                " * 1000000 + 0.5) AS BIGINT)"
-            ).alias("nll_ppm"),
-        )
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("nll_ppm").alias("sum_nll_ppm"),
+            ).alias("pos", "b"),
         )
         .select(
-            "doc_id",
-            "n_bigrams",
-            "sum_nll_ppm",
-            F.expr("sum_nll_ppm div n_bigrams").alias("avg_nll_ppm"),
+            "doc_id", "pos",
+            F.col("b.0").alias("prev"), F.col("b.1").alias("tok"),
         )
     )
 
@@ -866,9 +853,90 @@ FROM scored GROUP BY doc_id
 """
 
 
+# --- shared bigram-model scoring cores ----------------------------------------
+# (used by the two batch queries above/below AND the streaming bigram
+# store, streaming_lm.py — stream ≡ batch is equality of the resolved
+# model/bigram tables, not of two scoring implementations)
+
+
+def bigram_model_tables(bg: DataFrame, toks: DataFrame):
+    """(bgc, ctx, vocab, total) from a (doc_id, …, prev, tok) bigram
+    stream and a (doc_id, tok) token stream — the model derivation both
+    engines and both execution modes share."""
+    bgc = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cbg"))
+    ctx = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("cprev"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cw"))
+    total = vocab.agg(F.sum("cw").alias("total"))
+    return bgc, ctx, vocab, total
+
+
+_BIGRAM_NLL = (
+    f"CAST(floor(-ln({BIGRAM_LAMBDA} * (CAST(cbg AS DOUBLE) / cprev)"
+    f" + {1 - BIGRAM_LAMBDA:.1f} * (CAST(cw AS DOUBLE) / total))"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+def score_bigrams(bg: DataFrame, bgc, ctx, vocab, total,
+                  keep: tuple = ("doc_id",)) -> DataFrame:
+    """Per-bigram quantized NLL under the model tables — the exact
+    expression of doc_bigram_lm_score, parameterized so the streaming
+    store can pass its resolved tables."""
+    return (
+        bg.join(bgc, ["prev", "tok"])
+        .join(ctx, "prev")
+        .join(vocab, "tok")
+        .join(F.broadcast(total))
+        .select(*keep, F.expr(_BIGRAM_NLL).alias("nll_ppm"))
+    )
+
+
+def bigram_rollup(scored: DataFrame) -> DataFrame:
+    """Per-doc aggregate of doc_bigram_lm_score."""
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_ppm").alias("sum_nll_ppm"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_nll_ppm",
+            F.expr("sum_nll_ppm div n_bigrams").alias("avg_nll_ppm"),
+        )
+    )
+
+
 # --- min-k% probability membership signal ------------------------------------
 
 MINK_PCT = 20  # tail share: the k% least-likely bigrams per document
+
+
+def mink_rollup(scored: DataFrame) -> DataFrame:
+    """Per-doc min-k% tail aggregate from (doc_id, pos, nll_ppm) —
+    shared by the batch query and the streaming store/gate. Rank and
+    count windows are doc-length-bounded."""
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("doc_id")
+    ranked = scored.select(
+        "doc_id", "nll_ppm",
+        F.row_number().over(
+            wd.orderBy(F.col("nll_ppm").desc(), F.asc("pos"))
+        ).alias("rn"),
+        F.count(F.lit(1)).over(wd).alias("nb"),
+    )
+    tail = ranked.filter(
+        F.col("rn") <= F.expr(f"(nb * {MINK_PCT} + 99) div 100")
+    )
+    return tail.groupBy("doc_id").agg(
+        F.max("nb").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.expr("CAST(sum(nll_ppm) div count(*) AS BIGINT)").alias(
+            "mink_avg_nll_ppm"
+        ),
+    )
 
 
 def mink_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -891,67 +959,10 @@ def mink_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     window exemption); everything model-side is Zipf-bounded and
     broadcast. Tail size is exact-integer ceil(n·k/100); the mean is
     an integer div over already-quantized ppm values."""
-    p = spark.sparkContext.defaultParallelism
-    base = (
-        io.load(spark, sf_dir, "documents")
-        .repartition(p, "doc_id")
-        .select("doc_id", F.expr(_TOKENS_SPARK).alias("toks"))
-    )
-    toks = base.select("doc_id", F.explode("toks").alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cw"))
-    total = vocab.agg(F.sum("cw").alias("total"))
-    bg = (
-        base.filter(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.arrays_zip(
-                    F.expr("slice(toks, 1, size(toks) - 1)"),
-                    F.expr("slice(toks, 2, size(toks) - 1)"),
-                )
-            ).alias("pos", "b"),
-        )
-        .select(
-            "doc_id", "pos",
-            F.col("b.0").alias("prev"), F.col("b.1").alias("tok"),
-        )
-    )
-    bgc = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cbg"))
-    ctx = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("cprev"))
-    scored = (
-        bg.join(bgc, ["prev", "tok"])
-        .join(ctx, "prev")
-        .join(vocab, "tok")
-        .join(F.broadcast(total))
-        .select(
-            "doc_id", "pos",
-            F.expr(
-                f"CAST(floor(-ln({BIGRAM_LAMBDA} * (CAST(cbg AS DOUBLE) / cprev)"
-                f" + {1 - BIGRAM_LAMBDA:.1f} * (CAST(cw AS DOUBLE) / total))"
-                " * 1000000 + 0.5) AS BIGINT)"
-            ).alias("nll_ppm"),
-        )
-    )
-    from pyspark.sql import Window
-
-    wd = Window.partitionBy("doc_id")
-    ranked = scored.select(
-        "doc_id", "nll_ppm",
-        F.row_number().over(
-            wd.orderBy(F.col("nll_ppm").desc(), F.asc("pos"))
-        ).alias("rn"),
-        F.count(F.lit(1)).over(wd).alias("nb"),
-    )
-    tail = ranked.filter(
-        F.col("rn") <= F.expr(f"(nb * {MINK_PCT} + 99) div 100")
-    )
-    return tail.groupBy("doc_id").agg(
-        F.max("nb").cast("bigint").alias("n_bigrams"),
-        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
-        F.expr("CAST(sum(nll_ppm) div count(*) AS BIGINT)").alias(
-            "mink_avg_nll_ppm"
-        ),
-    )
+    bg, toks = bigram_streams(spark, sf_dir)
+    bgc, ctx, vocab, total = bigram_model_tables(bg, toks)
+    scored = score_bigrams(bg, bgc, ctx, vocab, total, keep=("doc_id", "pos"))
+    return mink_rollup(scored)
 
 
 MINK_PROB_SQL = f"""

@@ -1,0 +1,248 @@
+"""Streaming bigram-LM store: incremental duals of
+``doc_bigram_lm_score`` and ``doc_mink_prob`` plus an admission-time
+memorization gate.
+
+One additive store of per-batch bigram/token partials (the
+streaming_vocab framing, one model up): the Jelinek–Mercer bigram
+model's three count tables are all additive —
+
+  * (prev, tok) bigram counts     — additive
+  * (prev) context counts         — derivable: Σ over tok of cbg
+  * (tok) unigram counts + total  — additive
+
+so the resolved model over any prefix of batches IS the batch model
+over the union of those batches, and the per-doc positional bigram
+streams (write-once, batch-partitioned) let the resolver re-score
+every ingested document under the CURRENT global model through the
+exact shared expression (``corpus_analytics.score_bigrams`` /
+``bigram_rollup`` / ``mink_rollup``). Stream ≡ batch is therefore
+equality of resolved inputs — the postings-store contract, applied to
+the language model.
+
+The admission-time extra — ``batch_mink_stats`` — is what batch cannot
+do: score ONE incoming drop's min-k% tail under the model AS-OF BEFORE
+that drop (exclude_batch, the DSIR-gate pattern). A drop of text the
+accumulated corpus has already seen (boilerplate floods, benchmark
+leakage, crawl duplicates) keeps a LOW tail NLL against the pre-drop
+model; genuinely novel text scores HIGH. Because an incoming drop can
+contain bigrams and tokens the model has never seen, the gate — and
+only the gate — applies a documented OOV floor: missing counts
+coalesce to 0 and the interpolated probability is floored at
+1/(total+1) before the log (the batch twins never hit this case: their
+model is built from the same corpus they score).
+
+Effectively-once: the shared FileBatchLedger protocol — write-once
+batch partitions with dynamic overwrite, ledger short-circuit, and
+additive compaction via ``ledger.compact_additive_store``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ledger import FileBatchLedger
+from .operators.corpus_analytics import (
+    BIGRAM_LAMBDA,
+    bigram_rollup,
+    bigrams_of,
+    mink_rollup,
+    score_bigrams,
+)
+from .operators.dedup import _TOKENS_SPARK
+
+
+class BigramStore(FileBatchLedger):
+    """batch_id-partitioned partials:
+    ``bigrams`` — per-doc positional streams (doc_id, pos, prev, tok);
+    ``unigrams`` — (tok, cw) additive counts."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    @property
+    def bigrams_path(self) -> str:
+        return os.path.join(self.root, "bigrams")
+
+    @property
+    def unigrams_path(self) -> str:
+        return os.path.join(self.root, "unigrams")
+
+    @staticmethod
+    def _nonempty(path: str) -> bool:
+        return os.path.isdir(path) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(path)
+        )
+
+    def _read(
+        self, spark: SparkSession, path: str, exclude_batch: int | None
+    ) -> DataFrame | None:
+        if not self._nonempty(path):
+            return None
+        df = spark.read.parquet(path)
+        if exclude_batch is not None:
+            df = df.filter(F.col("batch_id") != exclude_batch)
+        return df
+
+    def doc_bigrams(
+        self, spark: SparkSession, exclude_batch: int | None = None
+    ) -> DataFrame | None:
+        df = self._read(spark, self.bigrams_path, exclude_batch)
+        return None if df is None else df.select("doc_id", "pos", "prev", "tok")
+
+    def unigram_counts(
+        self, spark: SparkSession, exclude_batch: int | None = None
+    ) -> DataFrame | None:
+        df = self._read(spark, self.unigrams_path, exclude_batch)
+        if df is None:
+            return None
+        return df.groupBy("tok").agg(F.sum("cw").cast("bigint").alias("cw"))
+
+
+def _doc_streams(batch_docs: DataFrame):
+    base = batch_docs.select("doc_id", F.expr(_TOKENS_SPARK).alias("toks"))
+    bg = bigrams_of(base)
+    toks = base.select("doc_id", F.explode("toks").alias("tok"))
+    return bg, toks
+
+
+def lm_ingest_batch(
+    spark: SparkSession, batch_docs: DataFrame, store: BigramStore, batch_id: int
+) -> None:
+    """Fold one document batch into the model store: the batch's
+    positional bigram streams (write-once) and its unigram count
+    partial (additive)."""
+    if store.committed(batch_id):
+        return
+    bg, toks = _doc_streams(batch_docs)
+    (
+        bg.withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store.bigrams_path)
+    )
+    (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cw"))
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store.unigrams_path)
+    )
+    store.mark_committed(batch_id)
+
+
+def _resolved_model(spark: SparkSession, store: BigramStore,
+                    exclude_batch: int | None = None):
+    """(bg, bgc, ctx, vocab, total) over the accumulated batches —
+    bigram-derived tables aggregate from the stored streams (additive
+    by construction), unigrams from the count partials."""
+    bg = store.doc_bigrams(spark, exclude_batch)
+    vocab = store.unigram_counts(spark, exclude_batch)
+    if bg is None or vocab is None:
+        raise ValueError("no batches ingested yet")
+    bgc = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cbg"))
+    ctx = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("cprev"))
+    total = vocab.agg(F.sum("cw").alias("total"))
+    return bg, bgc, ctx, vocab, total
+
+
+def bigram_lm_score(spark: SparkSession, store: BigramStore) -> DataFrame:
+    """≡ ``doc_bigram_lm_score`` over the union of ingested batches
+    (tested): the shared scoring expression over the resolved model."""
+    bg, bgc, ctx, vocab, total = _resolved_model(spark, store)
+    return bigram_rollup(score_bigrams(bg, bgc, ctx, vocab, total))
+
+
+def mink_prob(spark: SparkSession, store: BigramStore) -> DataFrame:
+    """≡ ``doc_mink_prob`` over the union of ingested batches."""
+    bg, bgc, ctx, vocab, total = _resolved_model(spark, store)
+    scored = score_bigrams(bg, bgc, ctx, vocab, total, keep=("doc_id", "pos"))
+    return mink_rollup(scored)
+
+
+def batch_mink_stats(
+    spark: SparkSession, batch_docs: DataFrame, store: BigramStore,
+    batch_id: int,
+) -> DataFrame:
+    """The admission gate: the incoming drop's per-doc min-k% tail
+    under the model as-of BEFORE ``batch_id`` (identical whether or
+    not the batch's own partials are already written — crash-window
+    safe). OOV floor documented in the module docstring: unseen counts
+    are 0 and p is floored at 1/(total+1), so every NLL stays a finite
+    exact ppm integer. Low ``mink_avg_nll_ppm`` = the accumulated
+    corpus has seen this text before — route to dedup/contamination
+    review before admitting."""
+    prior_bg = store.doc_bigrams(spark, exclude_batch=batch_id)
+    vocab = store.unigram_counts(spark, exclude_batch=batch_id)
+    if prior_bg is None or vocab is None:
+        raise ValueError("no committed batches to score against")
+    bgc = prior_bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cbg"))
+    ctx = prior_bg.groupBy("prev").agg(F.count(F.lit(1)).alias("cprev"))
+    total_row = vocab.agg(F.sum("cw")).collect()[0][0]
+    total = int(total_row or 0)
+    bg, _toks = _doc_streams(batch_docs)
+    scored = (
+        bg.join(bgc, ["prev", "tok"], "left")
+        .join(ctx, "prev", "left")
+        .join(vocab.withColumnRenamed("cw", "cw_m"), "tok", "left")
+        .select(
+            "doc_id", "pos",
+            F.expr(
+                f"CAST(floor(-ln(greatest("
+                f"{BIGRAM_LAMBDA} * (CAST(coalesce(cbg, 0) AS DOUBLE)"
+                f" / greatest(coalesce(cprev, 0), 1))"
+                f" + {1 - BIGRAM_LAMBDA:.1f} * (CAST(coalesce(cw_m, 0) AS DOUBLE)"
+                f" / {max(total, 1)}),"
+                f" 1.0 / {total + 1})) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("nll_ppm"),
+        )
+    )
+    return mink_rollup(scored)
+
+
+def start_lm_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    store: BigramStore,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = 1,
+):
+    """Follow a directory of document parquet drops and maintain the
+    bigram model incrementally."""
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_dir)
+    writer = (
+        docs.writeStream.foreachBatch(
+            lambda df, bid: lm_ingest_batch(df.sparkSession, df, store, bid)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("bigram_lm_ingest")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_unigrams(spark: SparkSession, store: BigramStore) -> None:
+    """Fold committed unigram partials into one summed partition (the
+    additive-grid pattern); the per-doc bigram streams are write-once
+    facts and stay partitioned as ingested."""
+    from .ledger import compact_additive_store
+
+    compact_additive_store(
+        spark,
+        store.unigrams_path,
+        store.committed,
+        lambda df: df.groupBy("tok").agg(
+            F.sum("cw").cast("bigint").alias("cw")
+        ),
+    )

@@ -1302,6 +1302,106 @@ def test_streaming_holt_matches_batch(spark, tmp_path_factory):
     assert got_seasonal == want_seasonal
 
 
+def test_streaming_bigram_lm_matches_batch_and_gates_admission(
+    spark, tmp_path_factory
+):
+    """The incremental bigram-LM store: documents stream in waves, the
+    resolved per-doc LM scores and min-k% tails equal the batch
+    doc_bigram_lm_score / doc_mink_prob EXACTLY (the model tables are
+    additive, the scoring cores are shared); committed-batch replay is
+    a no-op, a crash-window re-ingest converges, unigram compaction
+    changes nothing; and the admission gate scores a drop under the
+    model as-of BEFORE it — identical pre- and post-ingest, with a
+    memorized drop (text the corpus already contains) scoring a LOWER
+    tail NLL than a novel-token drop."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_lm as sl
+    from maillog2db_spark.operators import corpus_analytics as ca
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    want_lm = sorted(map(tuple, ca.bigram_lm_score(spark, sf).collect()))
+    want_mink = sorted(map(tuple, ca.mink_prob(spark, sf).collect()))
+
+    d = tmp_path_factory.mktemp("lm_store")
+    store = sl.BigramStore(str(d / "store"))
+    waves = [docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+             for i in range(3)]
+    for i, w in enumerate(waves[:2]):
+        sl.lm_ingest_batch(spark, w, store, i)
+
+    # admission gate as-of contract: wave 2 scores identically before
+    # its partials exist and after (exclude_batch hides them)
+    gate_before = sorted(
+        map(tuple, sl.batch_mink_stats(spark, waves[2], store, 2).collect())
+    )
+    sl.lm_ingest_batch(spark, waves[2], store, 2)
+    gate_after = sorted(
+        map(tuple, sl.batch_mink_stats(spark, waves[2], store, 2).collect())
+    )
+    assert gate_before == gate_after
+
+    def lm():
+        return sorted(map(tuple, sl.bigram_lm_score(spark, store).collect()))
+
+    def mink():
+        return sorted(map(tuple, sl.mink_prob(spark, store).collect()))
+
+    assert lm() == want_lm
+    assert mink() == want_mink
+
+    # committed redelivery: no-op
+    sl.lm_ingest_batch(spark, waves[1], store, 1)
+    assert lm() == want_lm
+    # crash window: partials written, ledger mark lost — dynamic
+    # overwrite replaces exactly that batch's partitions on replay
+    os.remove(store._ledger(2))
+    sl.lm_ingest_batch(spark, waves[2], store, 2)
+    assert lm() == want_lm and mink() == want_mink
+    # additive compaction of the unigram partials changes nothing
+    sl.compact_unigrams(spark, store)
+    assert lm() == want_lm
+
+    # gate semantics: a drop REPEATING already-ingested text keeps a
+    # low tail NLL; a drop of never-seen tokens scores high
+    seen = docs.orderBy("doc_id").limit(3).collect()
+    memorized = spark.createDataFrame(
+        [(900000 + i, r.text, r.lang, r.source, r.n_chars)
+         for i, r in enumerate(seen)],
+        docs.schema,
+    )
+    novel = spark.createDataFrame(
+        [(910000, " ".join(f"zzqx{i}" for i in range(40)),
+          "en", "s0", 300)],
+        docs.schema,
+    )
+    mem_score = sl.batch_mink_stats(spark, memorized, store, 77).agg(
+        F.max("mink_avg_nll_ppm")
+    ).collect()[0][0]
+    nov_score = sl.batch_mink_stats(spark, novel, store, 78).agg(
+        F.min("mink_avg_nll_ppm")
+    ).collect()[0][0]
+    assert mem_score < nov_score
+
+    # the streaming-API surface lands on the same resolved scores
+    import shutil as _sh
+    src = d / "drops"
+    src.mkdir()
+    for i, w in enumerate(waves):
+        tmp = d / f"_t{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        _sh.move(str(next(tmp.glob("part-*.parquet"))),
+                 str(src / f"wave{i}.parquet"))
+        _sh.rmtree(tmp)
+    store2 = sl.BigramStore(str(d / "store2"))
+    q = sl.start_lm_stream(spark, str(src), store2, str(d / "ckpt"),
+                           available_now=True)
+    q.awaitTermination(300)
+    assert sorted(
+        map(tuple, sl.bigram_lm_score(spark, store2).collect())
+    ) == want_lm
+
+
 def test_streaming_retrieval_eval_matches_batch(spark, tmp_path_factory):
     """The incremental retrieval-quality monitor: documents stream into
     the postings store, corpus embeddings stream into the bounded dense
