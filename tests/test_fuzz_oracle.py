@@ -89,6 +89,14 @@ FUZZED_QUERIES = [
     # interpolated bigram LM: single-token and empty docs must drop
     # identically; zipped-slice bigrams on duplicate-heavy corpora
     "doc_bigram_lm_score",
+    # min-k% tail of the same model: ceil tail sizing on 1-bigram docs
+    # (tail == whole doc) and desc-NLL/pos tie-breaks on duplicate-
+    # heavy corpora where many bigrams share one quantized NLL
+    "doc_mink_prob",
+    # cross-tokenizer fertility: the two encode paths' rollup must
+    # agree cross-engine even when fuzz corpora collapse one path
+    # (all-duplicate words → single-piece vocab)
+    "doc_tokenizer_fertility",
     # char-entropy: per-term ppm quantization before the order-free
     # bigint sum; non-ASCII WORDS certify codepoint-level histograms
     # agree cross-engine (incl. the NFD combining accent)
