@@ -10,7 +10,7 @@ Query/corpus protocol: doc_id < HYBRID_N_QUERIES act as queries on
 BOTH sides (the testdata layout pairs embeddings with documents,
 vec_id = doc_id — the same convention as embed_semdedup_keep_best and
 doc_quality-weighted dedup). The lexical side is the shared BM25 core
-(operators/text.bm25_from_tf); the dense side is the shared cosine
+(operators/text.bm25_rankings — the dl-carry batch core); the dense side is the shared cosine
 top-k core (operators/similarity.cosine_topk) — identical expression
 trees to the standalone queries, so a hash-green hybrid binds both.
 
@@ -29,8 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .. import io
-from .dedup import _TOKENS_DUCK, _TOKENS_SPARK
+from .dedup import _TOKENS_DUCK
 from .similarity import (
     _DOT_DUCK,
     _dot,
@@ -38,7 +37,7 @@ from .similarity import (
     cosine_topk,
     knn_queries_corpus,
 )
-from .text import _BM25_1MB, _BM25_K1P1, BM25_B, BM25_K1, bm25_from_tf
+from .text import _BM25_1MB, _BM25_K1P1, BM25_B, BM25_K1
 
 HYBRID_N_QUERIES = 5  # doc_id/vec_id < N act as queries on both sides
 HYBRID_TOP_K = 5      # per-system depth AND fused output depth
@@ -67,22 +66,11 @@ def _hybrid_rankings(spark: SparkSession, sf_dir: str):
 
 
 def _hybrid_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = spark.sparkContext.defaultParallelism
-    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
-    toks = d.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
-    ctf = (
-        toks.filter(F.col("doc_id") >= HYBRID_N_QUERIES)
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    qterms = (
-        toks.filter(F.col("doc_id") < HYBRID_N_QUERIES)
-        .select(F.col("doc_id").alias("query_id"), "term")
-        .distinct()
-    )
-    return bm25_from_tf(ctf, qterms, top_k=HYBRID_TOP_K).select(
-        "query_id", "doc_id", F.col("rank").alias("rank_lex")
-    )
+    from .text import bm25_rankings
+
+    return bm25_rankings(
+        spark, sf_dir, HYBRID_N_QUERIES, HYBRID_TOP_K
+    ).select("query_id", "doc_id", F.col("rank").alias("rank_lex"))
 
 
 def _hybrid_den(spark: SparkSession, sf_dir: str) -> DataFrame:

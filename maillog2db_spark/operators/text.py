@@ -893,13 +893,23 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-term filter could cut it down; now the only full-width
     shuffles are ctf's own groupBy and the post-probe (query, doc)
     aggregate over the query terms' posting lists."""
+    return bm25_rankings(spark, sf_dir, BM25_N_QUERIES, BM25_TOP_K)
+
+
+def bm25_rankings(
+    spark: SparkSession, sf_dir: str, n_queries: int, top_k: int
+) -> DataFrame:
+    """The parameterized batch BM25 core (`bm25_topk`'s plan, any
+    query-count/depth) — shared with the hybrid fusion's lexical leg
+    (operators/retrieval.py), so both ride the dl-carry shape instead
+    of a per-doc lengths join."""
     p = spark.sparkContext.defaultParallelism
     d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
     base = d.select("doc_id", F.expr(_TOKENS_SPARK).alias("toks"))
     toks = base.select(
         "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
     )
-    corpus = toks.filter(F.col("doc_id") >= BM25_N_QUERIES)
+    corpus = toks.filter(F.col("doc_id") >= n_queries)
     ctf = corpus.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
@@ -907,7 +917,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # countDistinct and no join-back; docs whose text tokenizes empty
     # contribute no ctf rows, so they are excluded here too
     stats = (
-        base.filter(F.col("doc_id") >= BM25_N_QUERIES)
+        base.filter(F.col("doc_id") >= n_queries)
         .select(F.size("toks").alias("dl"))
         .filter(F.col("dl") > 0)
         .agg(
@@ -917,11 +927,11 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfreq = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qterms = (
-        toks.filter(F.col("doc_id") < BM25_N_QUERIES)
+        toks.filter(F.col("doc_id") < n_queries)
         .select(F.col("doc_id").alias("query_id"), "term")
         .distinct()
     )
-    return bm25_score_topk(ctf, None, stats, dfreq, qterms)
+    return bm25_score_topk(ctf, None, stats, dfreq, qterms, top_k=top_k)
 
 
 def bm25_from_tf(
