@@ -1439,6 +1439,14 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+    return triangle_stats_from(edges, per_part)
+
+
+def triangle_stats_from(edges: DataFrame, per_part: DataFrame) -> DataFrame:
+    """Finalization shared with the streaming triangle store
+    (streaming_triangles.py): degree from the thresholded edge list,
+    left-join the per-part triangle counts (absent = 0), exact-integer
+    clustering coefficient 2T/(deg·(deg−1)) on the ppm grid."""
     deg = (
         edges.select(F.col("pa").alias("part"))
         .unionAll(edges.select(F.col("pb").alias("part")))

@@ -1,0 +1,267 @@
+"""Streaming dual of ``li_copurchase_triangles``: incremental triangle
+counting on the thresholded co-purchase graph.
+
+Why this is incrementally maintainable at all: pair supports only GROW
+as order batches arrive, so edges of the thresholded graph appear
+(cross BASKET_MIN_SUPPORT) and never disappear — the graph is
+monotone, and the triangle set is too. Per batch this module
+
+  1. folds the batch's pair-count deltas into an additive store
+     (batch grain = WHOLE ORDERS: the pair base counts co-occurrence
+     within an order, so an order split across two batches would lose
+     its cross-batch pairs — deliver each order in one batch, the
+     natural event grain; the stream helper below keys files however
+     the producer laid them out, and the tests split by l_orderkey);
+  2. computes D = the edges that newly crossed the support threshold
+     in this batch (w_old < minsup ≤ w_new);
+  3. counts the NEW triangles — exactly those containing ≥1 D-edge —
+     at affected-edge grain: each D-edge (u, v) probes the adjacency
+     of the POST-batch graph for common neighbors, every discovered
+     triangle normalizes to its sorted (a < b < c) triple, and the
+     distinct-triple dedup collapses the multi-counting of triangles
+     with 2 or 3 new edges. No full re-enumeration: the wedge mass is
+     Σ over D-edges of their endpoint degrees, not Σ deg² of the
+     whole graph;
+  4. appends the per-part corner deltas (additive) for the new
+     triples.
+
+Resolution re-derives degrees from the resolved pair counts (one
+count-grain scan — the cheap part) and sums the per-part triangle
+deltas; the finalization is the SAME
+``corpus_analytics.triangle_stats_from`` expression the batch query
+runs, so stream ≡ batch is equality of resolved inputs.
+
+Effectively-once: the shared FileBatchLedger protocol — both partials
+are batch_id-partitioned with dynamic overwrite (a crash-window replay
+rewrites exactly its own partitions; the threshold-crossing set D is
+computed against counts as-of BEFORE the batch, so replay recomputes
+the identical D), and both stores compact additively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ledger import FileBatchLedger
+from .operators.corpus_analytics import BASKET_MIN_SUPPORT, triangle_stats_from
+
+
+class TriangleStore(FileBatchLedger):
+    """batch_id-partitioned partials:
+    ``pairs``      — (pa, pb, w) additive co-occurrence deltas;
+    ``tri_deltas`` — (part, dt) additive per-corner triangle deltas."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    @property
+    def pairs_path(self) -> str:
+        return os.path.join(self.root, "pairs")
+
+    @property
+    def tri_path(self) -> str:
+        return os.path.join(self.root, "tri_deltas")
+
+    @staticmethod
+    def _nonempty(path: str) -> bool:
+        return os.path.isdir(path) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(path)
+        )
+
+    def _read(self, spark, path, exclude_batch):
+        if not self._nonempty(path):
+            return None
+        df = spark.read.parquet(path)
+        if exclude_batch is not None:
+            df = df.filter(F.col("batch_id") != exclude_batch)
+        return df
+
+    def pair_counts(
+        self, spark: SparkSession, exclude_batch: int | None = None
+    ) -> DataFrame | None:
+        df = self._read(spark, self.pairs_path, exclude_batch)
+        if df is None:
+            return None
+        return df.groupBy("pa", "pb").agg(
+            F.sum("w").cast("bigint").alias("w")
+        )
+
+    def triangle_counts(
+        self, spark: SparkSession, exclude_batch: int | None = None
+    ) -> DataFrame | None:
+        df = self._read(spark, self.tri_path, exclude_batch)
+        if df is None:
+            return None
+        return df.groupBy("part").agg(
+            F.sum("dt").cast("bigint").alias("n_triangles")
+        )
+
+
+def _batch_pairs(batch_li: DataFrame) -> DataFrame:
+    li = batch_li.select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def triangles_ingest_batch(
+    spark: SparkSession, batch_li: DataFrame, store: TriangleStore,
+    batch_id: int,
+) -> None:
+    """Fold one order-complete lineitem batch into the store."""
+    if store.committed(batch_id):
+        return
+    dpairs = _batch_pairs(batch_li).localCheckpoint(eager=True)
+    (
+        dpairs.withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store.pairs_path)
+    )
+
+    prev = store.pair_counts(spark, exclude_batch=batch_id)
+    if prev is None:
+        merged = dpairs.select("pa", "pb",
+                               F.lit(0).cast("bigint").alias("w_old"),
+                               F.col("w").cast("bigint").alias("w_new"))
+    else:
+        merged = (
+            dpairs.join(prev.withColumnRenamed("w", "wp"), ["pa", "pb"], "left")
+            .select(
+                "pa", "pb",
+                F.coalesce("wp", F.lit(0)).cast("bigint").alias("w_old"),
+                (F.coalesce("wp", F.lit(0)) + F.col("w")).cast("bigint")
+                .alias("w_new"),
+            )
+        )
+    # edges that crossed the support threshold IN this batch — the only
+    # place new triangles can come from (supports are monotone)
+    d = (
+        merged.filter(
+            (F.col("w_old") < BASKET_MIN_SUPPORT)
+            & (F.col("w_new") >= BASKET_MIN_SUPPORT)
+        )
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)
+    )
+
+    # post-batch thresholded adjacency (symmetric view) — D's probes
+    # run against it, so triangles whose other edges are ALSO new in
+    # this batch are found too; the sorted-triple dedup collapses the
+    # multi-counting when 2 or 3 edges of one triangle are in D
+    if prev is None:
+        all_counts = merged.select("pa", "pb", F.col("w_new").alias("w"))
+    else:
+        untouched = prev.join(dpairs.select("pa", "pb"), ["pa", "pb"],
+                              "left_anti")
+        all_counts = merged.select("pa", "pb", F.col("w_new").alias("w")) \
+            .unionByName(untouched)
+    edges_new = all_counts.filter(F.col("w") >= BASKET_MIN_SUPPORT) \
+        .select("pa", "pb")
+    adj = edges_new.select(F.col("pa").alias("n"), F.col("pb").alias("m")) \
+        .unionAll(edges_new.select(F.col("pb").alias("n"), F.col("pa").alias("m")))
+    tri = (
+        d.join(adj.withColumnRenamed("n", "pa").withColumnRenamed("m", "x"),
+               "pa")
+        .filter(F.col("x") != F.col("pb"))
+        .join(
+            adj.select(F.col("n").alias("pb"), F.col("m").alias("x")),
+            ["pb", "x"],
+            "left_semi",
+        )
+        .select(
+            F.least(F.least("pa", "pb"), "x").alias("a"),
+            (F.col("pa") + F.col("pb") + F.col("x")
+             - F.least(F.least("pa", "pb"), "x")
+             - F.greatest(F.greatest("pa", "pb"), "x")).alias("b"),
+            F.greatest(F.greatest("pa", "pb"), "x").alias("c"),
+        )
+        .distinct()
+    )
+    deltas = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dt"))
+    )
+    (
+        deltas.withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store.tri_path)
+    )
+    store.mark_committed(batch_id)
+
+
+def copurchase_triangles(
+    spark: SparkSession, store: TriangleStore
+) -> DataFrame:
+    """≡ ``li_copurchase_triangles`` over the union of ingested order
+    batches (tested): degrees from the resolved pair counts, triangle
+    counts from the additive per-corner deltas, finalized by the shared
+    batch expression."""
+    counts = store.pair_counts(spark)
+    if counts is None:
+        raise ValueError("no batches ingested yet")
+    edges = counts.filter(F.col("w") >= BASKET_MIN_SUPPORT).select("pa", "pb")
+    per_part = store.triangle_counts(spark)
+    if per_part is None:
+        per_part = spark.createDataFrame([], "part bigint, n_triangles bigint")
+    return triangle_stats_from(edges, per_part)
+
+
+def start_triangle_stream(
+    spark: SparkSession,
+    li_dir: str,
+    store: TriangleStore,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = 1,
+):
+    """Follow a directory of order-complete lineitem parquet drops and
+    maintain the triangle stats incrementally."""
+    schema = spark.read.parquet(li_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    li = reader.parquet(li_dir)
+    writer = (
+        li.writeStream.foreachBatch(
+            lambda df, bid: triangles_ingest_batch(df.sparkSession, df, store, bid)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("triangle_ingest")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_triangle_store(spark: SparkSession, store: TriangleStore) -> None:
+    """Fold committed partials of both additive tables into one
+    aggregated partition each (the additive-grid pattern)."""
+    from .ledger import compact_additive_store
+
+    compact_additive_store(
+        spark, store.pairs_path, store.committed,
+        lambda df: df.groupBy("pa", "pb").agg(
+            F.sum("w").cast("bigint").alias("w")
+        ),
+    )
+    if store._nonempty(store.tri_path):
+        compact_additive_store(
+            spark, store.tri_path, store.committed,
+            lambda df: df.groupBy("part").agg(
+                F.sum("dt").cast("bigint").alias("dt")
+            ),
+        )

@@ -1302,6 +1302,93 @@ def test_streaming_holt_matches_batch(spark, tmp_path_factory):
     assert got_seasonal == want_seasonal
 
 
+def test_streaming_triangles_match_batch(spark, tmp_path_factory):
+    """Incremental triangle maintenance on the thresholded co-purchase
+    graph: order-complete lineitem waves fold pair-count deltas into
+    the store, each wave counts ONLY the triangles created by edges
+    that crossed the support threshold in that wave (supports are
+    monotone, so triangles never disappear), and the resolved stats
+    equal the batch li_copurchase_triangles EXACTLY — after every
+    prefix of waves, not just at the end. Committed-batch redelivery is
+    a no-op; a crash-window re-ingest converges; compaction of both
+    additive tables changes nothing; the streaming-API surface lands on
+    the same stats."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_triangles as st
+    from maillog2db_spark.operators import corpus_analytics as ca
+
+    sf = "/root/testdata/sf0.001"
+    li = mio.load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    want = sorted(map(tuple, ca.copurchase_triangles(spark, sf).collect()))
+
+    def batch_twin(prefix_li):
+        edges = (
+            st._batch_pairs(prefix_li)
+            .filter(F.col("w") >= ca.BASKET_MIN_SUPPORT)
+            .select("pa", "pb")
+        )
+        e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+            .join(e3, (F.col("e3.pa") == F.col("e1.pa"))
+                  & (F.col("e3.pb") == F.col("e2.pb")))
+            .select(F.col("e1.pa").alias("a"), F.col("e1.pb").alias("b"),
+                    F.col("e2.pb").alias("c"))
+        )
+        per_part = (
+            tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
+            .groupBy("part")
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+        return sorted(map(tuple,
+                          ca.triangle_stats_from(edges, per_part).collect()))
+
+    d = tmp_path_factory.mktemp("tri_store")
+    store = st.TriangleStore(str(d / "store"))
+    waves = [li.filter(F.pmod(F.col("l_orderkey"), F.lit(3)) == i)
+             for i in range(3)]  # orderkey split keeps every order whole
+
+    def got():
+        return sorted(map(tuple,
+                          st.copurchase_triangles(spark, store).collect()))
+
+    for i, w in enumerate(waves):
+        st.triangles_ingest_batch(spark, w, store, i)
+        prefix = li.filter(F.pmod(F.col("l_orderkey"), F.lit(3)) <= i)
+        assert got() == batch_twin(prefix), f"prefix mismatch after wave {i}"
+    assert got() == want
+
+    # committed redelivery: no-op
+    st.triangles_ingest_batch(spark, waves[1], store, 1)
+    assert got() == want
+    # crash window: partials written, ledger lost — replay recomputes
+    # the identical threshold-crossing set against as-of-before counts
+    os.remove(store._ledger(2))
+    st.triangles_ingest_batch(spark, waves[2], store, 2)
+    assert got() == want
+    # additive compaction of both tables changes nothing
+    st.compact_triangle_store(spark, store)
+    assert got() == want
+
+    # streaming-API surface
+    import shutil as _sh
+    src = d / "drops"
+    src.mkdir()
+    for i, w in enumerate(waves):
+        tmp = d / f"_t{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        _sh.move(str(next(tmp.glob("part-*.parquet"))),
+                 str(src / f"wave{i}.parquet"))
+        _sh.rmtree(tmp)
+    store2 = st.TriangleStore(str(d / "store2"))
+    q = st.start_triangle_stream(spark, str(src), store2, str(d / "ckpt"),
+                                 available_now=True)
+    q.awaitTermination(300)
+    assert sorted(
+        map(tuple, st.copurchase_triangles(spark, store2).collect())
+    ) == want
+
+
 def test_streaming_bigram_lm_matches_batch_and_gates_admission(
     spark, tmp_path_factory
 ):
