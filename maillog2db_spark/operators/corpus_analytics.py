@@ -1111,7 +1111,15 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution floors d·pr·w/wout + 0.5 to an integer BEFORE the
     cross-row sum (the double product stays under 2^53), so iteration
     results are order-exact integers on both engines."""
-    und = _li_pair_counts(spark, sf_dir)
+    return pagerank_from_counts(_li_pair_counts(spark, sf_dir))
+
+
+def pagerank_from_counts(und: DataFrame) -> DataFrame:
+    """The power-iteration core from a resolved (pa, pb, w) pair-count
+    table — shared with the streaming co-purchase store
+    (streaming_triangles.py), whose additive pair counts resolve to
+    exactly this input, so the store-served PageRank is the same
+    expression over the same numbers."""
     edges = und.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
     ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"))

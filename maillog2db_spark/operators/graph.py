@@ -151,8 +151,15 @@ def part_components(spark, sf_dir: str) -> DataFrame:
         _li_pair_counts(spark, sf_dir)
         .filter(F.col("w") >= BASKET_MIN_SUPPORT)
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .localCheckpoint(eager=True)  # two consumers: CC loop + edge count
     )
+    return components_summary(pairs)
+
+
+def components_summary(pairs: DataFrame) -> DataFrame:
+    """Per-component (id, member count, edge count) from a (src, dst)
+    edge list — shared with the streaming co-purchase store's resolved
+    view (streaming_triangles.py)."""
+    pairs = pairs.localCheckpoint(eager=True)  # two consumers: CC + edge count
     labels = star_components(pairs)
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n_parts"))
     edge_counts = (

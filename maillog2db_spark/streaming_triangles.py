@@ -220,6 +220,54 @@ def copurchase_triangles(
     return triangle_stats_from(edges, per_part)
 
 
+def part_pagerank(spark: SparkSession, store: TriangleStore) -> DataFrame:
+    """≡ ``li_part_pagerank`` over the union of ingested order batches:
+    the store's additive pair counts ARE the batch query's
+    (unthresholded) input table, and the power iteration is the shared
+    ``pagerank_from_counts`` expression. The corpus-scale work — the
+    order-keyed basket self-join — happened incrementally at ingest;
+    the iteration runs on the pair-count grain."""
+    from .operators.corpus_analytics import pagerank_from_counts
+
+    counts = store.pair_counts(spark)
+    if counts is None:
+        raise ValueError("no batches ingested yet")
+    return pagerank_from_counts(counts)
+
+
+def part_kcore(spark: SparkSession, store: TriangleStore) -> DataFrame:
+    """≡ ``li_part_kcore`` over the union of ingested batches: runtime
+    fixpoint peeling (``graph.kcore``) on the store-resolved
+    thresholded edges."""
+    from .operators.graph import kcore
+
+    counts = store.pair_counts(spark)
+    if counts is None:
+        raise ValueError("no batches ingested yet")
+    edges = counts.filter(F.col("w") >= BASKET_MIN_SUPPORT).select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    )
+    return kcore(edges).withColumnRenamed("node", "part")
+
+
+def part_components(spark: SparkSession, store: TriangleStore) -> DataFrame:
+    """≡ ``li_part_components`` over the union of ingested batches:
+    star contraction + the shared summary on the store-resolved
+    thresholded edges. (For label-grain incremental maintenance — only
+    merged components rewritten per batch — use streaming_cc.CCStore;
+    this view serves the summary straight off the SAME pair store the
+    triangle/PageRank/k-core views share.)"""
+    from .operators.graph import components_summary
+
+    counts = store.pair_counts(spark)
+    if counts is None:
+        raise ValueError("no batches ingested yet")
+    pairs = counts.filter(F.col("w") >= BASKET_MIN_SUPPORT).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    )
+    return components_summary(pairs)
+
+
 def start_triangle_stream(
     spark: SparkSession,
     li_dir: str,

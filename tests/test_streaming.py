@@ -1370,6 +1370,21 @@ def test_streaming_triangles_match_batch(spark, tmp_path_factory):
     st.compact_triangle_store(spark, store)
     assert got() == want
 
+    # the other graph views served off the SAME pair store equal their
+    # batch twins (the corpus-scale basket self-join happened at
+    # ingest; the graph algorithms run on the resolved pair grain)
+    from maillog2db_spark.operators import graph as gr
+
+    assert sorted(
+        map(tuple, st.part_pagerank(spark, store).collect())
+    ) == sorted(map(tuple, ca.part_pagerank(spark, sf).collect()))
+    assert sorted(
+        map(tuple, st.part_kcore(spark, store).collect())
+    ) == sorted(map(tuple, gr.part_kcore(spark, sf).collect()))
+    assert sorted(
+        map(tuple, st.part_components(spark, store).collect())
+    ) == sorted(map(tuple, gr.part_components(spark, sf).collect()))
+
     # streaming-API surface
     import shutil as _sh
     src = d / "drops"
