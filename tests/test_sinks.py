@@ -253,3 +253,34 @@ def test_write_training_shards_roundtrip_and_determinism(spark, tmp_path):
     a = docs.select("doc_id", "text")
     b = back.select("doc_id", "text")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_materialized_backfill_and_parallel_writes_are_identical(spark, tmp_path):
+    """The two batch-backfill optimizations change plumbing, never
+    results: process_lines(materialize=True) yields the same four
+    tables as the lazy path (the parse runs once instead of once per
+    consumer), and write_canonical's concurrent default lands the same
+    rows as parallel=False."""
+    lines = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(LOG * 2)], ["seq", "value"]
+    )
+    lazy = pipeline.process_lines(lines, seq_col="seq", year=2025)
+    mat = pipeline.process_lines(
+        lines, seq_col="seq", year=2025, materialize=True
+    )
+    for name in ("logs", "clients", "messages", "deliveries"):
+        a = sorted(map(tuple, getattr(lazy, name).collect()))
+        b = sorted(map(tuple, getattr(mat, name).collect()))
+        assert a == b, name
+
+    par, ser = str(tmp_path / "par"), str(tmp_path / "ser")
+    for out, parallel in ((par, True), (ser, False)):
+        sinks.write_canonical(
+            spark, out, logs=mat.logs, clients=mat.clients,
+            messages=mat.messages, deliveries=mat.deliveries,
+            parallel=parallel,
+        )
+    for name in ("logs", "clients", "messages", "deliveries"):
+        a = sorted(map(tuple, spark.read.parquet(os.path.join(par, name)).collect()))
+        b = sorted(map(tuple, spark.read.parquet(os.path.join(ser, name)).collect()))
+        assert a == b, name
