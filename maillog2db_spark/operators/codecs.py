@@ -166,4 +166,335 @@ def sniff_media_type(data: bytes) -> str:
         return "image/png"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "audio/wav"
+    if data[:2] == b"\xff\xd8":
+        return "image/jpeg"
     return "unknown"
+
+
+# --- baseline JPEG (grayscale, ITU T.81 Annex K tables) -----------------------
+#
+# A REAL lossy codec, pure stdlib + math: forward/inverse 8x8 DCT,
+# Annex K luminance quantization, canonical Huffman entropy coding with
+# byte stuffing. Scope is deliberately baseline sequential / 8-bit /
+# single component / no subsampling — the decoder rejects anything
+# else loudly rather than guessing. One exactness property the
+# round-trip query leans on: a block whose pixels are all equal to
+# 128 + 2k reconstructs EXACTLY (its AC coefficients are 0, and the
+# DC coefficient 8*(v-128) quantized by the Annex K DC step 16 is
+# lossless precisely when (v-128) is even), so flat-block images on
+# the even-offset grid are a lossless subclass of a lossy codec —
+# which is what lets a SQL oracle predict the decoded bytes.
+
+_JPEG_QTABLE = [  # Annex K Table K.1 (luminance), raster order
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+_ZIGZAG = [  # zigzag index -> raster index
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K Tables K.3/K.5: (BITS counts per code length 1..16, HUFFVAL)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits, vals):
+    """Canonical codes: {value: (code, length)}."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits, vals):
+    """{(code, length): value} for the decoder."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(code, ln)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+import math as _math
+
+_DCT_C = [
+    [
+        (0.5 * (1.0 / _math.sqrt(2.0) if u == 0 else 1.0))
+        * _math.cos((2 * x + 1) * u * _math.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def _dct2(block):
+    """8x8 forward DCT-II, block = 64 level-shifted ints. The
+    orthonormal basis _DCT_C IS the JPEG convention: alpha(u)alpha(v)
+    equals T.81's (1/4)C(u)C(v), so no extra scaling anywhere."""
+    tmp = [[sum(_DCT_C[u][x] * block[y * 8 + x] for x in range(8))
+            for u in range(8)] for y in range(8)]
+    return [
+        sum(_DCT_C[v][y] * tmp[y][u] for y in range(8))
+        for v in range(8) for u in range(8)
+    ]
+
+
+def _idct2(coef):
+    """Inverse of _dct2 (transpose of the orthonormal transform)."""
+    tmp = [[sum(_DCT_C[v][y] * coef[v * 8 + u] for v in range(8))
+            for u in range(8)] for y in range(8)]
+    return [
+        sum(_DCT_C[u][x] * tmp[y][u] for u in range(8))
+        for y in range(8) for x in range(8)
+    ]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _amp_bits(v: int, s: int) -> int:
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Baseline sequential JPEG, 8-bit grayscale, Annex K tables.
+    ``pixels`` is row-major, one byte per pixel; edges pad by
+    replication to 8x8 blocks."""
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = [
+                pixels[min(by + y, height - 1) * width + min(bx + x, width - 1)]
+                - 128
+                for y in range(8) for x in range(8)
+            ]
+            coef = _dct2(block)
+            q = [
+                int(round(coef[_ZIGZAG[i]] / _JPEG_QTABLE[_ZIGZAG[i]]))
+                for i in range(64)
+            ]
+            diff = q[0] - prev_dc
+            prev_dc = q[0]
+            s = _category(diff)
+            c, ln = dc_codes[s]
+            bw.put(c, ln)
+            if s:
+                bw.put(_amp_bits(diff, s), s)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if q[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]  # ZRL
+                    bw.put(c, ln)
+                    run -= 16
+                s = _category(q[i])
+                c, ln = ac_codes[(run << 4) | s]
+                bw.put(c, ln)
+                bw.put(_amp_bits(q[i], s), s)
+                run = 0
+            if last_nz < 63:
+                c, ln = ac_codes[0x00]  # EOB
+                bw.put(c, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTABLE[_ZIGZAG[i]] for i in range(64)))
+    sof = seg(0xC0, bytes([8]) + height.to_bytes(2, "big")
+              + width.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+           + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                assert self.data[self.pos] == 0x00, "unexpected marker in scan"
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline grayscale JPEG (the subset ``encode_jpeg_gray``
+    emits, validated strictly) → (width, height, row-major pixels)."""
+    assert data[:2] == b"\xff\xd8", "not a JPEG"
+    pos = 2
+    qtab = None
+    width = height = None
+    dc_map = ac_map = None
+    while True:
+        assert data[pos] == 0xFF, "marker expected"
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise AssertionError("EOI before SOS")
+        ln = int.from_bytes(data[pos:pos + 2], "big")
+        payload = data[pos + 2:pos + ln]
+        if marker == 0xDB:
+            assert payload[0] == 0x00, "only 8-bit qtable 0"
+            zz = payload[1:65]
+            qtab = [0] * 64
+            for i in range(64):
+                qtab[_ZIGZAG[i]] = zz[i]
+        elif marker == 0xC0:
+            assert payload[0] == 8 and payload[5] == 1, "grayscale 8-bit only"
+            height = int.from_bytes(payload[1:3], "big")
+            width = int.from_bytes(payload[3:5], "big")
+            assert payload[7] == 0x11, "no subsampling"
+        elif marker == 0xC4:
+            cls = payload[0] >> 4
+            bits = list(payload[1:17])
+            vals = list(payload[17:17 + sum(bits)])
+            if cls == 0:
+                dc_map = _huff_decode_map(bits, vals)
+            else:
+                ac_map = _huff_decode_map(bits, vals)
+        elif marker == 0xDA:
+            pos += ln
+            break
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise AssertionError("not baseline sequential")
+        pos += ln
+    assert qtab and width and height and dc_map and ac_map, "incomplete header"
+
+    br = _BitReader(data[pos:])
+
+    def huff(table):
+        code, lnn = 0, 0
+        while True:
+            code = (code << 1) | br.bit()
+            lnn += 1
+            assert lnn <= 16, "bad Huffman stream"
+            if (code, lnn) in table:
+                return table[(code, lnn)]
+
+    bw_blocks = (width + 7) // 8
+    bh_blocks = (height + 7) // 8
+    out = bytearray(width * height)
+    prev_dc = 0
+    for byi in range(bh_blocks):
+        for bxi in range(bw_blocks):
+            q = [0] * 64
+            s = huff(dc_map)
+            diff = _extend(br.bits(s), s) if s else 0
+            prev_dc += diff
+            q[0] = prev_dc
+            i = 1
+            while i < 64:
+                rs = huff(ac_map)
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    i += 16
+                    continue
+                i += rs >> 4
+                s = rs & 0x0F
+                assert i < 64, "AC overflow"
+                q[i] = _extend(br.bits(s), s)
+                i += 1
+            coef = [0.0] * 64
+            for i in range(64):
+                coef[_ZIGZAG[i]] = q[i] * qtab[_ZIGZAG[i]]
+            pix = _idct2(coef)
+            for y in range(8):
+                iy = byi * 8 + y
+                if iy >= height:
+                    break
+                for x in range(8):
+                    ix = bxi * 8 + x
+                    if ix >= width:
+                        continue
+                    v = int(round(pix[y * 8 + x])) + 128
+                    out[iy * width + ix] = 0 if v < 0 else (255 if v > 255 else v)
+    return width, height, bytes(out)

@@ -88,6 +88,9 @@ def _real_decode(payload: bytes) -> dict | None:
         if kind == "audio/wav":
             _, _, n_frames, _ = codecs.decode_wav(payload)
             return {"media_type": kind, "width": 0, "height": 0, "n_frames": n_frames}
+        if kind == "image/jpeg":
+            w, h, _ = codecs.decode_jpeg_gray(payload)
+            return {"media_type": kind, "width": w, "height": h, "n_frames": 1}
     except Exception:
         return None
     return None
@@ -479,3 +482,78 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("video")
         .alias("media_type"),
     )
+
+
+# --- JPEG round-trip (real lossy codec, exact on the flat-block class) --------
+
+JPEG_BLOCK_W = 8     # one 8x8 block per image row-strip
+JPEG_N_BLOCKS = 32   # one block per md5-hex character
+
+
+def jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked REAL-JPEG round-trip: derive a flat-block
+    grayscale image from each document's md5 (one 8×8 block per hex
+    character, pixel value 208 − 2·ascii(c) — every block constant at
+    an EVEN offset from 128), push it through the full baseline codec
+    — forward DCT, Annex K quantization, Huffman entropy coding with
+    byte stuffing, then the real decoder — and report the recovered
+    dimensions plus the md5 of the DECODED pixels.
+
+    Why this is hash-verifiable for a LOSSY codec: a constant block's
+    AC coefficients are 0 and its DC coefficient 8·(v−128) is an exact
+    multiple of the Annex K DC quantization step 16 precisely when
+    (v−128) is even — so on this input class quantization is lossless
+    and the DuckDB oracle can predict the decoded bytes arithmetically
+    from the text alone (the PNG query's contract, extended to a codec
+    that is lossy in general; the pytest suite separately bounds the
+    lossy path on noise/gradient images). A hash match therefore
+    proves the encoder and decoder agree through real DCT/Huffman
+    machinery end-to-end, not that two fakes agree.
+
+    Scale shape: pure mapInPandas over the repartitioned scan — no
+    shuffle, no state; pixel values stay ≤ 127 so both engines hash
+    identical single-byte strings."""
+    import hashlib
+
+    from . import codecs
+
+    p = spark.sparkContext.defaultParallelism
+    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id").select(
+        "doc_id", "text"
+    )
+    w, nb = JPEG_BLOCK_W, JPEG_N_BLOCKS
+    h = 8 * nb
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = hashlib.md5((text or "").encode("utf-8")).hexdigest()
+                pix = b"".join(
+                    bytes([208 - 2 * ord(c)]) * 64 for c in hx
+                )
+                jp = codecs.encode_jpeg_gray(pix, w, h)
+                w2, h2, out = codecs.decode_jpeg_gray(jp)
+                rows.append(
+                    (doc_id, w2, h2, hashlib.md5(out).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "pixel_md5"]
+            )
+
+    return d.mapInPandas(
+        _roundtrip,
+        schema="doc_id bigint, width int, height int, pixel_md5 string",
+    )
+
+
+JPEG_ROUNDTRIP_SQL = f"""
+SELECT doc_id,
+       {JPEG_BLOCK_W} AS width,
+       {8 * JPEG_N_BLOCKS} AS height,
+       md5(array_to_string(list_transform(
+           generate_series(1, {JPEG_N_BLOCKS}),
+           i -> repeat(chr(208 - 2 * ascii(substr(md5(coalesce(text, '')), i, 1))), 64)
+       ), '')) AS pixel_md5
+FROM documents
+"""

@@ -581,6 +581,8 @@ register("ord_zorder_key", _lay.ZORDER_KEY_SQL,
          doc="Z-order (Morton) clustering key over (price, date) — the layout-optimizer key behind min/max file skipping; pure codegen integer interleave, bit-exact oracle")(_lay.zorder_key)
 register("mm_png_roundtrip", _mm.PNG_ROUNDTRIP_SQL,
          doc="REAL-codec round-trip: text bytes -> grayscale PNG -> decode, dims+pixel md5 predicted arithmetically by the oracle")(_mm.png_roundtrip)
+register("mm_jpeg_roundtrip", _mm.JPEG_ROUNDTRIP_SQL,
+         doc="REAL lossy codec round-trip: baseline JPEG (DCT + Annex K quant + Huffman) on flat even-offset blocks, where quantization is provably lossless — decoded-pixel md5 predicted arithmetically by the oracle")(_mm.jpeg_roundtrip)
 register("mm_wav_loudness", _mm.WAV_LOUDNESS_SQL,
          doc="REAL-codec audio featurization: code-point PCM -> WAV encode/decode -> peak/RMS, predicted arithmetically by the oracle")(_mm.wav_loudness)
 register("mm_frame_sample", _mm.FRAME_SAMPLE_SQL,
@@ -646,14 +648,15 @@ _PRIORITY = [
     "tpch_q17_small_qty_revenue", "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue", "tpch_q20_excess_suppliers",
     "tpch_q21_waiting_suppliers", "tpch_q22_dormant_customers",
-    "grouping_sets_orders", "cube_orders", "rollup_sales",
+    "grouping_sets_orders", "cube_orders",
     "ev_sessionize", "ev_asof_purchase_click",
     "ev_user_daily_autocorr", "ev_pairs_within_5min",
     "doc_dedup_keep_best",
-    # new this round — never driver-verified (take the two most stable
-    # shapes' slots in the backfill tier: set_ops_customers and
-    # pivot_returnflag keep their r3 verdicts on unchanged code)
-    "doc_tokenizer_fertility", "doc_mink_prob",
+    # new this round — never driver-verified (take the three most
+    # stable shapes' slots in the backfill tier: set_ops_customers,
+    # pivot_returnflag and rollup_sales keep their r3 verdicts on
+    # unchanged code)
+    "doc_tokenizer_fertility", "doc_mink_prob", "mm_jpeg_roundtrip",
     # ---- 50-entry window boundary ----
     # The tail keeps its most recent green driver verdict (r3/r4/r5)
     # on code unchanged since that verdict.

@@ -49,6 +49,10 @@ FUZZED_QUERIES = [
     # cross-engine (rms stays in: both engines reduce bit-identical
     # integer partial sums, so the rounded double is the same object)
     "mm_png_roundtrip",
+    # real lossy JPEG on the provably-lossless flat-block class: the
+    # image derives from md5(text), so any fuzz text (unicode, empty,
+    # NULL-ish) exercises the full DCT/Huffman path with an exact hash
+    "mm_jpeg_roundtrip",
     "mm_wav_loudness",
     "mm_frame_sample",
     # integral sketch with deterministic indexes; rank ties break on tok
