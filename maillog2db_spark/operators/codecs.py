@@ -262,10 +262,25 @@ _DCT_C = [
 ]
 
 
+try:  # vectorized fast path; the pure-Python forms below stay as the
+    # dependency-free fallback. Reassociation cannot move results off
+    # the contract: the flat-class exactness argument has ~0.5 margins
+    # against ~1e-13 float noise, and the lossy path is bounded, not
+    # bit-pinned.
+    import numpy as _np
+
+    _DCT_M = _np.array(_DCT_C)
+except Exception:  # pragma: no cover - numpy ships with pyspark
+    _np = None
+
+
 def _dct2(block):
     """8x8 forward DCT-II, block = 64 level-shifted ints. The
     orthonormal basis _DCT_C IS the JPEG convention: alpha(u)alpha(v)
     equals T.81's (1/4)C(u)C(v), so no extra scaling anywhere."""
+    if _np is not None:
+        b = _np.asarray(block, dtype=_np.float64).reshape(8, 8)
+        return (_DCT_M @ b @ _DCT_M.T).ravel().tolist()
     tmp = [[sum(_DCT_C[u][x] * block[y * 8 + x] for x in range(8))
             for u in range(8)] for y in range(8)]
     return [
@@ -276,6 +291,9 @@ def _dct2(block):
 
 def _idct2(coef):
     """Inverse of _dct2 (transpose of the orthonormal transform)."""
+    if _np is not None:
+        c = _np.asarray(coef, dtype=_np.float64).reshape(8, 8)
+        return (_DCT_M.T @ c @ _DCT_M).ravel().tolist()
     tmp = [[sum(_DCT_C[v][y] * coef[v * 8 + u] for v in range(8))
             for u in range(8)] for y in range(8)]
     return [
