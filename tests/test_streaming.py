@@ -1302,6 +1302,79 @@ def test_streaming_holt_matches_batch(spark, tmp_path_factory):
     assert got_seasonal == want_seasonal
 
 
+def test_one_document_stream_feeds_four_stores(spark, tmp_path_factory):
+    """The deployment composition: ONE Structured Streaming query over
+    a directory of document drops maintains FOUR independent stores in
+    a single foreachBatch — the inverted index (BM25 serving), the
+    bigram-LM model (memorization gate), the vocabulary store (OOV /
+    source-KL / mix audits), and the PSI drift grid — and after the
+    stream drains, EVERY resolved view equals its batch twin exactly.
+    Each store is equivalence-tested on its own elsewhere; this pins
+    that they compose on one ingest without interfering (shared ledger
+    roots stay separate, one batch id drives all four)."""
+    import shutil as _sh
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_bm25 as sb
+    from maillog2db_spark import streaming_drift as sd
+    from maillog2db_spark import streaming_lm as sl
+    from maillog2db_spark import streaming_vocab as sv
+    from maillog2db_spark.operators import corpus_analytics as ca
+    from maillog2db_spark.operators.text import bm25_topk, vocab_growth
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    want_bm25 = sorted(map(tuple, bm25_topk(spark, sf).collect()))
+    want_lm = sorted(map(tuple, ca.bigram_lm_score(spark, sf).collect()))
+    want_kl = sorted(map(tuple, ca.source_kl(spark, sf).collect()))
+    want_growth = sorted(map(tuple, vocab_growth(spark, sf).collect()))
+    from maillog2db_spark.operators.quality import length_drift_psi
+
+    want_psi = sorted(map(tuple, length_drift_psi(spark, sf).collect()))
+
+    d = tmp_path_factory.mktemp("one_stream")
+    src = d / "drops"
+    src.mkdir()
+    waves = [docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+             for i in range(3)]
+    for i, w in enumerate(waves):
+        tmp = d / f"_t{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        _sh.move(str(next(tmp.glob("part-*.parquet"))),
+                 str(src / f"wave{i}.parquet"))
+        _sh.rmtree(tmp)
+
+    postings = sb.PostingsStore(str(d / "postings"))
+    lm = sl.BigramStore(str(d / "lm"))
+    vocab = sv.VocabStore(str(d / "vocab"))
+    drift = sd.DriftStore(str(d / "drift"))
+
+    def ingest_all(df, bid):
+        s = df.sparkSession
+        sb.bm25_ingest_batch(s, df, postings, bid)
+        sl.lm_ingest_batch(s, df, lm, bid)
+        sv.vocab_ingest_batch(s, df, vocab, bid)
+        sd.drift_ingest_batch(s, df, drift, bid)
+
+    schema = spark.read.parquet(str(src)).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(ingest_all)
+        .option("checkpointLocation", str(d / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert sorted(map(tuple, sb.bm25_topk(spark, postings).collect())) == want_bm25
+    assert sorted(map(tuple, sl.bigram_lm_score(spark, lm).collect())) == want_lm
+    assert sorted(map(tuple, sv.source_kl(spark, vocab).collect())) == want_kl
+    assert sorted(map(tuple, sv.vocab_growth(spark, vocab).collect())) == want_growth
+    assert sorted(map(tuple, sd.psi(spark, drift).collect())) == want_psi
+
+
 def test_streaming_triangles_match_batch(spark, tmp_path_factory):
     """Incremental triangle maintenance on the thresholded co-purchase
     graph: order-complete lineitem waves fold pair-count deltas into
