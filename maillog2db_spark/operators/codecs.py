@@ -334,14 +334,31 @@ def _amp_bits(v: int, s: int) -> int:
     return v if v >= 0 else v + (1 << s) - 1
 
 
-def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
-    """Baseline sequential JPEG, 8-bit grayscale, Annex K tables.
-    ``pixels`` is row-major, one byte per pixel; edges pad by
-    replication to 8x8 blocks."""
-    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
-    bw = _BitWriter()
-    prev_dc = 0
+def _encode_blocks_zigzag(pixels: bytes, width: int, height: int):
+    """Quantized coefficients per block in zigzag order, raster block
+    order — batched through numpy when available (one einsum for every
+    block's DCT), else the per-block pure-Python path. Both use
+    half-even rounding (python round / np.rint)."""
+    if _np is not None:
+        img = (
+            _np.frombuffer(pixels, dtype=_np.uint8)
+            .reshape(height, width)
+            .astype(_np.float64)
+        )
+        h8 = (height + 7) // 8 * 8
+        w8 = (width + 7) // 8 * 8
+        pad = _np.pad(img, ((0, h8 - height), (0, w8 - width)), mode="edge")
+        blocks = (
+            pad.reshape(h8 // 8, 8, w8 // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+            - 128.0
+        )
+        coef = _np.einsum("ij,njk,lk->nil", _DCT_M, blocks, _DCT_M)
+        qt = _np.asarray(_JPEG_QTABLE, dtype=_np.float64).reshape(8, 8)
+        q = _np.rint(coef / qt).astype(_np.int64).reshape(-1, 64)
+        return q[:, _ZIGZAG].tolist()
+    out = []
     for by in range(0, height, 8):
         for bx in range(0, width, 8):
             block = [
@@ -350,35 +367,47 @@ def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
                 for y in range(8) for x in range(8)
             ]
             coef = _dct2(block)
-            q = [
+            out.append([
                 int(round(coef[_ZIGZAG[i]] / _JPEG_QTABLE[_ZIGZAG[i]]))
                 for i in range(64)
-            ]
-            diff = q[0] - prev_dc
-            prev_dc = q[0]
-            s = _category(diff)
-            c, ln = dc_codes[s]
+            ])
+    return out
+
+
+def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Baseline sequential JPEG, 8-bit grayscale, Annex K tables.
+    ``pixels`` is row-major, one byte per pixel; edges pad by
+    replication to 8x8 blocks."""
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for q in _encode_blocks_zigzag(pixels, width, height):
+        diff = q[0] - prev_dc
+        prev_dc = q[0]
+        s = _category(diff)
+        c, ln = dc_codes[s]
+        bw.put(c, ln)
+        if s:
+            bw.put(_amp_bits(diff, s), s)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+        for i in range(1, last_nz + 1):
+            if q[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]  # ZRL
+                bw.put(c, ln)
+                run -= 16
+            s = _category(q[i])
+            c, ln = ac_codes[(run << 4) | s]
             bw.put(c, ln)
-            if s:
-                bw.put(_amp_bits(diff, s), s)
+            bw.put(_amp_bits(q[i], s), s)
             run = 0
-            last_nz = max((i for i in range(1, 64) if q[i]), default=0)
-            for i in range(1, last_nz + 1):
-                if q[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = ac_codes[0xF0]  # ZRL
-                    bw.put(c, ln)
-                    run -= 16
-                s = _category(q[i])
-                c, ln = ac_codes[(run << 4) | s]
-                bw.put(c, ln)
-                bw.put(_amp_bits(q[i], s), s)
-                run = 0
-            if last_nz < 63:
-                c, ln = ac_codes[0x00]  # EOB
-                bw.put(c, ln)
+        if last_nz < 63:
+            c, ln = ac_codes[0x00]  # EOB
+            bw.put(c, ln)
     entropy = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -479,40 +508,63 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
 
     bw_blocks = (width + 7) // 8
     bh_blocks = (height + 7) // 8
-    out = bytearray(width * height)
+    # entropy-decode every block first (inherently sequential), then
+    # reconstruct: batched dequant + one einsum IDCT when numpy is
+    # available, per-block pure Python otherwise
     prev_dc = 0
-    for byi in range(bh_blocks):
-        for bxi in range(bw_blocks):
-            q = [0] * 64
-            s = huff(dc_map)
-            diff = _extend(br.bits(s), s) if s else 0
-            prev_dc += diff
-            q[0] = prev_dc
-            i = 1
-            while i < 64:
-                rs = huff(ac_map)
-                if rs == 0x00:
-                    break
-                if rs == 0xF0:
-                    i += 16
+    qblocks = []
+    for _ in range(bh_blocks * bw_blocks):
+        q = [0] * 64
+        s = huff(dc_map)
+        diff = _extend(br.bits(s), s) if s else 0
+        prev_dc += diff
+        q[0] = prev_dc
+        i = 1
+        while i < 64:
+            rs = huff(ac_map)
+            if rs == 0x00:
+                break
+            if rs == 0xF0:
+                i += 16
+                continue
+            i += rs >> 4
+            s = rs & 0x0F
+            assert i < 64, "AC overflow"
+            q[i] = _extend(br.bits(s), s)
+            i += 1
+        qblocks.append(q)
+
+    if _np is not None:
+        qz = _np.asarray(qblocks, dtype=_np.float64)
+        coef = _np.zeros_like(qz)
+        coef[:, _ZIGZAG] = qz
+        coef = coef.reshape(-1, 8, 8) * _np.asarray(
+            qtab, dtype=_np.float64
+        ).reshape(8, 8)
+        pix = _np.einsum("ji,njk,kl->nil", _DCT_M, coef, _DCT_M) + 128.0
+        pix = _np.clip(_np.rint(pix), 0, 255).astype(_np.uint8)
+        full = (
+            pix.reshape(bh_blocks, bw_blocks, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_blocks * 8, bw_blocks * 8)
+        )
+        return width, height, full[:height, :width].tobytes()
+
+    out = bytearray(width * height)
+    for bi, q in enumerate(qblocks):
+        byi, bxi = divmod(bi, bw_blocks)
+        coef = [0.0] * 64
+        for i in range(64):
+            coef[_ZIGZAG[i]] = q[i] * qtab[_ZIGZAG[i]]
+        pix = _idct2(coef)
+        for y in range(8):
+            iy = byi * 8 + y
+            if iy >= height:
+                break
+            for x in range(8):
+                ix = bxi * 8 + x
+                if ix >= width:
                     continue
-                i += rs >> 4
-                s = rs & 0x0F
-                assert i < 64, "AC overflow"
-                q[i] = _extend(br.bits(s), s)
-                i += 1
-            coef = [0.0] * 64
-            for i in range(64):
-                coef[_ZIGZAG[i]] = q[i] * qtab[_ZIGZAG[i]]
-            pix = _idct2(coef)
-            for y in range(8):
-                iy = byi * 8 + y
-                if iy >= height:
-                    break
-                for x in range(8):
-                    ix = bxi * 8 + x
-                    if ix >= width:
-                        continue
-                    v = int(round(pix[y * 8 + x])) + 128
-                    out[iy * width + ix] = 0 if v < 0 else (255 if v > 255 else v)
+                v = int(round(pix[y * 8 + x])) + 128
+                out[iy * width + ix] = 0 if v < 0 else (255 if v > 255 else v)
     return width, height, bytes(out)
