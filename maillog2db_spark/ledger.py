@@ -93,6 +93,7 @@ COMPACTED_BATCH_ID = -1  # negative: can never collide with a stream batch id
 def compact_additive_store(
     spark, path: str, is_committed, aggregate,
     partition_by: list[str] | None = None,
+    keep_latest: int = 0,
 ) -> None:
     """Compact a batch_id-partitioned ADDITIVE store (the
     streaming_drift / streaming_holt / streaming_bm25 / streaming_vocab
@@ -119,14 +120,22 @@ def compact_additive_store(
     The one thing compaction trades away is the per-batch as-of view
     (``exclude_batch``) for batches already folded — callers that need
     an as-of lookback (admission gates) must compact only batches
-    older than their window. ``aggregate`` receives a DataFrame WITH
-    the batch_id column and must return the folded rows WITHOUT it.
+    older than their window: pass ``keep_latest=N`` and the N highest
+    COMMITTED batch ids stay raw (their partitions survive unfolded),
+    so any gate whose lookback is at most N batches deep can still
+    reconstruct its as-of-before view after compaction. ``aggregate``
+    receives a DataFrame WITH the batch_id column and must return the
+    folded rows WITHOUT it.
     """
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(path)
     ids = [r.batch_id for r in df.select("batch_id").distinct().collect()]
-    raw_ids = [i for i in ids if i >= 0 and not is_committed(i)]
+    committed_ids = sorted(i for i in ids if i >= 0 and is_committed(i))
+    kept = set(committed_ids[-keep_latest:]) if keep_latest > 0 else set()
+    raw_ids = [
+        i for i in ids if i >= 0 and (not is_committed(i) or i in kept)
+    ]
     foldable = df.filter(~F.col("batch_id").isin(raw_ids)) if raw_ids else df
     compacted = aggregate(foldable).withColumn(
         "batch_id", F.lit(COMPACTED_BATCH_ID).cast("long")

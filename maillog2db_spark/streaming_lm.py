@@ -26,10 +26,15 @@ accumulated corpus has already seen (boilerplate floods, benchmark
 leakage, crawl duplicates) keeps a LOW tail NLL against the pre-drop
 model; genuinely novel text scores HIGH. Because an incoming drop can
 contain bigrams and tokens the model has never seen, the gate — and
-only the gate — applies a documented OOV floor: missing counts
-coalesce to 0 and the interpolated probability is floored at
-1/(total+1) before the log (the batch twins never hit this case: their
-model is built from the same corpus they score).
+only the gate — applies a documented OOV floor: ONLY when both the
+bigram and the unigram count are 0 (interpolated probability exactly
+0, ln undefined) is p replaced by 1/(10*(total+1)) — strictly below
+the smallest seen-event probability (1-λ)·1/total, so never-seen
+events always score a HIGHER NLL than rare-but-seen ones and the
+novelty ordering is monotone. Rare-but-seen events are NOT clamped —
+they score their true interpolated probability. (The batch twins
+never hit the OOV case: their model is built from the same corpus
+they score.)
 
 Effectively-once: the shared FileBatchLedger protocol — write-once
 batch partitions with dynamic overwrite, ledger short-circuit, and
@@ -172,11 +177,25 @@ def batch_mink_stats(
     """The admission gate: the incoming drop's per-doc min-k% tail
     under the model as-of BEFORE ``batch_id`` (identical whether or
     not the batch's own partials are already written — crash-window
-    safe). OOV floor documented in the module docstring: unseen counts
-    are 0 and p is floored at 1/(total+1), so every NLL stays a finite
-    exact ppm integer. Low ``mink_avg_nll_ppm`` = the accumulated
-    corpus has seen this text before — route to dedup/contamination
-    review before admitting."""
+    safe). OOV floor documented in the module docstring: p is floored
+    at 1/(10*(total+1)) ONLY when both counts are 0, so every NLL
+    stays a finite exact ppm integer AND never-seen < rare-seen in
+    probability (higher NLL). Low ``mink_avg_nll_ppm`` = the
+    accumulated corpus has seen this text before — route to
+    dedup/contamination review before admitting.
+
+    Raises if ``batch_id``'s unigram partial was already folded into
+    the compacted partition (committed, but its own batch partition is
+    gone): ``exclude_batch`` could not hide it and the gate would
+    silently score the drop against a model that contains it — the
+    compact_unigrams ``keep_latest`` window exists to prevent this."""
+    part = os.path.join(store.unigrams_path, f"batch_id={batch_id}")
+    if store.committed(batch_id) and not os.path.isdir(part):
+        raise ValueError(
+            f"batch {batch_id} was compacted away — its as-of-before "
+            "model view is unrecoverable; compact with keep_latest "
+            "covering the gate lookback"
+        )
     prior_bg = store.doc_bigrams(spark, exclude_batch=batch_id)
     vocab = store.unigram_counts(spark, exclude_batch=batch_id)
     if prior_bg is None or vocab is None:
@@ -193,12 +212,13 @@ def batch_mink_stats(
         .select(
             "doc_id", "pos",
             F.expr(
-                f"CAST(floor(-ln(greatest("
-                f"{BIGRAM_LAMBDA} * (CAST(coalesce(cbg, 0) AS DOUBLE)"
+                f"CAST(floor(-ln(CASE WHEN coalesce(cbg, 0) = 0"
+                f" AND coalesce(cw_m, 0) = 0"
+                f" THEN 1.0 / {10 * (total + 1)}"
+                f" ELSE {BIGRAM_LAMBDA} * (CAST(coalesce(cbg, 0) AS DOUBLE)"
                 f" / greatest(coalesce(cprev, 0), 1))"
                 f" + {1 - BIGRAM_LAMBDA:.1f} * (CAST(coalesce(cw_m, 0) AS DOUBLE)"
-                f" / {max(total, 1)}),"
-                f" 1.0 / {total + 1})) * 1000000 + 0.5) AS BIGINT)"
+                f" / {max(total, 1)}) END) * 1000000 + 0.5) AS BIGINT)"
             ).alias("nll_ppm"),
         )
     )
@@ -232,10 +252,21 @@ def start_lm_stream(
     return writer.start()
 
 
-def compact_unigrams(spark: SparkSession, store: BigramStore) -> None:
+def compact_unigrams(
+    spark: SparkSession, store: BigramStore, keep_latest: int = 1
+) -> None:
     """Fold committed unigram partials into one summed partition (the
     additive-grid pattern); the per-doc bigram streams are write-once
-    facts and stay partitioned as ingested."""
+    facts and stay partitioned as ingested.
+
+    ``keep_latest`` (default 1) leaves the most recent N committed
+    batches raw so the admission gate's as-of-before view
+    (``batch_mink_stats`` with ``exclude_batch``, lookback depth 1)
+    survives compaction — folding EVERY batch would make a gate re-run
+    for an already-committed batch silently score the drop against a
+    model that contains it. ``batch_mink_stats`` raises rather than
+    return that wrong answer (the check below is the belt to this
+    brace)."""
     from .ledger import compact_additive_store
 
     compact_additive_store(
@@ -245,4 +276,5 @@ def compact_unigrams(spark: SparkSession, store: BigramStore) -> None:
         lambda df: df.groupBy("tok").agg(
             F.sum("cw").cast("bigint").alias("cw")
         ),
+        keep_latest=keep_latest,
     )

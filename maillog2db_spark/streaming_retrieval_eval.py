@@ -82,7 +82,13 @@ class DenseTopKStore(FileBatchLedger):
         """Persist the eval query set (rows with vec_id <
         HYBRID_N_QUERIES from the embeddings schema). Idempotent:
         a second call on an existing store is a no-op, so a restart
-        that re-runs setup cannot clobber in-progress state."""
+        that re-runs setup cannot clobber in-progress state. The write
+        goes through ``ledger.atomic_rewrite`` (temp dir + rename, the
+        top-k state's pattern) so a crash mid-registration leaves
+        either NO queries directory (re-registration proceeds) or a
+        complete one (the no-op guard is sound) — a plain
+        ``write.parquet`` could leave a partial directory that trips
+        the isdir guard forever."""
         if os.path.isdir(self.queries_path):
             return
         q = emb_queries.filter(F.col("vec_id") < HYBRID_N_QUERIES).select(
@@ -91,7 +97,7 @@ class DenseTopKStore(FileBatchLedger):
             _norm(F.col("embedding")).alias("q_nrm"),
             F.col("label").alias("q_lab"),
         )
-        q.coalesce(1).write.parquet(self.queries_path)
+        atomic_rewrite(q, self.queries_path, n_files=1)
 
     def queries(self, spark: SparkSession) -> DataFrame:
         if not os.path.isdir(self.queries_path):

@@ -11,7 +11,11 @@ monotone, and the triangle set is too. Per batch this module
      within an order, so an order split across two batches would lose
      its cross-batch pairs — deliver each order in one batch, the
      natural event grain; the stream helper below keys files however
-     the producer laid them out, and the tests split by l_orderkey);
+     the producer laid them out, and the tests split by l_orderkey.
+     The contract is ENFORCED, not just documented: each batch's
+     distinct orderkeys persist with a one-row key-range summary, and
+     ``_enforce_order_grain`` raises on a repeat — range check on the
+     driver, key probe only against range-overlapping batches);
   2. computes D = the edges that newly crossed the support threshold
      in this batch (w_old < minsup ≤ w_new);
   3. counts the NEW triangles — exactly those containing ≥1 D-edge —
@@ -51,8 +55,17 @@ from .operators.corpus_analytics import BASKET_MIN_SUPPORT, triangle_stats_from
 
 class TriangleStore(FileBatchLedger):
     """batch_id-partitioned partials:
-    ``pairs``      — (pa, pb, w) additive co-occurrence deltas;
-    ``tri_deltas`` — (part, dt) additive per-corner triangle deltas."""
+    ``pairs``       — (pa, pb, w) additive co-occurrence deltas;
+    ``tri_deltas``  — (part, dt) additive per-corner triangle deltas;
+    ``orders_seen`` — (l_orderkey) write-once per-batch order keys,
+                      plus a tiny ``order_ranges`` (batch_id, kmin,
+                      kmax, n) summary — together they ENFORCE the
+                      whole-orders-per-batch contract instead of
+                      merely documenting it (see
+                      ``_enforce_order_grain``). Never compacted:
+                      ranges are one row per batch, and the key
+                      partitions are only scanned when a range
+                      overlap makes a violation possible."""
 
     def __init__(self, root: str):
         self.root = root
@@ -64,6 +77,14 @@ class TriangleStore(FileBatchLedger):
     @property
     def tri_path(self) -> str:
         return os.path.join(self.root, "tri_deltas")
+
+    @property
+    def orders_path(self) -> str:
+        return os.path.join(self.root, "orders_seen")
+
+    @property
+    def ranges_path(self) -> str:
+        return os.path.join(self.root, "order_ranges")
 
     @staticmethod
     def _nonempty(path: str) -> bool:
@@ -113,6 +134,56 @@ def _batch_pairs(batch_li: DataFrame) -> DataFrame:
     )
 
 
+def _enforce_order_grain(
+    spark: SparkSession, store: TriangleStore, batch_orders: DataFrame,
+    batch_id: int,
+) -> tuple[int, int] | None:
+    """Raise if this batch repeats an l_orderkey already in a COMMITTED
+    batch — the silent-undercount failure (an order split across two
+    batches loses its cross-batch pairs with no later detection).
+
+    Cost model: the per-batch key-range summary (one row per batch) is
+    collected and range-checked on the driver; the orderkey partitions
+    are scanned ONLY for committed batches whose [kmin, kmax] overlaps
+    the incoming batch's range (partition-pruned by batch_id), and the
+    probe broadcasts the incoming batch's distinct keys. Producers that
+    deliver orders in roughly increasing key ranges never pay more than
+    the one-row range check. Returns the batch's (kmin, kmax) so the
+    caller writes the summary without re-aggregating; None for an
+    empty batch."""
+    row = batch_orders.agg(
+        F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+    ).collect()[0]
+    if row.lo is None:
+        return None
+    if store._nonempty(store.ranges_path):
+        rngs = spark.read.parquet(store.ranges_path).collect()
+        overlap = [
+            int(r.batch_id) for r in rngs
+            if r.batch_id != batch_id and store.committed(int(r.batch_id))
+            and r.kmin <= row.hi and row.lo <= r.kmax
+        ]
+        if overlap:
+            dup = (
+                spark.read.parquet(store.orders_path)
+                .filter(F.col("batch_id").isin(overlap))
+                .join(F.broadcast(batch_orders), "l_orderkey", "inner")
+                .select("l_orderkey")
+                .limit(5)
+                .collect()
+            )
+            if dup:
+                keys = sorted(r.l_orderkey for r in dup)
+                raise ValueError(
+                    f"batch {batch_id} violates the whole-orders-per-"
+                    f"batch contract: l_orderkey(s) {keys} already "
+                    f"ingested in committed batch(es) {sorted(overlap)} "
+                    "— an order split across batches would silently "
+                    "lose its cross-batch pairs"
+                )
+    return int(row.lo), int(row.hi)
+
+
 def triangles_ingest_batch(
     spark: SparkSession, batch_li: DataFrame, store: TriangleStore,
     batch_id: int,
@@ -120,6 +191,29 @@ def triangles_ingest_batch(
     """Fold one order-complete lineitem batch into the store."""
     if store.committed(batch_id):
         return
+    batch_orders = (
+        batch_li.select("l_orderkey").distinct().localCheckpoint(eager=True)
+    )
+    key_range = _enforce_order_grain(spark, store, batch_orders, batch_id)
+    if key_range is not None:
+        lo, hi = key_range
+        (
+            batch_orders.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store.orders_path)
+        )
+        (
+            spark.createDataFrame(
+                [(lo, hi)], "kmin bigint, kmax bigint"
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store.ranges_path)
+        )
     dpairs = _batch_pairs(batch_li).localCheckpoint(eager=True)
     (
         dpairs.withColumn("batch_id", F.lit(batch_id).cast("long"))

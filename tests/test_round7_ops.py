@@ -1,0 +1,164 @@
+"""Round-7 hardening tests: the four advisor findings.
+
+1. streaming_triangles enforces (not just documents) the
+   whole-orders-per-batch contract;
+2. compact_unigrams preserves the gate's as-of-before view
+   (keep_latest window) and batch_mink_stats raises rather than score
+   against a model that contains the drop;
+3. DenseTopKStore.register_queries is crash-safe (atomic write);
+4. the LM gate's OOV floor binds only true OOV events — rare-but-seen
+   scores its real probability, strictly below never-seen in NLL.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars int"
+LI_SCHEMA = "l_orderkey bigint, l_partkey bigint"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows], DOC_SCHEMA
+    )
+
+
+# --- 1. whole-orders-per-batch enforcement -----------------------------------
+
+
+def test_triangle_order_grain_violation_raises(spark, tmp_path):
+    from maillog2db_spark import streaming_triangles as st
+
+    store = st.TriangleStore(str(tmp_path / "store"))
+    b0 = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12), (2, 13)], LI_SCHEMA
+    )
+    st.triangles_ingest_batch(spark, b0, store, 0)
+
+    # disjoint orders: fine
+    b1 = spark.createDataFrame([(3, 10), (3, 14)], LI_SCHEMA)
+    st.triangles_ingest_batch(spark, b1, store, 1)
+
+    # order 2 reappears in a later batch — the silent-undercount case
+    bad = spark.createDataFrame([(2, 14), (4, 15)], LI_SCHEMA)
+    with pytest.raises(ValueError, match="whole-orders-per-batch"):
+        st.triangles_ingest_batch(spark, bad, store, 2)
+
+    # committed redelivery of an old batch: no-op, no false positive
+    st.triangles_ingest_batch(spark, b0, store, 0)
+    # crash-window replay (data written, ledger mark lost): the batch's
+    # own partitions are excluded from the check, replay converges
+    os.remove(store._ledger(1))
+    st.triangles_ingest_batch(spark, b1, store, 1)
+    assert store.committed(1)
+
+
+def test_triangle_order_grain_range_pruning(spark, tmp_path):
+    """Disjoint key ranges never scan the orderkey partitions — assert
+    by poisoning the orders store and showing no raise happens (the
+    probe would find the poisoned key if it ran)."""
+    from maillog2db_spark import streaming_triangles as st
+
+    store = st.TriangleStore(str(tmp_path / "store"))
+    b0 = spark.createDataFrame([(10, 1), (11, 2)], LI_SCHEMA)
+    st.triangles_ingest_batch(spark, b0, store, 0)
+    # poison: claim batch 0's RANGE was [10, 11] but sneak key 100 into
+    # its orderkey partition; a non-overlapping incoming range must not
+    # even look at it
+    extra = spark.createDataFrame([(100,)], "l_orderkey bigint")
+    (
+        extra.withColumn("batch_id", F.lit(0).cast("long"))
+        .write.mode("append").partitionBy("batch_id")
+        .parquet(store.orders_path)
+    )
+    b1 = spark.createDataFrame([(100, 3), (101, 4)], LI_SCHEMA)
+    st.triangles_ingest_batch(spark, b1, store, 1)  # no raise: ranges disjoint
+    assert store.committed(1)
+
+
+# --- 2. gate as-of view survives compaction ----------------------------------
+
+
+def test_lm_compaction_keeps_gate_asof_window(spark, tmp_path):
+    from maillog2db_spark import streaming_lm as sl
+
+    store = sl.BigramStore(str(tmp_path / "store"))
+    waves = [
+        _docs(spark, [(1, "alpha beta gamma alpha beta")]),
+        _docs(spark, [(2, "beta gamma delta beta gamma")]),
+        _docs(spark, [(3, "gamma delta alpha gamma delta")]),
+    ]
+    for i, w in enumerate(waves):
+        sl.lm_ingest_batch(spark, w, store, i)
+
+    before = sorted(
+        map(tuple, sl.batch_mink_stats(spark, waves[2], store, 2).collect())
+    )
+    # default keep_latest=1 keeps batch 2 raw: the gate re-run is exact
+    sl.compact_unigrams(spark, store)
+    after = sorted(
+        map(tuple, sl.batch_mink_stats(spark, waves[2], store, 2).collect())
+    )
+    assert before == after
+
+    # fold EVERYTHING: the as-of view for batch 2 is gone — the gate
+    # must refuse rather than score against a model containing the drop
+    sl.compact_unigrams(spark, store, keep_latest=0)
+    with pytest.raises(ValueError, match="compacted away"):
+        sl.batch_mink_stats(spark, waves[2], store, 2)
+    # resolved full-model views are unaffected by either compaction
+    assert sl.bigram_lm_score(spark, store).count() == 3
+
+
+# --- 3. crash-safe query registration ----------------------------------------
+
+
+def test_retrieval_eval_register_queries_crash_safe(spark, tmp_path):
+    from maillog2db_spark import streaming_retrieval_eval as sre
+
+    store = sre.DenseTopKStore(str(tmp_path / "store"))
+    # a stale mid-write temp dir from a crashed earlier registration
+    # must not block (or corrupt) a fresh registration
+    stale = store.queries_path + "_rewriting"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-garbage.parquet"), "w") as f:
+        f.write("not parquet")
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0], i % 3) for i in range(40)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    store.register_queries(emb)
+    q1 = store.queries(spark).count()
+    assert q1 > 0 and not os.path.isdir(stale)
+    # idempotent second call
+    store.register_queries(emb)
+    assert store.queries(spark).count() == q1
+
+
+# --- 4. OOV floor binds only true OOV ----------------------------------------
+
+
+def test_lm_gate_rare_seen_beats_never_seen(spark, tmp_path):
+    """A drop whose tokens the corpus HAS seen (once) must score a
+    strictly LOWER tail NLL than a drop of never-seen tokens — under
+    the old global floor both clamped to the same 1/(total+1) and the
+    novelty signal compressed to zero exactly where it matters."""
+    from maillog2db_spark import streaming_lm as sl
+
+    store = sl.BigramStore(str(tmp_path / "store"))
+    corpus = _docs(
+        spark,
+        [(1, "filler " * 200 + "rarea rareb")],  # rare tokens seen once
+    )
+    sl.lm_ingest_batch(spark, corpus, store, 0)
+
+    rare_seen = _docs(spark, [(100, "rareb rarea")])  # unseen BIGRAM, seen toks
+    never_seen = _docs(spark, [(200, "zzqua zzqub")])  # true OOV
+    rs = sl.batch_mink_stats(spark, rare_seen, store, 7).collect()[0]
+    ns = sl.batch_mink_stats(spark, never_seen, store, 8).collect()[0]
+    assert rs.mink_avg_nll_ppm < ns.mink_avg_nll_ppm
