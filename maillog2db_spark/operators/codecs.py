@@ -334,44 +334,87 @@ def _amp_bits(v: int, s: int) -> int:
     return v if v >= 0 else v + (1 << s) - 1
 
 
-def _encode_blocks_zigzag(pixels: bytes, width: int, height: int):
-    """Quantized coefficients per block in zigzag order, raster block
-    order — batched through numpy when available (one einsum for every
-    block's DCT), else the per-block pure-Python path. Both use
-    half-even rounding (python round / np.rint)."""
+def _plane_qblocks(pixels: bytes, width: int, height: int, qtab,
+                   gw: int, gh: int):
+    """Quantized coefficients for one component plane as a gh x gw
+    grid of blocks in zigzag order, raster block order, edge-replicated
+    out to the grid (gw/gh may exceed ceil(dim/8) when a chroma or
+    luma plane must fill whole MCUs) — batched through numpy when
+    available (one einsum for every block's DCT), else the per-block
+    pure-Python path. Both use half-even rounding (round / np.rint)."""
     if _np is not None:
         img = (
             _np.frombuffer(pixels, dtype=_np.uint8)
             .reshape(height, width)
             .astype(_np.float64)
         )
-        h8 = (height + 7) // 8 * 8
-        w8 = (width + 7) // 8 * 8
-        pad = _np.pad(img, ((0, h8 - height), (0, w8 - width)), mode="edge")
+        pad = _np.pad(
+            img, ((0, gh * 8 - height), (0, gw * 8 - width)), mode="edge"
+        )
         blocks = (
-            pad.reshape(h8 // 8, 8, w8 // 8, 8)
+            pad.reshape(gh, 8, gw, 8)
             .transpose(0, 2, 1, 3)
             .reshape(-1, 8, 8)
             - 128.0
         )
         coef = _np.einsum("ij,njk,lk->nil", _DCT_M, blocks, _DCT_M)
-        qt = _np.asarray(_JPEG_QTABLE, dtype=_np.float64).reshape(8, 8)
+        qt = _np.asarray(qtab, dtype=_np.float64).reshape(8, 8)
         q = _np.rint(coef / qt).astype(_np.int64).reshape(-1, 64)
         return q[:, _ZIGZAG].tolist()
     out = []
-    for by in range(0, height, 8):
-        for bx in range(0, width, 8):
+    for byi in range(gh):
+        for bxi in range(gw):
             block = [
-                pixels[min(by + y, height - 1) * width + min(bx + x, width - 1)]
+                pixels[
+                    min(byi * 8 + y, height - 1) * width
+                    + min(bxi * 8 + x, width - 1)
+                ]
                 - 128
                 for y in range(8) for x in range(8)
             ]
             coef = _dct2(block)
             out.append([
-                int(round(coef[_ZIGZAG[i]] / _JPEG_QTABLE[_ZIGZAG[i]]))
+                int(round(coef[_ZIGZAG[i]] / qtab[_ZIGZAG[i]]))
                 for i in range(64)
             ])
     return out
+
+
+def _encode_blocks_zigzag(pixels: bytes, width: int, height: int):
+    return _plane_qblocks(
+        pixels, width, height, _JPEG_QTABLE,
+        (width + 7) // 8, (height + 7) // 8,
+    )
+
+
+def _emit_block(bw: "_BitWriter", q, prev_dc: int, dc_codes, ac_codes) -> int:
+    """Entropy-code one zigzag-quantized block (DC diff + AC run/size),
+    returning the new DC predictor."""
+    diff = q[0] - prev_dc
+    s = _category(diff)
+    c, ln = dc_codes[s]
+    bw.put(c, ln)
+    if s:
+        bw.put(_amp_bits(diff, s), s)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if q[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.put(c, ln)
+            run -= 16
+        s = _category(q[i])
+        c, ln = ac_codes[(run << 4) | s]
+        bw.put(c, ln)
+        bw.put(_amp_bits(q[i], s), s)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.put(c, ln)
+    return q[0]
 
 
 def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
@@ -383,31 +426,7 @@ def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
     bw = _BitWriter()
     prev_dc = 0
     for q in _encode_blocks_zigzag(pixels, width, height):
-        diff = q[0] - prev_dc
-        prev_dc = q[0]
-        s = _category(diff)
-        c, ln = dc_codes[s]
-        bw.put(c, ln)
-        if s:
-            bw.put(_amp_bits(diff, s), s)
-        run = 0
-        last_nz = max((i for i in range(1, 64) if q[i]), default=0)
-        for i in range(1, last_nz + 1):
-            if q[i] == 0:
-                run += 1
-                continue
-            while run > 15:
-                c, ln = ac_codes[0xF0]  # ZRL
-                bw.put(c, ln)
-                run -= 16
-            s = _category(q[i])
-            c, ln = ac_codes[(run << 4) | s]
-            bw.put(c, ln)
-            bw.put(_amp_bits(q[i], s), s)
-            run = 0
-        if last_nz < 63:
-            c, ln = ac_codes[0x00]  # EOB
-            bw.put(c, ln)
+        prev_dc = _emit_block(bw, q, prev_dc, dc_codes, ac_codes)
     entropy = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -450,6 +469,79 @@ class _BitReader:
 
 def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _huff_read(br: "_BitReader", table) -> int:
+    code, lnn = 0, 0
+    while True:
+        code = (code << 1) | br.bit()
+        lnn += 1
+        assert lnn <= 16, "bad Huffman stream"
+        if (code, lnn) in table:
+            return table[(code, lnn)]
+
+
+def _read_block(br: "_BitReader", dc_map, ac_map, prev_dc: int):
+    """Entropy-decode one block → (zigzag q list, new DC predictor)."""
+    q = [0] * 64
+    s = _huff_read(br, dc_map)
+    diff = _extend(br.bits(s), s) if s else 0
+    prev_dc += diff
+    q[0] = prev_dc
+    i = 1
+    while i < 64:
+        rs = _huff_read(br, ac_map)
+        if rs == 0x00:
+            break
+        if rs == 0xF0:
+            i += 16
+            continue
+        i += rs >> 4
+        s = rs & 0x0F
+        assert i < 64, "AC overflow"
+        q[i] = _extend(br.bits(s), s)
+        i += 1
+    return q, prev_dc
+
+
+def _blocks_to_plane(qblocks, qtab, gw: int, gh: int,
+                     width: int, height: int) -> bytes:
+    """Dequantize + inverse-DCT a gh x gw block grid (raster block
+    order, zigzag coefficients) and crop to (width, height) — one
+    batched einsum when numpy is available."""
+    if _np is not None:
+        qz = _np.asarray(qblocks, dtype=_np.float64)
+        coef = _np.zeros_like(qz)
+        coef[:, _ZIGZAG] = qz
+        coef = coef.reshape(-1, 8, 8) * _np.asarray(
+            qtab, dtype=_np.float64
+        ).reshape(8, 8)
+        pix = _np.einsum("ji,njk,kl->nil", _DCT_M, coef, _DCT_M) + 128.0
+        pix = _np.clip(_np.rint(pix), 0, 255).astype(_np.uint8)
+        full = (
+            pix.reshape(gh, gw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(gh * 8, gw * 8)
+        )
+        return full[:height, :width].tobytes()
+    out = bytearray(width * height)
+    for bi, q in enumerate(qblocks):
+        byi, bxi = divmod(bi, gw)
+        coef = [0.0] * 64
+        for i in range(64):
+            coef[_ZIGZAG[i]] = q[i] * qtab[_ZIGZAG[i]]
+        pix = _idct2(coef)
+        for y in range(8):
+            iy = byi * 8 + y
+            if iy >= height:
+                break
+            for x in range(8):
+                ix = bxi * 8 + x
+                if ix >= width:
+                    continue
+                v = int(round(pix[y * 8 + x])) + 128
+                out[iy * width + ix] = 0 if v < 0 else (255 if v > 255 else v)
+    return bytes(out)
 
 
 def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
@@ -496,16 +588,6 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     assert qtab and width and height and dc_map and ac_map, "incomplete header"
 
     br = _BitReader(data[pos:])
-
-    def huff(table):
-        code, lnn = 0, 0
-        while True:
-            code = (code << 1) | br.bit()
-            lnn += 1
-            assert lnn <= 16, "bad Huffman stream"
-            if (code, lnn) in table:
-                return table[(code, lnn)]
-
     bw_blocks = (width + 7) // 8
     bh_blocks = (height + 7) // 8
     # entropy-decode every block first (inherently sequential), then
@@ -514,57 +596,392 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     prev_dc = 0
     qblocks = []
     for _ in range(bh_blocks * bw_blocks):
-        q = [0] * 64
-        s = huff(dc_map)
-        diff = _extend(br.bits(s), s) if s else 0
-        prev_dc += diff
-        q[0] = prev_dc
-        i = 1
-        while i < 64:
-            rs = huff(ac_map)
-            if rs == 0x00:
-                break
-            if rs == 0xF0:
-                i += 16
-                continue
-            i += rs >> 4
-            s = rs & 0x0F
-            assert i < 64, "AC overflow"
-            q[i] = _extend(br.bits(s), s)
-            i += 1
+        q, prev_dc = _read_block(br, dc_map, ac_map, prev_dc)
         qblocks.append(q)
+    return width, height, _blocks_to_plane(
+        qblocks, qtab, bw_blocks, bh_blocks, width, height
+    )
 
+
+# --- color JPEG (YCbCr, 4:2:0, ITU T.81 Annex K chrominance tables) -----------
+#
+# Extends the grayscale baseline to the standard 3-component color
+# path: Y keeps the K.1 quantization table and K.3/K.5 Huffman tables,
+# Cb/Cr use the K.2 chrominance quantization table and the K.4/K.6
+# chrominance Huffman tables; chroma is 4:2:0 (2x2 mean-subsampled),
+# and the scan interleaves 16x16 MCUs of 4 Y blocks + 1 Cb + 1 Cr with
+# a separate DC predictor per component. The encoder accepts YCbCr
+# planes (the file's native space — color conversion is a separate,
+# property-bounded concern) and RGB via the T.871 full-range helpers.
+#
+# Exactness class, per component: a constant 16x16 MCU survives
+# quantization losslessly when its DC coefficient is an exact multiple
+# of the DC quant step — Y-128 even (step 16, the grayscale rule) and
+# Cb/Cr in 128 ± 17k (step 17, gcd(8,17)=1 so 8*(C-128) ≡ 0 mod 17
+# forces (C-128) ≡ 0 mod 17). The 2x2 chroma subsample of a constant
+# MCU is exact, so the SQL oracle predicts all three DECODED planes
+# arithmetically — the grayscale hash contract, extended through real
+# subsampling and four real Huffman tables.
+
+_JPEG_QTABLE_C = [  # Annex K Table K.2 (chrominance), raster order
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K Tables K.4/K.6: chrominance DC/AC Huffman specs
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def rgb_to_ycbcr(rgb: bytes, width: int, height: int):
+    """ITU-T T.871 full-range conversion, rounded to uint8 planes."""
     if _np is not None:
-        qz = _np.asarray(qblocks, dtype=_np.float64)
-        coef = _np.zeros_like(qz)
-        coef[:, _ZIGZAG] = qz
-        coef = coef.reshape(-1, 8, 8) * _np.asarray(
-            qtab, dtype=_np.float64
-        ).reshape(8, 8)
-        pix = _np.einsum("ji,njk,kl->nil", _DCT_M, coef, _DCT_M) + 128.0
-        pix = _np.clip(_np.rint(pix), 0, 255).astype(_np.uint8)
-        full = (
-            pix.reshape(bh_blocks, bw_blocks, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(bh_blocks * 8, bw_blocks * 8)
+        a = _np.frombuffer(rgb, dtype=_np.uint8).reshape(-1, 3).astype(
+            _np.float64
         )
-        return width, height, full[:height, :width].tobytes()
+        r, g, b = a[:, 0], a[:, 1], a[:, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        clip = lambda p: _np.clip(_np.rint(p), 0, 255).astype(  # noqa: E731
+            _np.uint8
+        ).tobytes()
+        return clip(y), clip(cb), clip(cr)
+    y = bytearray(width * height)
+    cb = bytearray(width * height)
+    cr = bytearray(width * height)
+    for i in range(width * height):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        y[i] = min(255, max(0, round(0.299 * r + 0.587 * g + 0.114 * b)))
+        cb[i] = min(255, max(0, round(
+            128 - 0.168735892 * r - 0.331264108 * g + 0.5 * b)))
+        cr[i] = min(255, max(0, round(
+            128 + 0.5 * r - 0.418687589 * g - 0.081312411 * b)))
+    return bytes(y), bytes(cb), bytes(cr)
 
-    out = bytearray(width * height)
-    for bi, q in enumerate(qblocks):
-        byi, bxi = divmod(bi, bw_blocks)
-        coef = [0.0] * 64
-        for i in range(64):
-            coef[_ZIGZAG[i]] = q[i] * qtab[_ZIGZAG[i]]
-        pix = _idct2(coef)
-        for y in range(8):
-            iy = byi * 8 + y
-            if iy >= height:
-                break
-            for x in range(8):
-                ix = bxi * 8 + x
-                if ix >= width:
-                    continue
-                v = int(round(pix[y * 8 + x])) + 128
-                out[iy * width + ix] = 0 if v < 0 else (255 if v > 255 else v)
-    return width, height, bytes(out)
+
+def ycbcr_to_rgb(y: bytes, cb: bytes, cr: bytes) -> bytes:
+    """Inverse T.871 full-range conversion on equal-length planes."""
+    if _np is not None:
+        yy = _np.frombuffer(y, dtype=_np.uint8).astype(_np.float64)
+        cbb = _np.frombuffer(cb, dtype=_np.uint8).astype(_np.float64) - 128.0
+        crr = _np.frombuffer(cr, dtype=_np.uint8).astype(_np.float64) - 128.0
+        r = yy + 1.402 * crr
+        g = yy - 0.344136286 * cbb - 0.714136286 * crr
+        b = yy + 1.772 * cbb
+        out = _np.stack([r, g, b], axis=1)
+        return _np.clip(_np.rint(out), 0, 255).astype(_np.uint8).tobytes()
+    out = bytearray(3 * len(y))
+    for i in range(len(y)):
+        yy, cbb, crr = y[i], cb[i] - 128, cr[i] - 128
+        for j, v in enumerate((
+            yy + 1.402 * crr,
+            yy - 0.344136286 * cbb - 0.714136286 * crr,
+            yy + 1.772 * cbb,
+        )):
+            out[3 * i + j] = min(255, max(0, round(v)))
+    return bytes(out)
+
+
+def _subsample_420(plane: bytes, width: int, height: int) -> tuple[bytes, int, int]:
+    """2x2 mean subsample (half-even rounding), edge rows/cols average
+    whatever exists → (subsampled plane, cw, ch)."""
+    cw, ch = (width + 1) // 2, (height + 1) // 2
+    if _np is not None:
+        img = _np.frombuffer(plane, dtype=_np.uint8).reshape(
+            height, width
+        ).astype(_np.float64)
+        pad = _np.pad(img, ((0, 2 * ch - height), (0, 2 * cw - width)),
+                      mode="edge")
+        sub = pad.reshape(ch, 2, cw, 2).mean(axis=(1, 3))
+        return (
+            _np.clip(_np.rint(sub), 0, 255).astype(_np.uint8).tobytes(),
+            cw, ch,
+        )
+    out = bytearray(cw * ch)
+    for cy in range(ch):
+        for cx in range(cw):
+            vals = [
+                plane[min(2 * cy + dy, height - 1) * width
+                      + min(2 * cx + dx, width - 1)]
+                for dy in range(2) for dx in range(2)
+            ]
+            out[cy * cw + cx] = min(255, max(0, round(sum(vals) / 4.0)))
+    return bytes(out), cw, ch
+
+
+def encode_jpeg_ycbcr(y: bytes, cb: bytes, cr: bytes,
+                      width: int, height: int) -> bytes:
+    """Baseline sequential color JPEG from full-resolution YCbCr
+    planes: 4:2:0 subsampling, Annex K tables, interleaved MCU scan."""
+    mcu_w, mcu_h = (width + 15) // 16, (height + 15) // 16
+    yq = _plane_qblocks(y, width, height, _JPEG_QTABLE,
+                        2 * mcu_w, 2 * mcu_h)
+    cbs, cw, ch = _subsample_420(cb, width, height)
+    crs, _, _ = _subsample_420(cr, width, height)
+    cbq = _plane_qblocks(cbs, cw, ch, _JPEG_QTABLE_C, mcu_w, mcu_h)
+    crq = _plane_qblocks(crs, cw, ch, _JPEG_QTABLE_C, mcu_w, mcu_h)
+
+    dc_y = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_y = _huff_codes(_AC_BITS, _AC_VALS)
+    dc_c = _huff_codes(_DC_BITS_C, _DC_VALS_C)
+    ac_c = _huff_codes(_AC_BITS_C, _AC_VALS_C)
+    bw = _BitWriter()
+    pdc = [0, 0, 0]  # per-component DC predictors
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            for dy in range(2):
+                for dx in range(2):
+                    q = yq[(2 * my + dy) * (2 * mcu_w) + 2 * mx + dx]
+                    pdc[0] = _emit_block(bw, q, pdc[0], dc_y, ac_y)
+            pdc[1] = _emit_block(bw, cbq[my * mcu_w + mx], pdc[1], dc_c, ac_c)
+            pdc[2] = _emit_block(bw, crq[my * mcu_w + mx], pdc[2], dc_c, ac_c)
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (bytes([0xFF, marker])
+                + (len(payload) + 2).to_bytes(2, "big") + payload)
+
+    dqt = (
+        seg(0xDB, bytes([0x00])
+            + bytes(_JPEG_QTABLE[_ZIGZAG[i]] for i in range(64)))
+        + seg(0xDB, bytes([0x01])
+              + bytes(_JPEG_QTABLE_C[_ZIGZAG[i]] for i in range(64)))
+    )
+    sof = seg(0xC0, bytes([8]) + height.to_bytes(2, "big")
+              + width.to_bytes(2, "big")
+              + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    dht = (
+        seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xC4, bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+        + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + seg(0xC4, bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+
+
+def encode_jpeg_color(rgb: bytes, width: int, height: int) -> bytes:
+    """RGB convenience wrapper: T.871 conversion + ``encode_jpeg_ycbcr``."""
+    y, cb, cr = rgb_to_ycbcr(rgb, width, height)
+    return encode_jpeg_ycbcr(y, cb, cr, width, height)
+
+
+def decode_jpeg_ycbcr(data: bytes):
+    """Decode the 3-component 4:2:0 baseline subset ``encode_jpeg_ycbcr``
+    emits (validated strictly) → (width, height, y, cb_sub, cr_sub)
+    with chroma at its stored subsampled resolution (ceil(w/2) x
+    ceil(h/2)) — the file's native grain; upsampling is the RGB
+    helper's concern."""
+    assert data[:2] == b"\xff\xd8", "not a JPEG"
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    width = height = None
+    dc_maps: dict[int, dict] = {}
+    ac_maps: dict[int, dict] = {}
+    while True:
+        assert data[pos] == 0xFF, "marker expected"
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise AssertionError("EOI before SOS")
+        ln = int.from_bytes(data[pos:pos + 2], "big")
+        payload = data[pos + 2:pos + ln]
+        if marker == 0xDB:
+            tid = payload[0] & 0x0F
+            assert payload[0] >> 4 == 0, "8-bit qtables only"
+            zz = payload[1:65]
+            qtabs[tid] = [0] * 64
+            for i in range(64):
+                qtabs[tid][_ZIGZAG[i]] = zz[i]
+        elif marker == 0xC0:
+            assert payload[0] == 8 and payload[5] == 3, "YCbCr 8-bit only"
+            height = int.from_bytes(payload[1:3], "big")
+            width = int.from_bytes(payload[3:5], "big")
+            assert payload[6:9] == bytes([1, 0x22, 0]), "Y must be 2x2/q0"
+            assert payload[9:12] == bytes([2, 0x11, 1]), "Cb must be 1x1/q1"
+            assert payload[12:15] == bytes([3, 0x11, 1]), "Cr must be 1x1/q1"
+        elif marker == 0xC4:
+            off = 0
+            while off < len(payload):
+                cls, tid = payload[off] >> 4, payload[off] & 0x0F
+                bits = list(payload[off + 1:off + 17])
+                n = sum(bits)
+                vals = list(payload[off + 17:off + 17 + n])
+                (dc_maps if cls == 0 else ac_maps)[tid] = _huff_decode_map(
+                    bits, vals
+                )
+                off += 17 + n
+        elif marker == 0xDA:
+            pos += ln
+            break
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise AssertionError("not baseline sequential")
+        pos += ln
+    assert (width and height and 0 in qtabs and 1 in qtabs
+            and 0 in dc_maps and 1 in dc_maps
+            and 0 in ac_maps and 1 in ac_maps), "incomplete header"
+
+    br = _BitReader(data[pos:])
+    mcu_w, mcu_h = (width + 15) // 16, (height + 15) // 16
+    yq = [None] * (4 * mcu_w * mcu_h)
+    cbq, crq = [], []
+    pdc = [0, 0, 0]
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            for dy in range(2):
+                for dx in range(2):
+                    q, pdc[0] = _read_block(br, dc_maps[0], ac_maps[0],
+                                            pdc[0])
+                    yq[(2 * my + dy) * (2 * mcu_w) + 2 * mx + dx] = q
+            q, pdc[1] = _read_block(br, dc_maps[1], ac_maps[1], pdc[1])
+            cbq.append(q)
+            q, pdc[2] = _read_block(br, dc_maps[1], ac_maps[1], pdc[2])
+            crq.append(q)
+    cw, ch = (width + 1) // 2, (height + 1) // 2
+    y = _blocks_to_plane(yq, qtabs[0], 2 * mcu_w, 2 * mcu_h, width, height)
+    cb = _blocks_to_plane(cbq, qtabs[1], mcu_w, mcu_h, cw, ch)
+    cr = _blocks_to_plane(crq, qtabs[1], mcu_w, mcu_h, cw, ch)
+    return width, height, y, cb, cr
+
+
+def decode_jpeg_color(data: bytes) -> tuple[int, int, bytes]:
+    """Color decode to interleaved RGB: nearest (pixel-replication)
+    chroma upsample + inverse T.871."""
+    width, height, y, cb, cr = decode_jpeg_ycbcr(data)
+    cw, ch = (width + 1) // 2, (height + 1) // 2
+    cb_full = resize_nearest(cb, cw, ch, 1, width, height)
+    cr_full = resize_nearest(cr, cw, ch, 1, width, height)
+    return width, height, ycbcr_to_rgb(y, cb_full, cr_full)
+
+
+# --- perceptual hash (pHash: 32-point DCT over a mean-pooled image) -----------
+#
+# The classic DCT perceptual hash: downsample to 32x32, take the 8x8
+# low-frequency corner of the (unnormalized) 2D DCT-II, threshold each
+# coefficient against the mean of the 63 AC coefficients (DC excluded
+# from the mean; its bit is kept and is ~always 1). 64 bits, packed as
+# four 16-bit words so Hamming banding (k bands of w bits = exact
+# recall below k) and SQL bit_count stay in signed-safe integer range.
+#
+# Convention pinned for the oracle contract: UNNORMALIZED DCT-II
+# (plain cos sums, no alpha scaling) — normalization rescales rows and
+# columns but the sign-vs-mean bits differ, so both engines must agree
+# on ONE convention, and the unnormalized form is the cheaper SQL.
+# Downsample is exact area-mean pooling when width/height are
+# multiples of 32 (the tile-image oracle class lands here, making the
+# whole hash an exact linear function of the tile matrix), else a
+# nearest-neighbor resize to 32x32 first.
+
+_PHASH_C32 = [
+    [_math.cos((2 * i + 1) * u * _math.pi / 64.0) for i in range(32)]
+    for u in range(8)
+]
+# G[u][a] = sum over the 4 pooled columns of tile-column a of C32 —
+# the 8x8 "sandwich" matrix that lets a SQL oracle compute the exact
+# low-frequency DCT of a 4x4-tile-constant 32x32 image as G @ T @ G^T
+PHASH_G = [
+    [sum(_PHASH_C32[u][4 * a + k] for k in range(4)) for a in range(8)]
+    for u in range(8)
+]
+
+if _np is not None:
+    _PHASH_C32_M = _np.array(_PHASH_C32)
+
+
+def phash_bands(pixels: bytes, width: int, height: int) -> list[int]:
+    """64-bit pHash of a grayscale image as four 16-bit band words
+    (band b holds bits 16b..16b+15, MSB-first within the band; bit
+    k = 8u+v is coefficient (u, v) of the low-frequency DCT block).
+
+    Robustness of the bit contract: each bit compares a coefficient
+    (an O(1e2..1e4) cos-weighted sum) against the AC mean — engines
+    that sum in different orders differ by ~1e-12, so bits are stable
+    unless a coefficient sits within float noise of the mean
+    (measured margin on the md5-tile corpus: ≥ 0.05, eleven orders of
+    magnitude above the noise)."""
+    if _np is not None:
+        img = _np.frombuffer(pixels, dtype=_np.uint8).reshape(
+            height, width
+        ).astype(_np.float64)
+        if width % 32 == 0 and height % 32 == 0:
+            img32 = img.reshape(32, height // 32, 32, width // 32).mean(
+                axis=(1, 3)
+            )
+        else:
+            small = resize_nearest(pixels, width, height, 1, 32, 32)
+            img32 = _np.frombuffer(small, dtype=_np.uint8).reshape(
+                32, 32
+            ).astype(_np.float64)
+        d = (_PHASH_C32_M @ img32 @ _PHASH_C32_M.T).ravel()
+        m = d[1:].mean()
+        bits = (d > m).astype(_np.int64)
+        return [
+            int(sum(int(bits[16 * b + j]) << (15 - j) for j in range(16)))
+            for b in range(4)
+        ]
+    # dependency-free fallback (same arithmetic, pure Python)
+    if width % 32 == 0 and height % 32 == 0:
+        fy, fx = height // 32, width // 32
+        img32 = [
+            [
+                sum(
+                    pixels[(y * fy + dy) * width + x * fx + dx]
+                    for dy in range(fy)
+                    for dx in range(fx)
+                )
+                / (fy * fx)
+                for x in range(32)
+            ]
+            for y in range(32)
+        ]
+    else:
+        small = resize_nearest(pixels, width, height, 1, 32, 32)
+        img32 = [[float(small[y * 32 + x]) for x in range(32)]
+                 for y in range(32)]
+    # row-transform first (u = vertical frequency), then columns —
+    # same orientation as the numpy sandwich: d[8u+v] = (C img C^T)[u][v]
+    tmp = [
+        [sum(_PHASH_C32[u][y] * img32[y][x] for y in range(32))
+         for x in range(32)]
+        for u in range(8)
+    ]
+    d = [
+        sum(_PHASH_C32[v][x] * tmp[u][x] for x in range(32))
+        for u in range(8)
+        for v in range(8)
+    ]
+    m = sum(d[1:]) / 63.0
+    bits = [1 if c > m else 0 for c in d]
+    return [
+        sum(bits[16 * b + j] << (15 - j) for j in range(16)) for b in range(4)
+    ]
+
+
+def phash_hex(pixels: bytes, width: int, height: int) -> str:
+    """The same 64 bits as one 16-hex-char string (display grain)."""
+    return "".join(f"{b:04x}" for b in phash_bands(pixels, width, height))

@@ -557,3 +557,298 @@ SELECT doc_id,
        ), '')) AS pixel_md5
 FROM documents
 """
+
+
+# --- perceptual near-duplicate image dedup (pHash + banded Hamming join) ------
+
+PHASH_HD_MAX = 10       # pair admission threshold (measured: same-image
+                        # jitter ≤ 4, distinct md5-tile images ≥ 17 at sf0.01)
+PHASH_TILE = 16         # tile edge in the derived 128x128 images
+PHASH_BANDS_N = 4       # 4 bands x 16 bits: exact recall for hd < 4,
+                        # probabilistic (verified) above
+
+
+def _phash_tile_values(text: str) -> tuple[list[int], list[int]]:
+    """Deterministic 8x8 tile matrices for the two image variants of a
+    document: 64 hex chars of md5(text)||md5(text+'x') as ascii values
+    (the orig), plus a {-1,0,+1} per-tile jitter keyed by a second hash
+    pair (the near-duplicate — think 'same photo, re-encoded')."""
+    import hashlib
+
+    hh = (
+        hashlib.md5(text.encode("utf-8")).hexdigest()
+        + hashlib.md5((text + "x").encode("utf-8")).hexdigest()
+    )
+    hj = (
+        hashlib.md5((text + "j").encode("utf-8")).hexdigest()
+        + hashlib.md5((text + "jx").encode("utf-8")).hexdigest()
+    )
+    orig = [ord(c) for c in hh]
+    jit = [orig[i] + (ord(hj[i]) % 3) - 1 for i in range(64)]
+    return orig, jit
+
+
+def phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-duplicate pairs — the multimodal pillar's
+    missing member next to text MinHash/SimHash and embedding cosine:
+    every document derives TWO deterministic 128x128 grayscale images
+    (orig + slightly-jittered copy), each is hashed through the REAL
+    pixel path (materialized bytes -> area-mean downsample -> 32-point
+    DCT -> sign-vs-AC-mean bits, ``codecs.phash_bands``), and pairs
+    within Hamming distance PHASH_HD_MAX surface via a banded
+    equi-join — 4x16-bit bands, so candidates meet only inside equal
+    (band_id, band_val) buckets, never an all-pairs product.
+
+    Why the oracle can predict a DCT hash arithmetically: the derived
+    images are constant on a 16x16 tile grid, so after exact area-mean
+    pooling the 32x32 image is constant on 4x4 tiles and the low-
+    frequency DCT block is the exact linear sandwich G @ T @ G^T of
+    the 8x8 tile matrix (``codecs.PHASH_G``) — DuckDB computes the
+    same float64 coefficients (margin to the thresholding mean ≥ 0.05
+    on this corpus vs ~1e-12 cross-engine float noise, so the bits —
+    and hence bands, candidates, and pairs — are deterministic).
+
+    100 TB shape: hashing is one Arrow-batched pass (no shuffle); the
+    join is a plain equi-shuffle on (band_id, band_val) — 16-bit bands
+    keep bucket occupancy ~n/65536 per band, and the knob is band
+    width/count (k bands of w bits = exact recall for hd < k over a
+    k*w-bit hash); the Hamming filter runs before the pair-distinct so
+    the dedup shuffle carries only true near-dups."""
+    from . import codecs
+
+    p = spark.sparkContext.defaultParallelism
+    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id").select(
+        "doc_id", "text"
+    )
+    edge, n = PHASH_TILE, 8 * PHASH_TILE
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ones = np.ones((edge, edge))
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for variant, tiles in enumerate(
+                    _phash_tile_values(text or "")
+                ):
+                    tm = np.array(tiles, dtype=np.float64).reshape(8, 8)
+                    pix = np.kron(tm, ones).astype(np.uint8).tobytes()
+                    b = codecs.phash_bands(pix, n, n)
+                    rows.append((2 * int(doc_id) + variant, *b))
+            yield pd.DataFrame(
+                rows, columns=["img_id", "b0", "b1", "b2", "b3"]
+            )
+            rows = []
+
+    sigs = d.mapInPandas(
+        _hash,
+        schema="img_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint",
+    ).localCheckpoint(eager=False)
+
+    bands = sigs.select(
+        "img_id", "b0", "b1", "b2", "b3",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.col(f"b{i}").alias("band_val"),
+                )
+                for i in range(PHASH_BANDS_N)
+            ])
+        ).alias("band"),
+    ).select("img_id", "b0", "b1", "b2", "b3", "band.band_id", "band.band_val")
+    a = bands.select(
+        F.col("img_id").alias("img_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+        "band_id", "band_val",
+    )
+    b = bands.select(
+        F.col("img_id").alias("img_b"),
+        *[F.col(f"b{i}").alias(f"bb{i}") for i in range(4)],
+        F.col("band_id").alias("band_id_b"),
+        F.col("band_val").alias("band_val_b"),
+    )
+    hd = sum(F.bit_count(F.expr(f"a{i} ^ bb{i}")) for i in range(4))
+    return (
+        a.join(
+            b,
+            (a.band_id == b.band_id_b)
+            & (a.band_val == b.band_val_b)
+            & (a.img_a < b.img_b),
+        )
+        .filter(hd <= PHASH_HD_MAX)
+        .select(
+            "img_a", "img_b", hd.cast("bigint").alias("hamming")
+        )
+        .distinct()
+    )
+
+
+def _phash_g_sql_rows() -> str:
+    from . import codecs
+
+    return ",".join(
+        f"({u},{a},CAST({codecs.PHASH_G[u][a]!r} AS DOUBLE))"
+        for u in range(8)
+        for a in range(8)
+    )
+
+
+PHASH_NEARDUP_SQL = f"""
+WITH g(u, a, gv) AS (VALUES {{G_ROWS}}),
+imgs AS (
+  SELECT 2*doc_id + v.range AS img_id, v.range AS variant,
+         md5(coalesce(text,'')) || md5(coalesce(text,'') || 'x') AS hh,
+         md5(coalesce(text,'') || 'j') || md5(coalesce(text,'') || 'jx') AS hj
+  FROM documents CROSS JOIN range(2) v
+),
+tiles AS (
+  SELECT img_id, t.range AS idx,
+         ascii(substr(hh, CAST(t.range + 1 AS INT), 1))
+         + CASE WHEN variant = 1
+                THEN (ascii(substr(hj, CAST(t.range + 1 AS INT), 1)) % 3) - 1
+                ELSE 0 END AS tv
+  FROM imgs CROSS JOIN range(64) t
+),
+coef AS (
+  SELECT img_id, k.range AS k, sum(tv * gu.gv * gv2.gv) AS c
+  FROM tiles
+  CROSS JOIN range(64) k
+  JOIN g gu  ON gu.u  = k.range // 8 AND gu.a  = idx // 8
+  JOIN g gv2 ON gv2.u = k.range % 8  AND gv2.a = idx % 8
+  GROUP BY img_id, k.range
+),
+stats AS (
+  SELECT img_id, avg(CASE WHEN k > 0 THEN c END) AS m FROM coef GROUP BY img_id
+),
+bits AS (
+  SELECT coef.img_id, k, CASE WHEN c > m THEN 1 ELSE 0 END AS bit
+  FROM coef JOIN stats ON coef.img_id = stats.img_id
+),
+sigs AS (
+  SELECT img_id,
+         CAST(sum(CASE WHEN k < 16 THEN bit::BIGINT << CAST(15 - k AS INT) ELSE 0 END) AS BIGINT) AS b0,
+         CAST(sum(CASE WHEN k >= 16 AND k < 32 THEN bit::BIGINT << CAST(31 - k AS INT) ELSE 0 END) AS BIGINT) AS b1,
+         CAST(sum(CASE WHEN k >= 32 AND k < 48 THEN bit::BIGINT << CAST(47 - k AS INT) ELSE 0 END) AS BIGINT) AS b2,
+         CAST(sum(CASE WHEN k >= 48 THEN bit::BIGINT << CAST(63 - k AS INT) ELSE 0 END) AS BIGINT) AS b3
+  FROM bits GROUP BY img_id
+),
+bands AS (
+  SELECT img_id, b0, b1, b2, b3, r.range AS band_id,
+         CASE r.range WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS band_val
+  FROM sigs CROSS JOIN range({PHASH_BANDS_N}) r
+),
+cands AS (
+  SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b,
+         a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+         b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.img_id < b.img_id
+)
+SELECT img_a, img_b,
+       CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+          + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS BIGINT) AS hamming
+FROM cands
+WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= {PHASH_HD_MAX}
+"""
+
+PHASH_NEARDUP_SQL = PHASH_NEARDUP_SQL.format(G_ROWS=_phash_g_sql_rows())
+
+
+# --- color JPEG round-trip (YCbCr 4:2:0, exact on the flat-MCU class) ---------
+
+JPEG_COLOR_MCUS = 32  # one 16x16 MCU per md5 hex char, stacked vertically
+JPEG_COLOR_W = 16
+
+
+def jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked color-JPEG round-trip: one 16x16 MCU per md5 hex
+    char (16 x 512 image), Y = 208 - 2*ascii(c) (even offset from 128,
+    the luma-lossless grid), Cb = 128 + 17*((ascii(c) % 3) - 1) and Cr
+    likewise from the REVERSED char order (the chroma DC step is 17,
+    and gcd(8,17)=1 makes 128±17k the exact-survival grid) — through
+    the full 3-component codec: 4:2:0 mean subsampling (exact on a
+    constant MCU), per-component Annex K quantization, FOUR Huffman
+    tables interleaved in MCU order, then the real decoder. The oracle
+    predicts all three decoded planes arithmetically; planes hash via
+    their lowercase hex encoding because chroma values (111/128/145)
+    exceed 0x7F and raw-byte strings would not survive both engines'
+    UTF-8 handling.
+
+    Scale shape: identical to the grayscale twin — one Arrow-batched
+    mapInPandas pass over the repartitioned scan, no shuffle."""
+    import hashlib
+
+    from . import codecs
+
+    p = spark.sparkContext.defaultParallelism
+    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id").select(
+        "doc_id", "text"
+    )
+    w, nm = JPEG_COLOR_W, JPEG_COLOR_MCUS
+    h = 16 * nm
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = hashlib.md5((text or "").encode("utf-8")).hexdigest()
+                y = b"".join(
+                    bytes([208 - 2 * ord(c)]) * 256 for c in hx
+                )
+                cb = b"".join(
+                    bytes([128 + 17 * ((ord(c) % 3) - 1)]) * 256 for c in hx
+                )
+                cr = b"".join(
+                    bytes([128 + 17 * ((ord(c) % 3) - 1)]) * 256
+                    for c in reversed(hx)
+                )
+                jp = codecs.encode_jpeg_ycbcr(y, cb, cr, w, h)
+                w2, h2, y2, cb2, cr2 = codecs.decode_jpeg_ycbcr(jp)
+                rows.append((
+                    doc_id, w2, h2,
+                    hashlib.md5(y2.hex().encode()).hexdigest(),
+                    hashlib.md5(cb2.hex().encode()).hexdigest(),
+                    hashlib.md5(cr2.hex().encode()).hexdigest(),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height",
+                         "y_md5", "cb_md5", "cr_md5"],
+            )
+
+    return d.mapInPandas(
+        _roundtrip,
+        schema=("doc_id bigint, width int, height int, "
+                "y_md5 string, cb_md5 string, cr_md5 string"),
+    )
+
+
+JPEG_COLOR_ROUNDTRIP_SQL = f"""
+SELECT doc_id,
+       {JPEG_COLOR_W} AS width,
+       {16 * JPEG_COLOR_MCUS} AS height,
+       md5(array_to_string(list_transform(
+           generate_series(1, {JPEG_COLOR_MCUS}),
+           i -> repeat(lpad(lower(to_hex(
+                    208 - 2 * ascii(substr(md5(coalesce(text, '')), i, 1))
+                )), 2, '0'), 256)
+       ), '')) AS y_md5,
+       md5(array_to_string(list_transform(
+           generate_series(1, {JPEG_COLOR_MCUS}),
+           i -> repeat(lpad(lower(to_hex(
+                    128 + 17 * ((ascii(substr(md5(coalesce(text, '')), i, 1)) % 3) - 1)
+                )), 2, '0'), 64)
+       ), '')) AS cb_md5,
+       md5(array_to_string(list_transform(
+           generate_series(1, {JPEG_COLOR_MCUS}),
+           i -> repeat(lpad(lower(to_hex(
+                    128 + 17 * ((ascii(substr(md5(coalesce(text, '')),
+                                       {JPEG_COLOR_MCUS} + 1 - i, 1)) % 3) - 1)
+                )), 2, '0'), 64)
+       ), '')) AS cr_md5
+FROM documents
+"""

@@ -587,6 +587,10 @@ register("mm_wav_loudness", _mm.WAV_LOUDNESS_SQL,
          doc="REAL-codec audio featurization: code-point PCM -> WAV encode/decode -> peak/RMS, predicted arithmetically by the oracle")(_mm.wav_loudness)
 register("mm_frame_sample", _mm.FRAME_SAMPLE_SQL,
          doc="REAL frame sampling: ANIM container mux -> demux -> every-4th-frame PNG decode, width+pixel md5 predicted arithmetically")(_mm.frame_sample)
+register("mm_jpeg_color_roundtrip", _mm.JPEG_COLOR_ROUNDTRIP_SQL,
+         doc="REAL color JPEG round-trip: YCbCr 4:2:0 MCUs through per-component Annex K quant + four Huffman tables on the per-channel lossless grids (Y-128 even / chroma 128±17k) — all three decoded planes predicted arithmetically")(_mm.jpeg_color_roundtrip)
+register("mm_phash_neardup", _mm.PHASH_NEARDUP_SQL,
+         doc="Perceptual image near-dup: real pixel pHash (area-mean pool + 32-pt DCT + sign-vs-AC-mean bits) per derived image, 4x16-bit banded Hamming equi-join, hd <= 10 — the oracle computes the exact DCT sandwich G@T@G^T of the tile matrix in SQL")(_mm.phash_neardup)
 register("doc_profile", _ca.CORPUS_PROFILE_SQL,
          doc="Corpus admission audit: rows/nulls/empties, dimension cardinalities, char-length distribution in one scan")(_ca.corpus_profile)
 
