@@ -897,7 +897,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bm25_rankings(
-    spark: SparkSession, sf_dir: str, n_queries: int, top_k: int
+    spark: SparkSession, sf_dir: str, n_queries: int, top_k: int,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """The parameterized batch BM25 core (`bm25_topk`'s plan, any
     query-count/depth) — shared with the hybrid fusion's lexical leg
@@ -931,7 +932,8 @@ def bm25_rankings(
         .select(F.col("doc_id").alias("query_id"), "term")
         .distinct()
     )
-    return bm25_score_topk(ctf, None, stats, dfreq, qterms, top_k=top_k)
+    return bm25_score_topk(ctf, None, stats, dfreq, qterms, top_k=top_k,
+                           max_df_ratio=max_df_ratio)
 
 
 def bm25_from_tf(
@@ -962,6 +964,7 @@ def bm25_score_topk(
     dfreq: DataFrame,
     qterms: DataFrame,
     top_k: int = BM25_TOP_K,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Scoring + two-phase top-k from pre-resolved inputs. Split out of
     ``bm25_from_tf`` so a partition-pruned serving path (the streaming
@@ -980,11 +983,26 @@ def bm25_score_topk(
     posting mass — previously dl joined the FULL tf table, and past
     the broadcast threshold that was a corpus-wide sort-merge shuffle
     (the measured super-linear decade at 2M docs)."""
-    qdf = F.broadcast(
-        dfreq.join(
-            F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
-        )
+    qdf = dfreq.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
     )
+    if max_df_ratio is not None:
+        # OPT-IN idf-floor prune (changes scores — never on the
+        # hash-verified default path): drop query terms whose posting
+        # lists cover more than max_df_ratio of the corpus. On a Zipf
+        # corpus those few head terms carry most of the scored mass
+        # but near-zero idf weight — the Zipf rehearsal
+        # (tools/scale_rehearsal_bm25_zipf.py, SCALING.md) measures
+        # the candidate-mass cut and the top-k recall cost.
+        qdf = (
+            qdf.crossJoin(F.broadcast(stats.select("n_docs")))
+            .filter(
+                F.col("df").cast("double")
+                <= F.lit(float(max_df_ratio)) * F.col("n_docs")
+            )
+            .drop("n_docs")
+        )
+    qdf = F.broadcast(qdf)
     idf = F.log(
         (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))

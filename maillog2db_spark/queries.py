@@ -603,66 +603,52 @@ register("doc_normalized_dedup", _tn.NORMALIZED_DEDUP_SQL,
 # --- driver-window ordering -------------------------------------------------
 #
 # The driver's correctness gate records verdicts for only the FIRST 50
-# registry entries per round (time/size-capped window). Union of
-# CORRECTNESS_r1–r5: 149/166 queries have a driver verdict; 17 have
-# never been in any window. The round-6 window:
-#   1. all 17 never-driver-verified queries — heaviest / riskiest
-#      first (MMR rerank, k-core, the retrieval eval grid, hybrid RRF,
-#      hard negatives, curriculum, unigram encode, seasonal index,
-#      then the four recall contracts and the lighter tail). With
-#      these in, EVERY hash-oracle registry entry has a driver verdict.
-#   2. the two queries whose shared code changed THIS round:
-#      li_part_components (the star-contraction convergence test was
-#      strengthened — depth alone is not a star forest; a node with
-#      edges to two distinct roots now forces one more round) and
-#      doc_bm25_topk (scored-mass pruning). li_part_kcore's change
-#      (peel to runtime fixpoint, oracle depth 16) is covered in
-#      group 1.
-#   3. ord_rfm_segments: its only verdict is r3, but it rides the r5
-#      distributed two-phase cumsum — the one remaining
-#      stale-verdict-on-changed-code entry.
-#   4. 30 backfill slots for the OLDEST (r3) verdicts, preferring the
-#      shapes that bind the shared relational core: the 20 TPC-H
-#      shapes, the grouping/pivot/set-op family, the heavier events
-#      shapes (sessionize, as-of, autocorrelation, self-join pairs),
-#      and keep-best dedup.
-# Everything BELOW the window keeps its green r3/r4/r5 driver verdict
+# registry entries per round (time/size-capped window). After r6 the
+# union of windows covers every entry; from here the rotation policy
+# is: (1) never-verified new queries first, (2) every query whose
+# SHARED CODE changed this round (the "no query's shared code newer
+# than its last driver verdict" invariant), (3) backfill with the
+# OLDEST verdicts. The round-7 window:
+#   1. the two new queries (mm_phash_neardup, mm_jpeg_color_roundtrip);
+#   2. the codec family — codecs.py was rewritten at a3d72fb/b239891
+#      AFTER CORRECTNESS_r06 was recorded, and this round refactored
+#      the shared entropy helpers (_emit_block/_read_block/
+#      _blocks_to_plane) under the grayscale path — plus the BM25
+#      family (doc_bm25_topk, doc_hybrid_rrf_topk,
+#      doc_retrieval_label_eval), whose shared bm25_score_topk gained
+#      the opt-in idf-floor hook this round (default path
+#      plan-identical; the hash must confirm);
+#   3. all 20 remaining r3-verdict entries (oldest);
+#   4. the oldest r4-verdict entries to fill 50.
+# Everything BELOW the window keeps its green r4/r5/r6 driver verdict
 # on code unchanged since that verdict.
 
 _PRIORITY = [
-    # 1. never-driver-verified — heaviest first
-    "embed_mmr_rerank", "li_part_kcore", "doc_retrieval_label_eval",
-    "doc_hybrid_rrf_topk", "embed_hard_negatives", "doc_curriculum_order",
-    "doc_unigram_encode_stats", "ord_seasonal_index",
-    "embed_pq_encode", "embed_int8_recall", "embed_truncation_recall",
-    "embed_hamming_recall", "li_basket_affinity", "doc_weighted_sample",
-    "ev_trailing_7d_stats", "ord_revenue_ewma", "ord_zorder_key",
-    # 2. code changed in round 6
-    "li_part_components", "doc_bm25_topk",
-    # 3. stale verdict on r5-changed code
-    "ord_rfm_segments",
-    # 4. oldest-verdict (r3) backfill
-    "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
-    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_trade", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "tpch_q10_returned_items",
-    "tpch_q11_important_parts", "tpch_q12_priority_shipping",
-    "tpch_q14_promo_share", "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue", "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue", "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers", "tpch_q22_dormant_customers",
-    "grouping_sets_orders", "cube_orders",
-    "ev_sessionize", "ev_asof_purchase_click",
-    "ev_user_daily_autocorr", "ev_pairs_within_5min",
-    "doc_dedup_keep_best",
-    # new this round — never driver-verified (take the three most
-    # stable shapes' slots in the backfill tier: set_ops_customers,
-    # pivot_returnflag and rollup_sales keep their r3 verdicts on
-    # unchanged code)
-    "doc_tokenizer_fertility", "doc_mink_prob", "mm_jpeg_roundtrip",
+    # 1. never driver-verified (new in r7)
+    "mm_phash_neardup", "mm_jpeg_color_roundtrip",
+    # 2. shared code changed since last verdict
+    "mm_jpeg_roundtrip", "mm_png_roundtrip", "mm_frame_sample",
+    "mm_wav_loudness",
+    "doc_bm25_topk", "doc_hybrid_rrf_topk", "doc_retrieval_label_eval",
+    # 3. r3-verdict backfill (all of them)
+    "customers_without_orders", "distinct_counts", "doc_normalized_dedup",
+    "doc_profile", "doc_shingle_novelty", "doc_source_overlap",
+    "doc_unigram_lm_score", "embed_topk_per_label", "ev_daily_active_users",
+    "ev_funnel_conversion", "ev_props_json_stats", "ev_top_users",
+    "ev_tumbling_hourly", "ev_value_anomaly", "ord_customer_gaps",
+    "pivot_returnflag", "price_percentiles", "rollup_sales",
+    "set_ops_customers", "top_customers_per_nation",
+    # 4. oldest r4-verdict backfill to fill the window
+    "doc_blocked_jaccard", "doc_bloom_decontaminate", "doc_bpe_token_stats",
+    "doc_chunks", "doc_corpus_pipeline", "doc_decontaminate",
+    "doc_distinct_tokens_approx", "doc_exact_dedup", "doc_language_id",
+    "doc_length_deciles", "doc_lsh_candidate_pairs",
+    "doc_minhash_signatures", "doc_neardup_clusters", "doc_neardup_pairs",
+    "doc_ngram_topk", "doc_pack_bins", "doc_quality_score",
+    "doc_repetition_stats", "doc_rolling_fingerprint", "doc_simhash",
+    "doc_simhash_neardup",
     # ---- 50-entry window boundary ----
-    # The tail keeps its most recent green driver verdict (r3/r4/r5)
+    # The tail keeps its most recent green driver verdict (r4/r5/r6)
     # on code unchanged since that verdict.
 ]
 
