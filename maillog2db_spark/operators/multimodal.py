@@ -695,8 +695,11 @@ def _phash_g_sql_rows() -> str:
     )
 
 
-PHASH_NEARDUP_SQL = f"""
-WITH g(u, a, gv) AS (VALUES {{G_ROWS}}),
+# shared CTE chain (no WITH keyword — the pairs query prefixes WITH,
+# the clusters query WITH RECURSIVE): derive tile matrices from md5,
+# the exact G @ T @ G^T DCT sandwich, sign bits, band words, banded
+# candidates
+_PHASH_CTES = f"""g(u, a, gv) AS (VALUES {{G_ROWS}}),
 imgs AS (
   SELECT 2*doc_id + v.range AS img_id, v.range AS variant,
          md5(coalesce(text,'')) || md5(coalesce(text,'') || 'x') AS hh,
@@ -746,16 +749,83 @@ cands AS (
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_val = b.band_val
    AND a.img_id < b.img_id
-)
-SELECT img_a, img_b,
-       CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
-          + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS BIGINT) AS hamming
-FROM cands
-WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
-    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= {PHASH_HD_MAX}
-"""
+)"""
 
-PHASH_NEARDUP_SQL = PHASH_NEARDUP_SQL.format(G_ROWS=_phash_g_sql_rows())
+_PHASH_HD_SQL = (
+    "bit_count(xor(a0, c0)) + bit_count(xor(a1, c1)) "
+    "+ bit_count(xor(a2, c2)) + bit_count(xor(a3, c3))"
+)
+
+PHASH_NEARDUP_SQL = (
+    f"WITH {_PHASH_CTES}\n"
+    f"SELECT img_a, img_b,\n"
+    f"       CAST({_PHASH_HD_SQL} AS BIGINT) AS hamming\n"
+    f"FROM cands\nWHERE {_PHASH_HD_SQL} <= {PHASH_HD_MAX}\n"
+).format(G_ROWS=_phash_g_sql_rows())
+
+
+def phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual duplicate CLUSTERS: connected components over the
+    verified pHash near-dup pair graph — the keep-one-per-cluster step
+    a multimodal dedup pipeline runs after pair generation (the image
+    twin of ``doc_neardup_clusters``). Components ride the shared
+    ``graph.star_components`` (O(log² n) rounds, fixpoint-checked);
+    the summary is (cluster, size, keep = min img_id, member list).
+    The member string_agg is bounded by cluster size — near-dup
+    clusters are tiny by construction (members are ≥-threshold-similar
+    to each other through pair chains)."""
+    from .graph import star_components
+
+    pairs = phash_neardup(spark, sf_dir).select(
+        F.col("img_a").alias("src"), F.col("img_b").alias("dst")
+    )
+    labels = star_components(pairs).withColumnRenamed("node", "img_id")
+    return (
+        labels.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.min("img_id").alias("keep_img_id"),
+            # sort NUMERICALLY before casting — lexicographic string
+            # order diverges from the oracle's ORDER BY img_id once a
+            # cluster mixes id digit-lengths
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("img_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .select(
+            F.col("comp").alias("cluster_id"),
+            "n_images", "keep_img_id", "members",
+        )
+    )
+
+
+PHASH_CLUSTERS_SQL = (
+    f"""WITH RECURSIVE {_PHASH_CTES},
+vpairs AS (
+  SELECT img_a, img_b FROM cands WHERE {_PHASH_HD_SQL} <= {PHASH_HD_MAX}
+),
+edges AS (
+  SELECT img_a AS src, img_b AS dst FROM vpairs
+  UNION ALL
+  SELECT img_b AS src, img_a AS dst FROM vpairs
+),
+reach(img_id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.r FROM edges e JOIN reach w ON w.img_id = e.dst
+),
+labels AS (SELECT img_id, min(r) AS comp FROM reach GROUP BY img_id)
+SELECT comp AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_images,
+       min(img_id) AS keep_img_id,
+       string_agg(CAST(img_id AS VARCHAR), ',' ORDER BY img_id) AS members
+FROM labels GROUP BY comp
+"""
+).format(G_ROWS=_phash_g_sql_rows())
 
 
 # --- color JPEG round-trip (YCbCr 4:2:0, exact on the flat-MCU class) ---------

@@ -989,18 +989,18 @@ def bm25_score_topk(
     if max_df_ratio is not None:
         # OPT-IN idf-floor prune (changes scores — never on the
         # hash-verified default path): drop query terms whose posting
-        # lists cover more than max_df_ratio of the corpus. On a Zipf
-        # corpus those few head terms carry most of the scored mass
-        # but near-zero idf weight — the Zipf rehearsal
-        # (tools/scale_rehearsal_bm25_zipf.py, SCALING.md) measures
-        # the candidate-mass cut and the top-k recall cost.
-        qdf = (
-            qdf.crossJoin(F.broadcast(stats.select("n_docs")))
-            .filter(
-                F.col("df").cast("double")
-                <= F.lit(float(max_df_ratio)) * F.col("n_docs")
-            )
-            .drop("n_docs")
+        # lists cover more than max_df_ratio of the corpus. Measured
+        # NEGATIVE on the Zipf rehearsal and kept only as the measured
+        # artifact (tools/scale_rehearsal_bm25_zipf.py, SCALING.md):
+        # the candidate-mass cut is real (19-229x) but wall time is
+        # probe-bound elsewhere and top-k recall collapses on
+        # document-length queries. n_docs comes from a bounded 1-row
+        # collect — folding stats into the broadcast build re-ran the
+        # full corpus aggregate inside it (measured).
+        n_docs_row = stats.select("n_docs").collect()[0][0]
+        qdf = qdf.filter(
+            F.col("df").cast("double")
+            <= F.lit(float(max_df_ratio) * float(n_docs_row or 0))
         )
     qdf = F.broadcast(qdf)
     idf = F.log(

@@ -591,6 +591,8 @@ register("mm_jpeg_color_roundtrip", _mm.JPEG_COLOR_ROUNDTRIP_SQL,
          doc="REAL color JPEG round-trip: YCbCr 4:2:0 MCUs through per-component Annex K quant + four Huffman tables on the per-channel lossless grids (Y-128 even / chroma 128±17k) — all three decoded planes predicted arithmetically")(_mm.jpeg_color_roundtrip)
 register("mm_phash_neardup", _mm.PHASH_NEARDUP_SQL,
          doc="Perceptual image near-dup: real pixel pHash (area-mean pool + 32-pt DCT + sign-vs-AC-mean bits) per derived image, 4x16-bit banded Hamming equi-join, hd <= 10 — the oracle computes the exact DCT sandwich G@T@G^T of the tile matrix in SQL")(_mm.phash_neardup)
+register("mm_phash_clusters", _mm.PHASH_CLUSTERS_SQL,
+         doc="Perceptual duplicate clusters: star-contraction components over the verified pHash pair graph, keep-min summary — oracle runs the same pair SQL through a recursive-CTE reachability")(_mm.phash_clusters)
 register("doc_profile", _ca.CORPUS_PROFILE_SQL,
          doc="Corpus admission audit: rows/nulls/empties, dimension cardinalities, char-length distribution in one scan")(_ca.corpus_profile)
 
