@@ -614,12 +614,21 @@ def phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     width/count (k bands of w bits = exact recall for hd < k over a
     k*w-bit hash); the Hamming filter runs before the pair-distinct so
     the dedup shuffle carries only true near-dups."""
-    from . import codecs
-
     p = spark.sparkContext.defaultParallelism
     d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id").select(
         "doc_id", "text"
     )
+    sigs = phash_signatures(d).localCheckpoint(eager=False)
+    return phash_pairs_between(sigs, sigs)
+
+
+def phash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (img_id, b0..b3) pHash band words for BOTH
+    derived image variants, through the real pixel path — THE shared
+    signature core (batch query and streaming store both call it, so
+    stream ≡ batch is equality of resolved signature tables)."""
+    from . import codecs
+
     edge, n = PHASH_TILE, 8 * PHASH_TILE
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -641,12 +650,14 @@ def phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             rows = []
 
-    sigs = d.mapInPandas(
+    return d.mapInPandas(
         _hash,
         schema="img_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint",
-    ).localCheckpoint(eager=False)
+    )
 
-    bands = sigs.select(
+
+def _phash_bands_of(sigs: DataFrame) -> DataFrame:
+    return sigs.select(
         "img_id", "b0", "b1", "b2", "b3",
         F.explode(
             F.array(*[
@@ -658,31 +669,53 @@ def phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("band"),
     ).select("img_id", "b0", "b1", "b2", "b3", "band.band_id", "band.band_val")
-    a = bands.select(
+
+
+def phash_pairs_between(
+    left_sigs: DataFrame, right_sigs: DataFrame, ordered: bool = True
+) -> DataFrame:
+    """Banded Hamming pair join between two signature tables. With
+    ``ordered=True`` (the batch self-join: pass the same table twice)
+    candidates meet once under img_a < img_b; with ``ordered=False``
+    (the streaming probe: new batch vs accumulated store, where the
+    new id may be on either side) the join takes both orientations and
+    canonicalizes via least/greatest. Output pairs are img_a < img_b,
+    Hamming ≤ PHASH_HD_MAX, distinct, either way."""
+    a = _phash_bands_of(left_sigs).select(
         F.col("img_id").alias("img_a"),
         *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
         "band_id", "band_val",
     )
-    b = bands.select(
+    b = _phash_bands_of(right_sigs).select(
         F.col("img_id").alias("img_b"),
         *[F.col(f"b{i}").alias(f"bb{i}") for i in range(4)],
         F.col("band_id").alias("band_id_b"),
         F.col("band_val").alias("band_val_b"),
     )
     hd = sum(F.bit_count(F.expr(f"a{i} ^ bb{i}")) for i in range(4))
-    return (
+    pair_cond = (
+        (a.img_a < b.img_b) if ordered else (a.img_a != b.img_b)
+    )
+    out = (
         a.join(
             b,
             (a.band_id == b.band_id_b)
             & (a.band_val == b.band_val_b)
-            & (a.img_a < b.img_b),
+            & pair_cond,
         )
         .filter(hd <= PHASH_HD_MAX)
-        .select(
+    )
+    if ordered:
+        out = out.select(
             "img_a", "img_b", hd.cast("bigint").alias("hamming")
         )
-        .distinct()
-    )
+    else:
+        out = out.select(
+            F.least("img_a", "img_b").alias("img_a"),
+            F.greatest("img_a", "img_b").alias("img_b"),
+            hd.cast("bigint").alias("hamming"),
+        )
+    return out.distinct()
 
 
 def _phash_g_sql_rows() -> str:

@@ -162,3 +162,66 @@ def test_lm_gate_rare_seen_beats_never_seen(spark, tmp_path):
     rs = sl.batch_mink_stats(spark, rare_seen, store, 7).collect()[0]
     ns = sl.batch_mink_stats(spark, never_seen, store, 8).collect()[0]
     assert rs.mink_avg_nll_ppm < ns.mink_avg_nll_ppm
+
+
+# --- streaming pHash dual -----------------------------------------------------
+
+
+def test_streaming_phash_matches_batch(spark, tmp_path_factory):
+    """Perceptual near-dup streams in waves: resolved pairs and
+    clusters equal the batch mm_phash_neardup / mm_phash_clusters over
+    the union (shared signature core + shared banded join); committed
+    redelivery is a no-op and a crash-window replay converges."""
+    import shutil as _sh
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_phash as sp
+    from maillog2db_spark.operators import multimodal as mm
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    want_pairs = sorted(map(tuple, mm.phash_neardup(spark, sf).collect()))
+    want_clusters = sorted(map(tuple, mm.phash_clusters(spark, sf).collect()))
+    assert len(want_pairs) > 0
+
+    d = tmp_path_factory.mktemp("phash_store")
+    store = sp.PhashStore(str(d / "store"))
+    waves = [docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+             for i in range(3)]
+    for i, w in enumerate(waves):
+        sp.phash_ingest_batch(spark, w, store, i)
+
+    def pairs():
+        return sorted(map(tuple, sp.neardup_pairs(spark, store).collect()))
+
+    assert pairs() == want_pairs
+    assert sorted(
+        map(tuple, sp.neardup_clusters(spark, store).collect())
+    ) == want_clusters
+
+    # committed redelivery: no-op
+    sp.phash_ingest_batch(spark, waves[1], store, 1)
+    assert pairs() == want_pairs
+    # crash window: partials written, ledger mark lost — dynamic
+    # overwrite replaces exactly that batch's partitions on replay,
+    # and the probe excludes the batch's own partitions
+    os.remove(store._ledger(2))
+    sp.phash_ingest_batch(spark, waves[2], store, 2)
+    assert pairs() == want_pairs
+
+    # streaming-API surface lands on the same resolved pairs
+    src = d / "drops"
+    src.mkdir()
+    for i, w in enumerate(waves):
+        tmp = d / f"_t{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        _sh.move(str(next(tmp.glob("part-*.parquet"))),
+                 str(src / f"wave{i}.parquet"))
+        _sh.rmtree(tmp)
+    store2 = sp.PhashStore(str(d / "store2"))
+    q = sp.start_phash_stream(spark, str(src), store2, str(d / "ckpt"),
+                              available_now=True)
+    q.awaitTermination(300)
+    assert sorted(
+        map(tuple, sp.neardup_pairs(spark, store2).collect())
+    ) == want_pairs
