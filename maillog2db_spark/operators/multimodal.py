@@ -955,3 +955,198 @@ SELECT doc_id,
        ), '')) AS cr_md5
 FROM documents
 """
+
+
+# --- audio fingerprint (spectral-peak constellation, Wang 2003) ---------------
+
+AUDIO_FFT_N = 1024      # samples per analysis frame (one frame per segment)
+AUDIO_SEGS = 4          # segments per derived sound
+AUDIO_RATE = 16000
+AUDIO_AMPS = (9000.0, 6000.0, 3000.0)   # distinct -> deterministic peak order
+AUDIO_BASES = (20, 120, 300)            # disjoint bin ranges per tone slot
+AUDIO_BIN_STEP = 64
+AUDIO_MIN_SHARED = 2    # near-dup admission: >= 2 matching segment constellations
+
+
+def _audio_tone_bins(text: str) -> list[list[int]]:
+    """Per-segment tone bins from md5(text): segment s, slot i uses hex
+    char 3s+i — bin = BASES[i] + (ascii % 64), ranges disjoint so the
+    three tones of a segment never collide."""
+    import hashlib
+
+    hx = hashlib.md5((text or "").encode("utf-8")).hexdigest()
+    return [
+        [AUDIO_BASES[i] + (ord(hx[3 * s + i]) % AUDIO_BIN_STEP)
+         for i in range(3)]
+        for s in range(AUDIO_SEGS)
+    ]
+
+
+def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual fingerprint — the audio pillar's twin of pHash:
+    each document derives TWO sounds (orig, and a half-gain,
+    pi/3-phase-shifted copy — 'same recording, different level'), each
+    synthesized as 4 segments x 3 bin-aligned pure tones, pushed
+    through the REAL WAV codec (encode_wav -> decode_wav, int16 PCM),
+    then fingerprinted by genuine DSP: per segment, an rFFT magnitude
+    spectrum and its top-3 peak bins by magnitude (the Shazam
+    constellation idea, Wang ISMIR 2003 — peaks survive gain and phase
+    changes, which the second variant proves: both variants emit the
+    SAME fingerprint).
+
+    Why a SQL oracle can predict an FFT's output: bin-aligned pure
+    tones concentrate all their energy in one DFT bin each (no
+    leakage), amplitudes are distinct per slot, and int16 quantization
+    noise is ~1 LSB spread across the spectrum — the measured
+    peak-to-strongest-noise margin is >= 1.7e4, so the top-3 argsort is
+    deterministic and equals the tone bins in amplitude order,
+    computable from md5(text) arithmetically. A hash match therefore
+    proves a real synthesize -> encode -> decode -> FFT -> peak-pick
+    pipeline end-to-end.
+
+    Scale shape: one Arrow-batched mapInPandas pass, no shuffle."""
+    import math
+
+    from . import codecs
+
+    p = spark.sparkContext.defaultParallelism
+    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id").select(
+        "doc_id", "text"
+    )
+    n, segs = AUDIO_FFT_N, AUDIO_SEGS
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        t = np.arange(n)
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bins = _audio_tone_bins(text)
+                for variant, (gain, phase) in enumerate(
+                    [(1.0, 0.0), (0.5, math.pi / 3)]
+                ):
+                    pcm = np.zeros(segs * n)
+                    for s, ks in enumerate(bins):
+                        pcm[s * n:(s + 1) * n] = sum(
+                            AUDIO_AMPS[i] * gain
+                            * np.sin(2 * math.pi * ks[i] * t / n + phase)
+                            for i in range(3)
+                        )
+                    pcm16 = np.clip(
+                        np.rint(pcm), -32768, 32767
+                    ).astype("<i2")
+                    wav = codecs.encode_wav(
+                        pcm16.tobytes(), n_channels=1,
+                        sample_rate=AUDIO_RATE, sampwidth=2,
+                    )
+                    _, _, n_frames, out = codecs.decode_wav(wav)
+                    x = np.frombuffer(out, dtype="<i2").astype(np.float64)
+                    fp = []
+                    for s in range(segs):
+                        spec = np.abs(np.fft.rfft(x[s * n:(s + 1) * n]))
+                        spec[0] = 0.0
+                        fp.extend(
+                            int(b)
+                            for b in np.argsort(-spec, kind="stable")[:3]
+                        )
+                    rows.append((
+                        2 * int(doc_id) + variant, int(n_frames),
+                        "-".join(str(b) for b in fp),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=["snd_id", "n_samples", "fingerprint"]
+            )
+            rows = []
+
+    return d.mapInPandas(
+        _fp, schema="snd_id bigint, n_samples int, fingerprint string"
+    )
+
+
+_AUDIO_FP_DUCK = f"""
+  SELECT 2*doc_id + v.range AS snd_id,
+         {AUDIO_SEGS * AUDIO_FFT_N} AS n_samples,
+         array_to_string(flatten(list_transform(
+             generate_series(0, {AUDIO_SEGS - 1}),
+             s -> list_transform(generate_series(0, 2), i ->
+                 CAST(list_value({AUDIO_BASES[0]}, {AUDIO_BASES[1]}, {AUDIO_BASES[2]})[i + 1]
+                      + (ascii(substr(md5(coalesce(text, '')), 3*s + i + 1, 1))
+                         % {AUDIO_BIN_STEP}) AS VARCHAR))
+         )), '-') AS fingerprint
+  FROM documents CROSS JOIN range(2) v
+"""
+
+AUDIO_FINGERPRINT_SQL = f"SELECT snd_id, n_samples, fingerprint FROM ({_AUDIO_FP_DUCK})"
+
+
+def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs: sounds sharing >= AUDIO_MIN_SHARED
+    time-aligned segment constellations — the Shazam matching rule
+    (anchor hashes joined by position), expressed as the engine's
+    standard blocking equi-join: explode (seg_idx, seg_constellation)
+    sub-fingerprints, equi-join, count shared segments per pair. The
+    gain/phase variant pairs share all segments; unrelated sounds need
+    two 3-tone constellations to coincide at the same position
+    (~64^-6 per segment pair) — blocking, never all-pairs.
+
+    Scale: sub-fingerprint buckets are the shuffle key (bounded
+    occupancy, same contract as the SimHash/pHash bands); the shared-
+    count aggregate runs on the sparse collision set only."""
+    fp = audio_fingerprint(spark, sf_dir).localCheckpoint(eager=False)
+    seg = fp.select(
+        "snd_id",
+        F.posexplode(F.split("fingerprint", "-", -1)).alias("pos", "bin"),
+    ).select(
+        "snd_id",
+        (F.col("pos") / 3).cast("int").alias("seg_idx"),
+        F.col("pos").alias("pos"),
+        F.col("bin").alias("bin"),
+    ).groupBy("snd_id", "seg_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "bin"))
+                ),
+                lambda x: x["bin"],
+            ),
+            "-",
+        ).alias("seg_fp")
+    )
+    a = seg.select(
+        F.col("snd_id").alias("snd_a"), "seg_idx", "seg_fp"
+    )
+    b = seg.select(
+        F.col("snd_id").alias("snd_b"),
+        F.col("seg_idx").alias("seg_idx_b"),
+        F.col("seg_fp").alias("seg_fp_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.seg_idx == b.seg_idx_b)
+            & (a.seg_fp == b.seg_fp_b)
+            & (a.snd_a < b.snd_b),
+        )
+        .groupBy("snd_a", "snd_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= AUDIO_MIN_SHARED)
+    )
+
+
+AUDIO_NEARDUP_SQL = f"""
+WITH fp AS ({_AUDIO_FP_DUCK}),
+seg AS (
+  SELECT snd_id, s.range AS seg_idx,
+         array_to_string(list_transform(generate_series(1, 3), i ->
+             string_split(fingerprint, '-')[CAST(3*s.range + i AS INT)]
+         ), '-') AS seg_fp
+  FROM fp CROSS JOIN range({AUDIO_SEGS}) s
+)
+SELECT a.snd_id AS snd_a, b.snd_id AS snd_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM seg a JOIN seg b
+  ON a.seg_idx = b.seg_idx AND a.seg_fp = b.seg_fp AND a.snd_id < b.snd_id
+GROUP BY 1, 2
+HAVING count(*) >= {AUDIO_MIN_SHARED}
+"""

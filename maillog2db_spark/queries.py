@@ -593,6 +593,10 @@ register("mm_phash_neardup", _mm.PHASH_NEARDUP_SQL,
          doc="Perceptual image near-dup: real pixel pHash (area-mean pool + 32-pt DCT + sign-vs-AC-mean bits) per derived image, 4x16-bit banded Hamming equi-join, hd <= 10 — the oracle computes the exact DCT sandwich G@T@G^T of the tile matrix in SQL")(_mm.phash_neardup)
 register("mm_phash_clusters", _mm.PHASH_CLUSTERS_SQL,
          doc="Perceptual duplicate clusters: star-contraction components over the verified pHash pair graph, keep-min summary — oracle runs the same pair SQL through a recursive-CTE reachability")(_mm.phash_clusters)
+register("mm_audio_fingerprint", _mm.AUDIO_FINGERPRINT_SQL,
+         doc="Audio constellation fingerprint (Wang 2003): real synthesize -> WAV encode/decode -> rFFT -> top-3 peak bins per segment; gain/phase variant emits the SAME print — oracle predicts the FFT peaks arithmetically (bin-aligned tones, no leakage, 1.7e4 margin)")(_mm.audio_fingerprint)
+register("mm_audio_neardup", _mm.AUDIO_NEARDUP_SQL,
+         doc="Audio near-dup: sounds sharing >= 2 time-aligned segment constellations (Shazam anchor-hash matching as a blocking equi-join)")(_mm.audio_neardup)
 register("doc_profile", _ca.CORPUS_PROFILE_SQL,
          doc="Corpus admission audit: rows/nulls/empties, dimension cardinalities, char-length distribution in one scan")(_ca.corpus_profile)
 
@@ -627,7 +631,8 @@ register("doc_normalized_dedup", _tn.NORMALIZED_DEDUP_SQL,
 
 _PRIORITY = [
     # 1. never driver-verified (new in r7)
-    "mm_phash_neardup", "mm_jpeg_color_roundtrip",
+    "mm_phash_neardup", "mm_jpeg_color_roundtrip", "mm_phash_clusters",
+    "mm_audio_fingerprint", "mm_audio_neardup",
     # 2. shared code changed since last verdict
     "mm_jpeg_roundtrip", "mm_png_roundtrip", "mm_frame_sample",
     "mm_wav_loudness",
@@ -647,8 +652,7 @@ _PRIORITY = [
     "doc_length_deciles", "doc_lsh_candidate_pairs",
     "doc_minhash_signatures", "doc_neardup_clusters", "doc_neardup_pairs",
     "doc_ngram_topk", "doc_pack_bins", "doc_quality_score",
-    "doc_repetition_stats", "doc_rolling_fingerprint", "doc_simhash",
-    "doc_simhash_neardup",
+    "doc_repetition_stats",
     # ---- 50-entry window boundary ----
     # The tail keeps its most recent green driver verdict (r4/r5/r6)
     # on code unchanged since that verdict.

@@ -299,3 +299,46 @@ def test_ycbcr_conversion_roundtrip_bounded(seed):
     y, cb, cr = codecs.rgb_to_ycbcr(rgb, 4, 4)
     back = codecs.ycbcr_to_rgb(y, cb, cr)
     assert max(abs(a - b) for a, b in zip(rgb, back)) <= 2
+
+
+def test_audio_fingerprint_gain_and_phase_invariance():
+    """The property the audio operator exists for: the constellation
+    fingerprint survives gain changes and phase shifts — including on
+    NON-bin-aligned tones (spectral leakage spreads energy, but the
+    peak bins don't move under linear scaling), through the real WAV
+    round-trip. Distinct content yields distinct prints."""
+    import math
+    import random
+
+    import numpy as np
+
+    from maillog2db_spark.operators import multimodal as mm
+
+    n = mm.AUDIO_FFT_N
+    rng = random.Random(11)
+
+    def fingerprint(freqs, gain, phase):
+        t = np.arange(n)
+        pcm = sum(
+            a * gain * np.sin(2 * math.pi * f * t / n + phase)
+            for f, a in freqs
+        )
+        pcm16 = np.clip(np.rint(pcm), -32768, 32767).astype("<i2")
+        wav = codecs.encode_wav(pcm16.tobytes(), 1, mm.AUDIO_RATE, 2)
+        _, _, _, out = codecs.decode_wav(wav)
+        spec = np.abs(np.fft.rfft(np.frombuffer(out, "<i2").astype(float)))
+        spec[0] = 0.0
+        return [int(b) for b in np.argsort(-spec, kind="stable")[:3]]
+
+    prints = []
+    for _ in range(5):
+        freqs = [
+            (rng.uniform(25, 80), 9000.0),    # NOT bin-aligned
+            (rng.uniform(130, 180), 6000.0),
+            (rng.uniform(310, 360), 3000.0),
+        ]
+        base = fingerprint(freqs, 1.0, 0.0)
+        assert fingerprint(freqs, 0.5, math.pi / 3) == base
+        assert fingerprint(freqs, 0.25, 1.1) == base
+        prints.append(tuple(base))
+    assert len(set(prints)) == len(prints), "distinct content must differ"
