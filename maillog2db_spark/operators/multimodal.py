@@ -1150,3 +1150,187 @@ FROM seg a JOIN seg b
 GROUP BY 1, 2
 HAVING count(*) >= {AUDIO_MIN_SHARED}
 """
+
+
+# --- video perceptual near-dup (per-frame pHash bag matching) ------------------
+
+VIDEO_FRAMES = 6        # frames in the orig cut
+VIDEO_SAMPLE_EVERY = 2  # the re-sampled variant keeps every 2nd frame
+VIDEO_MIN_SHARED = 2    # near-dup admission: >= 2 shared frame hashes
+
+
+def _video_frame_tiles(text: str, f: int) -> list[int]:
+    import hashlib
+
+    base = f"{text or ''}:{f}"
+    hh = (
+        hashlib.md5(base.encode("utf-8")).hexdigest()
+        + hashlib.md5((base + "x").encode("utf-8")).hexdigest()
+    )
+    return [ord(c) for c in hh]
+
+
+def video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame perceptual hashes for derived VIDEOS — the video leg
+    of the perceptual triad (image pHash, audio constellation, this):
+    each document derives an original 6-frame cut and a temporally
+    RE-SAMPLED variant (every 2nd frame — 'same footage, lower frame
+    rate'); frames are real 32x32 grayscale PNGs muxed into the ANIM
+    container, and the pipeline runs the genuine chain per video:
+    demux -> PNG-decode each frame -> ``codecs.phash_bands`` -> 16-hex
+    frame hash. The oracle predicts every frame hash arithmetically
+    (the pHash tile-sandwich argument, per frame).
+
+    Scale shape: row-expanding mapInPandas (doc -> ~9 frame rows), no
+    shuffle — real video work (av/ffmpeg demux + keyframe decode)
+    drops into the same iterator."""
+    import struct
+
+    from . import codecs
+
+    p = spark.sparkContext.defaultParallelism
+    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id").select(
+        "doc_id", "text"
+    )
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rows = []
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                frame_png = []
+                for f in range(VIDEO_FRAMES):
+                    t = np.array(
+                        _video_frame_tiles(text, f), dtype=np.float64
+                    ).reshape(8, 8)
+                    pix = np.kron(t, np.ones((4, 4))).astype(np.uint8)
+                    frame_png.append(
+                        codecs.encode_png(pix.tobytes(), 32, 32, channels=1)
+                    )
+                cuts = [
+                    frame_png,
+                    frame_png[::VIDEO_SAMPLE_EVERY],  # re-sampled variant
+                ]
+                for variant, frames in enumerate(cuts):
+                    blob = b"".join(
+                        [b"ANIM", struct.pack("<I", len(frames))]
+                        + [struct.pack("<I", len(fr)) + fr for fr in frames]
+                    )
+                    assert blob[:4] == b"ANIM"
+                    (nf,) = struct.unpack("<I", blob[4:8])
+                    off = 8
+                    for idx in range(nf):
+                        (flen,) = struct.unpack("<I", blob[off:off + 4])
+                        off += 4
+                        payload = blob[off:off + flen]
+                        off += flen
+                        w, h, ch, pix = codecs.decode_png(payload)
+                        assert (w, h, ch) == (32, 32, 1)
+                        bands = codecs.phash_bands(pix, 32, 32)
+                        rows.append((
+                            2 * int(doc_id) + variant, idx,
+                            "".join(f"{b:04x}" for b in bands),
+                        ))
+            yield pd.DataFrame(
+                rows, columns=["vid_id", "frame_idx", "phash_hex"]
+            )
+            rows = []
+
+    return d.mapInPandas(
+        _rows, schema="vid_id bigint, frame_idx int, phash_hex string"
+    )
+
+
+def video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs: videos sharing >= VIDEO_MIN_SHARED
+    frame pHashes as a BAG (position-independent — exactly what makes
+    the match robust to temporal re-sampling: the every-2nd-frame
+    variant shares 3 of its 3 frames with its original regardless of
+    index shifts). The blocking key is the frame hash itself — an
+    equi-shuffle on a 64-bit value; for RE-ENCODED (not re-sampled)
+    frames, the pHash banded-Hamming join composes here in place of
+    exact equality."""
+    fp = video_phash(spark, sf_dir).localCheckpoint(eager=False)
+    a = fp.select(F.col("vid_id").alias("vid_a"), "phash_hex").distinct()
+    b = fp.select(
+        F.col("vid_id").alias("vid_b"),
+        F.col("phash_hex").alias("phash_hex_b"),
+    ).distinct()
+    return (
+        a.join(
+            b,
+            (a.phash_hex == b.phash_hex_b) & (a.vid_a < b.vid_b),
+        )
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= VIDEO_MIN_SHARED)
+    )
+
+
+def _video_phash_duck() -> str:
+    """Frame-hash CTE chain: same G-sandwich as the image oracle, per
+    (doc, source frame); variant 1's frame j maps to source frame 2j."""
+    return f"""g(u, a, gv) AS (VALUES {_phash_g_sql_rows()}),
+vids AS (
+  SELECT doc_id, v.range AS variant, 2*doc_id + v.range AS vid_id,
+         f.range AS frame_idx,
+         CASE WHEN v.range = 1 THEN f.range * {VIDEO_SAMPLE_EVERY}
+              ELSE f.range END AS src_f
+  FROM documents
+  CROSS JOIN range(2) v
+  CROSS JOIN range({VIDEO_FRAMES}) f
+  WHERE v.range = 0 OR f.range < {(VIDEO_FRAMES + VIDEO_SAMPLE_EVERY - 1) // VIDEO_SAMPLE_EVERY}
+),
+vtiles AS (
+  SELECT vid_id, frame_idx, t.range AS idx,
+         ascii(substr(
+             md5(coalesce(text, '') || ':' || CAST(src_f AS VARCHAR))
+             || md5(coalesce(text, '') || ':' || CAST(src_f AS VARCHAR) || 'x'),
+             CAST(t.range + 1 AS INT), 1)) AS tv
+  FROM vids JOIN documents USING (doc_id)
+  CROSS JOIN range(64) t
+),
+vcoef AS (
+  SELECT vid_id, frame_idx, k.range AS k, sum(tv * gu.gv * gv2.gv) AS c
+  FROM vtiles
+  CROSS JOIN range(64) k
+  JOIN g gu  ON gu.u  = k.range // 8 AND gu.a  = idx // 8
+  JOIN g gv2 ON gv2.u = k.range % 8  AND gv2.a = idx % 8
+  GROUP BY 1, 2, 3
+),
+vstats AS (
+  SELECT vid_id, frame_idx, avg(CASE WHEN k > 0 THEN c END) AS m
+  FROM vcoef GROUP BY 1, 2
+),
+vbits AS (
+  SELECT vcoef.vid_id, vcoef.frame_idx, k,
+         CASE WHEN c > m THEN 1 ELSE 0 END AS bit
+  FROM vcoef JOIN vstats
+    ON vcoef.vid_id = vstats.vid_id AND vcoef.frame_idx = vstats.frame_idx
+),
+vhash AS (
+  SELECT vid_id, frame_idx,
+         lower(concat(
+           lpad(to_hex(CAST(sum(CASE WHEN k < 16 THEN bit::BIGINT << CAST(15 - k AS INT) ELSE 0 END) AS BIGINT)), 4, '0'),
+           lpad(to_hex(CAST(sum(CASE WHEN k >= 16 AND k < 32 THEN bit::BIGINT << CAST(31 - k AS INT) ELSE 0 END) AS BIGINT)), 4, '0'),
+           lpad(to_hex(CAST(sum(CASE WHEN k >= 32 AND k < 48 THEN bit::BIGINT << CAST(47 - k AS INT) ELSE 0 END) AS BIGINT)), 4, '0'),
+           lpad(to_hex(CAST(sum(CASE WHEN k >= 48 THEN bit::BIGINT << CAST(63 - k AS INT) ELSE 0 END) AS BIGINT)), 4, '0')
+         )) AS phash_hex
+  FROM vbits GROUP BY 1, 2
+)"""
+
+
+VIDEO_PHASH_SQL = (
+    f"WITH {_video_phash_duck()}\n"
+    "SELECT vid_id, CAST(frame_idx AS INT) AS frame_idx, phash_hex FROM vhash"
+)
+
+VIDEO_PHASH_NEARDUP_SQL = f"""WITH {_video_phash_duck()},
+vd AS (SELECT DISTINCT vid_id, phash_hex FROM vhash)
+SELECT a.vid_id AS vid_a, b.vid_id AS vid_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM vd a JOIN vd b ON a.phash_hex = b.phash_hex AND a.vid_id < b.vid_id
+GROUP BY 1, 2
+HAVING count(*) >= {VIDEO_MIN_SHARED}
+"""

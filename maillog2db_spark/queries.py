@@ -597,6 +597,10 @@ register("mm_audio_fingerprint", _mm.AUDIO_FINGERPRINT_SQL,
          doc="Audio constellation fingerprint (Wang 2003): real synthesize -> WAV encode/decode -> rFFT -> top-3 peak bins per segment; gain/phase variant emits the SAME print — oracle predicts the FFT peaks arithmetically (bin-aligned tones, no leakage, 1.7e4 margin)")(_mm.audio_fingerprint)
 register("mm_audio_neardup", _mm.AUDIO_NEARDUP_SQL,
          doc="Audio near-dup: sounds sharing >= 2 time-aligned segment constellations (Shazam anchor-hash matching as a blocking equi-join)")(_mm.audio_neardup)
+register("mm_video_phash", _mm.VIDEO_PHASH_SQL,
+         doc="Per-frame video pHash: real ANIM demux -> PNG decode -> pHash per frame for an original cut and a temporally re-sampled variant — every frame hash predicted arithmetically")(_mm.video_phash)
+register("mm_video_phash_neardup", _mm.VIDEO_PHASH_NEARDUP_SQL,
+         doc="Video near-dup: videos sharing >= 2 frame pHashes as a bag (robust to temporal re-sampling); frame-hash equi-join blocking")(_mm.video_phash_neardup)
 register("doc_profile", _ca.CORPUS_PROFILE_SQL,
          doc="Corpus admission audit: rows/nulls/empties, dimension cardinalities, char-length distribution in one scan")(_ca.corpus_profile)
 
@@ -615,7 +619,8 @@ register("doc_normalized_dedup", _tn.NORMALIZED_DEDUP_SQL,
 # SHARED CODE changed this round (the "no query's shared code newer
 # than its last driver verdict" invariant), (3) backfill with the
 # OLDEST verdicts. The round-7 window:
-#   1. the two new queries (mm_phash_neardup, mm_jpeg_color_roundtrip);
+#   1. the seven new queries (pHash pairs/clusters, color JPEG,
+#      audio fingerprint/near-dup, video per-frame pHash/near-dup);
 #   2. the codec family — codecs.py was rewritten at a3d72fb/b239891
 #      AFTER CORRECTNESS_r06 was recorded, and this round refactored
 #      the shared entropy helpers (_emit_block/_read_block/
@@ -625,14 +630,18 @@ register("doc_normalized_dedup", _tn.NORMALIZED_DEDUP_SQL,
 #      the opt-in idf-floor hook this round (default path
 #      plan-identical; the hash must confirm);
 #   3. all 20 remaining r3-verdict entries (oldest);
-#   4. the oldest r4-verdict entries to fill 50.
+#   4. the oldest r4-verdict entries to fill 50 (five r4 entries on
+#      unchanged code — quality_score, repetition_stats,
+#      rolling_fingerprint, simhash, simhash_neardup — defer to r8 and
+#      keep their green r4 verdicts).
 # Everything BELOW the window keeps its green r4/r5/r6 driver verdict
 # on code unchanged since that verdict.
 
 _PRIORITY = [
     # 1. never driver-verified (new in r7)
     "mm_phash_neardup", "mm_jpeg_color_roundtrip", "mm_phash_clusters",
-    "mm_audio_fingerprint", "mm_audio_neardup",
+    "mm_audio_fingerprint", "mm_audio_neardup", "mm_video_phash",
+    "mm_video_phash_neardup",
     # 2. shared code changed since last verdict
     "mm_jpeg_roundtrip", "mm_png_roundtrip", "mm_frame_sample",
     "mm_wav_loudness",
@@ -651,8 +660,7 @@ _PRIORITY = [
     "doc_distinct_tokens_approx", "doc_exact_dedup", "doc_language_id",
     "doc_length_deciles", "doc_lsh_candidate_pairs",
     "doc_minhash_signatures", "doc_neardup_clusters", "doc_neardup_pairs",
-    "doc_ngram_topk", "doc_pack_bins", "doc_quality_score",
-    "doc_repetition_stats",
+    "doc_ngram_topk", "doc_pack_bins",
     # ---- 50-entry window boundary ----
     # The tail keeps its most recent green driver verdict (r4/r5/r6)
     # on code unchanged since that verdict.
