@@ -55,6 +55,20 @@ FUZZED_QUERIES = [
     "mm_jpeg_roundtrip",
     "mm_wav_loudness",
     "mm_frame_sample",
+    # color JPEG on the per-channel lossless grids — md5-derived MCUs,
+    # so any fuzz text exercises the full 3-component MCU pipeline
+    "mm_jpeg_color_roundtrip",
+    # perceptual family: tiles/tones/frames all derive from md5(text),
+    # so the oracle's arithmetic predictions hold for ANY text (the
+    # sign-bit margins are properties of md5-uniform tiles, not of the
+    # corpus); tiny corpora exercise few-pair and singleton-cluster
+    # shapes on both engines
+    "mm_phash_neardup",
+    "mm_phash_clusters",
+    "mm_audio_fingerprint",
+    "mm_audio_neardup",
+    "mm_video_phash",
+    "mm_video_phash_neardup",
     # integral sketch with deterministic indexes; rank ties break on tok
     "doc_cms_heavy_hitters",
     # ppm-integral token features; empty-token docs exercise the
