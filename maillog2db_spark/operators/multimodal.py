@@ -1005,14 +1005,21 @@ def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline end-to-end.
 
     Scale shape: one Arrow-batched mapInPandas pass, no shuffle."""
-    import math
-
-    from . import codecs
-
     p = spark.sparkContext.defaultParallelism
     d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id").select(
         "doc_id", "text"
     )
+    return audio_fingerprint_of(d)
+
+
+def audio_fingerprint_of(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (snd_id, n_samples, fingerprint) — THE shared
+    fingerprint core (the batch query and the streaming keyed store
+    both call it)."""
+    import math
+
+    from . import codecs
+
     n, segs = AUDIO_FFT_N, AUDIO_SEGS
 
     def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1093,7 +1100,22 @@ def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: sub-fingerprint buckets are the shuffle key (bounded
     occupancy, same contract as the SimHash/pHash bands); the shared-
     count aggregate runs on the sparse collision set only."""
-    fp = audio_fingerprint(spark, sf_dir).localCheckpoint(eager=False)
+    keys = audio_segment_keys(
+        audio_fingerprint(spark, sf_dir).localCheckpoint(eager=False)
+    )
+    return keyed_fingerprint_pairs(keys, AUDIO_MIN_SHARED).select(
+        F.col("item_a").alias("snd_a"),
+        F.col("item_b").alias("snd_b"),
+        "n_shared",
+    )
+
+
+def audio_segment_keys(fp: DataFrame) -> DataFrame:
+    """(snd_id, fingerprint) → (item_id, fkey) sub-fingerprint keys,
+    one per segment: 'seg_idx:k1-k2-k3' — time-aligned matching means
+    the segment index is PART of the key. Shared by the batch pair
+    query and the streaming keyed-fingerprint store (stream ≡ batch is
+    equality of resolved key tables + the same threshold)."""
     seg = fp.select(
         "snd_id",
         F.posexplode(F.split("fingerprint", "-", -1)).alias("pos", "bin"),
@@ -1113,24 +1135,27 @@ def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "-",
         ).alias("seg_fp")
     )
-    a = seg.select(
-        F.col("snd_id").alias("snd_a"), "seg_idx", "seg_fp"
+    return seg.select(
+        F.col("snd_id").alias("item_id"),
+        F.concat_ws(":", F.col("seg_idx").cast("string"), "seg_fp")
+        .alias("fkey"),
     )
-    b = seg.select(
-        F.col("snd_id").alias("snd_b"),
-        F.col("seg_idx").alias("seg_idx_b"),
-        F.col("seg_fp").alias("seg_fp_b"),
+
+
+def keyed_fingerprint_pairs(keys: DataFrame, min_shared: int) -> DataFrame:
+    """(item_id, fkey) — distinct per item — → pairs of items sharing
+    >= min_shared keys: the engine's standard blocking equi-join (the
+    fkey IS the bucket), count aggregate on the sparse collision set
+    only. Output (item_a < item_b, n_shared)."""
+    a = keys.select(F.col("item_id").alias("item_a"), "fkey")
+    b = keys.select(
+        F.col("item_id").alias("item_b"), F.col("fkey").alias("fkey_b")
     )
     return (
-        a.join(
-            b,
-            (a.seg_idx == b.seg_idx_b)
-            & (a.seg_fp == b.seg_fp_b)
-            & (a.snd_a < b.snd_b),
-        )
-        .groupBy("snd_a", "snd_b")
+        a.join(b, (a.fkey == b.fkey_b) & (a.item_a < b.item_b))
+        .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
-        .filter(F.col("n_shared") >= AUDIO_MIN_SHARED)
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 
@@ -1184,14 +1209,19 @@ def video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: row-expanding mapInPandas (doc -> ~9 frame rows), no
     shuffle — real video work (av/ffmpeg demux + keyframe decode)
     drops into the same iterator."""
-    import struct
-
-    from . import codecs
-
     p = spark.sparkContext.defaultParallelism
     d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id").select(
         "doc_id", "text"
     )
+    return video_phash_of(d)
+
+
+def video_phash_of(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (vid_id, frame_idx, phash_hex) — THE shared
+    per-frame hashing core (batch query and streaming store)."""
+    import struct
+
+    from . import codecs
 
     def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1251,21 +1281,25 @@ def video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-shuffle on a 64-bit value; for RE-ENCODED (not re-sampled)
     frames, the pHash banded-Hamming join composes here in place of
     exact equality."""
-    fp = video_phash(spark, sf_dir).localCheckpoint(eager=False)
-    a = fp.select(F.col("vid_id").alias("vid_a"), "phash_hex").distinct()
-    b = fp.select(
-        F.col("vid_id").alias("vid_b"),
-        F.col("phash_hex").alias("phash_hex_b"),
-    ).distinct()
-    return (
-        a.join(
-            b,
-            (a.phash_hex == b.phash_hex_b) & (a.vid_a < b.vid_b),
-        )
-        .groupBy("vid_a", "vid_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
-        .filter(F.col("n_shared") >= VIDEO_MIN_SHARED)
+    keys = video_frame_keys(
+        video_phash(spark, sf_dir).localCheckpoint(eager=False)
     )
+    return keyed_fingerprint_pairs(keys, VIDEO_MIN_SHARED).select(
+        F.col("item_a").alias("vid_a"),
+        F.col("item_b").alias("vid_b"),
+        "n_shared",
+    )
+
+
+def video_frame_keys(fp: DataFrame) -> DataFrame:
+    """(vid_id, frame_idx, phash_hex) → (item_id, fkey) BAG keys —
+    frame index deliberately NOT in the key (position independence is
+    what survives temporal re-sampling); distinct per item. Shared by
+    the batch pair query and the streaming keyed-fingerprint store."""
+    return fp.select(
+        F.col("vid_id").alias("item_id"),
+        F.col("phash_hex").alias("fkey"),
+    ).distinct()
 
 
 def _video_phash_duck() -> str:

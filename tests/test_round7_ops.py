@@ -225,3 +225,50 @@ def test_streaming_phash_matches_batch(spark, tmp_path_factory):
     assert sorted(
         map(tuple, sp.neardup_pairs(spark, store2).collect())
     ) == want_pairs
+
+
+def test_streaming_keyed_fingerprint_matches_batch(spark, tmp_path_factory):
+    """The keyed-fingerprint store serves BOTH remaining perceptual
+    modalities: audio constellation and video frame-bag near-dup
+    pairs streamed in waves equal their batch twins over the union;
+    committed redelivery is a no-op and a crash-window replay
+    converges."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_fingerprint as sf_mod
+    from maillog2db_spark.operators import multimodal as mm
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    waves = [docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+             for i in range(3)]
+    d = tmp_path_factory.mktemp("fp_stores")
+
+    cases = [
+        ("audio", sf_mod.audio_ingest_batch, mm.audio_neardup,
+         mm.AUDIO_MIN_SHARED, ("snd_a", "snd_b")),
+        ("video", sf_mod.video_ingest_batch, mm.video_phash_neardup,
+         mm.VIDEO_MIN_SHARED, ("vid_a", "vid_b")),
+    ]
+    for name, ingest, batch_fn, min_shared, _cols in cases:
+        want = sorted(map(tuple, batch_fn(spark, sf).collect()))
+        assert len(want) > 0
+        store = sf_mod.KeyedFingerprintStore(
+            str(d / f"{name}_store"), min_shared=min_shared
+        )
+        for i, w in enumerate(waves):
+            ingest(spark, w, store, i)
+
+        def pairs():
+            return sorted(
+                map(tuple, sf_mod.neardup_pairs(spark, store).collect())
+            )
+
+        assert pairs() == want, name
+        # committed redelivery: no-op
+        ingest(spark, waves[0], store, 0)
+        assert pairs() == want, name
+        # crash window: keys+pairs written, ledger lost — replay
+        # excludes the batch's own partitions and converges
+        os.remove(store._ledger(2))
+        ingest(spark, waves[2], store, 2)
+        assert pairs() == want, name
