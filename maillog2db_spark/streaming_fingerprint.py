@@ -38,9 +38,21 @@ from pyspark.sql import functions as F
 from .ledger import FileBatchLedger
 
 
+N_KEY_BUCKETS = 32  # fkey-hash sub-partitioning for serving-path pruning
+
+
+def _key_bucket() -> "F.Column":
+    return F.pmod(F.xxhash64("fkey"), F.lit(N_KEY_BUCKETS)).cast("int")
+
+
 class KeyedFingerprintStore(FileBatchLedger):
-    """batch_id-partitioned state:
-    ``keys``  — (item_id, fkey) write-once fingerprint facts;
+    """(batch_id, fbucket)-partitioned state:
+    ``keys``  — (item_id, fkey) write-once fingerprint facts, sub-
+                partitioned by fkey hash bucket (the PostingsStore
+                term-bucket trick): an ad-hoc ``match_keys`` lookup
+                touches only the buckets its probe keys hash into
+                (parquet partition pruning), so serving cost tracks
+                the probe's key set, not the index;
     ``pairs`` — (item_a, item_b, n_shared) write-once discoveries."""
 
     def __init__(self, root: str, min_shared: int):
@@ -127,9 +139,10 @@ def fingerprint_ingest_batch(
     )
     (
         keys.withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .withColumn("fbucket", _key_bucket())
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
+        .partitionBy("batch_id", "fbucket")
         .parquet(store.keys_path)
     )
     store.mark_committed(batch_id)
@@ -201,3 +214,37 @@ def start_fingerprint_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def match_keys(
+    spark: SparkSession, store: KeyedFingerprintStore, fkeys: list[str],
+    min_shared: int | None = None,
+) -> DataFrame:
+    """Ad-hoc serving lookup: items in the accumulated index sharing
+    >= min_shared of the GIVEN keys (e.g. 'which known sounds does
+    this new clip match?') — no index scan: the probe keys hash to
+    their fbucket sub-partitions (a bounded set, <= len(fkeys)
+    buckets), parquet partition pruning skips every other bucket, and
+    the probe side is a broadcast literal. The same contract as the
+    streaming-BM25 ``search`` path: serving cost tracks the probe's
+    posting mass, not the index size."""
+    if min_shared is None:
+        min_shared = store.min_shared
+    if not store._nonempty(store.keys_path):
+        raise ValueError("no batches ingested yet")
+    probe = spark.createDataFrame(
+        [(k,) for k in set(fkeys)], "fkey string"
+    ).withColumn("fbucket", _key_bucket())
+    buckets = sorted(
+        r.fbucket for r in probe.select("fbucket").distinct().collect()
+    )  # bounded-metadata collect: <= len(fkeys) ints
+    idx = (
+        spark.read.parquet(store.keys_path)
+        .filter(F.col("fbucket").isin(buckets))  # partition-pruned scan
+        .join(F.broadcast(probe.select("fkey")), "fkey")
+    )
+    return (
+        idx.groupBy("item_id")
+        .agg(F.countDistinct("fkey").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -272,3 +272,31 @@ def test_streaming_keyed_fingerprint_matches_batch(spark, tmp_path_factory):
         os.remove(store._ledger(2))
         ingest(spark, waves[2], store, 2)
         assert pairs() == want, name
+
+
+def test_fingerprint_match_keys_serving_path(spark, tmp_path):
+    """Ad-hoc lookup against the accumulated keyed-fingerprint index:
+    equals a brute-force recount, and the plan actually prunes to the
+    probe keys' fbucket partitions."""
+    from maillog2db_spark import streaming_fingerprint as sf_mod
+
+    store = sf_mod.KeyedFingerprintStore(str(tmp_path / "s"), min_shared=2)
+    rows = [(i, f"k{j}") for i in range(20) for j in (i % 5, (i + 1) % 5, 9)]
+    keys = spark.createDataFrame(rows, "item_id bigint, fkey string")
+    sf_mod.fingerprint_ingest_batch(spark, keys, store, 0)
+
+    probe = ["k1", "k2", "k9"]
+    got = {
+        (r.item_id, r.n_shared)
+        for r in sf_mod.match_keys(spark, store, probe).collect()
+    }
+    want = {}
+    for i, k in rows:
+        if k in probe:
+            want[i] = want.get(i, set()) | {k}
+    want = {(i, len(ks)) for i, ks in want.items() if len(ks) >= 2}
+    assert got == want
+
+    plan = sf_mod.match_keys(spark, store, probe)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "fbucket" in plan  # the pruning column reaches the scan
