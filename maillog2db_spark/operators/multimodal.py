@@ -672,20 +672,25 @@ def _phash_bands_of(sigs: DataFrame) -> DataFrame:
 
 
 def phash_pairs_between(
-    left_sigs: DataFrame, right_sigs: DataFrame, ordered: bool = True
+    left_sigs: DataFrame, right_sigs: DataFrame, ordered: bool = True,
+    broadcast_left: bool = False,
 ) -> DataFrame:
     """Banded Hamming pair join between two signature tables. With
     ``ordered=True`` (the batch self-join: pass the same table twice)
     candidates meet once under img_a < img_b; with ``ordered=False``
     (the streaming probe: new batch vs accumulated store, where the
     new id may be on either side) the join takes both orientations and
-    canonicalizes via least/greatest. Output pairs are img_a < img_b,
+    canonicalizes via least/greatest. ``broadcast_left=True`` marks the
+    left side as bounded (one ingest wave) so the accumulated right
+    side streams without a shuffle. Output pairs are img_a < img_b,
     Hamming ≤ PHASH_HD_MAX, distinct, either way."""
     a = _phash_bands_of(left_sigs).select(
         F.col("img_id").alias("img_a"),
         *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
         "band_id", "band_val",
     )
+    if broadcast_left:
+        a = F.broadcast(a)
     b = _phash_bands_of(right_sigs).select(
         F.col("img_id").alias("img_b"),
         *[F.col(f"b{i}").alias(f"bb{i}") for i in range(4)],
@@ -963,21 +968,34 @@ AUDIO_FFT_N = 1024      # samples per analysis frame (one frame per segment)
 AUDIO_SEGS = 4          # segments per derived sound
 AUDIO_RATE = 16000
 AUDIO_AMPS = (9000.0, 6000.0, 3000.0)   # distinct -> deterministic peak order
-AUDIO_BASES = (20, 120, 300)            # disjoint bin ranges per tone slot
-AUDIO_BIN_STEP = 64
+AUDIO_BASES = (20, 170, 320)            # disjoint 128-wide bin ranges per slot
 AUDIO_MIN_SHARED = 2    # near-dup admission: >= 2 matching segment constellations
 
 
 def _audio_tone_bins(text: str) -> list[list[int]]:
-    """Per-segment tone bins from md5(text): segment s, slot i uses hex
-    char 3s+i — bin = BASES[i] + (ascii % 64), ranges disjoint so the
-    three tones of a segment never collide."""
+    """Per-segment tone bins from md5(text): segment s, slot i uses TWO
+    hex chars (6s+2i, 6s+2i+1) — bin = BASES[i] + 8*(a1 % 16) + (a2 % 8),
+    a 128-value slot; ranges disjoint so a segment's three tones never
+    collide, and all bins stay below the rfft's 512-bin ceiling.
+
+    Why two chars per slot: hex chars carry only 16 distinct ascii
+    values, so a one-char slot gives 16^3 = 4096 possible segment
+    constellations — and constellations ARE the near-dup blocking
+    buckets, so bucket occupancy (and probe candidate mass) would grow
+    as n/4096: the fingerprint-store rehearsal MEASURED the resulting
+    linear per-wave probe drift at only 800k items. Two chars give
+    128^3 ≈ 2M combos — occupancy stays sub-1 far past the rehearsal
+    scale, and the knob (chars per slot) is explicit."""
     import hashlib
 
     hx = hashlib.md5((text or "").encode("utf-8")).hexdigest()
     return [
-        [AUDIO_BASES[i] + (ord(hx[3 * s + i]) % AUDIO_BIN_STEP)
-         for i in range(3)]
+        [
+            AUDIO_BASES[i]
+            + 8 * (ord(hx[6 * s + 2 * i]) % 16)
+            + (ord(hx[6 * s + 2 * i + 1]) % 8)
+            for i in range(3)
+        ]
         for s in range(AUDIO_SEGS)
     ]
 
@@ -1078,8 +1096,9 @@ _AUDIO_FP_DUCK = f"""
              generate_series(0, {AUDIO_SEGS - 1}),
              s -> list_transform(generate_series(0, 2), i ->
                  CAST(list_value({AUDIO_BASES[0]}, {AUDIO_BASES[1]}, {AUDIO_BASES[2]})[i + 1]
-                      + (ascii(substr(md5(coalesce(text, '')), 3*s + i + 1, 1))
-                         % {AUDIO_BIN_STEP}) AS VARCHAR))
+                      + 8 * (ascii(substr(md5(coalesce(text, '')), 6*s + 2*i + 1, 1)) % 16)
+                      + (ascii(substr(md5(coalesce(text, '')), 6*s + 2*i + 2, 1)) % 8)
+                  AS VARCHAR))
          )), '-') AS fingerprint
   FROM documents CROSS JOIN range(2) v
 """

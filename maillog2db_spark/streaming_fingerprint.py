@@ -115,12 +115,17 @@ def fingerprint_ingest_batch(
     )
     prior = store.keys(spark, exclude_batch=batch_id)
     universe = keys if prior is None else keys.unionByName(prior)
-    a = keys.select(F.col("item_id").alias("ia"), "fkey")
+    # the batch side is bounded (one wave's keys) — BROADCAST it so the
+    # accumulated side streams from its bucketed files without a
+    # shuffle (the rehearsal measured the un-hinted sort-merge paying a
+    # full store shuffle per wave); past broadcast range, swap to a
+    # bucket-aligned shuffle of the batch side only
+    a = F.broadcast(keys.select(F.col("item_id").alias("ia"), "fkey"))
     b = universe.select(
         F.col("item_id").alias("ib"), F.col("fkey").alias("fkey_b")
     )
     new_pairs = (
-        a.join(b, (a.fkey == b.fkey_b) & (a.ia != b.ib))
+        b.join(a, (a.fkey == b.fkey_b) & (a.ia != b.ib))
         .select(
             F.least("ia", "ib").alias("item_a"),
             F.greatest("ia", "ib").alias("item_b"),
@@ -140,6 +145,13 @@ def fingerprint_ingest_batch(
     (
         keys.withColumn("batch_id", F.lit(batch_id).cast("long"))
         .withColumn("fbucket", _key_bucket())
+        # one file per (batch, bucket): without this every write task
+        # emits a sliver into every bucket — tasks x 32 files per wave,
+        # and the accumulated store's per-wave probe scan becomes
+        # file-OPEN-bound (the rehearsal measured 15 s -> 83 s per wave
+        # by wave 6 from exactly this; one-file-per-partition keeps the
+        # probe scan flat-per-index-byte)
+        .repartition("fbucket")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id", "fbucket")

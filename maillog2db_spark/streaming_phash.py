@@ -100,7 +100,8 @@ def phash_ingest_batch(
     ).localCheckpoint(eager=True)
     prior = store.signatures(spark, exclude_batch=batch_id)
     universe = sigs if prior is None else sigs.unionByName(prior)
-    new_pairs = phash_pairs_between(sigs, universe, ordered=False)
+    new_pairs = phash_pairs_between(sigs, universe, ordered=False,
+                                    broadcast_left=True)
     (
         new_pairs.withColumn("batch_id", F.lit(batch_id).cast("long"))
         .write.mode("overwrite")
