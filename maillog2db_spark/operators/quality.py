@@ -357,3 +357,82 @@ FROM dense d
 JOIN tot t USING (source) JOIN ref r USING (bin) CROSS JOIN n_all
 GROUP BY d.source, t.n_src
 """
+
+
+# --- PII scrubbing (emails / IPv4 / long digit runs) ---------------------------
+#
+# The standard pre-training redaction pass. The driver corpus contains
+# no PII-shaped content (verified: zero matches), so the operator runs
+# over each document's text EXTENDED with a deterministically derived
+# contact block (email, IPv4, long number from doc_id) — both engines
+# construct the identical string, so the hash-verified counts and the
+# scrubbed-text md5 certify that the three REGEX PATTERNS match and
+# replace identically across Java regex (Spark) and RE2 (DuckDB) on
+# text that genuinely contains targets. The patterns avoid everything
+# the two dialects disagree on (no lookaround — RE2 has none; \b and
+# bounded quantifiers are common ground).
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_NUM_RE = r"\b\d{7,}\b"
+
+_PII_BASE_SPARK = (
+    "concat(coalesce(text, ''), ' contact u', doc_id, '@ex',"
+    " pmod(doc_id, 7), '.org at 10.', pmod(doc_id, 256), '.',"
+    " pmod(doc_id * 7, 256), '.', pmod(doc_id, 100),"
+    " ' ref ', 1000000 + doc_id * 37)"
+)
+_PII_BASE_DUCK = (
+    "coalesce(text, '') || ' contact u' || doc_id || '@ex'"
+    " || (doc_id % 7) || '.org at 10.' || (doc_id % 256) || '.'"
+    " || ((doc_id * 7) % 256) || '.' || (doc_id % 100)"
+    " || ' ref ' || (1000000 + doc_id * 37)"
+)
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII redaction: count and replace emails, then IPv4s,
+    then long digit runs (sequential — each count runs on the string
+    the previous pass left, so overlapping matches are unambiguous),
+    reporting the counts and the md5 of the fully scrubbed text.
+
+    Scale shape: pure whole-stage-codegen string expressions over one
+    scan — no shuffle, no Python; exactly the map-only pass a 100 TB
+    redaction job wants (and the redacted column would be written
+    back through the same projection)."""
+    from .. import io
+
+    d = io.load(spark, sf_dir, "documents")
+    base = F.expr(_PII_BASE_SPARK)
+    s1 = F.regexp_replace(base, PII_EMAIL_RE, "[EMAIL]")
+    s2 = F.regexp_replace(s1, PII_IPV4_RE, "[IP]")
+    s3 = F.regexp_replace(s2, PII_NUM_RE, "[NUM]")
+    return d.select(
+        "doc_id",
+        F.regexp_count(base, F.lit(PII_EMAIL_RE)).cast("bigint")
+        .alias("n_email"),
+        F.regexp_count(s1, F.lit(PII_IPV4_RE)).cast("bigint").alias("n_ip"),
+        F.regexp_count(s2, F.lit(PII_NUM_RE)).cast("bigint").alias("n_num"),
+        F.md5(F.encode(s3, "UTF-8")).alias("scrubbed_md5"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_PII_BASE_DUCK} AS s0 FROM documents
+), steps AS (
+  SELECT doc_id, s0,
+         regexp_replace(s0, '{PII_EMAIL_RE}', '[EMAIL]', 'g') AS s1
+  FROM base
+), steps2 AS (
+  SELECT doc_id, s0, s1,
+         regexp_replace(s1, '{PII_IPV4_RE}', '[IP]', 'g') AS s2
+  FROM steps
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(s0, '{PII_EMAIL_RE}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(s1, '{PII_IPV4_RE}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(s2, '{PII_NUM_RE}')) AS BIGINT) AS n_num,
+       md5(regexp_replace(s2, '{PII_NUM_RE}', '[NUM]', 'g')) AS scrubbed_md5
+FROM steps2
+"""

@@ -465,6 +465,8 @@ register("doc_char_entropy", _ql.CHAR_ENTROPY_SQL,
          doc="Per-doc character Shannon entropy (junk/noise signal): in-expression histogram, zero shuffles, ppm-quantized terms")(_ql.char_entropy)
 register("dq_length_drift_psi", _ql.LENGTH_DRIFT_PSI_SQL,
          doc="Population Stability Index of each source's length distribution vs the corpus: fixed bins + add-one smoothing, one map-side-combined aggregate")(_ql.length_drift_psi)
+register("doc_pii_scrub", _ql.PII_SCRUB_SQL,
+         doc="PII redaction pass: sequential email/IPv4/long-number count+replace over a derived contact block, scrubbed-text md5 — certifies the regex patterns across Java regex and RE2; pure codegen map pass, no shuffle")(_ql.pii_scrub)
 
 from .operators import classifier as _cl  # noqa: E402
 
@@ -641,7 +643,7 @@ _PRIORITY = [
     # 1. never driver-verified (new in r7)
     "mm_phash_neardup", "mm_jpeg_color_roundtrip", "mm_phash_clusters",
     "mm_audio_fingerprint", "mm_audio_neardup", "mm_video_phash",
-    "mm_video_phash_neardup",
+    "mm_video_phash_neardup", "doc_pii_scrub",
     # 2. shared code changed since last verdict
     "mm_jpeg_roundtrip", "mm_png_roundtrip", "mm_frame_sample",
     "mm_wav_loudness",
@@ -660,7 +662,7 @@ _PRIORITY = [
     "doc_distinct_tokens_approx", "doc_exact_dedup", "doc_language_id",
     "doc_length_deciles", "doc_lsh_candidate_pairs",
     "doc_minhash_signatures", "doc_neardup_clusters", "doc_neardup_pairs",
-    "doc_ngram_topk", "doc_pack_bins",
+    "doc_ngram_topk",
     # ---- 50-entry window boundary ----
     # The tail keeps its most recent green driver verdict (r4/r5/r6)
     # on code unchanged since that verdict.

@@ -69,6 +69,10 @@ FUZZED_QUERIES = [
     "mm_audio_neardup",
     "mm_video_phash",
     "mm_video_phash_neardup",
+    # regex-dialect certifier: the derived contact block always
+    # contains real matches; unicode fuzz text stresses the
+    # byte-vs-char boundary behavior of both engines
+    "doc_pii_scrub",
     # integral sketch with deterministic indexes; rank ties break on tok
     "doc_cms_heavy_hitters",
     # ppm-integral token features; empty-token docs exercise the
