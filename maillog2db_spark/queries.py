@@ -621,8 +621,9 @@ register("doc_normalized_dedup", _tn.NORMALIZED_DEDUP_SQL,
 # SHARED CODE changed this round (the "no query's shared code newer
 # than its last driver verdict" invariant), (3) backfill with the
 # OLDEST verdicts. The round-7 window:
-#   1. the seven new queries (pHash pairs/clusters, color JPEG,
-#      audio fingerprint/near-dup, video per-frame pHash/near-dup);
+#   1. the eight new queries (pHash pairs/clusters, color JPEG,
+#      audio fingerprint/near-dup, video per-frame pHash/near-dup,
+#      the PII redaction pass);
 #   2. the codec family — codecs.py was rewritten at a3d72fb/b239891
 #      AFTER CORRECTNESS_r06 was recorded, and this round refactored
 #      the shared entropy helpers (_emit_block/_read_block/
@@ -632,10 +633,10 @@ register("doc_normalized_dedup", _tn.NORMALIZED_DEDUP_SQL,
 #      the opt-in idf-floor hook this round (default path
 #      plan-identical; the hash must confirm);
 #   3. all 20 remaining r3-verdict entries (oldest);
-#   4. the oldest r4-verdict entries to fill 50 (five r4 entries on
-#      unchanged code — quality_score, repetition_stats,
-#      rolling_fingerprint, simhash, simhash_neardup — defer to r8 and
-#      keep their green r4 verdicts).
+#   4. the oldest r4-verdict entries to fill 50 (seven r4 entries on
+#      unchanged code — pack_bins, quality_score, repetition_stats,
+#      rolling_fingerprint, simhash, simhash_neardup, ngram_topk —
+#      defer to r8 and keep their green r4 verdicts).
 # Everything BELOW the window keeps its green r4/r5/r6 driver verdict
 # on code unchanged since that verdict.
 
