@@ -804,6 +804,207 @@ GROUP BY doc_id
 """
 
 
+# --- WordPiece merge training -------------------------------------------------
+
+WORDPIECE_TRAIN_ITERS = 3  # unrolled in the oracle SQL; keep the two in sync
+
+
+def _unary_counts(syms: DataFrame, weight) -> DataFrame:
+    """Weighted per-symbol occurrence counts of a symbol-sequence table
+    — the unary companion to ``_bpe_pair_counts`` (negative weight emits
+    retraction deltas for the incremental trainer)."""
+    return (
+        syms.select(weight.alias("w"), F.explode(F.split("s", " ")).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("w").alias("ucnt"))
+    )
+
+
+# score = floor((cnt * 1e12) / (ucnt_l * ucnt_r)) — the WordPiece
+# likelihood gain cnt(ab)/(cnt(a)·cnt(b)) in parts-per-trillion. The
+# cross-engine contract is IDENTICAL-IEEE-OPS, not exactness: both
+# engines evaluate the same double multiply, divide, and floor
+# (each correctly rounded), so the bigint is bit-identical even where
+# cnt·1e12 exceeds the 2^53 exact-integer range; ties break on the
+# lexicographically largest pair, same as BPE.
+_WP_SCORE = (
+    "CAST(floor((CAST({cnt} AS DOUBLE) * 1e12)"
+    " / (CAST({ul} AS DOUBLE) * CAST({ur} AS DOUBLE))) AS BIGINT)"
+)
+
+
+def _wordpiece_train(
+    spark: SparkSession,
+    syms: DataFrame,
+    n_iters: int,
+    keys: tuple[str, ...],
+):
+    """WordPiece merge loop (Schuster & Nakajima, ICASSP 2012; the
+    BERT tokenizer's trainer, Devlin et al. 2019): identical mechanics
+    to ``_bpe_train`` — incremental pair-count maintenance, one
+    bounded top-1 per merge, literal-embedded apply — but the argmax
+    maximizes the LIKELIHOOD GAIN cnt(ab)/(cnt(a)·cnt(b)) instead of
+    raw pair frequency, so rare-but-strongly-associated pairs merge
+    before frequent-but-independent ones.
+
+    The unary symbol counts the score needs are maintained by the same
+    retract/assert delta discipline as the pair table (affected words
+    only); both tables are vocab-grain, so per-merge cost is bounded by
+    affected-word volume exactly like BPE — the trainer never rescans
+    the corpus after the initial word count.
+
+    Returns (final syms, merges rows [(step, l, r, cnt, score), ...]).
+    """
+    counts = _bpe_pair_counts(syms, F.col("freq")).localCheckpoint(eager=True)
+    unary = _unary_counts(syms, F.col("freq")).localCheckpoint(eager=True)
+    syms = syms.localCheckpoint(eager=True)
+    n_parts = syms.rdd.getNumPartitions()
+    merges: list[tuple[int, str, str, int, int]] = []
+    for step in range(1, n_iters + 1):
+        ul = unary.select(F.col("sym").alias("l"), F.col("ucnt").alias("ul"))
+        ur = unary.select(F.col("sym").alias("r"), F.col("ucnt").alias("ur"))
+        best = (
+            counts.filter(F.col("cnt") > 0)
+            .join(ul, "l")
+            .join(ur, "r")
+            .select(
+                "l", "r", "cnt",
+                F.expr(
+                    _WP_SCORE.format(cnt="cnt", ul="ul", ur="ur")
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("l").desc(), F.col("r").desc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt, score = best[0].l, best[0].r, best[0].cnt, best[0].score
+        merges.append((step, l, r, cnt, score))
+        pat, fused = f" {l} {r} ", f" {l}{r} "
+        padded = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+        hit = F.instr(padded, pat) > 0
+        rewritten = syms.filter(hit).select(
+            *keys, F.trim(F.replace(padded, F.lit(pat), F.lit(fused))).alias("s")
+        )
+        pair_delta = (
+            _bpe_pair_counts(rewritten, F.col("freq"))
+            .unionByName(_bpe_pair_counts(syms.filter(hit), -F.col("freq")))
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").alias("d"))
+        )
+        counts = (
+            counts.join(pair_delta, ["l", "r"], "full_outer")
+            .select(
+                "l", "r",
+                (
+                    F.coalesce(F.col("cnt"), F.lit(0))
+                    + F.coalesce(F.col("d"), F.lit(0))
+                ).alias("cnt"),
+            )
+            .filter(F.col("cnt") > 0)
+            .localCheckpoint(eager=True)
+        )
+        unary_delta = (
+            _unary_counts(rewritten, F.col("freq"))
+            .unionByName(_unary_counts(syms.filter(hit), -F.col("freq")))
+            .groupBy("sym")
+            .agg(F.sum("ucnt").alias("d"))
+        )
+        unary = (
+            unary.join(unary_delta, "sym", "full_outer")
+            .select(
+                "sym",
+                (
+                    F.coalesce(F.col("ucnt"), F.lit(0))
+                    + F.coalesce(F.col("d"), F.lit(0))
+                ).alias("ucnt"),
+            )
+            .filter(F.col("ucnt") > 0)
+            .localCheckpoint(eager=True)
+        )
+        syms = (
+            syms.filter(~hit)
+            .unionByName(rewritten)
+            .coalesce(n_parts)
+            .localCheckpoint(eager=True)
+        )
+    return syms, merges
+
+
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first WORDPIECE_TRAIN_ITERS WordPiece merges on the
+    corpus — the third tokenizer-trainer family next to BPE
+    (frequency-greedy) and unigram-LM (EM pruning): WordPiece is
+    likelihood-greedy, fusing the pair that most increases corpus
+    likelihood under a unigram factorization, score
+    cnt(ab)/(cnt(a)·cnt(b)).
+
+    Same scale shape as ``bpe_train_merges``: the corpus is touched
+    once for word frequencies; every merge is affected-word-volume
+    delta maintenance on vocab-grain tables plus one bounded top-1."""
+    syms = _bpe_words(spark, sf_dir, with_tok=False)
+    _final, merges = _wordpiece_train(
+        spark, syms, WORDPIECE_TRAIN_ITERS, keys=("freq",)
+    )
+    return spark.createDataFrame(
+        [(s, l, r, l + r, c, sc) for s, l, r, c, sc in merges],
+        "step int, lhs string, rhs string, merged string,"
+        " pair_count bigint, score_ppt bigint",
+    )
+
+
+def _wp_best_duck(pairs: str, unary: str) -> str:
+    score = _WP_SCORE.format(cnt="p.cnt", ul="ua.ucnt", ur="ub.ucnt")
+    return f"""(
+  SELECT l, r, cnt, score FROM (
+    SELECT p.l, p.r, p.cnt, {score} AS score
+    FROM {pairs} p JOIN {unary} ua ON ua.sym = p.l
+                   JOIN {unary} ub ON ub.sym = p.r
+    WHERE p.cnt > 0
+    UNION ALL SELECT '', '', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+  ) ORDER BY score DESC, l DESC, r DESC LIMIT 1)"""
+
+
+def _wp_unary_duck(src: str) -> str:
+    return f"""(
+  SELECT sym, CAST(sum(freq) AS BIGINT) AS ucnt FROM (
+    SELECT freq, unnest(string_split(s, ' ')) AS sym FROM {src}
+  ) GROUP BY sym)"""
+
+
+def _wp_chain_duck(keys: str) -> str:
+    out = []
+    for k in range(1, WORDPIECE_TRAIN_ITERS + 1):
+        out.append(f"u{k} AS {_wp_unary_duck(f's{k-1}')}")
+        out.append(f"p{k} AS {_bpe_pairs_duck(f's{k-1}')}")
+        out.append(f"b{k} AS {_wp_best_duck(f'p{k}', f'u{k}')}")
+        out.append(f"s{k} AS {_bpe_apply_duck(f's{k-1}', f'b{k}', keys)}")
+    return ",\n".join(out)
+
+
+def _wordpiece_train_merges_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS_DUCK}) AS tok FROM documents
+), words AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok
+), s0 AS (
+  SELECT freq, trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS s FROM words
+),
+{_wp_chain_duck('freq')}
+SELECT * FROM (
+{" UNION ALL ".join(
+    f"SELECT {k} AS step, l AS lhs, r AS rhs, l || r AS merged,"
+    f" cnt AS pair_count, score AS score_ppt FROM b{k}"
+    for k in range(1, WORDPIECE_TRAIN_ITERS + 1))}
+) WHERE pair_count > 0
+"""
+
+
+WORDPIECE_TRAIN_MERGES_SQL = _wordpiece_train_merges_sql()
+
+
 def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix for the language-ID heuristic against the
     labeled lang column — the model-eval-as-registered-query pattern
@@ -1226,6 +1427,133 @@ SELECT bucket, n_docs, n_new_terms, cum_tokens, cum_terms,
                             * 1000000 + 0.5) AS BIGINT)
        END AS heaps_beta_ppm
 FROM cum
+"""
+
+
+# --- Zipf's-law rank-frequency fit --------------------------------------------
+
+ZIPF_TOP_RANKS = 64
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus rank-frequency curve: OLS of
+    ln(freq) on ln(rank) for the top-ZIPF_TOP_RANKS terms — the
+    companion corpus-law audit to ``vocab_growth`` (Heaps). A healthy
+    natural-language corpus fits slope ≈ −1; a much flatter slope flags
+    template/synthetic content, a much steeper one a vocabulary
+    collapse (the cheap distribution-shift detector run before
+    training-data freezing).
+
+    Determinism: per-term contributions are the engine's ln-fixed-point
+    idiom (floor(ln(x)·1e6 + 0.5) bigints — the nll_ppm / heaps_beta
+    contract), so the regression sums are EXACT integer arithmetic and
+    slope/intercept come out of integer division (both engines
+    truncate: Spark `div` ≡ DuckDB `//`).
+
+    Scale shape: one token explode + map-side-combined word count; the
+    top-K survives a partition-local top-k (partitioned window) then a
+    global TakeOrdered(K); the regression is a single aggregate over
+    ≤ K rows. The whole-vocab context stats (n_terms / n_tokens /
+    top_freq) ride the same word-count base. Nothing data-proportional
+    ever sorts in one task."""
+    from pyspark.sql import Window
+
+    K = ZIPF_TOP_RANKS
+    d = io.load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    totals = words.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("freq").alias("n_tokens"),
+        F.max("freq").alias("top_freq"),
+    )
+    order = (F.col("freq").desc(), F.asc("tok"))
+    local_w = Window.partitionBy("pid").orderBy(*order)
+    top = (
+        words.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrank", F.row_number().over(local_w))
+        .filter(F.col("lrank") <= K)
+        .drop("pid", "lrank")
+        .orderBy(*order)
+        .limit(K)
+    )
+    # rank window runs post-limit: ≤ K rows by construction (the
+    # doc_cms_heavy_hitters exemption class)
+    ranked = top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+    )
+    xy = ranked.select(
+        F.floor(F.log(F.col("rk").cast("double")) * 1_000_000 + 0.5)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("freq").cast("double")) * 1_000_000 + 0.5)
+        .cast("bigint")
+        .alias("y"),
+    )
+    reg = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    fitted = reg.select(
+        "n", "sy", "sx",
+        F.expr(
+            "(n * sxy - sx * sy) div"
+            " nullif((n * sxx - sx * sx) div 1000000, 0)"
+        ).alias("slope_ppm"),
+    ).select(
+        F.col("n").cast("int").alias("n_ranks"),
+        F.col("slope_ppm").cast("bigint"),
+        F.expr("(sy - (slope_ppm * sx) div 1000000) div n")
+        .cast("bigint")
+        .alias("intercept_ppm"),
+    )
+    return fitted.crossJoin(F.broadcast(totals)).select(
+        "n_ranks", "slope_ppm", "intercept_ppm",
+        "n_terms", "n_tokens", "top_freq",
+    )
+
+
+ZIPF_FIT_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS_DUCK}) AS tok FROM documents
+), words AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok
+), totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(freq) AS BIGINT) AS n_tokens,
+         CAST(max(freq) AS BIGINT) AS top_freq
+  FROM words
+), ranked AS (
+  SELECT freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rk
+  FROM words
+  ORDER BY freq DESC, tok LIMIT {ZIPF_TOP_RANKS}
+), xy AS (
+  SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM ranked
+), reg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy
+), fitted AS (
+  SELECT n, sy, sx,
+         (n * sxy - sx * sy)
+           // nullif((n * sxx - sx * sx) // 1000000, 0) AS slope_ppm
+  FROM reg
+)
+SELECT CAST(n AS INT) AS n_ranks,
+       CAST(slope_ppm AS BIGINT) AS slope_ppm,
+       CAST((sy - (slope_ppm * sx) // 1000000) // n AS BIGINT)
+         AS intercept_ppm,
+       n_terms, n_tokens, top_freq
+FROM fitted CROSS JOIN totals
 """
 
 

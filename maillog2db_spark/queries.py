@@ -433,10 +433,18 @@ register("doc_hybrid_rrf_topk", _rtv.HYBRID_RRF_TOPK_SQL,
          doc="Hybrid retrieval: reciprocal-rank fusion (exact-integer 1e6 div (60+rank)) of the BM25 and cosine top-k cores over the paired documents/embeddings corpora")(_rtv.hybrid_rrf_topk)
 register("embed_mmr_rerank", _rtv.MMR_RERANK_SQL,
          doc="MMR diversified rerank (Carbonell-Goldstein): greedy k-step selection in exact-integer ppm (7*rel - 3*maxsim), bounded pool per query, unrolled-CTE oracle certifying the whole trajectory")(_rtv.mmr_rerank)
+from .operators import selection as _sel  # noqa: E402
+
+register("embed_kcenter_coreset", _sel.KCENTER_CORESET_SQL,
+         doc="Greedy k-center coreset selection (Gonzalez traversal / Sener-Savarese data selection): K scans, 1-row broadcast per step, exact-ppm trajectory + assignment census, unrolled-CTE oracle")(_sel.kcenter_coreset)
 register("doc_bpe_token_stats", _tx.BPE_TOKEN_STATS_SQL,
          doc="BPE-style pre-tokenizer profile (letter/digit/punct runs, codegen-only)")(_tx.bpe_token_stats)
+register("doc_wordpiece_train", _tx.WORDPIECE_TRAIN_MERGES_SQL,
+         doc="WordPiece trainer (Schuster-Nakajima / BERT): likelihood-greedy merges cnt(ab)/(cnt(a)*cnt(b)) in ppt, incremental pair+unary delta maintenance, unrolled-CTE oracle certifying the merge trajectory")(_tx.wordpiece_train_merges)
 register("doc_vocab_growth", _tx.VOCAB_GROWTH_SQL,
          doc="Heaps-law vocabulary growth: first-occurrence attribution over a bounded bucket grid (no running set)")(_tx.vocab_growth)
+register("doc_zipf_fit", _tx.ZIPF_FIT_SQL,
+         doc="Zipf's-law rank-frequency fit: OLS of ln(freq) on ln(rank) over the top-64 terms in exact ln-fixed-point integers — the distribution-shift companion to the Heaps-law vocab growth audit")(_tx.zipf_fit)
 register("doc_ngram_topk", _tx.NGRAM_TOPK_SQL,
          doc="Corpus-wide top-k trigram frequency (contamination/boilerplate detector)")(_tx.ngram_topk)
 register("doc_cms_heavy_hitters", _tx.CMS_HEAVY_HITTERS_SQL,
@@ -642,6 +650,7 @@ register("doc_normalized_dedup", _tn.NORMALIZED_DEDUP_SQL,
 
 _PRIORITY = [
     # 1. never driver-verified (new in r7)
+    "embed_kcenter_coreset", "doc_wordpiece_train", "doc_zipf_fit",
     "mm_phash_neardup", "mm_jpeg_color_roundtrip", "mm_phash_clusters",
     "mm_audio_fingerprint", "mm_audio_neardup", "mm_video_phash",
     "mm_video_phash_neardup", "doc_pii_scrub",
@@ -662,9 +671,12 @@ _PRIORITY = [
     "doc_chunks", "doc_corpus_pipeline", "doc_decontaminate",
     "doc_distinct_tokens_approx", "doc_exact_dedup", "doc_language_id",
     "doc_length_deciles", "doc_lsh_candidate_pairs",
-    "doc_minhash_signatures", "doc_neardup_clusters", "doc_neardup_pairs",
-    "doc_ngram_topk",
+    "doc_minhash_signatures",
     # ---- 50-entry window boundary ----
+    # (the three late-session r7 additions above displaced
+    # doc_neardup_clusters / doc_neardup_pairs / doc_ngram_topk from
+    # the r4 backfill — those keep their green r4 verdicts on
+    # unchanged code and rotate in next round)
     # The tail keeps its most recent green driver verdict (r4/r5/r6)
     # on code unchanged since that verdict.
 ]

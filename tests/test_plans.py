@@ -84,6 +84,12 @@ BNL_ALLOWED = {
     "embed_semdedup_keep_best": [_SCALAR, "label", "cent_nrm"],
     # 1-row corpus-count broadcast (per-epoch position = rank - epoch*n)
     "doc_epoch_shuffle": [_SCALAR],
+    # greedy k-center: every broadcast side is a checkpointed bounded
+    # frame (the 1-row seed/next-center, the K-row center table) —
+    # renders as Scan ExistingRDD
+    "embed_kcenter_coreset": ["Scan ExistingRDD"],
+    # 1-row whole-vocab context-stats broadcast joined to the 1-row fit
+    "doc_zipf_fit": [_SCALAR],
 }
 
 
@@ -139,6 +145,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "ord_revenue_ewma",  # RANGE frame over calendar days: ≤ date span
     "doc_vocab_growth",  # cumsum over the bucket grid: ≤ VOCAB_BUCKETS rows
     "ord_seasonal_index",  # RANGE frames over calendar months: ≤ date span
+    "doc_zipf_fit",  # rank window runs post-limit: ≤ ZIPF_TOP_RANKS rows
 }
 
 

@@ -300,3 +300,170 @@ def test_fingerprint_match_keys_serving_path(spark, tmp_path):
     plan = sf_mod.match_keys(spark, store, probe)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "fbucket" in plan  # the pruning column reaches the scan
+
+
+# --- round-7 late additions: k-center coreset, WordPiece, Zipf fit -----------
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_kcenter_invariants_and_prefix_consistency(spark):
+    """Greedy k-center: the selection trajectory obeys the algorithm's
+    defining invariants, and the greedy-prefix property holds (a K=4
+    run IS the first 4 steps of the K=8 run)."""
+    from maillog2db_spark.operators.selection import kcenter_select
+
+    full = kcenter_select(spark, SF001, 8).orderBy("step").collect()
+    assert [r.step for r in full] == list(range(1, 9))
+    assert len({r.center_id for r in full}) == 8  # centers distinct
+    # coverage radius is non-increasing from step 2 on (min-dists only
+    # shrink as centers are added, so their max shrinks too)
+    radii = [r.radius_ppm for r in full][1:]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert all(r.radius_ppm >= 0 for r in full)
+    # assignment census partitions the whole corpus
+    n = spark.read.parquet(f"{SF001}/embeddings.parquet").count()
+    assert sum(r.n_assigned for r in full) == n
+    assert all(r.n_assigned >= 1 for r in full)  # each center owns itself
+
+    pre = kcenter_select(spark, SF001, 4).orderBy("step").collect()
+    assert [(r.step, r.center_id, r.radius_ppm) for r in pre] == [
+        (r.step, r.center_id, r.radius_ppm) for r in full[:4]
+    ]
+
+
+def test_wordpiece_picks_association_over_raw_frequency(spark, tmp_path):
+    """The defining behavioral split between the two greedy trainers:
+    pair (a,b) is 3x more frequent than (x,y), but a and b are
+    individually common while x and y appear ONLY together — WordPiece
+    (likelihood gain cnt(ab)/(cnt(a)*cnt(b))) must fuse xy first while
+    BPE (raw pair frequency) fuses ab."""
+    from maillog2db_spark.operators.text import (
+        bpe_train_merges,
+        wordpiece_train_merges,
+    )
+
+    text = " ".join(["ab"] * 10 + ["a"] * 20 + ["b"] * 20 + ["xy"] * 3)
+    _docs(spark, [(0, text)]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf = str(tmp_path)
+
+    wp = wordpiece_train_merges(spark, sf).orderBy("step").collect()
+    bpe = bpe_train_merges(spark, sf).orderBy("step").collect()
+    assert wp[0].merged == "xy"
+    assert bpe[0].merged == "ab"
+    # exact likelihood-gain score: cnt(x,y)=3, cnt(x)=cnt(y)=3
+    # -> floor(3e12 / 9) = 333_333_333_333
+    assert wp[0].pair_count == 3
+    assert wp[0].score_ppt == 333_333_333_333
+
+
+def test_wordpiece_matches_naive_recount(spark, tmp_path):
+    """The incremental pair+unary delta maintenance must reproduce the
+    naive recount trajectory (the oracle's formulation) on a corpus
+    where merges overlap: symbols from step-1's fusion participate in
+    step-2 scoring."""
+    from maillog2db_spark.operators.text import (
+        WORDPIECE_TRAIN_ITERS,
+        _bpe_words,
+        _unary_counts,
+        _wordpiece_train,
+    )
+    from pyspark.sql import functions as F  # noqa: F811
+
+    text = " ".join(
+        ["abc"] * 6 + ["ab"] * 4 + ["bc"] * 5 + ["a"] * 3 + ["c"] * 2
+    )
+    _docs(spark, [(0, text)]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf = str(tmp_path)
+
+    syms0 = _bpe_words(spark, sf, with_tok=False)
+    _final, merges = _wordpiece_train(
+        spark, syms0, WORDPIECE_TRAIN_ITERS, keys=("freq",)
+    )
+
+    # naive recount reference in plain Python
+    words = {"abc": 6, "ab": 4, "bc": 5, "a": 3, "c": 2}
+    state = {tuple(w): f for w, f in words.items()}
+    naive = []
+    for step in range(1, WORDPIECE_TRAIN_ITERS + 1):
+        pairs: dict = {}
+        unary: dict = {}
+        for sym_seq, f in state.items():
+            for s in sym_seq:
+                unary[s] = unary.get(s, 0) + f
+            for i in range(len(sym_seq) - 1):
+                p = (sym_seq[i], sym_seq[i + 1])
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        import math
+
+        best = max(
+            pairs.items(),
+            key=lambda kv: (
+                math.floor(kv[1] * 1e12 / (unary[kv[0][0]] * unary[kv[0][1]])),
+                kv[0][0],
+                kv[0][1],
+            ),
+        )
+        (l, r), cnt = best
+        score = math.floor(cnt * 1e12 / (unary[l] * unary[r]))
+        naive.append((step, l, r, cnt, score))
+        new_state: dict = {}
+        for sym_seq, f in state.items():
+            out = []
+            i = 0
+            while i < len(sym_seq):
+                if (
+                    i + 1 < len(sym_seq)
+                    and sym_seq[i] == l
+                    and sym_seq[i + 1] == r
+                ):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym_seq[i])
+                    i += 1
+            t = tuple(out)
+            new_state[t] = new_state.get(t, 0) + f
+        state = new_state
+    assert merges == naive
+
+    # and the incremental unary table equals a recount of the final syms
+    inc = {
+        (r.sym, r.ucnt)
+        for r in _unary_counts(_final, F.col("freq")).collect()
+    }
+    rec = {}
+    for sym_seq, f in state.items():
+        for s in sym_seq:
+            rec[s] = rec.get(s, 0) + f
+    assert inc == set(rec.items())
+
+
+def test_zipf_fit_recovers_unit_slope(spark, tmp_path):
+    """On an exactly Zipf-distributed synthetic corpus (freq_i =
+    1200//i), the fitted slope must sit within 3% of -1 (and the
+    intercept near ln(1200))."""
+    from maillog2db_spark.operators.text import zipf_fit
+
+    toks = []
+    for i in range(1, 51):
+        toks += [f"w{i:03d}"] * (1200 // i)
+    text = " ".join(toks)
+    _docs(spark, [(0, text)]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    row = zipf_fit(spark, str(tmp_path)).collect()[0]
+    assert row.n_ranks == 50
+    assert -1_030_000 <= row.slope_ppm <= -970_000
+    import math
+
+    assert abs(row.intercept_ppm - math.log(1200) * 1e6) < 60_000
+    assert row.n_terms == 50
+    assert row.n_tokens == sum(1200 // i for i in range(1, 51))
+    assert row.top_freq == 1200
