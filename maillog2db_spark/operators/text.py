@@ -1466,15 +1466,23 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ K rows. The whole-vocab context stats (n_terms / n_tokens /
     top_freq) ride the same word-count base. Nothing data-proportional
     ever sorts in one task."""
-    from pyspark.sql import Window
-
-    K = ZIPF_TOP_RANKS
     d = io.load(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    return zipf_fit_from(words)
+
+
+def zipf_fit_from(words: DataFrame) -> DataFrame:
+    """The fit from a (tok, freq) word-count table — shared by the
+    batch operator above and the streaming vocabulary store
+    (streaming_vocab.py): term counts are additive, so the same fit
+    resolves from accumulated batch partials."""
+    from pyspark.sql import Window
+
+    K = ZIPF_TOP_RANKS
     totals = words.agg(
         F.count(F.lit(1)).alias("n_terms"),
         F.sum("freq").alias("n_tokens"),

@@ -1,5 +1,5 @@
 """Streaming vocabulary store: ONE additive store of per-batch token
-partials serving THREE batch equivalences plus an admission-time gate.
+partials serving FOUR batch equivalences plus an admission-time gate.
 
 The insight shared with streaming_drift/streaming_holt/streaming_bm25:
 a whole family of corpus-audit operators read nothing but additive or
@@ -9,6 +9,8 @@ min-mergeable token statistics —
   * ``doc_vocab_growth``         — per-term FIRST doc: min-mergeable;
                                    per-doc token counts: write-once
   * ``doc_source_temperature_mix`` — per-source doc counts: additive
+  * ``doc_zipf_fit``             — corpus (tok, freq): the same term
+                                   partials summed across sources
 
 so one store of per-batch partials, resolved at read time, re-creates
 each operator's exact input, and the shared cores
@@ -155,6 +157,20 @@ def vocab_growth(spark: SparkSession, store: VocabStore) -> DataFrame:
     )
     tf = _require(store.term_first(spark), "term firsts")
     return vocab_growth_from(ds, tf)
+
+
+def zipf_fit(spark: SparkSession, store: VocabStore) -> DataFrame:
+    """≡ ``doc_zipf_fit`` over the union of all ingested batches: the
+    corpus-wide (tok, freq) table the fit needs is one more additive
+    view of the same term partials (summed across sources), feeding
+    the shared ``zipf_fit_from`` core."""
+    from .operators.text import zipf_fit_from
+
+    counts = _require(store.counts(spark), "term counts")
+    words = counts.groupBy(F.col("term").alias("tok")).agg(
+        F.sum("c").cast("bigint").alias("freq")
+    )
+    return zipf_fit_from(words)
 
 
 def temperature_mix(spark: SparkSession, store: VocabStore) -> DataFrame:

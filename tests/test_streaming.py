@@ -1746,26 +1746,28 @@ def test_streaming_bm25_matches_batch_and_serves_adhoc(spark, tmp_path_factory):
     )[1][:200]
 
 
-def test_streaming_vocab_store_serves_three_batch_twins(spark, tmp_path_factory):
+def test_streaming_vocab_store_serves_four_batch_twins(spark, tmp_path_factory):
     """ONE additive vocabulary store, fed documents in waves, resolves
-    to EXACTLY the batch doc_source_kl, doc_vocab_growth, and
-    doc_source_temperature_mix rows (shared cores — equality of
-    resolved inputs); fresh-checkpoint rerun and crash-window replay
-    converge; and the admission-time OOV gate scores an already-seen
-    slice at zero while flagging a planted new-vocabulary drop."""
+    to EXACTLY the batch doc_source_kl, doc_vocab_growth,
+    doc_source_temperature_mix, and doc_zipf_fit rows (shared cores —
+    equality of resolved inputs); fresh-checkpoint rerun and
+    crash-window replay converge; and the admission-time OOV gate
+    scores an already-seen slice at zero while flagging a planted
+    new-vocabulary drop."""
     import shutil as _sh
 
     from maillog2db_spark import io as mio
     from maillog2db_spark import streaming_vocab as sv
     from maillog2db_spark.operators.corpus_analytics import source_kl
     from maillog2db_spark.operators.sampling import source_temperature_mix
-    from maillog2db_spark.operators.text import vocab_growth
+    from maillog2db_spark.operators.text import vocab_growth, zipf_fit
 
     sf = "/root/testdata/sf0.001"
     docs = mio.load(spark, sf, "documents")
     want_kl = sorted(map(tuple, source_kl(spark, sf).collect()))
     want_vg = sorted(map(tuple, vocab_growth(spark, sf).collect()))
     want_tm = sorted(map(tuple, source_temperature_mix(spark, sf).collect()))
+    want_zf = sorted(map(tuple, zipf_fit(spark, sf).collect()))
 
     d = tmp_path_factory.mktemp("vocab_stream")
     src = d / "docs"
@@ -1790,9 +1792,10 @@ def test_streaming_vocab_store_serves_three_batch_twins(spark, tmp_path_factory)
             sorted(map(tuple, sv.source_kl(spark, store).collect())),
             sorted(map(tuple, sv.vocab_growth(spark, store).collect())),
             sorted(map(tuple, sv.temperature_mix(spark, store).collect())),
+            sorted(map(tuple, sv.zipf_fit(spark, store).collect())),
         )
 
-    assert got() == (want_kl, want_vg, want_tm)
+    assert got() == (want_kl, want_vg, want_tm, want_zf)
 
     # fresh-checkpoint rerun + crash-window replay both converge
     q2 = sv.start_vocab_stream(spark, str(src), store, str(d / "ckpt2"),
@@ -1800,7 +1803,7 @@ def test_streaming_vocab_store_serves_three_batch_twins(spark, tmp_path_factory)
     q2.awaitTermination(300)
     os.remove(store._ledger(1))
     sv.vocab_ingest_batch(spark, waves[1], store, 1)
-    assert got() == (want_kl, want_vg, want_tm)
+    assert got() == (want_kl, want_vg, want_tm, want_zf)
 
     # OOV gate: an already-ingested slice has NOTHING unseen; a drop
     # with planted never-seen tokens flags at a positive rate
