@@ -22,20 +22,26 @@ ties to the lowest vec_id. The oracle unrolls the identical K steps as
 CTEs (the MMR / BPE-trainer pattern), so the gate certifies the whole
 selection trajectory plus the final assignment census.
 
-Scale shape (the reason greedy k-center is THE distributed coreset
-algorithm): per step, ONE narrow map over the corpus (update each
-point's running min-dissim against the single new center — a 1-row
-broadcast, no shuffle) and ONE TakeOrdered(1) (map-side top-1 per
-partition, driver merges #partitions candidates). K steps = K scans,
-zero wide shuffles in the loop; state is one extra bigint column
-updated in place, lineage cut per step. The assignment census at the
-end is one K-row broadcast join + a map-side-combined argmin. Nothing
-is ever pairwise in the corpus: O(K·N) total work, exactly the
-published bound, and the 2-approximation guarantee of the greedy
-traversal comes with it.
+Scale shape — the INCREMENTAL-MIN formulation with measured memory
+discipline (tools/scale_rehearsal_kcenter.py tried all three): each
+selected center is ONE collected bounded row (the BPE winning-pair
+precedent) whose embedding re-enters the plan as LITERALS, so a step
+is one narrow map (``least(mind, dissim-to-new-center)`` — exactly
+one dot product per row) + one TakeOrdered(1); no joins, no shuffles.
+The running min column is persisted and the one-step-older copy
+unpersisted after each top-1 action, so at most TWO corpus-resident
+copies exist — the rehearsal measured the checkpoint-accumulating
+variant 2.2× superlinear at 2M vectors (K corpus copies) and a
+stateless recount variant 5× superlinear (K²·N/2 interpreted dissim
+evaluations); the persisted K·N form is the one that stays linear.
+The assignment census is one stateless scan: an in-row ``array_min``
+over the literal center-struct array, then a K-group
+map-side-combined count.
 """
 
 from __future__ import annotations
+
+import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,6 +66,45 @@ def _dissim_ppm(a_emb, b_emb, ab_nrm):
     return (F.lit(1_000_000) - cos_ppm).cast("bigint")
 
 
+_DISSIM_MAX = 3_000_000  # 1e6 - sentinel: the largest possible dissim
+
+
+def _centers_literal(centers) -> "F.Column":
+    """The collected centers as ONE constant-folded literal array of
+    (cemb, cnrm, step) structs. float32 -> Python float -> double
+    literal is exact, and ``_dot`` casts the frame side to double the
+    same way, so the arithmetic is bit-identical to a frame-frame
+    join. A single shared literal subtree matters: an earlier
+    formulation built s SEPARATE 64-literal dissim trees under one
+    least() and Catalyst's analysis (CSE over duplicated big trees)
+    dominated wall time — 13.8 s for 2k vectors at sf0.1, vs ~2 s
+    with the one-array form."""
+    return F.array(*[
+        F.struct(
+            F.array(*[F.lit(float(v)) for v in c.emb]).alias("cemb"),
+            F.lit(float(c.nrm)).alias("cnrm"),
+            F.lit(i + 1).cast("int").alias("step"),
+        )
+        for i, (c, _) in enumerate(centers)
+    ])
+
+
+def _argmin_center(carr) -> "F.Column":
+    """(dissim, step) struct of the row's NEAREST center (ties to the
+    earliest step) — in-row argmin, no join, no shuffle."""
+    return F.array_min(
+        F.transform(
+            carr,
+            lambda c: F.struct(
+                _dissim_ppm(
+                    F.col("emb"), c["cemb"], F.col("nrm") * c["cnrm"]
+                ).alias("d"),
+                c["step"].alias("step"),
+            ),
+        )
+    )
+
+
 def kcenter_select(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """Greedy k-center over the full embedding corpus; returns one row
     per selected center: (step, center_id, radius_ppm, n_assigned).
@@ -75,96 +120,121 @@ def kcenter_select(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         F.col("embedding").alias("emb"),
         _norm(F.col("embedding")).alias("nrm"),
     )
+    return kcenter_from(e, k)
+
+
+def _dissim_to_literal(center) -> "F.Column":
+    """Dissimilarity of the frame's (emb, nrm) to ONE collected center
+    embedded as literals — the per-step incremental update needs
+    exactly one of these per row."""
+    c_emb = F.array(*[F.lit(float(v)) for v in center.emb])
+    return _dissim_ppm(
+        F.col("emb"), c_emb, F.col("nrm") * F.lit(float(center.nrm))
+    )
+
+
+def kcenter_from(
+    e: DataFrame, k: int, stats: list | None = None
+) -> DataFrame:
+    """The greedy loop from a projected (vec_id, emb, nrm) frame —
+    shared by the registered query above and the scale rehearsal
+    (tools/scale_rehearsal_kcenter.py), which feeds synthetic corpora
+    and collects per-step wall times through ``stats``.
+
+    State discipline (set by the rehearsal's measurements): the
+    running min-dissim column is persisted MEMORY_AND_DISK and the
+    one-step-older state is unpersisted right after each top-1 action
+    materializes the current one — at most TWO corpus-resident copies
+    ever, which is what keeps the per-step cost linear through the
+    2M-vector decade (the first formulation checkpointed every step
+    and went 2.2x superlinear as K copies accumulated; a stateless
+    recount went 5x superlinear from K^2*N/2 interpreted dissim
+    evaluations). Everything — base included — is released
+    DETERMINISTICALLY before returning: the result is K bounded rows,
+    so the whole computation collects inside (the BPE-trainer return
+    pattern) and no corpus-sized cache outlives the call (the
+    rehearsal measured leaked per-size localCheckpoint bases driving
+    a later same-JVM run into eviction thrash: steps of 0.1 s jumped
+    to 16 s mid-loop). On block eviction the recompute walks the
+    projection chain back through base to the source scan — K narrow
+    one-dissim maps, the recount cost as a worst-case fallback, never
+    the steady state."""
+    from pyspark import StorageLevel
+
+    spark = e.sparkSession
+    schema = "step int, center_id bigint, radius_ppm bigint, n_assigned bigint"
+    base = e.persist(StorageLevel.MEMORY_AND_DISK)  # norms computed once
     # step 1: deterministic seed at the lowest vec_id (1 bounded row)
-    seed = e.orderBy(F.asc("vec_id")).limit(1).localCheckpoint(eager=True)
-    centers = seed.select(
-        F.lit(1).cast("int").alias("step"),
-        F.col("vec_id").alias("center_id"),
-        F.col("emb").alias("ct_emb"),
-        F.col("nrm").alias("ct_nrm"),
-        F.lit(0).cast("bigint").alias("radius_ppm"),
-    ).localCheckpoint(eager=True)
-    cd = seed.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("emb").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
+    _t0 = _time.time()
+    seed = base.orderBy(F.asc("vec_id")).limit(1).collect()
+    if stats is not None:
+        stats.append((1, _time.time() - _t0))
+    if not seed:
+        base.unpersist()
+        return spark.createDataFrame([], schema)
+    centers = [(seed[0], 0)]  # (collected row, radius at selection)
     state = (
-        e.crossJoin(F.broadcast(cd))
-        .filter(F.col("vec_id") != F.col("c_id"))
+        base.filter(F.col("vec_id") != int(seed[0].vec_id))
         .select(
-            "vec_id",
-            "emb",
-            "nrm",
-            _dissim_ppm(
-                F.col("emb"), F.col("c_emb"), F.col("nrm") * F.col("c_nrm")
-            ).alias("mind_ppm"),
+            "vec_id", "emb", "nrm",
+            _dissim_to_literal(seed[0]).alias("mind"),
         )
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    prev = None
     for step in range(2, k + 1):
-        # farthest remaining point: TakeOrdered(1) — map-side top-1 per
-        # partition, never a global sort shuffle
+        _t0 = _time.time()
+        # farthest remaining point: TakeOrdered(1) — map-side top-1
+        # per partition, never a global sort; the action materializes
+        # every partition of `state` into the cache
         nxt = (
-            state.orderBy(F.desc("mind_ppm"), F.asc("vec_id"))
+            state.orderBy(F.desc("mind"), F.asc("vec_id"))
             .limit(1)
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        centers = centers.unionByName(
-            nxt.select(
-                F.lit(step).cast("int").alias("step"),
-                F.col("vec_id").alias("center_id"),
-                F.col("emb").alias("ct_emb"),
-                F.col("nrm").alias("ct_nrm"),
-                F.col("mind_ppm").alias("radius_ppm"),
-            )
-        ).localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()  # safe: current state is now materialized
+        if stats is not None:
+            stats.append((step, _time.time() - _t0))
+        if not nxt:
+            break  # corpus smaller than K: trajectory ends gracefully
+        centers.append((nxt[0], int(nxt[0].mind)))
         if step < k:
-            cd = nxt.select(
-                F.col("vec_id").alias("c_id"),
-                F.col("emb").alias("c_emb"),
-                F.col("nrm").alias("c_nrm"),
-            )
+            prev = state
             state = (
-                state.crossJoin(F.broadcast(cd))
-                .filter(F.col("vec_id") != F.col("c_id"))
+                state.filter(F.col("vec_id") != int(nxt[0].vec_id))
                 .select(
-                    "vec_id",
-                    "emb",
-                    "nrm",
+                    "vec_id", "emb", "nrm",
                     F.least(
-                        F.col("mind_ppm"),
-                        _dissim_ppm(
-                            F.col("emb"),
-                            F.col("c_emb"),
-                            F.col("nrm") * F.col("c_nrm"),
-                        ),
-                    ).alias("mind_ppm"),
+                        F.col("mind"), _dissim_to_literal(nxt[0])
+                    ).alias("mind"),
                 )
-                .localCheckpoint(eager=False)
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-    # assignment census: K-row broadcast, map-side-combined argmin
-    # (min of (dissim, step) struct = nearest center, ties to the
-    # earliest step; a center assigns to itself at dissim 0)
-    assigned = (
-        e.crossJoin(F.broadcast(centers))
-        .select(
-            "vec_id",
-            F.struct(
-                _dissim_ppm(
-                    F.col("emb"), F.col("ct_emb"), F.col("nrm") * F.col("ct_nrm")
-                ).alias("d"),
-                F.col("step").alias("step"),
-            ).alias("ds"),
+    state.unpersist()
+    if prev is not None:
+        prev.unpersist()
+    # assignment census: in-row argmin over the literal center array
+    # (struct min = smallest dissim, ties to the earliest step), then
+    # a K-group map-side-combined count — stateless, shuffle-free
+    census = {
+        r.step: r.n_assigned
+        for r in base.select(
+            _argmin_center(_centers_literal(centers)).alias("m")
         )
-        .groupBy("vec_id")
-        .agg(F.min("ds").alias("m"))
         .groupBy(F.col("m.step").alias("step"))
         .agg(F.count(F.lit(1)).alias("n_assigned"))
+        .collect()
+    }
+    base.unpersist()
+    return spark.createDataFrame(
+        [
+            (i + 1, int(c.vec_id), r, int(census[i + 1]))
+            for i, (c, r) in enumerate(centers)
+            if i + 1 in census  # inner-join semantics, mirrors the oracle
+        ],
+        schema,
     )
-    return centers.select("step", "center_id", "radius_ppm").join(
-        assigned, "step"
-    ).select("step", "center_id", "radius_ppm", "n_assigned")
 
 
 def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:

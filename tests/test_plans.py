@@ -84,10 +84,8 @@ BNL_ALLOWED = {
     "embed_semdedup_keep_best": [_SCALAR, "label", "cent_nrm"],
     # 1-row corpus-count broadcast (per-epoch position = rank - epoch*n)
     "doc_epoch_shuffle": [_SCALAR],
-    # greedy k-center: every broadcast side is a checkpointed bounded
-    # frame (the 1-row seed/next-center, the K-row center table) —
-    # renders as Scan ExistingRDD
-    "embed_kcenter_coreset": ["Scan ExistingRDD"],
+    # (embed_kcenter_coreset needs no entry: the recount formulation
+    # has no broadcast-nested-loop side at all — centers are literals)
     # 1-row whole-vocab context-stats broadcast joined to the 1-row fit
     "doc_zipf_fit": [_SCALAR],
 }
