@@ -108,6 +108,15 @@ FUZZED_QUERIES = [
     # the argmax tiebreak and the replace-trick application in lockstep
     "doc_bpe_train_merges",
     "doc_bpe_encode_stats",
+    # WordPiece training: same trainer mechanics PLUS the likelihood
+    # score's double-division argmax and the incremental unary table —
+    # dup-heavy corpora force score ties broken on (l, r) in lockstep
+    "doc_wordpiece_train",
+    # Zipf fit: per-term ln-fixed-point contributions (the
+    # unigram_lm_score idiom — floored BEFORE summation, so no
+    # partial-sum ordering risk); tiny vocabularies hit n_ranks < K
+    # and the nullif degenerate-denominator guard on both engines
+    "doc_zipf_fit",
     # interpolated bigram LM: single-token and empty docs must drop
     # identically; zipped-slice bigrams on duplicate-heavy corpora
     "doc_bigram_lm_score",
@@ -426,6 +435,11 @@ EMBED_QUERIES = [
     # int8 grid: zero vectors have scale 0 (reconstruct to all-zero,
     # NULL cosine on the q8 side only); unit vectors saturate at ±127
     "embed_int8_recall",
+    # greedy k-center: dup vectors force dissim-0 and argmax ties on
+    # vec_id through EIGHT chained steps; zero vectors ride the
+    # sentinel (maximally far — selected early, a good property);
+    # 8-vector corpora drain the candidate set exactly at K
+    "embed_kcenter_coreset",
 ]
 
 vec_strategy = st.lists(
