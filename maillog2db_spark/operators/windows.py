@@ -696,6 +696,107 @@ FROM counts
 """
 
 
+# --- automation / bot detection over inter-event gaps ------------------------
+
+BOT_MIN_GAPS = 5          # users with fewer gaps are never flagged
+BOT_CV2_PPM = 100_000     # squared coefficient of variation <= 0.1
+BOT_FAST_PPM = 900_000    # >= 90% of gaps under the fast threshold
+BOT_FAST_GAP_S = 2
+
+
+def bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automation/bot detection over inter-event timing — the standard
+    traffic-cleaning filter a web-scale training-data pipeline runs
+    before treating event streams (or crawled content keyed to them)
+    as human signal: humans arrive with irregular gaps, schedulers and
+    scrapers with metronomic or bursty ones. Per user: gap count,
+    mean gap, the squared coefficient of variation of gaps (CV² —
+    near 0 = metronomic), the share of sub-{BOT_FAST_GAP_S}s gaps
+    (burstiness), and the flag
+    ``n_gaps >= {BOT_MIN_GAPS} AND (CV² <= 0.1 OR fast-share >= 0.9)``.
+
+    Determinism: gaps are integer SECONDS (µs diff div 1e6 — the
+    second grain keeps Σgap² inside bigint for multi-year spans), CV²
+    is the exact-integer identity (n·Σg² − (Σg)²) over (Σg)², scaled
+    to ppm with the div-before-divide trick (the zipf_fit idiom), and
+    every output column is a bigint or bool.
+
+    Plan shape: ONE user-keyed shuffle — the lag window and the
+    groupBy share the user_id hash partitioning, so Spark reuses the
+    exchange; aggregates are map-side-combined. Nothing downstream of
+    the per-user rollup is data-proportional."""
+    e = io.load_events(spark, sf_dir)
+    gaps = e.select(
+        "user_id",
+        F.expr(
+            "CAST((unix_micros(ts) - lag(unix_micros(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)) div 1000000"
+            " AS BIGINT)"
+        ).alias("gap_s"),
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("gap_s").alias("n_gaps"),
+        F.sum("gap_s").alias("sg"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("sgg"),
+        F.sum(
+            F.when(F.col("gap_s") < BOT_FAST_GAP_S, 1).otherwise(0)
+        ).alias("n_fast"),
+    )
+    scored = agg.select(
+        "user_id",
+        "n_events",
+        "n_gaps",
+        F.expr("sg div nullif(n_gaps, 0)").cast("bigint").alias("mean_gap_s"),
+        F.expr(
+            "(n_gaps * sgg - sg * sg) div nullif((sg * sg) div 1000000, 0)"
+        ).cast("bigint").alias("cv2_ppm"),
+        F.expr("n_fast * 1000000 div nullif(n_gaps, 0)")
+        .cast("bigint")
+        .alias("fast_ppm"),
+    )
+    return scored.withColumn(
+        "is_bot",
+        (F.col("n_gaps") >= BOT_MIN_GAPS)
+        & (
+            (F.col("cv2_ppm") <= BOT_CV2_PPM)
+            | (F.col("fast_ppm") >= BOT_FAST_PPM)
+        ),
+    )
+
+
+BOT_SCORE_SQL = f"""
+WITH gaps AS (
+  SELECT user_id,
+         CAST((epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000
+              AS BIGINT) AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(gap_s) AS BIGINT) AS n_gaps,
+         sum(gap_s) AS sg,
+         sum(gap_s * gap_s) AS sgg,
+         CAST(sum(CASE WHEN gap_s < {BOT_FAST_GAP_S} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_fast
+  FROM gaps GROUP BY 1
+), scored AS (
+  SELECT user_id, n_events, n_gaps,
+         CAST(sg // nullif(n_gaps, 0) AS BIGINT) AS mean_gap_s,
+         CAST((n_gaps * sgg - sg * sg)
+              // nullif((sg * sg) // 1000000, 0) AS BIGINT) AS cv2_ppm,
+         CAST(n_fast * 1000000 // nullif(n_gaps, 0) AS BIGINT) AS fast_ppm
+  FROM agg
+)
+SELECT user_id, n_events, n_gaps, mean_gap_s, cv2_ppm, fast_ppm,
+       (n_gaps >= {BOT_MIN_GAPS}
+        AND (cv2_ppm <= {BOT_CV2_PPM} OR fast_ppm >= {BOT_FAST_PPM}))
+         AS is_bot
+FROM scored
+"""
+
+
 # --- exponentially-weighted daily revenue (truncated EWMA) ------------------
 
 EWMA_ALPHA = 0.2

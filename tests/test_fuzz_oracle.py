@@ -228,6 +228,10 @@ def test_fuzzed_corpus_matches_oracle(spark, tmp_path_factory, qname, data):
 
 
 EV_QUERIES = [
+    # bot scoring: tiny per-user event counts hit the n_gaps=0 NULL
+    # rollup, all-zero gaps hit the nullif CV denominator, and the
+    # flag's FALSE-AND-NULL three-valued logic must agree cross-engine
+    "ev_bot_score",
     "ev_value_anomaly",
     "ev_top_users",
     "ev_tumbling_hourly",

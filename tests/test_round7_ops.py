@@ -467,3 +467,39 @@ def test_zipf_fit_recovers_unit_slope(spark, tmp_path):
     assert row.n_terms == 50
     assert row.n_tokens == sum(1200 // i for i in range(1, 51))
     assert row.top_freq == 1200
+
+
+def test_bot_score_flags_metronomic_and_bursty_not_human(spark, tmp_path):
+    """Planted behavioral classes: a metronomic scheduler (exact 60s
+    gaps -> CV^2 = 0), a burst scraper (sub-second gaps), and a
+    human-ish jittery user (gaps spread over minutes-to-hours) — the
+    first two flag, the human does not; a 2-event user is never
+    flagged regardless of timing."""
+    from maillog2db_spark.operators.windows import bot_score
+
+    rows = []
+    eid = 0
+
+    def add(user, offsets_s):
+        nonlocal eid
+        for o in offsets_s:
+            rows.append((eid, 1_700_000_000_000_000 + o * 1_000_000, user))
+            eid += 1
+
+    add(1, [i * 60 for i in range(20)])            # metronomic: 60s exactly
+    add(2, [i // 2 for i in range(20)])            # burst: 0-1s gaps
+    add(3, [0, 47, 290, 1000, 4200, 9000, 40000])  # human-ish jitter
+    add(4, [0, 1])                                 # too few events
+    df = spark.createDataFrame(
+        [(e, u, t) for e, t, u in rows], "event_id bigint, user_id bigint, us bigint"
+    ).selectExpr(
+        "event_id", "timestamp_micros(us) AS ts", "user_id",
+        "'click' AS event_type", "CAST(1.0 AS DOUBLE) AS value",
+        "'{}' AS props",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.user_id: r for r in bot_score(spark, str(tmp_path)).collect()}
+    assert got[1].is_bot and got[1].cv2_ppm == 0
+    assert got[2].is_bot and got[2].fast_ppm == 1_000_000
+    assert not got[3].is_bot
+    assert not got[4].is_bot and got[4].n_gaps == 1
