@@ -838,6 +838,7 @@ def _wordpiece_train(
     syms: DataFrame,
     n_iters: int,
     keys: tuple[str, ...],
+    stats: list | None = None,
 ):
     """WordPiece merge loop (Schuster & Nakajima, ICASSP 2012; the
     BERT tokenizer's trainer, Devlin et al. 2019): identical mechanics
@@ -858,9 +859,12 @@ def _wordpiece_train(
     counts = _bpe_pair_counts(syms, F.col("freq")).localCheckpoint(eager=True)
     unary = _unary_counts(syms, F.col("freq")).localCheckpoint(eager=True)
     syms = syms.localCheckpoint(eager=True)
+    import time as _time
+
     n_parts = syms.rdd.getNumPartitions()
     merges: list[tuple[int, str, str, int, int]] = []
     for step in range(1, n_iters + 1):
+        _t0 = _time.time()
         # the unary side is symbol-vocab-grain (alphabet + one entry per
         # completed merge) — orders smaller than the pair table and a
         # broadcast at any corpus size; without the hint the
@@ -939,6 +943,10 @@ def _wordpiece_train(
             .coalesce(n_parts)
             .localCheckpoint(eager=True)
         )
+        if stats is not None:
+            # (step, fused-pair occurrence mass, wall seconds) — the
+            # rehearsal correlates per-merge cost with affected volume
+            stats.append((step, cnt, _time.time() - _t0))
     return syms, merges
 
 
