@@ -743,6 +743,16 @@ def bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("gap_s") < BOT_FAST_GAP_S, 1).otherwise(0)
         ).alias("n_fast"),
     )
+    return bot_score_from(agg)
+
+
+def bot_score_from(agg: DataFrame) -> DataFrame:
+    """The scoring/flag math from a per-user gap-moment table
+    (user_id, n_events, n_gaps, sg, sgg, n_fast) — shared by the batch
+    operator above and the streaming gap store (streaming_bot.py):
+    the moments are mergeable (within-batch partials + boundary gaps
+    between time-consecutive batches), so both paths score through
+    this one expression set."""
     scored = agg.select(
         "user_id",
         "n_events",

@@ -503,3 +503,89 @@ def test_bot_score_flags_metronomic_and_bursty_not_human(spark, tmp_path):
     assert got[2].is_bot and got[2].fast_ppm == 1_000_000
     assert not got[3].is_bot
     assert not got[4].is_bot and got[4].n_gaps == 1
+
+
+def test_streaming_bot_store_matches_batch(spark, tmp_path_factory):
+    """Gap-moment decomposition: the store fed three TIME-ORDERED
+    event waves resolves to EXACTLY the batch ev_bot_score rows
+    (within-batch moments + boundary gaps through the shared scoring
+    core); committed redelivery is a no-op; crash-window replay
+    converges; an out-of-order batch RAISES (enforced contract, not a
+    silent undercount); the admission view flags only this drop's
+    flagged users; and the writeStream API lands on the same rows."""
+    import os as _os
+    import shutil as _sh
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_bot as sb
+    from maillog2db_spark.operators.windows import bot_score
+
+    sf = "/root/testdata/sf0.001"
+    events = mio.load(spark, sf, "events")
+    want = sorted(map(tuple, bot_score(spark, sf).collect()))
+
+    # three contiguous time ranges (the time-ordered-batches contract)
+    cuts = events.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    waves = [
+        events.filter(F.col("event_id") <= cuts[0]),
+        events.filter(
+            (F.col("event_id") > cuts[0]) & (F.col("event_id") <= cuts[1])
+        ),
+        events.filter(F.col("event_id") > cuts[1]),
+    ]
+    # the fixture's event_id follows ts; assert that precondition
+    b0max = waves[0].agg(F.max("ts")).collect()[0][0]
+    b1min = waves[1].agg(F.min("ts")).collect()[0][0]
+    assert b0max <= b1min
+
+    d = tmp_path_factory.mktemp("bot_stream")
+    store = sb.BotStore(str(d / "store"))
+    for i, w in enumerate(waves):
+        sb.bot_ingest_batch(spark, w, store, i)
+
+    got = sorted(map(tuple, sb.bot_score(spark, store).collect()))
+    assert got == want
+
+    # committed redelivery: no-op
+    sb.bot_ingest_batch(spark, waves[1], store, 1)
+    assert sorted(map(tuple, sb.bot_score(spark, store).collect())) == want
+
+    # crash-window replay (partial written, ledger mark lost): the
+    # batch's own partition is excluded from the order check, replay
+    # converges
+    _os.remove(store._ledger(2))
+    sb.bot_ingest_batch(spark, waves[2], store, 2)
+    assert sorted(map(tuple, sb.bot_score(spark, store).collect())) == want
+
+    # out-of-order NEW batch: raises, state unchanged
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="time-ordered-batches"):
+        sb.bot_ingest_batch(spark, waves[0], store, 9)
+    assert sorted(map(tuple, sb.bot_score(spark, store).collect())) == want
+
+    # admission view: flagged subset of the last drop's users
+    flagged = sb.flagged_in_batch(spark, waves[2], store).collect()
+    all_flagged = {r.user_id for r in sb.bot_score(spark, store).collect()
+                   if r.is_bot}
+    wave_users = {r.user_id for r in waves[2].select("user_id").distinct()
+                  .collect()}
+    assert {r.user_id for r in flagged} == all_flagged & wave_users
+    assert all(r.is_bot for r in flagged)
+
+    # writeStream API surface over the same waves -> same rows
+    src = d / "drops"
+    src.mkdir()
+    for i, w in enumerate(waves):
+        tmp = d / f"_t{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"wave{i}.parquet"
+        _sh.move(str(part), str(dest))
+        _os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+        _sh.rmtree(tmp)
+    store2 = sb.BotStore(str(d / "store2"))
+    q = sb.start_bot_stream(spark, str(src), store2, str(d / "ckpt"),
+                            available_now=True)
+    q.awaitTermination(300)
+    assert sorted(map(tuple, sb.bot_score(spark, store2).collect())) == want
