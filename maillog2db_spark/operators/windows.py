@@ -807,6 +807,141 @@ FROM scored
 """
 
 
+# --- CUSUM changepoint detection over the daily event rate -------------------
+
+CUSUM_K_DIV = 10   # slack k = mean/10 (ppm), the drift allowance
+CUSUM_H_MULT = 3   # decision threshold h = 3 * mean (ppm)
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint detection (Page 1954) over the
+    daily event-count series — the rate-shift monitor a pipeline runs
+    over its ingest volume (a sustained upshift = a new source or a
+    runaway producer; a downshift = a dying feed), catching small
+    persistent shifts a per-day 3-sigma test misses.
+
+    The textbook recursion ``S_d = max(0, S_{d-1} + y_d)`` is not a
+    plain window — but its closed form IS:
+    ``S_d = P_d - min(0, min_{j<=d} P_j)`` with ``P`` the running sum
+    of ``y`` — so both CUSUM sides are two cumulative windows (cumsum
+    + prefix-min) over the POST-AGGREGATE daily grid, bounded by the
+    date span (the EWMA/vocab-growth exemption class). Everything is
+    exact integer ppm: deviations ``y = n_d*1e6 - mean_ppm -/+ k_ppm``
+    against a PHASE-I reference mean — the earliest quarter of days,
+    the textbook in-control training window (a global mean would let
+    a late shift contaminate its own baseline and halve the signal) —
+    with slack k = mean/10 and threshold h = 3*mean, so the flags are
+    deterministic integers on both engines.
+
+    Scale shape: one map-side-combined groupBy(day) over the events
+    scan; the reference mean and the CUSUM windows all run on
+    <= date-span rows."""
+    e = io.load_events(spark, sf_dir)
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    rk = Window.orderBy("day")
+    ranked = daily.select(
+        "day", "n_events", F.row_number().over(rk).alias("rk")
+    )
+    stats = (
+        ranked.crossJoin(
+            F.broadcast(daily.agg(F.expr("(count(*) + 3) div 4").alias("m")))
+        )
+        .filter(F.col("rk") <= F.col("m"))
+        .agg(
+            F.expr(
+                "CAST(sum(n_events) * 1000000 div count(*) AS BIGINT)"
+            ).alias("mean_ppm")
+        )
+    )
+    daily = ranked.drop("rk")
+    grid = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n_events",
+        "mean_ppm",
+        F.expr(f"mean_ppm div {CUSUM_K_DIV}").alias("k_ppm"),
+    )
+    cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    p = grid.select(
+        "day",
+        "n_events",
+        "mean_ppm",
+        F.sum(
+            F.expr("n_events * 1000000 - mean_ppm - k_ppm")
+        ).over(cum).alias("p_hi"),
+        F.sum(
+            F.expr("n_events * 1000000 - mean_ppm + k_ppm")
+        ).over(cum).alias("p_lo"),
+    )
+    s = p.select(
+        "day",
+        "n_events",
+        "mean_ppm",
+        (
+            F.col("p_hi")
+            - F.least(F.lit(0).cast("bigint"), F.min("p_hi").over(cum))
+        ).cast("bigint").alias("cusum_hi_ppm"),
+        (
+            -(
+                F.col("p_lo")
+                - F.greatest(F.lit(0).cast("bigint"), F.max("p_lo").over(cum))
+            )
+        ).cast("bigint").alias("cusum_lo_ppm"),
+    )
+    return s.select(
+        "day",
+        "n_events",
+        "cusum_hi_ppm",
+        "cusum_lo_ppm",
+        (F.col("cusum_hi_ppm") > CUSUM_H_MULT * F.col("mean_ppm")).alias(
+            "shift_up"
+        ),
+        (F.col("cusum_lo_ppm") > CUSUM_H_MULT * F.col("mean_ppm")).alias(
+            "shift_down"
+        ),
+    )
+
+
+CUSUM_CHANGEPOINT_SQL = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+), ranked AS (
+  SELECT day, n_events, row_number() OVER (ORDER BY day) AS rk,
+         count(*) OVER () AS n_days
+  FROM daily
+), stats AS (
+  SELECT CAST(sum(n_events) * 1000000 // count(*) AS BIGINT) AS mean_ppm
+  FROM ranked WHERE rk <= (n_days + 3) // 4
+), grid AS (
+  SELECT day, n_events, mean_ppm,
+         mean_ppm // {CUSUM_K_DIV} AS k_ppm
+  FROM daily CROSS JOIN stats
+), p AS (
+  SELECT day, n_events, mean_ppm,
+         sum(n_events * 1000000 - mean_ppm - k_ppm) OVER cum AS p_hi,
+         sum(n_events * 1000000 - mean_ppm + k_ppm) OVER cum AS p_lo
+  FROM grid
+  WINDOW cum AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+), s AS (
+  SELECT day, n_events, mean_ppm,
+         CAST(p_hi - least(CAST(0 AS BIGINT), min(p_hi) OVER cum)
+              AS BIGINT) AS cusum_hi_ppm,
+         CAST(-(p_lo - greatest(CAST(0 AS BIGINT), max(p_lo) OVER cum))
+              AS BIGINT) AS cusum_lo_ppm
+  FROM p
+  WINDOW cum AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT day, n_events, cusum_hi_ppm, cusum_lo_ppm,
+       cusum_hi_ppm > {CUSUM_H_MULT} * mean_ppm AS shift_up,
+       cusum_lo_ppm > {CUSUM_H_MULT} * mean_ppm AS shift_down
+FROM s
+"""
+
+
 # --- exponentially-weighted daily revenue (truncated EWMA) ------------------
 
 EWMA_ALPHA = 0.2

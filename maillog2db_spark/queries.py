@@ -316,6 +316,8 @@ register("ev_trailing_7d_stats", _win.TRAILING_WINDOW_STATS_SQL,
          doc="RANGE window frame: per-user trailing-7-day stats at every event (value-based bounds, integer-us ordering)")(_win.trailing_window_stats)
 register("ev_concurrent_sessions", _win.CONCURRENT_SESSIONS_SQL,
          doc="Sweep-line interval-overlap counting: active session depth at every boundary (pre-aggregated deltas + prefix sum)")(_win.concurrent_sessions)
+register("ev_changepoint_cusum", _win.CUSUM_CHANGEPOINT_SQL,
+         doc="Two-sided CUSUM changepoint detection (Page 1954) over the daily ingest rate: the max-recursion as cumsum-minus-prefix-min windows on the bounded day grid, exact integer ppm — catches small persistent rate shifts 3-sigma misses")(_win.cusum_changepoint)
 register("ev_bot_score", _win.BOT_SCORE_SQL,
          doc="Automation/bot detection: per-user inter-event-gap regularity (exact-integer CV^2 ppm) + sub-2s burst share, flag = metronomic OR bursty — the traffic-cleaning filter before event streams count as human signal")(_win.bot_score)
 register("ev_markov_transitions", _win.MARKOV_TRANSITIONS_SQL,
@@ -653,7 +655,7 @@ register("doc_normalized_dedup", _tn.NORMALIZED_DEDUP_SQL,
 _PRIORITY = [
     # 1. never driver-verified (new in r7)
     "embed_kcenter_coreset", "doc_wordpiece_train", "doc_zipf_fit",
-    "ev_bot_score",
+    "ev_bot_score", "ev_changepoint_cusum",
     "mm_phash_neardup", "mm_jpeg_color_roundtrip", "mm_phash_clusters",
     "mm_audio_fingerprint", "mm_audio_neardup", "mm_video_phash",
     "mm_video_phash_neardup", "doc_pii_scrub",
@@ -673,12 +675,13 @@ _PRIORITY = [
     "doc_blocked_jaccard", "doc_bloom_decontaminate", "doc_bpe_token_stats",
     "doc_chunks", "doc_corpus_pipeline", "doc_decontaminate",
     "doc_distinct_tokens_approx", "doc_exact_dedup", "doc_language_id",
-    "doc_length_deciles", "doc_lsh_candidate_pairs",
+    "doc_length_deciles",
     # ---- 50-entry window boundary ----
-    # (the four late-session r7 additions above displaced
-    # doc_minhash_signatures / doc_neardup_clusters / doc_neardup_pairs
-    # / doc_ngram_topk from the r4 backfill — those keep their green
-    # r4 verdicts on unchanged code and rotate in next round)
+    # (the five late-session r7 additions above displaced
+    # doc_lsh_candidate_pairs / doc_minhash_signatures /
+    # doc_neardup_clusters / doc_neardup_pairs / doc_ngram_topk from
+    # the r4 backfill — those keep their green r4 verdicts on
+    # unchanged code and rotate in next round)
     # The tail keeps its most recent green driver verdict (r4/r5/r6)
     # on code unchanged since that verdict.
 ]

@@ -232,6 +232,10 @@ EV_QUERIES = [
     # rollup, all-zero gaps hit the nullif CV denominator, and the
     # flag's FALSE-AND-NULL three-valued logic must agree cross-engine
     "ev_bot_score",
+    # CUSUM: single-day corpora (grid of 1, P_0-clamp at the first
+    # row), exact-mean corpora (all deviations = -/+k), and the
+    # prefix-min/max closed form vs the recursion on both engines
+    "ev_changepoint_cusum",
     "ev_value_anomaly",
     "ev_top_users",
     "ev_tumbling_hourly",

@@ -88,6 +88,8 @@ BNL_ALLOWED = {
     # has no broadcast-nested-loop side at all — centers are literals)
     # 1-row whole-vocab context-stats broadcast joined to the 1-row fit
     "doc_zipf_fit": [_SCALAR],
+    # 1-row daily-mean broadcast over the bounded day grid
+    "ev_changepoint_cusum": [_SCALAR],
 }
 
 
@@ -144,6 +146,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "doc_vocab_growth",  # cumsum over the bucket grid: ≤ VOCAB_BUCKETS rows
     "ord_seasonal_index",  # RANGE frames over calendar months: ≤ date span
     "doc_zipf_fit",  # rank window runs post-limit: ≤ ZIPF_TOP_RANKS rows
+    "ev_changepoint_cusum",  # cumsum/prefix-min over the day grid: ≤ date span
 }
 
 

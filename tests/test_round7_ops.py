@@ -589,3 +589,54 @@ def test_streaming_bot_store_matches_batch(spark, tmp_path_factory):
                             available_now=True)
     q.awaitTermination(300)
     assert sorted(map(tuple, sb.bot_score(spark, store2).collect())) == want
+
+
+def test_cusum_detects_planted_rate_shift(spark, tmp_path):
+    """Planted level shift: 30 days at ~20 events/day then 30 days at
+    ~30 events/day (a +50% sustained shift a per-day 3-sigma test on
+    this variance would not flag). CUSUM must stay quiet early, flag
+    shift_up in the second regime, never flag shift_down — and the
+    closed-form windows must equal the textbook recursion exactly."""
+    from maillog2db_spark.operators.windows import (
+        CUSUM_H_MULT,
+        CUSUM_K_DIV,
+        cusum_changepoint,
+    )
+
+    rows = []
+    eid = 0
+    day_us = 86_400 * 1_000_000
+    for d in range(60):
+        n = (20 if d < 30 else 30) + (d % 3) - 1  # small deterministic jitter
+        for i in range(n):
+            rows.append((eid, 1_700_000_000_000_000 + d * day_us + i * 1_000_000, 7))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, us bigint, user_id bigint"
+    ).selectExpr(
+        "event_id", "timestamp_micros(us) AS ts", "user_id",
+        "'view' AS event_type", "CAST(1.0 AS DOUBLE) AS value",
+        "'{}' AS props",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = sorted(
+        cusum_changepoint(spark, str(tmp_path)).collect(),
+        key=lambda r: r.day,
+    )
+    assert len(got) == 60
+    assert not any(r.shift_down for r in got)
+    assert not any(r.shift_up for r in got[:30])
+    assert any(r.shift_up for r in got[30:])
+
+    # closed form == textbook recursion (phase-I reference mean:
+    # earliest quarter of days)
+    counts = [r.n_events for r in got]
+    m = (len(counts) + 3) // 4
+    mean_ppm = sum(counts[:m]) * 1_000_000 // m
+    k = mean_ppm // CUSUM_K_DIV
+    s_hi = s_lo = 0
+    for r, n in zip(got, counts):
+        s_hi = max(0, s_hi + (n * 1_000_000 - mean_ppm - k))
+        s_lo = max(0, s_lo - (n * 1_000_000 - mean_ppm + k))
+        assert r.cusum_hi_ppm == s_hi and r.cusum_lo_ppm == s_lo
+        assert r.shift_up == (s_hi > CUSUM_H_MULT * mean_ppm)
