@@ -1023,6 +1023,62 @@ SELECT * FROM (
 WORDPIECE_TRAIN_MERGES_SQL = _wordpiece_train_merges_sql()
 
 
+def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained WordPiece merges (the encode path to
+    ``wordpiece_train_merges``, mirroring ``bpe_encode_stats``): run
+    the same WORDPIECE_TRAIN_ITERS likelihood-greedy merge passes over
+    the word table, then roll up per document — whitespace token count
+    vs WordPiece symbol count and the compression in ppm. Same scale
+    shape as the BPE encode: the merge loop is vocab-grain, the
+    corpus-sized work is one token explode + one AQE-broadcast join
+    against the (word -> n_symbols) table + one per-doc aggregate."""
+    docs = io.load(spark, sf_dir, "documents")
+    syms, _merges = _wordpiece_train(
+        spark, _bpe_words(spark, sf_dir, with_tok=True),
+        WORDPIECE_TRAIN_ITERS, keys=("tok", "freq"),
+    )
+    enc = syms.select("tok", F.size(F.split("s", " ")).alias("n_syms"))
+    per_doc = (
+        docs.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+        .join(enc, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_syms").alias("n_wp_symbols"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_wp_symbols",
+        F.expr("CAST(n_tokens * 1000000 div n_wp_symbols AS BIGINT)").alias(
+            "compression_ppm"
+        ),
+    )
+
+
+WORDPIECE_ENCODE_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents
+), words AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok
+), s0 AS (
+  SELECT tok, freq, trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS s FROM words
+),
+{_wp_chain_duck('tok, freq')},
+enc AS (
+  SELECT tok, CAST(len(string_split(s, ' ')) AS INT) AS n_syms
+  FROM s{WORDPIECE_TRAIN_ITERS}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(n_syms) AS BIGINT) AS n_wp_symbols,
+       CAST(count(*) * 1000000 // sum(n_syms) AS BIGINT) AS compression_ppm
+FROM toks JOIN enc USING (tok)
+GROUP BY doc_id
+"""
+
+
 def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix for the language-ID heuristic against the
     labeled lang column — the model-eval-as-registered-query pattern
@@ -2056,16 +2112,17 @@ GROUP BY doc_id
 def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-selection eval grid: corpus-level fertility (subword
     units per whitespace word, the standard cross-tokenizer comparison
-    metric) and compression for BOTH trained tokenizers — the BPE merge
-    table and the unigram-LM Viterbi segmenter — in one hash-verified
-    row per system. This is the decision step between the two encode
-    paths: a team picking a tokenizer reads exactly this grid.
+    metric) and compression for ALL THREE trained tokenizer families —
+    the BPE merge table, the unigram-LM Viterbi segmenter, and the
+    WordPiece likelihood-greedy merge table — in one hash-verified row
+    per system. This is the decision step between the encode paths: a
+    team picking a tokenizer reads exactly this grid.
 
     Pure composition: each system's per-doc stats ARE the registered
-    encode queries (`bpe_encode_stats`, `unigram_encode_stats` — same
-    expression trees, same session-cached training state), rolled up
-    to corpus grain with exact-integer ppm ratios. No new scoring
-    machinery, so a green hash here re-binds both trainers and both
+    encode queries (`bpe_encode_stats`, `unigram_encode_stats`,
+    `wordpiece_encode_stats` — same expression trees), rolled up to
+    corpus grain with exact-integer ppm ratios. No new scoring
+    machinery, so a green hash here re-binds all three trainers and
     encoders through a second aggregation shape.
 
     Scale: both per-doc tables are doc-grain with vocab-grain joins
@@ -2089,7 +2146,10 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bpe = grid(bpe_encode_stats(spark, sf_dir), "n_bpe_symbols", "bpe")
     uni = grid(unigram_encode_stats(spark, sf_dir), "n_pieces", "unigram")
-    return bpe.unionByName(uni)
+    wp = grid(
+        wordpiece_encode_stats(spark, sf_dir), "n_wp_symbols", "wordpiece"
+    )
+    return bpe.unionByName(uni).unionByName(wp)
 
 
 # oracle: each system's per-doc SQL wrapped as a derived table (DuckDB
@@ -2115,4 +2175,14 @@ SELECT 'unigram' AS system,
        CAST(sum(n_tokens) * 1000000 // sum(n_pieces) AS BIGINT)
          AS compression_ppm
 FROM ({UNIGRAM_ENCODE_STATS_SQL}) uni_doc
+UNION ALL
+SELECT 'wordpiece' AS system,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_words,
+       CAST(sum(n_wp_symbols) AS BIGINT) AS n_units,
+       CAST(sum(n_wp_symbols) * 1000000 // sum(n_tokens) AS BIGINT)
+         AS fertility_ppm,
+       CAST(sum(n_tokens) * 1000000 // sum(n_wp_symbols) AS BIGINT)
+         AS compression_ppm
+FROM ({WORDPIECE_ENCODE_STATS_SQL}) wp_doc
 """

@@ -445,6 +445,8 @@ register("doc_bpe_token_stats", _tx.BPE_TOKEN_STATS_SQL,
          doc="BPE-style pre-tokenizer profile (letter/digit/punct runs, codegen-only)")(_tx.bpe_token_stats)
 register("doc_wordpiece_train", _tx.WORDPIECE_TRAIN_MERGES_SQL,
          doc="WordPiece trainer (Schuster-Nakajima / BERT): likelihood-greedy merges cnt(ab)/(cnt(a)*cnt(b)) in ppt, incremental pair+unary delta maintenance, unrolled-CTE oracle certifying the merge trajectory")(_tx.wordpiece_train_merges)
+register("doc_wordpiece_encode_stats", _tx.WORDPIECE_ENCODE_STATS_SQL,
+         doc="WordPiece encode path: apply the trained merges over the word table, per-doc token-vs-symbol rollup + compression ppm (the deployment shape, mirroring bpe_encode_stats)")(_tx.wordpiece_encode_stats)
 register("doc_vocab_growth", _tx.VOCAB_GROWTH_SQL,
          doc="Heaps-law vocabulary growth: first-occurrence attribution over a bounded bucket grid (no running set)")(_tx.vocab_growth)
 register("doc_zipf_fit", _tx.ZIPF_FIT_SQL,
@@ -653,9 +655,11 @@ register("doc_normalized_dedup", _tn.NORMALIZED_DEDUP_SQL,
 # on code unchanged since that verdict.
 
 _PRIORITY = [
-    # 1. never driver-verified (new in r7)
-    "embed_kcenter_coreset", "doc_wordpiece_train", "doc_zipf_fit",
-    "ev_bot_score", "ev_changepoint_cusum",
+    # 1. never driver-verified (new in r7), plus the fertility grid
+    # whose shared composition gained the third (WordPiece) system
+    "embed_kcenter_coreset", "doc_wordpiece_train",
+    "doc_wordpiece_encode_stats", "doc_tokenizer_fertility",
+    "doc_zipf_fit", "ev_bot_score", "ev_changepoint_cusum",
     "mm_phash_neardup", "mm_jpeg_color_roundtrip", "mm_phash_clusters",
     "mm_audio_fingerprint", "mm_audio_neardup", "mm_video_phash",
     "mm_video_phash_neardup", "doc_pii_scrub",
@@ -674,14 +678,15 @@ _PRIORITY = [
     # 4. oldest r4-verdict backfill to fill the window
     "doc_blocked_jaccard", "doc_bloom_decontaminate", "doc_bpe_token_stats",
     "doc_chunks", "doc_corpus_pipeline", "doc_decontaminate",
-    "doc_distinct_tokens_approx", "doc_exact_dedup", "doc_language_id",
-    "doc_length_deciles",
+    "doc_distinct_tokens_approx", "doc_exact_dedup",
     # ---- 50-entry window boundary ----
-    # (the five late-session r7 additions above displaced
-    # doc_lsh_candidate_pairs / doc_minhash_signatures /
-    # doc_neardup_clusters / doc_neardup_pairs / doc_ngram_topk from
-    # the r4 backfill — those keep their green r4 verdicts on
-    # unchanged code and rotate in next round)
+    # (the seven late-session r7 window entries above — six new
+    # queries plus the recomposed fertility grid — displaced
+    # doc_language_id / doc_length_deciles / doc_lsh_candidate_pairs /
+    # doc_minhash_signatures / doc_neardup_clusters /
+    # doc_neardup_pairs / doc_ngram_topk from the r4 backfill — those
+    # keep their green r4 verdicts on unchanged code and rotate in
+    # next round)
     # The tail keeps its most recent green driver verdict (r4/r5/r6)
     # on code unchanged since that verdict.
 ]

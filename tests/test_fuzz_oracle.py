@@ -112,6 +112,7 @@ FUZZED_QUERIES = [
     # score's double-division argmax and the incremental unary table —
     # dup-heavy corpora force score ties broken on (l, r) in lockstep
     "doc_wordpiece_train",
+    "doc_wordpiece_encode_stats",
     # Zipf fit: per-term ln-fixed-point contributions (the
     # unigram_lm_score idiom — floored BEFORE summation, so no
     # partial-sum ordering risk); tiny vocabularies hit n_ranks < K

@@ -2055,20 +2055,23 @@ def test_quality_classifier_separates_planted_classes(spark, tmp_path):
     assert a == b
 
 
-def test_tokenizer_fertility_composes_the_two_encode_paths(spark):
-    """The fertility grid must be EXACTLY the corpus rollup of the two
-    registered per-doc encode queries — same trainers, same session
-    caches, one row per system with exact-integer ppm ratios."""
+def test_tokenizer_fertility_composes_the_three_encode_paths(spark):
+    """The fertility grid must be EXACTLY the corpus rollup of the
+    three registered per-doc encode queries — same trainers, same
+    session caches, one row per system with exact-integer ppm
+    ratios."""
     from maillog2db_spark.operators import text as tx
 
     got = {r.system: r for r in tx.tokenizer_fertility(spark, SF).collect()}
-    assert set(got) == {"bpe", "unigram"}
+    assert set(got) == {"bpe", "unigram", "wordpiece"}
 
     bpe = tx.bpe_encode_stats(spark, SF).collect()
     uni = tx.unigram_encode_stats(spark, SF).collect()
+    wp = tx.wordpiece_encode_stats(spark, SF).collect()
     for system, rows, units in (
         ("bpe", bpe, "n_bpe_symbols"),
         ("unigram", uni, "n_pieces"),
+        ("wordpiece", wp, "n_wp_symbols"),
     ):
         n_words = sum(r.n_tokens for r in rows)
         n_units = sum(getattr(r, units) for r in rows)
