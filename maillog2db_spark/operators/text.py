@@ -1023,6 +1023,26 @@ SELECT * FROM (
 WORDPIECE_TRAIN_MERGES_SQL = _wordpiece_train_merges_sql()
 
 
+def _wp_tok_syms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached tok-keyed WordPiece training result — two
+    registered consumers (the encode stats and the fertility grid),
+    so the merge loop runs once per (session, sf_dir), the
+    ``_uni_state`` materialize-once framing."""
+    from .dedup import _CORPUS_CACHE
+
+    io.ensure_session_conf(spark)
+    per_session = _CORPUS_CACHE.setdefault(spark, {})
+    key = (sf_dir, "wp_tok_syms")
+    st = per_session.get(key)
+    if st is None:
+        st, _merges = _wordpiece_train(
+            spark, _bpe_words(spark, sf_dir, with_tok=True),
+            WORDPIECE_TRAIN_ITERS, keys=("tok", "freq"),
+        )
+        per_session[key] = st
+    return st
+
+
 def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY the trained WordPiece merges (the encode path to
     ``wordpiece_train_merges``, mirroring ``bpe_encode_stats``): run
@@ -1033,10 +1053,7 @@ def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized work is one token explode + one AQE-broadcast join
     against the (word -> n_symbols) table + one per-doc aggregate."""
     docs = io.load(spark, sf_dir, "documents")
-    syms, _merges = _wordpiece_train(
-        spark, _bpe_words(spark, sf_dir, with_tok=True),
-        WORDPIECE_TRAIN_ITERS, keys=("tok", "freq"),
-    )
+    syms = _wp_tok_syms(spark, sf_dir)
     enc = syms.select("tok", F.size(F.split("s", " ")).alias("n_syms"))
     per_doc = (
         docs.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
