@@ -66,9 +66,6 @@ def _dissim_ppm(a_emb, b_emb, ab_nrm):
     return (F.lit(1_000_000) - cos_ppm).cast("bigint")
 
 
-_DISSIM_MAX = 3_000_000  # 1e6 - sentinel: the largest possible dissim
-
-
 def _centers_literal(centers) -> "F.Column":
     """The collected centers as ONE constant-folded literal array of
     (cemb, cnrm, step) structs. float32 -> Python float -> double
