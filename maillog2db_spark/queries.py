@@ -647,12 +647,14 @@ register("doc_normalized_dedup", _tn.NORMALIZED_DEDUP_SQL,
 #      the opt-in idf-floor hook this round (default path
 #      plan-identical; the hash must confirm);
 #   3. all 20 remaining r3-verdict entries (oldest);
-#   4. the oldest r4-verdict entries to fill 50 (seven r4 entries on
-#      unchanged code — pack_bins, quality_score, repetition_stats,
-#      rolling_fingerprint, simhash, simhash_neardup, ngram_topk —
-#      defer to r8 and keep their green r4 verdicts).
-# Everything BELOW the window keeps its green r4/r5/r6 driver verdict
-# on code unchanged since that verdict.
+#   4. the oldest r4-verdict entries to fill 50.
+# The late r7 session then added six more queries (k-center coreset,
+# WordPiece train + encode, Zipf fit, bot score, CUSUM) and recomposed
+# the fertility grid over the third tokenizer family — those seven
+# take the head of the window, displacing the seven newest r4-backfill
+# entries (which keep their green r4 verdicts on unchanged code and
+# rotate in next round). Everything BELOW the window keeps its green
+# r4/r5/r6 driver verdict on code unchanged since that verdict.
 
 _PRIORITY = [
     # 1. never driver-verified (new in r7), plus the fertility grid
