@@ -840,6 +840,14 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events")
     )
+    return cusum_from_daily(daily)
+
+
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """The CUSUM math from a (day, n_events) table — shared by the
+    batch operator above and the streaming daily-count store
+    (streaming_cusum.py): daily counts are additive across batches,
+    so the identical fit resolves from accumulated partials."""
     rk = Window.orderBy("day")
     ranked = daily.select(
         "day", "n_events", F.row_number().over(rk).alias("rk")

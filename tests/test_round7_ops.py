@@ -640,3 +640,71 @@ def test_cusum_detects_planted_rate_shift(spark, tmp_path):
         s_lo = max(0, s_lo - (n * 1_000_000 - mean_ppm + k))
         assert r.cusum_hi_ppm == s_hi and r.cusum_lo_ppm == s_lo
         assert r.shift_up == (s_hi > CUSUM_H_MULT * mean_ppm)
+
+
+def test_streaming_cusum_store_matches_batch(spark, tmp_path_factory):
+    """Daily counts are additive: the store fed three INTERLEAVED
+    event waves (late rows for past days by construction) resolves to
+    EXACTLY the batch ev_changepoint_cusum rows through the shared
+    closed-form core; committed redelivery is a no-op; crash-window
+    replay converges; compaction preserves the chart; the writeStream
+    API lands on the same rows; alarm_state reads the latest flags."""
+    import os as _os
+    import shutil as _sh
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_cusum as sc
+    from maillog2db_spark.operators.windows import cusum_changepoint
+
+    sf = "/root/testdata/sf0.001"
+    events = mio.load(spark, sf, "events")
+    want = sorted(map(tuple, cusum_changepoint(spark, sf).collect()))
+
+    # interleaved waves: every wave contains rows for MOST days, so
+    # waves 1-2 are late data for days wave 0 already opened
+    waves = [events.filter(F.col("event_id") % 3 == i) for i in range(3)]
+
+    d = tmp_path_factory.mktemp("cusum_stream")
+    store = sc.CusumStore(str(d / "store"))
+    for i, w in enumerate(waves):
+        sc.cusum_ingest_batch(spark, w, store, i)
+
+    def got(st=store):
+        return sorted(map(tuple, sc.cusum(spark, st).collect()))
+
+    assert got() == want
+
+    # committed redelivery: no-op
+    sc.cusum_ingest_batch(spark, waves[1], store, 1)
+    assert got() == want
+
+    # crash-window replay (partial written, ledger mark lost)
+    _os.remove(store._ledger(2))
+    sc.cusum_ingest_batch(spark, waves[2], store, 2)
+    assert got() == want
+
+    # compaction folds committed partials, chart unchanged
+    sc.compact_daily(spark, store)
+    assert got() == want
+
+    # admission-time alarm state = the latest chart row's flags
+    day, up, down = sc.alarm_state(spark, store)
+    last = max(want, key=lambda t: t[0])
+    assert (day, up, down) == (last[0], last[4], last[5])
+
+    # writeStream API surface over the same waves -> same rows
+    src = d / "drops"
+    src.mkdir()
+    for i, w in enumerate(waves):
+        tmp = d / f"_t{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"wave{i}.parquet"
+        _sh.move(str(part), str(dest))
+        _os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+        _sh.rmtree(tmp)
+    store2 = sc.CusumStore(str(d / "store2"))
+    q = sc.start_cusum_stream(spark, str(src), store2, str(d / "ckpt"),
+                              available_now=True)
+    q.awaitTermination(300)
+    assert got(store2) == want
