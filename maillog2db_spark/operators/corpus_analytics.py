@@ -1027,14 +1027,24 @@ def value_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates (median, then median absolute deviation — each an
     exact interpolated percentile; approx_percentile is the
     documented sketch swap-in at scale) broadcast back onto the
-    stream, then a stateless filter — no full-table window. Median
-    and MAD round to 1e-6 and the modified z to 1e-4 before the cut,
-    so the line is identical on both engines; MAD = 0 types (a
+    stream, then a stateless filter — no full-table window. Median and
+    MAD quantize to 1e-6 and the modified z to 1e-4 before the cut via
+    the engine's floor fixed-point idiom ``floor(x·10^k + 0.5)/10^k``
+    — NOT builtin round(): Spark's round() on DOUBLE goes through Java
+    BigDecimal's shortest-decimal string while DuckDB rounds the
+    binary double, and the sf0.1 oracle sweep caught exactly one row
+    whose rz sat on such a representation boundary (green at sf0.01 —
+    the boundary needs enough rows to be reachable). floor over
+    identical IEEE products is bit-deterministic. MAD = 0 types (a
     constant-valued majority) define no finite score and drop via the
     same guard + try_divide discipline the σ version pinned."""
     e = io.load_events(spark, sf_dir)
+
+    def q6(expr: str) -> str:
+        return f"floor(({expr}) * 1000000 + 0.5) / 1e6"  # 1e6: DOUBLE literal (1000000.0 parses as DECIMAL in Spark)
+
     med = e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+        F.expr(q6("percentile(value, 0.5)")).alias("med")
     )
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_id",
@@ -1045,7 +1055,7 @@ def value_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = (
         dev.groupBy("event_type")
-        .agg(F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad"))
+        .agg(F.expr(q6("percentile(dev, 0.5)")).alias("mad"))
         .filter(F.col("mad") > 0)
     )
     return (
@@ -1056,9 +1066,9 @@ def value_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             "med",
             "mad",
-            F.round(
-                F.try_divide(F.lit(MAD_K) * (F.col("value") - F.col("med")), F.col("mad")),
-                4,
+            F.expr(
+                f"floor(try_divide({MAD_K} * (value - med), mad) * 10000"
+                " + 0.5) / 1e4"
             ).alias("rz"),
         )
         .filter(F.abs(F.col("rz")) > MAD_Z)
@@ -1067,19 +1077,24 @@ def value_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VALUE_MAD_ANOMALY_SQL = f"""
 WITH med AS (
-  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  SELECT event_type,
+         floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000.0 AS med
   FROM events GROUP BY 1
 ), dev AS (
   SELECT e.event_id, e.event_type, e.value, m.med,
          abs(e.value - m.med) AS dev
   FROM events e JOIN med m USING (event_type)
 ), mad AS (
-  SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
-  FROM dev GROUP BY 1 HAVING round(quantile_cont(dev, 0.5), 6) > 0
+  SELECT event_type, mad FROM (
+    SELECT event_type,
+           floor(quantile_cont(dev, 0.5) * 1000000 + 0.5) / 1000000.0 AS mad
+    FROM dev GROUP BY 1
+  ) WHERE mad > 0
 )
 SELECT event_id, event_type, value, med, mad, rz FROM (
   SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
-         round({MAD_K} * (d.value - d.med) / m.mad, 4) AS rz
+         floor({MAD_K} * (d.value - d.med) / m.mad * 10000 + 0.5)
+           / 10000.0 AS rz
   FROM dev d JOIN mad m USING (event_type)
 )
 WHERE abs(rz) > {MAD_Z}

@@ -515,10 +515,15 @@ def user_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: the date spine explodes from a 2-column per-user span
     (no shuffle), the spine⋈daily join and the window share the same
-    user_id partitioning, and the statistical aggregates (corr, stddev)
-    are partial-aggregated moment sums. Spark returns NaN for
-    zero-variance series where SQL engines return NULL — normalized
-    with nanvl at the boundary."""
+    user_id partitioning, and the statistics come from EXACT-INTEGER
+    moment sums (daily counts are integers, so every Σx/Σxy/Σx² is a
+    bigint both engines agree on bit-for-bit) with ONE float
+    division/sqrt at the end over identical operands. The builtin
+    corr()/stddev_samp() aggregates were the engine's one measured
+    sf0.1 hash divergence: they fold float moments in partition order,
+    and at 10× the gate corpus a value landed on a 6th-decimal
+    rounding boundary (green at sf0.01, caught by the sf0.1 sweep).
+    Zero-variance series come out NULL via nullif on both sides."""
     e = io.load_events(spark, sf_dir)
     daily = e.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
@@ -533,17 +538,31 @@ def user_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("user_id").orderBy("day")
     lagged = filled.select("user_id", "n", F.lag("n").over(w).alias("prev"))
-    corr = F.round(F.corr("n", "prev"), 6)
-    return (
+    mom = (
         lagged.filter(F.col("prev").isNotNull())
         .groupBy("user_id")
         .agg(
-            F.nanvl(corr, F.lit(None)).alias("lag1_corr"),
-            F.round(F.stddev_samp("n"), 6).alias("sd"),
-            F.count(F.lit(1)).alias("n_days"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n").alias("sx"),
+            F.sum("prev").alias("sy"),
+            F.sum(F.col("n") * F.col("prev")).alias("sxy"),
+            F.sum(F.col("n") * F.col("n")).alias("sxx"),
+            F.sum(F.col("prev") * F.col("prev")).alias("syy"),
         )
-        .orderBy("user_id")
     )
+    return mom.select(
+        "user_id",
+        F.expr(
+            "round(CAST(cnt * sxy - sx * sy AS DOUBLE)"
+            " / nullif(sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE))"
+            "          * sqrt(CAST(cnt * syy - sy * sy AS DOUBLE)), 0.0), 6)"
+        ).alias("lag1_corr"),
+        F.expr(
+            "round(sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE)"
+            "           / nullif(cnt * (cnt - 1), 0)), 6)"
+        ).alias("sd"),
+        F.col("cnt").alias("n_days"),
+    ).orderBy("user_id")
 
 
 USER_DAILY_AUTOCORR_SQL = """
@@ -561,13 +580,22 @@ WITH daily AS (
 ), lagged AS (
   SELECT user_id, n, lag(n) OVER (PARTITION BY user_id ORDER BY day) AS prev
   FROM filled
+), mom AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+         sum(n) AS sx, sum(prev) AS sy,
+         sum(n * prev) AS sxy, sum(n * n) AS sxx, sum(prev * prev) AS syy
+  FROM lagged WHERE prev IS NOT NULL
+  GROUP BY 1
 )
 SELECT user_id,
-       round(corr(n, prev), 6) AS lag1_corr,
-       round(stddev_samp(n), 6) AS sd,
-       count(*) AS n_days
-FROM lagged WHERE prev IS NOT NULL
-GROUP BY 1 ORDER BY 1
+       round(CAST(cnt * sxy - sx * sy AS DOUBLE)
+             / nullif(sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(cnt * syy - sy * sy AS DOUBLE)), 0.0), 6)
+         AS lag1_corr,
+       round(sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE)
+                  / nullif(cnt * (cnt - 1), 0)), 6) AS sd,
+       cnt AS n_days
+FROM mom ORDER BY 1
 """
 
 
