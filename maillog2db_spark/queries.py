@@ -665,7 +665,10 @@ _PRIORITY = [
     "mm_phash_neardup", "mm_jpeg_color_roundtrip", "mm_phash_clusters",
     "mm_audio_fingerprint", "mm_audio_neardup", "mm_video_phash",
     "mm_video_phash_neardup", "doc_pii_scrub",
-    # 2. shared code changed since last verdict
+    # 2. shared code changed since last verdict — including the two
+    # sf0.1-sweep determinism fixes (exact-moment autocorr, floor
+    # fixed-point MAD)
+    "ev_user_daily_autocorr", "ev_value_mad_anomaly",
     "mm_jpeg_roundtrip", "mm_png_roundtrip", "mm_frame_sample",
     "mm_wav_loudness",
     "doc_bm25_topk", "doc_hybrid_rrf_topk", "doc_retrieval_label_eval",
@@ -680,15 +683,15 @@ _PRIORITY = [
     # 4. oldest r4-verdict backfill to fill the window
     "doc_blocked_jaccard", "doc_bloom_decontaminate", "doc_bpe_token_stats",
     "doc_chunks", "doc_corpus_pipeline", "doc_decontaminate",
-    "doc_distinct_tokens_approx", "doc_exact_dedup",
     # ---- 50-entry window boundary ----
-    # (the seven late-session r7 window entries above — six new
-    # queries plus the recomposed fertility grid — displaced
-    # doc_language_id / doc_length_deciles / doc_lsh_candidate_pairs /
-    # doc_minhash_signatures / doc_neardup_clusters /
-    # doc_neardup_pairs / doc_ngram_topk from the r4 backfill — those
-    # keep their green r4 verdicts on unchanged code and rotate in
-    # next round)
+    # (the nine late-session r7 window entries above — six new
+    # queries, the recomposed fertility grid, and the two sf0.1-sweep
+    # determinism fixes — displaced doc_distinct_tokens_approx /
+    # doc_exact_dedup / doc_language_id / doc_length_deciles /
+    # doc_lsh_candidate_pairs / doc_minhash_signatures /
+    # doc_neardup_clusters / doc_neardup_pairs / doc_ngram_topk from
+    # the r4 backfill — those keep their green r4 verdicts on
+    # unchanged code and rotate in next round)
     # The tail keeps its most recent green driver verdict (r4/r5/r6)
     # on code unchanged since that verdict.
 ]
