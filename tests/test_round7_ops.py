@@ -708,3 +708,68 @@ def test_streaming_cusum_store_matches_batch(spark, tmp_path_factory):
                               available_now=True)
     q.awaitTermination(300)
     assert got(store2) == want
+
+
+def test_one_event_stream_feeds_both_event_stores(spark, tmp_path_factory):
+    """The deployment composition for the events side: ONE Structured
+    Streaming query over a directory of event drops maintains BOTH
+    event-analytics stores in a single foreachBatch — the bot
+    gap-moment store (time-ordered waves, its enforced contract) and
+    the CUSUM daily-count store — and after the stream drains, both
+    resolved views equal their batch twins exactly (the one-stream /
+    four-stores pattern, events grain)."""
+    import shutil as _sh
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_bot as sb
+    from maillog2db_spark import streaming_cusum as sc
+    from maillog2db_spark.operators.windows import bot_score, cusum_changepoint
+
+    sf = "/root/testdata/sf0.001"
+    events = mio.load(spark, sf, "events")
+    want_bot = sorted(map(tuple, bot_score(spark, sf).collect()))
+    want_cusum = sorted(map(tuple, cusum_changepoint(spark, sf).collect()))
+
+    # time-ordered waves (the bot store's contract; cusum doesn't care)
+    cuts = events.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    waves = [
+        events.filter(F.col("event_id") <= cuts[0]),
+        events.filter(
+            (F.col("event_id") > cuts[0]) & (F.col("event_id") <= cuts[1])
+        ),
+        events.filter(F.col("event_id") > cuts[1]),
+    ]
+    d = tmp_path_factory.mktemp("one_event_stream")
+    src = d / "drops"
+    src.mkdir()
+    for i, w in enumerate(waves):
+        tmp = d / f"_t{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"wave{i}.parquet"
+        _sh.move(str(part), str(dest))
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+        _sh.rmtree(tmp)
+
+    bot = sb.BotStore(str(d / "bot"))
+    cus = sc.CusumStore(str(d / "cusum"))
+
+    def ingest_all(df, bid):
+        s = df.sparkSession
+        sb.bot_ingest_batch(s, df, bot, bid)
+        sc.cusum_ingest_batch(s, df, cus, bid)
+
+    schema = spark.read.parquet(str(src)).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(ingest_all)
+        .option("checkpointLocation", str(d / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert sorted(map(tuple, sb.bot_score(spark, bot).collect())) == want_bot
+    assert sorted(map(tuple, sc.cusum(spark, cus).collect())) == want_cusum
