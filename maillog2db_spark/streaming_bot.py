@@ -35,12 +35,12 @@ profile now flags, at admission time.
 
 Scale shape per batch: one user-keyed shuffle over the batch (the
 within-batch lag window + rollup share the exchange) and one 1-row
-max-timestamp probe of the store. State is users × batches rows;
-resolution is one user-keyed shuffle over that partials table (the
-batch-count fan-out is compactable in principle by pairwise-merging
-consecutive committed batches — the merge math is the resolve math —
-but is left raw: the ledger's additive compactor folds ALL batches,
-which would erase the batch adjacency the boundary gaps need).
+max-timestamp probe of the store. State is users × batches rows
+until ``compact_gap_partials`` folds committed batches into ONE
+merged partial per user — the gap-moment merge is associative over
+time-adjacent partials (moments add + one boundary gap per adjacent
+pair; endpoints compose), so the fold is exact and the store's only
+unbounded-growth axis closes.
 
 Reference parity note: the reference engine (maillog2db.go) has no
 event-analytics surface; this module belongs to the engine's
@@ -215,6 +215,76 @@ def flagged_in_batch(
     users = batch_events.select("user_id").distinct()
     return bot_score(spark, store).join(users, "user_id").filter(
         F.col("is_bot")
+    )
+
+
+def compact_gap_partials(
+    spark: SparkSession, store: BotStore, keep_latest: int = 0
+) -> None:
+    """Fold committed batch partials into ONE merged partial per user
+    (``ledger.compact_additive_store`` mechanics, custom fold): the
+    gap-moment merge is ASSOCIATIVE over time-adjacent partials —
+    moments add, one boundary gap joins each adjacent pair, and the
+    endpoints compose as (left.first, right.last) — so the folded row
+    is itself a valid partial and every later resolve injects the
+    single remaining boundary (compacted.last -> next batch.first)
+    through the ordinary batch_id window (the compacted id is
+    negative, so it sorts first). State becomes users instead of
+    users × batches — the store's one unbounded-growth axis, closed.
+    The time-ordered-batches enforcement keeps working: the incoming
+    check reads max(last_us) over ALL partials, compacted included.
+    In-flight batches stay raw (their crash-window re-ingest still
+    overwrites exactly their partition); ``keep_latest`` preserves the
+    newest N committed batches raw — the foldable set is always a
+    time-PREFIX, which is what makes the boundary fold exact."""
+    from .ledger import compact_additive_store
+
+    def fold(df: DataFrame) -> DataFrame:
+        z = F.lit(0).cast("bigint")
+        sums = df.groupBy("user_id").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("n_gaps").alias("w_gaps"),
+            F.sum("sg").alias("w_sg"),
+            F.sum("sgg").alias("w_sgg"),
+            F.sum("n_fast").alias("w_fast"),
+            F.min("first_us").alias("first_us"),
+            F.max("last_us").alias("last_us"),
+        )
+        boundary = (
+            df.select(
+                "user_id",
+                F.expr(
+                    "CAST((first_us - lag(last_us) OVER "
+                    "(PARTITION BY user_id ORDER BY batch_id)) div 1000000"
+                    " AS BIGINT)"
+                ).alias("gap_s"),
+            )
+            .filter(F.col("gap_s").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("b_gaps"),
+                F.sum("gap_s").alias("b_sg"),
+                F.sum(F.col("gap_s") * F.col("gap_s")).alias("b_sgg"),
+                F.sum(
+                    F.when(F.col("gap_s") < BOT_FAST_GAP_S, 1).otherwise(0)
+                ).alias("b_fast"),
+            )
+        )
+        return sums.join(boundary, "user_id", "left").select(
+            "user_id",
+            "n_events",
+            (F.col("w_gaps") + F.coalesce("b_gaps", z)).alias("n_gaps"),
+            (F.coalesce("w_sg", z) + F.coalesce("b_sg", z)).alias("sg"),
+            (F.coalesce("w_sgg", z) + F.coalesce("b_sgg", z)).alias("sgg"),
+            (F.coalesce("w_fast", z) + F.coalesce("b_fast", z)).alias(
+                "n_fast"
+            ),
+            "first_us",
+            "last_us",
+        )
+
+    compact_additive_store(
+        spark, store.path, store.committed, fold, keep_latest=keep_latest
     )
 
 

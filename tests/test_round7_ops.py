@@ -564,6 +564,12 @@ def test_streaming_bot_store_matches_batch(spark, tmp_path_factory):
         sb.bot_ingest_batch(spark, waves[0], store, 9)
     assert sorted(map(tuple, sb.bot_score(spark, store).collect())) == want
 
+    # compaction folds committed partials into one merged partial per
+    # user (the associative gap-moment merge) — every view unchanged,
+    # and a later time-ordered batch still resolves exactly
+    sb.compact_gap_partials(spark, store)
+    assert sorted(map(tuple, sb.bot_score(spark, store).collect())) == want
+
     # admission view: flagged subset of the last drop's users
     flagged = sb.flagged_in_batch(spark, waves[2], store).collect()
     all_flagged = {r.user_id for r in sb.bot_score(spark, store).collect()
@@ -773,3 +779,51 @@ def test_one_event_stream_feeds_both_event_stores(spark, tmp_path_factory):
 
     assert sorted(map(tuple, sb.bot_score(spark, bot).collect())) == want_bot
     assert sorted(map(tuple, sc.cusum(spark, cus).collect())) == want_cusum
+
+
+def test_bot_compaction_then_ingest_converges(spark, tmp_path):
+    """Post-compaction ingest: batches folded into the merged partial,
+    a LATER time-ordered batch lands raw, and the resolve injects the
+    compacted.last -> new.first boundary gap exactly — equal to the
+    batch twin over the union."""
+    from maillog2db_spark import streaming_bot as sb
+    from maillog2db_spark.operators.windows import bot_score_from
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "event_id bigint, us bigint, user_id bigint"
+        ).selectExpr(
+            "event_id", "timestamp_micros(us) AS ts", "user_id",
+            "'view' AS event_type", "CAST(1.0 AS DOUBLE) AS value",
+            "'{}' AS props",
+        )
+
+    t0 = 1_700_000_000_000_000
+    b0 = ev([(0, t0, 1), (1, t0 + 60_000_000, 1), (2, t0, 2)])
+    b1 = ev([(3, t0 + 120_000_000, 1), (4, t0 + 90_000_000, 2)])
+    b2 = ev([(5, t0 + 200_000_000, 1), (6, t0 + 150_000_000, 2)])
+
+    store = sb.BotStore(str(tmp_path / "store"))
+    sb.bot_ingest_batch(spark, b0, store, 0)
+    sb.bot_ingest_batch(spark, b1, store, 1)
+    sb.compact_gap_partials(spark, store)
+    sb.bot_ingest_batch(spark, b2, store, 2)
+
+    got = sorted(map(tuple, sb.bot_score(spark, store).collect()))
+    union = b0.unionByName(b1).unionByName(b2)
+    # batch twin over the union (same math as ev_bot_score on a table)
+    gaps = union.selectExpr(
+        "user_id",
+        "CAST((unix_micros(ts) - lag(unix_micros(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id)) div 1000000"
+        " AS BIGINT) AS gap_s",
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("gap_s").alias("n_gaps"),
+        F.sum("gap_s").alias("sg"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("sgg"),
+        F.sum(F.when(F.col("gap_s") < 2, 1).otherwise(0)).alias("n_fast"),
+    )
+    want = sorted(map(tuple, bot_score_from(agg).collect()))
+    assert got == want
