@@ -1435,6 +1435,148 @@ FROM rec
 """
 
 
+# --- Croston intermittent-demand forecast ------------------------------------
+
+CROSTON_ALPHA = 0.1
+_C_A, _C_1MA = repr(CROSTON_ALPHA), repr(1.0 - CROSTON_ALPHA)
+
+
+def part_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (Croston 1972) per part over the monthly
+    demand spine — THE forecaster for intermittent series, where
+    Holt/EWMA on the raw series chase zeros: demand SIZE and
+    inter-demand INTERVAL get separate EWMAs, updated only on months
+    with demand, and the rate forecast is their ratio z/p. Part-level
+    monthly demand is the textbook intermittent case (each part sells
+    in a minority of months).
+
+    Semantics per part over the GLOBAL month spine (missing months are
+    zeros — intervals depend on them): on the first demand month,
+    z = qty and p = months elapsed since series start; on later demand
+    months, z = α·qty + (1−α)·z and p = α·interval + (1−α)·p (α = 0.1,
+    injected as the same repr literal in both engines); zero months
+    only advance the interval counter. One output row per part: the
+    final state and forecast_ppm = floor(z/p·1e6 + 0.5).
+
+    Plan shape (the Holt pattern at part grain): monthly demand is one
+    map-side-combined aggregate; the spine is a calendar-bounded
+    broadcast (≤ date-span months) multiplying each part to its dense
+    series; the fold is ONE aggregate-HOF pass over a per-part
+    month-bounded array — parts run in parallel, the driver holds
+    nothing. The oracle re-derives every step as a recursive CTE over
+    (part × month-index), so the gate certifies each part's whole
+    trajectory."""
+    li = io.load(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("month")
+    ).agg(F.sum("l_quantity").alias("qty"))
+    span = monthly.agg(F.min("month").alias("m0"), F.max("month").alias("m1"))
+    spine = span.select(
+        F.explode(F.expr("sequence(m0, m1, interval 1 month)")).alias("month")
+    )
+    parts = monthly.select("l_partkey").distinct()
+    dense = (
+        parts.crossJoin(F.broadcast(spine))
+        .join(monthly, ["l_partkey", "month"], "left")
+        .select(
+            "l_partkey", "month", F.coalesce("qty", F.lit(0.0)).alias("qty")
+        )
+    )
+    series = dense.groupBy("l_partkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("month", "qty"))
+        ).alias("s")
+    )
+    st_t = "named_struct('seen', {seen}, 'z', {z}, 'p', {p}, 'q', {q}, 'nd', {nd})"
+    fold = f"""
+    aggregate(
+      s,
+      {st_t.format(seen='false', z='0.0D', p='0.0D',
+                   q='CAST(0 AS BIGINT)', nd='CAST(0 AS BIGINT)')},
+      (acc, x) -> CASE
+        WHEN x.qty > 0.0D AND NOT acc.seen THEN {st_t.format(
+            seen='true', z='x.qty', p='CAST(acc.q + 1 AS DOUBLE)',
+            q='CAST(0 AS BIGINT)', nd='CAST(1 AS BIGINT)')}
+        WHEN x.qty > 0.0D THEN {st_t.format(
+            seen='true',
+            z=f'{_C_A} * x.qty + {_C_1MA} * acc.z',
+            p=f'{_C_A} * CAST(acc.q + 1 AS DOUBLE) + {_C_1MA} * acc.p',
+            q='CAST(0 AS BIGINT)', nd='acc.nd + 1')}
+        ELSE {st_t.format(seen='acc.seen', z='acc.z', p='acc.p',
+                          q='acc.q + 1', nd='acc.nd')}
+      END,
+      acc -> acc
+    )
+    """
+    ppm = lambda c: F.floor(c * 1_000_000 + 0.5).cast("bigint")  # noqa: E731
+    return series.select(
+        "l_partkey",
+        F.size("s").cast("int").alias("n_periods"),
+        F.expr(fold).alias("st"),
+    ).select(
+        "l_partkey",
+        "n_periods",
+        F.col("st.nd").alias("n_demand_months"),
+        ppm(F.col("st.z")).alias("z_ppm"),
+        ppm(F.col("st.p")).alias("p_ppm"),
+        ppm(F.col("st.z") / F.col("st.p")).alias("forecast_ppm"),
+    )
+
+
+PART_CROSTON_SQL = f"""
+WITH RECURSIVE monthly AS (
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS month,
+         sum(l_quantity) AS qty
+  FROM lineitem GROUP BY 1, 2
+), span AS (
+  SELECT min(month) AS m0, max(month) AS m1 FROM monthly
+), spine AS (
+  SELECT unnest(range(m0, m1 + INTERVAL 1 MONTH, INTERVAL 1 MONTH)) AS month
+  FROM span
+), idx AS (
+  SELECT month, CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS i
+  FROM spine
+), parts AS (
+  SELECT DISTINCT l_partkey FROM monthly
+), dense AS (
+  SELECT p.l_partkey, x.i, coalesce(m.qty, 0.0) AS qty
+  FROM parts p CROSS JOIN idx x
+  LEFT JOIN monthly m ON m.l_partkey = p.l_partkey AND m.month = x.month
+), rec AS (
+  SELECT l_partkey, i,
+         qty > 0.0 AS seen,
+         CASE WHEN qty > 0.0 THEN qty ELSE 0.0 END AS z,
+         CASE WHEN qty > 0.0 THEN CAST(1 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS p,
+         CASE WHEN qty > 0.0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(1 AS BIGINT) END AS q,
+         CASE WHEN qty > 0.0 THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS nd
+  FROM dense WHERE i = 1
+  UNION ALL
+  SELECT d.l_partkey, d.i,
+         r.seen OR d.qty > 0.0,
+         CASE WHEN d.qty > 0.0 AND NOT r.seen THEN d.qty
+              WHEN d.qty > 0.0 THEN {_C_A} * d.qty + {_C_1MA} * r.z
+              ELSE r.z END,
+         CASE WHEN d.qty > 0.0 AND NOT r.seen THEN CAST(r.q + 1 AS DOUBLE)
+              WHEN d.qty > 0.0
+                THEN {_C_A} * CAST(r.q + 1 AS DOUBLE) + {_C_1MA} * r.p
+              ELSE r.p END,
+         CASE WHEN d.qty > 0.0 THEN CAST(0 AS BIGINT) ELSE r.q + 1 END,
+         r.nd + CASE WHEN d.qty > 0.0 THEN 1 ELSE 0 END
+  FROM rec r JOIN dense d ON d.l_partkey = r.l_partkey AND d.i = r.i + 1
+)
+SELECT l_partkey,
+       CAST((SELECT max(i) FROM idx) AS INT) AS n_periods,
+       nd AS n_demand_months,
+       CAST(floor(z * 1000000 + 0.5) AS BIGINT) AS z_ppm,
+       CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS p_ppm,
+       CAST(floor(z / p * 1000000 + 0.5) AS BIGINT) AS forecast_ppm
+FROM rec WHERE i = (SELECT max(i) FROM idx)
+"""
+
+
 def seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical seasonal decomposition of monthly revenue:
     ratio-to-centered-moving-average (the textbook multiplicative

@@ -328,6 +328,8 @@ register("ord_priority_islands", _win.PRIORITY_ISLANDS_SQL,
          doc="Gaps-and-islands run collapse = SCD type-2 history builder: per-customer priority regimes with valid_from/valid_to, one change-flag cumsum window (single shuffle+sort)")(_win.priority_islands)
 register("ord_revenue_ewma", _win.REVENUE_EWMA_SQL,
          doc="Truncated EWMA over daily revenue: exact-cents pre-aggregate, gap-aware decay in a RANGE frame, ascending-day fold on both engines")(_win.revenue_ewma)
+register("li_part_croston", _win.PART_CROSTON_SQL,
+         doc="Croston intermittent-demand forecast per part (separate size/interval EWMAs over the monthly spine, rate = z/p) — one aggregate-HOF fold per part, recursive-CTE oracle certifying every part's trajectory")(_win.part_croston)
 register("ord_revenue_holt", _win.REVENUE_HOLT_SQL,
          doc="Holt double-exponential smoothing over monthly revenue: ordered fold on the calendar-bounded aggregate, oracle is a recursive CTE with identical arithmetic")(_win.revenue_holt)
 
@@ -662,6 +664,7 @@ _PRIORITY = [
     "embed_kcenter_coreset", "doc_wordpiece_train",
     "doc_wordpiece_encode_stats", "doc_tokenizer_fertility",
     "doc_zipf_fit", "ev_bot_score", "ev_changepoint_cusum",
+    "li_part_croston",
     "mm_phash_neardup", "mm_jpeg_color_roundtrip", "mm_phash_clusters",
     "mm_audio_fingerprint", "mm_audio_neardup", "mm_video_phash",
     "mm_video_phash_neardup", "doc_pii_scrub",
@@ -682,16 +685,17 @@ _PRIORITY = [
     "set_ops_customers", "top_customers_per_nation",
     # 4. oldest r4-verdict backfill to fill the window
     "doc_blocked_jaccard", "doc_bloom_decontaminate", "doc_bpe_token_stats",
-    "doc_chunks", "doc_corpus_pipeline", "doc_decontaminate",
+    "doc_chunks", "doc_corpus_pipeline",
     # ---- 50-entry window boundary ----
-    # (the nine late-session r7 window entries above — six new
+    # (the ten late-session r7 window entries above — seven new
     # queries, the recomposed fertility grid, and the two sf0.1-sweep
-    # determinism fixes — displaced doc_distinct_tokens_approx /
-    # doc_exact_dedup / doc_language_id / doc_length_deciles /
-    # doc_lsh_candidate_pairs / doc_minhash_signatures /
-    # doc_neardup_clusters / doc_neardup_pairs / doc_ngram_topk from
-    # the r4 backfill — those keep their green r4 verdicts on
-    # unchanged code and rotate in next round)
+    # determinism fixes — displaced doc_decontaminate /
+    # doc_distinct_tokens_approx / doc_exact_dedup / doc_language_id /
+    # doc_length_deciles / doc_lsh_candidate_pairs /
+    # doc_minhash_signatures / doc_neardup_clusters /
+    # doc_neardup_pairs / doc_ngram_topk from the r4 backfill — those
+    # keep their green r4 verdicts on unchanged code and rotate in
+    # next round)
     # The tail keeps its most recent green driver verdict (r4/r5/r6)
     # on code unchanged since that verdict.
 ]

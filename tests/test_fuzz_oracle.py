@@ -516,6 +516,10 @@ LI_QUERIES = [
     # fixed-round peel vs the unrolled materialized rounds; fuzz graphs
     # routinely peel to EMPTY cores (0 rows on both engines)
     "li_part_kcore",
+    # Croston fold vs the recursive-CTE trajectory: fuzzed monthly
+    # spines hit first-demand-at-month-1, long leading-zero runs, and
+    # single-demand parts (forecast = qty/interval) in lockstep
+    "li_part_croston",
 ]
 
 basket_strategy = st.lists(
@@ -533,7 +537,10 @@ basket_strategy = st.lists(
 @given(data=basket_strategy)
 def test_fuzzed_lineitem_matches_oracle(spark, tmp_path_factory, qname, data):
     rows = [
-        (ok, pk, 1, i, 1.0, 10.0, 0.0, 0.0, "N", "O", 1_500_000_000 + i)
+        # the ~23-day stride spreads rows over months so the Croston
+        # spine is genuinely intermittent; the graph queries ignore dates
+        (ok, pk, 1, i, 1.0 + (i % 5), 10.0, 0.0, 0.0, "N", "O",
+         1_500_000_000 + i * 2_000_000)
         for i, (ok, pk) in enumerate(data)
     ]
     from pyspark.sql import functions as F
