@@ -90,6 +90,8 @@ BNL_ALLOWED = {
     "doc_zipf_fit": [_SCALAR],
     # 1-row daily-mean broadcast over the bounded day grid
     "ev_changepoint_cusum": [_SCALAR],
+    # calendar-bounded month-spine broadcast (explode of the 1-row span)
+    "li_part_croston": [_SCALAR],
 }
 
 
