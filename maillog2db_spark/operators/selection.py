@@ -241,6 +241,76 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(spark, sf_dir, KCENTER_K)
 
 
+def standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed StandardScaler over the embedding corpus: per
+    dimension, z = (x − μ)/σ (population σ) — the feature-normalization
+    pass embedding pipelines run before clustering/whitening-sensitive
+    retrieval, at the grain a 100 TB job wants (one narrow pass, stats
+    broadcast back).
+
+    Determinism (the exact-integer-moments pattern the sf0.1 sweep
+    made policy): each element quantizes to xq = floor(x·1e6 + 0.5)
+    FIRST, so the per-dim moment sums are exact bigints both engines
+    agree on bit-for-bit regardless of fold order, and
+    z_ppm = floor((xq·n − sx)/sqrt(n·sxx − sx²)·1e6 + 0.5) is one
+    IEEE divide/sqrt over identical operands. Zero-variance dims emit
+    NULL via nullif. (Moment sums are bigint-safe to ~1e5 vectors ×
+    unit-scale values; past that the documented swap-in is DECIMAL(38)
+    /HUGEINT sums — same expressions, wider type.)
+
+    Plan shape: one posexplode scan + a map-side-combined 64-group
+    aggregate, the 64-row stats table broadcast back onto the same
+    exploded scan, then a stateless per-element map. Output grain is
+    (vec_id, dim) with integer z_ppm — nothing float ever crosses an
+    engine boundary unquantized."""
+    e = _embeddings(spark, sf_dir)
+    el = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("xq"),
+    )
+    stats = el.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    return el.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        F.expr(
+            "CAST(floor(CAST(xq * n - sx AS DOUBLE)"
+            " / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)), 0.0)"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("z_ppm"),
+    )
+
+
+STANDARD_SCALER_SQL = """
+WITH el AS (
+  SELECT vec_id, CAST(d.range AS INT) AS dim,
+         CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE)
+                    * 1000000 + 0.5) AS BIGINT) AS xq
+  FROM embeddings CROSS JOIN range(64) d
+), stats AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xq) AS BIGINT) AS sx,
+         CAST(sum(xq * xq) AS BIGINT) AS sxx
+  FROM el GROUP BY 1
+)
+SELECT e.vec_id, e.dim,
+       CAST(floor(CAST(e.xq * s.n - s.sx AS DOUBLE)
+                  / nullif(sqrt(CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)),
+                           0.0)
+                  * 1000000 + 0.5) AS BIGINT) AS z_ppm
+FROM el e JOIN stats s USING (dim)
+"""
+
+
 def _kcenter_oracle_sql() -> str:
     """Unrolled-CTE oracle: re-derives every greedy step independently
     (the MMR pattern), then the assignment census — the gate certifies

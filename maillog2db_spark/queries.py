@@ -443,6 +443,8 @@ from .operators import selection as _sel  # noqa: E402
 
 register("embed_kcenter_coreset", _sel.KCENTER_CORESET_SQL,
          doc="Greedy k-center coreset selection (Gonzalez traversal / Sener-Savarese data selection): K scans, 1-row broadcast per step, exact-ppm trajectory + assignment census, unrolled-CTE oracle")(_sel.kcenter_coreset)
+register("embed_standard_scaler", _sel.STANDARD_SCALER_SQL,
+         doc="Distributed StandardScaler: per-dim z-scores from exact-integer moment sums (quantize-then-sum, the sf0.1-sweep determinism policy) — one posexplode pass + a 64-row stats broadcast")(_sel.standard_scaler)
 register("doc_bpe_token_stats", _tx.BPE_TOKEN_STATS_SQL,
          doc="BPE-style pre-tokenizer profile (letter/digit/punct runs, codegen-only)")(_tx.bpe_token_stats)
 register("doc_wordpiece_train", _tx.WORDPIECE_TRAIN_MERGES_SQL,
@@ -664,7 +666,7 @@ _PRIORITY = [
     "embed_kcenter_coreset", "doc_wordpiece_train",
     "doc_wordpiece_encode_stats", "doc_tokenizer_fertility",
     "doc_zipf_fit", "ev_bot_score", "ev_changepoint_cusum",
-    "li_part_croston",
+    "li_part_croston", "embed_standard_scaler",
     "mm_phash_neardup", "mm_jpeg_color_roundtrip", "mm_phash_clusters",
     "mm_audio_fingerprint", "mm_audio_neardup", "mm_video_phash",
     "mm_video_phash_neardup", "doc_pii_scrub",
@@ -685,11 +687,12 @@ _PRIORITY = [
     "set_ops_customers", "top_customers_per_nation",
     # 4. oldest r4-verdict backfill to fill the window
     "doc_blocked_jaccard", "doc_bloom_decontaminate", "doc_bpe_token_stats",
-    "doc_chunks", "doc_corpus_pipeline",
+    "doc_chunks",
     # ---- 50-entry window boundary ----
-    # (the ten late-session r7 window entries above — seven new
+    # (the eleven late-session r7 window entries above — eight new
     # queries, the recomposed fertility grid, and the two sf0.1-sweep
-    # determinism fixes — displaced doc_decontaminate /
+    # determinism fixes — displaced doc_corpus_pipeline /
+    # doc_decontaminate /
     # doc_distinct_tokens_approx / doc_exact_dedup / doc_language_id /
     # doc_length_deciles / doc_lsh_candidate_pairs /
     # doc_minhash_signatures / doc_neardup_clusters /

@@ -444,6 +444,9 @@ EMBED_QUERIES = [
     # int8 grid: zero vectors have scale 0 (reconstruct to all-zero,
     # NULL cosine on the q8 side only); unit vectors saturate at ±127
     "embed_int8_recall",
+    # StandardScaler: quantize-then-sum exact moments; constant dims
+    # (all-dup corpora) hit the zero-variance nullif on both engines
+    "embed_standard_scaler",
     # greedy k-center: dup vectors force dissim-0 and argmax ties on
     # vec_id through EIGHT chained steps; zero vectors ride the
     # sentinel (maximally far — selected early, a good property);
