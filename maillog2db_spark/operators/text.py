@@ -1521,6 +1521,129 @@ FROM cum
 """
 
 
+# --- RAKE keyword extraction ---------------------------------------------------
+
+RAKE_STOPWORDS = ("the", "a", "of", "and", "to")  # the en marker set
+RAKE_TOP_K = 3
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents"): candidate phrases are the
+    maximal token runs between stopwords; each word scores
+    degree/freq over the corpus phrase set (degree = summed length of
+    the phrases its occurrences sit in — co-occurrence reach; freq =
+    plain occurrence count), and a phrase scores the sum of its words'
+    scores. Top-RAKE_TOP_K phrases per document — the classic
+    unsupervised document-keyword op of the text-analysis pillar.
+
+    Determinism: degree/freq are exact integers, word scores are
+    exact-ppm integer divisions, phrase scores exact bigint sums; the
+    per-doc rank breaks ties on (phrase, phrase_id).
+
+    Scale shape: one posexplode scan; phrase segmentation is a per-doc
+    PARTITIONED running sum over the stopword flags (the
+    gaps-and-islands idiom — no global window); word stats are one
+    vocab-grain aggregate joined back (AQE broadcast); the per-doc
+    top-k is a doc-partitioned window. Nothing data-proportional runs
+    in one task."""
+    from pyspark.sql import Window
+
+    stop_list = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    d = io.load(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.expr(_TOKENS_SPARK)).alias("p", "tok")
+    ).withColumn("is_stop", F.expr(f"tok IN ({stop_list})"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    ph = (
+        pos.withColumn(
+            "phrase_id", F.sum(F.col("is_stop").cast("int")).over(w)
+        )
+        .filter(~F.col("is_stop"))
+        .select("doc_id", "phrase_id", "p", "tok")
+    )
+    phrases = ph.groupBy("doc_id", "phrase_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(p, tok))),"
+            " x -> x.tok), ' ')"
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    wordstats = (
+        ph.join(
+            phrases.select("doc_id", "phrase_id", "n_words"),
+            ["doc_id", "phrase_id"],
+        )
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("n_words").alias("degree"),
+        )
+        .select(
+            "tok",
+            F.expr("CAST(degree * 1000000 div freq AS BIGINT)").alias(
+                "wscore_ppm"
+            ),
+        )
+    )
+    scored = (
+        ph.join(wordstats, "tok")
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("wscore_ppm").alias("score_ppm"))
+        .join(phrases, ["doc_id", "phrase_id"])
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.asc("phrase"), F.asc("phrase_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .filter(F.col("rank") <= RAKE_TOP_K)
+        .select("doc_id", "rank", "phrase", "n_words", "score_ppm")
+    )
+
+
+RAKE_KEYWORDS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+), pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks
+  FROM t
+), flag AS (
+  SELECT doc_id, p, toks[p] AS tok,
+         CASE WHEN toks[p] IN ({", ".join(f"'{w}'" for w in RAKE_STOPWORDS)})
+              THEN 1 ELSE 0 END AS is_stop
+  FROM pos
+), ph AS (
+  SELECT doc_id, phrase_id, p, tok FROM (
+    SELECT doc_id, p, tok, is_stop,
+           sum(is_stop) OVER (PARTITION BY doc_id ORDER BY p) AS phrase_id
+    FROM flag
+  ) WHERE is_stop = 0
+), phrases AS (
+  SELECT doc_id, phrase_id,
+         string_agg(tok, ' ' ORDER BY p) AS phrase,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM ph GROUP BY 1, 2
+), wordstats AS (
+  SELECT tok,
+         CAST(sum(n_words) * 1000000 // count(*) AS BIGINT) AS wscore_ppm
+  FROM ph JOIN phrases USING (doc_id, phrase_id)
+  GROUP BY tok
+), scored AS (
+  SELECT h.doc_id, h.phrase_id, CAST(sum(w.wscore_ppm) AS BIGINT) AS score_ppm
+  FROM ph h JOIN wordstats w USING (tok)
+  GROUP BY 1, 2
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, phrase, n_words, score_ppm FROM (
+  SELECT s.doc_id, s.score_ppm, f.phrase, f.n_words,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY s.score_ppm DESC, f.phrase, s.phrase_id)
+           AS rank
+  FROM scored s JOIN phrases f USING (doc_id, phrase_id)
+) WHERE rank <= {RAKE_TOP_K}
+"""
+
+
 # --- Zipf's-law rank-frequency fit --------------------------------------------
 
 ZIPF_TOP_RANKS = 64

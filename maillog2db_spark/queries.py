@@ -453,6 +453,8 @@ register("doc_wordpiece_encode_stats", _tx.WORDPIECE_ENCODE_STATS_SQL,
          doc="WordPiece encode path: apply the trained merges over the word table, per-doc token-vs-symbol rollup + compression ppm (the deployment shape, mirroring bpe_encode_stats)")(_tx.wordpiece_encode_stats)
 register("doc_vocab_growth", _tx.VOCAB_GROWTH_SQL,
          doc="Heaps-law vocabulary growth: first-occurrence attribution over a bounded bucket grid (no running set)")(_tx.vocab_growth)
+register("doc_rake_keywords", _tx.RAKE_KEYWORDS_SQL,
+         doc="RAKE keyword extraction (Rose 2010): stopword-bounded phrase runs via per-doc islands, exact-integer degree/freq word scores, top-k phrases per doc")(_tx.rake_keywords)
 register("doc_zipf_fit", _tx.ZIPF_FIT_SQL,
          doc="Zipf's-law rank-frequency fit: OLS of ln(freq) on ln(rank) over the top-64 terms in exact ln-fixed-point integers — the distribution-shift companion to the Heaps-law vocab growth audit")(_tx.zipf_fit)
 register("doc_ngram_topk", _tx.NGRAM_TOPK_SQL,
@@ -666,7 +668,7 @@ _PRIORITY = [
     "embed_kcenter_coreset", "doc_wordpiece_train",
     "doc_wordpiece_encode_stats", "doc_tokenizer_fertility",
     "doc_zipf_fit", "ev_bot_score", "ev_changepoint_cusum",
-    "li_part_croston", "embed_standard_scaler",
+    "li_part_croston", "embed_standard_scaler", "doc_rake_keywords",
     "mm_phash_neardup", "mm_jpeg_color_roundtrip", "mm_phash_clusters",
     "mm_audio_fingerprint", "mm_audio_neardup", "mm_video_phash",
     "mm_video_phash_neardup", "doc_pii_scrub",
@@ -687,11 +689,10 @@ _PRIORITY = [
     "set_ops_customers", "top_customers_per_nation",
     # 4. oldest r4-verdict backfill to fill the window
     "doc_blocked_jaccard", "doc_bloom_decontaminate", "doc_bpe_token_stats",
-    "doc_chunks",
     # ---- 50-entry window boundary ----
-    # (the eleven late-session r7 window entries above — eight new
+    # (the twelve late-session r7 window entries above — nine new
     # queries, the recomposed fertility grid, and the two sf0.1-sweep
-    # determinism fixes — displaced doc_corpus_pipeline /
+    # determinism fixes — displaced doc_chunks / doc_corpus_pipeline /
     # doc_decontaminate /
     # doc_distinct_tokens_approx / doc_exact_dedup / doc_language_id /
     # doc_length_deciles / doc_lsh_candidate_pairs /

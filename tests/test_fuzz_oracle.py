@@ -113,6 +113,10 @@ FUZZED_QUERIES = [
     # dup-heavy corpora force score ties broken on (l, r) in lockstep
     "doc_wordpiece_train",
     "doc_wordpiece_encode_stats",
+    # RAKE: stopword-free fuzz corpora degenerate to whole-doc phrases
+    # (degree = phrase length everywhere); dup-heavy corpora force
+    # phrase-score ties broken on (phrase, phrase_id) in lockstep
+    "doc_rake_keywords",
     # Zipf fit: per-term ln-fixed-point contributions (the
     # unigram_lm_score idiom — floored BEFORE summation, so no
     # partial-sum ordering risk); tiny vocabularies hit n_ranks < K

@@ -827,3 +827,27 @@ def test_bot_compaction_then_ingest_converges(spark, tmp_path):
     )
     want = sorted(map(tuple, bot_score_from(agg).collect()))
     assert got == want
+
+
+def test_rake_hand_computed_example(spark, tmp_path):
+    """Hand-checkable RAKE: 'red apple of green pear' splits at the
+    stopword into two 2-word phrases; every word has freq 1 and
+    degree 2, so both phrases score 4e6 ppm and rank ties break on the
+    phrase string. A doc reusing 'apple' alone gives it freq 2,
+    degree 3 -> wscore 1.5e6, separating the phrase scores."""
+    from maillog2db_spark.operators.text import rake_keywords
+
+    _docs(spark, [
+        (0, "red apple of green pear"),
+        (1, "apple"),
+    ]).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {(r.doc_id, r.rank): r for r in
+           rake_keywords(spark, str(tmp_path)).collect()}
+    # word scores: red 2/1, green 2/1, pear 2/1; apple deg 2+1=3, freq 2
+    # -> "green pear" = 4e6 outranks "red apple" = 2e6 + 1.5e6
+    apple = 3 * 1_000_000 // 2
+    assert got[(0, 1)].phrase == "green pear"
+    assert got[(0, 1)].score_ppm == 4_000_000
+    assert got[(0, 2)].phrase == "red apple"
+    assert got[(0, 2)].score_ppm == 2_000_000 + apple
+    assert got[(1, 1)].phrase == "apple" and got[(1, 1)].score_ppm == apple
