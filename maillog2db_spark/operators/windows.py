@@ -550,16 +550,22 @@ def user_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("prev") * F.col("prev")).alias("syy"),
         )
     )
+    # floor fixed-point, NOT builtin round(,6): Spark's round() goes
+    # through BigDecimal's shortest-decimal string while DuckDB rounds
+    # the binary double — a value landing on a 6th-decimal boundary
+    # flips the hash (the value_mad_anomaly divergence class). floor
+    # over the identical IEEE product is bit-equal on both engines.
     return mom.select(
         "user_id",
         F.expr(
-            "round(CAST(cnt * sxy - sx * sy AS DOUBLE)"
+            "floor(CAST(cnt * sxy - sx * sy AS DOUBLE)"
             " / nullif(sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE))"
-            "          * sqrt(CAST(cnt * syy - sy * sy AS DOUBLE)), 0.0), 6)"
+            "          * sqrt(CAST(cnt * syy - sy * sy AS DOUBLE)), 0.0)"
+            " * 1000000 + 0.5) / 1e6"
         ).alias("lag1_corr"),
         F.expr(
-            "round(sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE)"
-            "           / nullif(cnt * (cnt - 1), 0)), 6)"
+            "floor(sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE)"
+            "           / nullif(cnt * (cnt - 1), 0)) * 1000000 + 0.5) / 1e6"
         ).alias("sd"),
         F.col("cnt").alias("n_days"),
     ).orderBy("user_id")
@@ -588,12 +594,13 @@ WITH daily AS (
   GROUP BY 1
 )
 SELECT user_id,
-       round(CAST(cnt * sxy - sx * sy AS DOUBLE)
+       floor(CAST(cnt * sxy - sx * sy AS DOUBLE)
              / nullif(sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE))
-                      * sqrt(CAST(cnt * syy - sy * sy AS DOUBLE)), 0.0), 6)
+                      * sqrt(CAST(cnt * syy - sy * sy AS DOUBLE)), 0.0)
+             * 1000000 + 0.5) / 1e6
          AS lag1_corr,
-       round(sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE)
-                  / nullif(cnt * (cnt - 1), 0)), 6) AS sd,
+       floor(sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE)
+                  / nullif(cnt * (cnt - 1), 0)) * 1000000 + 0.5) / 1e6 AS sd,
        cnt AS n_days
 FROM mom ORDER BY 1
 """
@@ -780,14 +787,29 @@ def bot_score_from(agg: DataFrame) -> DataFrame:
     operator above and the streaming gap store (streaming_bot.py):
     the moments are mergeable (within-batch partials + boundary gaps
     between time-consecutive batches), so both paths score through
-    this one expression set."""
+    this one expression set.
+
+    CV² branches on sg² >= 1e6: the div-before-divide denominator
+    (sg² div 1e6) truncates to 0 whenever a user's TOTAL gap time is
+    under ~1000 s, which made cv2_ppm (and is_bot) NULL — a perfectly
+    metronomic user with >=5 short gaps escaped the flag. The small-sg
+    branch scales the NUMERATOR instead: with sg < 1000, sgg <
+    sg·max_gap < 1e6, so (n·sgg − sg²)·1e6 <= n·1e12 stays exact in
+    bigint to ~9e6 gaps inside one 1000-second span (document-level
+    bound, unreachable at second grain). sg = 0 (all gaps zero — the
+    most metronomic signal possible) still yields NULL on both
+    engines: CV² of an all-zero gap series is 0/0; such users are
+    flagged through fast_ppm = 1e6 instead."""
     scored = agg.select(
         "user_id",
         "n_events",
         "n_gaps",
         F.expr("sg div nullif(n_gaps, 0)").cast("bigint").alias("mean_gap_s"),
         F.expr(
-            "(n_gaps * sgg - sg * sg) div nullif((sg * sg) div 1000000, 0)"
+            "CASE WHEN sg * sg >= 1000000"
+            " THEN (n_gaps * sgg - sg * sg) div ((sg * sg) div 1000000)"
+            " ELSE (n_gaps * sgg - sg * sg) * 1000000"
+            "      div nullif(sg * sg, 0) END"
         ).cast("bigint").alias("cv2_ppm"),
         F.expr("n_fast * 1000000 div nullif(n_gaps, 0)")
         .cast("bigint")
@@ -822,8 +844,10 @@ WITH gaps AS (
 ), scored AS (
   SELECT user_id, n_events, n_gaps,
          CAST(sg // nullif(n_gaps, 0) AS BIGINT) AS mean_gap_s,
-         CAST((n_gaps * sgg - sg * sg)
-              // nullif((sg * sg) // 1000000, 0) AS BIGINT) AS cv2_ppm,
+         CAST(CASE WHEN sg * sg >= 1000000
+                   THEN (n_gaps * sgg - sg * sg) // ((sg * sg) // 1000000)
+                   ELSE (n_gaps * sgg - sg * sg) * 1000000
+                        // nullif(sg * sg, 0) END AS BIGINT) AS cv2_ppm,
          CAST(n_fast * 1000000 // nullif(n_gaps, 0) AS BIGINT) AS fast_ppm
   FROM agg
 )

@@ -490,6 +490,10 @@ def test_bot_score_flags_metronomic_and_bursty_not_human(spark, tmp_path):
     add(2, [i // 2 for i in range(20)])            # burst: 0-1s gaps
     add(3, [0, 47, 290, 1000, 4200, 9000, 40000])  # human-ish jitter
     add(4, [0, 1])                                 # too few events
+    add(5, [i * 100 for i in range(7)])            # metronomic, TOTAL gap
+    # time under 1000s: the round-7 cv2 denominator (sg^2 div 1e6)
+    # truncated to 0 here and the flag came out NULL — the advisor's
+    # blind spot, closed by the numerator-scaled small-sg branch
     df = spark.createDataFrame(
         [(e, u, t) for e, t, u in rows], "event_id bigint, user_id bigint, us bigint"
     ).selectExpr(
@@ -503,6 +507,7 @@ def test_bot_score_flags_metronomic_and_bursty_not_human(spark, tmp_path):
     assert got[2].is_bot and got[2].fast_ppm == 1_000_000
     assert not got[3].is_bot
     assert not got[4].is_bot and got[4].n_gaps == 1
+    assert got[5].is_bot and got[5].cv2_ppm == 0  # short-total-gap branch
 
 
 def test_streaming_bot_store_matches_batch(spark, tmp_path_factory):
