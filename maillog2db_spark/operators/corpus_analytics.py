@@ -649,6 +649,143 @@ FROM t LEFT JOIN cov USING (doc_id)
 """
 
 
+# --- length-gated duplicate-span dedup (ExactSubstr / C4 family) -------------
+
+# Minimum length (in TOKENS) of a verbatim duplicated run before it is
+# removed. Lee et al. 2022 (arXiv:2107.06499) use 50 BPE tokens on
+# billion-doc corpora; the C4 rule removes any repeated three-sentence
+# span. 12 words is that family scaled to the gate corpus's ~300-char
+# documents — long enough that incidental shared trigrams never
+# qualify (span_scrub above is the scrub-EVERY-duplicated-shingle
+# variant; this one only removes long verbatim copies), short enough
+# that the synthetic corpus exercises it (32 qualifying runs at
+# sf0.01). A run of consecutive duplicate shingle STARTS [a..b] covers
+# b-a+W tokens, so the gate is b-a >= SPAN_MIN_TOKENS - SHINGLE_W.
+SPAN_MIN_TOKENS = 12
+
+
+def qualifying_dup_runs(dup: DataFrame) -> DataFrame:
+    """(doc_id, i) duplicate shingle-start occurrences → the maximal
+    runs of CONSECUTIVE starts long enough to qualify: (doc_id, a, b)
+    with b - a >= SPAN_MIN_TOKENS - SHINGLE_W. Gaps-and-islands on a
+    doc-partitioned window (bounded by document length — the RAKE
+    phrase-run precedent); shared by the batch operator and the
+    streaming admission gate so both derive spans from the identical
+    expression."""
+    w = Window.partitionBy("doc_id").orderBy("i")
+    return (
+        dup.select("doc_id", "i")
+        .withColumn("g", F.col("i") - F.row_number().over(w))
+        .groupBy("doc_id", "g")
+        .agg(F.min("i").alias("a"), F.max("i").alias("b"))
+        .filter(F.col("b") - F.col("a") >= SPAN_MIN_TOKENS - SHINGLE_W)
+        .select("doc_id", "a", "b")
+    )
+
+
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499
+    ExactSubstr; the C4 repeated-span rule): remove every verbatim
+    span of >= SPAN_MIN_TOKENS tokens whose shingles first appeared in
+    a LOWER-doc_id document, keeping the first writer's copy intact.
+    Unlike span_scrub (which scrubs every duplicated 3-token shingle,
+    common phrases included), only maximal runs of consecutive
+    duplicate shingles long enough to be a copied PASSAGE are removed
+    — the canonical pretraining-pipeline pass that strips boilerplate
+    and quoted reuse without shredding ordinary prose.
+
+    Per doc: the number of removed spans, the covered-token count, and
+    the md5 of the scrubbed text (the doc_pii_scrub output contract —
+    the gate hash certifies the exact rebuilt string without shipping
+    it).
+
+    Plan shape at 100 TB: positional shingles explode in-row from one
+    token scan; first-writer attribution is ONE map-side-combined
+    shuffle on the shingle key and the occurrence⋈first join reuses
+    that partitioning (never all-pairs — the shingle is the blocking
+    key); runs/coverage/rebuild are doc_id-partitioned windows and
+    aggregates bounded by document length, riding the doc_id exchange
+    the scan was repartitioned on. Within-doc repeats where the doc IS
+    the first writer are kept (cross-doc rule, matching
+    shingle_novelty's attribution grain)."""
+    p = spark.sparkContext.defaultParallelism
+    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
+    t = d.select("doc_id", F.expr(_TOKENS_SPARK).alias("toks"))
+    occ = positional_shingles(t)
+    first = occ.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    dup = (
+        occ.join(first, "shingle")
+        .filter(F.col("first_doc") < F.col("doc_id"))
+        .select("doc_id", "i")
+    )
+    runs = qualifying_dup_runs(dup)
+    # expand each qualifying run back to per-start occurrences; the
+    # shared coverage helper merges overlapping runs and W-1 tails
+    starts = runs.select(
+        "doc_id", F.explode(F.expr("sequence(a, b)")).alias("i")
+    )
+    cov = coverage_from_dup_occurrences(starts)
+    n_spans = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans")
+    )
+    out = rebuild_scrubbed(t, cov)
+    return (
+        out.join(n_spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            "n_removed",
+            F.md5(F.encode("scrubbed", "UTF-8")).alias("scrubbed_md5"),
+        )
+    )
+
+
+SPAN_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+), occ AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - {SHINGLE_W - 1}, 0))) AS i
+  FROM t
+), sh AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(toks, i, i + {SHINGLE_W - 1}), ' ') AS shingle
+  FROM occ
+), first AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1
+), dup AS (
+  SELECT s.doc_id, s.i FROM sh s JOIN first f USING (shingle)
+  WHERE f.first_doc < s.doc_id
+), grp AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM dup
+), runs AS (
+  SELECT doc_id, min(i) AS a, max(i) AS b
+  FROM grp GROUP BY doc_id, g
+  HAVING max(i) - min(i) >= {SPAN_MIN_TOKENS - SHINGLE_W}
+), pos AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(a, b + {SHINGLE_W - 1})) AS p
+  FROM runs
+), cov AS (
+  SELECT doc_id, list_sort(list(p)) AS cov FROM pos GROUP BY doc_id
+), spans AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM runs GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_toks,
+       CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(len(cov), 0) AS BIGINT) AS n_removed,
+       CASE WHEN toks IS NULL THEN NULL
+            ELSE md5(coalesce(array_to_string(
+                   list_filter(toks, (x, j) -> NOT list_contains(coalesce(cov, []), j)), ' '), ''))
+       END AS scrubbed_md5
+FROM t LEFT JOIN cov USING (doc_id) LEFT JOIN spans USING (doc_id)
+"""
+
+
 # --- market-basket part affinity --------------------------------------------
 
 BASKET_MIN_SUPPORT = 2

@@ -560,6 +560,8 @@ register("doc_source_kl", _ca.SOURCE_KL_SQL,
          doc="Pairwise source KL divergence over the top-M head vocabulary (bounded grid, add-one smoothing, pico fixed-point)")(_ca.source_kl)
 register("doc_span_scrub", _ca.SPAN_SCRUB_SQL,
          doc="Duplicate-span REMOVAL (arXiv:2107.06499 at shingle granularity): first-writer attribution, merged covered positions, filter-by-index text rebuild")(_ca.span_scrub)
+register("doc_span_dedup", _ca.SPAN_DEDUP_SQL,
+         doc="Length-gated exact-substring dedup (arXiv:2107.06499 ExactSubstr / C4 repeated-span rule): only maximal duplicate-shingle runs >= SPAN_MIN_TOKENS tokens are removed, first writer keeps its copy; per-doc span/token removal audit + scrubbed-text md5")(_ca.span_dedup)
 register("doc_source_overlap", _ca.SOURCE_OVERLAP_SQL,
          doc="Cross-source contamination: pairwise shingle containment/Jaccard between sources")(_ca.source_overlap)
 register("embed_topk_per_label", _ca.TOPK_PER_LABEL_SQL,

@@ -104,6 +104,10 @@ FUZZED_QUERIES = [
     # reach all-removed docs (the empty-list stringify trap) and
     # overlapping-span merges
     "doc_span_scrub",
+    # length-gated ExactSubstr variant: forced exact copies are the
+    # only fuzz docs long enough to clear SPAN_MIN_TOKENS, so the
+    # gate's HAVING boundary and the all-removed md5('') both fire
+    "doc_span_dedup",
     # BPE training: duplicate-heavy corpora and non-ASCII symbols hit
     # the argmax tiebreak and the replace-trick application in lockstep
     "doc_bpe_train_merges",

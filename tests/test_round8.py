@@ -33,3 +33,119 @@ def test_standard_scaler_exact_past_bigint_overflow(spark):
     for i, x in enumerate(xs):
         want = math.floor(float(x * n - sx) / den * 1_000_000 + 0.5)
         assert got[i] == want, (i, got[i], want)
+
+
+def test_span_dedup_removes_exactly_the_long_copy(spark, tmp_path):
+    """ExactSubstr semantics: a doc embedding a verbatim >=
+    SPAN_MIN_TOKENS-token copy of an earlier doc's passage loses
+    EXACTLY that passage (first writer untouched); a shorter verbatim
+    copy is below the length gate and survives intact — the contract
+    that separates span_dedup from shingle-grain span_scrub."""
+    import hashlib
+
+    from maillog2db_spark.operators import corpus_analytics as ca
+
+    span = ("alpha bravo charlie delta echo foxtrot golf hotel"
+            " india juliet kilo lima mike november")  # 14 tokens
+    a = span
+    b = "start padding words " + span + " end padding here"
+    c = "totally new thoughts alpha bravo charlie delta echo foxtrot plus more fresh prose"
+    rows = [(0, a, "en", "s", len(a)), (1, b, "en", "s", len(b)),
+            (2, c, "en", "s", len(c))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: r for r in ca.span_dedup(spark, str(tmp_path)).collect()}
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # first writer: untouched
+    assert out[0].n_spans == 0 and out[0].n_removed == 0
+    assert out[0].scrubbed_md5 == md5(a)
+    # the 14-token copy is one qualifying span; exactly it is removed
+    assert out[1].n_spans == 1 and out[1].n_removed == 14
+    assert out[1].scrubbed_md5 == md5("start padding words end padding here")
+    # the 6-token copy is duplicated but below the 12-token gate
+    assert out[2].n_spans == 0 and out[2].n_removed == 0
+    assert out[2].scrubbed_md5 == md5(c)
+
+
+def test_streaming_span_gate_matches_batch(spark, tmp_path_factory):
+    """The admission gate, fed doc_id-monotone waves, serves EXACTLY
+    the batch twin's verdicts (doc_span_dedup + the shared threshold
+    expression); fresh-checkpoint replay and a crash-window re-ingest
+    change nothing; an out-of-order batch raises."""
+    import os
+    import shutil as _sh
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_span_gate as sg
+    from maillog2db_spark.operators import corpus_analytics as ca
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    want = sorted(
+        map(tuple, sg.gate_verdicts_from(ca.span_dedup(spark, sf)).collect())
+    )
+    # the gate must DO something on this corpus: both verdicts present
+    admitted = {w[-1] for w in want}
+    assert admitted == {True, False}, "corpus exercises only one verdict"
+
+    d = tmp_path_factory.mktemp("span_gate")
+    src = d / "docs"
+    src.mkdir()
+    for i, (lo, hi) in enumerate([(None, 170), (170, 340), (340, None)]):
+        w = docs
+        if lo is not None:
+            w = w.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            w = w.filter(F.col("doc_id") < hi)
+        tmp = d / f"_tmp{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"wave{i}.parquet"
+        _sh.move(str(part), str(dest))
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+        _sh.rmtree(tmp)
+
+    store = sg.SpanGateStore(str(d / "store"), n_buckets=4)
+    q = sg.start_span_gate_stream(
+        spark, str(src), store, str(d / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+    assert sorted(map(tuple, store.read_verdicts(spark).collect())) == want
+
+    # fresh-checkpoint replay: ledger skips every wave, verdicts stable
+    q2 = sg.start_span_gate_stream(
+        spark, str(src), store, str(d / "ckpt2"), available_now=True
+    )
+    q2.awaitTermination(300)
+    assert sorted(map(tuple, store.read_verdicts(spark).collect())) == want
+
+    # crash inside the commit window: drop batch 1's ledger mark and
+    # re-ingest directly — provenance filtering makes it converge
+    os.remove(store._ledger(1))
+    sg.span_gate_ingest_batch(
+        spark,
+        docs.filter((F.col("doc_id") >= 170) & (F.col("doc_id") < 340)),
+        store,
+        1,
+    )
+    assert sorted(map(tuple, store.read_verdicts(spark).collect())) == want
+
+    # out-of-order batch: earlier doc_ids after later ones must raise —
+    # already-served first-writer verdicts cannot be revised
+    store2 = sg.SpanGateStore(str(d / "store2"), n_buckets=4)
+    sg.span_gate_ingest_batch(
+        spark, docs.filter(F.col("doc_id") >= 170), store2, 0
+    )
+    with pytest.raises(ValueError, match="doc_id-monotone"):
+        sg.span_gate_ingest_batch(
+            spark, docs.filter(F.col("doc_id") < 170), store2, 1
+        )
