@@ -694,6 +694,28 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_tok_syms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached tok-keyed BPE training result — two registered
+    consumers (the encode stats and the fertility grid), so the merge
+    loop runs once per (session, sf_dir): the ``_wp_tok_syms`` /
+    ``_uni_state`` materialize-once framing. (Round-8: the fertility
+    grid's bench pair showed BPE re-training on EVERY call — the one
+    trainer of the three without a session cache.)"""
+    from .dedup import _CORPUS_CACHE
+
+    io.ensure_session_conf(spark)
+    per_session = _CORPUS_CACHE.setdefault(spark, {})
+    key = (sf_dir, "bpe_tok_syms")
+    st = per_session.get(key)
+    if st is None:
+        st, _merges = _bpe_train(
+            spark, _bpe_words(spark, sf_dir, with_tok=True), BPE_TRAIN_ITERS,
+            keys=("tok", "freq"),
+        )
+        per_session[key] = st
+    return st
+
+
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY the trained BPE merges (the encode path to
     `bpe_train_merges`' train path): run the same BPE_TRAIN_ITERS
@@ -709,10 +731,7 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (word → n_symbols) table — AQE broadcasts it — and one per-doc
     aggregate. Compression is an exact-integer ppm ratio."""
     docs = io.load(spark, sf_dir, "documents")
-    syms, _merges = _bpe_train(
-        spark, _bpe_words(spark, sf_dir, with_tok=True), BPE_TRAIN_ITERS,
-        keys=("tok", "freq"),
-    )
+    syms = _bpe_tok_syms(spark, sf_dir)
     enc = syms.select("tok", F.size(F.split("s", " ")).alias("n_syms"))
     per_doc = (
         docs.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
@@ -2258,38 +2277,79 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     per system. This is the decision step between the encode paths: a
     team picking a tokenizer reads exactly this grid.
 
-    Pure composition: each system's per-doc stats ARE the registered
-    encode queries (`bpe_encode_stats`, `unigram_encode_stats`,
-    `wordpiece_encode_stats` — same expression trees), rolled up to
-    corpus grain with exact-integer ppm ratios. No new scoring
-    machinery, so a green hash here re-binds all three trainers and
-    encoders through a second aggregation shape.
+    Pure composition: each system's per-word symbol counts come from
+    the SAME session-cached trained state the registered encode
+    queries use (`bpe_encode_stats`, `unigram_encode_stats`,
+    `wordpiece_encode_stats`), so a green hash here re-binds all
+    three trainers and encoders through a second aggregation shape.
 
-    Scale: both per-doc tables are doc-grain with vocab-grain joins
-    (the encode deployment shape); the rollup is one map-side-combined
-    aggregate per system over doc-grain rows."""
-    def grid(per_doc: DataFrame, units_col: str, system: str) -> DataFrame:
-        return per_doc.agg(
-            F.lit(system).alias("system"),
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_tokens").cast("bigint").alias("n_words"),
-            F.sum(units_col).cast("bigint").alias("n_units"),
-            F.expr(
-                f"CAST(sum({units_col}) * 1000000 div sum(n_tokens) "
-                "AS BIGINT)"
-            ).alias("fertility_ppm"),
-            F.expr(
-                f"CAST(sum(n_tokens) * 1000000 div sum({units_col}) "
-                "AS BIGINT)"
-            ).alias("compression_ppm"),
-        )
-
-    bpe = grid(bpe_encode_stats(spark, sf_dir), "n_bpe_symbols", "bpe")
-    uni = grid(unigram_encode_stats(spark, sf_dir), "n_pieces", "unigram")
-    wp = grid(
-        wordpiece_encode_stats(spark, sf_dir), "n_wp_symbols", "wordpiece"
+    Scale (round-8 shared-scan rewrite): the three per-system vocab
+    tables merge into ONE (tok → bpe/uni/wp symbol counts) enc table
+    — vocab-grain joins — and the corpus is touched ONCE: one token
+    explode, one AQE-broadcast enc join, one aggregate producing all
+    three unit sums together (the prior formulation ran three
+    independent per-doc legs, i.e. three corpus scans and a full BPE
+    re-train per call — measured 4.6 s at sf0.1, vs ~1.4 s fused).
+    Every system covers every token by construction (BPE/WordPiece
+    train on the full word table; unigram's over-cap words encode as
+    characters), which is WHY the three legs always agreed on
+    n_docs/n_words and the inner 3-way join drops nothing. The 3-row
+    grid unpivots from the single corpus-grain row; empty corpora
+    keep the legacy NULL shape via nullif."""
+    docs = io.load(spark, sf_dir, "documents")
+    dtoks = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("tok")
     )
-    return bpe.unionByName(uni).unionByName(wp)
+    bpe_enc = _bpe_tok_syms(spark, sf_dir).select(
+        "tok", F.size(F.split("s", " ")).cast("bigint").alias("bpe_syms")
+    )
+    wp_enc = _wp_tok_syms(spark, sf_dir).select(
+        "tok", F.size(F.split("s", " ")).cast("bigint").alias("wp_syms")
+    )
+    words, _counts, lp = _uni_state(spark, sf_dir)
+    if lp is None:
+        uni_enc = spark.createDataFrame([], "tok string, uni_syms bigint")
+    else:
+        seg = _uni_segment(words, lp).select(
+            "tok", F.size("ps").cast("bigint").alias("uni_syms")
+        )
+        fallback = (
+            dtoks.filter(F.length("tok") > UNI_MAX_WORD)
+            .select("tok")
+            .distinct()
+            .select("tok", F.length("tok").cast("bigint").alias("uni_syms"))
+        )
+        uni_enc = seg.unionByName(fallback)
+    enc = bpe_enc.join(uni_enc, "tok").join(wp_enc, "tok")
+    tot = dtoks.join(enc, "tok").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.expr("nullif(count(*), 0)").cast("bigint").alias("n_words"),
+        F.sum("bpe_syms").cast("bigint").alias("bpe_units"),
+        F.sum("uni_syms").cast("bigint").alias("uni_units"),
+        F.sum("wp_syms").cast("bigint").alias("wp_units"),
+    )
+    sys_units = F.explode(
+        F.array(
+            F.struct(F.lit("bpe").alias("system"),
+                     F.col("bpe_units").alias("n_units")),
+            F.struct(F.lit("unigram").alias("system"),
+                     F.col("uni_units").alias("n_units")),
+            F.struct(F.lit("wordpiece").alias("system"),
+                     F.col("wp_units").alias("n_units")),
+        )
+    )
+    return tot.select(sys_units.alias("s"), "n_docs", "n_words").select(
+        F.col("s.system").alias("system"),
+        "n_docs",
+        "n_words",
+        F.col("s.n_units").alias("n_units"),
+        F.expr(
+            "CAST(s.n_units * 1000000 div n_words AS BIGINT)"
+        ).alias("fertility_ppm"),
+        F.expr(
+            "CAST(n_words * 1000000 div s.n_units AS BIGINT)"
+        ).alias("compression_ppm"),
+    )
 
 
 # oracle: each system's per-doc SQL wrapped as a derived table (DuckDB
