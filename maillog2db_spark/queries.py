@@ -665,45 +665,45 @@ register("doc_normalized_dedup", _tn.NORMALIZED_DEDUP_SQL,
 # r4/r5/r6 driver verdict on code unchanged since that verdict.
 
 _PRIORITY = [
-    # 1. never driver-verified (new in r7), plus the fertility grid
-    # whose shared composition gained the third (WordPiece) system
-    "embed_kcenter_coreset", "doc_wordpiece_train",
+    # 1. never driver-verified (new in r8)
+    "doc_span_dedup",
+    # 2. shared code changed in r8 — the four advisor fixes (floor
+    # fixed-point autocorr/k-center, DECIMAL(38) scaler moments, the
+    # short-gap CV2 branch), the fused fertility grid, and the BPE
+    # session cache. The three encode queries precede the fertility
+    # grid ON PURPOSE: bench runs registry order, so the trainers are
+    # warm when the grid's raw-run pair is measured.
+    "ev_user_daily_autocorr", "embed_kcenter_coreset",
+    "embed_standard_scaler", "ev_bot_score",
+    "doc_bpe_encode_stats", "doc_unigram_encode_stats",
     "doc_wordpiece_encode_stats", "doc_tokenizer_fertility",
-    "doc_zipf_fit", "ev_bot_score", "ev_changepoint_cusum",
-    "li_part_croston", "embed_standard_scaler", "doc_rake_keywords",
-    "mm_phash_neardup", "mm_jpeg_color_roundtrip", "mm_phash_clusters",
-    "mm_audio_fingerprint", "mm_audio_neardup", "mm_video_phash",
-    "mm_video_phash_neardup", "doc_pii_scrub",
-    # 2. shared code changed since last verdict — including the two
-    # sf0.1-sweep determinism fixes (exact-moment autocorr, floor
-    # fixed-point MAD)
-    "ev_user_daily_autocorr", "ev_value_mad_anomaly",
-    "mm_jpeg_roundtrip", "mm_png_roundtrip", "mm_frame_sample",
-    "mm_wav_loudness",
-    "doc_bm25_topk", "doc_hybrid_rrf_topk", "doc_retrieval_label_eval",
-    # 3. r3-verdict backfill (all of them)
-    "customers_without_orders", "distinct_counts", "doc_normalized_dedup",
-    "doc_profile", "doc_shingle_novelty", "doc_source_overlap",
-    "doc_unigram_lm_score", "embed_topk_per_label", "ev_daily_active_users",
-    "ev_funnel_conversion", "ev_props_json_stats", "ev_top_users",
-    "ev_tumbling_hourly", "ev_value_anomaly", "ord_customer_gaps",
-    "pivot_returnflag", "price_percentiles", "rollup_sales",
-    "set_ops_customers", "top_customers_per_nation",
-    # 4. oldest r4-verdict backfill to fill the window
-    "doc_blocked_jaccard", "doc_bloom_decontaminate", "doc_bpe_token_stats",
+    "doc_span_scrub",
+    # 3. oldest-verdict backfill (r4) — the twelve entries the r7
+    # window displaced, then the rest of the r4 cohort
+    "doc_chunks", "doc_corpus_pipeline", "doc_decontaminate",
+    "doc_exact_dedup", "doc_language_id", "doc_length_deciles",
+    "doc_lsh_candidate_pairs", "doc_minhash_signatures",
+    "doc_neardup_clusters", "doc_neardup_pairs", "doc_ngram_topk",
+    "ml_parse_header", "ml_router_counts", "ml_logs", "ml_clients",
+    "ml_messages", "ml_deliveries", "ml_delivery_typed",
+    "ml_relay_latency", "ml_msg_delivery_join", "ml_pii_scrub",
+    "ml_admission_stats",
+    "tpch_q13_order_distribution", "tpch_q16_supplier_counts",
+    "doc_simhash", "doc_simhash_neardup",
+    "embed_knn_bruteforce", "embed_lsh_buckets", "embed_label_centroids",
+    "embed_ann_ivf_topk", "embed_quantize_int8", "embed_cosine_neardup",
+    "doc_token_stats", "doc_quality_score", "doc_rolling_fingerprint",
+    "doc_tfidf_topk", "mm_binary_meta",
+    "doc_repetition_stats", "doc_winnowing", "ev_retention_cohorts",
     # ---- 50-entry window boundary ----
-    # (the twelve late-session r7 window entries above — nine new
-    # queries, the recomposed fertility grid, and the two sf0.1-sweep
-    # determinism fixes — displaced doc_chunks / doc_corpus_pipeline /
-    # doc_decontaminate /
-    # doc_distinct_tokens_approx / doc_exact_dedup / doc_language_id /
-    # doc_length_deciles / doc_lsh_candidate_pairs /
-    # doc_minhash_signatures / doc_neardup_clusters /
-    # doc_neardup_pairs / doc_ngram_topk from the r4 backfill — those
-    # keep their green r4 verdicts on unchanged code and rotate in
-    # next round)
-    # The tail keeps its most recent green driver verdict (r4/r5/r6)
-    # on code unchanged since that verdict.
+    # Still r4-age after this window (rotate in r9): the four
+    # rows-only approx sketches (ml_relay_latency_approx,
+    # price_percentiles_approx, doc_distinct_tokens_approx,
+    # doc_token_hll_rollup — each carries its own accuracy
+    # differential test) plus doc_chunks-family samplers
+    # (doc_pack_bins, doc_stratified_sample, doc_source_mix) on
+    # unchanged code. Everything below the window keeps its most
+    # recent green driver verdict (r4-r7) on code unchanged since.
 ]
 
 REGISTRY = {
