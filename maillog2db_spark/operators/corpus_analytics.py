@@ -115,6 +115,61 @@ FROM scored GROUP BY doc_id
 """
 
 
+# --- CCNet perplexity buckets (Wenzek et al. 2020) ---------------------------
+
+CCNET_BUCKETS = 3  # head / middle / tail — the paper's split
+
+
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's defining output (Wenzek et al. 2020, "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data",
+    arXiv:1911.00359): per LANGUAGE, rank documents by LM perplexity
+    and cut the distribution into head/middle/tail thirds — the
+    bucket-by-fluency table a pretraining mix is composed from (train
+    on head+middle, sample tail). Perplexity proxy = the registered
+    unigram-LM avg NLL (ppm-exact); bucket 1 = head (most fluent).
+
+    Output is the (lang × bucket) summary grid: doc count and the NLL
+    boundaries of each bucket — the cut table CCNet publishes per
+    language.
+
+    Scale shape: the ntile partitions BY LANGUAGE (the length_deciles
+    discipline — each language sorts independently in its own
+    partitions, never a global single-partition sort), over the
+    DOC-GRAIN score table, not the token stream; the summary grid is
+    a languages×3 aggregate. Ties rank deterministically on
+    (avg_nll_ppm, doc_id) on both engines."""
+    per_doc = unigram_lm_score(spark, sf_dir)
+    langs = io.load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("avg_nll_ppm", "doc_id")
+    scored = per_doc.join(langs, "doc_id").select(
+        "lang",
+        "avg_nll_ppm",
+        F.ntile(CCNET_BUCKETS).over(w).cast("int").alias("bucket"),
+    )
+    return scored.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("avg_nll_ppm").alias("min_nll_ppm"),
+        F.max("avg_nll_ppm").alias("max_nll_ppm"),
+    )
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH per_doc AS ({UNIGRAM_LM_SCORE_SQL}),
+scored AS (
+  SELECT d.lang, p.avg_nll_ppm,
+         CAST(ntile({CCNET_BUCKETS}) OVER (
+           PARTITION BY d.lang ORDER BY p.avg_nll_ppm, p.doc_id
+         ) AS INT) AS bucket
+  FROM per_doc p JOIN documents d USING (doc_id)
+)
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       min(avg_nll_ppm) AS min_nll_ppm,
+       max(avg_nll_ppm) AS max_nll_ppm
+FROM scored GROUP BY lang, bucket
+"""
+
+
 # --- shingle novelty (substring-dedup attribution) -------------------------
 
 

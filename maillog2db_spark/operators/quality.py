@@ -436,3 +436,146 @@ SELECT doc_id,
        md5(regexp_replace(s2, '{PII_NUM_RE}', '[NUM]', 'g')) AS scrubbed_md5
 FROM steps2
 """
+
+
+# --- Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 A1.1) ----------
+
+# the published rule set, verbatim thresholds
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN_MIN = 3
+GOPHER_MEAN_LEN_MAX = 10
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021,
+    arXiv:2112.11446, Appendix A1.1 — the published heuristics MassiveWeb
+    was built with, reused by RefinedWeb/FineWeb): per document, each
+    rule's verdict plus the conjunction. Rules, with the paper's
+    thresholds verbatim:
+
+      * 50 <= word count <= 100,000
+      * mean word length in [3, 10]
+      * symbol-to-word ratio ('#' or '...') <= 0.1
+      * <= 90% of lines start with a bullet; <= 30% end with '...'
+      * >= 80% of words contain an alphabetic character
+      * >= 2 of the 8 Gopher stopwords appear
+
+    Everything is one map-only projection — token arrays, line splits
+    and regexp counts are in-row expressions (no shuffle, no Python),
+    exactly the shape a 100 TB filtering pass wants; a pipeline would
+    write `passes` back through the same projection. All ratios are
+    exact-integer comparisons (cross-multiplied, never a float), so
+    both engines agree bit-for-bit; every flag is a REAL boolean
+    (coalesce-false) — empty or NULL-text docs fail each rule outright,
+    which also keeps the cross-engine gate free of NULL-boolean
+    stringification drift (the fuzz-found None-vs-nan hash flip)."""
+    d = io.load(spark, sf_dir, "documents")
+    toks = F.expr(_TOKENS_SPARK)
+    out = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.expr("size(split(text, '\n'))").cast("bigint").alias("n_lines"),
+        F.expr(
+            "CAST(size(filter(split(text, '\n'),"
+            " l -> l rlike '^\\\\s*[-*•]')) AS BIGINT)"
+        ).alias("n_bullet"),
+        F.expr(
+            "CAST(size(filter(split(text, '\n'),"
+            " l -> l rlike '\\\\.\\\\.\\\\.\\\\s*$')) AS BIGINT)"
+        ).alias("n_ellipsis"),
+        (
+            F.regexp_count("text", F.lit("#"))
+            + F.regexp_count("text", F.lit(r"\.\.\."))
+        ).cast("bigint").alias("n_symbols"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_words"),
+        F.expr(
+            "CAST(aggregate(toks, 0L, (a, x) -> a + length(x)) AS BIGINT)"
+        ).alias("sum_chars"),
+        F.expr(
+            "CAST(size(filter(toks, x -> x rlike '[a-z]')) AS BIGINT)"
+        ).alias("n_alpha"),
+        F.expr(
+            "CAST(size(array_intersect(array_distinct(toks), array("
+            + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+            + "))) AS BIGINT)"
+        ).alias("n_stop"),
+        "n_lines", "n_bullet", "n_ellipsis", "n_symbols",
+    ).select(
+        "doc_id",
+        "n_words",
+        F.expr(
+            f"coalesce(n_words BETWEEN {GOPHER_MIN_WORDS}"
+            f" AND {GOPHER_MAX_WORDS}, false)"
+        ).alias("word_count_ok"),
+        # coalesce(false): an empty-token doc FAILS the mean-length
+        # rule (there is no mean) — and a NULL boolean column would
+        # stringify differently across engines (None vs nan) at the
+        # gate; every flag stays a real boolean
+        F.expr(
+            "coalesce(sum_chars * 1000000 div nullif(n_words, 0)"
+            f" BETWEEN {GOPHER_MEAN_LEN_MIN * 1_000_000}"
+            f" AND {GOPHER_MEAN_LEN_MAX * 1_000_000}, false)"
+        ).alias("mean_len_ok"),
+        F.expr("coalesce(n_symbols * 10 <= n_words, false)").alias("symbol_ok"),
+        F.expr("coalesce(n_bullet * 10 <= n_lines * 9, false)").alias("bullet_ok"),
+        F.expr("coalesce(n_ellipsis * 10 <= n_lines * 3, false)").alias("ellipsis_ok"),
+        F.expr("coalesce(n_alpha * 10 >= n_words * 8, false)").alias("alpha_ok"),
+        F.expr("coalesce(n_stop >= 2, false)").alias("stopword_ok"),
+    ).withColumn(
+        "passes",
+        F.expr(
+            "word_count_ok AND mean_len_ok AND symbol_ok AND bullet_ok"
+            " AND ellipsis_ok AND alpha_ok AND stopword_ok"
+        ),
+    )
+    return out
+
+
+GOPHER_RULES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKENS_DUCK} AS toks FROM documents
+), feats AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+           AS sum_chars,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(list_intersect(list_distinct(toks),
+              [{", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)}]))
+              AS BIGINT) AS n_stop,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(string_split(text, chr(10)),
+              l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT)
+           AS n_bullet,
+         CAST(len(list_filter(string_split(text, chr(10)),
+              l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS BIGINT)
+           AS n_ellipsis,
+         CAST(len(regexp_extract_all(text, '#')) +
+              len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+           AS n_symbols
+  FROM t
+), flags AS (
+  SELECT doc_id, n_words,
+         coalesce(n_words BETWEEN {GOPHER_MIN_WORDS}
+           AND {GOPHER_MAX_WORDS}, false) AS word_count_ok,
+         coalesce(sum_chars * 1000000 // nullif(n_words, 0)
+           BETWEEN {GOPHER_MEAN_LEN_MIN * 1_000_000}
+           AND {GOPHER_MEAN_LEN_MAX * 1_000_000}, false) AS mean_len_ok,
+         coalesce(n_symbols * 10 <= n_words, false) AS symbol_ok,
+         coalesce(n_bullet * 10 <= n_lines * 9, false) AS bullet_ok,
+         coalesce(n_ellipsis * 10 <= n_lines * 3, false) AS ellipsis_ok,
+         coalesce(n_alpha * 10 >= n_words * 8, false) AS alpha_ok,
+         coalesce(n_stop >= 2, false) AS stopword_ok
+  FROM feats
+)
+SELECT doc_id, n_words, word_count_ok, mean_len_ok, symbol_ok,
+       bullet_ok, ellipsis_ok, alpha_ok, stopword_ok,
+       (word_count_ok AND mean_len_ok AND symbol_ok AND bullet_ok
+        AND ellipsis_ok AND alpha_ok AND stopword_ok) AS passes
+FROM flags
+"""

@@ -479,6 +479,8 @@ from .operators import quality as _ql  # noqa: E402
 
 register("doc_repetition_stats", _ql.REPETITION_STATS_SQL,
          doc="Gopher-rule repetition profile: top-unigram + dup n-gram fractions, keep/drop flag")(_ql.repetition_stats)
+register("doc_gopher_rules", _ql.GOPHER_RULES_SQL,
+         doc="The full Gopher quality-filter rule set (Rae et al. 2021 A1.1, thresholds verbatim): word count, mean word length, symbol/bullet/ellipsis ratios, alpha-word share, stopword presence — per-rule verdicts + conjunction, one map-only projection")(_ql.gopher_rules)
 register("doc_winnowing", _ql.WINNOWING_SQL,
          doc="Winnowing (MOSS) fingerprint selection: window-min of k-gram hashes, zero shuffles")(_ql.winnowing_fingerprints)
 register("doc_char_entropy", _ql.CHAR_ENTROPY_SQL,
@@ -560,6 +562,8 @@ register("doc_source_kl", _ca.SOURCE_KL_SQL,
          doc="Pairwise source KL divergence over the top-M head vocabulary (bounded grid, add-one smoothing, pico fixed-point)")(_ca.source_kl)
 register("doc_span_scrub", _ca.SPAN_SCRUB_SQL,
          doc="Duplicate-span REMOVAL (arXiv:2107.06499 at shingle granularity): first-writer attribution, merged covered positions, filter-by-index text rebuild")(_ca.span_scrub)
+register("doc_ccnet_buckets", _ca.CCNET_BUCKETS_SQL,
+         doc="CCNet head/middle/tail perplexity buckets per language (arXiv:1911.00359): unigram-LM NLL terciles via language-partitioned ntile, summary grid with bucket boundaries")(_ca.ccnet_buckets)
 register("doc_span_dedup", _ca.SPAN_DEDUP_SQL,
          doc="Length-gated exact-substring dedup (arXiv:2107.06499 ExactSubstr / C4 repeated-span rule): only maximal duplicate-shingle runs >= SPAN_MIN_TOKENS tokens are removed, first writer keeps its copy; per-doc span/token removal audit + scrubbed-text md5")(_ca.span_dedup)
 register("doc_source_overlap", _ca.SOURCE_OVERLAP_SQL,
@@ -666,7 +670,7 @@ register("doc_normalized_dedup", _tn.NORMALIZED_DEDUP_SQL,
 
 _PRIORITY = [
     # 1. never driver-verified (new in r8)
-    "doc_span_dedup",
+    "doc_span_dedup", "doc_gopher_rules", "doc_ccnet_buckets",
     # 2. shared code changed in r8 — the four advisor fixes (floor
     # fixed-point autocorr/k-center, DECIMAL(38) scaler moments, the
     # short-gap CV2 branch), the fused fertility grid, and the BPE
@@ -693,17 +697,17 @@ _PRIORITY = [
     "embed_knn_bruteforce", "embed_lsh_buckets", "embed_label_centroids",
     "embed_ann_ivf_topk", "embed_quantize_int8", "embed_cosine_neardup",
     "doc_token_stats", "doc_quality_score", "doc_rolling_fingerprint",
-    "doc_tfidf_topk", "mm_binary_meta",
-    "doc_repetition_stats", "doc_winnowing", "ev_retention_cohorts",
+    "doc_tfidf_topk", "mm_binary_meta", "doc_repetition_stats",
     # ---- 50-entry window boundary ----
     # Still r4-age after this window (rotate in r9): the four
     # rows-only approx sketches (ml_relay_latency_approx,
     # price_percentiles_approx, doc_distinct_tokens_approx,
     # doc_token_hll_rollup — each carries its own accuracy
-    # differential test) plus doc_chunks-family samplers
-    # (doc_pack_bins, doc_stratified_sample, doc_source_mix) on
-    # unchanged code. Everything below the window keeps its most
-    # recent green driver verdict (r4-r7) on code unchanged since.
+    # differential test) plus doc_winnowing / ev_retention_cohorts and
+    # the doc_chunks-family samplers (doc_pack_bins,
+    # doc_stratified_sample, doc_source_mix) on unchanged code.
+    # Everything below the window keeps its most recent green driver
+    # verdict (r4-r7) on code unchanged since.
 ]
 
 REGISTRY = {

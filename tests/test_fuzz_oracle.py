@@ -79,6 +79,13 @@ FUZZED_QUERIES = [
     # try_divide NULL-not-crash contract (ANSI divide-by-zero)
     "doc_token_stats",
     "doc_quality_score",
+    # Gopher rule set: unicode fuzz text stresses the line-split +
+    # regex dialects; empty-token docs hit the nullif mean guard and
+    # the false-AND-NULL conjunction on both engines
+    "doc_gopher_rules",
+    # CCNet terciles: tiny per-language groups hit the ntile ragged
+    # fill; dup-heavy corpora force (avg_nll_ppm, doc_id) tie chains
+    "doc_ccnet_buckets",
     "doc_bpe_token_stats",
     # unigram trainer: multi-byte chars reach the character-based
     # substring contract in both DP pyramids; dup-heavy tiny corpora

@@ -52,6 +52,7 @@ BNL_ALLOWED = {
     "tpch_q11_important_parts": [_SCALAR],
     "tpch_q22_dormant_customers": [_SCALAR],
     "doc_unigram_lm_score": [_SCALAR],
+    "doc_ccnet_buckets": [_SCALAR],  # composes the unigram-LM score
     "doc_bigram_lm_score": [_SCALAR],
     "doc_mink_prob": [_SCALAR],  # same 1-row vocab-total broadcast
     "li_part_pagerank": [_SCALAR],

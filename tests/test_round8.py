@@ -149,3 +149,54 @@ def test_streaming_span_gate_matches_batch(spark, tmp_path_factory):
         sg.span_gate_ingest_batch(
             spark, docs.filter(F.col("doc_id") < 170), store2, 1
         )
+
+
+def test_gopher_rules_verdicts_per_planted_class(spark, tmp_path):
+    """Planted rule-violation classes, thresholds per Rae et al. 2021
+    A1.1: a 60-word stopword-bearing prose doc passes; a short doc
+    fails word count only; a bullet-list doc fails the bullet rule; a
+    symbol-dense doc fails the symbol ratio; a digit-soup doc fails
+    the alpha-word share."""
+    from maillog2db_spark.operators.quality import gopher_rules
+
+    prose = ("the quick brown fox jumps over that lazy dog and runs off "
+             "to the river with great speed be sure of it have no doubt "
+             "about the story it tells us today " * 2).strip()  # 62 words
+    short = "the cat sat with the hat and that mat of be have"  # 12 words
+    filler = "word " * 55
+    bullets = "\n".join("- item " + str(i) for i in range(10))
+    symbols = (filler + "# " * 20 + "of the and that be have").strip()
+    digits = ("the of and that be have with to " + "1234 " * 60).strip()
+    rows = [
+        (0, prose), (1, short), (2, bullets), (3, symbols), (4, digits),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS LONG) AS n_chars",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in gopher_rules(spark, str(tmp_path)).collect()}
+    assert got[0].passes, got[0]
+    assert not got[1].passes and not got[1].word_count_ok \
+        and got[1].stopword_ok and got[1].mean_len_ok
+    assert not got[2].bullet_ok
+    assert not got[3].symbol_ok and got[3].stopword_ok
+    assert not got[4].alpha_ok and got[4].stopword_ok
+
+
+def test_ccnet_buckets_split_each_language_in_thirds(spark):
+    """The grid must partition every language's docs into ntile-thirds
+    with monotone non-overlapping NLL boundaries (head <= middle <=
+    tail) — checked on the real sf0.001 corpus."""
+    from maillog2db_spark.operators.corpus_analytics import ccnet_buckets
+
+    rows = ccnet_buckets(spark, "/root/testdata/sf0.001").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {1, 2, 3}, (lang, b)
+        n = sorted(b[k].n_docs for k in b)
+        assert n[-1] - n[0] <= 1, (lang, n)  # ntile balanced fill
+        assert b[1].max_nll_ppm <= b[2].min_nll_ppm <= b[2].max_nll_ppm \
+            <= b[3].min_nll_ppm, (lang, b)
