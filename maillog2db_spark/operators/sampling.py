@@ -534,3 +534,133 @@ SELECT doc_id, decile,
             % {SHUFFLE_SHARD_SIZE} AS BIGINT) AS slot
 FROM decs
 """
+
+
+# --- DoReMi-style mixture reweighting (Xie et al. 2023) ----------------------
+
+DOREMI_ITERS = 5          # unrolled in the oracle SQL; keep in sync
+DOREMI_ETA_PPM = 100_000  # Hedge learning rate η = 0.1
+
+
+def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture reweighting in the DoReMi family (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining", arXiv:2305.10429): run multiplicative-weights /
+    Hedge over per-SOURCE excess LM loss, upweighting domains the
+    reference model finds hard — the mixture-optimization step between
+    DSIR's example-level weights and the α-temperature policy's
+    count-only shares. The full method trains a proxy model per round;
+    this is the published update rule driven by the engine's unigram-LM
+    loss (the same reference-loss proxy the doc-level scorer uses).
+
+    Determinism: the textbook update w ← w·exp(η·excess) is libm
+    territory (Math.exp vs C exp may split an ulp, and T iterations
+    compound it), so the engine uses the STANDARD linearized Hedge
+    variant w ← w·(1 + η·excess) — exact bigint products with div
+    normalization, clamped at 1 so a strongly-easy domain can't go
+    non-positive. Every column is an exact integer on both engines;
+    the whole T-step trajectory is certified by the gate hash (the
+    kcenter/BPE unrolled-oracle pattern).
+
+    Plan shape: ONE token explode + the unigram vocab join (Zipf-
+    bounded, AQE-broadcast) + a map-side-combined groupBy(source);
+    everything after is sources-grain (a handful of rows) — the
+    iteration moves no corpus-scale data, same as the temperature
+    policy above."""
+    from .dedup import _TOKENS_SPARK
+
+    d = io.load(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .join(F.broadcast(total))
+        .select(
+            "source",
+            F.expr(
+                "CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1000000"
+                " + 0.5) AS BIGINT)"
+            ).alias("nll_ppm"),
+        )
+    )
+    src = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("nll_ppm").alias("s"),
+    )
+    ref = src.agg(F.expr("CAST(sum(s) div sum(n_tokens) AS BIGINT)").alias("ref"))
+    cur = (
+        src.join(F.broadcast(ref))
+        .select(
+            "source",
+            "n_tokens",
+            F.expr("CAST(s div n_tokens AS BIGINT)").alias("avg_nll_ppm"),
+            F.expr("CAST(s div n_tokens AS BIGINT) - ref").alias("excess_ppm"),
+            F.lit(1_000_000).cast("bigint").alias("w"),
+        )
+    )
+    for _ in range(DOREMI_ITERS):
+        cur = cur.withColumn(
+            "w",
+            F.expr(
+                f"greatest(w * (1000000 + {DOREMI_ETA_PPM} * excess_ppm"
+                " div 1000000) div 1000000, 1)"
+            ),
+        )
+    tw = cur.agg(F.sum("w").alias("tw"))
+    return cur.join(F.broadcast(tw)).select(
+        "source",
+        "n_tokens",
+        "avg_nll_ppm",
+        "excess_ppm",
+        F.expr("CAST(w * 1000000 div tw AS BIGINT)").alias("weight_ppm"),
+    )
+
+
+def _doremi_sql() -> str:
+    from .dedup import _TOKENS_DUCK
+
+    its = []
+    prev = "base"
+    for i in range(1, DOREMI_ITERS + 1):
+        its.append(f""", it{i} AS (
+  SELECT source, n_tokens, avg_nll_ppm, excess_ppm,
+         greatest(w * (1000000 + {DOREMI_ETA_PPM} * excess_ppm // 1000000)
+                  // 1000000, 1) AS w
+  FROM {prev}
+)""")
+        prev = f"it{i}"
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKENS_DUCK}) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab
+), scored AS (
+  SELECT source,
+         CAST(floor(-ln(cnt::DOUBLE / total) * 1000000 + 0.5) AS BIGINT)
+           AS nll_ppm
+  FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+), src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(nll_ppm) AS BIGINT) AS s
+  FROM scored GROUP BY 1
+), g AS (
+  SELECT CAST(sum(s) // sum(n_tokens) AS BIGINT) AS ref FROM src
+), base AS (
+  SELECT source, n_tokens,
+         CAST(s // n_tokens AS BIGINT) AS avg_nll_ppm,
+         CAST(s // n_tokens AS BIGINT) - ref AS excess_ppm,
+         CAST(1000000 AS BIGINT) AS w
+  FROM src CROSS JOIN g
+){''.join(its)}, tw AS (
+  SELECT CAST(sum(w) AS BIGINT) AS tw FROM {prev}
+)
+SELECT source, n_tokens, avg_nll_ppm, excess_ppm,
+       CAST(w * 1000000 // tw AS BIGINT) AS weight_ppm
+FROM {prev} CROSS JOIN tw
+"""
+
+
+DOREMI_WEIGHTS_SQL = _doremi_sql()

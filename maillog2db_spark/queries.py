@@ -520,6 +520,8 @@ register("doc_source_mix", _smp.SOURCE_MIX_SQL,
          doc="Weighted source mixing: fractional up/downsampling with deterministic copies")(_smp.source_mix)
 register("doc_source_temperature_mix", _smp.SOURCE_TEMPERATURE_MIX_SQL,
          doc="Alpha-temperature source sampling policy (mT5-style, alpha=0.5 via correctly-rounded sqrt): exact-integer shares and boost factors")(_smp.source_temperature_mix)
+register("doc_doremi_weights", _smp.DOREMI_WEIGHTS_SQL,
+         doc="DoReMi-family mixture reweighting (arXiv:2305.10429): linearized Hedge over per-source excess unigram-LM loss, exact bigint trajectory (no libm exp), whole T-step path certified by the gate hash")(_smp.doremi_weights)
 register("doc_epoch_shuffle", _smp.EPOCH_SHUFFLE_SQL,
          doc="Deterministic per-epoch training-order export: md5-keyed permutation per epoch via ONE composite two-phase distributed rank (no per-epoch single-task sort), (pos, shard, slot) layout")(_smp.epoch_shuffle)
 register("doc_weighted_sample", _smp.WEIGHTED_SAMPLE_SQL,
@@ -671,6 +673,7 @@ register("doc_normalized_dedup", _tn.NORMALIZED_DEDUP_SQL,
 _PRIORITY = [
     # 1. never driver-verified (new in r8)
     "doc_span_dedup", "doc_gopher_rules", "doc_ccnet_buckets",
+    "doc_doremi_weights",
     # 2. shared code changed in r8 — the four advisor fixes (floor
     # fixed-point autocorr/k-center, DECIMAL(38) scaler moments, the
     # short-gap CV2 branch), the fused fertility grid, and the BPE
@@ -697,7 +700,7 @@ _PRIORITY = [
     "embed_knn_bruteforce", "embed_lsh_buckets", "embed_label_centroids",
     "embed_ann_ivf_topk", "embed_quantize_int8", "embed_cosine_neardup",
     "doc_token_stats", "doc_quality_score", "doc_rolling_fingerprint",
-    "doc_tfidf_topk", "mm_binary_meta", "doc_repetition_stats",
+    "doc_tfidf_topk", "mm_binary_meta",
     # ---- 50-entry window boundary ----
     # Still r4-age after this window (rotate in r9): the four
     # rows-only approx sketches (ml_relay_latency_approx,

@@ -172,6 +172,10 @@ FUZZED_QUERIES = [
     "doc_vocab_growth",
     # sqrt-exact policy shares on degenerate single-source corpora
     "doc_source_temperature_mix",
+    # linearized-Hedge trajectory: single-source corpora pin excess=0
+    # (weights stay uniform); dup-heavy corpora push extreme excesses
+    # through the greatest(...,1) clamp identically on both engines
+    "doc_doremi_weights",
     # DSIR: fuzz corpora have NO bench-source docs (sources s0/s1), so
     # the target model is all-zero counts — pure-smoothing terms; empty
     # and single-token docs take the zero-filled left-join path

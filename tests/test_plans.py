@@ -53,6 +53,7 @@ BNL_ALLOWED = {
     "tpch_q22_dormant_customers": [_SCALAR],
     "doc_unigram_lm_score": [_SCALAR],
     "doc_ccnet_buckets": [_SCALAR],  # composes the unigram-LM score
+    "doc_doremi_weights": [_SCALAR],  # vocab-total / ref / Σw 1-row sides
     "doc_bigram_lm_score": [_SCALAR],
     "doc_mink_prob": [_SCALAR],  # same 1-row vocab-total broadcast
     "li_part_pagerank": [_SCALAR],

@@ -184,6 +184,41 @@ def test_gopher_rules_verdicts_per_planted_class(spark, tmp_path):
     assert not got[4].alpha_ok and got[4].stopword_ok
 
 
+def test_doremi_upweights_the_hard_domain(spark, tmp_path):
+    """Hedge semantics: the domain whose tokens the reference LM finds
+    hard (rare vocabulary -> high excess NLL) must end with a HIGHER
+    mixture weight than the easy domain; weights stay a distribution
+    (sum within integer-truncation slack of 1e6); a single-domain
+    corpus pins excess = 0 and weight = 1e6."""
+    from maillog2db_spark.operators.sampling import doremi_weights
+
+    # 'easy' repeats a tiny vocabulary; 'hard' is all-distinct tokens
+    rows = []
+    for i in range(20):
+        rows.append((i, "the cat sat on the mat " * 3, "en", "easy", 0))
+    for i in range(20, 30):
+        rows.append((i, " ".join(f"rare{i}x{j}" for j in range(12)), "en",
+                     "hard", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.source: r for r in doremi_weights(spark, str(tmp_path)).collect()}
+    assert got["hard"].excess_ppm > 0 > got["easy"].excess_ppm
+    assert got["hard"].weight_ppm > got["easy"].weight_ppm
+    total = sum(r.weight_ppm for r in got.values())
+    assert 1_000_000 - len(got) <= total <= 1_000_000
+
+    single = tmp_path / "single"
+    single.mkdir()
+    df.filter("source = 'easy'").write.parquet(
+        str(single / "documents.parquet")
+    )
+    one = doremi_weights(spark, str(single)).collect()
+    assert len(one) == 1 and one[0].excess_ppm == 0 \
+        and one[0].weight_ppm == 1_000_000
+
+
 def test_ccnet_buckets_split_each_language_in_thirds(spark):
     """The grid must partition every language's docs into ntile-thirds
     with monotone non-overlapping NLL boundaries (head <= middle <=
