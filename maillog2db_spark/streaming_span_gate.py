@@ -126,8 +126,27 @@ def span_gate_ingest_batch(
     # doc_id-monotone contract: first-writer attribution is only equal
     # to the batch operator's global min if batch order ≡ doc_id order;
     # compare against PREDECESSOR batches only (a legal crash-window
-    # replay of batch b runs after b+1 already committed)
-    prev = store.read_verdicts(spark, before_batch=batch_id)
+    # replay of batch b runs after b+1 already committed). By the
+    # contract's own induction, the predecessors' max doc_id IS the
+    # LATEST predecessor's max — so the check reads ONE
+    # partition-pruned batch partition, O(1 batch), never the whole
+    # verdict history (the O(batches)-growth class the bot/cusum
+    # decades exist to rule out).
+    import os as _os
+
+    ledger_dir = _os.path.join(store.root, "_ledger")
+    preds = (
+        [int(e) for e in _os.listdir(ledger_dir)
+         if e.isdigit() and int(e) < batch_id]
+        if _os.path.isdir(ledger_dir) else []
+    )
+    prev = (
+        spark.read.parquet(store._path("verdicts")).filter(
+            F.col("batch_id") == max(preds)
+        )
+        if preds and store._exists("verdicts")
+        else None
+    )
     if prev is not None:
         prev_max = prev.agg(F.max("doc_id")).collect()[0][0]
         batch_min = t.agg(F.min("doc_id")).collect()[0][0]
