@@ -46,17 +46,51 @@ ANOMALY_Z = 3.0
 # --- unigram LM quality score ----------------------------------------------
 
 
+def _vocab_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (tok, nll_ppm) unigram-NLL vocabulary — the
+    corpus LM as a Zipf-bounded lookup table. THREE registered
+    consumers join the token stream against it (the per-doc LM score,
+    the CCNet buckets, the DoReMi reweighter), so the vocab aggregate
+    + the -ln quantization run once per (session, sf_dir): the
+    ``_wp_tok_syms`` materialize-once framing, at the cache grain the
+    100 TB shape wants (the vocabulary, never the corpus)."""
+    from .dedup import _CORPUS_CACHE
+
+    io.ensure_session_conf(spark)
+    per_session = _CORPUS_CACHE.setdefault(spark, {})
+    key = (sf_dir, "vocab_nll")
+    st = per_session.get(key)
+    if st is None:
+        toks = io.load(spark, sf_dir, "documents").select(
+            F.explode(F.expr(_TOKENS_SPARK)).alias("tok")
+        )
+        vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        total = vocab.agg(F.sum("cnt").alias("total"))
+        st = (
+            vocab.join(F.broadcast(total))
+            .select(
+                "tok",
+                F.expr(
+                    "CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1000000"
+                    " + 0.5) AS BIGINT)"
+                ).alias("nll_ppm"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        per_session[key] = st
+    return st
+
+
 def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document average negative log-likelihood under the corpus
     unigram MLE model — the cheap "perplexity" quality proxy (docs full
     of globally-rare tokens score high / unusual).
 
-    Plan shape: one explode of the materialized token arrays, ONE
-    map-side-combined groupBy for the vocabulary, a shuffle join of the
-    token stream back to vocab counts (at 100 TB the vocab is Zipf-
-    bounded — a few hundred MB — so AQE turns this into a broadcast
-    join automatically; the token stream itself never re-shuffles), and
-    a final per-doc aggregation.
+    Plan shape: one explode of the materialized token arrays joined
+    against the session-cached (tok, nll_ppm) vocabulary (_vocab_nll —
+    at 100 TB the vocab is Zipf-bounded, a few hundred MB, so AQE
+    turns this into a broadcast join; the token stream itself never
+    re-shuffles), and a final per-doc aggregation.
 
     Determinism: each token's -ln p is quantized to ppm fixed-point
     (integer) BEFORE the per-doc sum, so the cross-row aggregation is
@@ -68,17 +102,8 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(p, "doc_id")
         .select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
-    scored = (
-        toks.join(vocab, "tok")
-        .join(F.broadcast(total))
-        .select(
-            "doc_id",
-            F.expr(
-                "CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1000000 + 0.5) AS BIGINT)"
-            ).alias("nll_ppm"),
-        )
+    scored = toks.join(_vocab_nll(spark, sf_dir), "tok").select(
+        "doc_id", "nll_ppm"
     )
     return (
         scored.groupBy("doc_id")

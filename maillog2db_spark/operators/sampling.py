@@ -567,22 +567,13 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after is sources-grain (a handful of rows) — the
     iteration moves no corpus-scale data, same as the temperature
     policy above."""
+    from .corpus_analytics import _vocab_nll
     from .dedup import _TOKENS_SPARK
 
     d = io.load(spark, sf_dir, "documents")
     toks = d.select("source", F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
-    scored = (
-        toks.join(vocab, "tok")
-        .join(F.broadcast(total))
-        .select(
-            "source",
-            F.expr(
-                "CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1000000"
-                " + 0.5) AS BIGINT)"
-            ).alias("nll_ppm"),
-        )
+    scored = toks.join(_vocab_nll(spark, sf_dir), "tok").select(
+        "source", "nll_ppm"
     )
     src = scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
