@@ -579,3 +579,116 @@ SELECT doc_id, n_words, word_count_ok, mean_len_ok, symbol_ok,
         AND ellipsis_ok AND alpha_ok AND stopword_ok) AS passes
 FROM flags
 """
+
+
+# --- winnowing overlap detection (the MOSS pair report) ----------------------
+
+# The overlap pass uses LONGER grams than the per-doc fingerprint
+# profile above: k=24 chars ≈ a 4-5 word phrase, so only real copied
+# passages collide (k=8 on prose collides on function words — measured
+# 298k candidate pairs on the 500-doc gate corpus vs 125 here).
+OVERLAP_K = 24
+OVERLAP_W = 8
+# MOSS's stop-fingerprint rule: a fingerprint shared by more than this
+# many documents is boilerplate, not evidence — dropping it bounds the
+# per-fingerprint join fan-out at CAP*(CAP-1)/2 pairs (the LSH
+# BUCKET_CAP discipline).
+FP_DOC_CAP = 16
+OVERLAP_MIN_SHARED = 2
+
+
+def winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The detection half of MOSS (Schleimer, Wilkerson & Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting"): join
+    documents on shared winnowed fingerprints and report pairs with
+    >= OVERLAP_MIN_SHARED matches plus an exact containment ratio —
+    the plagiarism/copied-passage pair report the per-doc fingerprint
+    profile (winnowing_fingerprints above) exists to feed. The
+    guarantee carries over: any shared substring of
+    >= OVERLAP_K + OVERLAP_W - 1 chars shares a fingerprint.
+
+    Scale shape: fingerprints select in-row (zero shuffles), the
+    fingerprint is the BLOCKING key (one map-side-combined frequency
+    count, stop-fingerprints over FP_DOC_CAP dropped — the MOSS rule
+    that also caps join fan-out), and the pair aggregate is
+    sub-quadratic by construction: <= CAP²/2 pairs per fingerprint,
+    never an all-pairs comparison. Containment is an exact integer
+    ratio of shared to the smaller side's kept fingerprints."""
+    p = spark.sparkContext.defaultParallelism
+    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
+    grams = (
+        f"transform(sequence(1, length(text) - {OVERLAP_K - 1}), "
+        f"i -> substring(md5(substring(text, i, {OVERLAP_K})), 1, 16))"
+    )
+    sel = (
+        f"array_distinct(transform(sequence(1, size(grams) - {OVERLAP_W - 1}), "
+        f"j -> array_min(slice(grams, j, {OVERLAP_W}))))"
+    )
+    fps = (
+        d.filter(F.length("text") >= OVERLAP_K + OVERLAP_W - 1)
+        .select("doc_id", F.expr(grams).alias("grams"))
+        .select("doc_id", F.explode(F.expr(sel)).alias("fp"))
+    )
+    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("k"))
+    kept = fps.join(freq.filter(F.col("k") <= FP_DOC_CAP), "fp").select(
+        "doc_id", "fp"
+    )
+    n_kept = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= OVERLAP_MIN_SHARED)
+    )
+    return (
+        pairs.join(
+            n_kept.select(F.col("doc_id").alias("doc_a"),
+                          F.col("n_fps").alias("na")), "doc_a")
+        .join(
+            n_kept.select(F.col("doc_id").alias("doc_b"),
+                          F.col("n_fps").alias("nb")), "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_shared",
+            F.expr(
+                "CAST(n_shared * 1000000 div least(na, nb) AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+    )
+
+
+WINNOWING_OVERLAP_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text) - {OVERLAP_K - 1}),
+                        i -> substr(md5(substr(text, i, {OVERLAP_K})), 1, 16)) AS grams
+  FROM documents WHERE length(text) >= {OVERLAP_K + OVERLAP_W - 1}
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(grams) - {OVERLAP_W - 1}),
+                        j -> list_min(list_slice(grams, j, j + {OVERLAP_W - 1})))) AS fps
+  FROM g
+), e AS (
+  SELECT doc_id, unnest(fps) AS fp FROM s
+), freq AS (
+  SELECT fp, count(*) AS k FROM e GROUP BY 1
+), kept AS (
+  SELECT e.doc_id, e.fp FROM e JOIN freq USING (fp) WHERE k <= {FP_DOC_CAP}
+), n_kept AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps FROM kept GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {OVERLAP_MIN_SHARED}
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       CAST(p.n_shared * 1000000 // least(na.n_fps, nb.n_fps) AS BIGINT)
+         AS containment_ppm
+FROM pairs p
+JOIN n_kept na ON na.doc_id = p.doc_a
+JOIN n_kept nb ON nb.doc_id = p.doc_b
+"""

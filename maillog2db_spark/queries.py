@@ -483,6 +483,8 @@ register("doc_gopher_rules", _ql.GOPHER_RULES_SQL,
          doc="The full Gopher quality-filter rule set (Rae et al. 2021 A1.1, thresholds verbatim): word count, mean word length, symbol/bullet/ellipsis ratios, alpha-word share, stopword presence — per-rule verdicts + conjunction, one map-only projection")(_ql.gopher_rules)
 register("doc_winnowing", _ql.WINNOWING_SQL,
          doc="Winnowing (MOSS) fingerprint selection: window-min of k-gram hashes, zero shuffles")(_ql.winnowing_fingerprints)
+register("doc_winnowing_overlap", _ql.WINNOWING_OVERLAP_SQL,
+         doc="The MOSS detection half (Schleimer et al. 2003): pairs joined on shared winnowed fingerprints (24-char grams, stop-fingerprint cap bounds join fan-out), exact containment ppm — never all-pairs")(_ql.winnowing_overlap)
 register("doc_char_entropy", _ql.CHAR_ENTROPY_SQL,
          doc="Per-doc character Shannon entropy (junk/noise signal): in-expression histogram, zero shuffles, ppm-quantized terms")(_ql.char_entropy)
 register("dq_length_drift_psi", _ql.LENGTH_DRIFT_PSI_SQL,
@@ -673,7 +675,7 @@ register("doc_normalized_dedup", _tn.NORMALIZED_DEDUP_SQL,
 _PRIORITY = [
     # 1. never driver-verified (new in r8)
     "doc_span_dedup", "doc_gopher_rules", "doc_ccnet_buckets",
-    "doc_doremi_weights",
+    "doc_doremi_weights", "doc_winnowing_overlap",
     # 2. shared code changed in r8 — the four advisor fixes (floor
     # fixed-point autocorr/k-center, DECIMAL(38) scaler moments, the
     # short-gap CV2 branch), the fused fertility grid, and the BPE
@@ -700,7 +702,7 @@ _PRIORITY = [
     "embed_knn_bruteforce", "embed_lsh_buckets", "embed_label_centroids",
     "embed_ann_ivf_topk", "embed_quantize_int8", "embed_cosine_neardup",
     "doc_token_stats", "doc_quality_score", "doc_rolling_fingerprint",
-    "doc_tfidf_topk", "mm_binary_meta",
+    "doc_tfidf_topk",
     # ---- 50-entry window boundary ----
     # Still r4-age after this window (rotate in r9): the four
     # rows-only approx sketches (ml_relay_latency_approx,

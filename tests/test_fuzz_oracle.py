@@ -115,6 +115,10 @@ FUZZED_QUERIES = [
     # only fuzz docs long enough to clear SPAN_MIN_TOKENS, so the
     # gate's HAVING boundary and the all-removed md5('') both fire
     "doc_span_dedup",
+    # MOSS pair detection: forced exact copies collide on every
+    # fingerprint (containment = 1e6); the stop-fingerprint cap and
+    # the a<b dedup must agree cross-engine on dup-heavy corpora
+    "doc_winnowing_overlap",
     # BPE training: duplicate-heavy corpora and non-ASCII symbols hit
     # the argmax tiebreak and the replace-trick application in lockstep
     "doc_bpe_train_merges",

@@ -184,6 +184,30 @@ def test_gopher_rules_verdicts_per_planted_class(spark, tmp_path):
     assert not got[4].alpha_ok and got[4].stopword_ok
 
 
+def test_winnowing_overlap_finds_the_planted_copy(spark, tmp_path):
+    """MOSS guarantee at this parameterization: two docs sharing a
+    verbatim substring of >= OVERLAP_K + OVERLAP_W - 1 = 31 chars must
+    share a fingerprint; with >= 2 shared they pair. An unrelated doc
+    pairs with nobody."""
+    from maillog2db_spark.operators.quality import winnowing_overlap
+
+    span = "the quick brown fox jumps over the lazy dog near the river bank today"
+    a = "intro words here " + span + " closing remarks"
+    b = "different opening " + span + " and a different ending entirely"
+    c = "wholly unrelated content about databases and query optimizers"
+    rows = [(0, a), (1, b), (2, c)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS LONG) AS n_chars",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = winnowing_overlap(spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in got}
+    assert (0, 1) in pairs and pairs[(0, 1)].n_shared >= 2
+    assert 0 < pairs[(0, 1)].containment_ppm <= 1_000_000
+    assert all(2 not in p for p in pairs)
+
+
 def test_doremi_upweights_the_hard_domain(spark, tmp_path):
     """Hedge semantics: the domain whose tokens the reference LM finds
     hard (rare vocabulary -> high excess NLL) must end with a HIGHER
