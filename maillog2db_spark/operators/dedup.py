@@ -96,12 +96,37 @@ _SHINGLES_DUCK = (
 )
 
 
+def _doc_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (doc_id, toks): the tokenized corpus, the base
+    every shingle/span operator starts from. Tokenization (a split +
+    filter lambda chain — interpreted, the expensive part of the
+    shingle family) runs ONCE per (session, sf_dir); span_scrub,
+    span_dedup, and the no-extras _with_shingles all read the
+    materialized rows. Repartitioned on doc_id before the lambdas for
+    the same single-core reason as _with_shingles below."""
+    def build():
+        p = spark.sparkContext.defaultParallelism
+        d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
+        return d.select("doc_id", F.expr(_TOKENS_SPARK).alias("toks"))
+
+    return _cached(spark, sf_dir, "doc_toks", build)
+
+
 def _with_shingles(
     spark: SparkSession, sf_dir: str, extra_cols: tuple[str, ...] = ()
 ) -> DataFrame:
     """documents → (doc_id, *extra_cols, sh): distinct 3-word shingle
     arrays PER DOC (no rep collapse — decontamination needs every doc
     scored), with any passthrough columns carried in the SAME scan.
+
+    Session-cached per extra_cols variant (r9): shingle_novelty,
+    source_overlap, and the two decontamination passes each consumed a
+    fresh plan, so the interpreted tokenize+shingle lambdas re-ran per
+    query — and TWICE inside any query whose plan reads the base from
+    two consumers. Materializing once per (session, sf_dir, variant)
+    is the same pattern as _reps/_rep_signatures. The no-extras
+    variant derives from the shared _doc_toks base so tokenization
+    itself is also computed once across the whole shingle/span family.
 
     Repartitions on doc_id before shingling: higher-order functions
     (transform/filter lambdas) are CodegenFallback — interpreted, CPU
@@ -111,10 +136,19 @@ def _with_shingles(
     already wide and AQE coalesces this exchange to a no-op-sized
     shuffle; the partitioning also pre-aligns the doc_id joins the
     near-dup verifiers do downstream."""
-    p = spark.sparkContext.defaultParallelism
-    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
-    return d.select("doc_id", *extra_cols, F.expr(_TOKENS_SPARK).alias("toks")).select(
-        "doc_id", *extra_cols, F.expr(_SHINGLES_FROM_TOKS_SPARK).alias("sh")
+    def build():
+        if not extra_cols:
+            return _doc_toks(spark, sf_dir).select(
+                "doc_id", F.expr(_SHINGLES_FROM_TOKS_SPARK).alias("sh")
+            )
+        p = spark.sparkContext.defaultParallelism
+        d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
+        return d.select(
+            "doc_id", *extra_cols, F.expr(_TOKENS_SPARK).alias("toks")
+        ).select("doc_id", *extra_cols, F.expr(_SHINGLES_FROM_TOKS_SPARK).alias("sh"))
+
+    return _cached(
+        spark, sf_dir, "with_shingles:" + ",".join(extra_cols), build
     )
 
 
@@ -138,7 +172,9 @@ def _cached(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
     per_session = _CORPUS_CACHE.setdefault(spark, {})
     df = per_session.get((sf_dir, key))
     if df is None:
-        df = build().persist()
+        df = build()
+        if not df.is_cached:  # some builds persist eagerly themselves
+            df = df.persist()
         per_session[(sf_dir, key)] = df
     return df
 
