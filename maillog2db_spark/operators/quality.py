@@ -462,6 +462,16 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       * >= 80% of words contain an alphabetic character
       * >= 2 of the 8 Gopher stopwords appear
 
+    ASCII approximation (advisor-noted): the alpha-word rule matches
+    [a-z] after the engine-wide ASCII case-fold, so words written
+    entirely in non-ASCII letters (accented Latin, Cyrillic, CJK) fail
+    alpha_ok — stricter than the paper's "contains at least one
+    alphabetic character" on non-English text. This follows the
+    engine-wide ASCII token contract (_TOKENS_SPARK lowercases A-Z
+    only) and is deterministic and identical on both engines; widen
+    the class alongside the token contract if non-English fidelity
+    becomes a goal.
+
     Everything is one map-only projection — token arrays, line splits
     and regexp counts are in-row expressions (no shuffle, no Python),
     exactly the shape a 100 TB filtering pass wants; a pipeline would

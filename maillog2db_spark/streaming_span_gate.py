@@ -126,12 +126,7 @@ def span_gate_ingest_batch(
     # doc_id-monotone contract: first-writer attribution is only equal
     # to the batch operator's global min if batch order ≡ doc_id order;
     # compare against PREDECESSOR batches only (a legal crash-window
-    # replay of batch b runs after b+1 already committed). By the
-    # contract's own induction, the predecessors' max doc_id IS the
-    # LATEST predecessor's max — so the check reads ONE
-    # partition-pruned batch partition, O(1 batch), never the whole
-    # verdict history (the O(batches)-growth class the bot/cusum
-    # decades exist to rule out).
+    # replay of batch b runs after b+1 already committed).
     import os as _os
 
     ledger_dir = _os.path.join(store.root, "_ledger")
@@ -140,21 +135,30 @@ def span_gate_ingest_batch(
          if e.isdigit() and int(e) < batch_id]
         if _os.path.isdir(ledger_dir) else []
     )
-    prev = (
-        spark.read.parquet(store._path("verdicts")).filter(
-            F.col("batch_id") == max(preds)
-        )
-        if preds and store._exists("verdicts")
-        else None
-    )
-    if prev is not None:
-        prev_max = prev.agg(F.max("doc_id")).collect()[0][0]
+    prev_max = None
+    if preds and store._exists("verdicts"):
+        v = spark.read.parquet(store._path("verdicts"))
+        # walk BACK past empty predecessors: an empty micro-batch is
+        # ledger-committed but writes no verdict rows, so reading only
+        # max(preds) would yield prev_max=None and silently skip the
+        # check — letting an out-of-order batch flip already-served
+        # first-writer verdicts. By induction each non-empty batch's
+        # max doc_id dominates all earlier ones, so the first
+        # non-empty predecessor (latest first) IS the committed
+        # watermark; each probe reads one partition-pruned batch
+        # partition, and empty batches are the rare case, so the loop
+        # is O(1) reads in steady state, never the whole history.
+        for b in sorted(preds, reverse=True):
+            prev_max = (
+                v.filter(F.col("batch_id") == b)
+                .agg(F.max("doc_id"))
+                .collect()[0][0]
+            )
+            if prev_max is not None:
+                break
+    if prev_max is not None:
         batch_min = t.agg(F.min("doc_id")).collect()[0][0]
-        if (
-            prev_max is not None
-            and batch_min is not None
-            and batch_min <= prev_max
-        ):
+        if batch_min is not None and batch_min <= prev_max:
             raise ValueError(
                 "doc_id-monotone contract violated: batch "
                 f"{batch_id} starts at doc_id {batch_min}, not after "
