@@ -61,8 +61,10 @@ def _vocab_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, "vocab_nll")
     st = per_session.get(key)
     if st is None:
-        toks = io.load(spark, sf_dir, "documents").select(
-            F.explode(F.expr(_TOKENS_SPARK)).alias("tok")
+        from .dedup import _doc_toks
+
+        toks = _doc_toks(spark, sf_dir).select(
+            F.explode("toks").alias("tok")
         )
         vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
         total = vocab.agg(F.sum("cnt").alias("total"))
@@ -96,11 +98,10 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer) BEFORE the per-doc sum, so the cross-row aggregation is
     exact integer math — no float-summation order sensitivity between
     Spark and the oracle."""
-    p = spark.sparkContext.defaultParallelism
-    toks = (
-        io.load(spark, sf_dir, "documents")
-        .repartition(p, "doc_id")
-        .select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+    from .dedup import _doc_toks
+
+    toks = _doc_toks(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
     )
     scored = toks.join(_vocab_nll(spark, sf_dir), "tok").select(
         "doc_id", "nll_ppm"
@@ -151,8 +152,11 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     arXiv:1911.00359): per LANGUAGE, rank documents by LM perplexity
     and cut the distribution into head/middle/tail thirds — the
     bucket-by-fluency table a pretraining mix is composed from (train
-    on head+middle, sample tail). Perplexity proxy = the registered
-    unigram-LM avg NLL (ppm-exact); bucket 1 = head (most fluent).
+    on head+middle, sample tail). Perplexity = the Kneser-Ney bigram
+    avg NLL (doc_kn_perplexity — r9; the paper ranks by a Kneser-Ney
+    KenLM, so the smoothed n-gram estimator replaces the r8 unigram
+    proxy); bucket 1 = head (most fluent). Docs with < 2 tokens carry
+    no bigram score and drop from the ranking on both engines.
 
     Output is the (lang × bucket) summary grid: doc count and the NLL
     boundaries of each bucket — the cut table CCNet publishes per
@@ -164,7 +168,7 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOC-GRAIN score table, not the token stream; the summary grid is
     a languages×3 aggregate. Ties rank deterministically on
     (avg_nll_ppm, doc_id) on both engines."""
-    per_doc = unigram_lm_score(spark, sf_dir)
+    per_doc = kn_perplexity(spark, sf_dir)
     langs = io.load(spark, sf_dir, "documents").select("doc_id", "lang")
     w = Window.partitionBy("lang").orderBy("avg_nll_ppm", "doc_id")
     scored = per_doc.join(langs, "doc_id").select(
@@ -179,20 +183,8 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CCNET_BUCKETS_SQL = f"""
-WITH per_doc AS ({UNIGRAM_LM_SCORE_SQL}),
-scored AS (
-  SELECT d.lang, p.avg_nll_ppm,
-         CAST(ntile({CCNET_BUCKETS}) OVER (
-           PARTITION BY d.lang ORDER BY p.avg_nll_ppm, p.doc_id
-         ) AS INT) AS bucket
-  FROM per_doc p JOIN documents d USING (doc_id)
-)
-SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
-       min(avg_nll_ppm) AS min_nll_ppm,
-       max(avg_nll_ppm) AS max_nll_ppm
-FROM scored GROUP BY lang, bucket
-"""
+# CCNET_BUCKETS_SQL is assigned below KN_PERPLEXITY_SQL (its per-doc
+# score since r9), next to the KN family it derives from.
 
 
 # --- shingle novelty (substring-dedup attribution) -------------------------
@@ -1022,13 +1014,13 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bigram_streams(spark: SparkSession, sf_dir: str):
     """(bg, toks): the positional bigram stream (doc_id, pos, prev,
     tok) and the token stream (doc_id, tok) — the corpus-side inputs
-    every bigram-model consumer derives from."""
-    p = spark.sparkContext.defaultParallelism
-    base = (
-        io.load(spark, sf_dir, "documents")
-        .repartition(p, "doc_id")
-        .select("doc_id", F.expr(_TOKENS_SPARK).alias("toks"))
-    )
+    every bigram-model consumer derives from. Rides the session-cached
+    token base (dedup._doc_toks, r9): the interpreted tokenize runs
+    once per session across the whole LM family, and each consumer's
+    plan reads the materialized rows."""
+    from .dedup import _doc_toks
+
+    base = _doc_toks(spark, sf_dir)
     return bigrams_of(base), base.select("doc_id", F.explode("toks").alias("tok"))
 
 
@@ -1242,6 +1234,180 @@ SELECT doc_id,
 FROM ranked
 WHERE rn <= (nb * {MINK_PCT} + 99) // 100
 GROUP BY doc_id
+"""
+
+
+# --- Kneser-Ney smoothed bigram perplexity ------------------------------------
+
+# Absolute discount (Ney, Essen & Kneser 1994; the Chen & Goodman 1999
+# fixed-discount default). The count-based estimate n1/(n1 + 2·n2) is a
+# drop-in, but a fixed D keeps the model a pure function of the count
+# tables — no extra global pass — and 0.75 is the published default.
+KN_DISCOUNT = 0.75
+
+
+def kn_model_tables(bg: DataFrame):
+    """(bgc, ctx, cont, ttypes) — the interpolated Kneser-Ney bigram
+    model as four count tables derived from ONE aggregation of the
+    bigram stream (ctx/cont/ttypes re-aggregate the Zipf-bounded bgc
+    table, never the corpus):
+
+      bgc    (prev, tok, cbg)        — bigram occurrence counts
+      ctx    (prev, cprev, n1p_prev) — context totals + N1+(prev·),
+                                       the distinct-continuation count
+                                       the backoff weight needs
+      cont   (tok, n1p_tok)          — N1+(·tok): in how many DISTINCT
+                                       contexts tok appears (the
+                                       continuation count — Kneser-Ney's
+                                       defining statistic: 'francisco'
+                                       is frequent but follows only
+                                       'san', so its continuation
+                                       probability is tiny)
+      ttypes (ttypes)                — N1+(··), total bigram types
+
+    All exact integers; the probability is assembled engine-side as one
+    fixed-shape double expression (identical IEEE ops both engines)."""
+    bgc = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cbg"))
+    ctx = bgc.groupBy("prev").agg(
+        F.sum("cbg").cast("bigint").alias("cprev"),
+        F.count(F.lit(1)).alias("n1p_prev"),
+    )
+    cont = bgc.groupBy("tok").agg(F.count(F.lit(1)).alias("n1p_tok"))
+    ttypes = bgc.agg(F.count(F.lit(1)).alias("ttypes"))
+    return bgc, ctx, cont, ttypes
+
+
+# Interpolated KN (Chen & Goodman 1999, eq. 4.25 at bigram order):
+#   p(w|v) = (max(c(vw) - D, 0) + D·N1+(v·)·p_cont(w)) / c(v·)
+#   p_cont(w) = N1+(·w) / N1+(··)
+# Unseen context v (cprev NULL after the left joins) backs off to the
+# continuation distribution alone; an OOV TARGET w has p_cont = 0 and
+# yields NULL (callers scoring held-out text own the OOV policy — the
+# self-scored registered query never produces either case).
+_KN_NLL = (
+    "CAST(floor(-ln(CASE WHEN cprev IS NULL THEN"
+    " CAST(n1p_tok AS DOUBLE) / ttypes"
+    f" ELSE (greatest(CAST(coalesce(cbg, 0) AS DOUBLE) - {KN_DISCOUNT},"
+    " CAST(0 AS DOUBLE))"
+    f" + {KN_DISCOUNT} * n1p_prev * (CAST(n1p_tok AS DOUBLE) / ttypes))"
+    " / cprev END)"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+def kn_score_bigrams(bg: DataFrame, bgc, ctx, cont, ttypes,
+                     keep: tuple = ("doc_id",)) -> DataFrame:
+    """Per-bigram quantized Kneser-Ney NLL — parameterized on the model
+    tables (the score_bigrams convention) so held-out scoring and the
+    streaming frozen-model dual share the exact expression. Left joins:
+    a bigram absent from the model keeps cbg NULL (discounted mass
+    only); an absent CONTEXT keeps cprev NULL (pure continuation
+    backoff)."""
+    return (
+        bg.join(bgc, ["prev", "tok"], "left")
+        .join(ctx, "prev", "left")
+        .join(cont, "tok", "left")
+        .join(F.broadcast(ttypes))
+        .select(*keep, F.expr(_KN_NLL).alias("nll_ppm"))
+    )
+
+
+def kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average NLL under an interpolated Kneser-Ney bigram
+    model (Kneser & Ney 1995; Chen & Goodman 1999) — the smoothed-LM
+    perplexity rung the CCNet pipeline actually ranks by (Wenzek et
+    al. 2020 §3 use a 5-gram Kneser-Ney KenLM; this is that estimator
+    at bigram order over the same count machinery as the JM family).
+    What it fixes over `bigram_lm_score`'s Jelinek-Mercer unigram
+    backoff: the backoff distribution is the CONTINUATION count
+    N1+(·w), not raw frequency — a word that is frequent only inside
+    one glued phrase ('francisco') gets near-zero backoff mass, so
+    novel-but-plausible word sequences outrank boilerplate-inflated
+    ones (the planted-test contract).
+
+    Plan shape: the bigram stream rides the session-cached token base
+    (one tokenize per session); the model is the session-cached
+    Zipf-bounded bgc table plus three aggregates OF that table (never
+    a second corpus pass); AQE broadcasts all model tables back onto
+    the stream. Determinism: exact-integer counts assembled in one
+    fixed-shape double expression, each -ln p quantized to ppm BEFORE
+    the per-doc integer sum (the LM-family idiom). Docs with < 2
+    tokens have no bigrams and drop on both engines."""
+    bg, _ = bigram_streams(spark, sf_dir)
+    return bigram_rollup(kn_score_bigrams(bg, *_kn_model(spark, sf_dir)))
+
+
+def _kn_model(spark: SparkSession, sf_dir: str):
+    """Session-cached KN model: the Zipf-bounded bgc count table is
+    materialized once per (session, sf_dir) — the expensive corpus-wide
+    aggregation — and ctx/cont/ttypes re-derive from the cached rows
+    (vocabulary-scale work). Two registered consumers
+    (doc_kn_perplexity, doc_ccnet_buckets) share it."""
+    from .dedup import _cached
+
+    def build():
+        bg, _ = bigram_streams(spark, sf_dir)
+        return bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cbg"))
+
+    bgc = _cached(spark, sf_dir, "kn_bgc", build)
+    ctx = bgc.groupBy("prev").agg(
+        F.sum("cbg").cast("bigint").alias("cprev"),
+        F.count(F.lit(1)).alias("n1p_prev"),
+    )
+    cont = bgc.groupBy("tok").agg(F.count(F.lit(1)).alias("n1p_tok"))
+    ttypes = bgc.agg(F.count(F.lit(1)).alias("ttypes"))
+    return bgc, ctx, cont, ttypes
+
+
+KN_PERPLEXITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS tl FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_slice(tl, 1, len(tl) - 1)) AS prev,
+         unnest(list_slice(tl, 2, len(tl))) AS tok
+  FROM base WHERE len(tl) >= 2
+), bgc AS (
+  SELECT prev, tok, count(*) AS cbg FROM bg GROUP BY prev, tok
+), ctx AS (
+  SELECT prev, CAST(sum(cbg) AS BIGINT) AS cprev,
+         count(*) AS n1p_prev
+  FROM bgc GROUP BY prev
+), cont AS (
+  SELECT tok, count(*) AS n1p_tok FROM bgc GROUP BY tok
+), tt AS (
+  SELECT CAST(count(*) AS BIGINT) AS ttypes FROM bgc
+), scored AS (
+  SELECT doc_id,
+         CAST(floor(-ln((greatest(CAST(cbg AS DOUBLE) - {KN_DISCOUNT},
+                                  CAST(0 AS DOUBLE))
+                        + {KN_DISCOUNT} * n1p_prev
+                          * (CAST(n1p_tok AS DOUBLE) / ttypes)) / cprev)
+                    * 1000000 + 0.5) AS BIGINT) AS nll_ppm
+  FROM bg JOIN bgc USING (prev, tok) JOIN ctx USING (prev)
+          JOIN cont USING (tok) CROSS JOIN tt
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(nll_ppm) AS BIGINT) AS sum_nll_ppm,
+       CAST(sum(nll_ppm) // count(*) AS BIGINT) AS avg_nll_ppm
+FROM scored GROUP BY doc_id
+"""
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH per_doc AS ({KN_PERPLEXITY_SQL}),
+scored AS (
+  SELECT d.lang, p.avg_nll_ppm,
+         CAST(ntile({CCNET_BUCKETS}) OVER (
+           PARTITION BY d.lang ORDER BY p.avg_nll_ppm, p.doc_id
+         ) AS INT) AS bucket
+  FROM per_doc p JOIN documents d USING (doc_id)
+)
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       min(avg_nll_ppm) AS min_nll_ppm,
+       max(avg_nll_ppm) AS max_nll_ppm
+FROM scored GROUP BY lang, bucket
 """
 
 

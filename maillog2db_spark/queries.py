@@ -535,6 +535,8 @@ register("doc_unigram_lm_score", _ca.UNIGRAM_LM_SCORE_SQL,
          doc="Unigram-LM quality proxy: per-doc avg negative log-likelihood, ppm fixed-point (CCNet-style cheap perplexity)")(_ca.unigram_lm_score)
 register("doc_bigram_lm_score", _ca.BIGRAM_LM_SCORE_SQL,
          doc="Interpolated bigram LM (Jelinek-Mercer): lambda*c(prev,w)/c(prev.) + (1-lambda)*c(w)/N, ppm fixed-point — sees the word-order signal the unigram proxy cannot")(_ca.bigram_lm_score)
+register("doc_kn_perplexity", _ca.KN_PERPLEXITY_SQL,
+         doc="Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995; Chen & Goodman 1999): (max(c-D,0) + D*N1+(prev.)*p_cont(w))/c(prev.) with the continuation-count backoff, ppm fixed-point — the smoothed-LM estimator CCNet ranks by (arXiv:1911.00359 uses a KN KenLM)")(_ca.kn_perplexity)
 register("doc_mink_prob", _ca.MINK_PROB_SQL,
          doc="Min-k% probability membership signal (Shi et al. 2024): per doc, mean NLL of its k% least-likely bigrams under the shared interpolated model — the distributional memorization/contamination detector the exact-match decontamination queries cannot see")(_ca.mink_prob)
 register("doc_shingle_novelty", _ca.SHINGLE_NOVELTY_SQL,

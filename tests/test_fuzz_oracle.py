@@ -140,6 +140,11 @@ FUZZED_QUERIES = [
     # interpolated bigram LM: single-token and empty docs must drop
     # identically; zipped-slice bigrams on duplicate-heavy corpora
     "doc_bigram_lm_score",
+    # Kneser-Ney bigram perplexity: dup-heavy corpora push counts into
+    # the discounted-mass branch (c - D vs the greatest(...) floor);
+    # single-token/empty docs must drop identically; the 1-row ttypes
+    # cross and the continuation counts must agree cross-engine
+    "doc_kn_perplexity",
     # min-k% tail of the same model: ceil tail sizing on 1-bigram docs
     # (tail == whole doc) and desc-NLL/pos tie-breaks on duplicate-
     # heavy corpora where many bigrams share one quantized NLL

@@ -52,7 +52,8 @@ BNL_ALLOWED = {
     "tpch_q11_important_parts": [_SCALAR],
     "tpch_q22_dormant_customers": [_SCALAR],
     "doc_unigram_lm_score": [_SCALAR],
-    "doc_ccnet_buckets": [_SCALAR],  # composes the unigram-LM score
+    "doc_ccnet_buckets": [_SCALAR],  # composes the KN score (1-row ttypes)
+    "doc_kn_perplexity": [_SCALAR],  # 1-row bigram-type-total broadcast
     "doc_doremi_weights": [_SCALAR],  # vocab-total / ref / Σw 1-row sides
     "doc_bigram_lm_score": [_SCALAR],
     "doc_mink_prob": [_SCALAR],  # same 1-row vocab-total broadcast
