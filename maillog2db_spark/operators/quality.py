@@ -481,7 +481,15 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (coalesce-false) — empty or NULL-text docs fail each rule outright,
     which also keeps the cross-engine gate free of NULL-boolean
     stringification drift (the fuzz-found None-vs-nan hash flip)."""
-    d = io.load(spark, sf_dir, "documents")
+    return gopher_flags_from(io.load(spark, sf_dir, "documents"))
+
+
+def gopher_flags_from(d: DataFrame) -> DataFrame:
+    """The Gopher rule projection over any (doc_id, text) frame — the
+    exact expression shared by the batch query and its streaming
+    admission gate (streaming_admission.start_gopher_gate_stream);
+    stream ≡ batch is equality of this one projection, which being
+    map-only holds trivially per row."""
     toks = F.expr(_TOKENS_SPARK)
     out = d.select(
         "doc_id",

@@ -56,6 +56,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .ledger import FileBatchLedger
 from .stores import BucketedMinStore
 
 from .operators.chunking import CHUNK_STRIDE, PACK_BUDGET
@@ -337,6 +338,89 @@ def start_admission_stream(
         )
         .option("checkpointLocation", checkpoint_dir)
         .queryName("admission_ingest")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --- Gopher-rules admission gate (stateless) ---------------------------------
+#
+# The Gopher rule set (operators/quality.gopher_rules) is a pure
+# map-only projection, so its streaming dual needs NO state store at
+# all: each micro-batch's verdicts are the batch query's rows for
+# exactly those documents, written batch_id-partitioned with dynamic
+# overwrite (replay rewrites its own partition) behind the usual
+# ledger. This is the ideal 100 TB admission-filter shape — per-batch
+# cost is one whole-stage-codegen pass over the batch, zero shuffles,
+# zero history reads.
+
+
+class GopherGateStore(FileBatchLedger):
+    """batch_id-partitioned Gopher verdict rows + the commit ledger."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def verdicts_path(self) -> str:
+        return os.path.join(self.root, "verdicts")
+
+    def read_verdicts(self, spark: SparkSession) -> DataFrame | None:
+        p = self.verdicts_path
+        if not (os.path.isdir(p) and any(
+            e.endswith(".parquet") or e.startswith("batch_id=")
+            for e in os.listdir(p)
+        )):
+            return None
+        return spark.read.parquet(p).drop("batch_id")
+
+
+def gopher_gate_ingest_batch(
+    spark: SparkSession, batch_docs: DataFrame, store: GopherGateStore,
+    batch_id: int,
+) -> None:
+    from .operators.quality import gopher_flags_from
+
+    if store.committed(batch_id):
+        return
+    (
+        gopher_flags_from(batch_docs)
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .repartition(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store.verdicts_path)
+    )
+    store.mark_committed(batch_id)
+
+
+def start_gopher_gate_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    store: GopherGateStore,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = 1,
+):
+    """Follow a directory of document parquet drops and emit Gopher
+    rule verdicts per micro-batch. Stateless: any arrival order yields
+    the batch query's verdicts for the union."""
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_dir)
+    writer = (
+        docs.writeStream.foreachBatch(
+            lambda df, bid: gopher_gate_ingest_batch(
+                df.sparkSession, df, store, bid
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("gopher_gate_ingest")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -1,0 +1,211 @@
+"""Streaming CCNet bucket service — the frozen-cut-table dual of
+``doc_ccnet_buckets`` (Wenzek et al. 2020, arXiv:1911.00359).
+
+CCNet's deployment shape is exactly this: the Kneser-Ney LM and the
+per-language head/middle/tail perplexity CUTS are computed ONCE over a
+reference corpus, then every incoming crawl shard is scored under that
+frozen model and bucketed by threshold comparison — the reference
+pipeline does not re-rank the world per shard. So unlike the additive
+stores (vocab/bm25/drift), the state here is IMMUTABLE after
+``freeze``: the four Zipf-bounded KN count tables plus the (lang, b1,
+b2) cut boundaries, all persisted as plain parquet (the
+streaming_drift / streaming_dsir frozen-reference precedent).
+
+Per-batch serving cost: one bigram explode over the batch joined
+against the broadcast-sized frozen tables (kn_score_bigrams — the
+IDENTICAL expression the batch query uses; stream ≡ batch is equality
+of inputs into one scoring core), one per-doc rollup, one broadcast
+join against the cut table. Zero history reads, zero state growth —
+the ideal 100 TB admission shape, like the Gopher gate.
+
+Semantics notes (deliberate, documented):
+  * Assignment is VALUE-based: bucket = 1 + (nll > b1) + (nll > b2)
+    where b1/b2 are the max avg NLL of the reference ranking's ntile
+    buckets 1 and 2. For reference docs with scores strictly inside
+    their bucket's range this reproduces the ntile assignment; ties
+    exactly ON a boundary go to the lower (better) bucket — the
+    threshold contract a served cut table implies (ntile itself is
+    positional and cannot be served).
+  * A reference language with < 3 docs has no tail; its b2 coalesces
+    to b1 (bucket 3 reachable only above both).
+  * OOV handling: a bigram whose TARGET token never occurred in the
+    reference has zero continuation mass — its NLL row is NULL under
+    the shared expression. Such rows are counted per doc as
+    ``n_oov_bigrams`` and excluded from the average (deterministic,
+    reported, never silently imputed); a doc with ONLY OOV bigrams
+    gets a NULL score and bucket 0.
+  * Docs whose language has no reference cut get bucket 0 ("no cut").
+
+Verdicts write batch_id-partitioned with dynamic overwrite behind the
+usual ledger (ST5): replay rewrites its own partition.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ledger import FileBatchLedger
+from .operators.corpus_analytics import (
+    CCNET_BUCKETS,
+    bigrams_of,
+    kn_model_tables,
+    kn_score_bigrams,
+)
+from .operators.dedup import _TOKENS_SPARK
+
+
+class CcnetCutStore(FileBatchLedger):
+    """Frozen KN model + cut table + batch-partitioned verdicts."""
+
+    MODEL_TABLES = ("bgc", "ctx", "cont", "ttypes")
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def frozen(self) -> bool:
+        return all(
+            os.path.isdir(self._path(t))
+            for t in self.MODEL_TABLES + ("cuts",)
+        )
+
+    def model(self, spark: SparkSession):
+        return tuple(
+            spark.read.parquet(self._path(t)) for t in self.MODEL_TABLES
+        )
+
+    def cuts(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._path("cuts"))
+
+    def read_verdicts(self, spark: SparkSession) -> DataFrame | None:
+        p = self._path("verdicts")
+        if not (os.path.isdir(p) and os.listdir(p)):
+            return None
+        return spark.read.parquet(p).drop("batch_id")
+
+
+def freeze_ccnet(spark: SparkSession, ref_dir: str, store: CcnetCutStore) -> None:
+    """Train the KN model on the reference corpus and persist it plus
+    the per-language cut boundaries derived from the reference's own
+    ntile ranking (the batch query's exact grid)."""
+    from .operators.corpus_analytics import ccnet_buckets
+
+    from .operators.dedup import _doc_toks
+
+    bg = bigrams_of(_doc_toks(spark, ref_dir))
+    bgc, ctx, cont, ttypes = kn_model_tables(bg)
+    for name, df in zip(store.MODEL_TABLES, (bgc, ctx, cont, ttypes)):
+        df.write.mode("overwrite").parquet(store._path(name))
+    grid = ccnet_buckets(spark, ref_dir)
+    cuts = (
+        grid.groupBy("lang")
+        .agg(
+            F.max(F.when(F.col("bucket") == 1, F.col("max_nll_ppm"))).alias("b1"),
+            F.max(F.when(F.col("bucket") == 2, F.col("max_nll_ppm"))).alias("b2"),
+        )
+        .select("lang", "b1", F.coalesce("b2", "b1").alias("b2"))
+    )
+    cuts.write.mode("overwrite").parquet(store._path("cuts"))
+
+
+def ccnet_score_batch(batch_docs: DataFrame, model) -> DataFrame:
+    """(doc_id, lang, avg_nll_ppm, n_bigrams, n_oov_bigrams) for one
+    batch under the frozen model — the shared scoring core applied to
+    the batch's bigram stream. NULL rows (OOV targets) are counted and
+    excluded from the average."""
+    base = batch_docs.select(
+        "doc_id", "lang", F.expr(_TOKENS_SPARK).alias("toks")
+    )
+    scored = kn_score_bigrams(bigrams_of(base), *model)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("nll_ppm").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("nll_ppm").isNull().cast("int")).cast("bigint")
+            .alias("n_oov_bigrams"),
+            F.sum("nll_ppm").alias("sum_nll_ppm"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "n_oov_bigrams",
+            F.expr(
+                "CASE WHEN n_bigrams = 0 THEN CAST(NULL AS BIGINT)"
+                " ELSE sum_nll_ppm div n_bigrams END"
+            ).alias("avg_nll_ppm"),
+        )
+        # lang rides back at doc grain (the bigram stream carries only
+        # positional columns)
+        .join(base.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_bigrams", "n_oov_bigrams", "avg_nll_ppm")
+    )
+
+
+def ccnet_assign(scored: DataFrame, cuts: DataFrame) -> DataFrame:
+    """Bucket assignment under a served cut table — the expression the
+    stream AND the batch twin share. bucket 0 = unscorable (no cut for
+    the language, or no scoreable bigrams)."""
+    return scored.join(F.broadcast(cuts), "lang", "left").select(
+        "doc_id", "lang", "n_bigrams", "n_oov_bigrams", "avg_nll_ppm",
+        F.expr(
+            "CAST(CASE WHEN avg_nll_ppm IS NULL OR b1 IS NULL THEN 0"
+            " ELSE 1 + CASE WHEN avg_nll_ppm > b1 THEN 1 ELSE 0 END"
+            "       + CASE WHEN avg_nll_ppm > b2 THEN 1 ELSE 0 END"
+            " END AS INT)"
+        ).alias("bucket"),
+    )
+
+
+def ccnet_gate_ingest_batch(
+    spark: SparkSession, batch_docs: DataFrame, store: CcnetCutStore,
+    batch_id: int,
+) -> None:
+    if store.committed(batch_id):
+        return
+    if not store.frozen():
+        raise ValueError("ccnet cut store not frozen — run freeze_ccnet first")
+    out = ccnet_assign(
+        ccnet_score_batch(batch_docs, store.model(spark)), store.cuts(spark)
+    )
+    (
+        out.withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .repartition(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store._path("verdicts"))
+    )
+    store.mark_committed(batch_id)
+
+
+def start_ccnet_gate_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    store: CcnetCutStore,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = 1,
+):
+    """Follow a directory of document parquet drops and bucket each
+    micro-batch under the frozen reference cuts."""
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_dir)
+    writer = (
+        docs.writeStream.foreachBatch(
+            lambda df, bid: ccnet_gate_ingest_batch(
+                df.sparkSession, df, store, bid
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("ccnet_gate_ingest")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -144,6 +144,114 @@ def test_kn_perplexity_ranks_fluency_where_unigram_cannot(spark):
     assert all((a, b) in bgc for a, b in zip(dtoks, dtoks[1:]))
 
 
+def _write_waves(spark, docs, d, cuts=(170, 340)):
+    """Split a documents frame into doc_id waves under d/docs (the
+    test_round8 wave fixture, shared by the r9 gate tests)."""
+    import os
+    import shutil as _sh
+
+    src = d / "docs"
+    src.mkdir()
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+    for i, (lo, hi) in enumerate(bounds):
+        w = docs
+        if lo is not None:
+            w = w.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            w = w.filter(F.col("doc_id") < hi)
+        tmp = d / f"_tmp{i}"
+        w.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"wave{i}.parquet"
+        _sh.move(str(part), str(dest))
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+        _sh.rmtree(tmp)
+    return src
+
+
+def test_streaming_gopher_gate_matches_batch(spark, tmp_path_factory):
+    """The stateless Gopher admission gate: the union of per-batch
+    verdicts equals doc_gopher_rules over the union, and a
+    fresh-checkpoint replay changes nothing."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_admission as sa
+    from maillog2db_spark.operators import quality as ql
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    want = sorted(map(tuple, ql.gopher_rules(spark, sf).collect()))
+
+    d = tmp_path_factory.mktemp("gopher_gate")
+    src = _write_waves(spark, docs, d)
+    store = sa.GopherGateStore(str(d / "store"))
+    q = sa.start_gopher_gate_stream(
+        spark, str(src), store, str(d / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+    assert sorted(map(tuple, store.read_verdicts(spark).collect())) == want
+
+    q2 = sa.start_gopher_gate_stream(
+        spark, str(src), store, str(d / "ckpt2"), available_now=True
+    )
+    q2.awaitTermination(300)
+    assert sorted(map(tuple, store.read_verdicts(spark).collect())) == want
+
+
+def test_streaming_ccnet_gate_matches_batch(spark, tmp_path_factory):
+    """The frozen-cut CCNet bucket service: freeze model+cuts on the
+    reference corpus, stream the corpus in waves — per-doc scores
+    equal the batch KN query exactly (no OOV against the reference),
+    buckets equal the shared assignment applied in batch, replay is
+    idempotent, and an out-of-vocabulary doc is counted, not imputed."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_ccnet as sc
+    from maillog2db_spark.operators import corpus_analytics as ca
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    d = tmp_path_factory.mktemp("ccnet_gate")
+    store = sc.CcnetCutStore(str(d / "store"))
+    sc.freeze_ccnet(spark, sf, store)
+
+    src = _write_waves(spark, docs, d)
+    q = sc.start_ccnet_gate_stream(
+        spark, str(src), store, str(d / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+    got = store.read_verdicts(spark)
+
+    # batch twin: same shared cores over the union
+    want = sorted(map(tuple, sc.ccnet_assign(
+        sc.ccnet_score_batch(docs, store.model(spark)), store.cuts(spark)
+    ).collect()))
+    assert sorted(map(tuple, got.collect())) == want
+
+    # reference docs are fully in-vocabulary and score EXACTLY the
+    # registered batch KN query
+    rows = got.collect()
+    assert rows and all(r.n_oov_bigrams == 0 for r in rows)
+    batch_kn = {r.doc_id: r.avg_nll_ppm
+                for r in ca.kn_perplexity(spark, sf).collect()}
+    assert {r.doc_id: r.avg_nll_ppm for r in rows} == batch_kn
+    assert {r.bucket for r in rows} == {1, 2, 3}
+
+    # replay: fresh checkpoint, verdicts unchanged
+    q2 = sc.start_ccnet_gate_stream(
+        spark, str(src), store, str(d / "ckpt2"), available_now=True
+    )
+    q2.awaitTermination(300)
+    assert sorted(map(tuple, store.read_verdicts(spark).collect())) == want
+
+    # OOV: a doc full of reference-unseen tokens is reported, bucket 0
+    oov = spark.createDataFrame(
+        [(999_999, "zzqx wvvk zzqx wvvk", "en", "syn", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sc.ccnet_gate_ingest_batch(spark, oov, store, 99)
+    v = {r.doc_id: r for r in store.read_verdicts(spark).collect()}[999_999]
+    assert v.n_oov_bigrams == 3 and v.bucket == 0 and v.avg_nll_ppm is None
+
+
 def test_span_and_winnowing_plans_scan_parquet_once(spark):
     """r8 judge 'weak': doc_winnowing_overlap held 8 parquet scans of
     the per-char md5 gram pass; the span pair held 5 token scans. With
