@@ -1395,6 +1395,229 @@ FROM scored GROUP BY doc_id
 """
 
 
+# --- trigram Kneser-Ney (the recursive interpolated estimator) ---------------
+
+
+def trigrams_of(base: DataFrame) -> DataFrame:
+    """(doc_id, toks array) → positional trigram stream (doc_id, pos,
+    u, v, w) — the 2-shift sibling of bigrams_of (codegen zip, no
+    window, no self-join)."""
+    return (
+        base.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.arrays_zip(
+                    F.expr("slice(toks, 1, size(toks) - 2)"),
+                    F.expr("slice(toks, 2, size(toks) - 2)"),
+                    F.expr("slice(toks, 3, size(toks) - 2)"),
+                )
+            ).alias("pos", "t"),
+        )
+        .select(
+            "doc_id", "pos",
+            F.col("t.0").alias("u"), F.col("t.1").alias("v"),
+            F.col("t.2").alias("w"),
+        )
+    )
+
+
+def kn3_model_tables(tg: DataFrame, bg: DataFrame):
+    """The recursive interpolated-KN trigram model (Chen & Goodman
+    1999 eq. 4.25-4.27) as six count tables, all derived from ONE
+    aggregation of the trigram stream plus the bigram-type tables the
+    bigram model already defines:
+
+      tgc   (u, v, w, ctg)      — trigram occurrence counts
+      tctx  (u, v, cuv, n1p_uv) — context totals + N1+(uv·)
+      cont2 (v, w, c2)          — N1+(·vw): distinct u preceding (v,w)
+                                  — the mid-level continuation count
+      mid   (v, den2, midv)     — N1+(·v·) = trigram types with middle
+                                  v (the level-2 denominator) and
+                                  N1+mid(v·) = distinct w after v in
+                                  any trigram (the level-2 backoff
+                                  weight count)
+      cont  (tok→ n1p_tok), ttypes — the level-1 continuation
+                                  distribution, SHARED with the bigram
+                                  model (N1+(·w)/N1+(··) over bigram
+                                  types)
+
+    Backoff cascade: unseen (u,v) context → the continuation-count
+    bigram estimate p2(w|v); v never seen as a trigram middle → the
+    unigram continuation p1(w)."""
+    tgc = tg.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("ctg"))
+    tctx = tgc.groupBy("u", "v").agg(
+        F.sum("ctg").cast("bigint").alias("cuv"),
+        F.count(F.lit(1)).alias("n1p_uv"),
+    )
+    cont2 = tgc.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c2"))
+    mid = cont2.groupBy("v").agg(
+        F.sum("c2").cast("bigint").alias("den2"),
+        F.count(F.lit(1)).alias("midv"),
+    )
+    bgc = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cbg"))
+    cont = bgc.groupBy("tok").agg(F.count(F.lit(1)).alias("n1p_tok"))
+    ttypes = bgc.agg(F.count(F.lit(1)).alias("ttypes"))
+    return tgc, tctx, cont2, mid, cont, ttypes
+
+
+# The three-level estimate assembled stepwise (p1 → p2 → p3) so both
+# engines compute the identical IEEE op sequence; ln/floor/ppm
+# quantization at the end only (the LM-family idiom).
+_KN3_P1 = "CAST(n1p_tok AS DOUBLE) / ttypes"
+_KN3_P2 = (
+    "CASE WHEN den2 IS NULL THEN p1d"
+    f" ELSE (greatest(CAST(coalesce(c2, 0) AS DOUBLE) - {KN_DISCOUNT},"
+    " CAST(0 AS DOUBLE))"
+    f" + {KN_DISCOUNT} * midv * p1d) / den2 END"
+)
+_KN3_P3 = (
+    "CASE WHEN cuv IS NULL THEN p2d"
+    f" ELSE (greatest(CAST(coalesce(ctg, 0) AS DOUBLE) - {KN_DISCOUNT},"
+    " CAST(0 AS DOUBLE))"
+    f" + {KN_DISCOUNT} * n1p_uv * p2d) / cuv END"
+)
+_KN3_NLL = "CAST(floor(-ln(p3d) * 1000000 + 0.5) AS BIGINT)"
+
+
+def kn3_score_trigrams(tg: DataFrame, tgc, tctx, cont2, mid, cont, ttypes,
+                       keep: tuple = ("doc_id",)) -> DataFrame:
+    """Per-trigram quantized NLL under the recursive KN model —
+    parameterized like kn_score_bigrams so held-out scoring shares the
+    expression. OOV TARGET tokens (no level-1 continuation mass) yield
+    NULL, the caller's policy."""
+    return (
+        tg.join(tgc, ["u", "v", "w"], "left")
+        .join(tctx, ["u", "v"], "left")
+        .join(cont2, ["v", "w"], "left")
+        .join(mid, "v", "left")
+        .join(cont.withColumnRenamed("tok", "w"), "w", "left")
+        .join(F.broadcast(ttypes))
+        .withColumn("p1d", F.expr(_KN3_P1))
+        .withColumn("p2d", F.expr(_KN3_P2))
+        .withColumn("p3d", F.expr(_KN3_P3))
+        .select(*keep, F.expr(_KN3_NLL).alias("nll_ppm"))
+    )
+
+
+def kn3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average NLL under the RECURSIVE interpolated
+    Kneser-Ney trigram model — the order CCNet's KenLM actually runs
+    at scale (Wenzek et al. 2020 use 5-gram; trigram is the first
+    order where the recursion, not just the continuation counts, is
+    exercised). What it adds over doc_kn_perplexity: word-order
+    signal BEYOND adjacent pairs — two docs with identical bigram
+    multisets (hence identical bigram-KN scores) separate when one
+    follows seen trigram chains and the other permutes them (the
+    planted test).
+
+    Plan shape: the trigram stream rides the session-cached token
+    base; all six model tables derive from one aggregation of that
+    stream plus the session-cached bigram-type table (n-gram-type
+    bounded, never a second corpus pass); AQE broadcasts them onto
+    the stream. Docs with < 3 tokens drop on both engines."""
+    from .dedup import _doc_toks
+
+    base = _doc_toks(spark, sf_dir)
+    tg = trigrams_of(base)
+    tgc = _kn3_tgc(spark, sf_dir)
+    tctx = tgc.groupBy("u", "v").agg(
+        F.sum("ctg").cast("bigint").alias("cuv"),
+        F.count(F.lit(1)).alias("n1p_uv"),
+    )
+    cont2 = tgc.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c2"))
+    mid = cont2.groupBy("v").agg(
+        F.sum("c2").cast("bigint").alias("den2"),
+        F.count(F.lit(1)).alias("midv"),
+    )
+    bgc = _kn_model(spark, sf_dir)[0]
+    cont = bgc.groupBy("tok").agg(F.count(F.lit(1)).alias("n1p_tok"))
+    ttypes = bgc.agg(F.count(F.lit(1)).alias("ttypes"))
+    scored = kn3_score_trigrams(tg, tgc, tctx, cont2, mid, cont, ttypes)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("nll_ppm").alias("sum_nll_ppm"),
+        )
+        .select(
+            "doc_id", "n_trigrams", "sum_nll_ppm",
+            F.expr("sum_nll_ppm div n_trigrams").alias("avg_nll_ppm"),
+        )
+    )
+
+
+def _kn3_tgc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached trigram count table (n-gram-type bounded)."""
+    from .dedup import _cached, _doc_toks
+
+    return _cached(
+        spark, sf_dir, "kn3_tgc",
+        lambda: trigrams_of(_doc_toks(spark, sf_dir))
+        .groupBy("u", "v", "w")
+        .agg(F.count(F.lit(1)).alias("ctg")),
+    )
+
+
+KN3_PERPLEXITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS tl FROM documents
+), tg AS (
+  SELECT doc_id,
+         unnest(list_slice(tl, 1, len(tl) - 2)) AS u,
+         unnest(list_slice(tl, 2, len(tl) - 1)) AS v,
+         unnest(list_slice(tl, 3, len(tl))) AS w
+  FROM base WHERE len(tl) >= 3
+), bg AS (
+  SELECT doc_id,
+         unnest(list_slice(tl, 1, len(tl) - 1)) AS prev,
+         unnest(list_slice(tl, 2, len(tl))) AS tok
+  FROM base WHERE len(tl) >= 2
+), tgc AS (
+  SELECT u, v, w, count(*) AS ctg FROM tg GROUP BY u, v, w
+), tctx AS (
+  SELECT u, v, CAST(sum(ctg) AS BIGINT) AS cuv, count(*) AS n1p_uv
+  FROM tgc GROUP BY u, v
+), cont2 AS (
+  SELECT v, w, count(*) AS c2 FROM tgc GROUP BY v, w
+), mid AS (
+  SELECT v, CAST(sum(c2) AS BIGINT) AS den2, count(*) AS midv
+  FROM cont2 GROUP BY v
+), bgc AS (
+  SELECT prev, tok, count(*) AS cbg FROM bg GROUP BY prev, tok
+), cont AS (
+  SELECT tok AS w, count(*) AS n1p_tok FROM bgc GROUP BY tok
+), tt AS (
+  SELECT CAST(count(*) AS BIGINT) AS ttypes FROM bgc
+), staged AS (
+  SELECT doc_id,
+         CAST(n1p_tok AS DOUBLE) / ttypes AS p1d,
+         c2, midv, den2, ctg, n1p_uv, cuv
+  FROM tg JOIN tgc USING (u, v, w) JOIN tctx USING (u, v)
+          JOIN cont2 USING (v, w) JOIN mid USING (v)
+          JOIN cont USING (w) CROSS JOIN tt
+), staged2 AS (
+  SELECT doc_id, ctg, n1p_uv, cuv,
+         (greatest(CAST(coalesce(c2, 0) AS DOUBLE) - {KN_DISCOUNT},
+                   CAST(0 AS DOUBLE))
+          + {KN_DISCOUNT} * midv * p1d) / den2 AS p2d
+  FROM staged
+), scored AS (
+  SELECT doc_id,
+         CAST(floor(-ln((greatest(CAST(coalesce(ctg, 0) AS DOUBLE)
+                                  - {KN_DISCOUNT}, CAST(0 AS DOUBLE))
+                        + {KN_DISCOUNT} * n1p_uv * p2d) / cuv)
+                    * 1000000 + 0.5) AS BIGINT) AS nll_ppm
+  FROM staged2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(nll_ppm) AS BIGINT) AS sum_nll_ppm,
+       CAST(sum(nll_ppm) // count(*) AS BIGINT) AS avg_nll_ppm
+FROM scored GROUP BY doc_id
+"""
+
+
 CCNET_BUCKETS_SQL = f"""
 WITH per_doc AS ({KN_PERPLEXITY_SQL}),
 scored AS (

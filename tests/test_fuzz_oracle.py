@@ -145,6 +145,10 @@ FUZZED_QUERIES = [
     # single-token/empty docs must drop identically; the 1-row ttypes
     # cross and the continuation counts must agree cross-engine
     "doc_kn_perplexity",
+    # the trigram recursion: dup-heavy corpora exercise both discount
+    # floors; docs of exactly 2 tokens must drop from the trigram
+    # stream while still feeding the bigram-type level-1 tables
+    "doc_kn3_perplexity",
     # min-k% tail of the same model: ceil tail sizing on 1-bigram docs
     # (tail == whole doc) and desc-NLL/pos tie-breaks on duplicate-
     # heavy corpora where many bigrams share one quantized NLL

@@ -252,6 +252,102 @@ def test_streaming_ccnet_gate_matches_batch(spark, tmp_path_factory):
     assert v.n_oov_bigrams == 3 and v.bucket == 0 and v.avg_nll_ppm is None
 
 
+def test_kn3_separates_identical_bigram_multisets(spark):
+    """The trigram recursion's planted contract: two held-out docs
+    with IDENTICAL bigram multisets (hence provably equal bigram-KN
+    scores) separate under trigram KN when one follows seen trigram
+    chains and the other permutes them. Engine ppm values also match
+    a pure-Python oracle of the full three-level recursion, covering
+    the unseen-context backoff branches the self-scored registered
+    query cannot reach."""
+    import math
+    from collections import Counter
+
+    from maillog2db_spark.operators.corpus_analytics import (
+        KN_DISCOUNT,
+        bigram_rollup,
+        bigrams_of,
+        kn3_model_tables,
+        kn3_score_trigrams,
+        kn_model_tables,
+        kn_score_bigrams,
+        trigrams_of,
+    )
+
+    train = ["x a x b x"] * 30
+    base = spark.createDataFrame(
+        [(i, t.split()) for i, t in enumerate(train)],
+        "doc_id long, toks array<string>",
+    )
+    bg = bigrams_of(base)
+    tables2 = kn_model_tables(bg)
+    tables3 = kn3_model_tables(trigrams_of(base), bg)
+
+    x2 = "x a x b x"   # every trigram seen in training
+    y = "x b x a x"    # SAME bigram multiset, trigram (b,x,a) unseen
+    held = spark.createDataFrame(
+        [(100, x2.split()), (101, y.split())],
+        "doc_id long, toks array<string>",
+    )
+    kn2 = {
+        r.doc_id: r.avg_nll_ppm
+        for r in bigram_rollup(
+            kn_score_bigrams(bigrams_of(held), *tables2)
+        ).collect()
+    }
+    assert kn2[100] == kn2[101]  # bigram KN is blind to the permutation
+
+    scored3 = kn3_score_trigrams(trigrams_of(held), *tables3)
+    rows3 = scored3.groupBy("doc_id").agg(
+        F.sum("nll_ppm").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    kn3 = {r.doc_id: r.s // r.n for r in rows3}
+    assert kn3[100] < kn3[101]  # trigram KN sees the order violation
+
+    # pure-Python oracle of the recursion (per-trigram ppm, averaged)
+    tgc, bgc = Counter(), Counter()
+    for t in (d.split() for d in train):
+        for a, b in zip(t, t[1:]):
+            bgc[(a, b)] += 1
+        for a, b, c in zip(t, t[1:], t[2:]):
+            tgc[(a, b, c)] += 1
+    cuv, n1p_uv, c2, den2, midv = (
+        Counter(), Counter(), Counter(), Counter(), Counter()
+    )
+    for (u, v, w), c in tgc.items():
+        cuv[(u, v)] += c
+        n1p_uv[(u, v)] += 1
+    for (u, v, w) in tgc:
+        c2[(v, w)] += 1
+    for (v, w), c in c2.items():
+        den2[v] += c
+        midv[v] += 1
+    cont = Counter()
+    for (a, b) in bgc:
+        cont[b] += 1
+    T = len(bgc)
+    D = KN_DISCOUNT
+
+    def ppm3(doc):
+        t = doc.split()
+        vals = []
+        for u, v, w in zip(t, t[1:], t[2:]):
+            p1 = cont.get(w, 0) / T
+            if v in den2:
+                p2 = (max(c2.get((v, w), 0) - D, 0.0) + D * midv[v] * p1) / den2[v]
+            else:
+                p2 = p1
+            if (u, v) in cuv:
+                p3 = (max(tgc.get((u, v, w), 0) - D, 0.0)
+                      + D * n1p_uv[(u, v)] * p2) / cuv[(u, v)]
+            else:
+                p3 = p2
+            vals.append(math.floor(-math.log(p3) * 1_000_000 + 0.5))
+        return sum(vals) // len(vals)
+
+    assert kn3 == {100: ppm3(x2), 101: ppm3(y)}
+
+
 def test_survey_counts_match_registry():
     """SURVEY.md is the judge's coverage anchor — its registered-query
     and hash-oracle counts must track the live registry (the r8 doc
