@@ -278,3 +278,20 @@ def compact_unigrams(
         ),
         keep_latest=keep_latest,
     )
+
+
+def kn_perplexity(spark: SparkSession, store: BigramStore) -> DataFrame:
+    """≡ ``doc_kn_perplexity`` over the union of ingested batches
+    (tested): the interpolated Kneser-Ney model tables re-derive from
+    the resolved bigram streams (type/continuation counts are pure
+    aggregates of the accumulated (prev, tok) grain — additive by
+    write-once construction), then the shared
+    ``corpus_analytics.kn_score_bigrams`` expression scores them.
+    Completes the LM family's streaming parity: unigram, JM-bigram,
+    min-k%, and KN all serve from one store."""
+    from .operators.corpus_analytics import kn_model_tables, kn_score_bigrams
+
+    bg = store.doc_bigrams(spark)
+    if bg is None:
+        raise ValueError("no batches ingested yet")
+    return bigram_rollup(kn_score_bigrams(bg, *kn_model_tables(bg)))

@@ -348,6 +348,31 @@ def test_kn3_separates_identical_bigram_multisets(spark):
     assert kn3 == {100: ppm3(x2), 101: ppm3(y)}
 
 
+def test_streaming_kn_matches_batch(spark, tmp_path):
+    """The KN streaming twin over the bigram store: after ingesting
+    the corpus in doc waves, streaming_lm.kn_perplexity serves exactly
+    the batch doc_kn_perplexity rows (stream ≡ batch is equality of
+    the resolved bigram grain into one shared scoring core)."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_lm as sl
+    from maillog2db_spark.operators import corpus_analytics as ca
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    store = sl.BigramStore(str(tmp_path / "store"))
+    for i, (lo, hi) in enumerate([(None, 170), (170, 340), (340, None)]):
+        w = docs
+        if lo is not None:
+            w = w.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            w = w.filter(F.col("doc_id") < hi)
+        sl.lm_ingest_batch(spark, w, store, i)
+
+    got = sorted(map(tuple, sl.kn_perplexity(spark, store).collect()))
+    want = sorted(map(tuple, ca.kn_perplexity(spark, sf).collect()))
+    assert got == want
+
+
 def test_survey_counts_match_registry():
     """SURVEY.md is the judge's coverage anchor — its registered-query
     and hash-oracle counts must track the live registry (the r8 doc
