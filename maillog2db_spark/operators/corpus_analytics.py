@@ -1268,13 +1268,22 @@ def kn_model_tables(bg: DataFrame):
     All exact integers; the probability is assembled engine-side as one
     fixed-shape double expression (identical IEEE ops both engines)."""
     bgc = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cbg"))
+    return (bgc, *kn_tables_from_bgc(bgc))
+
+
+def kn_tables_from_bgc(bgc: DataFrame):
+    """(ctx, cont, ttypes) from a (prev, tok, cbg) count table — the
+    ONE derivation every KN consumer shares (the registered batch
+    query via the session-cached bgc, the frozen CCNet cut service,
+    and the streaming resolved-store twin), so the model cannot
+    silently fork between execution modes."""
     ctx = bgc.groupBy("prev").agg(
         F.sum("cbg").cast("bigint").alias("cprev"),
         F.count(F.lit(1)).alias("n1p_prev"),
     )
     cont = bgc.groupBy("tok").agg(F.count(F.lit(1)).alias("n1p_tok"))
     ttypes = bgc.agg(F.count(F.lit(1)).alias("ttypes"))
-    return bgc, ctx, cont, ttypes
+    return ctx, cont, ttypes
 
 
 # Interpolated KN (Chen & Goodman 1999, eq. 4.25 at bigram order):
@@ -1350,13 +1359,7 @@ def _kn_model(spark: SparkSession, sf_dir: str):
         return bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cbg"))
 
     bgc = _cached(spark, sf_dir, "kn_bgc", build)
-    ctx = bgc.groupBy("prev").agg(
-        F.sum("cbg").cast("bigint").alias("cprev"),
-        F.count(F.lit(1)).alias("n1p_prev"),
-    )
-    cont = bgc.groupBy("tok").agg(F.count(F.lit(1)).alias("n1p_tok"))
-    ttypes = bgc.agg(F.count(F.lit(1)).alias("ttypes"))
-    return bgc, ctx, cont, ttypes
+    return (bgc, *kn_tables_from_bgc(bgc))
 
 
 KN_PERPLEXITY_SQL = f"""
@@ -1446,6 +1449,15 @@ def kn3_model_tables(tg: DataFrame, bg: DataFrame):
     bigram estimate p2(w|v); v never seen as a trigram middle → the
     unigram continuation p1(w)."""
     tgc = tg.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("ctg"))
+    bgc = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cbg"))
+    _, cont, ttypes = kn_tables_from_bgc(bgc)
+    return (tgc, *kn3_tables_from_tgc(tgc), cont, ttypes)
+
+
+def kn3_tables_from_tgc(tgc: DataFrame):
+    """(tctx, cont2, mid) from a (u, v, w, ctg) count table — the
+    shared trigram-level derivation (the kn_tables_from_bgc
+    convention, one level up)."""
     tctx = tgc.groupBy("u", "v").agg(
         F.sum("ctg").cast("bigint").alias("cuv"),
         F.count(F.lit(1)).alias("n1p_uv"),
@@ -1455,10 +1467,7 @@ def kn3_model_tables(tg: DataFrame, bg: DataFrame):
         F.sum("c2").cast("bigint").alias("den2"),
         F.count(F.lit(1)).alias("midv"),
     )
-    bgc = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cbg"))
-    cont = bgc.groupBy("tok").agg(F.count(F.lit(1)).alias("n1p_tok"))
-    ttypes = bgc.agg(F.count(F.lit(1)).alias("ttypes"))
-    return tgc, tctx, cont2, mid, cont, ttypes
+    return tctx, cont2, mid
 
 
 # The three-level estimate assembled stepwise (p1 → p2 → p3) so both
@@ -1521,18 +1530,8 @@ def kn3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _doc_toks(spark, sf_dir)
     tg = trigrams_of(base)
     tgc = _kn3_tgc(spark, sf_dir)
-    tctx = tgc.groupBy("u", "v").agg(
-        F.sum("ctg").cast("bigint").alias("cuv"),
-        F.count(F.lit(1)).alias("n1p_uv"),
-    )
-    cont2 = tgc.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c2"))
-    mid = cont2.groupBy("v").agg(
-        F.sum("c2").cast("bigint").alias("den2"),
-        F.count(F.lit(1)).alias("midv"),
-    )
-    bgc = _kn_model(spark, sf_dir)[0]
-    cont = bgc.groupBy("tok").agg(F.count(F.lit(1)).alias("n1p_tok"))
-    ttypes = bgc.agg(F.count(F.lit(1)).alias("ttypes"))
+    tctx, cont2, mid = kn3_tables_from_tgc(tgc)
+    _, _, cont, ttypes = _kn_model(spark, sf_dir)
     scored = kn3_score_trigrams(tg, tgc, tctx, cont2, mid, cont, ttypes)
     return (
         scored.groupBy("doc_id")

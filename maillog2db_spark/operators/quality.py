@@ -617,12 +617,17 @@ OVERLAP_MIN_SHARED = 2
 
 def _overlap_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached post-cap (doc_id, fp) winnowed-fingerprint table
-    for the overlap pair report. The build persists the pre-cap
-    fingerprint stream so the per-char md5 gram pass runs ONCE (the
-    frequency count and the keep-join both read the materialized
-    rows), materializes the capped table eagerly, then releases the
-    pre-cap persist — only the post-cap table stays resident for the
-    session (bounded by kept fingerprints, <= FP_DOC_CAP per fp)."""
+    for the overlap pair report. The stop-fingerprint cap is applied
+    with a count window OVER the fp partition rather than a
+    groupBy+self-join, so the per-char md5 gram pass is evaluated in
+    exactly ONE branch of the plan (one shuffle on fp — the same
+    exchange the count needs anyway), the build stays LAZY like every
+    other registry plan (no corpus job at plan-construction time), and
+    only the capped table persists (bounded: <= FP_DOC_CAP rows per
+    fingerprint). (doc_id, fp) is unique by the per-doc array_distinct,
+    so the window filter keeps exactly the rows the join variant kept."""
+    from pyspark.sql import Window
+
     from .dedup import _cached
 
     def build():
@@ -640,17 +645,14 @@ def _overlap_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.filter(F.length("text") >= OVERLAP_K + OVERLAP_W - 1)
             .select("doc_id", F.expr(grams).alias("grams"))
             .select("doc_id", F.explode(F.expr(sel)).alias("fp"))
-            .persist()
         )
-        freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("k"))
-        kept = (
-            fps.join(freq.filter(F.col("k") <= FP_DOC_CAP), "fp")
+        return (
+            fps.withColumn(
+                "k", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+            )
+            .filter(F.col("k") <= FP_DOC_CAP)
             .select("doc_id", "fp")
-            .persist()
         )
-        kept.count()  # materialize now so the pre-cap stream can go
-        fps.unpersist()
-        return kept
 
     return _cached(spark, sf_dir, "winnow_overlap_kept", build)
 

@@ -63,6 +63,7 @@ from .operators.chunking import CHUNK_STRIDE, PACK_BUDGET
 from .operators.corpus_pipeline import QUALITY_MIN_PPM, _quality_ppm_from_toks
 from .operators.decontam import BENCH_SOURCE, CONTAM_PPM_THRESHOLD
 from .operators.dedup import _SHINGLES_FROM_TOKS_SPARK, _TOKENS_SPARK
+from .streaming_util import start_foreach_batch_stream
 
 
 class AdmissionStore(BucketedMinStore):
@@ -325,23 +326,13 @@ def start_admission_stream(
 ):
     """Follow a directory of document parquet drops (doc_id, text,
     lang, source, n_chars) and admit each micro-batch."""
-    schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.parquet(docs_dir)
-    writer = (
-        docs.writeStream.foreachBatch(
-            lambda df, bid: admission_ingest_batch(
-                df.sparkSession, df, store, bench_shingles, bid
-            )
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("admission_ingest")
+    return start_foreach_batch_stream(
+        spark, docs_dir,
+        lambda s, df, bid: admission_ingest_batch(s, df, store, bench_shingles, bid),
+        checkpoint_dir, "admission_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 # --- Gopher-rules admission gate (stateless) ---------------------------------
@@ -408,20 +399,10 @@ def start_gopher_gate_stream(
     """Follow a directory of document parquet drops and emit Gopher
     rule verdicts per micro-batch. Stateless: any arrival order yields
     the batch query's verdicts for the union."""
-    schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.parquet(docs_dir)
-    writer = (
-        docs.writeStream.foreachBatch(
-            lambda df, bid: gopher_gate_ingest_batch(
-                df.sparkSession, df, store, bid
-            )
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("gopher_gate_ingest")
+    return start_foreach_batch_stream(
+        spark, docs_dir,
+        lambda s, df, bid: gopher_gate_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "gopher_gate_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from .ledger import FileBatchLedger, atomic_rewrite
 from .operators.temporal import ATTRIB_WINDOW_SEC, range_join
+from .streaming_util import start_foreach_batch_stream
 
 _W_US = ATTRIB_WINDOW_SEC * 1_000_000
 
@@ -218,18 +219,10 @@ def start_attribution_stream(
 ):
     """Follow a directory of event parquet drops and credit each
     micro-batch's purchases against the accumulated clicks."""
-    schema = spark.read.parquet(events_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    events = reader.parquet(events_dir)
-    writer = (
-        events.writeStream.foreachBatch(
-            lambda df, bid: attribution_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("attribution_ingest")
+    return start_foreach_batch_stream(
+        spark, events_dir,
+        lambda s, df, bid: attribution_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "attribution_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

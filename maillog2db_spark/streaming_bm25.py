@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from .ledger import FileBatchLedger
 from .operators.dedup import _TOKENS_SPARK
 from .operators.text import BM25_N_QUERIES, BM25_TOP_K, bm25_from_tf
+from .streaming_util import start_foreach_batch_stream
 
 
 N_TERM_BUCKETS = 16  # posting-list sub-partitioning for search pruning
@@ -221,21 +222,13 @@ def start_bm25_stream(
 ):
     """Follow a directory of document parquet drops and maintain the
     postings incrementally."""
-    schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.parquet(docs_dir)
-    writer = (
-        docs.writeStream.foreachBatch(
-            lambda df, bid: bm25_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("bm25_ingest")
+    return start_foreach_batch_stream(
+        spark, docs_dir,
+        lambda s, df, bid: bm25_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "bm25_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def compact_postings(spark: SparkSession, store: PostingsStore) -> None:

@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 
 from .ledger import FileBatchLedger
 from .operators.windows import BOT_FAST_GAP_S, bot_score_from
+from .streaming_util import start_foreach_batch_stream
 
 
 class BotStore(FileBatchLedger):
@@ -298,18 +299,10 @@ def start_bot_stream(
 ):
     """Follow a directory of event parquet drops and maintain the
     gap-moment partials incrementally."""
-    schema = spark.read.parquet(events_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    events = reader.parquet(events_dir)
-    writer = (
-        events.writeStream.foreachBatch(
-            lambda df, bid: bot_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("bot_ingest")
+    return start_foreach_batch_stream(
+        spark, events_dir,
+        lambda s, df, bid: bot_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "bot_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from .ledger import FileBatchLedger, atomic_rewrite
 from .operators.graph import star_components
+from .streaming_util import start_foreach_batch_stream
 
 
 class CCStore(FileBatchLedger):
@@ -196,18 +197,10 @@ def start_cc_stream(
 ):
     """Follow a directory of (src, dst) edge parquet drops and
     maintain component labels incrementally."""
-    schema = spark.read.parquet(edges_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    edges = reader.parquet(edges_dir)
-    writer = (
-        edges.writeStream.foreachBatch(
-            lambda df, bid: cc_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("cc_ingest")
+    return start_foreach_batch_stream(
+        spark, edges_dir,
+        lambda s, df, bid: cc_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "cc_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -32,8 +32,9 @@ Semantics notes (deliberate, documented):
     reference has zero continuation mass — its NLL row is NULL under
     the shared expression. Such rows are counted per doc as
     ``n_oov_bigrams`` and excluded from the average (deterministic,
-    reported, never silently imputed); a doc with ONLY OOV bigrams
-    gets a NULL score and bucket 0.
+    reported, never silently imputed); a doc with ONLY OOV bigrams —
+    or with fewer than 2 tokens, hence no bigrams at all — gets a NULL
+    score and bucket 0, so EVERY batch doc receives a verdict row.
   * Docs whose language has no reference cut get bucket 0 ("no cut").
 
 Verdicts write batch_id-partitioned with dynamic overwrite behind the
@@ -48,13 +49,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .ledger import FileBatchLedger
-from .operators.corpus_analytics import (
-    CCNET_BUCKETS,
-    bigrams_of,
-    kn_model_tables,
-    kn_score_bigrams,
-)
+from .operators.corpus_analytics import bigrams_of, kn_score_bigrams
 from .operators.dedup import _TOKENS_SPARK
+from .streaming_util import start_foreach_batch_stream
 
 
 class CcnetCutStore(FileBatchLedger):
@@ -94,12 +91,12 @@ def freeze_ccnet(spark: SparkSession, ref_dir: str, store: CcnetCutStore) -> Non
     """Train the KN model on the reference corpus and persist it plus
     the per-language cut boundaries derived from the reference's own
     ntile ranking (the batch query's exact grid)."""
-    from .operators.corpus_analytics import ccnet_buckets
+    from .operators.corpus_analytics import _kn_model, ccnet_buckets
 
-    from .operators.dedup import _doc_toks
-
-    bg = bigrams_of(_doc_toks(spark, ref_dir))
-    bgc, ctx, cont, ttypes = kn_model_tables(bg)
+    # the session-cached model — the SAME tables (by construction, via
+    # kn_tables_from_bgc) the cut grid below is ranked under, and the
+    # corpus-wide bigram aggregation runs once, not twice
+    bgc, ctx, cont, ttypes = _kn_model(spark, ref_dir)
     for name, df in zip(store.MODEL_TABLES, (bgc, ctx, cont, ttypes)):
         df.write.mode("overwrite").parquet(store._path(name))
     grid = ccnet_buckets(spark, ref_dir)
@@ -115,15 +112,18 @@ def freeze_ccnet(spark: SparkSession, ref_dir: str, store: CcnetCutStore) -> Non
 
 
 def ccnet_score_batch(batch_docs: DataFrame, model) -> DataFrame:
-    """(doc_id, lang, avg_nll_ppm, n_bigrams, n_oov_bigrams) for one
-    batch under the frozen model — the shared scoring core applied to
-    the batch's bigram stream. NULL rows (OOV targets) are counted and
-    excluded from the average."""
+    """(doc_id, lang, avg_nll_ppm, n_bigrams, n_oov_bigrams) for EVERY
+    doc in the batch under the frozen model — the shared scoring core
+    applied to the batch's bigram stream. NULL rows (OOV targets) are
+    counted and excluded from the average. Docs with no bigrams at all
+    (< 2 tokens) keep a (0, 0, NULL) row via the doc-grain left join —
+    the gate's documented contract is that EVERY batch doc receives a
+    verdict (bucket 0 when unscorable), never a silent absence."""
     base = batch_docs.select(
         "doc_id", "lang", F.expr(_TOKENS_SPARK).alias("toks")
     )
     scored = kn_score_bigrams(bigrams_of(base), *model)
-    return (
+    per_doc = (
         scored.groupBy("doc_id")
         .agg(
             F.count("nll_ppm").cast("bigint").alias("n_bigrams"),
@@ -138,10 +138,13 @@ def ccnet_score_batch(batch_docs: DataFrame, model) -> DataFrame:
                 " ELSE sum_nll_ppm div n_bigrams END"
             ).alias("avg_nll_ppm"),
         )
-        # lang rides back at doc grain (the bigram stream carries only
-        # positional columns)
-        .join(base.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", "lang", "n_bigrams", "n_oov_bigrams", "avg_nll_ppm")
+    )
+    return base.select("doc_id", "lang").join(per_doc, "doc_id", "left").select(
+        "doc_id", "lang",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("n_oov_bigrams", F.lit(0)).cast("bigint")
+        .alias("n_oov_bigrams"),
+        "avg_nll_ppm",
     )
 
 
@@ -192,20 +195,10 @@ def start_ccnet_gate_stream(
 ):
     """Follow a directory of document parquet drops and bucket each
     micro-batch under the frozen reference cuts."""
-    schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.parquet(docs_dir)
-    writer = (
-        docs.writeStream.foreachBatch(
-            lambda df, bid: ccnet_gate_ingest_batch(
-                df.sparkSession, df, store, bid
-            )
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("ccnet_gate_ingest")
+    return start_foreach_batch_stream(
+        spark, docs_dir,
+        lambda s, df, bid: ccnet_gate_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "ccnet_gate_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

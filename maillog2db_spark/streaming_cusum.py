@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from .ledger import FileBatchLedger
 from .operators.windows import cusum_from_daily
+from .streaming_util import start_foreach_batch_stream
 
 
 class CusumStore(FileBatchLedger):
@@ -125,21 +126,13 @@ def start_cusum_stream(
 ):
     """Follow a directory of event parquet drops and maintain the
     daily-count partials incrementally."""
-    schema = spark.read.parquet(events_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    events = reader.parquet(events_dir)
-    writer = (
-        events.writeStream.foreachBatch(
-            lambda df, bid: cusum_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("cusum_ingest")
+    return start_foreach_batch_stream(
+        spark, events_dir,
+        lambda s, df, bid: cusum_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "cusum_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def compact_daily(spark: SparkSession, store: CusumStore) -> None:

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from .ledger import FileBatchLedger
 
 from .operators.quality import psi_bin_col, psi_from_counts
+from .streaming_util import start_foreach_batch_stream
 
 
 class DriftStore(FileBatchLedger):
@@ -136,21 +137,13 @@ def start_drift_stream(
 ):
     """Follow a directory of document parquet drops and maintain the
     drift grids incrementally."""
-    schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.parquet(docs_dir)
-    writer = (
-        docs.writeStream.foreachBatch(
-            lambda df, bid: drift_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("drift_ingest")
+    return start_foreach_batch_stream(
+        spark, docs_dir,
+        lambda s, df, bid: drift_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "drift_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def compact_grids(spark: SparkSession, store: DriftStore) -> None:

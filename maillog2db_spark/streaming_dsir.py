@@ -48,6 +48,7 @@ from .operators.corpus_analytics import (
     dsir_model,
     dsir_score,
 )
+from .streaming_util import start_foreach_batch_stream
 
 
 class DsirStore(FileBatchLedger):
@@ -169,21 +170,13 @@ def start_dsir_stream(
 ):
     """Follow a directory of document parquet drops and maintain the
     DSIR feature partials incrementally."""
-    schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.parquet(docs_dir)
-    writer = (
-        docs.writeStream.foreachBatch(
-            lambda df, bid: dsir_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("dsir_ingest")
+    return start_foreach_batch_stream(
+        spark, docs_dir,
+        lambda s, df, bid: dsir_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "dsir_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def compact_store(spark: SparkSession, store: DsirStore) -> None:

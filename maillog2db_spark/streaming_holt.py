@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from .ledger import FileBatchLedger
 from .operators.windows import holt_from_monthly
+from .streaming_util import start_foreach_batch_stream
 
 
 class HoltStore(FileBatchLedger):
@@ -123,21 +124,13 @@ def start_holt_stream(
 ):
     """Follow a directory of order parquet drops and maintain the
     monthly partials incrementally."""
-    schema = spark.read.parquet(orders_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    orders = reader.parquet(orders_dir)
-    writer = (
-        orders.writeStream.foreachBatch(
-            lambda df, bid: holt_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("holt_ingest")
+    return start_foreach_batch_stream(
+        spark, orders_dir,
+        lambda s, df, bid: holt_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "holt_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def compact_monthly(spark: SparkSession, store: HoltStore) -> None:

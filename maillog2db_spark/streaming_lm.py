@@ -57,6 +57,7 @@ from .operators.corpus_analytics import (
     score_bigrams,
 )
 from .operators.dedup import _TOKENS_SPARK
+from .streaming_util import start_foreach_batch_stream
 
 
 class BigramStore(FileBatchLedger):
@@ -235,21 +236,13 @@ def start_lm_stream(
 ):
     """Follow a directory of document parquet drops and maintain the
     bigram model incrementally."""
-    schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.parquet(docs_dir)
-    writer = (
-        docs.writeStream.foreachBatch(
-            lambda df, bid: lm_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("bigram_lm_ingest")
+    return start_foreach_batch_stream(
+        spark, docs_dir,
+        lambda s, df, bid: lm_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "bigram_lm_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def compact_unigrams(

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from .ledger import FileBatchLedger
 
 from .operators.sampling import mix_copies_col, strata_keep_predicate
+from .streaming_util import start_foreach_batch_stream
 
 
 class SampleMixStore(FileBatchLedger):
@@ -119,18 +120,10 @@ def start_sample_mix_stream(
 ):
     """Follow a directory of document parquet drops and maintain the
     stratified sample + mixed corpus incrementally."""
-    schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.parquet(docs_dir)
-    writer = (
-        docs.writeStream.foreachBatch(
-            lambda df, bid: sample_mix_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("sample_mix_ingest")
+    return start_foreach_batch_stream(
+        spark, docs_dir,
+        lambda s, df, bid: sample_mix_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "sample_mix_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from .ledger import FileBatchLedger, atomic_rewrite
 
 from .operators import dedup
+from .streaming_util import start_foreach_batch_stream
 
 
 class MinHashStore(FileBatchLedger):
@@ -231,18 +232,11 @@ def start_neardup_stream(
     """Follow a directory of document parquet drops (doc_id, lang,
     text, ...) and run each micro-batch through the incremental
     near-dup pipeline."""
-    schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.parquet(docs_dir).select("doc_id", "lang", "text")
-    writer = (
-        docs.writeStream.foreachBatch(
-            lambda df, bid: neardup_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("neardup_ingest")
+    return start_foreach_batch_stream(
+        spark, docs_dir,
+        lambda s, df, bid: neardup_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "neardup_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
+        select=["doc_id", "lang", "text"],
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from .ledger import FileBatchLedger
 from .operators.multimodal import phash_pairs_between, phash_signatures
+from .streaming_util import start_foreach_batch_stream
 
 
 class PhashStore(FileBatchLedger):
@@ -169,18 +170,10 @@ def start_phash_stream(
 ):
     """Follow a directory of document parquet drops and maintain the
     perceptual near-dup state incrementally."""
-    schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.parquet(docs_dir)
-    writer = (
-        docs.writeStream.foreachBatch(
-            lambda df, bid: phash_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("phash_ingest")
+    return start_foreach_batch_stream(
+        spark, docs_dir,
+        lambda s, df, bid: phash_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "phash_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from .ledger import FileBatchLedger
 
 from .operators.dedup import _TOKENS_SPARK
+from .streaming_util import start_foreach_batch_stream
 
 
 class VocabStore(FileBatchLedger):
@@ -187,18 +188,11 @@ def start_vocab_stream(
 ):
     """Follow a directory of document parquet drops and accumulate the
     vocabulary incrementally."""
-    schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.parquet(docs_dir).select("doc_id", "text")
-    writer = (
-        docs.writeStream.foreachBatch(
-            lambda df, bid: vocab_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("vocab_ingest")
+    return start_foreach_batch_stream(
+        spark, docs_dir,
+        lambda s, df, bid: vocab_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "vocab_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
+        select=["doc_id", "text"],
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -53,6 +53,7 @@ from .operators.retrieval import HYBRID_N_QUERIES, HYBRID_TOP_K, label_eval_grid
 from .operators.similarity import _norm, cosine_topk
 from .operators.text import bm25_from_tf
 from .streaming_bm25 import PostingsStore
+from .streaming_util import start_foreach_batch_stream
 
 
 class DenseTopKStore(FileBatchLedger):
@@ -241,18 +242,10 @@ def start_dense_stream(
     """Follow a directory of corpus-embedding parquet drops and
     maintain the dense top-k state incrementally (queries must already
     be registered)."""
-    schema = spark.read.parquet(emb_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    emb = reader.parquet(emb_dir)
-    writer = (
-        emb.writeStream.foreachBatch(
-            lambda df, bid: dense_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("dense_topk_ingest")
+    return start_foreach_batch_stream(
+        spark, emb_dir,
+        lambda s, df, bid: dense_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "dense_topk_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

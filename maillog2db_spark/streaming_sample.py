@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.sampling import SAMPLE_K, weighted_key
+from .streaming_util import start_foreach_batch_stream
 
 _COLS = ["doc_id", "source", "n_chars", "wkey"]
 
@@ -112,18 +113,10 @@ def start_reservoir_stream(
 ):
     """Follow a directory of document parquet drops and maintain the
     weighted reservoir per micro-batch."""
-    schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.parquet(docs_dir)
-    writer = (
-        docs.writeStream.foreachBatch(
-            lambda df, bid: reservoir_ingest_batch(df.sparkSession, df, store)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("weighted_reservoir")
+    return start_foreach_batch_stream(
+        spark, docs_dir,
+        lambda s, df, bid: reservoir_ingest_batch(s, df, store),
+        checkpoint_dir, "weighted_reservoir",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

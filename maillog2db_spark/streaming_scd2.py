@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .ledger import FileBatchLedger, atomic_rewrite
+from .streaming_util import start_foreach_batch_stream
 
 
 class Scd2Store(FileBatchLedger):
@@ -271,18 +272,10 @@ def start_scd2_stream(
 ):
     """Follow a directory of order parquet drops and maintain the
     regime history incrementally."""
-    schema = spark.read.parquet(orders_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    orders = reader.parquet(orders_dir)
-    writer = (
-        orders.writeStream.foreachBatch(
-            lambda df, bid: scd2_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("scd2_ingest")
+    return start_foreach_batch_stream(
+        spark, orders_dir,
+        lambda s, df, bid: scd2_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "scd2_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -37,6 +37,7 @@ from .operators.corpus_analytics import (
 )
 from .operators.dedup import _TOKENS_SPARK
 from .stores import BucketedMinStore
+from .streaming_util import start_foreach_batch_stream
 
 
 class ScrubStore(BucketedMinStore):
@@ -111,18 +112,10 @@ def start_scrub_stream(
 ):
     """Follow a directory of document parquet drops and scrub each
     micro-batch against the accumulated shingle attributions."""
-    schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.parquet(docs_dir)
-    writer = (
-        docs.writeStream.foreachBatch(
-            lambda df, bid: scrub_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("span_scrub_ingest")
+    return start_foreach_batch_stream(
+        spark, docs_dir,
+        lambda s, df, bid: scrub_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "span_scrub_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -47,6 +47,7 @@ from .ledger import FileBatchLedger
 
 from .operators import similarity
 from .operators.dedup import _pairs_within_groups
+from .streaming_util import start_foreach_batch_stream
 
 
 class VecStore(FileBatchLedger):
@@ -259,18 +260,11 @@ def start_semdedup_stream(
     """Follow a directory of embedding parquet drops (vec_id, embedding,
     ...) and run each micro-batch through incremental semantic dedup.
     The store's quantizer must be frozen before starting."""
-    schema = spark.read.parquet(vecs_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    vecs = reader.parquet(vecs_dir).select("vec_id", "embedding")
-    writer = (
-        vecs.writeStream.foreachBatch(
-            lambda df, bid: semdedup_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("semdedup_ingest")
+    return start_foreach_batch_stream(
+        spark, vecs_dir,
+        lambda s, df, bid: semdedup_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "semdedup_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
+        select=["vec_id", "embedding"],
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -53,6 +53,7 @@ from .operators.corpus_analytics import (
 )
 from .operators.dedup import _TOKENS_SPARK
 from .stores import BucketedMinStore
+from .streaming_util import start_foreach_batch_stream
 
 # reject when >= 50% of a doc's tokens sit inside qualifying
 # (>= SPAN_MIN_TOKENS) duplicate spans
@@ -222,20 +223,10 @@ def start_span_gate_stream(
 ):
     """Follow a directory of document parquet drops and gate each
     micro-batch against the accumulated first-writer attributions."""
-    schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.parquet(docs_dir)
-    writer = (
-        docs.writeStream.foreachBatch(
-            lambda df, bid: span_gate_ingest_batch(
-                df.sparkSession, df, store, bid
-            )
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("span_gate_ingest")
+    return start_foreach_batch_stream(
+        spark, docs_dir,
+        lambda s, df, bid: span_gate_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "span_gate_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 from .ledger import FileBatchLedger
 from .operators.corpus_analytics import BASKET_MIN_SUPPORT, triangle_stats_from
+from .streaming_util import start_foreach_batch_stream
 
 
 class TriangleStore(FileBatchLedger):
@@ -372,21 +373,13 @@ def start_triangle_stream(
 ):
     """Follow a directory of order-complete lineitem parquet drops and
     maintain the triangle stats incrementally."""
-    schema = spark.read.parquet(li_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    li = reader.parquet(li_dir)
-    writer = (
-        li.writeStream.foreachBatch(
-            lambda df, bid: triangles_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("triangle_ingest")
+    return start_foreach_batch_stream(
+        spark, li_dir,
+        lambda s, df, bid: triangles_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "triangle_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def compact_triangle_store(spark: SparkSession, store: TriangleStore) -> None:

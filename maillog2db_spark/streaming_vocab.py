@@ -47,6 +47,7 @@ from .operators.dedup import _TOKENS_SPARK
 from .operators.corpus_analytics import source_kl_from_counts
 from .operators.sampling import temperature_mix_from_counts
 from .operators.text import vocab_growth_from
+from .streaming_util import start_foreach_batch_stream
 
 
 class VocabStore(FileBatchLedger):
@@ -225,21 +226,13 @@ def start_vocab_stream(
 ):
     """Follow a directory of document parquet drops and maintain the
     vocabulary partials incrementally."""
-    schema = spark.read.parquet(docs_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    docs = reader.parquet(docs_dir)
-    writer = (
-        docs.writeStream.foreachBatch(
-            lambda df, bid: vocab_ingest_batch(df.sparkSession, df, store, bid)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("vocab_ingest")
+    return start_foreach_batch_stream(
+        spark, docs_dir,
+        lambda s, df, bid: vocab_ingest_batch(s, df, store, bid),
+        checkpoint_dir, "vocab_ingest",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def compact_store(spark: SparkSession, store: VocabStore) -> None:
