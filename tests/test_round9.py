@@ -242,14 +242,22 @@ def test_streaming_ccnet_gate_matches_batch(spark, tmp_path_factory):
     q2.awaitTermination(300)
     assert sorted(map(tuple, store.read_verdicts(spark).collect())) == want
 
-    # OOV: a doc full of reference-unseen tokens is reported, bucket 0
+    # OOV: a doc full of reference-unseen tokens is reported, bucket 0;
+    # a doc too short to have bigrams STILL gets its verdict row
+    # (bucket 0) — every batch doc receives a decision, never a silent
+    # absence (r9 review finding)
     oov = spark.createDataFrame(
-        [(999_999, "zzqx wvvk zzqx wvvk", "en", "syn", 19)],
+        [(999_999, "zzqx wvvk zzqx wvvk", "en", "syn", 19),
+         (999_998, "solo", "en", "syn", 4)],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     sc.ccnet_gate_ingest_batch(spark, oov, store, 99)
-    v = {r.doc_id: r for r in store.read_verdicts(spark).collect()}[999_999]
+    vd = {r.doc_id: r for r in store.read_verdicts(spark).collect()}
+    v = vd[999_999]
     assert v.n_oov_bigrams == 3 and v.bucket == 0 and v.avg_nll_ppm is None
+    s = vd[999_998]
+    assert (s.n_bigrams, s.n_oov_bigrams, s.bucket) == (0, 0, 0)
+    assert s.avg_nll_ppm is None
 
 
 def test_kn3_separates_identical_bigram_multisets(spark):
