@@ -22,7 +22,11 @@ land in BENCH_DETAIL. BENCH_DETAIL.json additionally records both raw runs
 per query (``queries_runs``): run 1 pays any shared session caches
 (tokenizer/centroid/parse bases), run 2 rides them — the split makes
 cache-attribution visible so a registry reorder can't masquerade as a
-per-query regression.
+per-query regression. Round-9 MOVERS discipline: before accepting any
+round-over-round per-query regression narrative, rerun the movers
+through tools/bench_isolated.py (fresh-session isolated + primed
+scenarios) and record the table in SCALING.md — the r8 embed-family
+"regression" was driver-host variance, exonerated exactly this way.
 """
 
 from __future__ import annotations
