@@ -1398,6 +1398,102 @@ FROM scored GROUP BY doc_id
 """
 
 
+def kn_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Kneser-Ney scoring — train the bigram KN model on the
+    EVEN doc_ids, score the ODD ones. This is the deployment shape
+    (CCNet scores crawl shards under a model trained on a reference
+    corpus) and, unlike the self-scored doc_kn_perplexity, it drives
+    the smoothing's backoff branches through the cross-engine hash
+    gate: held-out bigrams may be unseen (discount-only mass), their
+    contexts may be unseen (pure continuation backoff), and their
+    targets may be OOV (NULL row — counted per doc as n_oov_bigrams
+    and excluded from the average, the streaming_ccnet contract).
+    avg_nll_ppm is -1 when a doc has no scoreable bigrams (sentinel
+    instead of NULL: a NULL bigint column would hash through pandas
+    NaN stringification, the r8 NULL-boolean trap one type over).
+
+    Plan shape: both halves ride the session-cached token base (one
+    tokenize, two in-memory filters); the model tables are the shared
+    kn_model_tables derivation over the even half's stream, Zipf-
+    bounded and broadcast; scoring is the same one-pass join pipeline
+    as the self-scored query."""
+    from .dedup import _doc_toks
+
+    base = _doc_toks(spark, sf_dir)
+    tables = kn_model_tables(
+        bigrams_of(base.filter(F.expr("doc_id % 2 = 0")))
+    )
+    scored = kn_score_bigrams(
+        bigrams_of(base.filter(F.expr("doc_id % 2 = 1"))), *tables
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("nll_ppm").isNull().cast("int")).cast("bigint")
+            .alias("n_oov_bigrams"),
+            F.count("nll_ppm").cast("bigint").alias("n_scored"),
+            F.sum("nll_ppm").alias("sum_nll_ppm"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "n_oov_bigrams",
+            F.expr(
+                "CASE WHEN n_scored = 0 THEN CAST(-1 AS BIGINT)"
+                " ELSE sum_nll_ppm div n_scored END"
+            ).alias("avg_nll_ppm"),
+        )
+    )
+
+
+KN_HELDOUT_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS tl FROM documents
+), train_bg AS (
+  SELECT unnest(list_slice(tl, 1, len(tl) - 1)) AS prev,
+         unnest(list_slice(tl, 2, len(tl))) AS tok
+  FROM base WHERE len(tl) >= 2 AND doc_id % 2 = 0
+), bgc AS (
+  SELECT prev, tok, count(*) AS cbg FROM train_bg GROUP BY prev, tok
+), ctx AS (
+  SELECT prev, CAST(sum(cbg) AS BIGINT) AS cprev,
+         count(*) AS n1p_prev
+  FROM bgc GROUP BY prev
+), cont AS (
+  SELECT tok, count(*) AS n1p_tok FROM bgc GROUP BY tok
+), tt AS (
+  SELECT CAST(count(*) AS BIGINT) AS ttypes FROM bgc
+), held AS (
+  SELECT doc_id,
+         unnest(list_slice(tl, 1, len(tl) - 1)) AS prev,
+         unnest(list_slice(tl, 2, len(tl))) AS tok
+  FROM base WHERE len(tl) >= 2 AND doc_id % 2 = 1
+), scored AS (
+  SELECT h.doc_id,
+         CAST(floor(-ln(CASE WHEN ctx.cprev IS NULL THEN
+                          CAST(cont.n1p_tok AS DOUBLE) / tt.ttypes
+                        ELSE (greatest(CAST(coalesce(bgc.cbg, 0) AS DOUBLE)
+                                       - {KN_DISCOUNT}, CAST(0 AS DOUBLE))
+                             + {KN_DISCOUNT} * ctx.n1p_prev
+                               * (CAST(cont.n1p_tok AS DOUBLE) / tt.ttypes))
+                             / ctx.cprev END)
+                    * 1000000 + 0.5) AS BIGINT) AS nll_ppm
+  FROM held h
+  LEFT JOIN bgc ON bgc.prev = h.prev AND bgc.tok = h.tok
+  LEFT JOIN ctx ON ctx.prev = h.prev
+  LEFT JOIN cont ON cont.tok = h.tok
+  CROSS JOIN tt
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN nll_ppm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov_bigrams,
+       CASE WHEN count(nll_ppm) = 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(sum(nll_ppm) // count(nll_ppm) AS BIGINT) END
+         AS avg_nll_ppm
+FROM scored GROUP BY doc_id
+"""
+
+
 # --- trigram Kneser-Ney (the recursive interpolated estimator) ---------------
 
 

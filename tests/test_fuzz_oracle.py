@@ -149,6 +149,10 @@ FUZZED_QUERIES = [
     # floors; docs of exactly 2 tokens must drop from the trigram
     # stream while still feeding the bigram-type level-1 tables
     "doc_kn3_perplexity",
+    # held-out KN: the even/odd split on random corpora reaches every
+    # backoff branch — unseen bigrams, unseen contexts, OOV targets
+    # (NULL-skipped aggregation + the -1 sentinel) — in lockstep
+    "doc_kn_heldout",
     # min-k% tail of the same model: ceil tail sizing on 1-bigram docs
     # (tail == whole doc) and desc-NLL/pos tie-breaks on duplicate-
     # heavy corpora where many bigrams share one quantized NLL
