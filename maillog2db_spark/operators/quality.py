@@ -599,6 +599,158 @@ FROM flags
 """
 
 
+# --- Gopher duplicate-line/paragraph repetition (Table A1 rows 1-4) ----------
+
+# Rae et al. 2021 Table A1, thresholds verbatim: drop when the
+# duplicate LINE fraction > 0.30, duplicate PARAGRAPH fraction > 0.30,
+# duplicate line CHARACTER fraction > 0.20, duplicate paragraph
+# character fraction > 0.20. "Duplicate" at the first-writer grain:
+# every occurrence of a segment beyond its first is a duplicate (the
+# same convention the span/shingle family uses), characters weighted
+# by segment length.
+GOPHER_DUP_SEG_PPM_MAX = 300_000
+GOPHER_DUP_CHAR_PPM_MAX = 200_000
+
+
+def _dup_segment_stats(d: DataFrame, sep: str, prefix: str) -> DataFrame:
+    """Per-doc duplicate-segment counts for one split granularity:
+    (doc_id, <p>_n, <p>_dup, <p>_chars, <p>_dup_chars). Segments are
+    the non-empty trimmed pieces of text split on ``sep``; one explode
+    + one map-side-combined (doc_id, segment) count, aggregates at doc
+    grain — the blocking key includes doc_id, so this never shuffles
+    more than the corpus's segment stream and skew is bounded by the
+    longest single document."""
+    segs = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"filter(transform(split(text, '{sep}'),"
+                " s -> trim(s)), s -> s != '')"
+            )
+        ).alias("seg"),
+    )
+    per_seg = segs.groupBy("doc_id", "seg").agg(F.count(F.lit(1)).alias("c"))
+    return per_seg.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias(f"{prefix}_n"),
+        F.sum(F.col("c") - 1).cast("bigint").alias(f"{prefix}_dup"),
+        F.sum(F.length("seg") * F.col("c")).cast("bigint")
+        .alias(f"{prefix}_chars"),
+        F.sum(F.length("seg") * (F.col("c") - 1)).cast("bigint")
+        .alias(f"{prefix}_dup_chars"),
+    )
+
+
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repetition half of the Gopher quality filter (Rae et al.
+    2021, arXiv:2112.11446, Table A1 rows 1-4 — the companion to
+    `gopher_rules`' A1.1 rule set and `repetition_stats`' n-gram
+    rows): per document, the duplicate LINE and duplicate PARAGRAPH
+    fractions, by segment count and by character mass, plus the
+    conjunction flag at the paper's thresholds (0.30 / 0.30 / 0.20 /
+    0.20). Duplicates are counted at the first-writer grain (every
+    occurrence beyond a segment's first), the deterministic reading of
+    the paper's 'fraction of lines that are duplicates'; empty/
+    whitespace-only segments are excluded so blank-line runs cannot
+    manufacture duplication.
+
+    Scale shape: two explode + count pipelines whose grouping key
+    INCLUDES doc_id (never a global segment table), doc-grain
+    aggregates, one doc-grain join — all ratios exact ppm integers
+    (floor(x*1e6/n) via bigint div), every flag a real boolean."""
+    d = io.load(spark, sf_dir, "documents").select("doc_id", "text")
+    lines = _dup_segment_stats(d, r"\n", "line")
+    paras = _dup_segment_stats(d, r"\n\n", "para")
+    ppm = lambda num, den: F.expr(
+        f"CASE WHEN {den} = 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE {num} * 1000000 div {den} END"
+    )
+    out = d.select("doc_id").join(lines, "doc_id", "left").join(
+        paras, "doc_id", "left"
+    )
+    # docs with no non-empty segments coalesce to zero counts (flags
+    # pass vacuously — nothing repeated)
+    for c in ("line_n", "line_dup", "line_chars", "line_dup_chars",
+              "para_n", "para_dup", "para_chars", "para_dup_chars"):
+        out = out.withColumn(c, F.coalesce(c, F.lit(0)).cast("bigint"))
+    out = out.select(
+        "doc_id",
+        "line_n", "para_n",
+        ppm("line_dup", "line_n").alias("dup_line_ppm"),
+        ppm("para_dup", "para_n").alias("dup_para_ppm"),
+        ppm("line_dup_chars", "line_chars").alias("dup_line_char_ppm"),
+        ppm("para_dup_chars", "para_chars").alias("dup_para_char_ppm"),
+    )
+    return out.withColumn(
+        "passes_repetition",
+        (F.col("dup_line_ppm") <= GOPHER_DUP_SEG_PPM_MAX)
+        & (F.col("dup_para_ppm") <= GOPHER_DUP_SEG_PPM_MAX)
+        & (F.col("dup_line_char_ppm") <= GOPHER_DUP_CHAR_PPM_MAX)
+        & (F.col("dup_para_char_ppm") <= GOPHER_DUP_CHAR_PPM_MAX),
+    )
+
+
+def _dup_seg_duck(sep: str, prefix: str) -> str:
+    return f"""
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS {prefix}_n,
+         CAST(sum(c - 1) AS BIGINT) AS {prefix}_dup,
+         CAST(sum(len(seg) * c) AS BIGINT) AS {prefix}_chars,
+         CAST(sum(len(seg) * (c - 1)) AS BIGINT) AS {prefix}_dup_chars
+  FROM (
+    SELECT doc_id, seg, count(*) AS c FROM (
+      SELECT doc_id, unnest(list_filter(
+        list_transform(string_split(text, '{sep}'), s -> trim(s)),
+        s -> s != '')) AS seg
+      FROM documents
+    ) GROUP BY doc_id, seg
+  ) GROUP BY doc_id
+"""
+
+
+GOPHER_REPETITION_SQL = f"""
+WITH lines AS ({_dup_seg_duck(chr(10), "line")}),
+paras AS ({_dup_seg_duck(chr(10) + chr(10), "para")}),
+j AS (
+  SELECT d.doc_id,
+         coalesce(line_n, 0) AS line_n,
+         coalesce(line_dup, 0) AS line_dup,
+         coalesce(line_chars, 0) AS line_chars,
+         coalesce(line_dup_chars, 0) AS line_dup_chars,
+         coalesce(para_n, 0) AS para_n,
+         coalesce(para_dup, 0) AS para_dup,
+         coalesce(para_chars, 0) AS para_chars,
+         coalesce(para_dup_chars, 0) AS para_dup_chars
+  FROM documents d
+  LEFT JOIN lines USING (doc_id) LEFT JOIN paras USING (doc_id)
+), r AS (
+  SELECT doc_id,
+         CAST(line_n AS BIGINT) AS line_n,
+         CAST(para_n AS BIGINT) AS para_n,
+         CAST(CASE WHEN line_n = 0 THEN 0
+              ELSE line_dup * 1000000 // line_n END AS BIGINT)
+           AS dup_line_ppm,
+         CAST(CASE WHEN para_n = 0 THEN 0
+              ELSE para_dup * 1000000 // para_n END AS BIGINT)
+           AS dup_para_ppm,
+         CAST(CASE WHEN line_chars = 0 THEN 0
+              ELSE line_dup_chars * 1000000 // line_chars END AS BIGINT)
+           AS dup_line_char_ppm,
+         CAST(CASE WHEN para_chars = 0 THEN 0
+              ELSE para_dup_chars * 1000000 // para_chars END AS BIGINT)
+           AS dup_para_char_ppm
+  FROM j
+)
+SELECT doc_id, line_n, para_n, dup_line_ppm, dup_para_ppm,
+       dup_line_char_ppm, dup_para_char_ppm,
+       (dup_line_ppm <= {GOPHER_DUP_SEG_PPM_MAX}
+        AND dup_para_ppm <= {GOPHER_DUP_SEG_PPM_MAX}
+        AND dup_line_char_ppm <= {GOPHER_DUP_CHAR_PPM_MAX}
+        AND dup_para_char_ppm <= {GOPHER_DUP_CHAR_PPM_MAX})
+         AS passes_repetition
+FROM r
+"""
+
+
 # --- winnowing overlap detection (the MOSS pair report) ----------------------
 
 # The overlap pass uses LONGER grams than the per-doc fingerprint

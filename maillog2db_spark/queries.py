@@ -537,6 +537,8 @@ register("doc_bigram_lm_score", _ca.BIGRAM_LM_SCORE_SQL,
          doc="Interpolated bigram LM (Jelinek-Mercer): lambda*c(prev,w)/c(prev.) + (1-lambda)*c(w)/N, ppm fixed-point — sees the word-order signal the unigram proxy cannot")(_ca.bigram_lm_score)
 register("doc_kn_perplexity", _ca.KN_PERPLEXITY_SQL,
          doc="Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995; Chen & Goodman 1999): (max(c-D,0) + D*N1+(prev.)*p_cont(w))/c(prev.) with the continuation-count backoff, ppm fixed-point — the smoothed-LM estimator CCNet ranks by (arXiv:1911.00359 uses a KN KenLM)")(_ca.kn_perplexity)
+register("doc_gopher_repetition", _ql.GOPHER_REPETITION_SQL,
+         doc="Gopher repetition filter (arXiv:2112.11446 Table A1 rows 1-4, thresholds verbatim): duplicate line/paragraph fractions by count and by character mass at the first-writer grain, exact ppm integers, conjunction flag")(_ql.gopher_repetition)
 register("doc_kn_heldout", _ca.KN_HELDOUT_SQL,
          doc="Held-out Kneser-Ney scoring (train on even doc_ids, score odd): drives the smoothing's backoff cascade — unseen bigrams (discount-only), unseen contexts (pure continuation), OOV targets (counted, excluded) — through the cross-engine hash gate; the CCNet frozen-model deployment shape as a batch query")(_ca.kn_heldout)
 register("doc_kn3_perplexity", _ca.KN3_PERPLEXITY_SQL,
@@ -668,6 +670,7 @@ _PRIORITY = [
     # union).
     # 1. never driver-verified (new in r9)
     "doc_kn_perplexity", "doc_kn3_perplexity", "doc_kn_heldout",
+    "doc_gopher_repetition",
     # 2a. the materialize-once rewires (session-cached token /
     # dup-occurrence / winnowed-fingerprint / shingle bases) — the r8
     # judge's weak + demerit fixes; hashes must confirm unchanged
@@ -701,7 +704,7 @@ _PRIORITY = [
     "embed_pq_adc_topk", "doc_bpe_train_merges",
     "dq_referential_integrity", "embed_kmeans", "embed_covariance",
     "embed_ann_recall", "doc_minhash_estimate", "doc_cms_heavy_hitters",
-    "doc_sorted_neighborhood", "doc_leakage_safe_split",
+    "doc_sorted_neighborhood",
     # ---- 50-entry window boundary ----
     # Everything below keeps its most recent green driver verdict
     # (r5-r8) on code unchanged since that verdict.

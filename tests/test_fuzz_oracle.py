@@ -83,6 +83,10 @@ FUZZED_QUERIES = [
     # regex dialects; empty-token docs hit the nullif mean guard and
     # the false-AND-NULL conjunction on both engines
     "doc_gopher_rules",
+    # Table A1 repetition rows: dup-heavy fuzz corpora force repeated
+    # lines/paragraphs; unicode text certifies the char-length
+    # weighting and the trim/empty-segment filter agree cross-engine
+    "doc_gopher_repetition",
     # CCNet terciles: tiny per-language groups hit the ntile ragged
     # fill; dup-heavy corpora force (avg_nll_ppm, doc_id) tie chains
     "doc_ccnet_buckets",

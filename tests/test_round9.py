@@ -381,6 +381,41 @@ def test_streaming_kn_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_gopher_repetition_planted_classes(spark, tmp_path):
+    """Table A1 rows 1-4 on planted docs: a boilerplate doc whose
+    paragraph repeats fails the repetition conjunction, a clean doc
+    passes, and a doc with one long duplicated LINE among short unique
+    ones fails on the CHARACTER fraction while passing the count
+    fraction — the case the char-mass rows exist for."""
+    from maillog2db_spark.operators.quality import gopher_repetition
+
+    para = "quarterly results exceeded expectations across the board"
+    long_line = "x" * 400
+    rows = [
+        # 0: clean — all lines and paragraphs unique
+        (0, "alpha one\n\nbeta two\n\ngamma three"),
+        # 1: the same paragraph three times -> dup_para 2/3 > 0.30
+        (1, f"{para}\n\n{para}\n\n{para}"),
+        # 2: one 400-char line duplicated once among 8 short unique
+        # lines: dup lines 1/10 <= 0.30 but dup chars ~400/840 > 0.20
+        (2, "\n".join([long_line, long_line] + [f"unique line {i}" for i in range(8)])),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in gopher_repetition(spark, str(tmp_path)).collect()}
+
+    assert out[0].passes_repetition
+    assert out[0].dup_line_ppm == 0 and out[0].dup_para_ppm == 0
+    assert not out[1].passes_repetition
+    assert out[1].dup_para_ppm == 666_666  # 2 of 3 at the ppm floor
+    assert not out[2].passes_repetition
+    assert out[2].dup_line_ppm == 100_000  # 1 of 10: passes the count rule
+    assert out[2].dup_line_char_ppm > 200_000  # fails on char mass
+
+
 def test_survey_counts_match_registry():
     """SURVEY.md is the judge's coverage anchor — its registered-query
     and hash-oracle counts must track the live registry (the r8 doc
