@@ -751,6 +751,105 @@ FROM r
 """
 
 
+# --- C4 line-level cleaning (Raffel et al. 2020 §2.2) ------------------------
+
+# The published C4 heuristics, thresholds verbatim: keep only lines
+# ending in terminal punctuation with at least 5 words; drop pages
+# with fewer than 3 sentences, pages containing '{' (code), and pages
+# containing the placeholder phrase "lorem ipsum". (The original also
+# filters a word blocklist and dedupes 3-sentence spans — the
+# blocklist is policy configuration out of scope here, and span dedup
+# is the doc_span_dedup family.)
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 3
+# terminal punctuation incl. closing quotes, as a Spark SQL literal
+# (single quote backslash-escaped inside the single-quoted literal)
+_C4_TERMINAL_SPARK = "'[.!?\"\\']$'"
+
+
+def c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning pass (Raffel et al. 2020, arXiv:1910.10683
+    §2.2, the heuristics behind the C4 corpus): per document, the line
+    retention audit (kept = trimmed line ends in terminal punctuation
+    AND has >= 5 whitespace words), the sentence count of the retained
+    text (terminal-punctuation occurrences — the paper's sentence
+    grain approximated deterministically), the page-level drop flags
+    (< 3 sentences, contains '{', contains 'lorem ipsum'
+    case-insensitively), the conjunction, and the md5 of the cleaned
+    text (kept lines joined by newline — the pii_scrub output
+    contract: the hash certifies the exact rebuilt string without
+    shipping it).
+
+    Scale shape: one map-only projection — line split, filter lambda,
+    regexp counts, md5 — no shuffle, no Python; the ideal 100 TB
+    cleaning-pass shape, like gopher_rules. NULL text coalesces to ''
+    so every flag stays a real boolean (the r8 NULL-boolean gate
+    trap)."""
+    d = io.load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("coalesce(text, '')").alias("text")
+    )
+    kept_lines = (
+        "filter(transform(split(text, '\\n'), s -> trim(s)),"
+        f" s -> s rlike {_C4_TERMINAL_SPARK}"
+        f" AND size(filter(split(s, '\\\\s+'), w -> w != ''))"
+        f" >= {C4_MIN_WORDS_PER_LINE})"
+    )
+    out = d.select(
+        "doc_id",
+        F.expr("CAST(size(filter(transform(split(text, '\\n'),"
+               " s -> trim(s)), s -> s != '')) AS BIGINT)").alias("n_lines"),
+        F.expr(f"CAST(size({kept_lines}) AS BIGINT)").alias("n_kept_lines"),
+        F.expr(f"array_join({kept_lines}, '\\n')").alias("cleaned"),
+        F.expr("contains(text, '{')").alias("has_brace"),
+        F.expr("contains(lower(text), 'lorem ipsum')").alias("has_lorem"),
+    ).select(
+        "doc_id", "n_lines", "n_kept_lines",
+        F.regexp_count("cleaned", F.lit(r"[.!?]")).cast("bigint")
+        .alias("n_sentences"),
+        "has_brace", "has_lorem",
+        F.md5(F.encode("cleaned", "UTF-8")).alias("cleaned_md5"),
+    )
+    return out.withColumn(
+        "keep_page",
+        (F.col("n_sentences") >= C4_MIN_SENTENCES)
+        & ~F.col("has_brace") & ~F.col("has_lorem"),
+    )
+
+
+C4_CLEAN_SQL = f"""
+WITH base0 AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), base AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    s -> trim(s)),
+           s -> regexp_matches(s, '[.!?"'']$')
+                AND len(list_filter(regexp_split_to_array(s, '\\s+'),
+                                    w -> w != '')) >= {C4_MIN_WORDS_PER_LINE})
+           AS kept
+  FROM base0
+), j AS (
+  SELECT doc_id,
+         CAST(len(list_filter(list_transform(string_split(text, chr(10)),
+              s -> trim(s)), s -> s != '')) AS BIGINT) AS n_lines,
+         CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         coalesce(array_to_string(kept, chr(10)), '') AS cleaned,
+         contains(text, '{{') AS has_brace,
+         contains(lower(text), 'lorem ipsum') AS has_lorem
+  FROM base
+)
+SELECT doc_id, n_lines, n_kept_lines,
+       CAST(len(regexp_extract_all(cleaned, '[.!?]')) AS BIGINT)
+         AS n_sentences,
+       has_brace, has_lorem,
+       md5(cleaned) AS cleaned_md5,
+       (CAST(len(regexp_extract_all(cleaned, '[.!?]')) AS BIGINT)
+          >= {C4_MIN_SENTENCES}
+        AND NOT has_brace AND NOT has_lorem) AS keep_page
+FROM j
+"""
+
+
 # --- winnowing overlap detection (the MOSS pair report) ----------------------
 
 # The overlap pass uses LONGER grams than the per-doc fingerprint

@@ -87,6 +87,11 @@ FUZZED_QUERIES = [
     # lines/paragraphs; unicode text certifies the char-length
     # weighting and the trim/empty-segment filter agree cross-engine
     "doc_gopher_repetition",
+    # C4 cleaning: fuzz lines rarely end in terminal punctuation, so
+    # empty-kept (md5('') both engines) and the <3-sentence drop are
+    # the hot paths; '{'-bearing and unicode lines certify the
+    # contains/regex dialects
+    "doc_c4_clean",
     # CCNet terciles: tiny per-language groups hit the ntile ragged
     # fill; dup-heavy corpora force (avg_nll_ppm, doc_id) tie chains
     "doc_ccnet_buckets",

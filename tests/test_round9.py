@@ -416,6 +416,42 @@ def test_gopher_repetition_planted_classes(spark, tmp_path):
     assert out[2].dup_line_char_ppm > 200_000  # fails on char mass
 
 
+def test_c4_clean_planted_classes(spark, tmp_path):
+    """Raffel et al. §2.2 on planted pages: the line filter keeps
+    exactly the terminal-punctuation >=5-word lines (md5-certified
+    rebuild), a '{' page and a 'Lorem Ipsum' page drop, and a page
+    whose retained text has fewer than 3 sentences drops."""
+    import hashlib
+
+    from maillog2db_spark.operators.quality import c4_clean
+
+    good1 = "The quick brown fox jumps over the dog."
+    good2 = "A second proper sentence lives right here!"
+    good3 = "And a third one completes the page, naturally?"
+    short = "Too short."                      # < 5 words: dropped line
+    nopunct = "this line never ends with terminal punctuation"
+    rows = [
+        (0, "\n".join([good1, short, good2, nopunct, good3])),
+        (1, "\n".join([good1, good2, "code = { x: 1 } here it is."])),
+        (2, "\n".join([good1, good2, "Lorem Ipsum dolor sit amet fills this."])),
+        (3, good1),  # clean but only 1 sentence: page dropped
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in c4_clean(spark, str(tmp_path)).collect()}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[0].keep_page
+    assert (out[0].n_lines, out[0].n_kept_lines, out[0].n_sentences) == (5, 3, 3)
+    assert out[0].cleaned_md5 == md5("\n".join([good1, good2, good3]))
+    assert not out[1].keep_page and out[1].has_brace
+    assert not out[2].keep_page and out[2].has_lorem
+    assert not out[3].keep_page and out[3].n_sentences == 1
+
+
 def test_survey_counts_match_registry():
     """SURVEY.md is the judge's coverage anchor — its registered-query
     and hash-oracle counts must track the live registry (the r8 doc
