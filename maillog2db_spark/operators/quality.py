@@ -657,7 +657,15 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     INCLUDES doc_id (never a global segment table), doc-grain
     aggregates, one doc-grain join — all ratios exact ppm integers
     (floor(x*1e6/n) via bigint div), every flag a real boolean."""
-    d = io.load(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_repetition_from(
+        io.load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def gopher_repetition_from(d: DataFrame) -> DataFrame:
+    """The Table A1 repetition projection over any (doc_id, text)
+    frame — shared by the registered query and the composed quality
+    funnel."""
     lines = _dup_segment_stats(d, r"\n", "line")
     paras = _dup_segment_stats(d, r"\n\n", "para")
     ppm = lambda num, den: F.expr(
@@ -785,7 +793,13 @@ def c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaning-pass shape, like gopher_rules. NULL text coalesces to ''
     so every flag stays a real boolean (the r8 NULL-boolean gate
     trap)."""
-    d = io.load(spark, sf_dir, "documents").select(
+    return c4_flags_from(io.load(spark, sf_dir, "documents"))
+
+
+def c4_flags_from(docs: DataFrame) -> DataFrame:
+    """The C4 projection over any (doc_id, text) frame — shared by the
+    registered query and the composed quality funnel."""
+    d = docs.select(
         "doc_id", F.expr("coalesce(text, '')").alias("text")
     )
     kept_lines = (
@@ -848,6 +862,55 @@ SELECT doc_id, n_lines, n_kept_lines,
         AND NOT has_brace AND NOT has_lorem) AS keep_page
 FROM j
 """
+
+
+# --- the composed published-filter funnel -------------------------------------
+
+
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published-filter canon composed into ONE admission decision
+    per document — the pass a pretraining pipeline actually runs:
+    Gopher A1.1 rules AND Gopher Table A1 repetition AND C4 §2.2 page
+    rules, each family's verdict surfaced alongside the conjunction
+    (so the funnel's drop attribution is queryable, not just the
+    boolean).
+
+    Plan shape: the (doc_id, text) base materializes ONCE
+    (localCheckpoint — the source_overlap precedent; the three
+    families are independent subtrees of the same scan and would
+    otherwise re-read the parquet 3x, the r8 multi-scan demerit
+    class); Gopher rules and C4 are map-only over it, repetition's two
+    segment counts group on keys that include doc_id, and the final
+    doc-grain 3-way join rides the doc_id partitioning."""
+    p = spark.sparkContext.defaultParallelism
+    base = (
+        io.load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(p, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    g = gopher_flags_from(base).select(
+        "doc_id", F.col("passes").alias("gopher_ok")
+    )
+    r = gopher_repetition_from(base).select(
+        "doc_id", F.col("passes_repetition").alias("repetition_ok")
+    )
+    c = c4_flags_from(base).select(
+        "doc_id", F.col("keep_page").alias("c4_ok")
+    )
+    return (
+        g.join(r, "doc_id")
+        .join(c, "doc_id")
+        .select(
+            "doc_id", "gopher_ok", "repetition_ok", "c4_ok",
+            (F.col("gopher_ok") & F.col("repetition_ok") & F.col("c4_ok"))
+            .alias("admit"),
+        )
+    )
+
+
+# assigned below C4_CLEAN_SQL (it composes all three family oracles)
+QUALITY_FUNNEL_SQL: str
 
 
 # --- winnowing overlap detection (the MOSS pair report) ----------------------
@@ -992,4 +1055,17 @@ SELECT p.doc_a, p.doc_b, p.n_shared,
 FROM pairs p
 JOIN n_kept na ON na.doc_id = p.doc_a
 JOIN n_kept nb ON nb.doc_id = p.doc_b
+"""
+
+
+QUALITY_FUNNEL_SQL = f"""
+WITH g AS ({GOPHER_RULES_SQL}),
+r AS ({GOPHER_REPETITION_SQL}),
+c AS ({C4_CLEAN_SQL})
+SELECT g.doc_id,
+       g.passes AS gopher_ok,
+       r.passes_repetition AS repetition_ok,
+       c.keep_page AS c4_ok,
+       (g.passes AND r.passes_repetition AND c.keep_page) AS admit
+FROM g JOIN r USING (doc_id) JOIN c USING (doc_id)
 """

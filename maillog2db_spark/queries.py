@@ -537,6 +537,8 @@ register("doc_bigram_lm_score", _ca.BIGRAM_LM_SCORE_SQL,
          doc="Interpolated bigram LM (Jelinek-Mercer): lambda*c(prev,w)/c(prev.) + (1-lambda)*c(w)/N, ppm fixed-point — sees the word-order signal the unigram proxy cannot")(_ca.bigram_lm_score)
 register("doc_kn_perplexity", _ca.KN_PERPLEXITY_SQL,
          doc="Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995; Chen & Goodman 1999): (max(c-D,0) + D*N1+(prev.)*p_cont(w))/c(prev.) with the continuation-count backoff, ppm fixed-point — the smoothed-LM estimator CCNet ranks by (arXiv:1911.00359 uses a KN KenLM)")(_ca.kn_perplexity)
+register("doc_quality_funnel", _ql.QUALITY_FUNNEL_SQL,
+         doc="The published-filter canon composed: Gopher A1.1 rules AND Table A1 repetition AND C4 s2.2 page rules per document, family verdicts surfaced beside the conjunction; the (doc_id, text) base materializes once and all three families read it")(_ql.quality_funnel)
 register("doc_c4_clean", _ql.C4_CLEAN_SQL,
          doc="C4 line-level cleaning (arXiv:1910.10683 s2.2, thresholds verbatim): keep lines ending in terminal punctuation with >=5 words, drop pages with <3 sentences / '{' / 'lorem ipsum'; line-retention audit + cleaned-text md5 — one map-only projection")(_ql.c4_clean)
 register("doc_gopher_repetition", _ql.GOPHER_REPETITION_SQL,
@@ -672,7 +674,7 @@ _PRIORITY = [
     # union).
     # 1. never driver-verified (new in r9)
     "doc_kn_perplexity", "doc_kn3_perplexity", "doc_kn_heldout",
-    "doc_gopher_repetition", "doc_c4_clean",
+    "doc_gopher_repetition", "doc_c4_clean", "doc_quality_funnel",
     # 2a. the materialize-once rewires (session-cached token /
     # dup-occurrence / winnowed-fingerprint / shingle bases) — the r8
     # judge's weak + demerit fixes; hashes must confirm unchanged
@@ -705,7 +707,7 @@ _PRIORITY = [
     "doc_edit_distance_pairs", "embed_semdedup", "embed_ivfpq_topk",
     "embed_pq_adc_topk", "doc_bpe_train_merges",
     "dq_referential_integrity", "embed_kmeans", "embed_covariance",
-    "embed_ann_recall", "doc_minhash_estimate", "doc_cms_heavy_hitters",
+    "embed_ann_recall", "doc_minhash_estimate",
     # ---- 50-entry window boundary ----
     # Everything below keeps its most recent green driver verdict
     # (r5-r8) on code unchanged since that verdict.

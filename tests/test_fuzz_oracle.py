@@ -92,6 +92,9 @@ FUZZED_QUERIES = [
     # the hot paths; '{'-bearing and unicode lines certify the
     # contains/regex dialects
     "doc_c4_clean",
+    # the composed funnel: all three families' flags must conjoin in
+    # lockstep on the same degenerate corpora each family is fuzzed on
+    "doc_quality_funnel",
     # CCNet terciles: tiny per-language groups hit the ntile ragged
     # fill; dup-heavy corpora force (avg_nll_ppm, doc_id) tie chains
     "doc_ccnet_buckets",
