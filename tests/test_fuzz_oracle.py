@@ -364,6 +364,71 @@ def test_fuzzed_events_match_oracle(spark, tmp_path_factory, qname, data):
     assert _hash(_normalize(got)) == _hash(_normalize(want)), qname
 
 
+# CR/CRLF fuzz tier (advisor-found r9): the fixed corpus and the main
+# corpus strategy carry no carriage returns, but Java-regex '$' matches
+# before a trailing CR while RE2 matches only at end-of-string — the
+# exact divergence class the C4 terminal-punctuation anchor sits on.
+# Documents here are LINES joined by a fuzz-chosen separator (LF or
+# CRLF), lines optionally ending in terminal punctuation, so the
+# line-based quality family is exercised on CR-bearing text end to end.
+CR_QUERIES = [
+    "doc_c4_clean",
+    "doc_quality_funnel",
+    "doc_gopher_rules",
+    "doc_gopher_repetition",
+]
+
+crlf_corpus_strategy = st.lists(
+    st.tuples(
+        st.lists(  # lines: (words, terminal punctuation or none)
+            st.tuples(
+                st.lists(st.sampled_from(WORDS), min_size=0, max_size=8),
+                st.sampled_from(["", ".", "!", "..."]),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        st.sampled_from(["\n", "\r\n"]),  # line separator
+        st.booleans(),                      # trailing separator
+        st.integers(0, 2),                  # forced exact copies
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@pytest.mark.parametrize("qname", CR_QUERIES)
+@settings(max_examples=5, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(data=crlf_corpus_strategy)
+def test_fuzzed_crlf_corpus_matches_oracle(spark, tmp_path_factory, qname, data):
+    rows = []
+    doc_id = 0
+    for lines, sep, trail, n_copies in data:
+        text = sep.join(" ".join(ws) + punct for ws, punct in lines)
+        if trail:
+            text += sep
+        for _ in range(1 + n_copies):
+            rows.append((doc_id, text, "en", "s0", len(text)))
+            doc_id += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path_factory.mktemp("fuzz_crlf")
+    df.coalesce(2).write.parquet(str(d / "documents.parquet"))
+
+    got = Q.queries()[qname](spark, str(d)).toPandas()
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = con.sql(Q.oracle_sql()[qname]).df()
+
+    assert len(got) == len(want), (qname, len(got), len(want))
+    assert sorted(got.columns) == sorted(want.columns), qname
+    assert _hash(_normalize(got)) == _hash(_normalize(want)), qname
+
+
 # zorder: pure integer interleave — fuzz reaches the bucket caps and
 # pre-epoch-grid dates the fixed table can't
 ORD_QUERIES = ["ord_rfm_segments", "ord_customer_gaps", "ord_zorder_key",
