@@ -152,11 +152,13 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     arXiv:1911.00359): per LANGUAGE, rank documents by LM perplexity
     and cut the distribution into head/middle/tail thirds — the
     bucket-by-fluency table a pretraining mix is composed from (train
-    on head+middle, sample tail). Perplexity = the Kneser-Ney bigram
-    avg NLL (doc_kn_perplexity — r9; the paper ranks by a Kneser-Ney
-    KenLM, so the smoothed n-gram estimator replaces the r8 unigram
-    proxy); bucket 1 = head (most fluent). Docs with < 2 tokens carry
-    no bigram score and drop from the ranking on both engines.
+    on head+middle, sample tail). Perplexity = the FULL KenLM-order
+    Kneser-Ney 5-gram avg NLL (doc_kn5_perplexity — r10; the paper
+    ranks by a 5-gram KN KenLM, Wenzek et al. 2020 §3, so the grid now
+    sits on the exact published estimator: r8 unigram proxy → r9
+    bigram KN → r10 order-5 cascade); bucket 1 = head (most fluent).
+    Docs with < 5 tokens carry no 5-gram score and drop from the
+    ranking on both engines.
 
     Output is the (lang × bucket) summary grid: doc count and the NLL
     boundaries of each bucket — the cut table CCNet publishes per
@@ -168,7 +170,7 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOC-GRAIN score table, not the token stream; the summary grid is
     a languages×3 aggregate. Ties rank deterministically on
     (avg_nll_ppm, doc_id) on both engines."""
-    per_doc = kn_perplexity(spark, sf_dir)
+    per_doc = kn5_perplexity(spark, sf_dir)
     langs = io.load(spark, sf_dir, "documents").select("doc_id", "lang")
     w = Window.partitionBy("lang").orderBy("avg_nll_ppm", "doc_id")
     scored = per_doc.join(langs, "doc_id").select(
@@ -183,8 +185,8 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CCNET_BUCKETS_SQL is assigned below KN_PERPLEXITY_SQL (its per-doc
-# score since r9), next to the KN family it derives from.
+# CCNET_BUCKETS_SQL is assigned below KN5_PERPLEXITY_SQL (its per-doc
+# score since r10), next to the KN family it derives from.
 
 
 # --- shingle novelty (substring-dedup attribution) -------------------------
@@ -1713,8 +1715,584 @@ FROM scored GROUP BY doc_id
 """
 
 
+# --- 4-/5-gram Kneser-Ney (KenLM order; Wenzek et al. 2020 §3) ---------------
+#
+# The same recursion (Chen & Goodman 1999 eq. 4.25-4.27) extended to
+# the order the published CCNet pipeline actually ranks by: a 5-gram
+# Kneser-Ney KenLM (Heafield 2011 is the standard implementation).
+# Each added order contributes exactly one new top-level count table
+# plus its derived context/continuation tables; every LOWER level of
+# the cascade uses CONTINUATION counts from the (n+1)-gram type table
+# above it — N1+(·, context, w) — never raw counts, per the recursion.
+#
+# MEASURED scale posture (see SCALING.md, r10): on the synthetic gate
+# corpus the n-gram TYPE tables are vocabulary-bounded only through
+# order 3 (sf0.1: 931 bigram / 27k trigram / 211k quadgram / 238k
+# pentagram types against 271k tokens) — at orders >= 4 the type table
+# is corpus-LINEAR, so the self-scored model is NOT broadcastable and
+# the scoring joins run as co-partitioned shuffle joins on the n-gram
+# key (corpus-linear work, the same class as any dedup groupBy — not a
+# scale killer, just not a broadcast). The DEPLOYMENT shape is
+# different and better: CCNet trains its KenLM on a bounded REFERENCE
+# corpus (Wikipedia) and freezes it, so the model tables are constant
+# in the scored data — that is the streaming_ccnet frozen-cut service,
+# re-bound on this order-5 cascade.
+
+
+def qgrams_of(base: DataFrame) -> DataFrame:
+    """(doc_id, toks array) → positional 4-gram stream (doc_id, pos,
+    t, u, v, w) — the 3-shift sibling of trigrams_of."""
+    return (
+        base.filter(F.size("toks") >= 4)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.arrays_zip(
+                    F.expr("slice(toks, 1, size(toks) - 3)"),
+                    F.expr("slice(toks, 2, size(toks) - 3)"),
+                    F.expr("slice(toks, 3, size(toks) - 3)"),
+                    F.expr("slice(toks, 4, size(toks) - 3)"),
+                )
+            ).alias("pos", "g"),
+        )
+        .select(
+            "doc_id", "pos",
+            F.col("g.0").alias("t"), F.col("g.1").alias("u"),
+            F.col("g.2").alias("v"), F.col("g.3").alias("w"),
+        )
+    )
+
+
+def pgrams_of(base: DataFrame) -> DataFrame:
+    """(doc_id, toks array) → positional 5-gram stream (doc_id, pos,
+    s, t, u, v, w)."""
+    return (
+        base.filter(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.arrays_zip(
+                    F.expr("slice(toks, 1, size(toks) - 4)"),
+                    F.expr("slice(toks, 2, size(toks) - 4)"),
+                    F.expr("slice(toks, 3, size(toks) - 4)"),
+                    F.expr("slice(toks, 4, size(toks) - 4)"),
+                    F.expr("slice(toks, 5, size(toks) - 4)"),
+                )
+            ).alias("pos", "g"),
+        )
+        .select(
+            "doc_id", "pos",
+            F.col("g.0").alias("s"), F.col("g.1").alias("t"),
+            F.col("g.2").alias("u"), F.col("g.3").alias("v"),
+            F.col("g.4").alias("w"),
+        )
+    )
+
+
+def kn4_tables_from_qgc(qgc: DataFrame):
+    """(qctx, cont3, mid3) from a (t, u, v, w, cqg) 4-gram count table
+    — qctx is the order-4 TOP level's context table; cont3/mid3 are
+    the level-3 CONTINUATION tables every higher-order cascade backs
+    off through: N1+(·uvw) (distinct t preceding the trigram) and its
+    (den, weight-count) rollup N1+(·uv·) / N1+mid(uv·)."""
+    qctx = qgc.groupBy("t", "u", "v").agg(
+        F.sum("cqg").cast("bigint").alias("ctuv"),
+        F.count(F.lit(1)).alias("n1p_tuv"),
+    )
+    cont3 = qgc.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c3"))
+    mid3 = cont3.groupBy("u", "v").agg(
+        F.sum("c3").cast("bigint").alias("den3"),
+        F.count(F.lit(1)).alias("mid3v"),
+    )
+    return qctx, cont3, mid3
+
+
+def kn5_tables_from_pgc(pgc: DataFrame):
+    """(pctx, cont4, mid4) from a (s, t, u, v, w, cpg) 5-gram count
+    table — the order-5 top context plus the level-4 continuation
+    tables (N1+(·tuvw), N1+(·tuv·), N1+mid(tuv·))."""
+    pctx = pgc.groupBy("s", "t", "u", "v").agg(
+        F.sum("cpg").cast("bigint").alias("cstuv"),
+        F.count(F.lit(1)).alias("n1p_stuv"),
+    )
+    cont4 = pgc.groupBy("t", "u", "v", "w").agg(F.count(F.lit(1)).alias("c4"))
+    mid4 = cont4.groupBy("t", "u", "v").agg(
+        F.sum("c4").cast("bigint").alias("den4"),
+        F.count(F.lit(1)).alias("mid4v"),
+    )
+    return pctx, cont4, mid4
+
+
+def _kn4_qgc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached 4-gram count table."""
+    from .dedup import _cached, _doc_toks
+
+    return _cached(
+        spark, sf_dir, "kn4_qgc",
+        lambda: qgrams_of(_doc_toks(spark, sf_dir))
+        .groupBy("t", "u", "v", "w")
+        .agg(F.count(F.lit(1)).alias("cqg")),
+    )
+
+
+def _kn5_pgc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached 5-gram count table."""
+    from .dedup import _cached, _doc_toks
+
+    return _cached(
+        spark, sf_dir, "kn5_pgc",
+        lambda: pgrams_of(_doc_toks(spark, sf_dir))
+        .groupBy("s", "t", "u", "v", "w")
+        .agg(F.count(F.lit(1)).alias("cpg")),
+    )
+
+
+# Stepwise cascade columns (p1d → p2d → p3d → p4d → p5d): both engines
+# compute the identical IEEE op sequence, ln/floor/ppm at the end only.
+# Mid-level estimates use CONTINUATION counts (c3/den3, c4/den4); only
+# the topmost level of each order uses raw occurrence counts.
+_KN_P3CONT = (
+    "CASE WHEN den3 IS NULL THEN p2d"
+    f" ELSE (greatest(CAST(coalesce(c3, 0) AS DOUBLE) - {KN_DISCOUNT},"
+    " CAST(0 AS DOUBLE))"
+    f" + {KN_DISCOUNT} * mid3v * p2d) / den3 END"
+)
+_KN_P4CONT = (
+    "CASE WHEN den4 IS NULL THEN p3d"
+    f" ELSE (greatest(CAST(coalesce(c4, 0) AS DOUBLE) - {KN_DISCOUNT},"
+    " CAST(0 AS DOUBLE))"
+    f" + {KN_DISCOUNT} * mid4v * p3d) / den4 END"
+)
+_KN4_TOP = (
+    "CASE WHEN ctuv IS NULL THEN p3d"
+    f" ELSE (greatest(CAST(coalesce(cqg, 0) AS DOUBLE) - {KN_DISCOUNT},"
+    " CAST(0 AS DOUBLE))"
+    f" + {KN_DISCOUNT} * n1p_tuv * p3d) / ctuv END"
+)
+_KN5_TOP = (
+    "CASE WHEN cstuv IS NULL THEN p4d"
+    f" ELSE (greatest(CAST(coalesce(cpg, 0) AS DOUBLE) - {KN_DISCOUNT},"
+    " CAST(0 AS DOUBLE))"
+    f" + {KN_DISCOUNT} * n1p_stuv * p4d) / cstuv END"
+)
+_KN4_NLL = "CAST(floor(-ln(p4t) * 1000000 + 0.5) AS BIGINT)"
+_KN5_NLL = "CAST(floor(-ln(p5d) * 1000000 + 0.5) AS BIGINT)"
+
+
+def kn4_score_qgrams(qg: DataFrame, qgc, qctx, cont3, mid3, cont2, mid,
+                     cont, ttypes, keep: tuple = ("doc_id",)) -> DataFrame:
+    """Per-4-gram quantized NLL under the recursive KN model at order
+    4 — parameterized on the model tables (the kn_score_bigrams
+    convention). OOV TARGETS yield NULL, the caller's policy."""
+    return (
+        qg.join(qgc, ["t", "u", "v", "w"], "left")
+        .join(qctx, ["t", "u", "v"], "left")
+        .join(cont3, ["u", "v", "w"], "left")
+        .join(mid3, ["u", "v"], "left")
+        .join(cont2, ["v", "w"], "left")
+        .join(mid, "v", "left")
+        .join(cont.withColumnRenamed("tok", "w"), "w", "left")
+        .join(F.broadcast(ttypes))
+        .withColumn("p1d", F.expr(_KN3_P1))
+        .withColumn("p2d", F.expr(_KN3_P2))
+        .withColumn("p3d", F.expr(_KN_P3CONT))
+        .withColumn("p4t", F.expr(_KN4_TOP))
+        .select(*keep, F.expr(_KN4_NLL).alias("nll_ppm"))
+    )
+
+
+def kn5_score_pgrams(pg: DataFrame, pgc, pctx, cont4, mid4, cont3, mid3,
+                     cont2, mid, cont, ttypes,
+                     keep: tuple = ("doc_id",)) -> DataFrame:
+    """Per-5-gram quantized NLL under the full KenLM-order recursive
+    KN cascade — the deepest backoff chain: unseen (s,t,u,v) context →
+    continuation 4-gram estimate → continuation trigram → continuation
+    bigram → unigram continuation."""
+    return (
+        pg.join(pgc, ["s", "t", "u", "v", "w"], "left")
+        .join(pctx, ["s", "t", "u", "v"], "left")
+        .join(cont4, ["t", "u", "v", "w"], "left")
+        .join(mid4, ["t", "u", "v"], "left")
+        .join(cont3, ["u", "v", "w"], "left")
+        .join(mid3, ["u", "v"], "left")
+        .join(cont2, ["v", "w"], "left")
+        .join(mid, "v", "left")
+        .join(cont.withColumnRenamed("tok", "w"), "w", "left")
+        .join(F.broadcast(ttypes))
+        .withColumn("p1d", F.expr(_KN3_P1))
+        .withColumn("p2d", F.expr(_KN3_P2))
+        .withColumn("p3d", F.expr(_KN_P3CONT))
+        .withColumn("p4d", F.expr(_KN_P4CONT))
+        .withColumn("p5d", F.expr(_KN5_TOP))
+        .select(*keep, F.expr(_KN5_NLL).alias("nll_ppm"))
+    )
+
+
+def _ngram_rollup(scored: DataFrame, n_col: str) -> DataFrame:
+    """Per-doc (count, sum, integer-div avg) of a quantized NLL stream
+    — the bigram_rollup shape with a caller-named count column."""
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias(n_col),
+            F.sum("nll_ppm").alias("sum_nll_ppm"),
+        )
+        .select(
+            "doc_id", n_col, "sum_nll_ppm",
+            F.expr(f"sum_nll_ppm div {n_col}").alias("avg_nll_ppm"),
+        )
+    )
+
+
+def kn4_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average NLL under the recursive interpolated
+    Kneser-Ney 4-gram model — one order below the published CCNet
+    KenLM (Wenzek et al. 2020 §3), sharing every lower-level table
+    with the order-5 sibling. Docs with < 4 tokens drop on both
+    engines.
+
+    Plan shape: the 4-gram stream rides the session-cached token base;
+    the top-level count table is session-cached ("kn4_qgc",
+    corpus-LINEAR at this order — measured 211k types vs 271k tokens
+    at sf0.1, so the scoring joins are co-partitioned shuffle joins on
+    the n-gram key, not broadcasts; see the section header note); the
+    level-3/2/1 tables re-aggregate the cached qgc/tgc/bgc tables,
+    never the corpus."""
+    from .dedup import _doc_toks
+
+    qg = qgrams_of(_doc_toks(spark, sf_dir))
+    qgc = _kn4_qgc(spark, sf_dir)
+    qctx, cont3, mid3 = kn4_tables_from_qgc(qgc)
+    _, cont2, mid = kn3_tables_from_tgc(_kn3_tgc(spark, sf_dir))
+    _, _, cont, ttypes = _kn_model(spark, sf_dir)
+    scored = kn4_score_qgrams(
+        qg, qgc, qctx, cont3, mid3, cont2, mid, cont, ttypes
+    )
+    return _ngram_rollup(scored, "n_quadgrams")
+
+
+def kn5_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average NLL under the FULL KenLM-order recursive
+    interpolated Kneser-Ney 5-gram cascade — the estimator the
+    published CCNet pipeline ranks by (Wenzek et al. 2020 §3: a 5-gram
+    KN KenLM; Heafield 2011). The registered doc_ccnet_buckets grid
+    and the frozen-cut streaming service both re-bind on this score.
+    Docs with < 5 tokens drop on both engines.
+
+    Plan shape: identical discipline one order up — session-cached
+    "kn5_pgc" top table (measured corpus-linear: 238k types vs 271k
+    tokens at sf0.1 → shuffle joins, not broadcasts, for the
+    self-scored query; the FROZEN-reference deployment keeps the model
+    constant in the scored data), all lower levels re-aggregating the
+    cached type tables."""
+    from .dedup import _doc_toks
+
+    pg = pgrams_of(_doc_toks(spark, sf_dir))
+    pgc = _kn5_pgc(spark, sf_dir)
+    pctx, cont4, mid4 = kn5_tables_from_pgc(pgc)
+    _, cont3, mid3 = kn4_tables_from_qgc(_kn4_qgc(spark, sf_dir))
+    _, cont2, mid = kn3_tables_from_tgc(_kn3_tgc(spark, sf_dir))
+    _, _, cont, ttypes = _kn_model(spark, sf_dir)
+    scored = kn5_score_pgrams(
+        pg, pgc, pctx, cont4, mid4, cont3, mid3, cont2, mid, cont, ttypes
+    )
+    return _ngram_rollup(scored, "n_pentagrams")
+
+
+def kn5_model_tables(base: DataFrame):
+    """The complete order-5 KN model over a (doc_id, toks) frame as
+    one 10-table tuple (pgc, pctx, cont4, mid4, cont3, mid3, cont2,
+    mid, cont, ttypes) — fresh aggregations (no session cache), the
+    shape held-out training and the frozen CCNet service freeze."""
+    pgc = pgrams_of(base).groupBy("s", "t", "u", "v", "w").agg(
+        F.count(F.lit(1)).alias("cpg")
+    )
+    qgc = qgrams_of(base).groupBy("t", "u", "v", "w").agg(
+        F.count(F.lit(1)).alias("cqg")
+    )
+    tgc = trigrams_of(base).groupBy("u", "v", "w").agg(
+        F.count(F.lit(1)).alias("ctg")
+    )
+    bgc = bigrams_of(base).groupBy("prev", "tok").agg(
+        F.count(F.lit(1)).alias("cbg")
+    )
+    pctx, cont4, mid4 = kn5_tables_from_pgc(pgc)
+    _, cont3, mid3 = kn4_tables_from_qgc(qgc)
+    _, cont2, mid = kn3_tables_from_tgc(tgc)
+    _, cont, ttypes = kn_tables_from_bgc(bgc)
+    return pgc, pctx, cont4, mid4, cont3, mid3, cont2, mid, cont, ttypes
+
+
+def kn5_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out order-5 Kneser-Ney scoring (train on EVEN doc_ids,
+    score the ODD ones) — the kn_heldout contract at KenLM order. This
+    is the query that drives the DEEP backoff cascade through the
+    cross-engine hash gate: held-out 5-grams reach every branch
+    combination (unseen 5-gram, unseen (s,t,u,v) context → p4
+    continuation, unseen level-4/3/2 continuation contexts, OOV
+    targets → NULL, counted and excluded). avg_nll_ppm is -1 when a
+    doc has no scoreable 5-grams (the NULL-bigint sentinel idiom).
+
+    Plan shape: both halves ride the session-cached token base; the
+    model is kn5_model_tables over the even half (type-grain), scored
+    by the same one-pass join pipeline as the self-scored query."""
+    from .dedup import _doc_toks
+
+    base = _doc_toks(spark, sf_dir)
+    tables = kn5_model_tables(base.filter(F.expr("doc_id % 2 = 0")))
+    scored = kn5_score_pgrams(
+        pgrams_of(base.filter(F.expr("doc_id % 2 = 1"))), *tables
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pentagrams"),
+            F.sum(F.col("nll_ppm").isNull().cast("int")).cast("bigint")
+            .alias("n_oov_pentagrams"),
+            F.count("nll_ppm").cast("bigint").alias("n_scored"),
+            F.sum("nll_ppm").alias("sum_nll_ppm"),
+        )
+        .select(
+            "doc_id", "n_pentagrams", "n_oov_pentagrams",
+            F.expr(
+                "CASE WHEN n_scored = 0 THEN CAST(-1 AS BIGINT)"
+                " ELSE sum_nll_ppm div n_scored END"
+            ).alias("avg_nll_ppm"),
+        )
+    )
+
+
+# Shared DuckDB CTE text for the n-gram streams and count tables — the
+# oracle twins of the order-4/5 cascades compose from these so the two
+# oracles (and the held-out variant's train-side) cannot drift. The
+# count/context tables are MATERIALIZED: without it DuckDB inlines
+# every table into the 10-join scoring tree and the join-order planner
+# on that fully-expanded graph does not return in reasonable time
+# (measured: kn5 un-materialized > 110 s at sf0.01 vs 0.3 s
+# materialized; semantics identical).
+_KN45_STREAMS_DUCK = """
+qg AS (
+  SELECT doc_id,
+         unnest(list_slice(tl, 1, len(tl) - 3)) AS t,
+         unnest(list_slice(tl, 2, len(tl) - 2)) AS u,
+         unnest(list_slice(tl, 3, len(tl) - 1)) AS v,
+         unnest(list_slice(tl, 4, len(tl))) AS w
+  FROM base WHERE len(tl) >= 4
+), pg AS (
+  SELECT doc_id,
+         unnest(list_slice(tl, 1, len(tl) - 4)) AS s,
+         unnest(list_slice(tl, 2, len(tl) - 3)) AS t,
+         unnest(list_slice(tl, 3, len(tl) - 2)) AS u,
+         unnest(list_slice(tl, 4, len(tl) - 1)) AS v,
+         unnest(list_slice(tl, 5, len(tl))) AS w
+  FROM base WHERE len(tl) >= 5
+), tg AS (
+  SELECT doc_id,
+         unnest(list_slice(tl, 1, len(tl) - 2)) AS u,
+         unnest(list_slice(tl, 2, len(tl) - 1)) AS v,
+         unnest(list_slice(tl, 3, len(tl))) AS w
+  FROM base WHERE len(tl) >= 3
+), bg AS (
+  SELECT doc_id,
+         unnest(list_slice(tl, 1, len(tl) - 1)) AS prev,
+         unnest(list_slice(tl, 2, len(tl))) AS tok
+  FROM base WHERE len(tl) >= 2
+)"""
+
+_KN45_TABLES_DUCK = """
+qgc AS MATERIALIZED (
+  SELECT t, u, v, w, count(*) AS cqg FROM {qg_src} GROUP BY t, u, v, w
+), qctx AS MATERIALIZED (
+  SELECT t, u, v, CAST(sum(cqg) AS BIGINT) AS ctuv, count(*) AS n1p_tuv
+  FROM qgc GROUP BY t, u, v
+), cont3 AS MATERIALIZED (
+  SELECT u, v, w, count(*) AS c3 FROM qgc GROUP BY u, v, w
+), mid3 AS MATERIALIZED (
+  SELECT u, v, CAST(sum(c3) AS BIGINT) AS den3, count(*) AS mid3v
+  FROM cont3 GROUP BY u, v
+), tgc AS MATERIALIZED (
+  SELECT u, v, w, count(*) AS ctg FROM {tg_src} GROUP BY u, v, w
+), cont2 AS MATERIALIZED (
+  SELECT v, w, count(*) AS c2 FROM tgc GROUP BY v, w
+), mid AS MATERIALIZED (
+  SELECT v, CAST(sum(c2) AS BIGINT) AS den2, count(*) AS midv
+  FROM cont2 GROUP BY v
+), bgc AS MATERIALIZED (
+  SELECT prev, tok, count(*) AS cbg FROM {bg_src} GROUP BY prev, tok
+), cont AS MATERIALIZED (
+  SELECT tok AS w, count(*) AS n1p_tok FROM bgc GROUP BY tok
+), tt AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS ttypes FROM bgc
+)"""
+
+
+KN4_PERPLEXITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS tl FROM documents
+), {_KN45_STREAMS_DUCK.strip()},
+{_KN45_TABLES_DUCK.format(qg_src='qg', tg_src='tg', bg_src='bg').strip()},
+staged AS (
+  SELECT doc_id,
+         CAST(n1p_tok AS DOUBLE) / ttypes AS p1d,
+         c2, midv, den2, c3, mid3v, den3, cqg, n1p_tuv, ctuv
+  FROM qg JOIN qgc USING (t, u, v, w) JOIN qctx USING (t, u, v)
+          JOIN cont3 USING (u, v, w) JOIN mid3 USING (u, v)
+          JOIN cont2 USING (v, w) JOIN mid USING (v)
+          JOIN cont USING (w) CROSS JOIN tt
+), staged2 AS (
+  SELECT doc_id, c3, mid3v, den3, cqg, n1p_tuv, ctuv,
+         (greatest(CAST(coalesce(c2, 0) AS DOUBLE) - {KN_DISCOUNT},
+                   CAST(0 AS DOUBLE))
+          + {KN_DISCOUNT} * midv * p1d) / den2 AS p2d
+  FROM staged
+), staged3 AS (
+  SELECT doc_id, cqg, n1p_tuv, ctuv,
+         (greatest(CAST(coalesce(c3, 0) AS DOUBLE) - {KN_DISCOUNT},
+                   CAST(0 AS DOUBLE))
+          + {KN_DISCOUNT} * mid3v * p2d) / den3 AS p3d
+  FROM staged2
+), scored AS (
+  SELECT doc_id,
+         CAST(floor(-ln((greatest(CAST(coalesce(cqg, 0) AS DOUBLE)
+                                  - {KN_DISCOUNT}, CAST(0 AS DOUBLE))
+                        + {KN_DISCOUNT} * n1p_tuv * p3d) / ctuv)
+                    * 1000000 + 0.5) AS BIGINT) AS nll_ppm
+  FROM staged3
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_quadgrams,
+       CAST(sum(nll_ppm) AS BIGINT) AS sum_nll_ppm,
+       CAST(sum(nll_ppm) // count(*) AS BIGINT) AS avg_nll_ppm
+FROM scored GROUP BY doc_id
+"""
+
+
+_KN5_TABLES5_DUCK = """
+pgc AS MATERIALIZED (
+  SELECT s, t, u, v, w, count(*) AS cpg FROM {pg_src}
+  GROUP BY s, t, u, v, w
+), pctx AS MATERIALIZED (
+  SELECT s, t, u, v, CAST(sum(cpg) AS BIGINT) AS cstuv,
+         count(*) AS n1p_stuv
+  FROM pgc GROUP BY s, t, u, v
+), cont4 AS MATERIALIZED (
+  SELECT t, u, v, w, count(*) AS c4 FROM pgc GROUP BY t, u, v, w
+), mid4 AS MATERIALIZED (
+  SELECT t, u, v, CAST(sum(c4) AS BIGINT) AS den4, count(*) AS mid4v
+  FROM cont4 GROUP BY t, u, v
+)"""
+
+# the stepwise p1→p5 pipeline over an already-joined staged CTE; the
+# self-scored and held-out oracles share it verbatim
+_KN5_CASCADE_DUCK = f"""
+staged2 AS (
+  SELECT * EXCLUDE (p1d),
+         CASE WHEN den2 IS NULL THEN p1d
+              ELSE (greatest(CAST(coalesce(c2, 0) AS DOUBLE) - {KN_DISCOUNT},
+                             CAST(0 AS DOUBLE))
+                   + {KN_DISCOUNT} * midv * p1d) / den2 END AS p2d
+  FROM staged
+), staged3 AS (
+  SELECT * EXCLUDE (p2d),
+         CASE WHEN den3 IS NULL THEN p2d
+              ELSE (greatest(CAST(coalesce(c3, 0) AS DOUBLE) - {KN_DISCOUNT},
+                             CAST(0 AS DOUBLE))
+                   + {KN_DISCOUNT} * mid3v * p2d) / den3 END AS p3d
+  FROM staged2
+), staged4 AS (
+  SELECT * EXCLUDE (p3d),
+         CASE WHEN den4 IS NULL THEN p3d
+              ELSE (greatest(CAST(coalesce(c4, 0) AS DOUBLE) - {KN_DISCOUNT},
+                             CAST(0 AS DOUBLE))
+                   + {KN_DISCOUNT} * mid4v * p3d) / den4 END AS p4d
+  FROM staged3
+), scored AS (
+  SELECT doc_id,
+         CAST(floor(-ln(CASE WHEN cstuv IS NULL THEN p4d
+                        ELSE (greatest(CAST(coalesce(cpg, 0) AS DOUBLE)
+                                       - {KN_DISCOUNT}, CAST(0 AS DOUBLE))
+                             + {KN_DISCOUNT} * n1p_stuv * p4d) / cstuv END)
+                    * 1000000 + 0.5) AS BIGINT) AS nll_ppm
+  FROM staged4
+)"""
+
+
+KN5_PERPLEXITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS tl FROM documents
+), {_KN45_STREAMS_DUCK.strip()},
+{_KN45_TABLES_DUCK.format(qg_src='qg', tg_src='tg', bg_src='bg').strip()},
+{_KN5_TABLES5_DUCK.format(pg_src='pg').strip()},
+staged AS (
+  SELECT doc_id,
+         CAST(n1p_tok AS DOUBLE) / ttypes AS p1d,
+         c2, midv, den2, c3, mid3v, den3, c4, mid4v, den4,
+         cpg, n1p_stuv, cstuv
+  FROM pg JOIN pgc USING (s, t, u, v, w) JOIN pctx USING (s, t, u, v)
+          JOIN cont4 USING (t, u, v, w) JOIN mid4 USING (t, u, v)
+          JOIN cont3 USING (u, v, w) JOIN mid3 USING (u, v)
+          JOIN cont2 USING (v, w) JOIN mid USING (v)
+          JOIN cont USING (w) CROSS JOIN tt
+), {_KN5_CASCADE_DUCK.strip()}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_pentagrams,
+       CAST(sum(nll_ppm) AS BIGINT) AS sum_nll_ppm,
+       CAST(sum(nll_ppm) // count(*) AS BIGINT) AS avg_nll_ppm
+FROM scored GROUP BY doc_id
+"""
+
+
+KN5_HELDOUT_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS tl FROM documents
+), train AS (
+  SELECT doc_id, tl FROM base WHERE doc_id % 2 = 0
+), {_KN45_STREAMS_DUCK.replace('FROM base', 'FROM train').strip()},
+{_KN45_TABLES_DUCK.format(qg_src='qg', tg_src='tg', bg_src='bg').strip()},
+{_KN5_TABLES5_DUCK.format(pg_src='pg').strip()},
+held AS (
+  SELECT doc_id,
+         unnest(list_slice(tl, 1, len(tl) - 4)) AS s,
+         unnest(list_slice(tl, 2, len(tl) - 3)) AS t,
+         unnest(list_slice(tl, 3, len(tl) - 2)) AS u,
+         unnest(list_slice(tl, 4, len(tl) - 1)) AS v,
+         unnest(list_slice(tl, 5, len(tl))) AS w
+  FROM base WHERE len(tl) >= 5 AND doc_id % 2 = 1
+), staged AS (
+  SELECT h.doc_id,
+         CAST(cont.n1p_tok AS DOUBLE) / tt.ttypes AS p1d,
+         cont2.c2, mid.midv, mid.den2,
+         cont3.c3, mid3.mid3v, mid3.den3,
+         cont4.c4, mid4.mid4v, mid4.den4,
+         pgc.cpg, pctx.n1p_stuv, pctx.cstuv
+  FROM held h
+  LEFT JOIN pgc ON pgc.s = h.s AND pgc.t = h.t AND pgc.u = h.u
+               AND pgc.v = h.v AND pgc.w = h.w
+  LEFT JOIN pctx ON pctx.s = h.s AND pctx.t = h.t AND pctx.u = h.u
+                AND pctx.v = h.v
+  LEFT JOIN cont4 ON cont4.t = h.t AND cont4.u = h.u AND cont4.v = h.v
+                 AND cont4.w = h.w
+  LEFT JOIN mid4 ON mid4.t = h.t AND mid4.u = h.u AND mid4.v = h.v
+  LEFT JOIN cont3 ON cont3.u = h.u AND cont3.v = h.v AND cont3.w = h.w
+  LEFT JOIN mid3 ON mid3.u = h.u AND mid3.v = h.v
+  LEFT JOIN cont2 ON cont2.v = h.v AND cont2.w = h.w
+  LEFT JOIN mid ON mid.v = h.v
+  LEFT JOIN cont ON cont.w = h.w
+  CROSS JOIN tt
+), {_KN5_CASCADE_DUCK.strip()}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_pentagrams,
+       CAST(sum(CASE WHEN nll_ppm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov_pentagrams,
+       CASE WHEN count(nll_ppm) = 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(sum(nll_ppm) // count(nll_ppm) AS BIGINT) END
+         AS avg_nll_ppm
+FROM scored GROUP BY doc_id
+"""
+
+
 CCNET_BUCKETS_SQL = f"""
-WITH per_doc AS ({KN_PERPLEXITY_SQL}),
+WITH per_doc AS ({KN5_PERPLEXITY_SQL}),
 scored AS (
   SELECT d.lang, p.avg_nll_ppm,
          CAST(ntile({CCNET_BUCKETS}) OVER (

@@ -484,12 +484,30 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_flags_from(io.load(spark, sf_dir, "documents"))
 
 
-def gopher_flags_from(d: DataFrame) -> DataFrame:
+def gopher_rules_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule set with the alpha-word class widened to ANY
+    Unicode letter (``\\p{L}``) — the r9 advisor's multilingual
+    fidelity note closed behind a flag: words written entirely in
+    non-ASCII letters (accented Latin, Cyrillic, CJK) now satisfy the
+    "contains an alphabetic character" rule as Rae et al. wrote it,
+    instead of failing the ASCII approximation. Java regex and RE2
+    agree on the \\p{L} general category for these classes, so the
+    variant is deterministic cross-engine; the DEFAULT query keeps the
+    ASCII class (engine-wide token contract) unchanged."""
+    return gopher_flags_from(
+        io.load(spark, sf_dir, "documents"), unicode_alpha=True
+    )
+
+
+def gopher_flags_from(d: DataFrame, unicode_alpha: bool = False) -> DataFrame:
     """The Gopher rule projection over any (doc_id, text) frame — the
     exact expression shared by the batch query and its streaming
     admission gate (streaming_admission.start_gopher_gate_stream);
     stream ≡ batch is equality of this one projection, which being
-    map-only holds trivially per row."""
+    map-only holds trivially per row. ``unicode_alpha`` swaps the
+    alpha-word character class from the ASCII approximation to
+    \\p{L} (see gopher_rules_unicode); everything else is shared."""
+    alpha_re = r"\\p{L}" if unicode_alpha else "[a-z]"
     toks = F.expr(_TOKENS_SPARK)
     out = d.select(
         "doc_id",
@@ -514,7 +532,7 @@ def gopher_flags_from(d: DataFrame) -> DataFrame:
             "CAST(aggregate(toks, 0L, (a, x) -> a + length(x)) AS BIGINT)"
         ).alias("sum_chars"),
         F.expr(
-            "CAST(size(filter(toks, x -> x rlike '[a-z]')) AS BIGINT)"
+            f"CAST(size(filter(toks, x -> x rlike '{alpha_re}')) AS BIGINT)"
         ).alias("n_alpha"),
         F.expr(
             "CAST(size(array_intersect(array_distinct(toks), array("
@@ -597,6 +615,12 @@ SELECT doc_id, n_words, word_count_ok, mean_len_ok, symbol_ok,
         AND ellipsis_ok AND alpha_ok AND stopword_ok) AS passes
 FROM flags
 """
+
+# the unicode-alpha variant's oracle: identical except the alpha-word
+# character class (RE2 and Java regex agree on \p{L})
+GOPHER_RULES_UNICODE_SQL = GOPHER_RULES_SQL.replace(
+    "regexp_matches(x, '[a-z]')", r"regexp_matches(x, '\p{L}')"
+)
 
 
 # --- Gopher duplicate-line/paragraph repetition (Table A1 rows 1-4) ----------
@@ -796,9 +820,19 @@ def c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_flags_from(io.load(spark, sf_dir, "documents"))
 
 
-def c4_flags_from(docs: DataFrame) -> DataFrame:
+def c4_flags_from(docs: DataFrame, blocklist: tuple | None = None) -> DataFrame:
     """The C4 projection over any (doc_id, text) frame — shared by the
-    registered query and the composed quality funnel.
+    registered query and the composed quality funnel. With a
+    ``blocklist``, the paper's remaining page rule (Raffel et al. 2020
+    §2.2: drop any page containing a word from the "List of Dirty,
+    Naughty, Obscene or Otherwise Bad Words") is applied as an EXACT
+    token match over the engine token contract, surfaced as
+    ``has_blocked`` and conjoined into ``keep_page``; the word list
+    itself stays a policy INPUT (broadcast literal array — at scale a
+    broadcast join against a small table argument), not a constant
+    baked into the engine. ``blocklist=()`` adds the column but can
+    never fire — the result is otherwise identical to the plain
+    projection (the parameterization contract, test-pinned).
 
     CR normalization (advisor-found r9): carriage returns are stripped
     BEFORE line filtering on both engines. The terminal-punctuation
@@ -819,6 +853,15 @@ def c4_flags_from(docs: DataFrame) -> DataFrame:
         f" AND size(filter(split(s, '\\\\s+'), w -> w != ''))"
         f" >= {C4_MIN_WORDS_PER_LINE})"
     )
+    blocked_cols = []
+    if blocklist is not None:
+        arr = ", ".join(f"'{w}'" for w in blocklist)
+        blocked_cols = [
+            F.expr(
+                f"coalesce(size(array_intersect({_TOKENS_SPARK},"
+                f" array({arr}))) > 0, false)"
+            ).alias("has_blocked")
+        ]
     out = d.select(
         "doc_id",
         F.expr("CAST(size(filter(transform(split(text, '\\n'),"
@@ -827,18 +870,22 @@ def c4_flags_from(docs: DataFrame) -> DataFrame:
         F.expr(f"array_join({kept_lines}, '\\n')").alias("cleaned"),
         F.expr("contains(text, '{')").alias("has_brace"),
         F.expr("contains(lower(text), 'lorem ipsum')").alias("has_lorem"),
+        *blocked_cols,
     ).select(
         "doc_id", "n_lines", "n_kept_lines",
         F.regexp_count("cleaned", F.lit(r"[.!?]")).cast("bigint")
         .alias("n_sentences"),
         "has_brace", "has_lorem",
+        *(["has_blocked"] if blocklist is not None else []),
         F.md5(F.encode("cleaned", "UTF-8")).alias("cleaned_md5"),
     )
-    return out.withColumn(
-        "keep_page",
+    keep = (
         (F.col("n_sentences") >= C4_MIN_SENTENCES)
-        & ~F.col("has_brace") & ~F.col("has_lorem"),
+        & ~F.col("has_brace") & ~F.col("has_lorem")
     )
+    if blocklist is not None:
+        keep = keep & ~F.col("has_blocked")
+    return out.withColumn("keep_page", keep)
 
 
 C4_CLEAN_SQL = f"""
@@ -874,6 +921,72 @@ SELECT doc_id, n_lines, n_kept_lines,
         AND NOT has_brace AND NOT has_lorem) AS keep_page
 FROM j
 """
+
+
+# The registered blocklist-variant's policy input: a fixed
+# deterministic word list for the gate corpus ("slow" appears in most
+# synthetic docs so the rule demonstrably fires; "forbidden" never
+# does, covering the no-hit path). The real deployment passes its own
+# list — see c4_flags_from's blocklist parameter.
+C4_BLOCKLIST = ("slow", "forbidden")
+
+
+def c4_blocklist_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_c4_clean plus the paper's word-blocklist page rule (Raffel
+    et al. 2020 §2.2 drop pages containing a blocklisted word),
+    parameterized on the list as a policy input — c4_flags_from with
+    C4_BLOCKLIST. Exact token match over the engine token contract
+    (the paper filters words, not substrings); has_blocked surfaced
+    beside the other page flags, conjoined into keep_page. Same
+    map-only one-projection plan shape as the base query — the
+    blocklist is a broadcast literal array (a broadcast join against a
+    small table argument at scale)."""
+    return c4_flags_from(
+        io.load(spark, sf_dir, "documents"), blocklist=C4_BLOCKLIST
+    )
+
+
+def _c4_blocklist_sql(blocklist: tuple) -> str:
+    arr = ", ".join(f"'{w}'" for w in blocklist)
+    return f"""
+WITH base0 AS (
+  SELECT doc_id, replace(coalesce(text, ''), chr(13), '') AS text
+  FROM documents
+), base AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    s -> trim(s)),
+           s -> regexp_matches(s, '[.!?"'']$')
+                AND len(list_filter(regexp_split_to_array(s, '\\s+'),
+                                    w -> w != '')) >= {C4_MIN_WORDS_PER_LINE})
+           AS kept
+  FROM base0
+), j AS (
+  SELECT doc_id,
+         CAST(len(list_filter(list_transform(string_split(text, chr(10)),
+              s -> trim(s)), s -> s != '')) AS BIGINT) AS n_lines,
+         CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         coalesce(array_to_string(kept, chr(10)), '') AS cleaned,
+         contains(text, '{{') AS has_brace,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         coalesce(len(list_intersect({_TOKENS_DUCK}, [{arr}])) > 0, false)
+           AS has_blocked
+  FROM base
+)
+SELECT doc_id, n_lines, n_kept_lines,
+       CAST(len(regexp_extract_all(cleaned, '[.!?]')) AS BIGINT)
+         AS n_sentences,
+       has_brace, has_lorem, has_blocked,
+       md5(cleaned) AS cleaned_md5,
+       (CAST(len(regexp_extract_all(cleaned, '[.!?]')) AS BIGINT)
+          >= {C4_MIN_SENTENCES}
+        AND NOT has_brace AND NOT has_lorem AND NOT has_blocked)
+         AS keep_page
+FROM j
+"""
+
+
+C4_BLOCKLIST_CLEAN_SQL = _c4_blocklist_sql(C4_BLOCKLIST)
 
 
 # --- the composed published-filter funnel -------------------------------------

@@ -541,12 +541,22 @@ register("doc_quality_funnel", _ql.QUALITY_FUNNEL_SQL,
          doc="The published-filter canon composed: Gopher A1.1 rules AND Table A1 repetition AND C4 s2.2 page rules per document, family verdicts surfaced beside the conjunction; the (doc_id, text) base materializes once and all three families read it")(_ql.quality_funnel)
 register("doc_c4_clean", _ql.C4_CLEAN_SQL,
          doc="C4 line-level cleaning (arXiv:1910.10683 s2.2, thresholds verbatim): keep lines ending in terminal punctuation with >=5 words, drop pages with <3 sentences / '{' / 'lorem ipsum'; line-retention audit + cleaned-text md5 — one map-only projection")(_ql.c4_clean)
+register("doc_c4_blocklist_clean", _ql.C4_BLOCKLIST_CLEAN_SQL,
+         doc="C4 cleaning with the paper's word-blocklist page rule as a POLICY INPUT (Raffel et al. 2020 s2.2): exact token match against a broadcast list, has_blocked surfaced and conjoined; empty-list result identical to doc_c4_clean (test-pinned)")(_ql.c4_blocklist_clean)
+register("doc_gopher_rules_unicode", _ql.GOPHER_RULES_UNICODE_SQL,
+         doc="Gopher rule set with the alpha-word class widened to \\p{L} (the r9 advisor's multilingual note, closed behind a flag): non-ASCII-letter words satisfy the alphabetic rule as the paper wrote it; default ASCII variant unchanged")(_ql.gopher_rules_unicode)
 register("doc_gopher_repetition", _ql.GOPHER_REPETITION_SQL,
          doc="Gopher repetition filter (arXiv:2112.11446 Table A1 rows 1-4, thresholds verbatim): duplicate line/paragraph fractions by count and by character mass at the first-writer grain, exact ppm integers, conjunction flag")(_ql.gopher_repetition)
 register("doc_kn_heldout", _ca.KN_HELDOUT_SQL,
          doc="Held-out Kneser-Ney scoring (train on even doc_ids, score odd): drives the smoothing's backoff cascade — unseen bigrams (discount-only), unseen contexts (pure continuation), OOV targets (counted, excluded) — through the cross-engine hash gate; the CCNet frozen-model deployment shape as a batch query")(_ca.kn_heldout)
 register("doc_kn3_perplexity", _ca.KN3_PERPLEXITY_SQL,
          doc="Recursive interpolated Kneser-Ney TRIGRAM perplexity (Chen & Goodman 1999 eq. 4.25-4.27): trigram ML discount backing off through the continuation-count bigram estimate to the unigram continuation — sees word-order structure beyond adjacent pairs (two docs with identical bigram multisets separate)")(_ca.kn3_perplexity)
+register("doc_kn4_perplexity", _ca.KN4_PERPLEXITY_SQL,
+         doc="Recursive interpolated Kneser-Ney 4-GRAM perplexity: raw-count top level over continuation-count level-3/2/1 estimates (Chen & Goodman 1999 eq. 4.25-4.27 one order below KenLM) — all lower tables shared with the order-5 sibling")(_ca.kn4_perplexity)
+register("doc_kn5_perplexity", _ca.KN5_PERPLEXITY_SQL,
+         doc="FULL KenLM-order recursive Kneser-Ney 5-gram perplexity (Wenzek et al. 2020 s3 rank by a 5-gram KN KenLM; Heafield 2011): the deepest backoff cascade, stepwise p1->p5 IEEE-identical across engines; doc_ccnet_buckets and the frozen-cut service re-bind on this score")(_ca.kn5_perplexity)
+register("doc_kn5_heldout", _ca.KN5_HELDOUT_SQL,
+         doc="Held-out order-5 KN scoring (train even doc_ids, score odd): drives the DEEP backoff cascade — unseen 5-grams, unseen contexts at each of four levels, OOV targets (counted, excluded, -1 sentinel) — through the cross-engine hash gate")(_ca.kn5_heldout)
 register("doc_mink_prob", _ca.MINK_PROB_SQL,
          doc="Min-k% probability membership signal (Shi et al. 2024): per doc, mean NLL of its k% least-likely bigrams under the shared interpolated model — the distributional memorization/contamination detector the exact-match decontamination queries cannot see")(_ca.mink_prob)
 register("doc_shingle_novelty", _ca.SHINGLE_NOVELTY_SQL,
@@ -579,7 +589,7 @@ register("doc_source_kl", _ca.SOURCE_KL_SQL,
 register("doc_span_scrub", _ca.SPAN_SCRUB_SQL,
          doc="Duplicate-span REMOVAL (arXiv:2107.06499 at shingle granularity): first-writer attribution, merged covered positions, filter-by-index text rebuild")(_ca.span_scrub)
 register("doc_ccnet_buckets", _ca.CCNET_BUCKETS_SQL,
-         doc="CCNet head/middle/tail perplexity buckets per language (arXiv:1911.00359): unigram-LM NLL terciles via language-partitioned ntile, summary grid with bucket boundaries")(_ca.ccnet_buckets)
+         doc="CCNet head/middle/tail perplexity buckets per language (arXiv:1911.00359): KenLM-order 5-gram Kneser-Ney NLL terciles (the paper's exact estimator, r10) via language-partitioned ntile, summary grid with bucket boundaries")(_ca.ccnet_buckets)
 register("doc_span_dedup", _ca.SPAN_DEDUP_SQL,
          doc="Length-gated exact-substring dedup (arXiv:2107.06499 ExactSubstr / C4 repeated-span rule): only maximal duplicate-shingle runs >= SPAN_MIN_TOKENS tokens are removed, first writer keeps its copy; per-doc span/token removal audit + scrubbed-text md5")(_ca.span_dedup)
 register("doc_source_overlap", _ca.SOURCE_OVERLAP_SQL,

@@ -83,6 +83,10 @@ FUZZED_QUERIES = [
     # regex dialects; empty-token docs hit the nullif mean guard and
     # the false-AND-NULL conjunction on both engines
     "doc_gopher_rules",
+    # the \p{L} variant: the non-ASCII WORDS (café/İstanbul/ΟΔΟΣ and
+    # the NFD combining accent) are exactly the class where Java regex
+    # and RE2 must agree on the unicode letter category
+    "doc_gopher_rules_unicode",
     # Table A1 repetition rows: dup-heavy fuzz corpora force repeated
     # lines/paragraphs; unicode text certifies the char-length
     # weighting and the trim/empty-segment filter agree cross-engine
@@ -373,6 +377,7 @@ def test_fuzzed_events_match_oracle(spark, tmp_path_factory, qname, data):
 # line-based quality family is exercised on CR-bearing text end to end.
 CR_QUERIES = [
     "doc_c4_clean",
+    "doc_c4_blocklist_clean",
     "doc_quality_funnel",
     "doc_gopher_rules",
     "doc_gopher_repetition",

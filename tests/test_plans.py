@@ -56,6 +56,9 @@ BNL_ALLOWED = {
     "doc_kn_perplexity": [_SCALAR],  # 1-row bigram-type-total broadcast
     "doc_kn3_perplexity": [_SCALAR],  # same 1-row ttypes broadcast
     "doc_kn_heldout": [_SCALAR],  # same 1-row ttypes broadcast
+    "doc_kn4_perplexity": [_SCALAR],  # same 1-row ttypes broadcast
+    "doc_kn5_perplexity": [_SCALAR],  # same 1-row ttypes broadcast
+    "doc_kn5_heldout": [_SCALAR],  # same 1-row ttypes broadcast
     "doc_doremi_weights": [_SCALAR],  # vocab-total / ref / Σw 1-row sides
     "doc_bigram_lm_score": [_SCALAR],
     "doc_mink_prob": [_SCALAR],  # same 1-row vocab-total broadcast

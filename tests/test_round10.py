@@ -1,0 +1,235 @@
+"""Round-10 behavior/property tests: the KenLM-order (4/5-gram)
+Kneser-Ney cascade, the C4 blocklist variant, the unicode alpha-word
+Gopher variant, and the composed streaming admission funnel."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _kn_python_tables(train_docs):
+    """Pure-Python KN count tables for the full order-5 cascade."""
+    bgc, tgc, qgc, pgc = Counter(), Counter(), Counter(), Counter()
+    for t in train_docs:
+        for g in zip(t, t[1:]):
+            bgc[g] += 1
+        for g in zip(t, t[1:], t[2:]):
+            tgc[g] += 1
+        for g in zip(t, t[1:], t[2:], t[3:]):
+            qgc[g] += 1
+        for g in zip(t, t[1:], t[2:], t[3:], t[4:]):
+            pgc[g] += 1
+    T = {}
+    # level-1 continuation from bigram types
+    cont = Counter(b for (_, b) in bgc)
+    T["cont"], T["ttypes"] = cont, len(bgc)
+    # level-2 continuation from trigram types
+    c2 = Counter((v, w) for (_, v, w) in tgc)
+    den2, midv = Counter(), Counter()
+    for (v, w), c in c2.items():
+        den2[v] += c
+        midv[v] += 1
+    T["c2"], T["den2"], T["midv"] = c2, den2, midv
+    # level-3 continuation from quadgram types
+    c3 = Counter((u, v, w) for (_, u, v, w) in qgc)
+    den3, mid3v = Counter(), Counter()
+    for (u, v, w), c in c3.items():
+        den3[(u, v)] += c
+        mid3v[(u, v)] += 1
+    T["c3"], T["den3"], T["mid3v"] = c3, den3, mid3v
+    # level-4 continuation from pentagram types
+    c4 = Counter((t_, u, v, w) for (_, t_, u, v, w) in pgc)
+    den4, mid4v = Counter(), Counter()
+    for (t_, u, v, w), c in c4.items():
+        den4[(t_, u, v)] += c
+        mid4v[(t_, u, v)] += 1
+    T["c4"], T["den4"], T["mid4v"] = c4, den4, mid4v
+    # raw top-level tables for both orders
+    ctuv, n1p_tuv = Counter(), Counter()
+    for (t_, u, v, w), c in qgc.items():
+        ctuv[(t_, u, v)] += c
+        n1p_tuv[(t_, u, v)] += 1
+    T["qgc"], T["ctuv"], T["n1p_tuv"] = qgc, ctuv, n1p_tuv
+    cstuv, n1p_stuv = Counter(), Counter()
+    for (s, t_, u, v, w), c in pgc.items():
+        cstuv[(s, t_, u, v)] += c
+        n1p_stuv[(s, t_, u, v)] += 1
+    T["pgc"], T["cstuv"], T["n1p_stuv"] = pgc, cstuv, n1p_stuv
+    return T
+
+
+def _kn_python_cascade(T, gram, order):
+    """The recursive estimate for one 4- or 5-gram; None on OOV."""
+    from maillog2db_spark.operators.corpus_analytics import KN_DISCOUNT as D
+
+    w = gram[-1]
+    if w not in T["cont"]:
+        return None
+    p = T["cont"][w] / T["ttypes"]  # p1
+    v = gram[-2]
+    if v in T["den2"]:
+        p = (max(T["c2"].get((v, w), 0) - D, 0.0)
+             + D * T["midv"][v] * p) / T["den2"][v]
+    uv = gram[-3:-1]
+    if uv in T["den3"]:
+        p = (max(T["c3"].get(gram[-3:], 0) - D, 0.0)
+             + D * T["mid3v"][uv] * p) / T["den3"][uv]
+    if order == 4:
+        ctx = gram[:3]
+        if ctx in T["ctuv"]:
+            p = (max(T["qgc"].get(gram, 0) - D, 0.0)
+                 + D * T["n1p_tuv"][ctx] * p) / T["ctuv"][ctx]
+        return p
+    tuv = gram[-4:-1]
+    if tuv in T["den4"]:
+        p = (max(T["c4"].get(gram[-4:], 0) - D, 0.0)
+             + D * T["mid4v"][tuv] * p) / T["den4"][tuv]
+    ctx = gram[:4]
+    if ctx in T["cstuv"]:
+        p = (max(T["pgc"].get(gram, 0) - D, 0.0)
+             + D * T["n1p_stuv"][ctx] * p) / T["cstuv"][ctx]
+    return p
+
+
+def test_kn5_deep_backoff_matches_python_oracle(spark):
+    """The order-5 cascade's planted contract: a held-out doc whose
+    single 5-gram is unseen at EVERY upper level (unseen 5-gram
+    context, unseen level-4 and level-3 continuation contexts, seen
+    level-2) walks the full backoff chain down to the continuation
+    bigram, and the engine's ppm values equal a pure-Python oracle of
+    the complete recursion at BOTH orders 4 and 5. An OOV target
+    yields NULL (counted, never imputed)."""
+    from maillog2db_spark.operators.corpus_analytics import (
+        kn4_score_qgrams,
+        kn4_tables_from_qgc,
+        kn5_model_tables,
+        kn5_score_pgrams,
+        pgrams_of,
+        qgrams_of,
+    )
+
+    train = [tuple("x a x b x c x".split())] * 30
+    base = spark.createDataFrame(
+        [(i, list(t)) for i, t in enumerate(train)],
+        "doc_id long, toks array<string>",
+    )
+    tables = kn5_model_tables(base)
+    T = _kn_python_tables(train)
+
+    held = {
+        100: tuple("x a x b x c x".split()),  # fully in-model
+        101: tuple("x b x a x".split()),       # deep backoff to level 2
+        102: tuple("x a x b q".split()),       # OOV target
+    }
+    held_df = spark.createDataFrame(
+        [(i, list(t)) for i, t in held.items()],
+        "doc_id long, toks array<string>",
+    )
+
+    got5 = {
+        (r.doc_id, r.pos): r.nll_ppm
+        for r in kn5_score_pgrams(
+            pgrams_of(held_df), *tables, keep=("doc_id", "pos")
+        ).collect()
+    }
+    for (doc_id, pos), nll in got5.items():
+        gram = held[doc_id][pos:pos + 5]
+        p = _kn_python_cascade(T, gram, 5)
+        want = None if p is None else math.floor(-math.log(p) * 1e6 + 0.5)
+        assert nll == want, (doc_id, pos, gram, nll, want)
+    # the planted deep-backoff doc walked past levels 5/4/3: its
+    # (x,b,x,a) context, (b,x,a,x) cont-4 context, and (x,a) cont-3
+    # context are all absent from the tables
+    assert ("x", "b", "x", "a") not in T["cstuv"]
+    assert ("b", "x", "a") not in T["den4"]
+    assert ("x", "a") not in T["den3"]
+    assert ("a",) != ()  # (x,a,x) level-2 IS served: den2 has 'a'
+    assert "a" in T["den2"]
+    assert got5[(101, 0)] is not None
+    # OOV: nll NULL
+    assert got5[(102, 0)] is None
+    # in-model doc scores strictly better than the permuted one
+    assert got5[(100, 0)] < got5[(101, 0)]
+
+    # order 4 over the same model inputs
+    qgc = tables[0].sparkSession.createDataFrame(
+        [(k[0], k[1], k[2], k[3], v) for k, v in T["qgc"].items()],
+        "t string, u string, v string, w string, cqg long",
+    )
+    qctx, cont3, mid3 = kn4_tables_from_qgc(qgc)
+    got4 = {
+        (r.doc_id, r.pos): r.nll_ppm
+        for r in kn4_score_qgrams(
+            qgrams_of(held_df), qgc, qctx, cont3, mid3,
+            tables[6], tables[7], tables[8], tables[9],
+            keep=("doc_id", "pos"),
+        ).collect()
+    }
+    for (doc_id, pos), nll in got4.items():
+        gram = held[doc_id][pos:pos + 4]
+        p = _kn_python_cascade(T, gram, 4)
+        want = None if p is None else math.floor(-math.log(p) * 1e6 + 0.5)
+        assert nll == want, (doc_id, pos, gram, nll, want)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_c4_blocklist_is_a_pure_parameterization(spark):
+    """The blocklist variant's contract: with an EMPTY list the result
+    (minus the always-false has_blocked column) is row-identical to
+    the plain C4 projection; with a planted list, exactly the pages
+    containing a blocklisted TOKEN flip to keep_page=false — substring
+    occurrences do not fire (exact token match, the paper's word
+    grain)."""
+    from maillog2db_spark.operators.quality import c4_flags_from
+
+    page = "this page has enough honest sentences to pass the filter okay.\n" * 3
+    docs = _docs_df(spark, [
+        page,                                   # clean → kept
+        page + "\nthe slowest machine runs.",   # 'slowest' ≠ token 'slow'
+        page + "\nthe slow machine always runs today fine.",  # token hit
+    ])
+    plain = sorted(map(tuple, c4_flags_from(docs).collect()))
+    empty = c4_flags_from(docs, blocklist=())
+    assert sorted(
+        map(tuple, empty.drop("has_blocked").collect())
+    ) == plain
+    assert all(not r.has_blocked for r in empty.collect())
+
+    got = {r.doc_id: r for r in c4_flags_from(
+        docs, blocklist=("slow", "forbidden")
+    ).collect()}
+    assert got[0].keep_page and not got[0].has_blocked
+    assert got[1].keep_page and not got[1].has_blocked  # substring immune
+    assert not got[2].keep_page and got[2].has_blocked
+
+
+def test_gopher_unicode_alpha_widens_only_the_alpha_rule(spark):
+    """A doc written in entirely non-ASCII-letter words (Greek,
+    Cyrillic — no [a-z] after the ASCII fold) fails the ASCII
+    alpha-word approximation but satisfies the unicode variant's
+    \\p{L} class; every other rule column is identical between the two
+    projections."""
+    from maillog2db_spark.operators.quality import gopher_flags_from
+
+    words = ["κείμενο", "γλώσσα", "привет", "текст", "ΟΔΟΣ", "мир"] * 12
+    # sprinkle stopwords so the stopword rule passes in both variants
+    text = " ".join(words) + " the of and to be that have with"
+    docs = _docs_df(spark, [text])
+    ascii_row = gopher_flags_from(docs.select("doc_id", "text")).collect()[0]
+    uni_row = gopher_flags_from(
+        docs.select("doc_id", "text"), unicode_alpha=True
+    ).collect()[0]
+    assert not ascii_row.alpha_ok and uni_row.alpha_ok
+    for c in ("n_words", "word_count_ok", "mean_len_ok", "symbol_ok",
+              "bullet_ok", "ellipsis_ok", "stopword_ok"):
+        assert getattr(ascii_row, c) == getattr(uni_row, c), c

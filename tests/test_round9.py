@@ -198,11 +198,12 @@ def test_streaming_gopher_gate_matches_batch(spark, tmp_path_factory):
 
 
 def test_streaming_ccnet_gate_matches_batch(spark, tmp_path_factory):
-    """The frozen-cut CCNet bucket service: freeze model+cuts on the
-    reference corpus, stream the corpus in waves — per-doc scores
-    equal the batch KN query exactly (no OOV against the reference),
-    buckets equal the shared assignment applied in batch, replay is
-    idempotent, and an out-of-vocabulary doc is counted, not imputed."""
+    """The frozen-cut CCNet bucket service (order-5 KN since r10):
+    freeze model+cuts on the reference corpus, stream the corpus in
+    waves — per-doc scores equal the batch KN query exactly (no OOV
+    against the reference), buckets equal the shared assignment
+    applied in batch, replay is idempotent, and an out-of-vocabulary
+    doc is counted, not imputed."""
     from maillog2db_spark import io as mio
     from maillog2db_spark import streaming_ccnet as sc
     from maillog2db_spark.operators import corpus_analytics as ca
@@ -227,11 +228,11 @@ def test_streaming_ccnet_gate_matches_batch(spark, tmp_path_factory):
     assert sorted(map(tuple, got.collect())) == want
 
     # reference docs are fully in-vocabulary and score EXACTLY the
-    # registered batch KN query
+    # registered batch order-5 KN query
     rows = got.collect()
-    assert rows and all(r.n_oov_bigrams == 0 for r in rows)
+    assert rows and all(r.n_oov_ngrams == 0 for r in rows)
     batch_kn = {r.doc_id: r.avg_nll_ppm
-                for r in ca.kn_perplexity(spark, sf).collect()}
+                for r in ca.kn5_perplexity(spark, sf).collect()}
     assert {r.doc_id: r.avg_nll_ppm for r in rows} == batch_kn
     assert {r.bucket for r in rows} == {1, 2, 3}
 
@@ -243,20 +244,22 @@ def test_streaming_ccnet_gate_matches_batch(spark, tmp_path_factory):
     assert sorted(map(tuple, store.read_verdicts(spark).collect())) == want
 
     # OOV: a doc full of reference-unseen tokens is reported, bucket 0;
-    # a doc too short to have bigrams STILL gets its verdict row
+    # a doc too short to have 5-grams STILL gets its verdict row
     # (bucket 0) — every batch doc receives a decision, never a silent
-    # absence (r9 review finding)
+    # absence (r9 review finding). n_ngrams is the TOTAL count
+    # including OOV rows (the kn_heldout contract, r9 advisor note).
     oov = spark.createDataFrame(
-        [(999_999, "zzqx wvvk zzqx wvvk", "en", "syn", 19),
-         (999_998, "solo", "en", "syn", 4)],
+        [(999_999, "zzqx wvvk zzqx wvvk zzqx wvvk", "en", "syn", 29),
+         (999_998, "solo too short here", "en", "syn", 19)],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     sc.ccnet_gate_ingest_batch(spark, oov, store, 99)
     vd = {r.doc_id: r for r in store.read_verdicts(spark).collect()}
     v = vd[999_999]
-    assert v.n_oov_bigrams == 3 and v.bucket == 0 and v.avg_nll_ppm is None
+    assert (v.n_ngrams, v.n_oov_ngrams) == (2, 2)
+    assert v.bucket == 0 and v.avg_nll_ppm is None
     s = vd[999_998]
-    assert (s.n_bigrams, s.n_oov_bigrams, s.bucket) == (0, 0, 0)
+    assert (s.n_ngrams, s.n_oov_ngrams, s.bucket) == (0, 0, 0)
     assert s.avg_nll_ppm is None
 
 
