@@ -1014,6 +1014,17 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(p, "doc_id")
         .localCheckpoint(eager=False)
     )
+    return quality_funnel_from(base)
+
+
+def quality_funnel_from(base: DataFrame) -> DataFrame:
+    """The composed three-family admission projection over an
+    already-materialized (doc_id, text) frame — shared verbatim by the
+    registered batch query and the streaming funnel gate
+    (streaming_funnel.py), so stream ≡ batch is equality of inputs
+    into one composition. The caller owns materializing ``base`` (the
+    three families are independent subtrees and would otherwise
+    re-evaluate the source)."""
     g = gopher_flags_from(base).select(
         "doc_id", F.col("passes").alias("gopher_ok")
     )

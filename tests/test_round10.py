@@ -176,6 +176,67 @@ def test_kn5_deep_backoff_matches_python_oracle(spark):
         assert nll == want, (doc_id, pos, gram, nll, want)
 
 
+def test_streaming_funnel_gate_matches_batch(spark, tmp_path_factory):
+    """The composed streaming admission funnel: stream the corpus in
+    waves — the union of per-batch verdicts equals the registered
+    batch doc_quality_funnel row-for-row (the families are per-doc
+    pure, the projection is literally shared), replay is idempotent,
+    and attaching the frozen CCNet cut store adds the bucket
+    attribution with admit re-conjoined on ccnet_ok ∈ {head, middle}."""
+    from test_round9 import _write_waves
+
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_ccnet as sc
+    from maillog2db_spark import streaming_funnel as sf_mod
+    from maillog2db_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    d = tmp_path_factory.mktemp("funnel_gate")
+    src = _write_waves(spark, docs, d)
+
+    store = sf_mod.FunnelGateStore(str(d / "store"))
+    q = sf_mod.start_funnel_gate_stream(
+        spark, str(src), store, str(d / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+    got = sorted(map(tuple, store.read_verdicts(spark).collect()))
+    want = sorted(map(tuple, REGISTRY["doc_quality_funnel"].fn(spark, sf).collect()))
+    assert got == want
+
+    # replay from a fresh checkpoint: verdicts unchanged
+    q2 = sf_mod.start_funnel_gate_stream(
+        spark, str(src), store, str(d / "ckpt2"), available_now=True
+    )
+    q2.awaitTermination(300)
+    assert sorted(map(tuple, store.read_verdicts(spark).collect())) == want
+
+    # with the frozen CCNet cut store attached, every verdict carries
+    # the bucket and admit conjoins ccnet_ok
+    cstore = sc.CcnetCutStore(str(d / "ccnet"))
+    sc.freeze_ccnet(spark, sf, cstore)
+    store2 = sf_mod.FunnelGateStore(str(d / "store2"))
+    q3 = sf_mod.start_funnel_gate_stream(
+        spark, str(src), store2, str(d / "ckpt3"),
+        ccnet_store=cstore, available_now=True,
+    )
+    q3.awaitTermination(300)
+    rows = store2.read_verdicts(spark).collect()
+    assert len(rows) == len(want)
+    base = {t[0]: t for t in want}
+    for r in rows:
+        b = base[r.doc_id]
+        assert (r.gopher_ok, r.repetition_ok, r.c4_ok) == b[1:4]
+        assert r.ccnet_ok == (r.bucket in (1, 2))
+        assert r.admit == (b[4] and r.ccnet_ok)
+    # the reference corpus ranks into all three buckets, so the
+    # attribution column is live (tail docs exist and are marked
+    # not-ccnet_ok; whether they ALSO fail a quality family is a
+    # property of the corpus, not of the composition)
+    assert any(r.bucket == 3 and not r.ccnet_ok for r in rows)
+    assert {r.bucket for r in rows} >= {1, 2, 3}
+
+
 def _docs_df(spark, texts):
     return spark.createDataFrame(
         [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
