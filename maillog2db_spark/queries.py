@@ -677,50 +677,48 @@ register("doc_normalized_dedup", _tn.NORMALIZED_DEDUP_SQL,
 # git history (r7: 6644f45^, r8: d8288f2^).
 
 _PRIORITY = [
-    # The round-9 window. Rotation policy (standing since r7):
+    # The round-10 window. Rotation policy (standing since r7):
     # (1) never-driver-verified new queries first, (2) every query
     # whose SHARED CODE changed this round, (3) backfill with the
     # OLDEST verdicts (ages computed from the CORRECTNESS_r0*.json
     # union).
-    # 1. never driver-verified (new in r9)
-    "doc_kn_perplexity", "doc_kn3_perplexity", "doc_kn_heldout",
-    "doc_gopher_repetition", "doc_c4_clean", "doc_quality_funnel",
-    # 2a. the materialize-once rewires (session-cached token /
-    # dup-occurrence / winnowed-fingerprint / shingle bases) — the r8
-    # judge's weak + demerit fixes; hashes must confirm unchanged
-    "doc_winnowing_overlap", "doc_span_dedup", "doc_span_scrub",
-    "doc_shingle_novelty", "doc_source_overlap",
-    "doc_decontaminate", "doc_bloom_decontaminate",
-    # 2b. the LM family now rides the shared token base, and
-    # doc_ccnet_buckets is RE-BOUND onto the Kneser-Ney score (results
-    # intentionally changed — oracle changed in lockstep)
-    "doc_ccnet_buckets", "doc_unigram_lm_score", "doc_bigram_lm_score",
-    "doc_mink_prob", "doc_doremi_weights",
-    # 2c. gopher_rules refactored to the shared gopher_flags_from
-    # projection (streaming gate twin); expression identical
-    "doc_gopher_rules",
-    # 2d. dedup._cached gained the pre-persisted-build guard — every
-    # consumer of the session-cache idiom re-binds per the invariant
-    "doc_minhash_signatures", "doc_lsh_candidate_pairs",
-    "doc_neardup_pairs", "doc_neardup_clusters", "doc_blocked_jaccard",
-    "doc_simhash", "doc_simhash_neardup",
-    "li_basket_affinity", "li_basket_rules", "li_part_pagerank",
-    # 3. oldest-verdict backfill: the full remaining r4 cohort (the
-    # four rows-only approx sketches carry their own accuracy
-    # differential tests), ...
-    "ml_relay_latency_approx", "price_percentiles_approx",
-    "doc_distinct_tokens_approx", "doc_token_hll_rollup",
-    "mm_binary_meta", "doc_repetition_stats", "doc_winnowing",
-    "ev_retention_cohorts", "doc_pack_bins", "doc_stratified_sample",
-    "doc_source_mix",
-    # ... then the oldest r5 entries to fill 50
-    "doc_edit_distance_pairs", "embed_semdedup", "embed_ivfpq_topk",
-    "embed_pq_adc_topk", "doc_bpe_train_merges",
-    "dq_referential_integrity", "embed_kmeans", "embed_covariance",
-    "embed_ann_recall", "doc_minhash_estimate",
+    # 1. never driver-verified (new in r10)
+    "doc_kn4_perplexity", "doc_kn5_perplexity", "doc_kn5_heldout",
+    "doc_c4_blocklist_clean", "doc_gopher_rules_unicode",
+    # 2a. doc_ccnet_buckets is RE-BOUND onto the order-5 KN score
+    # (results intentionally changed — oracle changed in lockstep);
+    # the bigram/trigram KN family's shared derivations gained the
+    # order-4/5 consumers (code identical, re-verified per invariant)
+    "doc_ccnet_buckets", "doc_kn_perplexity", "doc_kn3_perplexity",
+    "doc_kn_heldout",
+    # 2b. the C4 projection normalizes CR before line filtering (the
+    # r9 advisor's cross-engine '$' anchor divergence) and gained the
+    # blocklist parameter; the funnel composition moved into the
+    # shared quality_funnel_from; gopher_flags_from gained the
+    # unicode_alpha parameter (default expression identical)
+    "doc_c4_clean", "doc_quality_funnel", "doc_gopher_rules",
+    # 3. oldest-verdict backfill: the full remaining r5 cohort ...
+    "doc_char_entropy", "doc_cms_heavy_hitters", "doc_dsir_weights",
+    "doc_epoch_shuffle", "doc_langid_confusion",
+    "doc_leakage_safe_split", "doc_quality_classifier",
+    "doc_shard_assignment", "doc_sorted_neighborhood", "doc_source_kl",
+    "doc_source_temperature_mix", "doc_unigram_tokenizer",
+    "doc_vocab_growth", "dq_daily_reconciliation",
+    "dq_length_drift_psi", "embed_cluster_labels",
+    "embed_hamming_topk", "embed_semdedup_keep_best",
+    "embed_silhouette", "ev_concurrent_sessions", "ev_funnel_latency",
+    "ev_markov_transitions", "ev_multitouch_attribution",
+    "ev_sliding_hourly", "li_copurchase_triangles", "ord_abc_pareto",
+    "ord_cohort_ltv", "ord_price_equidepth", "ord_priority_islands",
+    "ord_revenue_holt",
+    # ... then the oldest r6 entries (alphabetical within the age
+    # tier) to fill 50
+    "cube_orders", "doc_curriculum_order", "doc_dedup_keep_best",
+    "doc_weighted_sample", "embed_hamming_recall",
+    "embed_hard_negatives", "embed_int8_recall", "embed_mmr_rerank",
     # ---- 50-entry window boundary ----
     # Everything below keeps its most recent green driver verdict
-    # (r5-r8) on code unchanged since that verdict.
+    # (r5-r9) on code unchanged since that verdict.
 ]
 
 REGISTRY = {
