@@ -63,7 +63,11 @@ from .streaming_util import start_foreach_batch_stream
 class BigramStore(FileBatchLedger):
     """batch_id-partitioned partials:
     ``bigrams`` — per-doc positional streams (doc_id, pos, prev, tok);
-    ``unigrams`` — (tok, cw) additive counts."""
+    ``unigrams`` — (tok, cw) additive counts;
+    ``tokens`` — per-doc token arrays (doc_id, toks), write-once facts
+    (r10) from which the resolver derives ANY n-gram grain — the
+    order-5 KN twin reads these so higher-order parity never needs a
+    new store shape per order."""
 
     def __init__(self, root: str):
         self.root = root
@@ -75,6 +79,10 @@ class BigramStore(FileBatchLedger):
     @property
     def unigrams_path(self) -> str:
         return os.path.join(self.root, "unigrams")
+
+    @property
+    def tokens_path(self) -> str:
+        return os.path.join(self.root, "tokens")
 
     @staticmethod
     def _nonempty(path: str) -> bool:
@@ -106,6 +114,12 @@ class BigramStore(FileBatchLedger):
             return None
         return df.groupBy("tok").agg(F.sum("cw").cast("bigint").alias("cw"))
 
+    def doc_toks(
+        self, spark: SparkSession, exclude_batch: int | None = None
+    ) -> DataFrame | None:
+        df = self._read(spark, self.tokens_path, exclude_batch)
+        return None if df is None else df.select("doc_id", "toks")
+
 
 def _doc_streams(batch_docs: DataFrame):
     base = batch_docs.select("doc_id", F.expr(_TOKENS_SPARK).alias("toks"))
@@ -129,6 +143,14 @@ def lm_ingest_batch(
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(store.bigrams_path)
+    )
+    (
+        batch_docs.select("doc_id", F.expr(_TOKENS_SPARK).alias("toks"))
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store.tokens_path)
     )
     (
         toks.groupBy("tok")
@@ -288,3 +310,28 @@ def kn_perplexity(spark: SparkSession, store: BigramStore) -> DataFrame:
     if bg is None:
         raise ValueError("no batches ingested yet")
     return bigram_rollup(kn_score_bigrams(bg, *kn_model_tables(bg)))
+
+
+def kn5_perplexity(spark: SparkSession, store: BigramStore) -> DataFrame:
+    """≡ ``doc_kn5_perplexity`` over the union of ingested batches
+    (tested): the resolved per-doc token arrays ARE the batch query's
+    (doc_id, toks) base, so the full order-5 model derivation and the
+    shared scoring pipeline (``kn5_model_tables`` /
+    ``kn5_score_pgrams``) apply verbatim — stream ≡ batch is equality
+    of the resolved token grain into one shared core, at every order
+    the cascade supports (r10: the KenLM-order twin, keeping LM-family
+    streaming parity complete as the batch family grows)."""
+    from .operators.corpus_analytics import (
+        _ngram_rollup,
+        kn5_model_tables,
+        kn5_score_pgrams,
+        pgrams_of,
+    )
+
+    base = store.doc_toks(spark)
+    if base is None:
+        raise ValueError("no batches ingested yet")
+    tables = kn5_model_tables(base)
+    return _ngram_rollup(
+        kn5_score_pgrams(pgrams_of(base), *tables), "n_pentagrams"
+    )

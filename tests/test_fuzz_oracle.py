@@ -169,6 +169,14 @@ FUZZED_QUERIES = [
     # backoff branch — unseen bigrams, unseen contexts, OOV targets
     # (NULL-skipped aggregation + the -1 sentinel) — in lockstep
     "doc_kn_heldout",
+    # the KenLM-order cascade: docs of exactly 3/4 tokens must drop
+    # from the 4-/5-gram streams while still feeding every lower-level
+    # type table; dup-heavy corpora exercise all five discount floors
+    "doc_kn4_perplexity",
+    "doc_kn5_perplexity",
+    # held-out order-5: the even/odd split reaches unseen contexts at
+    # EVERY level of the deep cascade plus OOV targets (-1 sentinel)
+    "doc_kn5_heldout",
     # min-k% tail of the same model: ceil tail sizing on 1-bigram docs
     # (tail == whole doc) and desc-NLL/pos tie-breaks on duplicate-
     # heavy corpora where many bigrams share one quantized NLL

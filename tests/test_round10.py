@@ -176,6 +176,34 @@ def test_kn5_deep_backoff_matches_python_oracle(spark):
         assert nll == want, (doc_id, pos, gram, nll, want)
 
 
+def test_streaming_kn5_matches_batch(spark, tmp_path):
+    """The order-5 KN streaming twin over the LM store's resolved
+    token grain: after ingesting the corpus in doc waves,
+    streaming_lm.kn5_perplexity serves exactly the batch
+    doc_kn5_perplexity rows (stream ≡ batch is equality of the
+    resolved (doc_id, toks) base into the shared order-5 scoring
+    core), and replaying a wave changes nothing."""
+    from maillog2db_spark import io as mio
+    from maillog2db_spark import streaming_lm as sl
+    from maillog2db_spark.operators import corpus_analytics as ca
+
+    sf = "/root/testdata/sf0.001"
+    docs = mio.load(spark, sf, "documents")
+    store = sl.BigramStore(str(tmp_path / "store"))
+    for i, (lo, hi) in enumerate([(None, 170), (170, 340), (340, None)]):
+        w = docs
+        if lo is not None:
+            w = w.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            w = w.filter(F.col("doc_id") < hi)
+        sl.lm_ingest_batch(spark, w, store, i)
+    sl.lm_ingest_batch(spark, docs.filter(F.col("doc_id") < 170), store, 0)
+
+    got = sorted(map(tuple, sl.kn5_perplexity(spark, store).collect()))
+    want = sorted(map(tuple, ca.kn5_perplexity(spark, sf).collect()))
+    assert got == want
+
+
 def test_survey_round_paragraph_names_exist_in_registry():
     """Extends the r9 count pin (tests/test_round9.py): every
     backtick-quoted query name in SURVEY.md's coverage/round prose
