@@ -1166,6 +1166,100 @@ JOIN sh y ON cand.doc_b = y.doc_id
 """
 
 
+# --- LSH recall contract ------------------------------------------------------
+
+
+def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-side accuracy contract, mirroring embed_ann_recall's
+    role for the ANN family: recall of the banded MinHash-LSH
+    candidate stage against the EXACT set of rep pairs with true
+    shingle Jaccard ≥ JACCARD_THRESHOLD. The ground truth is computed
+    LOSSLESSLY with AllPairs prefix filtering (Bayardo et al. WWW'07 —
+    two sets with J ≥ t must share an element among the first
+    ⌊(1-t)·n⌋+1 under a global order; the blocked_jaccard machinery at
+    the LSH family's own threshold, no language blocking because the
+    banding has none), so a missed pair can only be a BANDING miss —
+    exactly what the contract must measure. One summary row:
+    n_true_pairs, n_captured, recall_ppm (1e6 when there is nothing to
+    miss — the vacuous-truth convention, exercised by the fuzz tier).
+
+    Scale shape: the truth side is the prefix-filter candidate join
+    (corpus-linear index, never the quadratic cross product — the
+    quadratic lives only in the DuckDB oracle); the captured side is
+    one left-semi join of truth against the banded candidate pairs
+    (both ride the session-cached rep/signature bases); the two 1-row
+    aggregates cross as a broadcast. At 100 TB the recall knob this
+    table certifies is (N_BANDS, band width) vs threshold — the
+    measurement a deployment reads before trading verification cost
+    against banding selectivity."""
+    d = _reps(spark, sf_dir).select("doc_id", "sh")
+    d = (
+        d.withColumn("sh", F.array_sort("sh"))
+        .withColumn("n", F.size("sh"))
+        .withColumn(
+            "prefix",
+            F.slice(
+                "sh", 1,
+                (F.floor(F.col("n") * (1 - JACCARD_THRESHOLD)) + 1).cast("int"),
+            ),
+        )
+    )
+    idx = d.select("doc_id", F.explode("prefix").alias("p"))
+    cand = _pairs_within_groups(idx, ["p"], probe_key=(sf_dir, "lshrecall_prefix"))
+    a = d.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    truth = (
+        cand.join(a, cand.doc_a == a.a_id)
+        .join(b, cand.doc_b == b.b_id)
+        .select(
+            "doc_a", "doc_b",
+            (
+                F.size(F.array_intersect("a_sh", "b_sh"))
+                / F.size(F.array_distinct(F.concat("a_sh", "b_sh")))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    captured = truth.join(
+        lsh_candidate_pairs(spark, sf_dir), ["doc_a", "doc_b"], "left_semi"
+    )
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    n_cap = captured.agg(F.count(F.lit(1)).cast("bigint").alias("n_captured"))
+    return n_true.join(F.broadcast(n_cap)).select(
+        "n_true_pairs", "n_captured",
+        F.expr(
+            "CASE WHEN n_true_pairs = 0 THEN CAST(1000000 AS BIGINT)"
+            " ELSE n_captured * 1000000 div n_true_pairs END"
+        ).alias("recall_ppm"),
+    )
+
+
+LSH_RECALL_SQL = f"""WITH {_REPS_DUCK_CTE},
+{_sig_cte('reps')},
+{_BANDS_DUCK_CTE},
+sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM reps),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh)))
+        >= {JACCARD_THRESHOLD}
+),
+cap AS (
+  SELECT count(*) AS n_captured
+  FROM truth t SEMI JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+tot AS (SELECT count(*) AS n_true_pairs FROM truth)
+SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_captured AS BIGINT) AS n_captured,
+       CAST(CASE WHEN n_true_pairs = 0 THEN 1000000
+            ELSE n_captured * 1000000 // n_true_pairs END AS BIGINT)
+         AS recall_ppm
+FROM tot CROSS JOIN cap
+"""
+
+
 # --- edit-distance near-dup (PassJoin segment blocking) ----------------------
 
 EDIT_T = 5  # max Levenshtein distance reported

@@ -375,6 +375,8 @@ register("doc_edit_distance_pairs", _dd.EDIT_DISTANCE_PAIRS_SQL,
          doc="Blocked edit-distance near-dup: lossless length-band blocking (|len diff|<=T => adjacent bands), threshold-capped Levenshtein verify over the ASCII projection — the metric the other blocking families only approximate")(_dd.edit_distance_pairs)
 register("doc_minhash_estimate", _dd.MINHASH_ESTIMATE_SQL,
          doc="MinHash estimator calibration: signature-based Jaccard estimate vs exact per candidate pair — the store-size-vs-verify-cost decision table")(_dd.minhash_estimate_vs_exact)
+register("doc_lsh_recall", _dd.LSH_RECALL_SQL,
+         doc="MinHash-LSH recall contract (the dedup twin of embed_ann_recall): banded-candidate recall vs the LOSSLESS prefix-filter ground truth at the family's own Jaccard threshold — a missed pair can only be a banding miss; vacuous truth = 1e6")(_dd.lsh_recall)
 register("doc_neardup_clusters", _dd.NEARDUP_CLUSTERS_SQL,
          doc="Connected components over near-dup pairs (Spark: iterative min-label propagation, driver-side loop over distributed data; oracle: WITH RECURSIVE reachability fixpoint)")(_dd.neardup_clusters)
 register("doc_simhash", _dd.SIMHASH_SIGNATURES_SQL,
@@ -685,6 +687,7 @@ _PRIORITY = [
     # 1. never driver-verified (new in r10)
     "doc_kn4_perplexity", "doc_kn5_perplexity", "doc_kn5_heldout",
     "doc_c4_blocklist_clean", "doc_gopher_rules_unicode",
+    "doc_lsh_recall",
     # 2a. doc_ccnet_buckets is RE-BOUND onto the order-5 KN score
     # (results intentionally changed — oracle changed in lockstep);
     # the bigram/trigram KN family's shared derivations gained the
@@ -715,7 +718,7 @@ _PRIORITY = [
     # tier) to fill 50
     "cube_orders", "doc_curriculum_order", "doc_dedup_keep_best",
     "doc_weighted_sample", "embed_hamming_recall",
-    "embed_hard_negatives", "embed_int8_recall", "embed_mmr_rerank",
+    "embed_hard_negatives", "embed_int8_recall",
     # ---- 50-entry window boundary ----
     # Everything below keeps its most recent green driver verdict
     # (r5-r9) on code unchanged since that verdict.

@@ -120,6 +120,11 @@ FUZZED_QUERIES = [
     # sort-based blocking: binary UTF-8 key ordering must agree
     # cross-engine (non-ASCII WORDS reach multi-byte comparisons)
     "doc_sorted_neighborhood",
+    # LSH recall contract: tiny fuzz corpora routinely have ZERO true
+    # pairs (the vacuous-truth 1e6 branch) or all-identical reps;
+    # forced copies collapse into reps so truth stays small and the
+    # prefix-filter/banding comparison runs on degenerate shapes
+    "doc_lsh_recall",
     # Efraimidis-Spirakis top-k: selection order (rounded key, doc_id
     # tiebreak) must agree cross-engine on duplicate-heavy corpora
     "doc_weighted_sample",

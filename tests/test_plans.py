@@ -59,6 +59,7 @@ BNL_ALLOWED = {
     "doc_kn4_perplexity": [_SCALAR],  # same 1-row ttypes broadcast
     "doc_kn5_perplexity": [_SCALAR],  # same 1-row ttypes broadcast
     "doc_kn5_heldout": [_SCALAR],  # same 1-row ttypes broadcast
+    "doc_lsh_recall": [_SCALAR],  # two 1-row count aggregates cross
     "doc_doremi_weights": [_SCALAR],  # vocab-total / ref / Σw 1-row sides
     "doc_bigram_lm_score": [_SCALAR],
     "doc_mink_prob": [_SCALAR],  # same 1-row vocab-total broadcast
