@@ -1984,19 +1984,32 @@ def kn5_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens at sf0.1 → shuffle joins, not broadcasts, for the
     self-scored query; the FROZEN-reference deployment keeps the model
     constant in the scored data), all lower levels re-aggregating the
-    cached type tables."""
-    from .dedup import _doc_toks
+    cached type tables. The DOC-GRAIN result table is itself
+    session-cached (r10): it has two registered consumers — this
+    query and the doc_ccnet_buckets grid — and without
+    materialization the grid's plan evaluated the whole 9-join
+    scoring pipeline twice (measured 11.4 s vs 7.4 s at sf0.1); the
+    cached grain is one 3-column row per scoreable document, the
+    smallest base in the cache budget."""
+    return _kn5_per_doc(spark, sf_dir)
 
-    pg = pgrams_of(_doc_toks(spark, sf_dir))
-    pgc = _kn5_pgc(spark, sf_dir)
-    pctx, cont4, mid4 = kn5_tables_from_pgc(pgc)
-    _, cont3, mid3 = kn4_tables_from_qgc(_kn4_qgc(spark, sf_dir))
-    _, cont2, mid = kn3_tables_from_tgc(_kn3_tgc(spark, sf_dir))
-    _, _, cont, ttypes = _kn_model(spark, sf_dir)
-    scored = kn5_score_pgrams(
-        pg, pgc, pctx, cont4, mid4, cont3, mid3, cont2, mid, cont, ttypes
-    )
-    return _ngram_rollup(scored, "n_pentagrams")
+
+def _kn5_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _cached, _doc_toks
+
+    def build():
+        pg = pgrams_of(_doc_toks(spark, sf_dir))
+        pgc = _kn5_pgc(spark, sf_dir)
+        pctx, cont4, mid4 = kn5_tables_from_pgc(pgc)
+        _, cont3, mid3 = kn4_tables_from_qgc(_kn4_qgc(spark, sf_dir))
+        _, cont2, mid = kn3_tables_from_tgc(_kn3_tgc(spark, sf_dir))
+        _, _, cont, ttypes = _kn_model(spark, sf_dir)
+        scored = kn5_score_pgrams(
+            pg, pgc, pctx, cont4, mid4, cont3, mid3, cont2, mid, cont, ttypes
+        )
+        return _ngram_rollup(scored, "n_pentagrams")
+
+    return _cached(spark, sf_dir, "kn5_per_doc", build)
 
 
 def kn5_model_tables(base: DataFrame):
