@@ -1206,6 +1206,23 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = d.select("doc_id", F.explode("prefix").alias("p"))
     cand = _pairs_within_groups(idx, ["p"], probe_key=(sf_dir, "lshrecall_prefix"))
+    # lossless LENGTH filter before the expensive set verify (the
+    # AllPairs size bound): J(a,b) ≤ min(n)/max(n), so J ≥ t requires
+    # 10·min ≥ 7·max at t = 0.7 — exact integers, prunes the verify
+    # set ~2× (measured 334k → 172k pairs at sf0.1) with two narrow
+    # (doc_id, n) joins instead of array joins for the pruned pairs
+    ns = d.select("doc_id", "n")
+    cand = (
+        cand.join(ns.select(F.col("doc_id").alias("doc_a"),
+                            F.col("n").alias("na")), "doc_a")
+        .join(ns.select(F.col("doc_id").alias("doc_b"),
+                        F.col("n").alias("nb")), "doc_b")
+        .filter(
+            F.least("na", "nb") * F.lit(10)
+            >= F.greatest("na", "nb") * F.lit(int(JACCARD_THRESHOLD * 10))
+        )
+        .select("doc_a", "doc_b")
+    )
     a = d.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     b = d.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
     truth = (
