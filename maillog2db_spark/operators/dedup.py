@@ -556,8 +556,20 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs among exact-dedup REPRESENTATIVES. Byte-identical
     duplicates never reach banding (they'd all collide into the same
     buckets — the guaranteed hot case); they are the exact_dedup
-    stage's output, and doc_corpus_pipeline composes the two stages."""
-    return _band_pairs(_rep_signatures(spark, sf_dir), probe_key=(sf_dir, "lsh"))
+    stage's output, and doc_corpus_pipeline composes the two stages.
+
+    Session-cached (r10): four registered queries consume this table
+    (its own gate, neardup_pairs' verify, minhash_estimate's
+    calibration, lsh_recall's captured side) — same materialize-once
+    rationale as the neardup_pairs base; a production pipeline writes
+    the candidate table once and runs every verifier off it. The grain
+    is candidate pairs (corpus-linear by the banding bound), not a
+    corpus blowup."""
+    return _cached(
+        spark, sf_dir, "lsh_cand_pairs",
+        lambda: _band_pairs(_rep_signatures(spark, sf_dir),
+                            probe_key=(sf_dir, "lsh")),
+    )
 
 
 LSH_CANDIDATE_PAIRS_SQL = (
@@ -1221,22 +1233,32 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("na", "nb") * F.lit(10)
             >= F.greatest("na", "nb") * F.lit(int(JACCARD_THRESHOLD * 10))
         )
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", "na", "nb")
     )
     a = d.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     b = d.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    # |A∪B| = na + nb − |A∩B| (shingle arrays are array_distinct by
+    # construction): the verify evaluates ONE array_intersect per pair
+    # instead of intersect + a concat/array_distinct allocation; the
+    # division sees the identical integer operands, so the double — and
+    # the oracle hash — are unchanged. na/nb ride along from the length
+    # prune above instead of re-deriving sizes from the arrays.
     truth = (
         cand.join(a, cand.doc_a == a.a_id)
         .join(b, cand.doc_b == b.b_id)
+        .withColumn("ni", F.size(F.array_intersect("a_sh", "b_sh")))
         .select(
             "doc_a", "doc_b",
-            (
-                F.size(F.array_intersect("a_sh", "b_sh"))
-                / F.size(F.array_distinct(F.concat("a_sh", "b_sh")))
-            ).alias("j"),
+            (F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))).alias("j"),
         )
         .filter(F.col("j") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
+        # two consumers below (captured semi-join + the truth count):
+        # without the lazy checkpoint the whole candidate+verify
+        # pipeline — the query's entire cost — appears TWICE in one
+        # plan (measured: 49 Exchanges / 25 parquet scans in the r10
+        # before-plan); materialize once per action instead
+        .localCheckpoint(eager=False)
     )
     captured = truth.join(
         lsh_candidate_pairs(spark, sf_dir), ["doc_a", "doc_b"], "left_semi"

@@ -128,9 +128,21 @@ def knn_queries_corpus(e: DataFrame, n_queries: int):
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: query set broadcast-joined against the full
-    corpus, per-query window top-k."""
-    q, c = knn_queries_corpus(_embeddings(spark, sf_dir), N_QUERIES)
-    return cosine_topk(q, c, TOP_K)
+    corpus, per-query window top-k.
+
+    Session-cached (r10): FIVE registered queries read this ranking
+    (its own gate plus the ann/int8/truncation/hamming recall
+    contracts, which all compare against the exact top-k). The cached
+    grain is N_QUERIES × TOP_K rows — bounded, not corpus-scale — and
+    a production eval materializes the ground-truth ranking once for
+    exactly this reason."""
+    from .dedup import _cached
+
+    def build():
+        q, c = knn_queries_corpus(_embeddings(spark, sf_dir), N_QUERIES)
+        return cosine_topk(q, c, TOP_K)
+
+    return _cached(spark, sf_dir, "knn_exact_topk", build)
 
 
 def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,6 +494,18 @@ def _nearest_cells(
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached IVF ranking (r10): two registered queries read it
+    (its own gate + embed_ann_recall). Cached grain is the bounded
+    query×TOP_K result, the same materialize-once pattern as
+    knn_bruteforce's exact ranking."""
+    from .dedup import _cached
+
+    return _cached(
+        spark, sf_dir, "ivf_topk", lambda: _ann_ivf_topk_build(spark, sf_dir)
+    )
+
+
+def _ann_ivf_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: assign every corpus vector to its nearest centroid cell
     (inverted lists), probe the N_PROBE nearest cells per query, exact
     cosine re-rank inside probed cells only.
@@ -2244,6 +2268,17 @@ def _sig_word(col: str, w: int) -> "F.Column":
 
 
 def hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached binary-sketch ranking (r10): two registered
+    queries read it (its own gate + embed_hamming_recall); bounded
+    query×TOP_K grain, the knn_bruteforce materialize-once pattern."""
+    from .dedup import _cached
+
+    return _cached(
+        spark, sf_dir, "hamming_topk", lambda: _hamming_topk_build(spark, sf_dir)
+    )
+
+
+def _hamming_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary sign-quantized ANN: 64 floats compress to 2 signature
     words (256 B -> 8 B, a 32x memory cut on top of which int8/PQ are
     the finer tiers), the first-stage scan is XOR+POPCNT over bigints

@@ -473,14 +473,22 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = io.load(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
     buckets = lambda col: F.array(*[_cms_bucket(col, i) for i in range(CMS_D)])
-    cms = (
-        toks.select(F.posexplode(buckets(F.col("tok"))).alias("depth", "bucket"))
-        .groupBy("depth", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    # r10 restructure: a CMS cell's count is Σ true_n over the tokens
+    # hashing into it, so the sketch builds from the VOCABULARY-grain
+    # exact-count table — CMS_D md5s per distinct token instead of per
+    # token OCCURRENCE (the Zipf ratio), and the corpus is tokenized
+    # once instead of twice. Cell values — and the oracle hash — are
+    # identical; the occurrence-grain build stays the right shape only
+    # when counts can't be pre-aggregated (it never is here: CMS cells
+    # ARE additive counters). probe is lazily checkpointed: cms and
+    # the est join both read it, one materialization per action.
     cand = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_n"))
     probe = cand.select(
         "tok", "true_n", F.posexplode(buckets(F.col("tok"))).alias("depth", "bucket")
+    ).localCheckpoint(eager=False)
+    cms = (
+        probe.groupBy("depth", "bucket")
+        .agg(F.sum("true_n").alias("c"))
     )
     est = (
         probe.join(cms, ["depth", "bucket"])
@@ -582,7 +590,13 @@ def _bpe_train(
     exactly as before.
 
     Returns (final syms, merges rows [(step, l, r, cnt), ...])."""
-    counts = _bpe_pair_counts(syms, F.col("freq")).localCheckpoint(eager=True)
+    # counts is LAZY-checkpointed: the step's top-1 collect is the
+    # first (and only) action that reads it, so the delta maintenance
+    # fuses into that job instead of running as its own eager
+    # materialization — one job per merge instead of three (r10; syms
+    # stays eager because n_parts below needs its partitioning and
+    # every step's hit-filter re-reads it).
+    counts = _bpe_pair_counts(syms, F.col("freq")).localCheckpoint(eager=False)
     syms = syms.localCheckpoint(eager=True)
     # the per-merge union (untouched ∪ rewritten) would otherwise DOUBLE
     # the partition count every merge (rewritten is a narrow child of
@@ -632,13 +646,16 @@ def _bpe_train(
                 ).alias("cnt"),
             )
             .filter(F.col("cnt") > 0)
-            .localCheckpoint(eager=True)
+            # lazy: materializes inside the NEXT step's top-1 collect
+            # (lineage still truncates at the checkpoint); the eager
+            # form cost one extra full job per merge
+            .localCheckpoint(eager=False)
         )
         syms = (
             syms.filter(~hit)
             .unionByName(rewritten)
             .coalesce(n_parts)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if stats is not None:
             # (step, fused-pair occurrence mass, wall seconds) — lets a
@@ -686,34 +703,45 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, for word counts. 30k merges at 100 TB are 30k
     affected-word-volume delta stages — a driver loop, never a driver
     dataset, and never a full vocab recount per merge."""
-    syms = _bpe_words(spark, sf_dir, with_tok=False)
-    _final, merges = _bpe_train(spark, syms, BPE_TRAIN_ITERS, keys=("freq",))
+    # r10: read the shared session training (``_bpe_trained``) instead
+    # of re-running the loop with the tok column projected away — the
+    # trajectory is a deterministic function of the (s, freq) multiset,
+    # identical either way (oracle re-verified), and the family now
+    # trains once per session instead of twice.
+    _final, merges = _bpe_trained(spark, sf_dir)
     return spark.createDataFrame(
         [(s, l, r, l + r, c) for s, l, r, c in merges],
         "step int, lhs string, rhs string, merged string, pair_count bigint",
     )
 
 
-def _bpe_tok_syms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-cached tok-keyed BPE training result — two registered
-    consumers (the encode stats and the fertility grid), so the merge
-    loop runs once per (session, sf_dir): the ``_wp_tok_syms`` /
-    ``_uni_state`` materialize-once framing. (Round-8: the fertility
-    grid's bench pair showed BPE re-training on EVERY call — the one
-    trainer of the three without a session cache.)"""
+def _bpe_trained(spark: SparkSession, sf_dir: str):
+    """Session-cached tok-keyed BPE training: (final syms, merges) —
+    THREE registered consumers (train-merge gate, encode stats,
+    fertility grid), so the merge loop runs once per (session,
+    sf_dir): the ``_wp_trained`` / ``_uni_state`` materialize-once
+    framing. (Round-8 gave the encode/fertility pair a shared cache;
+    r10 folds the TRAIN query in too — its merge trajectory is a
+    deterministic function of the (s, freq) multiset, which the
+    passthrough tok column does not change, so one training serves
+    all three.)"""
     from .dedup import _CORPUS_CACHE
 
     io.ensure_session_conf(spark)
     per_session = _CORPUS_CACHE.setdefault(spark, {})
-    key = (sf_dir, "bpe_tok_syms")
+    key = (sf_dir, "bpe_trained")
     st = per_session.get(key)
     if st is None:
-        st, _merges = _bpe_train(
+        st = _bpe_train(
             spark, _bpe_words(spark, sf_dir, with_tok=True), BPE_TRAIN_ITERS,
             keys=("tok", "freq"),
         )
         per_session[key] = st
     return st
+
+
+def _bpe_tok_syms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bpe_trained(spark, sf_dir)[0]
 
 
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -875,8 +903,12 @@ def _wordpiece_train(
 
     Returns (final syms, merges rows [(step, l, r, cnt, score), ...]).
     """
-    counts = _bpe_pair_counts(syms, F.col("freq")).localCheckpoint(eager=True)
-    unary = _unary_counts(syms, F.col("freq")).localCheckpoint(eager=True)
+    # counts/unary LAZY-checkpointed — both materialize inside each
+    # step's top-1 collect (the only action), collapsing the eager
+    # three-jobs-per-merge shape to one job per merge (r10); syms
+    # stays eager for n_parts + the per-step hit-filter re-reads.
+    counts = _bpe_pair_counts(syms, F.col("freq")).localCheckpoint(eager=False)
+    unary = _unary_counts(syms, F.col("freq")).localCheckpoint(eager=False)
     syms = syms.localCheckpoint(eager=True)
     import time as _time
 
@@ -936,7 +968,8 @@ def _wordpiece_train(
                 ).alias("cnt"),
             )
             .filter(F.col("cnt") > 0)
-            .localCheckpoint(eager=True)
+            # lazy: materializes inside the next step's top-1 collect
+            .localCheckpoint(eager=False)
         )
         unary_delta = (
             _unary_counts(rewritten, F.col("freq"))
@@ -954,13 +987,13 @@ def _wordpiece_train(
                 ).alias("ucnt"),
             )
             .filter(F.col("ucnt") > 0)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         syms = (
             syms.filter(~hit)
             .unionByName(rewritten)
             .coalesce(n_parts)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if stats is not None:
             # (step, fused-pair occurrence mass, wall seconds) — the
@@ -980,10 +1013,10 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale shape as ``bpe_train_merges``: the corpus is touched
     once for word frequencies; every merge is affected-word-volume
     delta maintenance on vocab-grain tables plus one bounded top-1."""
-    syms = _bpe_words(spark, sf_dir, with_tok=False)
-    _final, merges = _wordpiece_train(
-        spark, syms, WORDPIECE_TRAIN_ITERS, keys=("freq",)
-    )
+    # r10: read the shared session training (``_wp_trained``) — one
+    # training serves the train/encode/fertility family; trajectory
+    # identical with or without the tok passthrough column.
+    _final, merges = _wp_trained(spark, sf_dir)
     return spark.createDataFrame(
         [(s, l, r, l + r, c, sc) for s, l, r, c, sc in merges],
         "step int, lhs string, rhs string, merged string,"
@@ -1042,24 +1075,31 @@ SELECT * FROM (
 WORDPIECE_TRAIN_MERGES_SQL = _wordpiece_train_merges_sql()
 
 
-def _wp_tok_syms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-cached tok-keyed WordPiece training result — two
-    registered consumers (the encode stats and the fertility grid),
-    so the merge loop runs once per (session, sf_dir), the
-    ``_uni_state`` materialize-once framing."""
+def _wp_trained(spark: SparkSession, sf_dir: str):
+    """Session-cached tok-keyed WordPiece training: (final syms,
+    merges) — THREE registered consumers (train-merge gate, encode
+    stats, fertility grid), so the merge loop runs once per (session,
+    sf_dir), the ``_uni_state`` materialize-once framing. r10 folds
+    the TRAIN query in (the ``_bpe_trained`` rationale: the merge
+    trajectory is a deterministic function of the (s, freq) multiset,
+    which the passthrough tok column does not change)."""
     from .dedup import _CORPUS_CACHE
 
     io.ensure_session_conf(spark)
     per_session = _CORPUS_CACHE.setdefault(spark, {})
-    key = (sf_dir, "wp_tok_syms")
+    key = (sf_dir, "wp_trained")
     st = per_session.get(key)
     if st is None:
-        st, _merges = _wordpiece_train(
+        st = _wordpiece_train(
             spark, _bpe_words(spark, sf_dir, with_tok=True),
             WORDPIECE_TRAIN_ITERS, keys=("tok", "freq"),
         )
         per_session[key] = st
     return st
+
+
+def _wp_tok_syms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _wp_trained(spark, sf_dir)[0]
 
 
 def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
