@@ -1317,17 +1317,25 @@ transform(sequence(0, {EDIT_K - 1}), i -> struct(
 
 
 def _folded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = spark.sparkContext.defaultParallelism
-    return (
-        io.load(spark, sf_dir, "documents")
-        .repartition(p, "doc_id")
-        .select(
-            "doc_id",
-            F.regexp_replace("text", r"[^\x00-\x7F]", "\x7f").alias("ftext"),
+    """Session-cached ASCII-folded (doc_id, ftext, flen) base (r10):
+    edit_distance_pairs reads it from SEVEN plan positions (short/long
+    candidate sides, the length dictionary, both verify sides) — the
+    fold regex + repartition ran once per position; materialized it
+    runs once per session."""
+    def build():
+        p = spark.sparkContext.defaultParallelism
+        return (
+            io.load(spark, sf_dir, "documents")
+            .repartition(p, "doc_id")
+            .select(
+                "doc_id",
+                F.regexp_replace("text", r"[^\x00-\x7F]", "\x7f").alias("ftext"),
+            )
+            .withColumn("flen", F.length("ftext"))
+            .filter(F.col("flen").isNotNull())
         )
-        .withColumn("flen", F.length("ftext"))
-        .filter(F.col("flen").isNotNull())
-    )
+
+    return _cached(spark, sf_dir, "folded_docs", build)
 
 
 def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,34 +54,40 @@ def star_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS,
             F.least("src", "dst").alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # LAZY: the first fixpoint probe below materializes it — one
+        # job per round instead of two (r10; same per-round work, the
+        # probe job simply computes the round's edge set on the way)
+        .localCheckpoint(eager=False)
     )
     rounds = 0
     for _ in range(max_rounds + 1):
-        # exact fixpoint test, ONE job: with edges oriented big→small,
-        # the edge set is a star forest iff BOTH hold: (a) no dst also
-        # appears as a src (depth 1 everywhere) AND (b) every src has
-        # out-degree 1 (a node attached to TWO distinct roots — the
-        # V-shape (1,3),(2,3) → edges 3→1, 3→2 — passes (a) alone but
-        # is one component, not two stars; checking only (a) returned
-        # wrong labels on exactly that shape). Both star operations
-        # preserve connectivity, so a star forest's components ARE the
-        # input's components — and a star forest is a fixpoint of both
-        # operations, so stopping here is exact. The two violation
-        # probes union into a single limit-1 job; e is distinct, so
-        # plain count(v) per u equals the distinct out-degree.
-        depth_viol = (
-            e.select("v")
-            .join(e.select(F.col("u").alias("v")).distinct(), "v", "left_semi")
-            .select(F.lit(1).alias("one"))
+        # exact fixpoint test, ONE job AND one shuffle: with edges
+        # oriented big→small, the edge set is a star forest iff BOTH
+        # hold: (a) no dst also appears as a src (depth 1 everywhere)
+        # AND (b) every src has out-degree 1 (a node attached to TWO
+        # distinct roots — the V-shape (1,3),(2,3) → edges 3→1, 3→2 —
+        # passes (a) alone but is one component, not two stars;
+        # checking only (a) returned wrong labels on exactly that
+        # shape). Both star operations preserve connectivity, so a
+        # star forest's components ARE the input's components — and a
+        # star forest is a fixpoint of both operations, so stopping
+        # here is exact. r10 probe shape: one node-grain groupBy over
+        # the endpoint stream replaces the semi-join + groupBy union
+        # (3 exchanges → 1); e is distinct, so ns = the src
+        # out-degree, and nt > ns marks a dst occurrence.
+        deg = e.select(F.col("u").alias("node"), F.lit(1).alias("s")).unionAll(
+            e.select(F.col("v").alias("node"), F.lit(0).alias("s"))
         )
-        fanout_viol = (
-            e.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("nv"))
-            .filter(F.col("nv") > 1)
-            .select(F.lit(1).alias("one"))
+        not_star = (
+            deg.groupBy("node")
+            .agg(F.sum("s").alias("ns"), F.count(F.lit(1)).alias("nt"))
+            .filter(
+                (F.col("ns") > 1)
+                | ((F.col("ns") > 0) & (F.col("nt") > F.col("ns")))
+            )
+            .limit(1)
+            .count()
         )
-        not_star = depth_viol.unionAll(fanout_viol).limit(1).count()
         if not_star == 0:
             break
         rounds += 1
@@ -116,7 +122,8 @@ def star_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS,
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionAll(mn.select(F.col("u"), F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the next round's fixpoint probe materializes it
+            .localCheckpoint(eager=False)
         )
     if stats is not None:
         stats["rounds"] = rounds
@@ -160,7 +167,10 @@ def components_summary(pairs: DataFrame) -> DataFrame:
     edge list — shared with the streaming co-purchase store's resolved
     view (streaming_triangles.py)."""
     pairs = pairs.localCheckpoint(eager=True)  # two consumers: CC + edge count
-    labels = star_components(pairs)
+    # labels feeds both the size aggregate and the edge-count join —
+    # lazy checkpoint so the converged star forest's label assembly
+    # (union + anti-join) computes once per action, not per consumer
+    labels = star_components(pairs).localCheckpoint(eager=False)
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n_parts"))
     edge_counts = (
         pairs.join(labels, pairs.src == labels.node)

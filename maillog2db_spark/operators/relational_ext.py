@@ -660,7 +660,20 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics exact even against a corrupted parent load."""
     out = None
     for name, child, ck, parent, pk in _FK_RELATIONSHIPS:
-        c = _t(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        # r10: aggregate the child to KEY grain before the join — the
+        # audit only needs per-key multiplicities, so the join (and
+        # its shuffle) moves distinct keys + a count instead of every
+        # child row (guide §2.3 "aggregate before you shuffle";
+        # lineitem's three relationships drop from row-grain to
+        # 150k/20k/1k key-grain at sf0.1). Counts are identical: each
+        # key group contributes its multiplicity to exactly the bucket
+        # the per-row flags put it in, and a NULL key forms its own
+        # group that the left join leaves unmatched.
+        c = (
+            _t(spark, sf_dir, child)
+            .groupBy(F.col(ck).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
         p = (
             _t(spark, sf_dir, parent)
             .select(F.col(pk).alias("k"))
@@ -670,12 +683,17 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = (
             c.join(p, "k", "left")
             .agg(
-                F.count(F.lit(1)).alias("n_child"),
-                F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                F.coalesce(F.sum("cnt"), F.lit(0))
+                .cast("bigint")
+                .alias("n_child"),
+                F.sum(F.when(F.col("k").isNull(), F.col("cnt")).otherwise(0))
                 .cast("bigint")
                 .alias("n_null_keys"),
                 F.sum(
-                    F.when(F.col("k").isNotNull() & F.col("hit").isNull(), 1).otherwise(0)
+                    F.when(
+                        F.col("k").isNotNull() & F.col("hit").isNull(),
+                        F.col("cnt"),
+                    ).otherwise(0)
                 )
                 .cast("bigint")
                 .alias("n_orphans"),

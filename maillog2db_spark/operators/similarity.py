@@ -641,8 +641,12 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below the join (once per vector), not per candidate pair — the
     # interpreted fold is the expensive part, and this drops it from 3
     # folds/pair to 1. Same expression tree (sqrt of the same fold), so
-    # the doubles — and the oracle hash — are bit-identical.
-    emb = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    # the doubles — and the oracle hash — are bit-identical. Lazy
+    # checkpoint (r10): the l/r aliases below are two plan positions of
+    # this frame — materialize the fold once per action, not twice.
+    emb = e.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    ).localCheckpoint(eager=False)
     pairs = (
         cand.join(emb.alias("l"), F.col("vec_a") == F.col("l.vec_id"))
         .join(emb.alias("r"), F.col("vec_b") == F.col("r.vec_id"))

@@ -273,12 +273,16 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     term."""
     from pyspark.sql import Window
 
-    p = spark.sparkContext.defaultParallelism
-    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
-    toks = d.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
+    # r10: read the session-cached tokenized corpus (dedup._doc_toks)
+    # — the interpreted tokenize lambda runs once per session across
+    # the whole token-consumer family instead of once per query
+    from .dedup import _doc_toks
+
+    base = _doc_toks(spark, sf_dir)
+    toks = base.select("doc_id", F.explode("toks").alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    ndocs = d.agg(F.count_distinct("doc_id").alias("n_docs"))
+    ndocs = base.agg(F.count_distinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(ndocs))
@@ -470,8 +474,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhibit est-vs-true on every token."""
     from pyspark.sql import Window
 
-    d = io.load(spark, sf_dir, "documents")
-    toks = d.select(F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+    from .dedup import _doc_toks
+
+    toks = _doc_toks(spark, sf_dir).select(F.explode("toks").alias("tok"))
     buckets = lambda col: F.array(*[_cms_bucket(col, i) for i in range(CMS_D)])
     # r10 restructure: a CMS cell's count is Σ true_n over the tokens
     # hashing into it, so the sketch builds from the VOCABULARY-grain
@@ -665,9 +670,11 @@ def _bpe_train(
 
 
 def _bpe_words(spark: SparkSession, sf_dir: str, with_tok: bool) -> DataFrame:
+    from .dedup import _doc_toks
+
     words = (
-        io.load(spark, sf_dir, "documents")
-        .select(F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+        _doc_toks(spark, sf_dir)
+        .select(F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -758,11 +765,13 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-sized work is one token explode + one join against the
     (word → n_symbols) table — AQE broadcasts it — and one per-doc
     aggregate. Compression is an exact-integer ppm ratio."""
-    docs = io.load(spark, sf_dir, "documents")
+    from .dedup import _doc_toks
+
     syms = _bpe_tok_syms(spark, sf_dir)
     enc = syms.select("tok", F.size(F.split("s", " ")).alias("n_syms"))
     per_doc = (
-        docs.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+        _doc_toks(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("tok"))
         .join(enc, "tok")
         .groupBy("doc_id")
         .agg(
@@ -1111,11 +1120,13 @@ def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as the BPE encode: the merge loop is vocab-grain, the
     corpus-sized work is one token explode + one AQE-broadcast join
     against the (word -> n_symbols) table + one per-doc aggregate."""
-    docs = io.load(spark, sf_dir, "documents")
+    from .dedup import _doc_toks
+
     syms = _wp_tok_syms(spark, sf_dir)
     enc = syms.select("tok", F.size(F.split("s", " ")).alias("n_syms"))
     per_doc = (
-        docs.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+        _doc_toks(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("tok"))
         .join(enc, "tok")
         .groupBy("doc_id")
         .agg(
@@ -1255,9 +1266,13 @@ def bm25_rankings(
     query-count/depth) — shared with the hybrid fusion's lexical leg
     (operators/retrieval.py), so both ride the dl-carry shape instead
     of a per-doc lengths join."""
-    p = spark.sparkContext.defaultParallelism
-    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
-    base = d.select("doc_id", F.expr(_TOKENS_SPARK).alias("toks"))
+    # r10: the tokenized corpus comes from the session-cached
+    # dedup._doc_toks base (identical expression, tokenize runs once
+    # per session); three plan positions below (corpus postings,
+    # corpus stats, query terms) read materialized arrays
+    from .dedup import _doc_toks
+
+    base = _doc_toks(spark, sf_dir)
     toks = base.select(
         "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
     )
@@ -1463,15 +1478,17 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the calendar-bounded EWMA); the max-doc-id scalar is a 1-row
     broadcast. Bucketing is exact integer arithmetic (never a float
     boundary), so the grid is identical across engines."""
-    d = io.load(spark, sf_dir, "documents")
+    from .dedup import _doc_toks
+
+    d = _doc_toks(spark, sf_dir)
     doc_stats = d.select(
         "doc_id",
-        F.size(F.coalesce(F.expr(_TOKENS_SPARK), F.expr("array()")))
+        F.size(F.coalesce(F.col("toks"), F.expr("array()")))
         .cast("bigint")
         .alias("n_tokens"),
     )
     term_first = (
-        d.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
+        d.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("term")
         .agg(F.min("doc_id").alias("first_doc"))
     )
@@ -1609,9 +1626,10 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     stop_list = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
-    d = io.load(spark, sf_dir, "documents")
-    pos = d.select(
-        "doc_id", F.posexplode(F.expr(_TOKENS_SPARK)).alias("p", "tok")
+    from .dedup import _doc_toks
+
+    pos = _doc_toks(spark, sf_dir).select(
+        "doc_id", F.posexplode("toks").alias("p", "tok")
     ).withColumn("is_stop", F.expr(f"tok IN ({stop_list})"))
     w = Window.partitionBy("doc_id").orderBy("p")
     ph = (
@@ -1620,6 +1638,10 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(~F.col("is_stop"))
         .select("doc_id", "phrase_id", "p", "tok")
+        # three consumers (phrase assembly, word stats, phrase scoring)
+        # — lazy checkpoint so the tokenize + posexplode + island
+        # window computes once per action, not three times (r10)
+        .localCheckpoint(eager=False)
     )
     phrases = ph.groupBy("doc_id", "phrase_id").agg(
         F.expr(
@@ -1627,7 +1649,7 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> x.tok), ' ')"
         ).alias("phrase"),
         F.count(F.lit(1)).alias("n_words"),
-    )
+    ).localCheckpoint(eager=False)  # two consumers: word stats + final join
     wordstats = (
         ph.join(
             phrases.select("doc_id", "phrase_id", "n_words"),
@@ -1729,9 +1751,11 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ K rows. The whole-vocab context stats (n_terms / n_tokens /
     top_freq) ride the same word-count base. Nothing data-proportional
     ever sorts in one task."""
-    d = io.load(spark, sf_dir, "documents")
+    from .dedup import _doc_toks
+
     words = (
-        d.select(F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+        _doc_toks(spark, sf_dir)
+        .select(F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -1865,9 +1889,11 @@ UNI_TOP = 40         # output rows: top pieces by final count
 
 
 def _uni_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _doc_toks
+
     return (
-        io.load(spark, sf_dir, "documents")
-        .select(F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+        _doc_toks(spark, sf_dir)
+        .select(F.explode("toks").alias("tok"))
         .filter(F.length("tok") <= UNI_MAX_WORD)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -2219,8 +2245,11 @@ def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding is one vocab-grain DP plus one (word → n_pieces) join
     back to the token stream and a per-doc aggregate — the same
     deployment shape as bpe_encode_stats."""
-    docs = io.load(spark, sf_dir, "documents")
-    dtoks = docs.select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("tok"))
+    from .dedup import _doc_toks
+
+    dtoks = _doc_toks(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
     words, _counts, lp = _uni_state(spark, sf_dir)
     if lp is None:
         return spark.createDataFrame(
@@ -2336,9 +2365,10 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs/n_words and the inner 3-way join drops nothing. The 3-row
     grid unpivots from the single corpus-grain row; empty corpora
     keep the legacy NULL shape via nullif."""
-    docs = io.load(spark, sf_dir, "documents")
-    dtoks = docs.select(
-        "doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("tok")
+    from .dedup import _doc_toks
+
+    dtoks = _doc_toks(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
     )
     bpe_enc = _bpe_tok_syms(spark, sf_dir).select(
         "tok", F.size(F.split("s", " ")).cast("bigint").alias("bpe_syms")
