@@ -74,8 +74,14 @@ def _hybrid_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hybrid_den(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q, c = knn_queries_corpus(_embeddings(spark, sf_dir), HYBRID_N_QUERIES)
-    return cosine_topk(q, c, HYBRID_TOP_K).select(
+    # r10: filter of the shared session-cached exact ranking (depth-k
+    # prefix of a deeper two-phase rank is exact; see
+    # similarity.exact_cosine_ranking)
+    from .similarity import exact_cosine_ranking
+
+    return exact_cosine_ranking(spark, sf_dir).filter(
+        F.col("rank") <= HYBRID_TOP_K
+    ).select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("rank_den"),
@@ -257,9 +263,16 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations — per-query windows over ≤ POOL rows — never re-derive
     the corpus scan. Everything after the pool is independent of
     corpus size and partitioned by query_id."""
+    from .similarity import exact_cosine_ranking
+
     e = _embeddings(spark, sf_dir)
     q, c = knn_queries_corpus(e, HYBRID_N_QUERIES)
-    pool = cosine_topk(q, c, MMR_POOL).select(
+    # r10: the pool is the shared session-cached exact ranking
+    # (EXACT_RANK_DEPTH == MMR_POOL); the corpus scan no longer
+    # re-runs per call
+    pool = exact_cosine_ranking(spark, sf_dir).filter(
+        F.col("rank") <= MMR_POOL
+    ).select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),
         _cos_ppm(F.col("cosine")).alias("rel_ppm"),

@@ -126,23 +126,36 @@ def knn_queries_corpus(e: DataFrame, n_queries: int):
     return q, c
 
 
-def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: query set broadcast-joined against the full
-    corpus, per-query window top-k.
+EXACT_RANK_DEPTH = 10  # max(TOP_K, retrieval.MMR_POOL): one cached
+#                        ranking serves every exact-cosine consumer
 
-    Session-cached (r10): FIVE registered queries read this ranking
-    (its own gate plus the ann/int8/truncation/hamming recall
-    contracts, which all compare against the exact top-k). The cached
-    grain is N_QUERIES × TOP_K rows — bounded, not corpus-scale — and
-    a production eval materializes the ground-truth ranking once for
-    exactly this reason."""
+
+def exact_cosine_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached exact cosine ranking at EXACT_RANK_DEPTH — the
+    ground-truth table EVERY exact-cosine consumer derives from (r10):
+    knn_bruteforce and the four recall contracts filter rank <= TOP_K,
+    the MMR pool reads the full depth, the hybrid dense leg filters to
+    HYBRID_TOP_K. Filtering a deeper two-phase rank is EXACT: the
+    global window orders identically, so rank <= k rows coincide with
+    a depth-k run's output. Cached grain is N_QUERIES × depth rows —
+    bounded — and the corpus scan with its interpreted dot folds runs
+    once per session instead of once per consumer."""
     from .dedup import _cached
 
     def build():
         q, c = knn_queries_corpus(_embeddings(spark, sf_dir), N_QUERIES)
-        return cosine_topk(q, c, TOP_K)
+        return cosine_topk(q, c, EXACT_RANK_DEPTH)
 
-    return _cached(spark, sf_dir, "knn_exact_topk", build)
+    return _cached(spark, sf_dir, "knn_exact_ranking", build)
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: query set broadcast-joined against the full
+    corpus, per-query window top-k — served from the shared
+    session-cached ranking (see exact_cosine_ranking)."""
+    return exact_cosine_ranking(spark, sf_dir).filter(
+        F.col("rank") <= TOP_K
+    )
 
 
 def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
