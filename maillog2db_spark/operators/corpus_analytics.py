@@ -2628,9 +2628,19 @@ def source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 1e-12 (pico) BEFORE the per-pair sum — KL summands are tiny and
     ppm would erase them; pico keeps 6 significant digits on the
     smallest contribution while the bigint sum stays order-exact."""
-    p = spark.sparkContext.defaultParallelism
-    d = io.load(spark, sf_dir, "documents").repartition(p, "doc_id")
-    toks = d.select("source", F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
+    from .dedup import _doc_toks
+
+    d = io.load(spark, sf_dir, "documents")
+    # r10: tokens from the session-cached _doc_toks base; the source
+    # column attaches with a DOC-grain join (AQE-broadcast at this
+    # side's size) BEFORE the explode, so the occurrence stream never
+    # shuffles for the join and the tokenize lambda runs once per
+    # session, not per query
+    toks = (
+        _doc_toks(spark, sf_dir)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("source", F.explode("toks").alias("term"))
+    )
     counts = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
     return source_kl_from_counts(counts, d.select("source").distinct())
 
@@ -3161,9 +3171,11 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _kmeans_assign(e, cents).select(
         F.col("vec_id").alias("doc_id"), "cluster"
     )
+    from .dedup import _doc_toks
+
     toks = (
-        io.load(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.expr(_TOKENS_SPARK)).alias("term"))
+        _doc_toks(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("term"))
         .join(assigned, "doc_id")
     )
     ct = (

@@ -846,17 +846,40 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     centered = F.zip_with(
         F.col("embedding"), m_arr, lambda x, m: x.cast("double") - m
     )
-    outer = F.flatten(
-        F.transform(centered, lambda x: F.transform(centered, lambda y: x * y))
+    # r10: build ONLY the upper triangle in-row (dim·(dim+1)/2 cells
+    # instead of dim² computed-then-filtered) — the explode volume and
+    # the shuffle feeding the cell aggregate halve. The product is the
+    # same single IEEE multiply of the same centered elements, so every
+    # surviving cell's integers — and the oracle hash — are unchanged.
+    ut = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim - 1)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (
+                        F.element_at(F.col("c"), (i + 1).cast("int"))
+                        * F.element_at(F.col("c"), (j + 1).cast("int"))
+                    ).alias("prod"),
+                ),
+            ),
+        )
     )
-    cells = e.select(F.posexplode(outer).alias("k", "prod")).select(
-        (F.col("k") / dim).cast("int").alias("i"),
-        (F.col("k") % dim).cast("int").alias("j"),
-        F.floor(F.col("prod") * COV_SCALE + 0.5).cast("bigint").alias("p_e12"),
+    cells = (
+        e.select(centered.alias("c"))
+        .select(F.explode(ut).alias("cell"))
+        .select(
+            F.col("cell.i").alias("i"),
+            F.col("cell.j").alias("j"),
+            F.floor(F.col("cell.prod") * COV_SCALE + 0.5)
+            .cast("bigint")
+            .alias("p_e12"),
+        )
     )
     return (
-        cells.filter(F.col("i") <= F.col("j"))
-        .groupBy("i", "j")
+        cells.groupBy("i", "j")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
             F.sum("p_e12").alias("sum_e12"),

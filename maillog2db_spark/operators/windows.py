@@ -74,7 +74,9 @@ def distributed_cumulative(
     # stage. The checkpoint trades one extra materialization of the
     # (already reduced, same-scale-as-`local`) input for running the
     # upstream exactly once — the same trade `local` itself makes below.
-    df = df.localCheckpoint(eager=True)
+    # LAZY (r10): the count() below is the first action and
+    # materializes it inside its own job — one job instead of two.
+    df = df.localCheckpoint(eager=False)
     if n_parts is None:
         cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
         n_parts = min(cap, max(1, -(-df.count() // _ROWS_PER_RANGE_PART)))
@@ -95,7 +97,10 @@ def distributed_cumulative(
     local = part.withColumn("_lrn", F.row_number().over(w))
     for c in sum_cols:
         local = local.withColumn(f"_lcum_{c}", F.sum(c).over(cum))
-    local = local.localCheckpoint(eager=True)
+    # lazy (r10): the offsets collect (n_parts > 1) or the caller's
+    # action (n_parts == 1) is the first consumer and materializes it;
+    # later consumers read the same checkpointed partitions
+    local = local.localCheckpoint(eager=False)
 
     if n_parts == 1:
         out = local.withColumn("_grank", F.col("_lrn").cast("bigint"))
