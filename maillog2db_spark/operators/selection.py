@@ -174,22 +174,47 @@ def kcenter_from(
         base.unpersist()
         return spark.createDataFrame([], schema)
     centers = [(seed[0], 0)]  # (collected row, radius at selection)
+
+    def _m_update(center, step: int, old=None):
+        """(d, step) struct of the nearest center so far. struct least
+        compares d first, then step — so ties at equal d keep the
+        EARLIEST step, exactly the argmin-census tie rule."""
+        cand = F.struct(
+            _dissim_to_literal(center).alias("d"),
+            F.lit(step).cast("int").alias("step"),
+        )
+        return cand if old is None else F.least(old, cand)
+
+    # r10 census restructure: the running-min column is a (d, step)
+    # STRUCT, so after the loop the final state already knows every
+    # remaining row's nearest center — the census is one groupBy of
+    # materialized state plus K driver-side rows for the centers
+    # themselves, replacing the K·N literal-array argmin re-evaluation
+    # (measured ~2 s of the query's 3.4 s warm wall at sf0.1; the
+    # selected trajectory, radii, and census are value-identical —
+    # struct-least ties replicate the argmin's earliest-step rule, and
+    # a center's own assignment is its selection-time struct when its
+    # distance to an earlier center is exactly 0, its own step
+    # otherwise — the same verdict the literal argmin produced).
     state = (
         base.filter(F.col("vec_id") != int(seed[0].vec_id))
         .select(
             "vec_id", "emb", "nrm",
-            _dissim_to_literal(seed[0]).alias("mind"),
+            _m_update(seed[0], 1).alias("m"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prev = None
+    # own-assignment step per selected center (driver-side, K bounded):
+    # seed is assigned to itself
+    own_steps = [1]
     for step in range(2, k + 1):
         _t0 = _time.time()
         # farthest remaining point: TakeOrdered(1) — map-side top-1
         # per partition, never a global sort; the action materializes
         # every partition of `state` into the cache
         nxt = (
-            state.orderBy(F.desc("mind"), F.asc("vec_id"))
+            state.orderBy(F.desc("m.d"), F.asc("vec_id"))
             .limit(1)
             .collect()
         )
@@ -199,40 +224,39 @@ def kcenter_from(
             stats.append((step, _time.time() - _t0))
         if not nxt:
             break  # corpus smaller than K: trajectory ends gracefully
-        centers.append((nxt[0], int(nxt[0].mind)))
-        if step < k:
-            prev = state
-            state = (
-                state.filter(F.col("vec_id") != int(nxt[0].vec_id))
-                .select(
-                    "vec_id", "emb", "nrm",
-                    F.least(
-                        F.col("mind"), _dissim_to_literal(nxt[0])
-                    ).alias("mind"),
-                )
-                .persist(StorageLevel.MEMORY_AND_DISK)
+        m_row = nxt[0]["m"]
+        centers.append((nxt[0], int(m_row["d"])))
+        # the center's own census slot: an earlier center at exact
+        # distance 0 (duplicate vector) claims it, else its own step
+        own_steps.append(int(m_row["step"]) if int(m_row["d"]) == 0 else step)
+        prev = state
+        state = (
+            state.filter(F.col("vec_id") != int(nxt[0].vec_id))
+            .select(
+                "vec_id", "emb", "nrm",
+                _m_update(nxt[0], step, old=F.col("m")).alias("m"),
             )
-    state.unpersist()
-    if prev is not None:
-        prev.unpersist()
-    # assignment census: in-row argmin over the literal center array
-    # (struct min = smallest dissim, ties to the earliest step), then
-    # a K-group map-side-combined count — stateless, shuffle-free
-    census = {
-        r.step: r.n_assigned
-        for r in base.select(
-            _argmin_center(_centers_literal(centers)).alias("m")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .groupBy(F.col("m.step").alias("step"))
+    # census over the FINAL state (every center applied, selected rows
+    # excluded): one K-group map-side-combined count
+    census = {
+        r.step: int(r.n_assigned)
+        for r in state.groupBy(F.col("m.step").alias("step"))
         .agg(F.count(F.lit(1)).alias("n_assigned"))
         .collect()
     }
+    for s in own_steps:
+        census[s] = census.get(s, 0) + 1
+    state.unpersist()
+    if prev is not None:
+        prev.unpersist()
     base.unpersist()
     return spark.createDataFrame(
         [
             (i + 1, int(c.vec_id), r, int(census[i + 1]))
             for i, (c, r) in enumerate(centers)
-            if i + 1 in census  # inner-join semantics, mirrors the oracle
+            if i + 1 in census and census[i + 1] > 0
         ],
         schema,
     )

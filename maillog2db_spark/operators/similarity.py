@@ -343,13 +343,31 @@ _THRESH_CACHE = _THRESH_CACHE_INIT
 def _bucket_col(thresholds: list[float]) -> "F.Column":
     """The N_PLANES mean-centered sign-bit bucket id as a Spark column
     over ``embedding`` — single source of truth for every LSH-bucketed
-    op. ``thresholds`` comes from _plane_thresholds."""
-    bucket = F.lit(0).cast("long")
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(p)])
-        bit = F.when(_dot(F.col("embedding"), plane) > thresholds[p], 1).otherwise(0)
-        bucket = bucket + F.shiftleft(bit.cast("long"), p)
-    return bucket
+    op. ``thresholds`` comes from _plane_thresholds.
+
+    r10 shape: one aggregate over a SINGLE literal array of
+    (bit-weight, plane, thr) structs instead of N_PLANES separate
+    64-literal dot trees summed — the per-plane comparison and the
+    fold order of each dot are identical (same bucket ids, same
+    hashes), but Catalyst analyzes one shared literal subtree instead
+    of eight (the kcenter _centers_literal lesson: duplicated big
+    literal trees dominate wall time at plan-construction)."""
+    planes = F.array(*[
+        F.struct(
+            F.lit(float(1 << p)).alias("w"),
+            F.array(*[F.lit(v) for v in _hyperplane(p)]).alias("plane"),
+            F.lit(float(thresholds[p])).alias("thr"),
+        )
+        for p in range(N_PLANES)
+    ])
+    return F.aggregate(
+        planes,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.when(_dot(F.col("embedding"), s["plane"]) > s["thr"], s["w"]).otherwise(
+            F.lit(0.0)
+        ),
+    ).cast("long")
 
 
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
