@@ -226,9 +226,16 @@ def kcenter_from(
             break  # corpus smaller than K: trajectory ends gracefully
         m_row = nxt[0]["m"]
         centers.append((nxt[0], int(m_row["d"])))
-        # the center's own census slot: an earlier center at exact
-        # distance 0 (duplicate vector) claims it, else its own step
-        own_steps.append(int(m_row["step"]) if int(m_row["d"]) == 0 else step)
+        # the center's own census slot replicates the argmin over ALL
+        # centers: its self-dissimilarity is 0 for a real vector but
+        # the NULL-cosine SENTINEL distance for a zero-norm one
+        # (dissim(c, c) rides the same try_divide → sentinel path);
+        # an earlier center at d <= self_d claims it (struct-least
+        # ties go to the earlier step), else it assigns to itself.
+        self_d = 0 if float(nxt[0]["nrm"]) > 0.0 else 1_000_000 - _SENT_PPM
+        own_steps.append(
+            int(m_row["step"]) if int(m_row["d"]) <= self_d else step
+        )
         prev = state
         state = (
             state.filter(F.col("vec_id") != int(nxt[0].vec_id))
