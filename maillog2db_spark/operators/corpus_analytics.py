@@ -384,12 +384,14 @@ def topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-label window, which AQE sizes off the label cardinality.
     Cosine is rounded to 6 decimals before ranking with vec_id
     tiebreak (the similarity.py determinism pattern)."""
-    e = _embeddings(spark, sf_dir)
+    from .similarity import embeddings_with_nrm
+
+    e = embeddings_with_nrm(spark, sf_dir)
     cents = centroids_with_norms(spark, sf_dir).select(
         F.col("cell").alias("label"), "centroid", "cent_nrm"
     )
     scored = (
-        e.select("vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm"))
+        e.select("vec_id", "label", "embedding", "nrm")
         .join(F.broadcast(cents), "label")
         .select(
             "label",

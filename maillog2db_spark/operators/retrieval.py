@@ -263,9 +263,9 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations — per-query windows over ≤ POOL rows — never re-derive
     the corpus scan. Everything after the pool is independent of
     corpus size and partitioned by query_id."""
-    from .similarity import exact_cosine_ranking
+    from .similarity import embeddings_with_nrm, exact_cosine_ranking
 
-    e = _embeddings(spark, sf_dir)
+    e = embeddings_with_nrm(spark, sf_dir)
     q, c = knn_queries_corpus(e, HYBRID_N_QUERIES)
     # r10: the pool is the shared session-cached exact ranking
     # (EXACT_RANK_DEPTH == MMR_POOL); the corpus scan no longer

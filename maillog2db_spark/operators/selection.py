@@ -116,10 +116,10 @@ def kcenter_select(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     n_assigned is the final census: each corpus vector assigned to its
     nearest center (ties to the earliest step).
     """
-    e = _embeddings(spark, sf_dir).select(
-        "vec_id",
-        F.col("embedding").alias("emb"),
-        _norm(F.col("embedding")).alias("nrm"),
+    from .similarity import embeddings_with_nrm
+
+    e = embeddings_with_nrm(spark, sf_dir).select(
+        "vec_id", F.col("embedding").alias("emb"), "nrm"
     )
     return kcenter_from(e, k)
 
