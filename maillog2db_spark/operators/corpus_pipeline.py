@@ -68,15 +68,22 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     five of the seven union branches; at 100 TB the difference is three
     fewer corpus-size writes. Measured 3.1 → 2.6 s warm at sf0.1 with
     byte-identical output."""
-    p = spark.sparkContext.defaultParallelism
-    # tokens and shingles are materialized ONCE in the checkpointed
-    # base: the interpreted transform lambda is the pipeline's CPU
-    # floor, and every consumer (quality, fingerprint, both shingle
-    # stages) reads the same arrays instead of re-tokenizing
+    # tokens come from the session-cached _doc_toks base (tokenize once
+    # per session, r10 — the doc-grain attribute join is cheap and AQE
+    # broadcasts the narrow documents side); shingles and the quality
+    # score are materialized ONCE in the checkpointed base and every
+    # consumer (quality, fingerprint, both shingle stages) reads the
+    # same arrays instead of re-deriving
+    from .dedup import _doc_toks
+
     d = (
-        io.load(spark, sf_dir, "documents")
-        .repartition(p, "doc_id")  # interpreted HOF stages below
-        .withColumn("toks", F.expr(_TOKENS_SPARK))
+        _doc_toks(spark, sf_dir)
+        .join(
+            io.load(spark, sf_dir, "documents").select(
+                "doc_id", "lang", "source", "n_chars"
+            ),
+            "doc_id",
+        )
         .withColumn("quality_ppm", _quality_ppm_from_toks())
         .withColumn("sh", F.expr(_SHINGLES_FROM_TOKS_SPARK))
         .localCheckpoint(eager=False)  # shared by every branch below

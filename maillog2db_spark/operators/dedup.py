@@ -523,10 +523,12 @@ def banded_signatures(sigs: DataFrame) -> DataFrame:
 
 def jaccard_ppm(a_sh, b_sh):
     """Exact shingle-set Jaccard as a floor-half-up ppm integer (float
-    round() differs across engines at exact .5 boundaries)."""
-    j = F.size(F.array_intersect(a_sh, b_sh)) / F.size(
-        F.array_distinct(F.concat(a_sh, b_sh))
-    )
+    round() differs across engines at exact .5 boundaries). Union size
+    via |A|+|B|-|A∩B| (the arrays are element-distinct by
+    construction) — same integers, same division, one array op per
+    pair instead of three (r10); codegen CSE shares the intersect."""
+    inter = F.size(F.array_intersect(a_sh, b_sh))
+    j = inter / (F.size(a_sh) + F.size(b_sh) - inter)
     return (j, F.floor(j * 1_000_000 + 0.5).cast("bigint"))
 
 
@@ -603,12 +605,15 @@ def _neardup_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         cand.join(a, cand.doc_a == a.a_id)
         .join(b, cand.doc_b == b.b_id)
+        .withColumn("ni", F.size(F.array_intersect("a_sh", "b_sh")))
         .select(
             "doc_a",
             "doc_b",
+            # |A∪B| = |A|+|B|-|A∩B| (arrays element-distinct): same
+            # integer operands, same division, fewer array allocations
             (
-                F.size(F.array_intersect("a_sh", "b_sh"))
-                / F.size(F.array_distinct(F.concat("a_sh", "b_sh")))
+                F.col("ni")
+                / (F.size("a_sh") + F.size("b_sh") - F.col("ni"))
             ).alias("jaccard"),
         )
     )
@@ -713,13 +718,16 @@ def blocked_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         cand.join(a, cand.doc_a == a.a_id)
         .join(b, cand.doc_b == b.b_id)
+        .withColumn("ni", F.size(F.array_intersect("a_sh", "b_sh")))
         .select(
             "doc_a",
             "doc_b",
             F.col("a_lang").alias("lang"),
+            # |A∪B| = |A|+|B|-|A∩B| (arrays element-distinct): same
+            # integer operands, fewer array allocations (r10)
             (
-                F.size(F.array_intersect("a_sh", "b_sh"))
-                / F.size(F.array_distinct(F.concat("a_sh", "b_sh")))
+                F.col("ni")
+                / (F.size("a_sh") + F.size("b_sh") - F.col("ni"))
             ).alias("j"),
         )
     )
