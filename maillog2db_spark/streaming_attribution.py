@@ -204,7 +204,7 @@ def attribution_ingest_batch(
         credits = spark.createDataFrame(
             [], "click_id long, user_id long, purchase_id long, credit_micro long"
         )
-    store.write_credits(credits.localCheckpoint(eager=True), batch_id)
+    store.write_credits(credits.localCheckpoint(eager=False), batch_id)  # r10: lazy - the write/first agg materializes it
     store.merge_clicks(spark, clicks_b, batch_id)
     store.mark_committed(batch_id)
 

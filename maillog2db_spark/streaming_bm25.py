@@ -148,7 +148,7 @@ def bm25_ingest_batch(
 ) -> None:
     if store.committed(batch_id):
         return
-    store.write_partial(_batch_tf(batch_docs).localCheckpoint(eager=True), batch_id)
+    store.write_partial(_batch_tf(batch_docs).localCheckpoint(eager=False), batch_id)  # r10: lazy - the write/first agg materializes it
     store.mark_committed(batch_id)
 
 

@@ -125,7 +125,7 @@ def bot_ingest_batch(
 ) -> None:
     if store.committed(batch_id):
         return
-    partial = _batch_partial(batch_events).localCheckpoint(eager=True)
+    partial = _batch_partial(batch_events).localCheckpoint(eager=False)  # r10: lazy - the write/first agg materializes it
     # time-ordered-batches contract (see module doc): earliest incoming
     # event must not precede the latest committed event; the replaying
     # batch's own crash-window partition is excluded

@@ -183,7 +183,7 @@ def cc_ingest_batch(
         .select("node", F.coalesce("new_comp", F.col("c0")).alias("comp"))
     )
     out = fresh if changed is None else changed.unionByName(fresh)
-    store._write_partition(out.localCheckpoint(eager=True), batch_id)
+    store._write_partition(out.localCheckpoint(eager=False), batch_id)  # r10: lazy - the write/first agg materializes it
     store.mark_committed(batch_id)
 
 

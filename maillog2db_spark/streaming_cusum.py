@@ -94,7 +94,7 @@ def cusum_ingest_batch(
     partial = batch_events.groupBy(
         F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    store.write_partial(partial.localCheckpoint(eager=True), batch_id)
+    store.write_partial(partial.localCheckpoint(eager=False), batch_id)  # r10: lazy - the write/first agg materializes it
     store.mark_committed(batch_id)
 
 

@@ -89,7 +89,7 @@ def drift_ingest_batch(
         .groupBy("source", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    store.write_grid(grid.localCheckpoint(eager=True), batch_id)
+    store.write_grid(grid.localCheckpoint(eager=False), batch_id)  # r10: lazy - the write/first agg materializes it
     store.mark_committed(batch_id)
 
 

@@ -114,8 +114,8 @@ def dsir_ingest_batch(
         return
     feats = dsir_bucket_counts(batch_docs.select("doc_id", "source", "text"))
     docs = batch_docs.select("doc_id", "source")
-    store._write(feats.localCheckpoint(eager=True), store.feats_path, batch_id)
-    store._write(docs.localCheckpoint(eager=True), store.docs_path, batch_id)
+    store._write(feats.localCheckpoint(eager=False), store.feats_path, batch_id)  # r10: lazy - the write/first agg materializes it
+    store._write(docs.localCheckpoint(eager=False), store.docs_path, batch_id)  # r10: lazy - the write/first agg materializes it
     store.mark_committed(batch_id)
 
 

@@ -92,7 +92,7 @@ def holt_ingest_batch(
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents")
     )
-    store.write_partial(partial.localCheckpoint(eager=True), batch_id)
+    store.write_partial(partial.localCheckpoint(eager=False), batch_id)  # r10: lazy - the write/first agg materializes it
     store.mark_committed(batch_id)
 
 
