@@ -2451,7 +2451,10 @@ def pagerank_from_counts(und: DataFrame) -> DataFrame:
         F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
     ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"))
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    edges_n = edges.join(outw, "src")
+    # lazy checkpoint (r10): every power iteration reads this table —
+    # materialize the union + degree join once per action instead of
+    # once per iteration
+    edges_n = edges.join(outw, "src").localCheckpoint(eager=False)
     nn = outw.agg(F.count(F.lit(1)).alias("n"))
     pr = (
         outw.select(F.col("src").alias("part_id"))

@@ -260,7 +260,8 @@ def kcore(edges: DataFrame, k: int = KCORE_K,
     < k surviving neighbors as core members. The driver holds only the
     loop counter; survivor sets stay distributed and checkpointed
     (flat lineage). Pass ``stats`` to receive {"rounds": r}."""
-    e = edges.localCheckpoint(eager=True)
+    # lazy (r10): the count materializes it — one job, not two
+    e = edges.localCheckpoint(eager=False)
     n_edges = e.count()
     rounds = 0
     while n_edges > 0:
@@ -276,7 +277,9 @@ def kcore(edges: DataFrame, k: int = KCORE_K,
         nxt = (
             e.join(alive.withColumnRenamed("n", "u"), "u", "left_semi")
             .join(alive.withColumnRenamed("n", "v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            # lazy: the fixpoint count below materializes it — one job
+            # per peel round instead of two (r10)
+            .localCheckpoint(eager=False)
         )
         n_nxt = nxt.count()
         if n_nxt == n_edges:

@@ -1133,7 +1133,11 @@ def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: sub-fingerprint buckets are the shuffle key (bounded
     occupancy, same contract as the SimHash/pHash bands); the shared-
     count aggregate runs on the sparse collision set only."""
-    keys = audio_segment_keys(audio_fingerprint(spark, sf_dir))
+    # lazy checkpoint: the pairing self-join reads keys from BOTH
+    # sides — materialize the segment-key aggregation once (r10)
+    keys = audio_segment_keys(
+        audio_fingerprint(spark, sf_dir)
+    ).localCheckpoint(eager=False)
     return keyed_fingerprint_pairs(keys, AUDIO_MIN_SHARED).select(
         F.col("item_a").alias("snd_a"),
         F.col("item_b").alias("snd_b"),
@@ -1319,7 +1323,9 @@ def video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-shuffle on a 64-bit value; for RE-ENCODED (not re-sampled)
     frames, the pHash banded-Hamming join composes here in place of
     exact equality."""
-    keys = video_frame_keys(video_phash(spark, sf_dir))
+    keys = video_frame_keys(
+        video_phash(spark, sf_dir)
+    ).localCheckpoint(eager=False)  # both self-join sides read it
     return keyed_fingerprint_pairs(keys, VIDEO_MIN_SHARED).select(
         F.col("item_a").alias("vid_a"),
         F.col("item_b").alias("vid_b"),
