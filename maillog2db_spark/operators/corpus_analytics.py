@@ -512,21 +512,24 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("recency"),
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
-    )
+    ).localCheckpoint(eager=False)
+    # ONE customer-grain count serves all three rank passes and the
+    # ntile total (r10) — rank passes preserve cardinality, so the
+    # previous form's three dc-internal counts plus the n_total
+    # aggregate branch were four jobs computing the same number.
+    nc = per_cust.count()
     g = per_cust
     for dim, col in (("r", "recency"), ("f", "frequency"), ("m", "monetary")):
         g = distributed_cumulative(
-            g, [F.col(col).desc(), F.col("o_custkey")]
+            g, [F.col(col).desc(), F.col("o_custkey")], n_rows=nc
         ).withColumnRenamed("_grank", f"_{dim}_rank")
-    # count from g, not per_cust: g is materialized by the cumulative
-    # passes, so this is a customer-grain scan, not a re-aggregation
-    # of the orders fact table
-    n = g.agg(F.count(F.lit(1)).alias("n_total"))
+    # nc is already a driver literal, so the ntile total inlines into
+    # the bucket expression — no 1-row broadcast frame, no
+    # BroadcastNestedLoopJoin in the plan at all
     return (
-        g.join(F.broadcast(n))
-        .withColumn("r_quartile", ntile_from_rank("_r_rank", "n_total", 4))
-        .withColumn("f_quartile", ntile_from_rank("_f_rank", "n_total", 4))
-        .withColumn("m_quartile", ntile_from_rank("_m_rank", "n_total", 4))
+        g.withColumn("r_quartile", ntile_from_rank("_r_rank", str(nc), 4))
+        .withColumn("f_quartile", ntile_from_rank("_f_rank", str(nc), 4))
+        .withColumn("m_quartile", ntile_from_rank("_m_rank", str(nc), 4))
         .select(
             "o_custkey",
             "recency",

@@ -99,8 +99,16 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fingerprint",
         F.md5(F.array_join(F.array_sort(F.array_distinct("toks")), " ")),
     )
+    # r10: the survivor-id sets below are narrow (one bigint per doc)
+    # but their AGGREGATE SUBTREES were re-planned at every consumer —
+    # ids_dedup appears in deduped/ids_novel/flags, dupish in
+    # ids_novel/flags — compounding to a 321-node, 112-Exchange plan.
+    # Lazy checkpoints collapse each id set to one materialization per
+    # action (first consumer computes it); at 100 TB these are
+    # survivor-count bigint lists, never corpus-width rows.
     ids_dedup = (
         fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+        .localCheckpoint(eager=False)
     )
     deduped = fp.join(ids_dedup, "doc_id", "left_semi")
 
@@ -120,6 +128,7 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_seen") * 2 >= F.col("n_sh"))
         .select("doc_id")
+        .localCheckpoint(eager=False)  # consumed by ids_novel AND flags
     )
     ids_novel = ids_dedup.join(dupish, "doc_id", "left_anti")
 
@@ -147,6 +156,9 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ids_dedup.withColumn("f_d", F.lit(1)), "doc_id", "left")
         .join(dupish.withColumn("f_dup", F.lit(1)), "doc_id", "left")
         .join(hits.withColumn("f_c", F.lit(1)), "doc_id", "left")
+        # narrow doc-grain flag table, read by BOTH the funnel aggregate
+        # and the pack-bin window — one materialization per action (r10)
+        .localCheckpoint(eager=False)
     )
     q_ok = F.col("quality_ppm") >= QUALITY_MIN_PPM
     is_dedup = F.col("f_d").isNotNull()

@@ -61,27 +61,39 @@ def star_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS,
     )
     rounds = 0
     for _ in range(max_rounds + 1):
-        # exact fixpoint test, ONE job AND one shuffle: with edges
-        # oriented big→small, the edge set is a star forest iff BOTH
-        # hold: (a) no dst also appears as a src (depth 1 everywhere)
-        # AND (b) every src has out-degree 1 (a node attached to TWO
-        # distinct roots — the V-shape (1,3),(2,3) → edges 3→1, 3→2 —
-        # passes (a) alone but is one component, not two stars;
-        # checking only (a) returned wrong labels on exactly that
-        # shape). Both star operations preserve connectivity, so a
-        # star forest's components ARE the input's components — and a
-        # star forest is a fixpoint of both operations, so stopping
-        # here is exact. r10 probe shape: one node-grain groupBy over
-        # the endpoint stream replaces the semi-join + groupBy union
-        # (3 exchanges → 1); e is distinct, so ns = the src
-        # out-degree, and nt > ns marks a dst occurrence.
-        deg = e.select(F.col("u").alias("node"), F.lit(1).alias("s")).unionAll(
-            e.select(F.col("v").alias("node"), F.lit(0).alias("s"))
+        # ONE node-grain aggregate over the endpoint stream serves BOTH
+        # the exact fixpoint probe and large-star's neighborhood
+        # minimum (r10 fusion — they aggregate the same stream by the
+        # same key, so computing them apart paid a second union pass +
+        # exchange per round). Probe: with edges oriented big→small,
+        # the edge set is a star forest iff BOTH hold: (a) no dst also
+        # appears as a src (depth 1 everywhere) AND (b) every src has
+        # out-degree 1 (a node attached to TWO distinct roots — the
+        # V-shape (1,3),(2,3) → edges 3→1, 3→2 — passes (a) alone but
+        # is one component, not two stars; checking only (a) returned
+        # wrong labels on exactly that shape). Both star operations
+        # preserve connectivity, so a star forest's components ARE the
+        # input's components — and a star forest is a fixpoint of both
+        # operations, so stopping here is exact. e is distinct, so
+        # ns = the src out-degree, and nt > ns marks a dst occurrence.
+        both = e.select(
+            F.col("u").alias("x"), F.col("v").alias("y"), F.lit(1).alias("s")
+        ).unionAll(
+            e.select(F.col("v").alias("x"), F.col("u").alias("y"), F.lit(0).alias("s"))
+        )
+        agg = (
+            both.groupBy("x")
+            .agg(
+                F.min("y").alias("mn"),
+                F.sum("s").alias("ns"),
+                F.count(F.lit(1)).alias("nt"),
+            )
+            # lazy: the probe count below materializes it (and, through
+            # its lineage, this round's e) — still one job per round
+            .localCheckpoint(eager=False)
         )
         not_star = (
-            deg.groupBy("node")
-            .agg(F.sum("s").alias("ns"), F.count(F.lit(1)).alias("nt"))
-            .filter(
+            agg.filter(
                 (F.col("ns") > 1)
                 | ((F.col("ns") > 0) & (F.col("nt") > F.col("ns")))
             )
@@ -99,11 +111,8 @@ def star_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS,
         # every strictly larger neighbor y to m(x) = min(N(x) ∪ {x}).
         # Each undirected edge is seen once from its smaller endpoint
         # (y > x), and m(x) ≤ x < y keeps the big→small orientation.
-        both = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
-            e.select(F.col("v").alias("x"), F.col("u").alias("y"))
-        )
-        m = both.groupBy("x").agg(F.min("y").alias("mn"))
-        m = m.select("x", F.least("mn", F.col("x")).alias("m"))
+        # m comes straight off the materialized probe aggregate.
+        m = agg.select("x", F.least("mn", F.col("x")).alias("m"))
         # no distinct here: duplicate (u, v) rows only pad the next
         # two map-side-combined aggregates and are collapsed by the
         # round-end distinct — dropping the dedup saves one full

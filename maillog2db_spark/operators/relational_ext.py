@@ -648,65 +648,76 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     constraints in the DDL, maillog2db.go:61-110) and Spark tables
     never enforce.
 
-    Plan per relationship: ONE left join of the child keys against the
-    deduped parent keys carrying a hit flag, then one aggregate that
-    reads rows/nulls/orphans off the flag in a single pass — no
-    second job and no condition-less scalar-stitch join (the earlier
-    two-aggregate form planned a 1x1 BroadcastNestedLoopJoin to glue
-    the counts together). At 100 TB the join is the standard
-    shuffle-or-broadcast Catalyst choice; nothing is quadratic and no
-    relationship reads a column it doesn't audit. Parent keys are
-    primary keys, but the dropDuplicates guard keeps the count
-    semantics exact even against a corrupted parent load."""
-    out = None
-    for name, child, ck, parent, pk in _FK_RELATIONSHIPS:
-        # r10: aggregate the child to KEY grain before the join — the
-        # audit only needs per-key multiplicities, so the join (and
-        # its shuffle) moves distinct keys + a count instead of every
-        # child row (guide §2.3 "aggregate before you shuffle";
-        # lineitem's three relationships drop from row-grain to
-        # 150k/20k/1k key-grain at sf0.1). Counts are identical: each
-        # key group contributes its multiplicity to exactly the bucket
-        # the per-row flags put it in, and a NULL key forms its own
-        # group that the left join leaves unmatched.
-        c = (
-            _t(spark, sf_dir, child)
-            .groupBy(F.col(ck).alias("k"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
+    Plan (r10 restructure, guide §2.3/§2.4): all seven relationships
+    run as ONE relationship-tagged pass instead of seven independent
+    union branches. Child keys union into a single (rel, k) stream and
+    aggregate to key grain in one shuffle (the audit only needs per-key
+    multiplicities — the join moves distinct keys + a count instead of
+    every child row); parent keys union into one (rel, k) dedup; one
+    left join carries the hit flag and one groupBy(rel) reads
+    rows/nulls/orphans off the flag. The per-branch counts are
+    untouched — each (rel, k) group is exactly the per-relationship
+    group the old plan built, just co-scheduled — but the plan drops
+    from 7 x ~8 Exchanges (56 stages of scheduling) to 4, and the join
+    reuses the aggregate's (rel, k) partitioning. A NULL child key
+    forms its own group that the left join leaves unmatched, same as
+    before. Parent keys are primary keys, but the dedup guard keeps
+    the count semantics exact even against a corrupted parent load."""
+    children = [
+        _t(spark, sf_dir, child).select(
+            F.lit(name).alias("rel"), F.col(ck).cast("bigint").alias("k")
         )
-        p = (
-            _t(spark, sf_dir, parent)
-            .select(F.col(pk).alias("k"))
-            .dropDuplicates(["k"])
-            .withColumn("hit", F.lit(1))
+        for name, child, ck, _, _ in _FK_RELATIONSHIPS
+    ]
+    parents = [
+        _t(spark, sf_dir, parent).select(
+            F.lit(name).alias("rel"), F.col(pk).cast("bigint").alias("k")
         )
-        row = (
-            c.join(p, "k", "left")
-            .agg(
-                F.coalesce(F.sum("cnt"), F.lit(0))
-                .cast("bigint")
-                .alias("n_child"),
-                F.sum(F.when(F.col("k").isNull(), F.col("cnt")).otherwise(0))
-                .cast("bigint")
-                .alias("n_null_keys"),
-                F.sum(
-                    F.when(
-                        F.col("k").isNotNull() & F.col("hit").isNull(),
-                        F.col("cnt"),
-                    ).otherwise(0)
-                )
-                .cast("bigint")
-                .alias("n_orphans"),
+        for name, _, _, parent, pk in _FK_RELATIONSHIPS
+    ]
+    c_all = children[0]
+    for c in children[1:]:
+        c_all = c_all.unionByName(c)
+    p_all = parents[0]
+    for p in parents[1:]:
+        p_all = p_all.unionByName(p)
+    c_agg = c_all.groupBy("rel", "k").agg(F.count(F.lit(1)).alias("cnt"))
+    p_keys = p_all.dropDuplicates(["rel", "k"]).withColumn("hit", F.lit(1))
+    counts = (
+        c_agg.join(p_keys, ["rel", "k"], "left")
+        .groupBy("rel")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_child"),
+            F.sum(F.when(F.col("k").isNull(), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_keys"),
+            F.sum(
+                F.when(
+                    F.col("k").isNotNull() & F.col("hit").isNull(),
+                    F.col("cnt"),
+                ).otherwise(0)
             )
-            .select(
-                F.lit(name).alias("relationship"),
-                "n_child",
-                "n_null_keys",
-                "n_orphans",
-            )
+            .cast("bigint")
+            .alias("n_orphans"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
+    # a zero-row child table produces no (rel, k) groups, so groupBy
+    # would drop its relationship row — the old per-branch global
+    # aggregate (and the oracle's scalar subqueries) emit n_child = 0
+    # instead. Outer-join the literal relationship list to pin that
+    # contract; the 7-row literal broadcasts for free.
+    rels = spark.createDataFrame(
+        [(name,) for name, *_ in _FK_RELATIONSHIPS], ["rel"]
+    )
+    return (
+        rels.join(counts, "rel", "left")
+        .select(
+            F.col("rel").alias("relationship"),
+            F.coalesce("n_child", F.lit(0)).cast("bigint").alias("n_child"),
+            F.coalesce("n_null_keys", F.lit(0)).cast("bigint").alias("n_null_keys"),
+            F.coalesce("n_orphans", F.lit(0)).cast("bigint").alias("n_orphans"),
+        )
+    )
 
 
 REFERENTIAL_INTEGRITY_SQL = "\nUNION ALL\n".join(
@@ -796,29 +807,42 @@ def abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(_cents("o_totalprice")).alias("revenue_cents"))
+        .localCheckpoint(eager=False)
     )
-    total = rev.agg(F.sum("revenue_cents").alias("total_cents"))
+    # ONE job collects the grand total AND the customer-grain count
+    # (r10): the count feeds dc's partition sizing (its internal count
+    # job is skipped) and the 1-row total becomes a literal frame —
+    # the previous form re-aggregated the orders fact table for
+    # `total` inside the final action.
+    tot_row = rev.agg(
+        F.sum("revenue_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("nc"),
+    ).collect()[0]
+    tc = int(tot_row["total_cents"] or 0)
     ranked = distributed_cumulative(
         rev,
         [F.col("revenue_cents").desc(), F.col("o_custkey")],
         sum_cols=("revenue_cents",),
+        n_rows=int(tot_row["nc"]),
     ).select(
         "o_custkey",
         "revenue_cents",
         F.col("_grank").cast("int").alias("rank"),
         F.col("_gcum_revenue_cents").alias("cum_cents"),
     )
-    return ranked.join(F.broadcast(total)).select(
+    # the grand total is a driver literal now — inline it instead of
+    # cross-joining a 1-row frame (drops the BroadcastNestedLoopJoin)
+    return ranked.select(
         "o_custkey",
         "revenue_cents",
         "rank",
-        F.expr("CAST(cum_cents * 1000000 div total_cents AS BIGINT)").alias(
+        F.expr(f"CAST(cum_cents * 1000000 div {tc} AS BIGINT)").alias(
             "cum_share_ppm"
         ),
         F.when(
-            F.col("cum_cents") * ABC_A[1] <= F.col("total_cents") * ABC_A[0], "A"
+            F.col("cum_cents") * ABC_A[1] <= F.lit(tc) * ABC_A[0], "A"
         )
-        .when(F.col("cum_cents") * ABC_B[1] <= F.col("total_cents") * ABC_B[0], "B")
+        .when(F.col("cum_cents") * ABC_B[1] <= F.lit(tc) * ABC_B[0], "B")
         .otherwise("C")
         .alias("abc_class"),
     )
@@ -875,10 +899,19 @@ def price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    g = distributed_cumulative(o, [F.col("cents"), F.col("o_orderkey")])
-    n = g.agg(F.count(F.lit(1)).alias("n_total"))
-    bucketed = g.join(F.broadcast(n)).withColumn(
-        "bucket", ntile_from_rank("_grank", "n_total", EQUIDEPTH_BUCKETS)
+    # r10: the rank input is a 1:1 projection of the orders scan, so
+    # its cardinality is the parquet row count — a metadata-cheap job —
+    # and the same number is the ntile total (rank passes preserve
+    # cardinality), replacing dc's internal count of the projected
+    # checkpoint and the n_total aggregate branch.
+    nc = io.load(spark, sf_dir, "orders").count()
+    g = distributed_cumulative(
+        o, [F.col("cents"), F.col("o_orderkey")], n_rows=nc
+    )
+    # nc is a driver literal — inline it into the bucket expression
+    # (no 1-row broadcast frame, no BroadcastNestedLoopJoin)
+    bucketed = g.withColumn(
+        "bucket", ntile_from_rank("_grank", str(nc), EQUIDEPTH_BUCKETS)
     )
     return bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_orders"),

@@ -282,7 +282,10 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_emb"),
         F.col("c_nrm"),
     )
-    poolv = pool.join(cv, "doc_id").localCheckpoint(eager=True)
+    # lazy (r10): bounded POOL-grain tables — the caller's action
+    # materializes them on first touch; eager forms paid two dedicated
+    # driver jobs per call before any result row was computed
+    poolv = pool.join(cv, "doc_id").localCheckpoint(eager=False)
     x, y = poolv.alias("x"), poolv.alias("y")
     pairs = (
         x.join(
@@ -304,7 +307,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("sim_ppm"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # ≤ POOL²/query rows, lazy as poolv
     )
 
     rem = poolv.select("query_id", "doc_id", "rel_ppm")

@@ -428,14 +428,19 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("skey"),
     )
+    # r10: |fan| = n_docs x SHUFFLE_EPOCHS by construction, and the
+    # docs count is a metadata-cheap parquet row count — skip the
+    # dc-internal count of the exploded (md5-keyed) fan table, and
+    # inline the same n_docs into the per-epoch position arithmetic
+    # instead of a broadcast-join of a 1-row aggregate.
+    nd = docs.count()
     g = distributed_cumulative(
-        fan, [F.col("epoch"), F.col("skey"), F.col("doc_id")]
+        fan, [F.col("epoch"), F.col("skey"), F.col("doc_id")],
+        n_rows=nd * SHUFFLE_EPOCHS,
     )
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        g.join(F.broadcast(n))
-        .withColumn(
-            "pos", (F.col("_grank") - 1 - F.col("epoch") * F.col("n_docs")).cast("bigint")
+        g.withColumn(
+            "pos", (F.col("_grank") - 1 - F.col("epoch") * F.lit(nd)).cast("bigint")
         )
         .select(
             "epoch",
@@ -485,13 +490,18 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .windows import distributed_cumulative, ntile_from_rank
     from .text import quality_score
 
+    # ONE cardinality job serves both rank passes and the ntile total
+    # (r10): rank passes preserve row count, so |q| == |ranked| ==
+    # |decs| — the previous form paid three sequential driver jobs
+    # (two dc-internal counts + ranked.count()) for the same number.
     q = quality_score(spark, sf_dir).select(
         "doc_id", F.coalesce("quality_ppm", F.lit(-1)).alias("qv")
+    ).localCheckpoint(eager=False)
+    cnt = q.count()
+    ranked = distributed_cumulative(
+        q, [F.col("qv"), F.col("doc_id")], n_rows=cnt
     )
-    ranked = distributed_cumulative(q, [F.col("qv"), F.col("doc_id")])
-    n = ranked.sparkSession.createDataFrame(
-        [(ranked.count(),)], "n_total bigint"
-    )
+    n = ranked.sparkSession.createDataFrame([(cnt,)], "n_total bigint")
     decs = (
         ranked.join(F.broadcast(n))
         .withColumn("decile", ntile_from_rank("_grank", "n_total", 10))
@@ -504,7 +514,8 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g = distributed_cumulative(
-        decs, [F.col("decile").desc(), F.col("skey"), F.col("doc_id")]
+        decs, [F.col("decile").desc(), F.col("skey"), F.col("doc_id")],
+        n_rows=cnt,
     )
     return g.select(
         "doc_id",

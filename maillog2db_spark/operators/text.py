@@ -2108,7 +2108,11 @@ def unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "piece string, piece_len int, cnt bigint, share_ppm bigint, rank int"
         )
-    total_row = counts.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0]
+    # r10: the same 1-row collect also carries the piece-vocab
+    # cardinality, so dc's internal count job is skipped
+    total_row = counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)), F.count(F.lit(1))
+    ).collect()[0]
     total = max(int(total_row[0]), 1)
     # final counts are piece-vocab-grain, but the global rank still
     # rides the two-phase distributed cumsum (size-adaptive: one range
@@ -2116,7 +2120,7 @@ def unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .windows import distributed_cumulative
 
     ranked = distributed_cumulative(
-        counts, [F.col("cnt").desc(), F.asc("piece")]
+        counts, [F.col("cnt").desc(), F.asc("piece")], n_rows=int(total_row[1])
     ).withColumn("rank", F.col("_grank").cast("int"))
     return (
         ranked.filter(F.col("rank") <= UNI_TOP)

@@ -28,6 +28,7 @@ def distributed_cumulative(
     order_exprs: list,
     sum_cols: tuple[str, ...] = (),
     n_parts: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Distributed global row_number + integer running sums — the
     two-phase decomposition of ``Window.orderBy(...)`` with no
@@ -63,6 +64,15 @@ def distributed_cumulative(
     customer grain gets the full configured width. Ranks are
     partitioning-independent (total order), so the plan choice can
     never change a result.
+
+    ``n_rows`` (r10): callers that already know the input cardinality
+    (rank passes preserve it, so a chain of cumulative calls needs ONE
+    count; fan-outs know it as n_base x fanout) pass it here and the
+    internal count job is skipped entirely — the lazy input checkpoint
+    then materializes inside the first downstream job instead of a
+    dedicated count. Because ranks are partitioning-independent, a
+    cardinality estimate here can only ever change the partition
+    count, never a result value.
     """
     spark = df.sparkSession
     # Materialize the input ONCE before range partitioning:
@@ -79,7 +89,8 @@ def distributed_cumulative(
     df = df.localCheckpoint(eager=False)
     if n_parts is None:
         cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        n_parts = min(cap, max(1, -(-df.count() // _ROWS_PER_RANGE_PART)))
+        cnt = n_rows if n_rows is not None else df.count()
+        n_parts = min(cap, max(1, -(-cnt // _ROWS_PER_RANGE_PART)))
     if n_parts == 1:
         # Single range: no bounds to sample, offsets are identically
         # zero — run the window over one coalesced partition and skip
