@@ -98,7 +98,9 @@ def _tdiv(a: int, b: int) -> int:
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train CLS_ITERS batch-GD iterations (lr = 0.5) and score every
     document: (doc_id, source, lr_score_ppm, bench_like)."""
-    feats = _features(spark, sf_dir).localCheckpoint(eager=True)
+    # lazy (r10): the count below materializes the checkpoint — one
+    # job instead of a dedicated checkpoint job plus the count
+    feats = _features(spark, sf_dir).localCheckpoint(eager=False)
     n = feats.count()
     if n == 0:
         return spark.createDataFrame(

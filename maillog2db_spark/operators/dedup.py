@@ -776,16 +776,20 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # undirected edges (both directions); no self-loops needed — the
     # least(own, neighbor-min) in the propagation step covers the
     # keep-own-label case
+    # lazy checkpoints (r10): round 1's changed-count job materializes
+    # edges AND the initial labels through its lineage — the kcore
+    # one-job-per-round treatment; both tables are read every round
+    # afterwards from the checkpointed blocks
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("comp", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     while True:
         # candidate label per node = min(own, min over neighbors' labels)
@@ -801,7 +805,9 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
                 (F.col("ncomp") < F.col("comp")).alias("changed"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the changed-count below materializes it — one job
+            # per propagation round instead of two (r10)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter("changed").count()
         labels = new_labels.drop("changed")

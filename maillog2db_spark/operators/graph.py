@@ -175,7 +175,9 @@ def components_summary(pairs: DataFrame) -> DataFrame:
     """Per-component (id, member count, edge count) from a (src, dst)
     edge list — shared with the streaming co-purchase store's resolved
     view (streaming_triangles.py)."""
-    pairs = pairs.localCheckpoint(eager=True)  # two consumers: CC + edge count
+    # lazy (r10): two consumers (CC + edge count); star_components'
+    # first fixpoint-probe count materializes it through its lineage
+    pairs = pairs.localCheckpoint(eager=False)
     # labels feeds both the size aggregate and the edge-count join —
     # lazy checkpoint so the converged star forest's label assembly
     # (union + anti-join) computes once per action, not per consumer

@@ -82,10 +82,15 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l.l_partkey == F.col("p_partkey"))
         .join(F.broadcast(eu), l.l_suppkey == F.col("s_suppkey"))
     )
+    # lazy checkpoint (r10): pse feeds BOTH the per-part min aggregate
+    # and the min-equality join back — without it the whole
+    # lineitem⋈part⋈eu subtree is planned (and its scans run) twice
+    # per action; (qualifying part, supplier)-grain rows, materialized
+    # by the min aggregate's broadcast job
     pse = lb.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"),
         "s_name", "s_acctbal", "n_name",
-    ).agg(F.min("l_extendedprice").alias("supply_cost"))
+    ).agg(F.min("l_extendedprice").alias("supply_cost")).localCheckpoint(eager=False)
     mc = pse.groupBy(F.col("partkey").alias("m_partkey")).agg(
         F.min("supply_cost").alias("min_cost")
     )

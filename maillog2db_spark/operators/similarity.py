@@ -33,15 +33,28 @@ N_QUERIES = 5  # vec_id < 5 are the query vectors
 N_PLANES = 8  # random-hyperplane bits for LSH buckets
 
 
-def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _embeddings_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings, repartitioned before the CPU-heavy vector math: the
     fold/zip lambdas are CodegenFallback (interpreted), and a small
     parquet file scans as one partition — without the exchange every
     dot-product stage runs on a single core (same pathology measured in
     dedup shingling). At scale the scan is already wide and AQE shrinks
-    this to a no-op."""
+    this to a no-op. Build-side only: every query path goes through
+    ``_embeddings`` below, which reads the session cache."""
     p = spark.sparkContext.defaultParallelism
     return io.load(spark, sf_dir, "embeddings").repartition(p, "vec_id")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table every vector query starts from — a
+    projection of the session-cached ``embeddings_with_nrm`` base
+    (r10): ~20 direct consumers each re-ran the parquet scan +
+    repartition per call; now they all read the one materialization.
+    Same rows, same column order, bit-identical floats (the cache is
+    built from the same scan)."""
+    return embeddings_with_nrm(spark, sf_dir).select(
+        "vec_id", "embedding", "label"
+    )
 
 
 def embeddings_with_nrm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,7 +68,7 @@ def embeddings_with_nrm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _cached(
         spark, sf_dir, "embeddings_nrm",
-        lambda: _embeddings(spark, sf_dir).select(
+        lambda: _embeddings_raw(spark, sf_dir).select(
             "vec_id", "embedding", "label", _norm(F.col("embedding")).alias("nrm")
         ),
     )
@@ -1877,7 +1890,8 @@ def query_ivfpq_index(
     # before collecting its cells — otherwise the codebook-join
     # distance job runs twice, once for the cell list and again
     # uncached inside _ivfpq_score_topk
-    lut = _ivfpq_lut(cents, q, cb, n_probe).localCheckpoint(eager=True)
+    # lazy (r10): the probe-cell collect materializes it — one job
+    lut = _ivfpq_lut(cents, q, cb, n_probe).localCheckpoint(eager=False)
     probe_cells = [r.cell for r in lut.select("cell").distinct().collect()]
     codes = spark.read.parquet(f"{index_dir}/codes").filter(
         F.col("cell").isin(probe_cells)
