@@ -2454,32 +2454,17 @@ def pagerank_from_counts(und: DataFrame) -> DataFrame:
         F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
     ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"))
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    # lazy checkpoint (r10): every power iteration reads this table —
-    # materialize the union + degree join once per action instead of
-    # once per iteration
-    edges_n = edges.join(outw, "src").localCheckpoint(eager=False)
-    # node count collected ONCE as a driver literal (r10): the uniform
-    # start and the teleport term were 1-row nn broadcasts that
-    # replanted the whole degree-aggregate subtree under a
-    # BroadcastNestedLoopJoin at THREE positions of the unrolled plan;
-    # the count job doubles as edges_n's checkpoint materialization.
-    # Python floor() over the same IEEE doubles the SQL literal parsed
-    # to — bit-identical integers (oracle re-verified).
-    import math
-
-    n = edges_n.select("src").distinct().count()
-    if n == 0:
-        return edges_n.select(
-            F.col("src").alias("part_id"), F.col("w").cast("bigint").alias("pr_ppb")
-        )
-    base = int(math.floor(1000000000.0 / n + 0.5))
-    tele = int(math.floor(float(f"{1 - PAGERANK_D:.2f}") * 1000000000.0 / n + 0.5))
+    edges_n = edges.join(outw, "src")
+    nn = outw.agg(F.count(F.lit(1)).alias("n"))
     pr = (
-        edges_n.select(F.col("src").alias("part_id"))
-        .distinct()
-        .select("part_id", F.lit(base).cast("bigint").alias("pr"))
+        outw.select(F.col("src").alias("part_id"))
+        .join(F.broadcast(nn))
+        .select(
+            "part_id",
+            F.expr("CAST(floor(1000000000.0 / n + 0.5) AS BIGINT)").alias("pr"),
+        )
     )
-    for it in range(PAGERANK_ITER):
+    for _ in range(PAGERANK_ITER):
         contrib = (
             edges_n.join(pr, edges_n.src == pr.part_id)
             .select(
@@ -2494,23 +2479,17 @@ def pagerank_from_counts(und: DataFrame) -> DataFrame:
         pr = (
             pr.select("part_id")
             .join(contrib, pr.part_id == contrib.dst, "left")
+            .join(F.broadcast(nn))
             .select(
                 "part_id",
                 (
-                    F.lit(tele).cast("bigint")
+                    F.expr(
+                        f"CAST(floor({1 - PAGERANK_D:.2f} * 1000000000.0 / n + 0.5) AS BIGINT)"
+                    )
                     + F.coalesce(F.col("s"), F.lit(0))
                 ).alias("pr"),
             )
         )
-        # lazy checkpoint between iterations: without it the plan
-        # DOUBLES per unrolled iteration (pr feeds both the
-        # contribution join and the rank carry), compounding to ~100
-        # Exchanges at 2 iterations; node-grain rows, materialized by
-        # the next job. The LAST iteration stays un-checkpointed so
-        # the returned plan still shows one full iteration's joins
-        # (the equi-join shape pin, and the judge's plan evidence).
-        if it < PAGERANK_ITER - 1:
-            pr = pr.localCheckpoint(eager=False)
     return pr.select("part_id", F.col("pr").alias("pr_ppb"))
 
 
@@ -2569,19 +2548,16 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     every ratio is an exact-ppm integer division — no float boundary
     decides which rules appear."""
     und = _li_pair_counts(spark, sf_dir)
-    # ONE distinct pass serves both support denominators (r10): the
-    # previous form scanned + distinct-shuffled lineitem twice (part
-    # counts AND the order total); the order total then collects to a
-    # driver literal, so no 1-row broadcast join remains in the plan.
     li = (
         io.load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    n_orders = li.select("l_orderkey").distinct().count()
     part_cnt = li.groupBy(F.col("l_partkey").alias("antecedent")).agg(
         F.count(F.lit(1)).alias("n_a")
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
     )
     directed = und.select(
         F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "w"
@@ -2593,14 +2569,13 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         directed.filter(F.col("w") >= BASKET_MIN_SUPPORT)
         .join(part_cnt, "antecedent")
+        .join(F.broadcast(n_orders))
         .select(
             "antecedent",
             "consequent",
             F.col("w").alias("n_ab"),
             F.expr("CAST(w * 1000000 div n_a AS BIGINT)").alias("confidence_ppm"),
-            F.expr(f"CAST(w * 1000000 div {int(n_orders)} AS BIGINT)").alias(
-                "support_ppm"
-            ),
+            F.expr("CAST(w * 1000000 div n_orders AS BIGINT)").alias("support_ppm"),
         )
     )
 
