@@ -98,9 +98,11 @@ def _tdiv(a: int, b: int) -> int:
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train CLS_ITERS batch-GD iterations (lr = 0.5) and score every
     document: (doc_id, source, lr_score_ppm, bench_like)."""
-    # lazy (r10): the count below materializes the checkpoint — one
-    # job instead of a dedicated checkpoint job plus the count
-    feats = _features(spark, sf_dir).localCheckpoint(eager=False)
+    # eager, deliberately (r10 A/B): the lazy form measured 2-3x
+    # slower in-suite ([1.80, 1.65] vs [1.17, 0.66] s both-runs) —
+    # materializing inside the first GD aggregate loses to a dedicated
+    # full-parallelism checkpoint job here
+    feats = _features(spark, sf_dir).localCheckpoint(eager=True)
     n = feats.count()
     if n == 0:
         return spark.createDataFrame(

@@ -2677,9 +2677,11 @@ def source_kl_from_counts(counts: DataFrame, sources: DataFrame) -> DataFrame:
     # whole counts shuffle re-ran 4× when left as lineage — seen in
     # the executed plan as four TakeOrderedAndProject(limit=200)
     # subtrees, i.e. four full corpus passes at scale)
-    # lazy (r10): the normalizer aggregate materializes it — one job,
-    # not a dedicated checkpoint job plus the aggregate
-    grid = grid.localCheckpoint(eager=False)
+    # eager, deliberately (r10 A/B): the lazy form measured 2x slower
+    # in-suite ([2.81, 2.17] vs [1.43, 1.20] s both-runs) — the first
+    # consumer is a broadcast build, and materializing the grid inside
+    # that blocking job loses to a dedicated parallel checkpoint job
+    grid = grid.localCheckpoint(eager=True)
     # normalize by Σ(c+α) over the ACTUAL support — distributions then
     # sum to exactly 1 whatever the head size turns out to be (a fixed
     # +α·M denominator undersums when the corpus vocabulary is smaller
