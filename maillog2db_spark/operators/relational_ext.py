@@ -653,58 +653,66 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     constraints in the DDL, maillog2db.go:61-110) and Spark tables
     never enforce.
 
-    Plan (r10 restructure, guide §2.3/§2.4): all seven relationships
-    run as ONE relationship-tagged pass instead of seven independent
-    union branches. Child keys union into a single (rel, k) stream and
-    aggregate to key grain in one shuffle (the audit only needs per-key
-    multiplicities — the join moves distinct keys + a count instead of
-    every child row); parent keys union into one (rel, k) dedup; one
-    left join carries the hit flag and one groupBy(rel) reads
-    rows/nulls/orphans off the flag. The per-branch counts are
-    untouched — each (rel, k) group is exactly the per-relationship
-    group the old plan built, just co-scheduled — but the plan drops
-    from 7 x ~8 Exchanges (56 stages of scheduling) to 4, and the join
-    reuses the aggregate's (rel, k) partitioning. A NULL child key
-    forms its own group that the left join leaves unmatched, same as
-    before. Parent keys are primary keys, but the dedup guard keeps
-    the count semantics exact even against a corrupted parent load."""
-    children = [
-        _t(spark, sf_dir, child).select(
-            F.lit(name).alias("rel"), F.col(ck).cast("bigint").alias("k")
+    Plan (r11 restructure, guide §2.3/§2.4/§6; tightening the r10
+    relationship-tagged pass, whose after-plan still held 14 parquet
+    scans — each table re-scanned once per relationship ROLE): every
+    table is scanned EXACTLY ONCE, and one in-row explode emits all of
+    that table's (rel, key, side) entries — lineitem's one scan feeds
+    its three child keys, nation's one scan feeds its child key and
+    both parent roles. Child multiplicities and the parent-hit flag
+    then ride a SINGLE (rel, k) aggregation (one shuffle — the r10
+    form paid a child aggregate, a parent dedup, and a join), and one
+    groupBy(rel) reads rows/nulls/orphans off the per-key counts. The
+    per-key groups are exactly the per-relationship groups the old
+    plan built: a NULL child key forms its own group that no parent
+    entry can hit (the hit flag requires a NON-NULL parent key —
+    value-equivalent to the old join-on-equality, which never matched
+    NULLs), and parent keys contribute 0 to every child sum, so
+    duplicate parent keys stay harmless (the old dedup guard's
+    contract)."""
+    roles: dict[str, list] = {}
+    for name, child, ck, parent, pk in _FK_RELATIONSHIPS:
+        roles.setdefault(child, []).append((name, ck, True))
+        roles.setdefault(parent, []).append((name, pk, False))
+    streams = [
+        _t(spark, sf_dir, tbl)
+        .select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(rel).alias("rel"),
+                        F.col(col).cast("bigint").alias("k"),
+                        F.lit(is_child).alias("is_child"),
+                    )
+                    for rel, col, is_child in entries
+                ])
+            ).alias("e")
         )
-        for name, child, ck, _, _ in _FK_RELATIONSHIPS
+        .select("e.rel", "e.k", "e.is_child")
+        for tbl, entries in roles.items()
     ]
-    parents = [
-        _t(spark, sf_dir, parent).select(
-            F.lit(name).alias("rel"), F.col(pk).cast("bigint").alias("k")
+    all_keys = streams[0]
+    for s in streams[1:]:
+        all_keys = all_keys.unionByName(s)
+    kg = all_keys.groupBy("rel", "k").agg(
+        F.sum(F.when(F.col("is_child"), 1).otherwise(0)).alias("cnt"),
+        F.max(
+            F.when(~F.col("is_child") & F.col("k").isNotNull(), 1)
+        ).alias("hit"),
+    )
+    counts = kg.groupBy("rel").agg(
+        F.sum("cnt").cast("bigint").alias("n_child"),
+        F.sum(F.when(F.col("k").isNull(), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_keys"),
+        F.sum(
+            F.when(
+                F.col("k").isNotNull() & F.col("hit").isNull(),
+                F.col("cnt"),
+            ).otherwise(0)
         )
-        for name, _, _, parent, pk in _FK_RELATIONSHIPS
-    ]
-    c_all = children[0]
-    for c in children[1:]:
-        c_all = c_all.unionByName(c)
-    p_all = parents[0]
-    for p in parents[1:]:
-        p_all = p_all.unionByName(p)
-    c_agg = c_all.groupBy("rel", "k").agg(F.count(F.lit(1)).alias("cnt"))
-    p_keys = p_all.dropDuplicates(["rel", "k"]).withColumn("hit", F.lit(1))
-    counts = (
-        c_agg.join(p_keys, ["rel", "k"], "left")
-        .groupBy("rel")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n_child"),
-            F.sum(F.when(F.col("k").isNull(), F.col("cnt")).otherwise(0))
-            .cast("bigint")
-            .alias("n_null_keys"),
-            F.sum(
-                F.when(
-                    F.col("k").isNotNull() & F.col("hit").isNull(),
-                    F.col("cnt"),
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_orphans"),
-        )
+        .cast("bigint")
+        .alias("n_orphans"),
     )
     # a zero-row child table produces no (rel, k) groups, so groupBy
     # would drop its relationship row — the old per-branch global

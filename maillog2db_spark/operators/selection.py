@@ -22,88 +22,83 @@ ties to the lowest vec_id. The oracle unrolls the identical K steps as
 CTEs (the MMR / BPE-trainer pattern), so the gate certifies the whole
 selection trajectory plus the final assignment census.
 
-Scale shape — the INCREMENTAL-MIN formulation with measured memory
-discipline (tools/scale_rehearsal_kcenter.py tried all three): each
-selected center is ONE collected bounded row (the BPE winning-pair
-precedent) whose embedding re-enters the plan as LITERALS, so a step
-is one narrow map (``least(mind, dissim-to-new-center)`` — exactly
-one dot product per row) + one TakeOrdered(1); no joins, no shuffles.
-The running min column is persisted and the one-step-older copy
-unpersisted after each top-1 action, so at most TWO corpus-resident
-copies exist — the rehearsal measured the checkpoint-accumulating
-variant 2.2× superlinear at 2M vectors (K corpus copies) and a
-stateless recount variant 5× superlinear (K²·N/2 interpreted dissim
-evaluations); the persisted K·N form is the one that stays linear.
-The assignment census is one stateless scan: an in-row ``array_min``
-over the literal center-struct array, then a K-group
-map-side-combined count.
+Scale shape — the LAZY-GREEDY BUFFER formulation (r11; the r10 form
+ran one TakeOrdered(1) job per center, so K-1 driver round trips of
+plan construction + scheduling dominated the wall at every tested
+scale — ~2.5 s of a 3.9 s sf0.1 query was per-job overhead): ONE
+TakeOrdered(J) job collects the J remaining rows farthest from the
+seed, and because every non-collected row's running min-dissim can
+only SHRINK as centers are added, the J-th collected value is a
+standing upper bound on the outside world — any buffer row whose
+updated min-dissim still meets it is PROVABLY the global argmax, so
+the greedy step resolves on the driver with zero cluster work. The
+driver updates run the same vectorized scorer as the cluster
+(``_np_dissim_ppm`` — exact IEEE op sequence, see its docstring), so
+a certified selection is bit-equal to the distributed job it
+replaces; when the certificate fails the buffer refills with one
+TakeOrdered(J) under the full center chain. The per-row K×dim
+multiply-add interior runs in NumPy behind ONE Arrow-batched pandas
+UDF (guide §4.2) instead of Catalyst's interpreted higher-order-
+function fold (measured ~2 s/corpus-pass at sf0.1). The assignment
+census is one stateless pass of the same scorer over all K centers,
+then a K-group map-side-combined count. Total: 3 jobs + refills
+(zero at sf0.1) instead of K+2, identical trajectory bit-for-bit.
 """
 
 from __future__ import annotations
 
 import time as _time
+from collections import namedtuple
+
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .similarity import _DOT_DUCK, _dot, _embeddings, _norm
+from .similarity import _DOT_DUCK, _embeddings
 
 KCENTER_K = 8  # unrolled in the oracle SQL; keep the two in sync
 _SENT_PPM = -2_000_000  # below any real cosine ppm; NULL-cosine sentinel
 
+# buffer-selected center carried in the same (row-like, radius) shape
+# the collect path produces: _nearest_pdf reads .emb / .nrm
+_BufCenter = namedtuple("_BufCenter", ["vec_id", "emb", "nrm"])
 
-def _dissim_ppm(a_emb, b_emb, ab_nrm):
-    """Exact-ppm dissimilarity 1e6 - cos_ppm at the knn contract's 6dp
-    grain, quantized with the floor fixed-point idiom
-    ``floor(cos·1e6 + 0.5)`` — NOT builtin round(,6), whose
-    Spark-BigDecimal-vs-DuckDB-binary boundary divergence would be
-    amplified here: one flipped ppm can reroute every later center of
-    the greedy trajectory. floor over the identical IEEE quotient is
-    bit-equal on both engines. NULL cosine (zero-norm side) floors to
-    the sentinel -> maximally far."""
-    cos_ppm = F.coalesce(
-        F.floor(
-            F.try_divide(_dot(a_emb, b_emb), ab_nrm) * 1_000_000 + F.lit(0.5)
-        ),
-        F.lit(_SENT_PPM),
-    )
-    return (F.lit(1_000_000) - cos_ppm).cast("bigint")
+_BUFFER_J = 2048  # lazy-greedy buffer floor; see kcenter_from
 
 
-def _centers_literal(centers) -> "F.Column":
-    """The collected centers as ONE constant-folded literal array of
-    (cemb, cnrm, step) structs. float32 -> Python float -> double
-    literal is exact, and ``_dot`` casts the frame side to double the
-    same way, so the arithmetic is bit-identical to a frame-frame
-    join. A single shared literal subtree matters: an earlier
-    formulation built s SEPARATE 64-literal dissim trees under one
-    least() and Catalyst's analysis (CSE over duplicated big trees)
-    dominated wall time — 13.8 s for 2k vectors at sf0.1, vs ~2 s
-    with the one-array form."""
-    return F.array(*[
-        F.struct(
-            F.array(*[F.lit(float(v)) for v in c.emb]).alias("cemb"),
-            F.lit(float(c.nrm)).alias("cnrm"),
-            F.lit(i + 1).cast("int").alias("step"),
-        )
-        for i, (c, _) in enumerate(centers)
-    ])
+# Dissimilarity contract (both expression builders below): exact-ppm
+# 1e6 - cos_ppm at the knn contract's 6dp grain, quantized with the
+# floor fixed-point idiom ``floor(cos·1e6 + 0.5)`` — NOT builtin
+# round(,6), whose Spark-BigDecimal-vs-DuckDB-binary boundary
+# divergence would be amplified here: one flipped ppm can reroute
+# every later center of the greedy trajectory. floor over the
+# identical IEEE quotient is bit-equal on both engines. NULL cosine
+# (zero-norm side) floors to the sentinel -> maximally far.
 
 
-def _argmin_center(carr) -> "F.Column":
-    """(dissim, step) struct of the row's NEAREST center (ties to the
-    earliest step) — in-row argmin, no join, no shuffle."""
-    return F.array_min(
-        F.transform(
-            carr,
-            lambda c: F.struct(
-                _dissim_ppm(
-                    F.col("emb"), c["cemb"], F.col("nrm") * c["cnrm"]
-                ).alias("d"),
-                c["step"].alias("step"),
-            ),
-        )
-    )
+def _np_dissim_ppm(embs, nrms, c_emb, c_nrm: float):
+    """Vectorized dissim-to-one-center over an (N, dim) float64 matrix
+    — int64 ppm vector, shared by the executor-side scorer
+    (``_nearest_pdf``) and the driver-side buffer updates, so both
+    produce the IDENTICAL IEEE double op sequence the original
+    Catalyst fold performed: the accumulation loops over DIMENSIONS in
+    ascending order (vectorized across rows), each row seeing
+    ``(((0.0 + t0) + t1) + …)``; multiply and add are separate NumPy
+    ufuncs (no FMA), each correctly rounded like the JVM's double ops;
+    division, ``*1e6``, ``+0.5`` and floor are the same elementwise
+    scalar ops; a zero norm product takes the try_divide NULL →
+    sentinel branch."""
+    import numpy as np
+
+    acc = np.zeros(len(embs))
+    for j, v in enumerate(c_emb):
+        acc += embs[:, j] * float(v)
+    ab = nrms * c_nrm
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ppm = np.floor(acc / ab * 1_000_000 + 0.5)
+    ppm = np.where(ab == 0.0, float(_SENT_PPM), ppm)
+    return (1_000_000 - ppm).astype(np.int64)
 
 
 def kcenter_select(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
@@ -124,14 +119,51 @@ def kcenter_select(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     return kcenter_from(e, k)
 
 
-def _dissim_to_literal(center) -> "F.Column":
-    """Dissimilarity of the frame's (emb, nrm) to ONE collected center
-    embedded as literals — the per-step incremental update needs
-    exactly one of these per row."""
-    c_emb = F.array(*[F.lit(float(v)) for v in center.emb])
-    return _dissim_ppm(
-        F.col("emb"), c_emb, F.col("nrm") * F.lit(float(center.nrm))
-    )
+def _nearest_pdf(centers):
+    """Vectorized nearest-center (d, step) scorer as ONE Arrow-batched
+    pandas UDF over (emb, nrm) — guide §4.2: the K×dim multiply-add
+    interior runs in NumPy instead of Catalyst's interpreted
+    higher-order-function fold, which measured ~2 s/corpus-pass at
+    sf0.1 for the 8-center chain (and an expanded codegen sum-of-
+    products paid even more in analysis+janino compile per job).
+
+    Bit-equality with the fold it replaces: the accumulation loops
+    over DIMENSIONS in ascending order, vectorized ACROSS rows, so
+    each row sees the identical IEEE double sequence
+    ``(((0.0 + t0) + t1) + …)``; float32 embeddings widen exactly
+    before the multiply; division, ``*1e6``, ``+0.5`` and floor are
+    the same correctly-rounded scalar ops elementwise (no FMA — the
+    multiply and add are separate NumPy ufuncs); a zero norm product
+    takes the NULL→sentinel branch; struct-least ties resolve to the
+    EARLIEST step because a later center replaces only on strictly
+    smaller d. The same contract as ``_py_dissim_ppm``, which the
+    driver uses on buffered rows."""
+    import numpy as np
+
+    c_embs = [[float(v) for v in c.emb] for c, _ in centers]
+    c_nrms = [float(c.nrm) for c, _ in centers]
+
+    @F.pandas_udf("d bigint, step int")
+    def scorer(emb: pd.Series, nrm: pd.Series) -> pd.DataFrame:
+        n = len(emb)
+        if n == 0:
+            return pd.DataFrame({"d": pd.Series([], dtype="int64"),
+                                 "step": pd.Series([], dtype="int32")})
+        e = np.stack(emb.to_numpy()).astype(np.float64)  # exact widening
+        nr = nrm.to_numpy(dtype=np.float64)
+        best_d = best_s = None
+        for i, (ce, cn) in enumerate(zip(c_embs, c_nrms), start=1):
+            d = _np_dissim_ppm(e, nr, ce, cn)
+            if best_d is None:
+                best_d = d
+                best_s = np.full(n, i, dtype=np.int32)
+            else:
+                upd = d < best_d  # strict: ties keep the earliest step
+                best_d = np.where(upd, d, best_d)
+                best_s = np.where(upd, np.int32(i), best_s)
+        return pd.DataFrame({"d": best_d, "step": best_s})
+
+    return scorer
 
 
 def kcenter_from(
@@ -142,24 +174,27 @@ def kcenter_from(
     (tools/scale_rehearsal_kcenter.py), which feeds synthetic corpora
     and collects per-step wall times through ``stats``.
 
-    State discipline (set by the rehearsal's measurements): the
-    running min-dissim column is persisted MEMORY_AND_DISK and the
-    one-step-older state is unpersisted right after each top-1 action
-    materializes the current one — at most TWO corpus-resident copies
-    ever, which is what keeps the per-step cost linear through the
-    2M-vector decade (the first formulation checkpointed every step
-    and went 2.2x superlinear as K copies accumulated; a stateless
-    recount went 5x superlinear from K^2*N/2 interpreted dissim
-    evaluations). Everything — base included — is released
-    DETERMINISTICALLY before returning: the result is K bounded rows,
-    so the whole computation collects inside (the BPE-trainer return
-    pattern) and no corpus-sized cache outlives the call (the
-    rehearsal measured leaked per-size localCheckpoint bases driving
-    a later same-JVM run into eviction thrash: steps of 0.1 s jumped
-    to 16 s mid-loop). On block eviction the recompute walks the
-    projection chain back through base to the source scan — K narrow
-    one-dissim maps, the recount cost as a worst-case fallback, never
-    the steady state."""
+    Lazy-greedy buffer discipline (r11, replacing the r10
+    one-TakeOrdered-job-per-center loop whose K-1 driver round trips
+    of plan construction + job scheduling dominated the wall): ONE
+    TakeOrdered(J) collects the J farthest remaining rows under the
+    current center chain. Every non-collected row's running
+    min-dissim was <= the J-th collected value at fill time and can
+    only SHRINK as centers are added (least of a superset), so while
+    the buffer's best updated value still >= that bound it is
+    provably the global (d desc, vec_id asc) argmax — the tie case is
+    safe too, because an outside row stuck exactly AT the bound
+    ordered strictly after the J-th collected row, hence after the
+    buffer candidate. Certified steps run entirely on the driver with
+    ``_py_dissim_ppm`` (bit-equal arithmetic); a failed certificate
+    triggers one distributed refill under the full chain. The census
+    is one stateless pass: the same incremental least((d, step))
+    chain over all K centers as literals — value-identical to the r10
+    per-step state fold (same expression, same struct-least ties) —
+    plus the K driver-side own-assignment rows. Total jobs: seed +
+    initial fill + census + refills (zero at every tested SF), versus
+    K+2 before; no corpus-sized persists remain (the base persist
+    covers the 2-4 full passes) and nothing outlives the call."""
     from pyspark import StorageLevel
 
     spark = e.sparkSession
@@ -175,89 +210,108 @@ def kcenter_from(
         return spark.createDataFrame([], schema)
     centers = [(seed[0], 0)]  # (collected row, radius at selection)
 
-    def _m_update(center, step: int, old=None):
-        """(d, step) struct of the nearest center so far. struct least
-        compares d first, then step — so ties at equal d keep the
-        EARLIEST step, exactly the argmin-census tie rule."""
-        cand = F.struct(
-            _dissim_to_literal(center).alias("d"),
-            F.lit(step).cast("int").alias("step"),
-        )
-        return cand if old is None else F.least(old, cand)
+    import numpy as np
 
-    # r10 census restructure: the running-min column is a (d, step)
-    # STRUCT, so after the loop the final state already knows every
-    # remaining row's nearest center — the census is one groupBy of
-    # materialized state plus K driver-side rows for the centers
-    # themselves, replacing the K·N literal-array argmin re-evaluation
-    # (measured ~2 s of the query's 3.4 s warm wall at sf0.1; the
-    # selected trajectory, radii, and census are value-identical —
-    # struct-least ties replicate the argmin's earliest-step rule, and
-    # a center's own assignment is its selection-time struct when its
-    # distance to an earlier center is exactly 0, its own step
-    # otherwise — the same verdict the literal argmin produced).
-    state = (
-        base.filter(F.col("vec_id") != int(seed[0].vec_id))
-        .select(
-            "vec_id", "emb", "nrm",
-            _m_update(seed[0], 1).alias("m"),
+    # buffer size: larger J strengthens the certificate (the bound is
+    # the J-th collected value) at ~600 B/row of driver memory, and a
+    # TakeOrdered(2048) costs the same one job as TakeOrdered(1); the
+    # driver-side updates are the vectorized K×J×dim multiply-adds of
+    # _np_dissim_ppm, microseconds at this size. J=64 paid two refill
+    # jobs at sf0.1 and J=512 one; 2048 certified every tested SF
+    # refill-free. (_BUFFER_J is module state so the refill-path test
+    # can shrink it and prove the trajectory is J-invariant.)
+    j_cap = max(_BUFFER_J, 2 * k)
+
+    def _refill():
+        """One TakeOrdered(J) job: the J remaining rows farthest from
+        the current center chain, with their (d, step) running min.
+        Returns (buffer, bound); bound None means the buffer holds
+        EVERY remaining row (certificate always passes)."""
+        sel = [int(c.vec_id) for c, _ in centers]
+        rows = (
+            base.filter(~F.col("vec_id").isin(sel))
+            .select(
+                "vec_id", "emb", "nrm",
+                _nearest_pdf(centers)(F.col("emb"), F.col("nrm")).alias("m"),
+            )
+            .orderBy(F.desc("m.d"), F.asc("vec_id"))
+            .limit(j_cap)
+            .collect()
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    prev = None
+        if not rows:
+            return None, None
+        buf = {
+            "vid": np.array([int(r.vec_id) for r in rows], dtype=np.int64),
+            "emb": np.array([list(r.emb) for r in rows], dtype=np.float64),
+            "nrm": np.array([float(r.nrm) for r in rows], dtype=np.float64),
+            "d": np.array([int(r.m["d"]) for r in rows], dtype=np.int64),
+            "s": np.array([int(r.m["step"]) for r in rows], dtype=np.int32),
+        }
+        return buf, (int(buf["d"][-1]) if len(rows) == j_cap else None)
+
+    def _best(buf):
+        """Index of the buffer's (d desc, vec_id asc) argmax."""
+        if buf is None or len(buf["vid"]) == 0:
+            return None
+        return int(np.lexsort((buf["vid"], -buf["d"]))[0])
+
     # own-assignment step per selected center (driver-side, K bounded):
     # seed is assigned to itself
     own_steps = [1]
+    _t0 = _time.time()
+    buf, bound = _refill()
+    if stats is not None:
+        stats.append((2, _time.time() - _t0))
     for step in range(2, k + 1):
         _t0 = _time.time()
-        # farthest remaining point: TakeOrdered(1) — map-side top-1
-        # per partition, never a global sort; the action materializes
-        # every partition of `state` into the cache
-        nxt = (
-            state.orderBy(F.desc("m.d"), F.asc("vec_id"))
-            .limit(1)
-            .collect()
-        )
-        if prev is not None:
-            prev.unpersist()  # safe: current state is now materialized
-        if stats is not None:
-            stats.append((step, _time.time() - _t0))
-        if not nxt:
+        idx = _best(buf)
+        if idx is None or (bound is not None and int(buf["d"][idx]) < bound):
+            # certificate failed (or buffer drained): one distributed
+            # refill under the full chain re-establishes the bound
+            buf, bound = _refill()
+            idx = _best(buf)
+        if idx is None:
+            if stats is not None:
+                stats.append((step, _time.time() - _t0))
             break  # corpus smaller than K: trajectory ends gracefully
-        m_row = nxt[0]["m"]
-        centers.append((nxt[0], int(m_row["d"])))
+        c_emb = buf["emb"][idx]
+        c_nrm = float(buf["nrm"][idx])
+        c_d = int(buf["d"][idx])
+        c_step = int(buf["s"][idx])
+        centers.append((_BufCenter(int(buf["vid"][idx]), c_emb.tolist(),
+                                   c_nrm), c_d))
         # the center's own census slot replicates the argmin over ALL
         # centers: its self-dissimilarity is 0 for a real vector but
         # the NULL-cosine SENTINEL distance for a zero-norm one
         # (dissim(c, c) rides the same try_divide → sentinel path);
         # an earlier center at d <= self_d claims it (struct-least
         # ties go to the earlier step), else it assigns to itself.
-        self_d = 0 if float(nxt[0]["nrm"]) > 0.0 else 1_000_000 - _SENT_PPM
-        own_steps.append(
-            int(m_row["step"]) if int(m_row["d"]) <= self_d else step
-        )
-        prev = state
-        state = (
-            state.filter(F.col("vec_id") != int(nxt[0].vec_id))
-            .select(
-                "vec_id", "emb", "nrm",
-                _m_update(nxt[0], step, old=F.col("m")).alias("m"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-    # census over the FINAL state (every center applied, selected rows
-    # excluded): one K-group map-side-combined count
+        self_d = 0 if c_nrm > 0.0 else 1_000_000 - _SENT_PPM
+        own_steps.append(c_step if c_d <= self_d else step)
+        keep = np.ones(len(buf["vid"]), dtype=bool)
+        keep[idx] = False
+        buf = {key: a[keep] for key, a in buf.items()}
+        if len(buf["vid"]):
+            d_new = _np_dissim_ppm(buf["emb"], buf["nrm"], c_emb, c_nrm)
+            upd = d_new < buf["d"]  # strict: ties keep the earlier step
+            buf["d"] = np.where(upd, d_new, buf["d"])
+            buf["s"] = np.where(upd, np.int32(step), buf["s"])
+        if stats is not None:
+            stats.append((step, _time.time() - _t0))
+    # census: ONE stateless pass — the vectorized nearest-center scorer
+    # (value-identical to the r10 per-step struct-least fold), K-group
+    # map-side-combined count
+    sel = [int(c.vec_id) for c, _ in centers]
     census = {
         r.step: int(r.n_assigned)
-        for r in state.groupBy(F.col("m.step").alias("step"))
+        for r in base.filter(~F.col("vec_id").isin(sel))
+        .select(_nearest_pdf(centers)(F.col("emb"), F.col("nrm")).alias("m"))
+        .groupBy(F.col("m.step").alias("step"))
         .agg(F.count(F.lit(1)).alias("n_assigned"))
         .collect()
     }
     for s in own_steps:
         census[s] = census.get(s, 0) + 1
-    state.unpersist()
-    if prev is not None:
-        prev.unpersist()
     base.unpersist()
     return spark.createDataFrame(
         [

@@ -18,8 +18,14 @@ that CHOSE the formulation:
     scan): 5x superlinear — K^2*N/2 interpreted HOF dissim
     evaluations dominate once N is real, and duplicated 64-literal
     trees also made Catalyst analysis the bottleneck at small N;
-  * v3 (shipped: incremental min column, persist/unpersist pairing)
-    is the K*N form with bounded residency.
+  * v3 (r7-r10: incremental min column, persist/unpersist pairing)
+    is the K*N form with bounded residency;
+  * v4 (shipped, r11: lazy-greedy buffer — one TakeOrdered(J) fill,
+    driver-certified steps, vectorized pandas-UDF scorer) keeps v3's
+    K*N work bound but cuts the job count from K+2 to 3+refills;
+    certified steps are bit-equal by construction (selection.py).
+    Measured at 2M vectors: total 38 s with 2-3 refill jobs/run,
+    per-step s/1M flat across the 250k->2M decade.
 
 Measured axes: per-step wall across the 8 steps at each size (flat),
 mean per-step across 250k -> 2M (~linear in N), and the assignment
