@@ -124,7 +124,18 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
 def resize_nearest(
     pixels: bytes, width: int, height: int, channels: int, new_w: int, new_h: int
 ) -> bytes:
-    """Nearest-neighbor resample on raw pixel bytes."""
+    """Nearest-neighbor resample on raw pixel bytes. Same floor index
+    map (sy = y*h//new_h, sx = x*w//new_w) on both paths; the numpy
+    path is one fancy-index gather instead of a per-pixel Python loop
+    (it was HALF the JPEG decode wall — 0.16 of 0.32 s over 20 96x64
+    round-trips)."""
+    if _np is not None:
+        src = _np.frombuffer(pixels, dtype=_np.uint8).reshape(
+            height, width, channels
+        )
+        sy = _np.arange(new_h, dtype=_np.int64) * height // new_h
+        sx = _np.arange(new_w, dtype=_np.int64) * width // new_w
+        return src[sy[:, None], sx[None, :]].tobytes()
     out = bytearray(new_w * new_h * channels)
     for y in range(new_h):
         sy = y * height // new_h
@@ -248,6 +259,132 @@ def _huff_decode_map(bits, vals):
             k += 1
         code <<= 1
     return out
+
+
+# --- fast (numpy) entropy decode path -----------------------------------------
+#
+# The sequential _BitReader/_huff_read walk costs a Python dict probe
+# per BIT; with a 3-4 kB scan that is ~30-50 interpreted ops per
+# Huffman symbol and dominated the JPEG round-trip (decode measured
+# 15 ms vs 4 ms encode on a 96x64 plane). The fast path does the bit
+# plumbing ONCE per scan in numpy — unstuff 0xFF00, unpackbits,
+# precompute every 16-bit window — so a symbol resolves with one list
+# index into a canonical 65,536-entry (symbol, length) table and an
+# amplitude with one shift. Same canonical code assignment as
+# _huff_codes, same strict asserts ("bad Huffman stream" where no code
+# matches within 16 bits); decoded coefficients are integer-identical
+# by construction. Tables are cached per (bits, vals) spec — the Annex
+# K tables every stream of ours carries — so the 65,536-entry fill
+# runs once per process.
+
+_FAST_TABLE_CACHE: dict = {}
+
+
+def _huff_fast_table(bits, vals):
+    """(symbol_list, length_list), each indexed by a 16-bit window of
+    the upcoming bit stream; length 0 marks an invalid prefix."""
+    key = (bytes(bits), bytes(vals))
+    t = _FAST_TABLE_CACHE.get(key)
+    if t is not None:
+        return t
+    sym = _np.zeros(65536, dtype=_np.int16)
+    lns = _np.zeros(65536, dtype=_np.int8)
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            base = code << (16 - ln)
+            sym[base:base + (1 << (16 - ln))] = vals[k]
+            lns[base:base + (1 << (16 - ln))] = ln
+            code += 1
+            k += 1
+        code <<= 1
+    t = (sym.tolist(), lns.tolist())
+    _FAST_TABLE_CACHE[key] = t
+    return t
+
+
+_POW16 = None  # built lazily (numpy may be absent)
+
+
+class _FastReader:
+    """Window-precomputed bit cursor over one entropy segment."""
+
+    __slots__ = ("w", "pos")
+
+    def __init__(self, data: bytes):
+        global _POW16
+        if _POW16 is None:
+            _POW16 = (1 << _np.arange(15, -1, -1, dtype=_np.int64)).astype(
+                _np.int32
+            )
+        arr = _np.frombuffer(data, dtype=_np.uint8)
+        # unstuff: every 0xFF inside the segment must be followed by a
+        # stuffed 0x00 (drop it); the first 0xFF with anything else is
+        # the next marker — the segment ends there (the sequential
+        # reader simply never read that far)
+        drop = []
+        end = len(arr)
+        for i in _np.flatnonzero(arr == 0xFF).tolist():
+            if i >= end:
+                break
+            if i + 1 < len(arr) and int(arr[i + 1]) == 0x00:
+                drop.append(i + 1)
+            else:
+                end = i
+        payload = arr[:end]
+        if drop:
+            keep = _np.ones(end, dtype=bool)
+            keep[[d for d in drop if d < end]] = False
+            payload = payload[keep]
+        bits = _np.unpackbits(payload)
+        padded = _np.concatenate([bits, _np.zeros(16, dtype=_np.uint8)])
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        wins = sliding_window_view(padded, 16)[: len(bits) + 1]
+        self.w = (wins.astype(_np.int32) @ _POW16).tolist()
+        self.pos = 0
+
+
+def _read_block_fast(fr: "_FastReader", dc_t, ac_t, prev_dc: int):
+    """_read_block over a _FastReader: identical symbol/amplitude
+    semantics, one table lookup per symbol."""
+    w = fr.w
+    pos = fr.pos
+    dsym, dlen = dc_t
+    asym, alen = ac_t
+    win = w[pos]
+    s = dsym[win]
+    ln = dlen[win]
+    assert ln, "bad Huffman stream"
+    pos += ln
+    if s:
+        diff = _extend(w[pos] >> (16 - s), s)
+        pos += s
+    else:
+        diff = 0
+    prev_dc += diff
+    q = [0] * 64
+    q[0] = prev_dc
+    i = 1
+    while i < 64:
+        win = w[pos]
+        rs = asym[win]
+        ln = alen[win]
+        assert ln, "bad Huffman stream"
+        pos += ln
+        if rs == 0x00:
+            break
+        if rs == 0xF0:
+            i += 16
+            continue
+        i += rs >> 4
+        s = rs & 0x0F
+        assert i < 64, "AC overflow"
+        q[i] = _extend(w[pos] >> (16 - s), s)
+        pos += s
+        i += 1
+    fr.pos = pos
+    return q, prev_dc
 
 
 import math as _math
@@ -423,17 +560,146 @@ def _emit_block(bw: "_BitWriter", q, prev_dc: int, dc_codes, ac_codes) -> int:
     return q[0]
 
 
+def _cat_vec(v):
+    """Vectorized _category: bit length of |v| (0 for 0). np.log2 is
+    exact on powers of two and |v| stays far below 2**53, so the
+    floor+1 form cannot misround."""
+    a = _np.abs(v)
+    s = _np.zeros(len(v), dtype=_np.int64)
+    nz = a > 0
+    s[nz] = _np.floor(_np.log2(a[nz])).astype(_np.int64) + 1
+    return s
+
+
+def _code_arrays(specs, size):
+    codes = _np.zeros((len(specs), size), dtype=_np.int64)
+    lens = _np.zeros((len(specs), size), dtype=_np.int64)
+    for t, spec in enumerate(specs):
+        for sym, (c, ln) in spec.items():
+            codes[t, sym] = c
+            lens[t, sym] = ln
+    return codes, lens
+
+
+def _encode_scan_fast(qmat, comp, tabsel, dc_specs, ac_specs) -> bytes:
+    """Entropy-code one interleaved scan entirely in NumPy — the
+    vectorized twin of the _BitWriter/_emit_block walk, which was the
+    whole encode cost (0.32 of 0.37 s over 20 96x64 color encodes:
+    one Python-level put() per symbol). ``qmat`` is the (n_blocks, 64)
+    zigzag matrix in STREAM order, ``comp`` the per-block DC-predictor
+    chain id, ``tabsel`` the per-block Huffman table id. Bit-identical
+    by construction: same canonical codes, same DC-diff chains, same
+    ZRL/EOB emission order, same fused (code<<s)|amplitude bit run,
+    same 1-padding flush, same 0xFF00 stuffing — pinned byte-for-byte
+    against the sequential writer in tests/test_round11_opt.py."""
+    dc_code, dc_len = _code_arrays(dc_specs, 16)
+    ac_code, ac_len = _code_arrays(ac_specs, 256)
+    nb = len(qmat)
+    # DC: per-component predictor chains
+    dcv = qmat[:, 0]
+    prev = _np.zeros(nb, dtype=_np.int64)
+    for c in range(int(comp.max()) + 1):
+        idx = _np.flatnonzero(comp == c)
+        if len(idx) > 1:
+            prev[idx[1:]] = dcv[idx[:-1]]
+    diff = dcv - prev
+    s_dc = _cat_vec(diff)
+    amp_dc = _np.where(diff >= 0, diff, diff + (_np.int64(1) << s_dc) - 1)
+    val_dc = (dc_code[tabsel, s_dc] << s_dc) | amp_dc
+    nbits_dc = dc_len[tabsel, s_dc] + s_dc
+    # AC: run/size symbols with ZRL expansion, in (block, zigzag) order
+    ac = qmat[:, 1:]
+    bidx, pz = _np.nonzero(ac)
+    pos = pz + 1
+    nac = len(pos)
+    lastpos = _np.zeros(nb, dtype=_np.int64)
+    if nac:
+        same = _np.zeros(nac, dtype=bool)
+        same[1:] = bidx[1:] == bidx[:-1]
+        prevpos = _np.where(
+            same, _np.concatenate([[0], pos[:-1]]), _np.int64(0)
+        )
+        run = pos - prevpos - 1
+        v = ac[bidx, pz].astype(_np.int64)
+        s_ac = _cat_vec(v)
+        amp_ac = _np.where(v >= 0, v, v + (_np.int64(1) << s_ac) - 1)
+        nzrl = run >> 4
+        t_ac = tabsel[bidx]
+        rs = ((run & 15) << 4) | s_ac
+        val_ac = (ac_code[t_ac, rs] << s_ac) | amp_ac
+        nbits_ac = ac_len[t_ac, rs] + s_ac
+        _np.maximum.at(lastpos, bidx, pos)
+        # within-block ordinal (1-based end) of each AC symbol counting
+        # its preceding ZRLs: segmented cumsum of (nzrl + 1)
+        k = nzrl + 1
+        ck = _np.cumsum(k)
+        firsts = _np.flatnonzero(~same)
+        grp = _np.cumsum(~same) - 1
+        cwin = ck - (ck[firsts] - k[firsts])[grp]
+    has_eob = lastpos < 63
+    acsyms = _np.zeros(nb, dtype=_np.int64)
+    if nac:
+        _np.maximum.at(acsyms, bidx, cwin)
+    boff = _np.concatenate(
+        [[0], _np.cumsum(1 + acsyms + has_eob)]
+    ).astype(_np.int64)
+    total_syms = int(boff[-1])
+    vals = _np.zeros(total_syms, dtype=_np.int64)
+    nbits = _np.zeros(total_syms, dtype=_np.int64)
+    vals[boff[:-1]] = val_dc
+    nbits[boff[:-1]] = nbits_dc
+    if nac:
+        slot = boff[bidx] + cwin
+        vals[slot] = val_ac
+        nbits[slot] = nbits_ac
+        tz = int(nzrl.sum())
+        if tz:
+            zrep = _np.repeat(_np.arange(nac), nzrl)
+            intra = _np.arange(tz) - _np.repeat(_np.cumsum(nzrl) - nzrl, nzrl)
+            zslot = boff[bidx[zrep]] + (cwin[zrep] - nzrl[zrep]) + intra
+            vals[zslot] = ac_code[t_ac[zrep], 0xF0]
+            nbits[zslot] = ac_len[t_ac[zrep], 0xF0]
+    if has_eob.any():
+        eslot = boff[1:][has_eob] - 1
+        et = tabsel[has_eob]
+        vals[eslot] = ac_code[et, 0x00]
+        nbits[eslot] = ac_len[et, 0x00]
+    # variable-length bit packing + flush 1-padding + 0xFF00 stuffing
+    ends = _np.cumsum(nbits)
+    total = int(ends[-1])
+    rep = _np.repeat(_np.arange(total_syms), nbits)
+    ordv = _np.arange(total) - _np.repeat(ends - nbits, nbits)
+    bits = ((vals[rep] >> (nbits[rep] - 1 - ordv)) & 1).astype(_np.uint8)
+    padb = (-total) % 8
+    if padb:
+        bits = _np.concatenate([bits, _np.ones(padb, dtype=_np.uint8)])
+    by = _np.packbits(bits)
+    ff = _np.flatnonzero(by == 0xFF)
+    if len(ff):
+        by = _np.insert(by, ff + 1, 0)
+    return by.tobytes()
+
+
 def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
     """Baseline sequential JPEG, 8-bit grayscale, Annex K tables.
     ``pixels`` is row-major, one byte per pixel; edges pad by
     replication to 8x8 blocks."""
     dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
-    bw = _BitWriter()
-    prev_dc = 0
-    for q in _encode_blocks_zigzag(pixels, width, height):
-        prev_dc = _emit_block(bw, q, prev_dc, dc_codes, ac_codes)
-    entropy = bw.flush()
+    qblocks = _encode_blocks_zigzag(pixels, width, height)
+    if _np is not None:
+        nb = len(qblocks)
+        zeros = _np.zeros(nb, dtype=_np.int64)
+        entropy = _encode_scan_fast(
+            _np.asarray(qblocks, dtype=_np.int64), zeros, zeros,
+            [dc_codes], [ac_codes],
+        )
+    else:
+        bw = _BitWriter()
+        prev_dc = 0
+        for q in qblocks:
+            prev_dc = _emit_block(bw, q, prev_dc, dc_codes, ac_codes)
+        entropy = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
@@ -610,9 +876,9 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
             bits = list(payload[1:17])
             vals = list(payload[17:17 + sum(bits)])
             if cls == 0:
-                dc_map = _huff_decode_map(bits, vals)
+                dc_map = (bits, vals)
             else:
-                ac_map = _huff_decode_map(bits, vals)
+                ac_map = (bits, vals)
         elif marker == 0xDA:
             pos += ln
             break
@@ -621,17 +887,27 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
         pos += ln
     assert qtab and width and height and dc_map and ac_map, "incomplete header"
 
-    br = _BitReader(data[pos:])
     bw_blocks = (width + 7) // 8
     bh_blocks = (height + 7) // 8
     # entropy-decode every block first (inherently sequential), then
     # reconstruct: batched dequant + one einsum IDCT when numpy is
-    # available, per-block pure Python otherwise
+    # available, per-block pure Python otherwise. The symbol loop uses
+    # the window-precomputed fast reader when numpy is present (same
+    # integers — see the fast-path header note).
     prev_dc = 0
     qblocks = []
-    for _ in range(bh_blocks * bw_blocks):
-        q, prev_dc = _read_block(br, dc_map, ac_map, prev_dc)
-        qblocks.append(q)
+    if _np is not None:
+        fr = _FastReader(data[pos:])
+        dc_t, ac_t = _huff_fast_table(*dc_map), _huff_fast_table(*ac_map)
+        for _ in range(bh_blocks * bw_blocks):
+            q, prev_dc = _read_block_fast(fr, dc_t, ac_t, prev_dc)
+            qblocks.append(q)
+    else:
+        br = _BitReader(data[pos:])
+        dc_m, ac_m = _huff_decode_map(*dc_map), _huff_decode_map(*ac_map)
+        for _ in range(bh_blocks * bw_blocks):
+            q, prev_dc = _read_block(br, dc_m, ac_m, prev_dc)
+            qblocks.append(q)
     return width, height, _blocks_to_plane(
         qblocks, qtab, bw_blocks, bh_blocks, width, height
     )
@@ -784,17 +1060,39 @@ def encode_jpeg_ycbcr(y: bytes, cb: bytes, cr: bytes,
     ac_y = _huff_codes(_AC_BITS, _AC_VALS)
     dc_c = _huff_codes(_DC_BITS_C, _DC_VALS_C)
     ac_c = _huff_codes(_AC_BITS_C, _AC_VALS_C)
-    bw = _BitWriter()
-    pdc = [0, 0, 0]  # per-component DC predictors
-    for my in range(mcu_h):
-        for mx in range(mcu_w):
-            for dy in range(2):
-                for dx in range(2):
-                    q = yq[(2 * my + dy) * (2 * mcu_w) + 2 * mx + dx]
-                    pdc[0] = _emit_block(bw, q, pdc[0], dc_y, ac_y)
-            pdc[1] = _emit_block(bw, cbq[my * mcu_w + mx], pdc[1], dc_c, ac_c)
-            pdc[2] = _emit_block(bw, crq[my * mcu_w + mx], pdc[2], dc_c, ac_c)
-    entropy = bw.flush()
+    if _np is not None:
+        # stream-order gather: per MCU, the 4 Y blocks (grid order
+        # (0,0),(0,1),(1,0),(1,1)) then Cb then Cr — exactly the
+        # sequential writer's emission order
+        m = _np.arange(mcu_h * mcu_w)
+        my, mx = m // mcu_w, m % mcu_w
+        y00 = (2 * my) * (2 * mcu_w) + 2 * mx
+        n_y, n_c = 4 * mcu_w * mcu_h, mcu_w * mcu_h
+        sel = _np.stack(
+            [y00, y00 + 1, y00 + 2 * mcu_w, y00 + 2 * mcu_w + 1,
+             n_y + m, n_y + n_c + m],
+            axis=1,
+        ).ravel()
+        qmat = _np.asarray(yq + cbq + crq, dtype=_np.int64)[sel]
+        comp = _np.tile(_np.array([0, 0, 0, 0, 1, 2]), mcu_h * mcu_w)
+        tab = _np.tile(_np.array([0, 0, 0, 0, 1, 1]), mcu_h * mcu_w)
+        entropy = _encode_scan_fast(
+            qmat, comp, tab, [dc_y, dc_c], [ac_y, ac_c]
+        )
+    else:
+        bw = _BitWriter()
+        pdc = [0, 0, 0]  # per-component DC predictors
+        for my in range(mcu_h):
+            for mx in range(mcu_w):
+                for dy in range(2):
+                    for dx in range(2):
+                        q = yq[(2 * my + dy) * (2 * mcu_w) + 2 * mx + dx]
+                        pdc[0] = _emit_block(bw, q, pdc[0], dc_y, ac_y)
+                pdc[1] = _emit_block(bw, cbq[my * mcu_w + mx], pdc[1],
+                                     dc_c, ac_c)
+                pdc[2] = _emit_block(bw, crq[my * mcu_w + mx], pdc[2],
+                                     dc_c, ac_c)
+        entropy = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return (bytes([0xFF, marker])
@@ -866,9 +1164,7 @@ def decode_jpeg_ycbcr(data: bytes):
                 bits = list(payload[off + 1:off + 17])
                 n = sum(bits)
                 vals = list(payload[off + 17:off + 17 + n])
-                (dc_maps if cls == 0 else ac_maps)[tid] = _huff_decode_map(
-                    bits, vals
-                )
+                (dc_maps if cls == 0 else ac_maps)[tid] = (bits, vals)
                 off += 17 + n
         elif marker == 0xDA:
             pos += ln
@@ -880,7 +1176,27 @@ def decode_jpeg_ycbcr(data: bytes):
             and 0 in dc_maps and 1 in dc_maps
             and 0 in ac_maps and 1 in ac_maps), "incomplete header"
 
-    br = _BitReader(data[pos:])
+    # fast window-precomputed reader when numpy is present (identical
+    # integers; see the fast-path header note), sequential fallback
+    if _np is not None:
+        rdr = _FastReader(data[pos:])
+        tabs = {
+            t: (_huff_fast_table(*dc_maps[t]), _huff_fast_table(*ac_maps[t]))
+            for t in (0, 1)
+        }
+
+        def rd(tid, p):
+            return _read_block_fast(rdr, tabs[tid][0], tabs[tid][1], p)
+    else:
+        brr = _BitReader(data[pos:])
+        maps = {
+            t: (_huff_decode_map(*dc_maps[t]), _huff_decode_map(*ac_maps[t]))
+            for t in (0, 1)
+        }
+
+        def rd(tid, p):
+            return _read_block(brr, maps[tid][0], maps[tid][1], p)
+
     mcu_w, mcu_h = (width + 15) // 16, (height + 15) // 16
     yq = [None] * (4 * mcu_w * mcu_h)
     cbq, crq = [], []
@@ -889,12 +1205,11 @@ def decode_jpeg_ycbcr(data: bytes):
         for mx in range(mcu_w):
             for dy in range(2):
                 for dx in range(2):
-                    q, pdc[0] = _read_block(br, dc_maps[0], ac_maps[0],
-                                            pdc[0])
+                    q, pdc[0] = rd(0, pdc[0])
                     yq[(2 * my + dy) * (2 * mcu_w) + 2 * mx + dx] = q
-            q, pdc[1] = _read_block(br, dc_maps[1], ac_maps[1], pdc[1])
+            q, pdc[1] = rd(1, pdc[1])
             cbq.append(q)
-            q, pdc[2] = _read_block(br, dc_maps[1], ac_maps[1], pdc[2])
+            q, pdc[2] = rd(1, pdc[2])
             crq.append(q)
     cw, ch = (width + 1) // 2, (height + 1) // 2
     y = _blocks_to_plane(yq, qtabs[0], 2 * mcu_w, 2 * mcu_h, width, height)

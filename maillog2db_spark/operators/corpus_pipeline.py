@@ -112,40 +112,46 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = fp.join(ids_dedup, "doc_id", "left_semi")
 
-    # substring-novelty near-dup stage (first-writer-wins shingle
-    # attribution, the doc_shingle_novelty operator inlined over the
-    # dedup survivors): a doc whose shingles are >=50% already seen in
-    # an earlier surviving doc is dropped as a near-duplicate. Docs too
-    # short to shingle carry no evidence and pass through.
-    ex = deduped.select("doc_id", F.explode("sh").alias("shingle"))
-    first_doc = ex.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    dupish = (
-        ex.join(first_doc, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sh"),
-            F.sum(F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)).alias("n_seen"),
-        )
-        .filter(F.col("n_seen") * 2 >= F.col("n_sh"))
-        .select("doc_id")
-        .localCheckpoint(eager=False)  # consumed by ids_novel AND flags
-    )
-    ids_novel = ids_dedup.join(dupish, "doc_id", "left_anti")
-
-    # decontamination vs the benchmark source's shingle set
+    # novelty + decontamination FUSED over ONE shingle explode (r11,
+    # guide §2.4): the two stages previously exploded the survivor
+    # shingles twice (novelty over `deduped`, contamination over
+    # `novel`) and paid [shingle groupBy + join-back + doc groupBy] +
+    # [semi-join + explode + semi-join + doc groupBy]. One pass now
+    # carries first-writer attribution (window min over the shingle —
+    # the same exchange the groupBy+join-back needed, minus the join
+    # stage) AND the benchmark-hit flag, and ONE doc-grain aggregate
+    # yields (n_sh, n_seen, n_hit). Computing n_hit for dup-ish docs
+    # too is value-identical: the funnel reads the contamination flag
+    # only under is_novel, and for every novel doc the shingle set —
+    # hence the hit count — is unchanged. Docs too short to shingle
+    # carry no evidence and pass through, as before.
     bench = (
         d.filter(F.col("source") == BENCH_SOURCE)
         .select(F.explode("sh").alias("shingle"))
         .distinct()
     )
-    novel = fp.join(ids_novel, "doc_id", "left_semi")
+    ex = deduped.select("doc_id", F.explode("sh").alias("shingle"))
+    per_doc = (
+        ex.withColumn(
+            "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+        )
+        .join(F.broadcast(bench.withColumn("bh", F.lit(1))), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)).alias("n_seen"),
+            F.count("bh").alias("n_hit"),
+        )
+        .localCheckpoint(eager=False)  # consumed by dupish AND hits
+    )
+    dupish = (
+        per_doc.filter(F.col("n_seen") * 2 >= F.col("n_sh")).select("doc_id")
+    )
+    ids_novel = ids_dedup.join(dupish, "doc_id", "left_anti")
     hits = (
-        novel.select("doc_id", F.size("sh").cast("bigint").alias("n_sh"), F.explode("sh").alias("shingle"))
-        .join(F.broadcast(bench), "shingle", "left_semi")
-        .groupBy("doc_id", "n_sh")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-        .filter(F.col("n_hit") * 1_000_000 >= F.col("n_sh") * CONTAM_PPM_THRESHOLD)
-        .select("doc_id")
+        per_doc.filter(
+            F.col("n_hit") * 1_000_000 >= F.col("n_sh") * CONTAM_PPM_THRESHOLD
+        ).select("doc_id")
     )
 
     # the funnel as ONE conditional aggregate over flag joins (id sets

@@ -92,6 +92,88 @@ def test_kcenter_scorer_matches_python_replica_on_edges(spark):
     assert [r.m["d"] for r in rows] == [0, 1_000_000]
 
 
+def test_jpeg_fast_entropy_coder_bit_identical():
+    """The NumPy scan encoder and window-precomputed decoder against
+    the sequential _BitWriter/_BitReader walks, on the SAME quantized
+    blocks (the DCT float paths are compared elsewhere; entropy coding
+    must be bit-exact): random + flat + single-block planes, gray and
+    interleaved color."""
+    import random
+
+    import numpy as np
+
+    from maillog2db_spark.operators import codecs as C
+
+    random.seed(41)
+    for w, h in [(8, 8), (9, 8), (96, 64), (33, 31)]:
+        g = bytes(random.randrange(256) for _ in range(w * h))
+        qblocks = C._encode_blocks_zigzag(g, w, h)
+        nb = len(qblocks)
+        zeros = np.zeros(nb, dtype=np.int64)
+        dc = C._huff_codes(C._DC_BITS, C._DC_VALS)
+        ac = C._huff_codes(C._AC_BITS, C._AC_VALS)
+        fast = C._encode_scan_fast(
+            np.asarray(qblocks, dtype=np.int64), zeros, zeros, [dc], [ac]
+        )
+        bw = C._BitWriter()
+        prev = 0
+        for q in qblocks:
+            prev = C._emit_block(bw, q, prev, dc, ac)
+        assert fast == bw.flush(), (w, h)
+
+        # decode side: fast reader vs sequential reader, same stream
+        jb = C.encode_jpeg_gray(g, w, h)
+        pos = 2
+        while True:
+            marker = jb[pos + 1]
+            pos += 2
+            ln = int.from_bytes(jb[pos:pos + 2], "big")
+            pos += ln
+            if marker == 0xDA:
+                break
+        fr = C._FastReader(jb[pos:])
+        br = C._BitReader(jb[pos:])
+        dt = C._huff_fast_table(list(C._DC_BITS), list(C._DC_VALS))
+        at = C._huff_fast_table(list(C._AC_BITS), list(C._AC_VALS))
+        dm = C._huff_decode_map(C._DC_BITS, C._DC_VALS)
+        am = C._huff_decode_map(C._AC_BITS, C._AC_VALS)
+        pf = ps = 0
+        for _ in range(nb):
+            qf, pf = C._read_block_fast(fr, dt, at, pf)
+            qs, ps = C._read_block(br, dm, am, ps)
+            assert qf == qs
+
+    # color: full encode must match the sequential writer given the
+    # same numpy-quantized planes (flat image exercises the EOB-only
+    # and multi-table interleave branches)
+    for pix in [bytes(random.randrange(256) for _ in range(48 * 40 * 3)),
+                bytes([128]) * (48 * 40 * 3)]:
+        y, cb, cr = C.rgb_to_ycbcr(pix, 48, 40)
+        fast = C.encode_jpeg_ycbcr(y, cb, cr, 48, 40)
+        # sequential emission over the identical block lists
+        mcu_w, mcu_h = (48 + 15) // 16, (40 + 15) // 16
+        yq = C._plane_qblocks(y, 48, 40, C._JPEG_QTABLE, 2 * mcu_w, 2 * mcu_h)
+        cbs, cw, ch = C._subsample_420(cb, 48, 40)
+        crs, _, _ = C._subsample_420(cr, 48, 40)
+        cbq = C._plane_qblocks(cbs, cw, ch, C._JPEG_QTABLE_C, mcu_w, mcu_h)
+        crq = C._plane_qblocks(crs, cw, ch, C._JPEG_QTABLE_C, mcu_w, mcu_h)
+        dc_y = C._huff_codes(C._DC_BITS, C._DC_VALS)
+        ac_y = C._huff_codes(C._AC_BITS, C._AC_VALS)
+        dc_c = C._huff_codes(C._DC_BITS_C, C._DC_VALS_C)
+        ac_c = C._huff_codes(C._AC_BITS_C, C._AC_VALS_C)
+        bw = C._BitWriter()
+        pdc = [0, 0, 0]
+        for my in range(mcu_h):
+            for mx in range(mcu_w):
+                for dy in range(2):
+                    for dx in range(2):
+                        q = yq[(2 * my + dy) * (2 * mcu_w) + 2 * mx + dx]
+                        pdc[0] = C._emit_block(bw, q, pdc[0], dc_y, ac_y)
+                pdc[1] = C._emit_block(bw, cbq[my * mcu_w + mx], pdc[1], dc_c, ac_c)
+                pdc[2] = C._emit_block(bw, crq[my * mcu_w + mx], pdc[2], dc_c, ac_c)
+        assert bw.flush() in fast  # entropy segment embedded in the file
+
+
 @pytest.fixture()
 def fk_tables(tmp_path):
     """A planted star schema hitting every referential-integrity edge:
