@@ -502,6 +502,161 @@ def _pairs_within_groups(
     return small_pairs.unionByName(big_pairs).distinct()
 
 
+def _prefix_filtered_candidates(
+    d: DataFrame,
+    block_cols: list[str],
+    t: float,
+    probe_key: tuple | None = None,
+    cap: int = BUCKET_CAP,
+    salt: int = PAIR_SALT,
+) -> DataFrame:
+    """AllPairs prefix-index candidates with BOTH lossless prune bounds
+    applied before the set verify (Bayardo et al. WWW'07 size bound;
+    Xiao et al. WWW'08 PPJoin positional bound):
+
+      length:     J ≤ min(na,nb)/max(na,nb), so J ≥ t requires
+                  10·min ≥ tq·max  (tq = 10t, exact for the registered
+                  thresholds 0.7/0.8)
+      positional: no common shingle precedes the FIRST shared prefix
+                  shingle w* — any common u < w* sits before w* in both
+                  sorted arrays, hence inside both prefixes, and would
+                  itself be the first shared entry — so
+                  overlap ≤ 1 + min(na−ia*−1, nb−ib*−1) with ia*/ib*
+                  w*'s 0-based ranks, and J ≥ t ⟺ (10+tq)·overlap ≥
+                  tq·(na+nb). Integer certificates: no ratio of set
+                  sizes falls strictly between double(t) and rational
+                  tq/10 (the r10 length-bound argument), so the integer
+                  tests agree exactly with the float verify.
+
+    ``d``: (doc_id, *block_cols, n, prefix) with ``prefix`` the first
+    ⌊(1−t)·n⌋+1 elements of the array_sort'ed shingle set. Returns
+    (doc_a < doc_b, na, nb), deduplicated. min(ia)/min(ib) over a
+    pair's shared prefix entries BOTH land on w* (prefix rank order =
+    shingle order), so the aggregate never needs the shingle itself.
+    Same two-regime bucket expansion and memoized oversize probe as
+    ``_pairs_within_groups``, with (n, i) riding as payload."""
+    idx = d.select(
+        *block_cols, "doc_id", "n", F.posexplode("prefix").alias("i", "p")
+    )
+    group_cols = [*block_cols, "p"]
+    safe_cols: list = []
+    wide_group_cols: list[str] = []
+    for c in group_cols:
+        dt = idx.schema[c].dataType
+        if isinstance(dt, T.StringType):
+            default = F.lit("")
+        elif isinstance(dt, T.NumericType):
+            default = F.lit(0).cast(dt)
+        else:
+            raise ValueError(f"group col {c!r} must be string or numeric, got {dt}")
+        safe_cols += [
+            F.coalesce(F.col(c), default).alias(c),
+            F.isnull(c).alias(f"{c}__isnull"),
+        ]
+        wide_group_cols += [c, f"{c}__isnull"]
+    keyed = idx.select(*safe_cols, "doc_id", "n", "i")
+    group_cols = wide_group_cols
+    big_keys = (
+        keyed.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") > cap)
+        .select(*group_cols)
+    )
+    if probe_key is not None:
+        cache = _PROBE_CACHE.setdefault(keyed.sparkSession, {})
+        has_oversize = cache.get(probe_key)
+        if has_oversize is None:
+            has_oversize = bool(big_keys.limit(1).count())
+            cache[probe_key] = has_oversize
+    else:
+        has_oversize = bool(big_keys.limit(1).count())
+
+    if not has_oversize:
+        small = keyed
+    else:
+        small = keyed.join(F.broadcast(big_keys), group_cols, "left_anti")
+    # struct ordered by doc_id (unique within a bucket: shingle sets are
+    # element-distinct, one prefix entry per doc) → array_sort gives the
+    # triangular a<b expansion of _pairs_within_groups with payload.
+    grouped = small.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "n", "i"))).alias("xs")
+    )
+    anchored = grouped.filter(F.size("xs") > 1).select(
+        "xs", F.posexplode("xs").alias("k", "xa")
+    )
+    small_matches = anchored.select(
+        F.col("xa.doc_id").alias("doc_a"),
+        F.col("xa.n").alias("na"),
+        F.col("xa.i").alias("ia"),
+        F.explode(F.slice("xs", F.col("k") + 2, F.size("xs"))).alias("xb"),
+    ).select(
+        "doc_a", "na", "ia",
+        F.col("xb.doc_id").alias("doc_b"),
+        F.col("xb.n").alias("nb"),
+        F.col("xb.i").alias("ib"),
+    )
+
+    if has_oversize:
+        big = keyed.join(F.broadcast(big_keys), group_cols, "left_semi").withColumn(
+            "ck", F.pmod(F.hash("doc_id"), F.lit(salt))
+        )
+        left = big.select(
+            *group_cols,
+            F.struct(
+                F.col("doc_id").alias("doc_id"), F.col("n").alias("n"),
+                F.col("i").alias("i"),
+            ).alias("xa"),
+            F.col("ck").alias("ci"),
+            F.explode(F.sequence(F.col("ck"), F.lit(salt - 1))).alias("cj"),
+        )
+        right = big.select(
+            *[F.col(c).alias(f"rg_{c}") for c in group_cols],
+            F.struct(
+                F.col("doc_id").alias("doc_id"), F.col("n").alias("n"),
+                F.col("i").alias("i"),
+            ).alias("xb"),
+            F.col("ck").alias("rcj"),
+            F.explode(F.sequence(F.lit(0), F.col("ck"))).alias("rci"),
+        )
+        cond = reduce(
+            lambda a, b: a & b,
+            [left[c] == right[f"rg_{c}"] for c in group_cols]
+            + [left["ci"] == right["rci"], left["cj"] == right["rcj"],
+               left["xa"]["doc_id"] != right["xb"]["doc_id"]],
+        )
+        lo = F.when(
+            F.col("xa.doc_id") < F.col("xb.doc_id"), F.col("xa")
+        ).otherwise(F.col("xb"))
+        hi = F.when(
+            F.col("xa.doc_id") < F.col("xb.doc_id"), F.col("xb")
+        ).otherwise(F.col("xa"))
+        big_matches = (
+            left.join(right, cond)
+            .select(lo.alias("lo"), hi.alias("hi"))
+            .select(
+                F.col("lo.doc_id").alias("doc_a"), F.col("lo.n").alias("na"),
+                F.col("lo.i").alias("ia"),
+                F.col("hi.doc_id").alias("doc_b"), F.col("hi.n").alias("nb"),
+                F.col("hi.i").alias("ib"),
+            )
+        )
+        small_matches = small_matches.unionByName(big_matches)
+
+    tq = int(t * 10)
+    pairs = small_matches.groupBy("doc_a", "doc_b").agg(
+        F.min("na").alias("na"), F.min("nb").alias("nb"),
+        F.min("ia").alias("ia"), F.min("ib").alias("ib"),
+    )
+    return pairs.filter(
+        (F.least("na", "nb") * F.lit(10) >= F.greatest("na", "nb") * F.lit(tq))
+        & (
+            (F.lit(1) + F.least(F.col("na") - F.col("ia") - 1,
+                                F.col("nb") - F.col("ib") - 1)) * F.lit(10 + tq)
+            >= (F.col("na") + F.col("nb")) * F.lit(tq)
+        )
+    ).select("doc_a", "doc_b", "na", "nb")
+
+
 def banded_signatures(sigs: DataFrame) -> DataFrame:
     """sigs → (doc_id, band, bh): one row per (doc, band) with the
     band's bucket key. All bands in ONE pass over sigs (a union of
@@ -707,8 +862,12 @@ def blocked_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    idx = d.select("doc_id", "lang", F.explode("prefix").alias("p"))
-    cand = _pairs_within_groups(idx, ["lang", "p"], probe_key=(sf_dir, "jacc_prefix"))
+    # r11: length + PPJoin positional prune on the same prefix index —
+    # lossless (the trailing J ≥ t filter is the contract; both bounds
+    # only discard pairs that provably fail it), fewer verify pairs.
+    cand = _prefix_filtered_candidates(
+        d, ["lang"], BLOCKED_JACCARD_T, probe_key=(sf_dir, "jacc_prefix")
+    ).select("doc_a", "doc_b")
     sets = d.select("doc_id", "lang", "sh")
     a = sets.select(
         F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"),
@@ -1230,24 +1389,13 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    idx = d.select("doc_id", F.explode("prefix").alias("p"))
-    cand = _pairs_within_groups(idx, ["p"], probe_key=(sf_dir, "lshrecall_prefix"))
-    # lossless LENGTH filter before the expensive set verify (the
-    # AllPairs size bound): J(a,b) ≤ min(n)/max(n), so J ≥ t requires
-    # 10·min ≥ 7·max at t = 0.7 — exact integers, prunes the verify
-    # set ~2× (measured 334k → 172k pairs at sf0.1) with two narrow
-    # (doc_id, n) joins instead of array joins for the pruned pairs
-    ns = d.select("doc_id", "n")
-    cand = (
-        cand.join(ns.select(F.col("doc_id").alias("doc_a"),
-                            F.col("n").alias("na")), "doc_a")
-        .join(ns.select(F.col("doc_id").alias("doc_b"),
-                        F.col("n").alias("nb")), "doc_b")
-        .filter(
-            F.least("na", "nb") * F.lit(10)
-            >= F.greatest("na", "nb") * F.lit(int(JACCARD_THRESHOLD * 10))
-        )
-        .select("doc_a", "doc_b", "na", "nb")
+    # lossless LENGTH + POSITIONAL filters before the expensive set
+    # verify (r11, VERDICT item 6): the size bound alone pruned 334k →
+    # 172k pairs at sf0.1; the PPJoin positional bound rides the same
+    # index (positions carried through the pair expansion, no extra
+    # joins — the two r10 (doc_id, n) attach joins fold away too).
+    cand = _prefix_filtered_candidates(
+        d, [], JACCARD_THRESHOLD, probe_key=(sf_dir, "lshrecall_prefix")
     )
     a = d.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     b = d.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))

@@ -56,6 +56,53 @@ def header_re(strict_day: bool = True) -> str:
     return HEADER_RE_STRICT if strict_day else HEADER_RE_LENIENT
 
 
+# --- single-pass group extraction (r11, guide §1.2/§4.2 per-task work) -----
+#
+# regexp_extract(m, pat, i) runs the FULL regex match once per call, so
+# projecting k groups costs k matches per row (a delivery row paid 8, a
+# qmgr row 6). regex_groups evaluates the pattern ONCE per row via a
+# regexp_replace that rewrites the leftmost match into its groups joined
+# on a separator byte, then splits. Exact-equivalence contract with
+# [regexp_extract(m, pat, i) for i = 1..n], for ALL inputs:
+#
+#   * "^.*?" + pat explores (start position, internal captures) in the
+#     same order as Matcher.find() — the lazy prefix grows only after
+#     every internal configuration at the current start is exhausted —
+#     so the replaced match is the identical leftmost match with
+#     identical captures; the appended "(?s:.*)" consumes any suffix
+#     after the match (without re-emitting it) so the whole input is
+#     rewritten to exactly the n joined groups.
+#   * Guarded fallback: rows where the separator byte occurs in the
+#     input (could corrupt the split) or where the split width is not n
+#     (no match: regexp_replace returned the input unchanged) take the
+#     original per-group regexp_extract path — byte-identical semantics
+#     including the empty-string-on-no-match convention. Every caller
+#     sits behind the router (rows are pre-filtered to their matching
+#     pattern) and log lines never contain \x01, so the fallback never
+#     evaluates in practice; it exists to make the rewrite a pure
+#     plan-level optimization rather than a semantic change.
+
+_GROUPS_SEP = "\x01"
+
+
+def regex_groups(m: Column, pat: str, n: int) -> Column:
+    """Array of capture groups 1..n of the leftmost match of ``pat`` in
+    ``m``, one regex evaluation per row (see module comment above).
+    Callers should land this in its own projection (withColumn) so the
+    array is computed once and fields are cheap element_at reads —
+    CollapseProject keeps the split-off stage because inlining would
+    duplicate a non-cheap expression."""
+    assert n >= 2, "no-match detection needs n >= 2 (split width 1 == n)"
+    repl = _GROUPS_SEP.join(f"${i}" for i in range(1, n + 1))
+    arr = F.split(
+        F.regexp_replace(m, "^.*?" + pat + "(?s:.*)", repl), _GROUPS_SEP, -1
+    )
+    fallback = F.array(*[F.regexp_extract(m, pat, i) for i in range(1, n + 1)])
+    return F.when(
+        (~F.contains(m, F.lit(_GROUPS_SEP))) & (F.size(arr) == n), arr
+    ).otherwise(fallback)
+
+
 def syslog_timestamp(ts_raw: Column, year: int) -> Column:
     """Syslog ``MMM dd HH:mm:ss`` → timestamp with an injected year.
 
@@ -108,16 +155,18 @@ def parse_lines(
     # Header extraction (P2) + remainder projection (P3). The reference
     # removes every occurrence of the matched header substring then trims
     # (strings.Replace(line, match, "", -1), maillog2db.go:187);
-    # F.replace has identical replace-all semantics.
-    hdr_match = F.regexp_extract(v, hdr, 0)
-    message = F.trim(F.replace(v, hdr_match, F.lit("")))
+    # F.replace has identical replace-all semantics. One regex_groups
+    # pass (r11) yields group 0 (via an outer wrap) + the 4 fields —
+    # one header-regex evaluation per admitted line instead of five.
+    df = df.withColumn("_h", regex_groups(v, "(" + hdr + ")", 5))
+    message = F.trim(F.replace(v, F.col("_h")[0], F.lit("")))
 
     parsed = df.select(
         "seq",
-        F.regexp_extract(v, hdr, 1).alias("ts_raw"),
-        F.regexp_extract(v, hdr, 2).alias("mailhost"),
-        F.regexp_extract(v, hdr, 3).alias("process"),
-        F.regexp_extract(v, hdr, 4).alias("pid"),
+        F.col("_h")[1].alias("ts_raw"),
+        F.col("_h")[2].alias("mailhost"),
+        F.col("_h")[3].alias("process"),
+        F.col("_h")[4].alias("pid"),
         message.alias("message"),
     ).withColumn("ts", syslog_timestamp(F.col("ts_raw"), year))
 
@@ -148,19 +197,31 @@ def extract_smtpd(parsed: DataFrame) -> DataFrame:
     quarantined out (the reference would panic on them —
     csplitmatches[0] index out of range)."""
     m = F.col("message")
-    df = parsed.filter(F.col("entry_type") == ENTRY_SMTPD).select(
+    df = (
+        parsed.filter(F.col("entry_type") == ENTRY_SMTPD)
+        .withColumn("_g", regex_groups(m, SMTPD_RE, 2))
+        .select(
+            "seq",
+            "ts",
+            "mailhost",
+            F.col("_g")[0].alias("queueid"),
+            F.col("_g")[1].alias("client"),
+        )
+    )
+    c = F.col("client")
+    # group 0 (the whole prefix match) via an outer capture group —
+    # wrapped groups shift to 2/3
+    return df.withColumn(
+        "_c", regex_groups(c, "(" + CLIENT_SPLIT_RE + ")", 3)
+    ).select(
         "seq",
         "ts",
         "mailhost",
-        F.regexp_extract(m, SMTPD_RE, 1).alias("queueid"),
-        F.regexp_extract(m, SMTPD_RE, 2).alias("client"),
-    )
-    c = F.col("client")
-    return df.select(
-        "*",
-        F.regexp_extract(c, CLIENT_SPLIT_RE, 0).alias("client_full"),
-        F.regexp_extract(c, CLIENT_SPLIT_RE, 1).alias("client_rdns"),
-        F.regexp_extract(c, CLIENT_SPLIT_RE, 2).alias("client_addr"),
+        "queueid",
+        "client",
+        F.col("_c")[0].alias("client_full"),
+        F.col("_c")[1].alias("client_rdns"),
+        F.col("_c")[2].alias("client_addr"),
     )
 
 
@@ -168,40 +229,52 @@ def extract_smtp(parsed: DataFrame) -> DataFrame:
     """smtp branch → delivery attempt fields (8 capture groups,
     maillog2db.go:52,215-238)."""
     m = F.col("message")
-    return parsed.filter(F.col("entry_type") == ENTRY_SMTP).select(
-        "seq",
-        "ts",
-        F.regexp_extract(m, SMTP_RE, 1).alias("queueid"),
-        F.regexp_extract(m, SMTP_RE, 2).alias("to"),
-        F.regexp_extract(m, SMTP_RE, 3).alias("relay"),
-        F.regexp_extract(m, SMTP_RE, 4).alias("delay"),
-        F.regexp_extract(m, SMTP_RE, 5).alias("delays"),
-        F.regexp_extract(m, SMTP_RE, 6).alias("dsn"),
-        F.regexp_extract(m, SMTP_RE, 7).alias("status"),
-        F.regexp_extract(m, SMTP_RE, 8).alias("statusext"),
+    return (
+        parsed.filter(F.col("entry_type") == ENTRY_SMTP)
+        .withColumn("_g", regex_groups(m, SMTP_RE, 8))
+        .select(
+            "seq",
+            "ts",
+            F.col("_g")[0].alias("queueid"),
+            F.col("_g")[1].alias("to"),
+            F.col("_g")[2].alias("relay"),
+            F.col("_g")[3].alias("delay"),
+            F.col("_g")[4].alias("delays"),
+            F.col("_g")[5].alias("dsn"),
+            F.col("_g")[6].alias("status"),
+            F.col("_g")[7].alias("statusext"),
+        )
     )
 
 
 def extract_qmgr(parsed: DataFrame) -> DataFrame:
     """qmgr branch → message envelope fields (maillog2db.go:55,240-258)."""
     m = F.col("message")
-    return parsed.filter(F.col("entry_type") == ENTRY_QMGR).select(
-        "seq",
-        "ts",
-        "mailhost",
-        F.regexp_extract(m, QMGR_RE, 1).alias("queueid"),
-        F.regexp_extract(m, QMGR_RE, 2).alias("from"),
-        F.regexp_extract(m, QMGR_RE, 3).alias("size"),
-        F.regexp_extract(m, QMGR_RE, 4).alias("nrcpt"),
-        F.regexp_extract(m, QMGR_RE, 5).alias("statusext"),
+    return (
+        parsed.filter(F.col("entry_type") == ENTRY_QMGR)
+        .withColumn("_g", regex_groups(m, QMGR_RE, 5))
+        .select(
+            "seq",
+            "ts",
+            "mailhost",
+            F.col("_g")[0].alias("queueid"),
+            F.col("_g")[1].alias("from"),
+            F.col("_g")[2].alias("size"),
+            F.col("_g")[3].alias("nrcpt"),
+            F.col("_g")[4].alias("statusext"),
+        )
     )
 
 
 def extract_cleanup(parsed: DataFrame) -> DataFrame:
     """cleanup branch → (queueid, message-id) (maillog2db.go:58,260-268)."""
     m = F.col("message")
-    return parsed.filter(F.col("entry_type") == ENTRY_CLEANUP).select(
-        "seq",
-        F.regexp_extract(m, CLEANUP_RE, 1).alias("queueid"),
-        F.regexp_extract(m, CLEANUP_RE, 2).alias("message_id"),
+    return (
+        parsed.filter(F.col("entry_type") == ENTRY_CLEANUP)
+        .withColumn("_g", regex_groups(m, CLEANUP_RE, 2))
+        .select(
+            "seq",
+            F.col("_g")[0].alias("queueid"),
+            F.col("_g")[1].alias("message_id"),
+        )
     )

@@ -241,3 +241,112 @@ def test_referential_integrity_one_scan_form_matches_oracle(spark, fk_tables):
     assert (n_region.n_child, n_region.n_null_keys, n_region.n_orphans) == (4, 1, 1)
     c_nation = by_rel["customer->nation"]  # dup parent key 10 hit once
     assert (c_nation.n_child, c_nation.n_null_keys, c_nation.n_orphans) == (3, 1, 1)
+
+
+# --- r11: AllPairs positional filter (dedup.py) -----------------------------
+
+
+def test_prefix_positional_candidates_are_lossless(spark):
+    """_prefix_filtered_candidates (length + PPJoin positional bounds)
+    must keep EVERY pair with true Jaccard >= t — the bounds may only
+    discard pairs that provably fail the final verify. Planted corpus
+    exercises the edges: exact-boundary J = t pairs, identical sets,
+    disjoint sets, subset pairs straddling the length bound, and a
+    shared-prefix pair whose positional bound must NOT prune it."""
+    from itertools import combinations
+
+    from maillog2db_spark.operators.dedup import _prefix_filtered_candidates
+
+    t = 0.7
+    docs = [
+        (1, ["a", "b", "c", "d", "e", "f", "g"]),          # base
+        (2, ["a", "b", "c", "d", "e", "f", "h"]),          # J=6/8 < t vs 1
+        (3, ["a", "b", "c", "d", "e", "f", "g"]),          # identical to 1 (J=1)
+        (4, ["a", "b", "c", "d", "e", "f", "g", "h", "i", "j"]),  # superset: J=7/10=t vs 1 (boundary)
+        (5, ["x", "y", "z"]),                              # disjoint
+        (6, ["a", "b", "c"]),                              # small subset: length bound prunes vs 1
+        (7, ["b", "c", "d", "e", "f", "g", "h"]),          # J=6/8 vs 1, shares prefix late
+        (8, []),                                           # empty set
+        (9, ["m", "n", "o", "p", "q", "r", "s", "t", "u", "v"]),
+        (10, ["m", "n", "o", "p", "q", "r", "s", "t", "u", "w"]),  # J=9/11 >= t vs 9
+    ]
+    sets = {i: set(sh) for i, sh in docs}
+    truth = set()
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter / union >= t:
+            truth.add((a, b))
+    assert (1, 4) in truth and (9, 10) in truth and (1, 3) in truth  # planted hits
+
+    d = spark.createDataFrame(docs, "doc_id long, sh array<string>")
+    d = (
+        d.withColumn("sh", F.array_sort(F.array_distinct("sh")))
+        .withColumn("n", F.size("sh"))
+        .withColumn(
+            "prefix",
+            F.slice("sh", 1, (F.floor(F.col("n") * (1 - t)) + 1).cast("int")),
+        )
+    )
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in _prefix_filtered_candidates(d, [], t).collect()
+    }
+    assert truth <= cand, f"lossy prune dropped {truth - cand}"
+    # and the bounds do prune the planted negatives
+    assert (1, 6) not in cand  # length bound: 3 vs 7
+    assert (1, 5) not in cand and (8, 9) not in cand
+
+
+def test_prefix_positional_candidates_oversize_path(spark):
+    """The salted big-bucket regime must emit the same filtered
+    candidate set as the in-row regime (cap forced tiny)."""
+    from maillog2db_spark.operators.dedup import _prefix_filtered_candidates
+
+    t = 0.7
+    docs = [(i, [f"s{j}" for j in range(i % 3, i % 3 + 8)]) for i in range(1, 30)]
+    d = spark.createDataFrame(docs, "doc_id long, sh array<string>")
+    d = (
+        d.withColumn("sh", F.array_sort(F.array_distinct("sh")))
+        .withColumn("n", F.size("sh"))
+        .withColumn(
+            "prefix",
+            F.slice("sh", 1, (F.floor(F.col("n") * (1 - t)) + 1).cast("int")),
+        )
+    )
+    small_regime = {
+        tuple(r) for r in _prefix_filtered_candidates(d, [], t).collect()
+    }
+    big_regime = {
+        tuple(r)
+        for r in _prefix_filtered_candidates(d, [], t, cap=2, salt=3).collect()
+    }
+    assert small_regime == big_regime and small_regime
+
+
+# --- r11: single-pass regex group extraction (parsing.py) -------------------
+
+
+def test_regex_groups_matches_regexp_extract(spark):
+    """regex_groups must agree with per-group regexp_extract on every
+    input class: matching lines, non-matching lines (empty-string
+    convention), lines where the match starts mid-string, and the
+    separator-byte fallback row."""
+    from maillog2db_spark.parsing import SMTP_RE, regex_groups
+
+    rows = [
+        ("AB12CD: to=<u@x>, relay=r1[10.0.0.1]:25, delay=0.5, delays=0.1/0/0.2/0.2, dsn=2.0.0, status=sent (ok)",),
+        ("NOQUEUE: to=<v@y>, relay=none, delay=1, delays=1/0/0/0, dsn=5.0.0, status=reject (blocked)",),
+        ("no match here at all",),
+        ("junk prefix! AB12CD: to=<w@z>, relay=r2, delay=2, delays=2/0/0/0, dsn=4.0.0, status=deferred (later)",),
+        ("AB12CD: to=<u@x\x01evil>, relay=r1, delay=0.5, delays=0.1/0/0.2/0.2, dsn=2.0.0, status=sent (\x01ok)",),
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, "m string")
+    got = df.select(regex_groups(F.col("m"), SMTP_RE, 8).alias("g")).collect()
+    want = df.select(
+        F.array(
+            *[F.regexp_extract("m", SMTP_RE, i) for i in range(1, 9)]
+        ).alias("g")
+    ).collect()
+    assert [r.g for r in got] == [r.g for r in want]
