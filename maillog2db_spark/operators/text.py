@@ -602,6 +602,11 @@ def _bpe_train(
     # stays eager because n_parts below needs its partitioning and
     # every step's hit-filter re-reads it).
     counts = _bpe_pair_counts(syms, F.col("freq")).localCheckpoint(eager=False)
+    # syms STAYS eager (r11 A/B): the lazy form measured slower both
+    # warm (+0.05 s best-of-2, 4/5 interleaved pairings) and cold
+    # (run-1 11.1/10.5 -> 14.9/12.9 s) — fusing the syms
+    # materialization into step 1's top-1 collect serializes work the
+    # dedicated parallel checkpoint job overlaps
     syms = syms.localCheckpoint(eager=True)
     # the per-merge union (untouched ∪ rewritten) would otherwise DOUBLE
     # the partition count every merge (rewritten is a narrow child of
@@ -918,7 +923,7 @@ def _wordpiece_train(
     # stays eager for n_parts + the per-step hit-filter re-reads.
     counts = _bpe_pair_counts(syms, F.col("freq")).localCheckpoint(eager=False)
     unary = _unary_counts(syms, F.col("freq")).localCheckpoint(eager=False)
-    syms = syms.localCheckpoint(eager=True)
+    syms = syms.localCheckpoint(eager=True)  # stays eager: r11 A/B (see _bpe_train)
     import time as _time
 
     n_parts = syms.rdd.getNumPartitions()

@@ -133,7 +133,10 @@ def admission_ingest_batch(
         .withColumn("toks", F.expr(_TOKENS_SPARK))
         .withColumn("quality_ppm", _quality_ppm_from_toks())
         .withColumn("sh", F.expr(_SHINGLES_FROM_TOKS_SPARK))
-        .localCheckpoint(eager=True)  # shared by every stage below
+        # lazy (r11 A/B): materializes inside the first consumer's job
+        # and is reused by every later stage — the eager form paid a
+        # dedicated blocking job per micro-batch for the same reuse
+        .localCheckpoint(eager=False)  # shared by every stage below
     )
     corpus = d.filter(F.col("source") != BENCH_SOURCE)
     quality = corpus.filter(F.col("quality_ppm") >= QUALITY_MIN_PPM)
@@ -151,7 +154,7 @@ def admission_ingest_batch(
         deduped = deduped.join(
             seen_fp.select("fingerprint"), "fingerprint", "left_anti"
         )
-    deduped = deduped.localCheckpoint(eager=True)  # reused 4×
+    deduped = deduped.localCheckpoint(eager=False)  # reused 4× (lazy: r11 A/B)
 
     # novelty: first-writer-wins over store + in-batch mins. The store
     # holds only first_docs from EARLIER batches (< every current id
@@ -195,7 +198,7 @@ def admission_ingest_batch(
     )
     clean = novel.join(
         hits.select("doc_id"), "doc_id", "left_anti"
-    ).localCheckpoint(eager=True)  # counters + packing + admitted
+    ).localCheckpoint(eager=False)  # counters + packing + admitted (lazy: r11 A/B)
 
     # pack-bin accounting continued from the previous snapshot:
     # bin = floor((carried_cum + in-batch exclusive prefix) / budget),
