@@ -59,10 +59,16 @@ def header_re(strict_day: bool = True) -> str:
 # --- single-pass group extraction (r11, guide §1.2/§4.2 per-task work) -----
 #
 # regexp_extract(m, pat, i) runs the FULL regex match once per call, so
-# projecting k groups costs k matches per row (a delivery row paid 8, a
-# qmgr row 6). regex_groups evaluates the pattern ONCE per row via a
-# regexp_replace that rewrites the leftmost match into its groups joined
-# on a separator byte, then splits. Exact-equivalence contract with
+# projecting k groups costs k matches per row (a delivery row paid 8).
+# regex_groups evaluates the pattern ONCE per row via a regexp_replace
+# that rewrites the leftmost match into its groups joined on a
+# separator byte, then splits. The rewrite is NOT free — the
+# replace/split/allocation machinery costs roughly 3-4 plain matches —
+# so it is applied ONLY where the per-site A/B won: the 8-group
+# backtracking-heavy SMTP_RE (~1.4x, 3/3 pairings). The header (5
+# groups), qmgr (5), smtpd/cleanup/clientsplit (2-3) all measured
+# neutral-to-2x-slower with it and stay on per-group extracts.
+# Exact-equivalence contract with
 # [regexp_extract(m, pat, i) for i = 1..n], for ALL inputs:
 #
 #   * "^.*?" + pat explores (start position, internal captures) in the
@@ -155,18 +161,21 @@ def parse_lines(
     # Header extraction (P2) + remainder projection (P3). The reference
     # removes every occurrence of the matched header substring then trims
     # (strings.Replace(line, match, "", -1), maillog2db.go:187);
-    # F.replace has identical replace-all semantics. One regex_groups
-    # pass (r11) yields group 0 (via an outer wrap) + the 4 fields —
-    # one header-regex evaluation per admitted line instead of five.
-    df = df.withColumn("_h", regex_groups(v, "(" + hdr + ")", 5))
-    message = F.trim(F.replace(v, F.col("_h")[0], F.lit("")))
+    # F.replace has identical replace-all semantics. Stays per-group
+    # regexp_extract (r11 A/B): the regex_groups single-pass form
+    # measured SLOWER here 4/4 interleaved pairings (5-group pattern —
+    # the replace/split machinery costs more than the four matches it
+    # saves; the rewrite only pays for the 8-group SMTP_RE, see
+    # extract_smtp).
+    hdr_match = F.regexp_extract(v, hdr, 0)
+    message = F.trim(F.replace(v, hdr_match, F.lit("")))
 
     parsed = df.select(
         "seq",
-        F.col("_h")[1].alias("ts_raw"),
-        F.col("_h")[2].alias("mailhost"),
-        F.col("_h")[3].alias("process"),
-        F.col("_h")[4].alias("pid"),
+        F.regexp_extract(v, hdr, 1).alias("ts_raw"),
+        F.regexp_extract(v, hdr, 2).alias("mailhost"),
+        F.regexp_extract(v, hdr, 3).alias("process"),
+        F.regexp_extract(v, hdr, 4).alias("pid"),
         message.alias("message"),
     ).withColumn("ts", syslog_timestamp(F.col("ts_raw"), year))
 
@@ -196,38 +205,35 @@ def extract_smtpd(parsed: DataFrame) -> DataFrame:
     (maillog2db.go:208-213). Lines whose client has no ``[...]`` are
     quarantined out (the reference would panic on them —
     csplitmatches[0] index out of range)."""
+    # per-group extracts (r11 A/B): the regex_groups form measured ~2x
+    # slower on these 2-3-group patterns — see extract_smtp for the one
+    # site where the single-pass rewrite wins
     m = F.col("message")
-    df = (
-        parsed.filter(F.col("entry_type") == ENTRY_SMTPD)
-        .withColumn("_g", regex_groups(m, SMTPD_RE, 2))
-        .select(
-            "seq",
-            "ts",
-            "mailhost",
-            F.col("_g")[0].alias("queueid"),
-            F.col("_g")[1].alias("client"),
-        )
-    )
-    c = F.col("client")
-    # group 0 (the whole prefix match) via an outer capture group —
-    # wrapped groups shift to 2/3
-    return df.withColumn(
-        "_c", regex_groups(c, "(" + CLIENT_SPLIT_RE + ")", 3)
-    ).select(
+    df = parsed.filter(F.col("entry_type") == ENTRY_SMTPD).select(
         "seq",
         "ts",
         "mailhost",
-        "queueid",
-        "client",
-        F.col("_c")[0].alias("client_full"),
-        F.col("_c")[1].alias("client_rdns"),
-        F.col("_c")[2].alias("client_addr"),
+        F.regexp_extract(m, SMTPD_RE, 1).alias("queueid"),
+        F.regexp_extract(m, SMTPD_RE, 2).alias("client"),
+    )
+    c = F.col("client")
+    return df.select(
+        "*",
+        F.regexp_extract(c, CLIENT_SPLIT_RE, 0).alias("client_full"),
+        F.regexp_extract(c, CLIENT_SPLIT_RE, 1).alias("client_rdns"),
+        F.regexp_extract(c, CLIENT_SPLIT_RE, 2).alias("client_addr"),
     )
 
 
 def extract_smtp(parsed: DataFrame) -> DataFrame:
     """smtp branch → delivery attempt fields (8 capture groups,
-    maillog2db.go:52,215-238)."""
+    maillog2db.go:52,215-238).
+
+    Single-pass regex_groups (r11): one SMTP_RE evaluation per row
+    instead of eight — measured ~1.4x on the noop-sink probe (3/3
+    interleaved pairings: 2.89/2.22/2.25 → 1.95/1.53/1.55 s per 5
+    passes at sf0.1); the seven lazy-group separators make this the one
+    pattern expensive enough to out-cost the replace/split machinery."""
     m = F.col("message")
     return (
         parsed.filter(F.col("entry_type") == ENTRY_SMTP)
@@ -249,32 +255,26 @@ def extract_smtp(parsed: DataFrame) -> DataFrame:
 
 def extract_qmgr(parsed: DataFrame) -> DataFrame:
     """qmgr branch → message envelope fields (maillog2db.go:55,240-258)."""
+    # per-group extracts (r11 A/B): regex_groups measured slightly
+    # slower on this 5-group pattern 3/3 pairings — see extract_smtp
     m = F.col("message")
-    return (
-        parsed.filter(F.col("entry_type") == ENTRY_QMGR)
-        .withColumn("_g", regex_groups(m, QMGR_RE, 5))
-        .select(
-            "seq",
-            "ts",
-            "mailhost",
-            F.col("_g")[0].alias("queueid"),
-            F.col("_g")[1].alias("from"),
-            F.col("_g")[2].alias("size"),
-            F.col("_g")[3].alias("nrcpt"),
-            F.col("_g")[4].alias("statusext"),
-        )
+    return parsed.filter(F.col("entry_type") == ENTRY_QMGR).select(
+        "seq",
+        "ts",
+        "mailhost",
+        F.regexp_extract(m, QMGR_RE, 1).alias("queueid"),
+        F.regexp_extract(m, QMGR_RE, 2).alias("from"),
+        F.regexp_extract(m, QMGR_RE, 3).alias("size"),
+        F.regexp_extract(m, QMGR_RE, 4).alias("nrcpt"),
+        F.regexp_extract(m, QMGR_RE, 5).alias("statusext"),
     )
 
 
 def extract_cleanup(parsed: DataFrame) -> DataFrame:
     """cleanup branch → (queueid, message-id) (maillog2db.go:58,260-268)."""
     m = F.col("message")
-    return (
-        parsed.filter(F.col("entry_type") == ENTRY_CLEANUP)
-        .withColumn("_g", regex_groups(m, CLEANUP_RE, 2))
-        .select(
-            "seq",
-            F.col("_g")[0].alias("queueid"),
-            F.col("_g")[1].alias("message_id"),
-        )
+    return parsed.filter(F.col("entry_type") == ENTRY_CLEANUP).select(
+        "seq",
+        F.regexp_extract(m, CLEANUP_RE, 1).alias("queueid"),
+        F.regexp_extract(m, CLEANUP_RE, 2).alias("message_id"),
     )

@@ -118,30 +118,28 @@ def message_events(parsed: DataFrame) -> DataFrame:
     is_qmgr = et == parsing.ENTRY_QMGR
     is_smtpd = et == parsing.ENTRY_SMTPD
     is_cleanup = et == parsing.ENTRY_CLEANUP
-    # one regex evaluation per row (r11, parsing.regex_groups): the
-    # row's own pattern runs once and fields read from the array
-    # (out-of-range getItem on the shorter smtpd/cleanup arrays is NULL,
-    # already masked by the type gates). Field gating (NULL outside the
-    # type) is unchanged.
-    g = (
-        F.when(is_smtpd, parsing.regex_groups(m, parsing.SMTPD_RE, 2))
-        .when(is_qmgr, parsing.regex_groups(m, parsing.QMGR_RE, 5))
-        .otherwise(parsing.regex_groups(m, parsing.CLEANUP_RE, 2))
-    )
+    # per-group extracts (r11 A/B): the parsing.regex_groups single-pass
+    # form measured ~60% slower here 3/3 interleaved pairings — these
+    # 2-5-group patterns are cheap enough that the replace/split
+    # machinery costs more than the matches it saves (the rewrite pays
+    # only for the 8-group SMTP_RE, see parsing.extract_smtp)
     return parsed.filter(
         et.isin(parsing.ENTRY_SMTPD, parsing.ENTRY_QMGR, parsing.ENTRY_CLEANUP)
-    ).withColumn("_g", g).select(
+    ).select(
         "seq",
         "ts",
         "mailhost",
         "entry_type",
-        F.col("_g")[0].alias("queueid"),
-        F.when(is_smtpd, F.col("_g")[1]).alias("client_raw"),
-        F.when(is_qmgr, F.col("_g")[1]).alias("from_raw"),
-        F.when(is_qmgr, F.col("_g")[2]).alias("size_raw"),
-        F.when(is_qmgr, F.col("_g")[3]).alias("nrcpt_raw"),
-        F.when(is_qmgr, F.col("_g")[4]).alias("statusext_raw"),
-        F.when(is_cleanup, F.col("_g")[1]).alias("message_id_raw"),
+        F.when(is_smtpd, F.regexp_extract(m, parsing.SMTPD_RE, 1))
+        .when(is_qmgr, F.regexp_extract(m, parsing.QMGR_RE, 1))
+        .otherwise(F.regexp_extract(m, parsing.CLEANUP_RE, 1))
+        .alias("queueid"),
+        F.when(is_smtpd, F.regexp_extract(m, parsing.SMTPD_RE, 2)).alias("client_raw"),
+        F.when(is_qmgr, F.regexp_extract(m, parsing.QMGR_RE, 2)).alias("from_raw"),
+        F.when(is_qmgr, F.regexp_extract(m, parsing.QMGR_RE, 3)).alias("size_raw"),
+        F.when(is_qmgr, F.regexp_extract(m, parsing.QMGR_RE, 4)).alias("nrcpt_raw"),
+        F.when(is_qmgr, F.regexp_extract(m, parsing.QMGR_RE, 5)).alias("statusext_raw"),
+        F.when(is_cleanup, F.regexp_extract(m, parsing.CLEANUP_RE, 2)).alias("message_id_raw"),
     )
 
 
