@@ -643,7 +643,27 @@ def _prefix_filtered_candidates(
         small_matches = small_matches.unionByName(big_matches)
 
     tq = int(t * 10)
-    pairs = small_matches.groupBy("doc_a", "doc_b").agg(
+    # per-match-row pre-filter BEFORE the pair-grain exchange (§2.3 —
+    # shuffle fewer rows): the length bound, plus the GENERAL positional
+    # bound valid for ANY shared token w at ranks (ia, ib) — common
+    # tokens before w number at most min(ia, ib), so
+    # overlap ≤ min(ia,ib) + 1 + min(na−ia−1, nb−ib−1). Lossless for
+    # the aggregate: a pair surviving the final (first-token) filter
+    # has its w* row pass both per-row bounds (its tight bound is ≥ the
+    # required overlap and the general bound only adds min(ia*,ib*) ≥ 0),
+    # and every other surviving row has larger ia AND ib, so
+    # min(ia)/min(ib) over survivors still land on w* — the aggregate
+    # and final filter see identical values.
+    matches = small_matches.filter(
+        (F.least("na", "nb") * F.lit(10) >= F.greatest("na", "nb") * F.lit(tq))
+        & (
+            (F.lit(1) + F.least("ia", "ib")
+             + F.least(F.col("na") - F.col("ia") - 1,
+                       F.col("nb") - F.col("ib") - 1)) * F.lit(10 + tq)
+            >= (F.col("na") + F.col("nb")) * F.lit(tq)
+        )
+    )
+    pairs = matches.groupBy("doc_a", "doc_b").agg(
         F.min("na").alias("na"), F.min("nb").alias("nb"),
         F.min("ia").alias("ia"), F.min("ib").alias("ib"),
     )
