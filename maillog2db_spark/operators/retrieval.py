@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .dedup import _TOKENS_DUCK
 from .similarity import (
@@ -307,93 +308,63 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("sim_ppm"),
         )
-        .localCheckpoint(eager=False)  # ≤ POOL²/query rows, lazy as poolv
     )
 
-    rem = poolv.select("query_id", "doc_id", "rel_ppm")
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("rel_ppm").desc(), F.asc("doc_id")
-    )
-    sel = (
-        rem.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            F.lit(1).cast("int").alias("step"),
-            "doc_id",
-            "rel_ppm",
-            F.lit(0).cast("bigint").alias("ms_ppm"),
-            (F.lit(7) * F.col("rel_ppm")).cast("bigint").alias("score_ppm"),
-        )
-    )
-    selected = sel
-    # running max-sim state for the not-yet-selected pool members
-    prs = pairs.select(
-        F.col("query_id").alias("pq"), "a", "b", "sim_ppm"
-    )
-    state = (
-        rem.join(
-            sel.select("query_id", F.col("doc_id").alias("sd")), "query_id"
-        )
-        .filter(F.col("doc_id") != F.col("sd"))
-        .join(
-            prs,
-            (F.col("pq") == F.col("query_id"))
-            & (F.col("a") == F.col("doc_id"))
-            & (F.col("b") == F.col("sd")),
-        )
-        .select(
-            "query_id",
-            "doc_id",
-            "rel_ppm",
-            F.col("sim_ppm").alias("ms_ppm"),
-        )
-    )
-    for step in range(2, MMR_K + 1):
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("score_ppm").desc(), F.asc("doc_id")
-        )
-        s = (
-            state.withColumn(
-                "score_ppm",
-                (F.lit(7) * F.col("rel_ppm") - F.lit(3) * F.col("ms_ppm")).cast(
-                    "bigint"
-                ),
+    # r11 job-count attack (the kcenter pattern): everything after the
+    # pool is CONSTANT-bounded metadata — N_QUERIES·POOL pool rows and
+    # ≤ N_QUERIES·POOL² sims, independent of corpus size — and every
+    # score is a non-null bigint (_cos_ppm's sentinel), so the greedy
+    # fold runs on the DRIVER over two bounded collects instead of
+    # K−1 unrolled join+window+lazy-checkpoint rounds (per-step plan
+    # construction + scheduling dominated the wall; the distributed
+    # work — the cached exact ranking and the pairwise sim table — is
+    # unchanged, and the sims are collected as Spark-computed integers,
+    # never recomputed in Python). Semantics replicated verbatim:
+    #   step 1   argmax rel_ppm, ties doc_id asc, ms = 0
+    #   step s   argmax 7·rel − 3·ms (exact ints), ties doc_id asc
+    #   update   ms' = max(ms, sim(d, selected)), selected removed;
+    #   a query with an exhausted pool stops early (the row_number
+    #   form produced no row for it), and the exact-integer max over
+    #   non-null bigints is greatest().
+    pool_rows = poolv.select("query_id", "doc_id", "rel_ppm").collect()
+    sim = {(r.query_id, r.a, r.b): r.sim_ppm for r in pairs.collect()}
+    by_q: dict = {}
+    for r in pool_rows:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.rel_ppm))
+    out = []
+    for qid, docs in by_q.items():
+        sel_doc, sel_rel = min(docs, key=lambda t: (-t[1], t[0]))
+        out.append((qid, 1, sel_doc, sel_rel, 0, 7 * sel_rel))
+        state = {
+            d: (rel, sim[(qid, d, sel_doc)]) for d, rel in docs if d != sel_doc
+        }
+        for step in range(2, MMR_K + 1):
+            if not state:
+                break
+            sel_doc, (sel_rel, sel_ms) = min(
+                state.items(),
+                key=lambda kv: (-(7 * kv[1][0] - 3 * kv[1][1]), kv[0]),
             )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                F.lit(step).cast("int").alias("step"),
-                "doc_id",
-                "rel_ppm",
-                "ms_ppm",
-                "score_ppm",
+            out.append(
+                (qid, step, sel_doc, sel_rel, sel_ms, 7 * sel_rel - 3 * sel_ms)
             )
-        )
-        selected = selected.unionByName(s)
-        if step < MMR_K:
-            state = (
-                state.join(
-                    s.select("query_id", F.col("doc_id").alias("sd")),
-                    "query_id",
-                )
-                .filter(F.col("doc_id") != F.col("sd"))
-                .join(
-                    prs,
-                    (F.col("pq") == F.col("query_id"))
-                    & (F.col("a") == F.col("doc_id"))
-                    & (F.col("b") == F.col("sd")),
-                )
-                .select(
-                    "query_id",
-                    "doc_id",
-                    "rel_ppm",
-                    F.greatest("ms_ppm", "sim_ppm").alias("ms_ppm"),
-                )
-                .localCheckpoint(eager=False)
-            )
-    return selected
+            del state[sel_doc]
+            state = {
+                d: (rel, max(ms, sim[(qid, d, sel_doc)]))
+                for d, (rel, ms) in state.items()
+            }
+    pf = {f.name: f.dataType for f in poolv.schema.fields}
+    schema = T.StructType(
+        [
+            T.StructField("query_id", pf["query_id"]),
+            T.StructField("step", T.IntegerType()),
+            T.StructField("doc_id", pf["doc_id"]),
+            T.StructField("rel_ppm", T.LongType()),
+            T.StructField("ms_ppm", T.LongType()),
+            T.StructField("score_ppm", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
 
 
 def _mmr_oracle_sql() -> str:
