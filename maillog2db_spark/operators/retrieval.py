@@ -35,6 +35,7 @@ from .similarity import (
     _DOT_DUCK,
     _dot,
     _embeddings,
+    EXACT_RANK_DEPTH,
     cosine_topk,
     knn_queries_corpus,
 )
@@ -227,6 +228,14 @@ FROM (
 
 MMR_POOL = 10         # relevance pool depth fed to the greedy selector
 MMR_K = 5             # selections per query
+
+# the MMR pool and the hybrid dense leg are prefixes of the shared
+# session-cached exact ranking — raising either past its depth would
+# silently truncate the candidate pools (ADVICE r10); fail at import
+assert MMR_POOL <= EXACT_RANK_DEPTH and HYBRID_TOP_K <= EXACT_RANK_DEPTH, (
+    "exact_cosine_ranking depth must cover every prefix consumer: "
+    f"MMR_POOL={MMR_POOL}, HYBRID_TOP_K={HYBRID_TOP_K} > {EXACT_RANK_DEPTH}"
+)
 MMR_SENTINEL_PPM = -2_000_000  # below any real cosine ppm (range ±1e6):
 # zero-norm vectors have NULL cosine; the sentinel makes them sort last
 # and keeps every score an exact bigint (no NULL arithmetic divergence)

@@ -145,7 +145,13 @@ def knn_queries_corpus(e: DataFrame, n_queries: int):
     queries) with norms precomputed — shared with retrieval.py. When
     ``e`` already carries a materialized ``nrm`` column (the
     session-cached embeddings_with_nrm base), it is read instead of
-    re-running the fold — same expression, same doubles."""
+    re-running the fold — same expression, same doubles.
+
+    CONTRACT (ADVICE r10): a caller-supplied ``nrm`` column MUST be
+    the ``_norm(embedding)`` fold from ``embeddings_with_nrm`` — any
+    differently-computed norm would silently change every cosine this
+    split feeds. Only pass frames from ``embeddings_with_nrm`` (or
+    frames without ``nrm``, which recompute it here)."""
     nrm = F.col("nrm") if "nrm" in e.columns else _norm(F.col("embedding"))
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -161,7 +167,10 @@ def knn_queries_corpus(e: DataFrame, n_queries: int):
 
 
 EXACT_RANK_DEPTH = 10  # max(TOP_K, retrieval.MMR_POOL): one cached
-#                        ranking serves every exact-cosine consumer
+#                        ranking serves every exact-cosine consumer.
+# Consumers filter prefixes of this depth, so a pool/top-k constant
+# raised past it would silently truncate candidate sets; retrieval.py
+# asserts its constants against this at import (ADVICE r10).
 
 
 def exact_cosine_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:

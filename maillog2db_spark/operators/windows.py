@@ -160,16 +160,22 @@ def distributed_cumulative(
     return out.drop(*drop)
 
 
-def ntile_from_rank(rank_col: str, total_col: str, n: int):
+def ntile_from_rank(rank_col: str, total_col: str | int, n: int):
     """SQL ``ntile(n)`` recomputed from a global rank and total count
     in exact integer arithmetic — the companion to
     ``distributed_cumulative`` for quantile bucketing without a
     single-partition window. Standard ntile fill: the first
     ``total mod n`` buckets get ``total div n + 1`` rows, the rest get
     ``total div n`` (identical in Spark and DuckDB; integer ``div``
-    never lets a float decide a bucket boundary)."""
-    q = f"({total_col} div {n})"
-    rem = f"({total_col} % {n})"
+    never lets a float decide a bucket boundary).
+
+    ``total_col`` is spliced into a SQL expression VERBATIM: pass a
+    column name, or an int for the driver-literal total the r10 ntile
+    callers inline (ADVICE r10 — ints are formatted explicitly here so
+    the splice contract is visible at the signature)."""
+    total = str(int(total_col)) if isinstance(total_col, int) else total_col
+    q = f"({total} div {n})"
+    rem = f"({total} % {n})"
     cut = f"({rem} * ({q} + 1))"
     return F.expr(
         f"CAST(CASE WHEN {rank_col} <= {cut} "
