@@ -303,20 +303,12 @@ def _huff_fast_table(bits, vals):
     return t
 
 
-_POW16 = None  # built lazily (numpy may be absent)
-
-
 class _FastReader:
     """Window-precomputed bit cursor over one entropy segment."""
 
     __slots__ = ("w", "pos")
 
     def __init__(self, data: bytes):
-        global _POW16
-        if _POW16 is None:
-            _POW16 = (1 << _np.arange(15, -1, -1, dtype=_np.int64)).astype(
-                _np.int32
-            )
         arr = _np.frombuffer(data, dtype=_np.uint8)
         # unstuff: every 0xFF inside the segment must be followed by a
         # stuffed 0x00 (drop it); the first 0xFF with anything else is
@@ -336,12 +328,25 @@ class _FastReader:
             keep = _np.ones(end, dtype=bool)
             keep[[d for d in drop if d < end]] = False
             payload = payload[keep]
-        bits = _np.unpackbits(payload)
-        padded = _np.concatenate([bits, _np.zeros(16, dtype=_np.uint8)])
-        from numpy.lib.stride_tricks import sliding_window_view
-
-        wins = sliding_window_view(padded, 16)[: len(bits) + 1]
-        self.w = (wins.astype(_np.int32) @ _POW16).tolist()
+        # each 16-bit window lives inside 3 consecutive payload bytes:
+        # window(i) = bits i..i+15 = ((b[i>>3]<<16 | b[i>>3+1]<<8 |
+        # b[i>>3+2]) >> (8 − (i&7))) & 0xFFFF — computed directly from
+        # the packed bytes (r11 review fix: the previous
+        # unpackbits + (n_bits×16) int32 window matrix peaked at
+        # ~70 B per scan BIT; this form peaks at ~12 B/bit transient).
+        # The boxed-int list stays: the decode loop reads one window
+        # per symbol and Python-list indexing beats numpy scalar
+        # extraction there; for multi-MB entropy scans the list is the
+        # remaining ~36 B/bit term — chunk the reader before feeding
+        # such inputs.
+        n_bits = int(payload.size) * 8
+        pb = _np.concatenate(
+            [payload, _np.zeros(3, dtype=_np.uint8)]
+        ).astype(_np.int32)
+        idx = _np.arange(n_bits + 1, dtype=_np.int64)
+        byte_i = idx >> 3
+        tri = (pb[byte_i] << 16) | (pb[byte_i + 1] << 8) | pb[byte_i + 2]
+        self.w = ((tri >> (8 - (idx & 7))) & 0xFFFF).tolist()
         self.pos = 0
 
 

@@ -136,7 +136,7 @@ def _nearest_pdf(centers):
     multiply and add are separate NumPy ufuncs); a zero norm product
     takes the NULL→sentinel branch; struct-least ties resolve to the
     EARLIEST step because a later center replaces only on strictly
-    smaller d. The same contract as ``_py_dissim_ppm``, which the
+    smaller d. The same contract as ``_np_dissim_ppm``, which the
     driver uses on buffered rows."""
     import numpy as np
 
@@ -181,12 +181,15 @@ def kcenter_from(
     current center chain. Every non-collected row's running
     min-dissim was <= the J-th collected value at fill time and can
     only SHRINK as centers are added (least of a superset), so while
-    the buffer's best updated value still >= that bound it is
-    provably the global (d desc, vec_id asc) argmax — the tie case is
-    safe too, because an outside row stuck exactly AT the bound
-    ordered strictly after the J-th collected row, hence after the
-    buffer candidate. Certified steps run entirely on the driver with
-    ``_py_dissim_ppm`` (bit-equal arithmetic); a failed certificate
+    the buffer's best updated value is STRICTLY ABOVE that bound it is
+    provably the global (d desc, vec_id asc) argmax. Equality does NOT
+    certify (r11 review fix): an outside row can sit exactly at the
+    bound with a SMALLER vec_id than a buffer row that shrank down to
+    the bound from above — the at-fill tie ordering only covers rows
+    that were AT the bound when collected — so a best value equal to
+    the bound triggers a refill like any failure. Certified steps run
+    entirely on the driver with ``_np_dissim_ppm`` (bit-equal
+    arithmetic); a failed certificate
     triggers one distributed refill under the full chain. The census
     is one stateless pass: the same incremental least((d, step))
     chain over all K centers as literals — value-identical to the r10
@@ -260,14 +263,22 @@ def kcenter_from(
     own_steps = [1]
     _t0 = _time.time()
     buf, bound = _refill()
-    if stats is not None:
-        stats.append((2, _time.time() - _t0))
+    # the initial fill is step 2's distributed work — fold its wall
+    # into step 2's stats entry below so callers get exactly one
+    # sample per step (the double (2, …) entry skewed the rehearsal's
+    # per-step means; r11 review fix)
+    _fill_s = _time.time() - _t0
     for step in range(2, k + 1):
-        _t0 = _time.time()
+        _t0 = _time.time() - (_fill_s if step == 2 else 0.0)
         idx = _best(buf)
-        if idx is None or (bound is not None and int(buf["d"][idx]) < bound):
+        if idx is None or (bound is not None and int(buf["d"][idx]) <= bound):
             # certificate failed (or buffer drained): one distributed
-            # refill under the full chain re-establishes the bound
+            # refill under the full chain re-establishes the bound.
+            # <= is load-bearing: only a value STRICTLY above the bound
+            # beats every outside row on the (d desc, vec_id asc)
+            # order — at equality an outside row with a smaller vec_id
+            # may be the true argmax (r11 review fix; pinned by
+            # test_kcenter_tie_at_bound_refills)
             buf, bound = _refill()
             idx = _best(buf)
         if idx is None:

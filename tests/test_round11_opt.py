@@ -350,3 +350,46 @@ def test_regex_groups_matches_regexp_extract(spark):
         ).alias("g")
     ).collect()
     assert [r.g for r in got] == [r.g for r in want]
+
+
+def test_kcenter_tie_at_bound_refills(spark, monkeypatch):
+    """r11 review fix: a buffer row that SHRINKS to exactly the fill
+    bound must not certify — an outside row can sit at the bound with
+    a smaller vec_id once every at-fill-bound buffer row has shrunk
+    below it. Deterministic adversarial corpus (dim 4, exact
+    orthogonality chain; j_cap = 12 < n = 14):
+
+      seed A = e1 (vid 0); ten dups of p = (-1,1,0,0) at d = 1,707,107
+      (vids 1-10); z = (-1,-1,0,2) at d = 1,408,248 but GIVEN VID 50;
+      b1 = e3 at the bound d = 1e6 (vid 11, collected 12th);
+      o = e4 at the bound (vid 12, OUTSIDE the fill).
+
+      step 2 selects p; z ⊥ p shrinks to EXACTLY 1e6 (the bound).
+      step 3 selects b1 (1e6, vid 11 — the last at-fill-bound row);
+      z ⊥ b1 stays at the bound. step 4's buffer argmax is z
+      (1e6, vid 50) == bound, but the TRUE argmax is the outside o
+      (1e6, vid 12): an uncertified acceptance picks z and the
+      trajectory diverges; the <= refill admits o."""
+    import math
+
+    from maillog2db_spark.operators import selection as S
+
+    def nrm(v):
+        return math.sqrt(sum(x * x for x in v))
+
+    A = [1.0, 0.0, 0.0, 0.0]
+    p = [-1.0, 1.0, 0.0, 0.0]
+    z = [-1.0, -1.0, 0.0, 2.0]
+    b1 = [0.0, 0.0, 1.0, 0.0]
+    o = [0.0, 0.0, 0.0, 1.0]
+    rows = [(0, A, nrm(A))]
+    rows += [(vid, p, nrm(p)) for vid in range(1, 11)]
+    rows += [(11, b1, nrm(b1)), (12, o, nrm(o)), (50, z, nrm(z))]
+    e = spark.createDataFrame(rows, "vec_id long, emb array<double>, nrm double")
+    monkeypatch.setattr(S, "_BUFFER_J", 4096)  # buffer holds all: exact
+    want = _traj(S.kcenter_from(e, 6))
+    monkeypatch.setattr(S, "_BUFFER_J", 2)  # j_cap = max(2, 12) = 12 < 14
+    got = _traj(S.kcenter_from(e, 6))
+    assert got == want
+    # the divergence point: step 4 must select the outside row o
+    assert want[3][0] == 4 and want[3][1] == 12
